@@ -1,0 +1,175 @@
+package graft
+
+/** SQL dialect pre-pass: translates the reference dialect
+  * (zbrookle/dataframe_sql, whose grammar is documented at reference
+  * `dataframe_sql/sql_select_query.py:70-81`) into Spark ANSI SQL before the
+  * string reaches Spark's ANTLR parser. Purely lexical — string literals and
+  * quoted identifiers pass through untouched, so a literal `'float64'` is
+  * never corrupted (SURVEY.md §7.3).
+  *
+  * Rewrites (SURVEY.md §2.2):
+  *   - P7: pandas/ibis type names inside `CAST(x AS <t>)` → Spark SQL types
+  *     (`object`/`category`/`varchar` → `string`, `int64` → `bigint`,
+  *     `float16` → `float`, `float64` → `double`, `datetime64` → `timestamp`,
+  *     reference `tests/pandas_sql_functionality_test.py:1061-1111`).
+  *   - P10: `today()` → `current_date()`
+  *     (reference `tests/pandas_sql_functionality_test.py:1008,1013`).
+  *   - P11: two-arg `timestamp('YYYY-MM-DD','HH:MM:SS')` →
+  *     `to_timestamp('YYYY-MM-DD HH:MM:SS')`; the ANSI literal form
+  *     `timestamp '…'` and one-arg `timestamp(x)` are left alone
+  *     (reference `tests/pandas_sql_functionality_test.py:1008,1014`).
+  *
+  * Everything else in the reference's grammar is already valid Spark SQL, so
+  * no further rewriting is needed — Catalyst does the real parsing/planning.
+  */
+object Dialect {
+
+  /** Non-ANSI CAST target names accepted by the reference → Spark SQL type
+    * names. ANSI names that Spark already accepts (int, bigint, smallint,
+    * float, double, boolean, timestamp, string, date) are not rewritten.
+    * Widenings (float16 → float, category → string) per SURVEY.md §7.3.
+    */
+  private val castTypes: Map[String, String] = Map(
+    "object" -> "string",
+    "category" -> "string",
+    "varchar" -> "string",
+    "int16" -> "smallint",
+    "int32" -> "int",
+    "int64" -> "bigint",
+    "float16" -> "float",
+    "float32" -> "float",
+    "float64" -> "double",
+    "bool" -> "boolean",
+    "datetime64" -> "timestamp"
+  )
+
+  private sealed trait Tok { def text: String }
+  /** Bare identifier or keyword. */
+  private final case class Word(text: String) extends Tok
+  /** 'string', "ident" or `ident` — including the quotes; never rewritten. */
+  private final case class Quoted(text: String) extends Tok
+  /** Any other single character (operators, parens, commas, digits…). */
+  private final case class Sym(text: String) extends Tok
+  private final case class Space(text: String) extends Tok
+
+  private def lex(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val start = i
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (sql(i) == c) {
+            // '' inside a single-quoted string is an escaped quote
+            if (c == '\'' && i + 1 < n && sql(i + 1) == '\'') i += 2
+            else { i += 1; done = true }
+          } else i += 1
+        }
+        out += Quoted(sql.substring(start, i))
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (sql(i).isLetterOrDigit || sql(i) == '_')) i += 1
+        out += Word(sql.substring(start, i))
+      } else if (c.isWhitespace) {
+        val start = i
+        while (i < n && sql(i).isWhitespace) i += 1
+        out += Space(sql.substring(start, i))
+      } else {
+        out += Sym(c.toString)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  def rewrite(sql: String): String = {
+    val toks = lex(sql)
+    val out = new StringBuilder
+
+    // Index of the next non-whitespace token at or after i, or -1.
+    def skipWs(i: Int): Int = {
+      var j = i
+      while (j < toks.length && toks(j).isInstanceOf[Space]) j += 1
+      if (j < toks.length) j else -1
+    }
+
+    var depth = 0
+    // Paren depths of CAST(...) groups whose `AS <type>` we still expect.
+    var castStack = List.empty[Int]
+    // True when the next Word is a CAST target type to map.
+    var mapNextType = false
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Word(w) if mapNextType =>
+          out ++= castTypes.getOrElse(w.toLowerCase, w)
+          mapNextType = false
+          i += 1
+
+        case Word(w) if w.equalsIgnoreCase("cast") =>
+          val p = skipWs(i + 1)
+          out ++= w
+          if (p >= 0 && toks(p).text == "(") castStack ::= (depth + 1)
+          i += 1
+
+        case Word(w)
+            if w.equalsIgnoreCase("as") && castStack.nonEmpty &&
+              castStack.head == depth =>
+          castStack = castStack.tail
+          mapNextType = true
+          out ++= w
+          i += 1
+
+        case Word(w) if w.equalsIgnoreCase("today") =>
+          val p = skipWs(i + 1)
+          val q = if (p >= 0) skipWs(p + 1) else -1
+          if (p >= 0 && toks(p).text == "(" && q >= 0 && toks(q).text == ")") {
+            out ++= "current_date()"
+            i = q + 1
+          } else { out ++= w; i += 1 }
+
+        case Word(w) if w.equalsIgnoreCase("timestamp") =>
+          // timestamp('d','t') → to_timestamp('d t'); anything else untouched.
+          val p1 = skipWs(i + 1)
+          val p2 = if (p1 >= 0) skipWs(p1 + 1) else -1
+          val p3 = if (p2 >= 0) skipWs(p2 + 1) else -1
+          val p4 = if (p3 >= 0) skipWs(p3 + 1) else -1
+          val p5 = if (p4 >= 0) skipWs(p4 + 1) else -1
+          val ok = p5 >= 0 &&
+            toks(p1).text == "(" &&
+            toks(p2).isInstanceOf[Quoted] && toks(p2).text.startsWith("'") &&
+            toks(p3).text == "," &&
+            toks(p4).isInstanceOf[Quoted] && toks(p4).text.startsWith("'") &&
+            toks(p5).text == ")"
+          if (ok) {
+            val d = toks(p2).text.stripPrefix("'").stripSuffix("'")
+            val t = toks(p4).text.stripPrefix("'").stripSuffix("'")
+            out ++= s"to_timestamp('$d $t')"
+            i = p5 + 1
+          } else { out ++= w; i += 1 }
+
+        case Sym("(") =>
+          depth += 1
+          out += '('
+          i += 1
+
+        case Sym(")") =>
+          // A CAST whose AS never appeared at this depth (malformed) — drop it.
+          if (castStack.nonEmpty && castStack.head == depth)
+            castStack = castStack.tail
+          depth -= 1
+          out += ')'
+          i += 1
+
+        case t =>
+          out ++= t.text
+          i += 1
+      }
+    }
+    out.result()
+  }
+}

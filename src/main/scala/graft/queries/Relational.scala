@@ -1,0 +1,392 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.sql
+
+/** The reference's relational surface (SURVEY.md §2) re-expressed over the
+  * driver testdata tables, one named query per operator row, each with a
+  * DuckDB oracle. Conventions for deterministic driver hash-compares:
+  *   - every query ends in ORDER BY over a unique key (or a single column,
+  *     where ties make any order produce the same sorted sequence);
+  *   - double-typed AGGREGATES are rounded (per-row IEEE arithmetic is
+  *     bit-identical across engines and stays unrounded);
+  *   - every computed column is aliased identically on both sides;
+  *   - Spark `rank()` (int) is cast to bigint to match DuckDB's.
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- §2.2 P*
+  private val projection = Seq(
+    // P1 — select * (reference tests/pandas_sql_functionality_test.py:33-40)
+    sql("p1_select_star", "select * from region order by r_regionkey"),
+    // P2 — projection + AS alias (:53-62)
+    sql("p2_alias",
+      "select n_nationkey as key, n_name as nation_name from nation order by key"),
+    // P3 — multiple aliases of one column (:1040-1058)
+    sql("p3_multi_alias",
+      "select r_regionkey, r_name as a, r_name as b, r_name as c from region order by r_regionkey"),
+    // P4 — literal column + constant folding (:970-982, :97-105)
+    sql("p4_literal",
+      "select r_regionkey, 'yes' as flag, 1 + 2 * 3 as calc from region order by r_regionkey"),
+    // P5 — arithmetic with precedence (:418-431, :1114-1127)
+    sql("p5_arith",
+      "select l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) + l_tax * 10 as expr_val " +
+        "from lineitem order by l_orderkey, l_linenumber, expr_val"),
+    // P6 — parenthesized arithmetic (:1130-1147)
+    sql("p6_paren_arith",
+      "select l_orderkey, l_linenumber, 20 * (l_quantity + 3) / (20 + l_linenumber) as paren_val " +
+        "from lineitem order by l_orderkey, l_linenumber, paren_val"),
+    // P7 — CAST with pandas type names; Spark side goes through the Dialect
+    // rewriter (:65-94, :1061-1111)
+    sql("p7_cast_types",
+      "select cast(l_linenumber as int16) as ln_small, cast(l_orderkey as int32) as ok_int, " +
+        "cast(l_orderkey as object) as ok_str, cast(l_quantity as float32) as qty_f, " +
+        "cast(l_linenumber as float64) as ln_d, cast(l_orderkey as int64) as ok_big, " +
+        "cast(l_returnflag as category) as rf_cat " +
+        "from lineitem order by ok_big, ln_small, qty_f, rf_cat",
+      "select cast(l_linenumber as smallint) as ln_small, cast(l_orderkey as int) as ok_int, " +
+        "cast(l_orderkey as varchar) as ok_str, cast(l_quantity as float) as qty_f, " +
+        "cast(l_linenumber as double) as ln_d, cast(l_orderkey as bigint) as ok_big, " +
+        "cast(l_returnflag as varchar) as rf_cat " +
+        "from lineitem order by ok_big, ln_small, qty_f, rf_cat"),
+    // P8 — CASE WHEN, first match wins (:708-769, :1022-1037)
+    sql("p8_case_when",
+      "select l_orderkey, l_linenumber, " +
+        "case when l_quantity > 40 then 'high' when l_quantity > 20 then 'mid' else 'low' end as qty_band, " +
+        "case when l_returnflag = 'R' then l_extendedprice else 0.0 end as returned_price " +
+        "from lineitem order by l_orderkey, l_linenumber, qty_band, returned_price"),
+    // P9 — now() (:1000-1015); nondeterministic → rows-only check
+    QueryDef("p9_now",
+      (s, dir) => { graft.Tables.ensure(s, dir)
+        graft.Engine.query(s, "select r_regionkey, now() as ts_now from region") },
+      None),
+    // P10 — today() via dialect rewrite (:1008,1013); rows-only
+    QueryDef("p10_today",
+      (s, dir) => { graft.Tables.ensure(s, dir)
+        graft.Engine.query(s, "select r_regionkey, today() as d from region") },
+      None),
+    // P11 — two-arg timestamp() via dialect rewrite (:1008,1014)
+    sql("p11_timestamp_fn",
+      "select r_regionkey, timestamp('2024-01-02', '03:04:05') as ts_val from region order by r_regionkey",
+      "select r_regionkey, timestamp '2024-01-02 03:04:05' as ts_val from region order by r_regionkey"),
+    // P12 — date-string cast to datetime64 via dialect rewrite (:985-997)
+    sql("p12_cast_datetime",
+      "select r_regionkey, cast('2019-01-01' as datetime64) as dt from region order by r_regionkey",
+      "select r_regionkey, cast('2019-01-01' as timestamp) as dt from region order by r_regionkey")
+  )
+
+  // ---------------------------------------------------------------- §2.3 F*
+  private val filters = Seq(
+    // F1 — all six comparison operators (:301-332)
+    sql("f1_compare",
+      "select l_orderkey, l_linenumber from lineitem " +
+        "where l_quantity > 10 and l_discount >= 0.05 and l_linenumber != 3 " +
+        "and l_tax < 0.07 and l_quantity <= 45 and l_returnflag = 'N' " +
+        "order by l_orderkey, l_linenumber"),
+    // F2 — AND/OR with parentheses (:312-332, :1150-1167)
+    sql("f2_and_or",
+      "select o_orderkey from orders " +
+        "where (o_totalprice > 100000 and o_orderstatus = 'O') " +
+        "or (o_totalprice < 50000 and o_orderstatus = 'F') order by o_orderkey"),
+    // F3 — BETWEEN inclusive (:641-656)
+    sql("f3_between",
+      "select o_orderkey, o_totalprice from orders " +
+        "where o_totalprice between 50000 and 100000 order by o_orderkey"),
+    // F4 — IN literal list (:659-689)
+    sql("f4_in",
+      "select p_partkey, p_brand, p_size from part " +
+        "where p_brand in ('Brand#1', 'Brand#2', 'Brand#3') and p_size in (1, 5, 9) " +
+        "order by p_partkey"),
+    // F5 — NOT IN (:691-705)
+    sql("f5_not_in",
+      "select n_nationkey, n_name from nation " +
+        "where n_name not in ('NATION_0', 'NATION_1') order by n_nationkey"),
+    // Beyond-reference freebies Spark gives us: LIKE and IS NULL.
+    sql("f6_like",
+      "select p_partkey, p_type from part where p_type like '%BRASS%' order by p_partkey"),
+    sql("f7_is_null",
+      "select c_custkey, o_orderkey from customer " +
+        "left join (select * from orders where o_totalprice > 400000) big on c_custkey = big.o_custkey " +
+        "where o_orderkey is null order by c_custkey")
+  )
+
+  // ---------------------------------------------------------------- §2.4 J*
+  private val joins = Seq(
+    // J1/J9 — inner join, qualified keys (:131-167)
+    sql("j1_inner",
+      "select o_orderkey, o_totalprice, c_name from orders " +
+        "join customer on orders.o_custkey = customer.c_custkey order by o_orderkey"),
+    // J2 — left outer join; filtered right side so null-fill actually happens
+    sql("j2_left",
+      "select c_custkey, big.o_orderkey as big_orderkey from customer " +
+        "left join (select * from orders where o_totalprice > 400000) big " +
+        "on c_custkey = big.o_custkey " +
+        "order by c_custkey, big_orderkey nulls first"),
+    // J3 — right outer join
+    sql("j3_right",
+      "select big.o_orderkey as big_orderkey, c_custkey from " +
+        "(select * from orders where o_totalprice > 400000) big " +
+        "right join customer on big.o_custkey = c_custkey " +
+        "order by c_custkey, big_orderkey nulls first"),
+    // J4 — full outer join
+    sql("j4_full",
+      "select hi.o_orderkey as hi_key, lo.o_orderkey as lo_key from " +
+        "(select * from orders where o_totalprice > 400000) hi " +
+        "full outer join (select * from orders where o_totalprice < 10000) lo " +
+        "on hi.o_orderkey = lo.o_orderkey " +
+        "order by hi_key nulls first, lo_key nulls first"),
+    // J5 — cross join (:170-186)
+    sql("j5_cross",
+      "select r_regionkey, n_nationkey from region cross join nation " +
+        "order by r_regionkey, n_nationkey"),
+    // J6 — implicit comma cross join (:434-453)
+    sql("j6_implicit_cross",
+      "select r_name, n_name from region, nation order by r_name, n_name"),
+    // J7 — self cross join with aliases (:456-484; xfail in the reference,
+    // works here)
+    sql("j7_self_cross",
+      "select t1.n_nationkey as a_key, t2.n_nationkey as b_key " +
+        "from nation t1, nation t2 order by a_key, b_key"),
+    // J8 — unqualified join keys resolved across tables (:131-153)
+    sql("j8_unqualified_key",
+      "select o_orderkey, c_name from orders join customer on o_custkey = c_custkey " +
+        "order by o_orderkey"),
+    // J9 — case-insensitive table/column resolution (:43-50, :487-494)
+    sql("j9_case_insensitive",
+      "select O_ORDERKEY as okey, C_NAME as cname from ORDERS " +
+        "join CUSTOMER on ORDERS.o_custkey = customer.C_CUSTKEY order by okey")
+  )
+
+  // ---------------------------------------------------------------- §2.5 A*
+  private val aggregates = Seq(
+    // A1 — global avg (:201-214)
+    sql("a1_avg", "select round(avg(l_quantity), 4) as avg_qty from lineitem"),
+    // A2 — global sum (:217-229)
+    sql("a2_sum", "select round(sum(l_extendedprice), 2) as sum_price from lineitem"),
+    // A3 — min/max incl. timestamps (:232-259)
+    sql("a3_min_max",
+      "select min(l_quantity) as min_qty, max(l_quantity) as max_qty, " +
+        "min(l_shipdate) as min_ship, max(l_shipdate) as max_ship from lineitem"),
+    // A4 — count(col) (:1170-1180)
+    sql("a4_count_col", "select count(l_returnflag) as cnt from lineitem"),
+    // A5 — count(*) (:1183-1193)
+    sql("a5_count_star", "select count(*) as cnt from lineitem"),
+    // A6 — multiple aggregates in one select (:262-279)
+    sql("a6_multi_agg",
+      "select min(l_quantity) as min_q, max(l_quantity) as max_q, " +
+        "round(avg(l_quantity), 4) as avg_q, max(l_discount) as max_d from lineitem"),
+    // A7 — bare GROUP BY = distinct keys (:189-198)
+    sql("a7_groupby_bare",
+      "select l_returnflag, l_linestatus from lineitem " +
+        "group by l_returnflag, l_linestatus order by l_returnflag, l_linestatus"),
+    // A8 — GROUP BY + aggregates (:282-298)
+    sql("a8_groupby_agg",
+      "select l_returnflag, l_linestatus, round(sum(l_quantity), 2) as sum_qty, " +
+        "round(sum(l_extendedprice), 2) as sum_base, round(avg(l_discount), 6) as avg_disc, " +
+        "count(*) as cnt from lineitem group by l_returnflag, l_linestatus " +
+        "order by l_returnflag, l_linestatus"),
+    // A9 — HAVING with GROUP BY (:401-415)
+    sql("a9_having",
+      "select o_custkey, count(*) as order_cnt from orders group by o_custkey " +
+        "having count(*) > 15 order by o_custkey"),
+    // A10 — HAVING without GROUP BY (:361-398; xfail in the reference, works
+    // here)
+    sql("a10_having_global",
+      "select round(sum(o_totalprice), 2) as total from orders having sum(o_totalprice) > 1000"),
+    // A11 — SELECT DISTINCT (:108-118)
+    sql("a11_distinct",
+      "select distinct l_returnflag, l_linestatus from lineitem " +
+        "order by l_returnflag, l_linestatus"),
+    // Beyond-reference: exact + approximate distinct counts, stats aggregates.
+    sql("a12_count_distinct",
+      "select count(distinct l_partkey) as n_parts, count(distinct l_suppkey) as n_supps from lineitem"),
+    sql("a13_stats_agg",
+      "select l_returnflag, round(stddev_samp(l_quantity), 4) as sd_qty, " +
+        "round(var_samp(l_quantity), 4) as var_qty from lineitem " +
+        "group by l_returnflag order by l_returnflag"),
+    QueryDef("a14_approx_distinct",
+      (s, dir) => { graft.Tables.ensure(s, dir)
+        graft.Engine.query(s,
+          "select approx_count_distinct(l_partkey) as approx_parts from lineitem") },
+      None) // HLL sketch — engine-specific estimate, rows-only check
+  )
+
+  // ---------------------------------------------------------------- §2.6 W*
+  // All xfail in the reference (tests/markers.py:4-7); working here. Spark
+  // rank/dense_rank yield int — cast to bigint to match DuckDB's.
+  private val windows = Seq(
+    // W1 — rank over global order (:772-786)
+    sql("w1_rank",
+      "select o_orderkey, cast(rank() over (order by o_totalprice desc) as bigint) as rnk " +
+        "from orders order by o_orderkey"),
+    // W2 — rank over multi-key mixed-direction order (:789-825)
+    sql("w2_rank_multi",
+      "select l_orderkey, l_linenumber, " +
+        "cast(rank() over (order by l_quantity desc, l_extendedprice asc, l_orderkey) as bigint) as rnk " +
+        "from lineitem order by l_orderkey, l_linenumber, rnk"),
+    // W3 — dense_rank (:828-863)
+    sql("w3_dense_rank",
+      "select o_orderkey, cast(dense_rank() over (order by o_totalprice desc) as bigint) as drnk " +
+        "from orders order by o_orderkey"),
+    // W4 — rank partitioned (:866-918)
+    sql("w4_rank_partition",
+      "select o_orderkey, o_custkey, " +
+        "cast(rank() over (partition by o_custkey order by o_totalprice desc, o_orderkey) as bigint) as rnk " +
+        "from orders order by o_orderkey"),
+    // W5 — dense_rank partitioned (:921-967)
+    sql("w5_dense_rank_partition",
+      "select l_orderkey, l_linenumber, " +
+        "cast(dense_rank() over (partition by l_returnflag order by l_quantity desc) as bigint) as drnk " +
+        "from lineitem order by l_orderkey, l_linenumber, drnk"),
+    // Beyond-reference: row_number / lag / lead / running frame aggregates.
+    sql("w6_row_number_lag",
+      "select o_orderkey, " +
+        "cast(row_number() over (partition by o_custkey order by o_orderdate, o_orderkey) as bigint) as rn, " +
+        "lag(o_totalprice) over (partition by o_custkey order by o_orderdate, o_orderkey) as prev_price, " +
+        "lead(o_totalprice) over (partition by o_custkey order by o_orderdate, o_orderkey) as next_price, " +
+        "round(sum(o_totalprice) over (partition by o_custkey order by o_orderdate, o_orderkey " +
+        "rows between unbounded preceding and current row), 2) as running_total " +
+        "from orders order by o_orderkey")
+  )
+
+  // ---------------------------------------------------------------- §2.7 O*
+  private val sortLimit = Seq(
+    // O1 — multi-key order with per-key direction (:335-348); unique tiebreak
+    sql("o1_order_multi",
+      "select o_orderkey, o_totalprice, o_orderdate from orders " +
+        "order by o_totalprice desc, o_orderdate asc, o_orderkey"),
+    // O2 — limit (:351-358)
+    sql("o2_limit",
+      "select l_orderkey, l_linenumber from lineitem order by l_orderkey, l_linenumber limit 100"),
+    // O3 — order by + limit = top-k (TakeOrderedAndProject) (:529-638)
+    sql("o3_topk",
+      "select o_orderkey, o_totalprice from orders order by o_totalprice desc, o_orderkey limit 10"),
+    // O4 — limit/offset (grammar-only in the reference,
+    // sql_select_query.py:78; works here)
+    sql("o4_limit_offset",
+      "select o_orderkey from orders order by o_orderkey limit 20 offset 5")
+  )
+
+  // ---------------------------------------------------------------- §2.8 U*
+  // Single-column outputs sorted on that column → any engine row order hashes
+  // identically. ANSI EXCEPT semantics by decision (SURVEY.md §2.8 U5).
+  private val setOps = Seq(
+    sql("u1_union",
+      "select c_nationkey as nk from customer union select s_nationkey as nk from supplier order by nk"),
+    sql("u2_union_all",
+      "select c_nationkey as nk from customer union all select s_nationkey as nk from supplier order by nk"),
+    sql("u3_intersect",
+      "select c_nationkey as nk from customer intersect select s_nationkey as nk from supplier order by nk"),
+    sql("u4_intersect_all",
+      "select c_nationkey as nk from customer intersect all select s_nationkey as nk from supplier order by nk"),
+    sql("u5_except",
+      "select p_size as v from part except select n_nationkey as v from nation order by v"),
+    sql("u6_except_all",
+      "select c_nationkey as v from customer except all select s_nationkey as v from supplier order by v")
+  )
+
+  // ---------------------------------------------------------------- §2.9 Q*
+  private val subqueries = Seq(
+    // Q1 — aliased derived table (:121-128)
+    sql("q1_derived",
+      "select * from (select o_orderkey, o_totalprice from orders where o_totalprice > 100000) big_orders " +
+        "order by o_orderkey"),
+    // Q2 — nested derived tables (:497-508)
+    sql("q2_nested",
+      "select okey from (select big_key as okey from " +
+        "(select o_orderkey as big_key from orders where o_totalprice > 100000) inner_q) outer_q " +
+        "order by okey"),
+    // Beyond-reference: CTE, scalar subquery, IN subquery, EXISTS.
+    sql("q3_cte",
+      "with big as (select o_custkey, count(*) as cnt from orders where o_totalprice > 200000 group by o_custkey) " +
+        "select c_custkey, cnt from customer join big on c_custkey = big.o_custkey " +
+        "where cnt > 3 order by c_custkey"),
+    sql("q4_scalar_subquery",
+      "select o_orderkey, o_totalprice from orders " +
+        "where o_totalprice > 4 * (select avg(o_totalprice) from orders) order by o_orderkey"),
+    sql("q5_in_subquery",
+      "select c_custkey from customer where c_custkey in " +
+        "(select o_custkey from orders where o_totalprice > 450000) order by c_custkey"),
+    sql("q6_exists",
+      "select c_custkey from customer where exists " +
+        "(select 1 from orders where o_custkey = c_custkey and o_totalprice > 450000) order by c_custkey")
+  )
+
+  // ------------------------------------------------------ headline (bench)
+  private val headline = Seq(
+    // TPC-H Q1-shaped pricing summary — the flagship scan+agg pattern.
+    sql("h1_pricing_summary",
+      "select l_returnflag, l_linestatus, " +
+        "round(sum(l_quantity), 2) as sum_qty, " +
+        "round(sum(l_extendedprice), 2) as sum_base_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) as sum_charge, " +
+        "round(avg(l_quantity), 4) as avg_qty, " +
+        "round(avg(l_extendedprice), 4) as avg_price, " +
+        "round(avg(l_discount), 6) as avg_disc, " +
+        "count(*) as count_order " +
+        "from lineitem where l_shipdate <= timestamp '1998-09-02 00:00:00' " +
+        "group by l_returnflag, l_linestatus order by l_returnflag, l_linestatus"),
+    // TPC-H Q3-shaped shipping priority — join + agg + top-k.
+    sql("h3_shipping_priority",
+      "select o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue, o_orderdate " +
+        "from customer join orders on c_custkey = o_custkey " +
+        "join lineitem on l_orderkey = o_orderkey " +
+        "where c_mktsegment = 'BUILDING' and o_orderdate < timestamp '1998-03-15 00:00:00' " +
+        "and l_shipdate > timestamp '1996-03-15 00:00:00' " +
+        "group by o_orderkey, o_orderdate order by revenue desc, o_orderkey limit 10"),
+    // TPC-H Q5-shaped local-supplier revenue — 6-way join, dims broadcastable.
+    sql("h5_local_supplier",
+      "select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue " +
+        "from customer join orders on c_custkey = o_custkey " +
+        "join lineitem on l_orderkey = o_orderkey " +
+        "join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey " +
+        "join nation on s_nationkey = n_nationkey " +
+        "join region on n_regionkey = r_regionkey " +
+        "where r_name = 'ASIA' and o_orderdate >= timestamp '1996-01-01 00:00:00' " +
+        "and o_orderdate < timestamp '1997-01-01 00:00:00' " +
+        "group by n_name order by n_name")
+  )
+
+  // ------------------------------------------------------------- events e*
+  private val events = Seq(
+    // Hourly event rollup — the batch shape of a streaming windowed agg.
+    sql("e1_hourly_agg",
+      "select date_trunc('hour', ts) as h, event_type, count(*) as cnt, " +
+        "round(sum(value), 2) as sum_val from events " +
+        "group by date_trunc('hour', ts), event_type order by h, event_type"),
+    // Gap-based sessionization (30 min), batch shape of
+    // flatMapGroupsWithState sessionization (graft.streaming.Sessionize).
+    sql("e2_sessionize",
+      "with ordered as (select user_id, event_id, ts, " +
+        "lag(ts) over (partition by user_id order by ts, event_id) as prev_ts from events), " +
+        "flagged as (select user_id, event_id, ts, " +
+        "case when prev_ts is null or ts > prev_ts + interval '30' minute then 1 else 0 end as is_new from ordered), " +
+        "sessions as (select user_id, event_id, " +
+        "sum(is_new) over (partition by user_id order by ts, event_id " +
+        "rows between unbounded preceding and current row) as session_id from flagged) " +
+        "select user_id, cast(session_id as bigint) as session_id, count(*) as n_events, " +
+        "min(event_id) as first_event, max(event_id) as last_event " +
+        "from sessions group by user_id, session_id order by user_id, session_id",
+      "with ordered as (select user_id, event_id, ts, " +
+        "lag(ts) over (partition by user_id order by ts, event_id) as prev_ts from events), " +
+        "flagged as (select user_id, event_id, ts, " +
+        "case when prev_ts is null or ts > prev_ts + interval 30 minute then 1 else 0 end as is_new from ordered), " +
+        "sessions as (select user_id, event_id, " +
+        "sum(is_new) over (partition by user_id order by ts, event_id " +
+        "rows between unbounded preceding and current row) as session_id from flagged) " +
+        "select user_id, cast(session_id as bigint) as session_id, count(*) as n_events, " +
+        "min(event_id) as first_event, max(event_id) as last_event " +
+        "from sessions group by user_id, session_id order by user_id, session_id"),
+    // JSON property extraction from the events props column.
+    sql("e3_json_extract",
+      "select event_id, cast(get_json_object(props, '$.k') as bigint) as k_val " +
+        "from events order by event_id",
+      "select event_id, cast(json_extract_string(props, '$.k') as bigint) as k_val " +
+        "from events order by event_id")
+  )
+
+  val defs: Seq[QueryDef] =
+    projection ++ filters ++ joins ++ aggregates ++ windows ++
+      sortLimit ++ setOps ++ subqueries ++ headline ++ events
+}
