@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    _root_.graft.queries.Relational.defs
+    _root_.graft.queries.Relational.defs ++ _root_.graft.queries.Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

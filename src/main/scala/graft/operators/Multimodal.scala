@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct alongside. The Spark-side
+  * shape — schema, per-row batch decode, frame sampling into exploded rows —
+  * is real and tested; the codec itself is STUBBED (this container has no
+  * image/audio libraries), clearly marked below. In production the stub body
+  * is replaced by a native/library decode inside the same expression slot
+  * (or an `mapPartitions` batch stage for vectorized codecs); nothing about
+  * the plan shape changes — decode stays a narrow map, frame-sampling stays
+  * an explode, and partitioning/pushdown are untouched.
+  */
+object Multimodal {
+
+  /** Attach a binary payload + metadata struct to each document. In a real
+    * pipeline the binary arrives from the source (parquet/lance binary
+    * column); here the documents' text bytes stand in as the payload. */
+  def withPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      col(textCol).cast("binary").as("content"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        length(col(textCol).cast("binary")).cast("bigint").as("n_bytes"),
+        md5(col(textCol).cast("binary")).as("content_md5")).as("meta"))
+
+  /** ======= STUB: deterministic fake "decode / feature-extract". =======
+    * A real implementation decodes the payload (JPEG/WAV/MP4) and emits
+    * features; this stand-in derives an 8-dim pseudo-feature vector from
+    * content hashes so the schema, batch shape, and downstream plumbing are
+    * exercised end-to-end with deterministic values. */
+  def decodeFeaturesStub(payloads: DataFrame): DataFrame =
+    payloads.withColumn("features",
+      expr("transform(sequence(0, 7), " +
+        "i -> pmod(xxhash64(content, i), 1000) / cast(1000 as double))"))
+
+  /** Frame sampling: split the payload into fixed-size "frames" (chunks) and
+    * explode one row per frame — the plan shape of video frame-sampling.
+    * Chunk fingerprints are real (md5 over the slice). */
+  def sampleFrames(payloads: DataFrame, frameBytes: Int): DataFrame =
+    payloads
+      .select(col("doc_id"), col("content"),
+        explode(sequence(lit(0),
+          floor((length(col("content")) - 1) / frameBytes).cast("int")))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+        md5(expr(s"substring(content, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .as("frame_fp"))
+}

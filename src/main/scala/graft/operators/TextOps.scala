@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis building blocks for large-scale training-data
+  * pipelines. Everything here is a narrow per-row expression (no shuffle, no
+  * UDF): built-in collection/string functions that Catalyst can push through
+  * and pipeline inside a single stage, so these scale linearly with input
+  * splits on any cluster size.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword-ish tokens: split on non-alphanumerics, drop empties.
+    * A cheap stand-in for a real tokenizer with the same plumbing shape. */
+  def regexTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Distinct word n-gram shingles, `"w1 w2 … wn"`. Empty array when the
+    * document has fewer than n tokens (never an ANSI index error). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (1 to n).map(k => element_at(t, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature of a shingle set: k independent hash functions
+    * h_j(s) = xxhash64(s, j), each taking the min over the set. One pass per
+    * row, no shuffle — signatures of a 100 TB corpus compute map-side. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingles, s => xxhash64(s, j))))
+
+  /** 64-bit SimHash over the distinct tokens: per bit, sum +1/-1 weighted by
+    * each token hash's bit, then keep the sign. Pure expression (SQL
+    * higher-order functions), evaluated per row.
+    *
+    * `tokensExpr` is a SQL expression yielding array<string>. */
+  def simhash64(tokensExpr: String): Column = expr(
+    s"""aggregate(
+          zip_with(
+            aggregate(array_distinct($tokensExpr),
+              array_repeat(cast(0 as bigint), 64),
+              (acc, t) -> zip_with(acc,
+                transform(sequence(0, 63),
+                  b -> if((shiftright(xxhash64(t), b) & 1) = 1,
+                          cast(1 as bigint), cast(-1 as bigint))),
+                (x, y) -> x + y)),
+            sequence(0, 63),
+            (s, i) -> if(s > 0, shiftleft(cast(1 as bigint), i),
+                         cast(0 as bigint))),
+          cast(0 as bigint), (a, x) -> a + x)""")
+
+  /** Quality-score features: token count, char count, average token length,
+    * distinct-token ratio, stopword ratio. Deterministic IEEE arithmetic —
+    * oracle-comparable unrounded. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(x => x: Any): _*)))
+      .cast("bigint")
+
+  /** Language-ID by stopword-profile overlap: score each language's profile
+    * against the document's distinct tokens, pick the best (ties broken by
+    * language code, descending struct comparison). A real system would use
+    * character n-gram models; the plumbing — per-row scoring against small
+    * broadcast profiles, no shuffle — is identical.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "von", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "est"),
+    "zh" -> Seq("de", "le", "he", "shi", "zai", "wo", "you", "ni"))
+
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(lower(text)))
+    val scored = array(langProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      struct(
+        size(array_intersect(toks, typedlit(ws))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    array_max(scored).getField("lang")
+  }
+
+  /** Content fingerprint: md5 over the whitespace-normalized lowercase text.
+    * Used for exact/near-exact dedup keys and cache keys. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), " +", " ")))
+}

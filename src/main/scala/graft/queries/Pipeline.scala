@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.QueryDef.{df, sql}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data-pipeline operators over the `documents` / `embeddings`
+  * tables: deduplication (exact, MinHash-LSH, SimHash, exact n-gram Jaccard,
+  * embedding cosine), similarity search (brute-force + LSH-bucketed ANN),
+  * text analysis (token stats, quality features, language-ID, fingerprints),
+  * and multimodal binary-column plumbing. SQL-expressible ops carry DuckDB
+  * oracles; probabilistic/approximate ops (LSH variants, SimHash) are
+  * rows-only by nature.
+  */
+object Pipeline {
+
+  private val dedup = Seq(
+    // Exact dedup via content fingerprint; keep min id per group.
+    sql("d1_dedup_exact",
+      "select md5(trim(regexp_replace(lower(text), ' +', ' '))) as fp, " +
+        "min(doc_id) as keep_id, count(*) as n_copies " +
+        "from documents group by 1 order by keep_id",
+      "select md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) as fp, " +
+        "min(doc_id) as keep_id, count(*) as n_copies " +
+        "from documents group by 1 order by keep_id"),
+    // MinHash+LSH near-dedup — probabilistic recall → rows-only check. The
+    // exact-Jaccard twin (d3) is the oracle-checked ground truth.
+    df("d2_dedup_minhash", None) { (s, dir) =>
+      Dedup.minhashLsh(s.table("documents"), "doc_id", "text",
+        shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.6)
+        .orderBy("a_id", "b_id")
+    },
+    // Exact n-gram (word-bigram) Jaccard near-dup pairs — the SQL-expressible
+    // ground truth for d2, hash-checked against DuckDB.
+    sql("d3_dedup_jaccard",
+      "with toks as (select doc_id, split(text, ' ') as t from documents), " +
+        "sh as (select doc_id, explode(array_distinct(transform(sequence(1, size(t) - 1), " +
+        "i -> concat_ws(' ', t[i-1], t[i])))) as s from toks where size(t) >= 2), " +
+        "sizes as (select doc_id, count(distinct s) as n from sh group by doc_id), " +
+        "pairs as (select a.doc_id as a_id, b.doc_id as b_id, count(*) as common " +
+        "from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id group by a.doc_id, b.doc_id) " +
+        "select a_id, b_id, round(common / (sa.n + sb.n - common), 4) as jaccard " +
+        "from pairs join sizes sa on a_id = sa.doc_id join sizes sb on b_id = sb.doc_id " +
+        "where common / (sa.n + sb.n - common) >= 0.6 order by a_id, b_id",
+      "with toks as (select doc_id, string_split(text, ' ') as t from documents), " +
+        "sh as (select doc_id, unnest(list_distinct(list_transform(range(1, len(t)), " +
+        "i -> array_to_string(t[i:i+1], ' ')))) as s from toks where len(t) >= 2), " +
+        "sizes as (select doc_id, count(distinct s) as n from sh group by doc_id), " +
+        "pairs as (select a.doc_id as a_id, b.doc_id as b_id, count(*) as common " +
+        "from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id group by a.doc_id, b.doc_id) " +
+        "select a_id, b_id, round(common * 1.0 / (sa.n + sb.n - common), 4) as jaccard " +
+        "from pairs join sizes sa on a_id = sa.doc_id join sizes sb on b_id = sb.doc_id " +
+        "where common * 1.0 / (sa.n + sb.n - common) >= 0.6 order by a_id, b_id"),
+    // SimHash near-dedup — bucketed Hamming; rows-only (hash-family choice
+    // defines the output, no engine-independent oracle).
+    df("d4_dedup_simhash", None) { (s, dir) =>
+      Dedup.simhash(s.table("documents"), "doc_id", "text", maxHamming = 6)
+        .orderBy("a_id", "b_id")
+    },
+    // Embedding-cosine near-dup pairs, exact — DuckDB list_cosine_similarity
+    // on double vectors is the oracle.
+    df("d5_dedup_embedding",
+      Some("with e as (select vec_id, cast(embedding as double[]) as v from embeddings) " +
+        "select a.vec_id as a_id, b.vec_id as b_id, " +
+        "round(list_cosine_similarity(a.v, b.v), 4) as cos_sim " +
+        "from e a join e b on a.vec_id < b.vec_id " +
+        "where list_cosine_similarity(a.v, b.v) >= 0.4 order by a_id, b_id")) {
+      (s, dir) =>
+        Dedup.embedding(s.table("embeddings"), "vec_id", "embedding", 0.4)
+          .orderBy("a_id", "b_id")
+    }
+  )
+
+  private val text = Seq(
+    sql("t1_token_count",
+      "select doc_id, cast(size(split(text, ' ')) as bigint) as n_tokens from documents order by doc_id",
+      "select doc_id, cast(len(string_split(text, ' ')) as bigint) as n_tokens from documents order by doc_id"),
+    sql("t2_quality_score",
+      "select doc_id, cast(length(text) as bigint) as n_chars, " +
+        "cast(size(split(text, ' ')) as bigint) as n_tokens, " +
+        "cast(size(array_distinct(split(text, ' '))) as bigint) as n_distinct, " +
+        "size(array_distinct(split(text, ' '))) / size(split(text, ' ')) as distinct_ratio, " +
+        "(length(text) - size(split(text, ' ')) + 1) / size(split(text, ' ')) as avg_token_len " +
+        "from documents order by doc_id",
+      "select doc_id, cast(length(text) as bigint) as n_chars, " +
+        "cast(len(string_split(text, ' ')) as bigint) as n_tokens, " +
+        "cast(len(list_distinct(string_split(text, ' '))) as bigint) as n_distinct, " +
+        "len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) as distinct_ratio, " +
+        "(length(text) - len(string_split(text, ' ')) + 1) * 1.0 / len(string_split(text, ' ')) as avg_token_len " +
+        "from documents order by doc_id"),
+    // Language-ID heuristic — model-defined output, rows-only.
+    df("t3_langid", None) { (s, dir) =>
+      s.table("documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"),
+          col("lang").as("lang_declared"))
+        .orderBy("doc_id")
+    },
+    sql("t4_fingerprint",
+      "select doc_id, md5(trim(regexp_replace(lower(text), ' +', ' '))) as fp " +
+        "from documents order by doc_id",
+      "select doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) as fp " +
+        "from documents order by doc_id"),
+    // Stopword/quality ratios via higher-order filter.
+    df("t5_stopword_ratio",
+      Some("select doc_id, cast(len(list_filter(string_split(text, ' '), " +
+        "t -> list_contains(['the','a','of','and','to','in','is','it','for','on'], t))) as bigint) " +
+        "as n_stopwords from documents order by doc_id")) { (s, dir) =>
+      s.table("documents")
+        .select(col("doc_id"),
+          TextOps.stopwordCount(col("text")).as("n_stopwords"))
+        .orderBy("doc_id")
+    }
+  )
+
+  private val similarity = Seq(
+    // Brute-force exact ANN baseline: top-5 cosine neighbors for the first
+    // 10 vectors among the rest.
+    df("s1_ann_brute",
+      Some("with q as (select vec_id as qid, cast(embedding as double[]) as qv " +
+        "from embeddings where vec_id < 10), " +
+        "c as (select vec_id as cid, cast(embedding as double[]) as cv " +
+        "from embeddings where vec_id >= 10), " +
+        "s as (select qid, cid, list_cosine_similarity(qv, cv) as cos from q, c), " +
+        "r as (select qid, cid, cos, row_number() over (partition by qid " +
+        "order by cos desc, cid) as rn from s) " +
+        "select qid, cid, round(cos, 4) as cos_sim, cast(rn as bigint) as rnk " +
+        "from r where rn <= 5 order by qid, rnk")) { (s, dir) =>
+      val emb = s.table("embeddings")
+      Similarity.bruteTopK(
+        emb.where(col("vec_id") < 10),
+        emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy("qid", "rnk")
+    },
+    // LSH-bucketed ANN — approximate recall, rows-only.
+    df("s2_ann_lsh", None) { (s, dir) =>
+      val emb = s.table("embeddings")
+      Similarity.lshTopK(
+        emb.where(col("vec_id") < 10),
+        emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, groups = 8)
+        .orderBy("qid", "rnk")
+    }
+  )
+
+  private val multimodal = Seq(
+    // Binary payload + metadata plumbing; oracle checks byte length and
+    // content hash through the binary column.
+    df("m1_multimodal_meta",
+      Some("select doc_id, cast(strlen(text) as bigint) as n_bytes, md5(text) as fp " +
+        "from documents order by doc_id")) { (s, dir) =>
+      Multimodal.withPayload(s.table("documents"), "doc_id", "text")
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.content_md5").as("fp"))
+        .orderBy("doc_id")
+    },
+    // Frame sampling: one row per fixed-size chunk with a real fingerprint.
+    df("m2_frame_sample",
+      Some("select doc_id, f as frame_idx, md5(text[f*32+1:f*32+32]) as frame_fp " +
+        "from documents, unnest(range(0, (length(text)-1)//32 + 1)) as t(f) " +
+        "order by doc_id, frame_idx")) { (s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.withPayload(s.table("documents"), "doc_id", "text"), 32)
+        .orderBy("doc_id", "frame_idx")
+    },
+    // Decode-stub features: schema/batch plumbing for multimodal decode;
+    // stubbed codec → rows-only.
+    df("m3_decode_features", None) { (s, dir) =>
+      Multimodal.decodeFeaturesStub(
+        Multimodal.withPayload(s.table("documents"), "doc_id", "text"))
+        .select(col("doc_id"), col("features"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val defs: Seq[QueryDef] = dedup ++ text ++ similarity ++ multimodal
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Unit semantics of the pipeline operators on tiny hand-checkable inputs. */
+class OperatorsSpec extends SparkSpecBase {
+
+  import scala.jdk.CollectionConverters._
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "completely different words entirely unrelated here now"),
+      (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("wordShingles: bigrams, distinct, safe on short docs") {
+    import spark.implicits._
+    val out = Seq(Tuple1("a b c"), Tuple1("x")).toDF("text")
+      .select(TextOps.wordShingles(col("text"), 2).as("sh"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(out(0) == Set("a b", "b c"))
+    assert(out(1) == Set.empty)
+  }
+
+  test("exact dedup groups identical docs") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 3)
+    val dupGroup = out.find(_.getAs[Long]("keep_id") == 1L).get
+    assert(dupGroup.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhashLsh finds the near-dup and exact-dup pairs, not the distinct doc") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0, always caught
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard verification values are exact") {
+    val j = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .where(col("a_id") === 1 && col("b_id") === 4)
+      .select("jaccard").head().getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical docs collide, distinct docs don't (hamming 0)") {
+    val pairs = Dedup.simhash(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0L))
+    assert(!pairs.exists(p => (p._1, p._2) == (1L, 3L)))
+  }
+
+  test("cosine: hand-checked values") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)), // identical → 1
+      (2L, Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), // orthogonal → 0
+      (3L, Seq(1.0f, 1.0f), Seq(1.0f, 0.0f))  // 45° → √2/2
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      Similarity.cosine(Similarity.toDoubleVec(col("a")),
+        Similarity.toDoubleVec(col("b"))).as("c"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) - math.sqrt(2) / 2) < 1e-12)
+  }
+
+  test("bruteTopK returns k best-ranked neighbors") {
+    import spark.implicits._
+    val q = Seq((100L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (1L, Seq(1.0f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.0f, 0.1f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteTopK(q, c, "vec_id", "embedding", 2)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 3L)) // cos: 1→.995, 3→.994, 2→0, 4→-1
+  }
+
+  test("langId is deterministic and favors the matching profile") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "el gato es un animal que vive en la casa")
+    ).toDF("id", "text")
+    val got = df.select(col("id"), TextOps.langId(col("text")).as("l"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(got(0) == "en")
+    assert(got(1) == "es")
+  }
+
+  test("multimodal: payload meta + frame sampling shapes") {
+    val p = Multimodal.withPayload(docs, "doc_id", "text")
+    val meta = p.where(col("doc_id") === 1).select("meta.n_bytes").head().getLong(0)
+    assert(meta == "the quick brown fox jumps over the lazy dog".length)
+    val frames = Multimodal.sampleFrames(p, 10)
+      .where(col("doc_id") === 1).count()
+    assert(frames == math.ceil(43.0 / 10).toLong)
+    val feats = Multimodal.decodeFeaturesStub(p)
+      .select("features").head().getSeq[Double](0)
+    assert(feats.length == 8 && feats.forall(v => v >= 0 && v < 1))
+  }
+
+  test("fingerprint normalizes whitespace and case") {
+    import spark.implicits._
+    val df = Seq(Tuple1("The  Quick   fox"), Tuple1("the quick fox")).toDF("text")
+    val fps = df.select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.Event
+
+/** Streaming sessionization through a real micro-batch run (MemoryStream →
+  * watermark/state → memory sink). */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("session_window aggregation over a stream emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val q = Sessionize.sessionWindow(input.toDF(), gap = "30 minutes",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+
+    // user 7: two events 5 min apart (one session), then a 2-hour jump opens
+    // a second session; the late watermark-advancing event closes the first.
+    input.addData(
+      Event(1, ts(0), 7, "view", 1.0),
+      Event(2, ts(5), 7, "click", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(3, ts(125), 7, "view", 4.0))
+    q.processAllAvailable()
+    input.addData(Event(4, ts(300), 7, "view", 8.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sess_out")
+      .orderBy("session_start")
+      .collect().map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    assert(out.nonEmpty)
+    assert(out.head == (2L, 3.0)) // first closed session: events 1+2
+  }
+
+  test("customSessions (flatMapGroupsWithState) matches batch semantics") {
+    import spark.implicits._
+    // Batch mode: state machine applied per user over sorted events.
+    val events = Seq(
+      Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(100), 1, "view", 4.0), // >30min gap → new session
+      Event(4, ts(0), 2, "view", 8.0)
+    ).toDS()
+    val out = Sessionize.customSessions(events).collect()
+    // batch NoTimeout closes only sessions superseded by a gap; user 1's
+    // first session closes, the open tails stay in (dropped) state.
+    assert(out.length == 1)
+    assert(out.head.user_id == 1 && out.head.n_events == 2 &&
+      out.head.total_value == 3.0)
+  }
+}
