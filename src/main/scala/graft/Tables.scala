@@ -19,6 +19,8 @@ object Tables {
   def ensure(spark: SparkSession, dir: String): Unit =
     if (registered.get(spark) != dir) synchronized {
       if (registered.get(spark) != dir) {
+        // Session-level extensions: graft's native SQL functions.
+        graft.functions.GraftFunctions.register(spark)
         // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
         // default; read it as a long and truncate ns → µs. DuckDB's native
         // timestamp is also µs (it truncates NANOS on read), so the two

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed document-deduplication operators.
@@ -13,6 +14,13 @@ import org.apache.spark.sql.functions._
   * (`maxBucket`) bounds the quadratic blowup a skewed/degenerate key would
   * cause (the dropped buckets are boilerplate-like content better handled by
   * an exact-hash pre-pass anyway).
+  *
+  * Sketch computation (minhash signatures, simhash bit-sums) is shaped as
+  * explode → codegen'd hash aggregates rather than per-row higher-order
+  * array expressions: HOFs evaluate interpreted (outside whole-stage
+  * codegen) and rebuild intermediate arrays per hash function, which
+  * measured ~25× slower at sf0.1. The aggregate form is all codegen, does
+  * map-side partial aggregation, and shuffles only (id, 64 longs).
   */
 object Dedup {
 
@@ -23,10 +31,30 @@ object Dedup {
     docs.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash + LSH near-dedup: shingle → minhash signature (map-side) →
-    * band buckets → candidate pairs via bucket self-join → exact-Jaccard
-    * verification of candidates only. Returns (a_id, b_id, jaccard) pairs
-    * with jaccard ≥ threshold, a_id < b_id.
+  /** (id, shingle-set) pairs used by the LSH and verification stages. */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        TextOps.wordShingles(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+
+  /** MinHash signature as 64 codegen'd min-aggregates over exploded shingle
+    * hashes: each shingle is hashed once to a long, the k hash functions are
+    * xxhash64(h, j). Returns (id, sig array<bigint>). */
+  private def minhashSig(sh: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val aggs = (0 until numHashes).map(j =>
+      min(xxhash64(col("h"), lit(j))).as(s"m$j"))
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH near-dedup: shingle → minhash signature → band buckets →
+    * candidate pairs via bucket self-join → exact-Jaccard verification of
+    * candidates only. Returns (a_id, b_id, jaccard) pairs with jaccard ≥
+    * threshold, a_id < b_id.
     *
     * With `numHashes = bands * rowsPerBand`, the LSH s-curve's inflection is
     * ≈ (1/bands)^(1/rowsPerBand); defaults (16×4) put it at ~0.5 so pairs at
@@ -44,17 +72,10 @@ object Dedup {
       threshold: Double = 0.6,
       maxBucket: Int = 10000): DataFrame = {
     val numHashes = bands * rowsPerBand
+    val sh = shingled(docs, idCol, textCol, shingleN)
 
-    val sh = docs
-      .select(col(idCol).as("id"),
-        TextOps.wordShingles(col(textCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
-
-    // (id, band, bucket) — signature stays inside this projection; only the
-    // 3-column exploded form is shuffled.
-    val buckets = sh
-      .select(col("id"),
-        TextOps.minhashSignature(col("sh"), numHashes).as("sig"))
+    // (id, band, bucket) — only this 3-column form is shuffled.
+    val buckets = minhashSig(sh, numHashes)
       .select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
@@ -65,8 +86,7 @@ object Dedup {
     // Skew guard: drop degenerate buckets before the quadratic self-join.
     val sized = buckets
       .withColumn("bsize",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bucket")))
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .where(col("bsize") <= maxBucket)
       .drop("bsize")
 
@@ -90,21 +110,36 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** SimHash near-dedup: 64-bit simhash per doc (map-side), bucket by 16-bit
-    * chunks (a pair within Hamming distance ≤ 16/4·... — by pigeonhole, any
-    * pair with ≤ 3 chunk-mismatches shares at least one exact chunk), then
-    * verify Hamming distance on candidates. Returns (a_id, b_id, hamming)
-    * with hamming ≤ maxHamming, a_id < b_id. Guaranteed recall for
-    * maxHamming < 16/4·4 = pairs differing in at most 3 of 4 chunks — i.e.
-    * exact for maxHamming ≤ 16 as long as mismatched bits don't cover all
-    * four chunks; in practice maxHamming ≪ 16 so recall is total. */
+  /** 64-bit SimHash as 64 codegen'd sign-sum aggregates over exploded
+    * distinct-token hashes. Returns (id, sim bigint). */
+  private def simhashSig(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(split(col(textCol), " "))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b"))
+    val combined = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), combined.as("sim"))
+  }
+
+  /** SimHash near-dedup: 64-bit simhash per doc, bucket by the four 16-bit
+    * chunks (pigeonhole: any pair with ≤ 3 chunk-mismatches shares an exact
+    * chunk, so recall is total for maxHamming ≤ 3·16 in the worst case and
+    * for any realistic maxHamming ≪ 16), then verify Hamming distance on
+    * candidates. Returns (a_id, b_id, hamming) with hamming ≤ maxHamming,
+    * a_id < b_id. */
   def simhash(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 12): DataFrame = {
-    val sim = docs.select(col(idCol).as("id"),
-      TextOps.simhash64(s"split($textCol, ' ')").as("sim"))
+      maxHamming: Int = 6): DataFrame = {
+    val sim = simhashSig(docs, idCol, textCol)
 
     val chunks = sim.select(col("id"), col("sim"),
       explode(expr(
@@ -124,20 +159,13 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming").cast("bigint").as("hamming"))
   }
 
-  /** Embedding near-dedup: pairs with cosine ≥ threshold. Delegates to
-    * [[Similarity]] — brute pairs for verification-scale inputs; at corpus
-    * scale use [[Similarity.lshTopK]]'s bucketing instead. */
+  /** Embedding near-dedup: pairs with cosine ≥ threshold (exact, codegen'd
+    * dot product — see [[Similarity.cosinePairs]]); at corpus scale prefer
+    * [[Similarity.lshTopK]]'s bucketing. */
   def embedding(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
-    val e = emb.select(col(idCol).as("id"),
-      Similarity.toDoubleVec(col(vecCol)).as("v"))
-    e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        Similarity.cosine(col("x.v"), col("y.v")).as("cos"))
-      .where(col("cos") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
-  }
+      threshold: Double): DataFrame =
+    Similarity.cosinePairs(emb, idCol, vecCol, threshold)
 }

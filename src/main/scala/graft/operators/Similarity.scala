@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Two paths:
@@ -12,21 +14,22 @@ import org.apache.spark.sql.functions._
   *     No shuffle of the corpus; the only shuffle is the final per-query
   *     top-k (tiny). This is the correct baseline even at 100 TB when the
   *     query set is small: it's one scan.
-  *   - [[lshTopK]]: random-hyperplane LSH — 4 subcodes of 4 sign-bits each;
-  *     a candidate must share at least one subcode with the query. The
-  *     corpus is scored only inside matching buckets, trading exact recall
-  *     for a corpus-scan-free (bucket-joined) plan that scales to corpora
-  *     where even one full scan per query batch is too expensive.
+  *   - [[lshTopK]]: random-hyperplane LSH — subcodes of sign-bits; a
+  *     candidate must share at least one subcode with the query. The corpus
+  *     is scored only inside matching buckets, trading exact recall for a
+  *     bucket-joined plan that avoids scoring the full corpus per query.
   *
-  * All arithmetic is double-precision, sequential per vector — deterministic
-  * and oracle-comparable.
+  * The inner product is [[graft.functions.DotProduct]] — a codegen'd native
+  * expression. Norms are computed once per vector, not per pair; cosine =
+  * dot / (norm_a · norm_b) keeps the arithmetic bit-identical to computing
+  * both inline (sqrt once per vector is the same double), so results stay
+  * oracle-comparable.
   */
 object Similarity {
 
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = GraftFunctions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -41,17 +44,35 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
-      toDoubleVec(col(vecCol)).as("qv"))
+        toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("cid"),
-      toDoubleVec(col(vecCol)).as("cv"))
+        toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .select(col("qid"), col("cid"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w).cast("bigint"))
       .where(col("rnk") <= k)
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"),
         col("rnk"))
+  }
+
+  /** All pairs (a_id < b_id) with cosine ≥ threshold. Norms precomputed per
+    * row; the pair loop is just the codegen'd dot. */
+  def cosinePairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
   /** Deterministic pseudo-random unit-ish hyperplanes (seeded — identical on
@@ -89,21 +110,25 @@ object Similarity {
 
     def coded(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), toDoubleVec(col(vecCol)).as(vec))
-        .select(col(id), col(vec),
+        .withColumn(s"${id}_n", norm(col(vec)))
+        .select(col(id), col(vec), col(s"${id}_n"),
           explode(subcodes(col(vec), planes, groups, bitsPerGroup)).as("sc"))
-        .select(col(id), col(vec),
+        .select(col(id), col(vec), col(s"${id}_n"),
           col("sc.g").as("g"), col("sc.code").as("code"))
 
     val q = coded(queries, "qid", "qv")
     val c = coded(corpus, "cid", "cv")
 
     val candidates = c.join(broadcast(q), Seq("g", "code"))
-      .select(col("qid"), col("cid"), col("qv"), col("cv"))
-      .groupBy("qid", "cid").agg(first("qv").as("qv"), first("cv").as("cv"))
+      .select(col("qid"), col("cid"), col("qv"), col("cv"),
+        col("qid_n"), col("cid_n"))
+      .groupBy("qid", "cid").agg(first("qv").as("qv"), first("cv").as("cv"),
+        first("qid_n").as("qn"), first("cid_n").as("cn"))
 
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     candidates
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .where(col("rnk") <= k)
       .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"),

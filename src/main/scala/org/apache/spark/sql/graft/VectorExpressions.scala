@@ -1,0 +1,74 @@
+/** Lives inside the `org.apache.spark.sql` package scope because the pieces
+  * a native expression needs — `AbstractDataType` for `ExpectsInputTypes`
+  * and the Column ↔ Expression bridge (`classic.ExpressionUtils`) — are
+  * `private[sql]` in Spark 4. This is the established pattern for
+  * out-of-tree Catalyst extensions; the public API is
+  * `graft.functions.GraftFunctions`.
+  */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the vector hot path: dot product over
+  * `array<double>`. A codegen'd tight loop over `ArrayData` — stays inside
+  * whole-stage codegen, no per-element Catalyst HOF dispatch, no boxing.
+  * Replacing the equivalent `aggregate(zip_with(...))` higher-order
+  * expression cut brute-force all-pairs cosine from ~168 s to seconds at
+  * sf0.1 (2 M pairs × 64 dims).
+  *
+  * Accumulation is sequential in index order — bit-identical to the naive
+  * loop (and to DuckDB's `list_cosine_similarity` numerator), which the
+  * oracle hash-compare relies on.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column ↔ Expression bridge for code outside the sql package. */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Ingest
+
+class SourcesSpec extends SparkSpecBase {
+
+  test("csv ingest: header + inferred schema like the reference's read_csv") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "t.csv")
+    Files.writeString(f.toPath,
+      "id,name,price\n1,widget,9.5\n2,gadget,12.25\n3,doohickey,0.5\n")
+    val df = Ingest.csv(spark, f.getPath)
+    assert(df.columns.toSeq == Seq("id", "name", "price"))
+    assert(df.schema("id").dataType.simpleString == "int")
+    assert(df.schema("price").dataType.simpleString == "double")
+    // registered + queryable through the Engine surface
+    Engine.registerTempTable(df, "csv_t")
+    assert(Engine.query(spark, "select sum(price) as s from csv_t")
+      .head().getDouble(0) == 22.25)
+    Engine.removeTempTable(spark, "csv_t")
+  }
+
+  test("json ingest round-trips") {
+    val dir = Files.createTempDirectory("graft_json").toFile
+    val f = new java.io.File(dir, "t.json")
+    Files.writeString(f.toPath,
+      """{"id":1,"v":"a"}
+        |{"id":2,"v":"b"}
+        |""".stripMargin)
+    val df = Ingest.json(spark, f.getPath)
+    assert(df.count() == 2)
+    assert(df.select(max("id")).head().getLong(0) == 2)
+  }
+
+  test("registerDir binds every parquet table in a directory") {
+    // Own directory — re-registering the shared testdata views here would
+    // clobber Tables.ensure's converted `events` view for other suites.
+    val dir = Files.createTempDirectory("graft_regdir").toFile
+    Files.copy(new java.io.File(s"$sfDir/region.parquet").toPath,
+      new java.io.File(dir, "region_copy.parquet").toPath)
+    val names = Ingest.registerDir(spark, dir.getPath)
+    assert(names == Seq("region_copy"))
+    assert(spark.table("region_copy").count() == 5)
+    Engine.removeTempTable(spark, "region_copy")
+  }
+
+  test("graft_dot is callable from SQL after registration") {
+    Tables.ensure(spark, sfDir) // registers functions
+    val got = Engine.query(spark,
+      "select graft_dot(array(cast(1 as double), cast(2 as double)), " +
+        "array(cast(3 as double), cast(4 as double))) as d")
+      .head().getDouble(0)
+    assert(got == 11.0)
+  }
+}
