@@ -28,13 +28,13 @@ object Dedup {
     * One hash-shuffle; map-side partial aggregation makes the shuffle size
     * proportional to the number of DISTINCT documents, not rows. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+    Balance(docs).groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** (id, shingle-set) pairs used by the LSH and verification stages. */
   private def shingled(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
+    Balance(docs).select(col(idCol).as("id"),
         TextOps.wordShingles(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
 
@@ -110,11 +110,84 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact all-pairs n-gram Jaccard (the ground truth [[minhashLsh]]
+    * approximates). Adaptive physical strategy, chosen from the shingle
+    * dictionary's cardinality (one scalar aggregate — the operator's own
+    * CBO-style stats lookup):
+    *
+    *   - small dictionary (≤ `maxBitsetDict` distinct shingles): encode each
+    *     document's shingle set as a dense bitset (`array<bigint>` words) and
+    *     score ALL pairs with the codegen'd popcount kernel
+    *     [[graft.functions.GraftFunctions.bitsetCommon]]. A degenerate/tiny
+    *     vocabulary makes every pair collide on some shingle anyway, so the
+    *     shingle join degrades to Θ(pairs × avg common) rows — the bitset
+    *     form does the same Θ(pairs) work at ~15 longs per pair with zero
+    *     join-row blowup (measured ~4× faster than the join at sf0.1, and
+    *     DuckDB-parity).
+    *   - large dictionary: classic shingle self-join → per-pair common
+    *     counts → Jaccard. Sparse overlap makes the join output ≪ pairs;
+    *     this is the form that scales to a 100 TB corpus where bitsets
+    *     can't.
+    *
+    * Output: (a_id, b_id, jaccard ≥ threshold), a_id < b_id — identical for
+    * both paths (and to the DuckDB oracle).
+    */
+  def exactJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 2,
+      threshold: Double = 0.6,
+      maxBitsetDict: Long = 65536): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, shingleN)
+    val flat = sh.select(col("id"), explode(col("sh")).as("s"))
+    // The dictionary is both the stats source (cardinality → strategy) and
+    // the id assignment; cache it so the stats action doesn't recompute the
+    // shingling pipeline.
+    val dict = flat.select("s").distinct()
+      .withColumn("sid",
+        (row_number().over(Window.orderBy("s")) - 1).cast("int"))
+      .cache()
+    val dictSize = dict.count()
+
+    val common =
+      if (dictSize <= maxBitsetDict) {
+        val words = (dictSize / 64 + 1).toInt
+        val masks = flat.join(broadcast(dict), "s")
+          .groupBy("id").agg(collect_list(col("sid")).as("sids"))
+          .select(col("id"),
+            expr(s"transform(sequence(0, ${words - 1}), w -> " +
+              "aggregate(filter(sids, i -> i div 64 = w), cast(0 as bigint), " +
+              "(acc, i) -> acc | shiftleft(cast(1 as bigint), cast(i % 64 as int))))")
+              .as("mask"),
+            size(col("sids")).cast("bigint").as("n"))
+        masks.as("x").join(masks.as("y"), col("x.id") < col("y.id"))
+          .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+            graft.functions.GraftFunctions
+              .bitsetCommon(col("x.mask"), col("y.mask")).as("common"),
+            col("x.n").as("na"), col("y.n").as("nb"))
+      } else {
+        val sizes = sh.select(col("id"), size(col("sh")).cast("bigint").as("n"))
+        flat.as("a").join(flat.as("b"),
+            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+          .agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("id").as("a_id"), col("n").as("na")), "a_id")
+          .join(sizes.select(col("id").as("b_id"), col("n").as("nb")), "b_id")
+      }
+
+    common
+      .withColumn("jaccard",
+        col("common") / (col("na") + col("nb") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** 64-bit SimHash as 64 codegen'd sign-sum aggregates over exploded
     * distinct-token hashes. Returns (id, sim bigint). */
   private def simhashSig(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = docs
+    val toks = Balance(docs)
       .select(col(idCol).as("id"),
         explode(array_distinct(split(col(textCol), " "))).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))

@@ -32,19 +32,11 @@ object Pipeline {
         shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.6)
         .orderBy("a_id", "b_id")
     },
-    // Exact n-gram (word-bigram) Jaccard near-dup pairs — the SQL-expressible
-    // ground truth for d2, hash-checked against DuckDB.
-    sql("d3_dedup_jaccard",
-      "with toks as (select doc_id, split(text, ' ') as t from documents), " +
-        "sh as (select doc_id, explode(array_distinct(transform(sequence(1, size(t) - 1), " +
-        "i -> concat_ws(' ', t[i-1], t[i])))) as s from toks where size(t) >= 2), " +
-        "sizes as (select doc_id, count(distinct s) as n from sh group by doc_id), " +
-        "pairs as (select a.doc_id as a_id, b.doc_id as b_id, count(*) as common " +
-        "from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id group by a.doc_id, b.doc_id) " +
-        "select a_id, b_id, round(common / (sa.n + sb.n - common), 4) as jaccard " +
-        "from pairs join sizes sa on a_id = sa.doc_id join sizes sb on b_id = sb.doc_id " +
-        "where common / (sa.n + sb.n - common) >= 0.6 order by a_id, b_id",
-      "with toks as (select doc_id, string_split(text, ' ') as t from documents), " +
+    // Exact n-gram (word-bigram) Jaccard near-dup pairs — the ground truth
+    // for d2, hash-checked against DuckDB. Adaptive bitset/join strategy
+    // (Dedup.exactJaccard).
+    df("d3_dedup_jaccard",
+      Some("with toks as (select doc_id, string_split(text, ' ') as t from documents), " +
         "sh as (select doc_id, unnest(list_distinct(list_transform(range(1, len(t)), " +
         "i -> array_to_string(t[i:i+1], ' ')))) as s from toks where len(t) >= 2), " +
         "sizes as (select doc_id, count(distinct s) as n from sh group by doc_id), " +
@@ -52,7 +44,12 @@ object Pipeline {
         "from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id group by a.doc_id, b.doc_id) " +
         "select a_id, b_id, round(common * 1.0 / (sa.n + sb.n - common), 4) as jaccard " +
         "from pairs join sizes sa on a_id = sa.doc_id join sizes sb on b_id = sb.doc_id " +
-        "where common * 1.0 / (sa.n + sb.n - common) >= 0.6 order by a_id, b_id"),
+        "where common * 1.0 / (sa.n + sb.n - common) >= 0.6 order by a_id, b_id")) {
+      (s, dir) =>
+        Dedup.exactJaccard(s.table("documents"), "doc_id", "text",
+          shingleN = 2, threshold = 0.6)
+          .orderBy("a_id", "b_id")
+    },
     // SimHash near-dedup — bucketed Hamming; rows-only (hash-family choice
     // defines the output, no engine-independent oracle).
     df("d4_dedup_simhash", None) { (s, dir) =>

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the vector hot path: dot product over
   * `array<double>`. A codegen'd tight loop over `ArrayData` — stays inside
@@ -57,6 +57,55 @@ case class DotProduct(left: Expression, right: Expression)
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Popcount of the intersection of two bitsets stored as `array<bigint>`
+  * word vectors: Σ bit_count(a[w] & b[w]). Codegen'd loop — the per-pair
+  * kernel of bitset-encoded exact set intersection (Dedup.exactJaccard's
+  * small-dictionary path). */
+case class BitsetIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_bitset_common"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += java.lang.Long.bitCount($x.getLong($i) & $y.getLong($i));
          |}
          |${ev.value} = $s;
        """.stripMargin
