@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{BitsetIntersectCount, DotProduct, GraftBridge}
+import org.apache.spark.sql.graft.{BitsetIntersectCount, DotProduct, GraftBridge, MinHashSig, ShingleHashSet, SimHash64, SortedIntersectCount}
 
 /** Public registration + Column-API access for graft's native Catalyst
   * expressions (see org.apache.spark.sql.graft for the implementations). */
@@ -14,6 +14,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bitset_common",
       exprs => BitsetIntersectCount(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_common",
+      exprs => SortedIntersectCount(exprs.head, exprs(1)), "built-in")
   }
 
   /** Codegen'd dot product over two array<double> columns. */
@@ -25,4 +28,21 @@ object GraftFunctions {
   def bitsetCommon(a: Column, b: Column): Column =
     GraftBridge.column(BitsetIntersectCount(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd merge-intersection size of two sorted array<bigint> sets. */
+  def sortedCommon(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCount(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Sorted distinct xxhash64 set of the n-token shingles of a token array. */
+  def shingleHashes(tokens: Column, n: Int): Column =
+    GraftBridge.column(ShingleHashSet(GraftBridge.expression(tokens), n))
+
+  /** k-long MinHash signature of an array<bigint> element-hash set. */
+  def minhashSig(hashes: Column, k: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(hashes), k))
+
+  /** 64-bit SimHash of an array<bigint> element-hash set. */
+  def simhash(hashes: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(hashes)))
 }

@@ -15,12 +15,15 @@ import org.apache.spark.sql.functions._
   * cause (the dropped buckets are boilerplate-like content better handled by
   * an exact-hash pre-pass anyway).
   *
-  * Sketch computation (minhash signatures, simhash bit-sums) is shaped as
-  * explode → codegen'd hash aggregates rather than per-row higher-order
-  * array expressions: HOFs evaluate interpreted (outside whole-stage
-  * codegen) and rebuild intermediate arrays per hash function, which
-  * measured ~25× slower at sf0.1. The aggregate form is all codegen, does
-  * map-side partial aggregation, and shuffles only (id, 64 longs).
+  * Sketch computation (shingle hash-sets, minhash signatures, simhash) runs
+  * in native codegen'd kernel expressions
+  * (org.apache.spark.sql.graft.SketchExpressions): one narrow projection
+  * per doc, no explode, no aggregate, NO SHUFFLE until the bucket join.
+  * Earlier shapes measured at sf0.1: per-row higher-order functions ~25×
+  * slower (interpreted per-element dispatch), explode + 64 aggregate
+  * columns ~7 s (a full shuffle per sketch). The kernels pin Spark's public
+  * `xxhash64` chaining, so every sketch is reproducible from documented SQL
+  * semantics.
   */
 object Dedup {
 
@@ -31,25 +34,18 @@ object Dedup {
     Balance(docs).groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** (id, shingle-set) pairs used by the LSH and verification stages. */
-  private def shingled(docs: DataFrame, idCol: String, textCol: String,
+  /** (id, hs = sorted distinct 64-bit shingle hashes, n = |hs|) per doc —
+    * the per-doc state every near-dup variant shares. A single narrow
+    * projection (tokens column kept separate so nothing re-tokenizes):
+    * at any corpus size this computes inside the scan stage, map-side. */
+  private def docHashSets(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int): DataFrame =
-    Balance(docs).select(col(idCol).as("id"),
-        TextOps.wordShingles(col(textCol), shingleN).as("sh"))
-      .where(size(col("sh")) > 0)
-
-  /** MinHash signature as 64 codegen'd min-aggregates over exploded shingle
-    * hashes: each shingle is hashed once to a long, the k hash functions are
-    * xxhash64(h, j). Returns (id, sig array<bigint>). */
-  private def minhashSig(sh: DataFrame, numHashes: Int): DataFrame = {
-    val hashed = sh.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
-    val aggs = (0 until numHashes).map(j =>
-      min(xxhash64(col("h"), lit(j))).as(s"m$j"))
-    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    Balance(docs)
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("t"))
       .select(col("id"),
-        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
-  }
+        graft.functions.GraftFunctions.shingleHashes(col("t"), shingleN).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("id"), col("hs"), size(col("hs")).cast("bigint").as("n"))
 
   /** MinHash + LSH near-dedup: shingle → minhash signature → band buckets →
     * candidate pairs via bucket self-join → exact-Jaccard verification of
@@ -72,10 +68,12 @@ object Dedup {
       threshold: Double = 0.6,
       maxBucket: Int = 10000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = shingled(docs, idCol, textCol, shingleN)
+    val ds = docHashSets(docs, idCol, textCol, shingleN)
 
     // (id, band, bucket) — only this 3-column form is shuffled.
-    val buckets = minhashSig(sh, numHashes)
+    val buckets = ds
+      .select(col("id"),
+        graft.functions.GraftFunctions.minhashSig(col("hs"), numHashes).as("sig"))
       .select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
@@ -98,39 +96,51 @@ object Dedup {
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
 
-    // Verify candidates with exact Jaccard over the shingle sets.
+    // Verify candidates with exact Jaccard over the sorted hash sets
+    // (codegen'd merge kernel — no string arrays move through the join).
     candidates
-      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
-      .withColumn("common",
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("bigint"))
+      .join(ds.select(col("id").as("a_id"), col("hs").as("a_hs"),
+        col("n").as("na")), "a_id")
+      .join(ds.select(col("id").as("b_id"), col("hs").as("b_hs"),
+        col("n").as("nb")), "b_id")
+      .withColumn("common", graft.functions.GraftFunctions
+        .sortedCommon(col("a_hs"), col("b_hs")))
       .withColumn("jaccard",
-        col("common") / (size(col("a_sh")) + size(col("b_sh")) - col("common")))
+        col("common") / (col("na") + col("nb") - col("common")))
       .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Per-doc state for set-similarity kernels: id, ascending-sorted distinct
+    * 64-bit shingle hashes, set size. */
+  private[operators] case class DocSet(id: Long, hs: Array[Long], n: Long)
+  private[operators] case class Block(blk: Int, items: Array[DocSet])
+
   /** Exact all-pairs n-gram Jaccard (the ground truth [[minhashLsh]]
-    * approximates). Adaptive physical strategy, chosen from the shingle
-    * dictionary's cardinality (one scalar aggregate — the operator's own
-    * CBO-style stats lookup):
+    * approximates). Shingles are 64-bit-hashed once; each doc becomes a
+    * sorted hash set (collision odds ≈ d²/2⁶⁵ — negligible below trillions
+    * of distinct shingles). Physical strategy is chosen from the corpus row
+    * count (one cheap stats action — parquet footer count when `docs` is a
+    * bare scan):
     *
-    *   - small dictionary (≤ `maxBitsetDict` distinct shingles): encode each
-    *     document's shingle set as a dense bitset (`array<bigint>` words) and
-    *     score ALL pairs with the codegen'd popcount kernel
-    *     [[graft.functions.GraftFunctions.bitsetCommon]]. A degenerate/tiny
-    *     vocabulary makes every pair collide on some shingle anyway, so the
-    *     shingle join degrades to Θ(pairs × avg common) rows — the bitset
-    *     form does the same Θ(pairs) work at ~15 longs per pair with zero
-    *     join-row blowup (measured ~4× faster than the join at sf0.1, and
-    *     DuckDB-parity).
-    *   - large dictionary: classic shingle self-join → per-pair common
-    *     counts → Jaccard. Sparse overlap makes the join output ≪ pairs;
-    *     this is the form that scales to a 100 TB corpus where bitsets
-    *     can't.
+    *   - `≤ maxAllPairsDocs`: **blocked all-pairs**. Docs hash into B
+    *     blocks; the B(B+1)/2 block pairs become independent tasks, each a
+    *     tight JVM merge-intersection loop over primitive long arrays with
+    *     a size-ratio skip (J ≤ min/max). This is the O(N·B) -replication /
+    *     O(N²/tasks) -compute grid that brute force *should* be on a
+    *     cluster — no O(N²) join rows are ever materialized (a
+    *     nested-loop join at sf0.1 spent ~15 s copying 12.5 M pair rows;
+    *     this path does the same comparisons in < 2 s).
+    *   - larger corpora: **prefix-filtered shingle join** (the PPJoin
+    *     family): under a global rarest-first shingle order, two docs with
+    *     J ≥ t must share one of their first `n − ⌈t·n⌉ + 1` shingles, so
+    *     only that prefix is indexed/joined. Candidates are verified with
+    *     the codegen'd sorted-merge kernel
+    *     [[graft.functions.GraftFunctions.sortedCommon]]. Shuffles scale
+    *     with the prefix index + surviving candidates, not with N².
     *
     * Output: (a_id, b_id, jaccard ≥ threshold), a_id < b_id — identical for
-    * both paths (and to the DuckDB oracle).
+    * both paths (and to the DuckDB oracle). Ids must be long-castable.
     */
   def exactJaccard(
       docs: DataFrame,
@@ -138,68 +148,95 @@ object Dedup {
       textCol: String,
       shingleN: Int = 2,
       threshold: Double = 0.6,
-      maxBitsetDict: Long = 65536): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, shingleN)
-    val flat = sh.select(col("id"), explode(col("sh")).as("s"))
-    // The dictionary is both the stats source (cardinality → strategy) and
-    // the id assignment; cache it so the stats action doesn't recompute the
-    // shingling pipeline.
-    val dict = flat.select("s").distinct()
-      .withColumn("sid",
-        (row_number().over(Window.orderBy("s")) - 1).cast("int"))
-      .cache()
-    val dictSize = dict.count()
+      maxAllPairsDocs: Long = 8192): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val docsets = docHashSets(docs, idCol, textCol, shingleN)
+      .select(col("id").cast("long").as("id"), col("hs"), col("n"))
 
-    val common =
-      if (dictSize <= maxBitsetDict) {
-        val words = (dictSize / 64 + 1).toInt
-        val masks = flat.join(broadcast(dict), "s")
-          .groupBy("id").agg(collect_list(col("sid")).as("sids"))
-          .select(col("id"),
-            expr(s"transform(sequence(0, ${words - 1}), w -> " +
-              "aggregate(filter(sids, i -> i div 64 = w), cast(0 as bigint), " +
-              "(acc, i) -> acc | shiftleft(cast(1 as bigint), cast(i % 64 as int))))")
-              .as("mask"),
-            size(col("sids")).cast("bigint").as("n"))
-        masks.as("x").join(masks.as("y"), col("x.id") < col("y.id"))
-          .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-            graft.functions.GraftFunctions
-              .bitsetCommon(col("x.mask"), col("y.mask")).as("common"),
-            col("x.n").as("na"), col("y.n").as("nb"))
+    val scored =
+      if (docs.count() <= maxAllPairsDocs) {
+        val numBlocks = math.max(2, math.ceil(math.sqrt(
+          4.0 * spark.sparkContext.defaultParallelism)).toInt)
+        val numCombos = numBlocks * (numBlocks + 1) / 2
+        val blocks = docsets
+          .select(pmod(hash(col("id")), lit(numBlocks)).cast("int").as("blk"),
+            struct(col("id"), col("hs"), col("n")).as("ds"))
+          .groupBy("blk").agg(collect_list(col("ds")).as("items"))
+          .as[Block]
+        val t = threshold
+        blocks.alias("L")
+          .joinWith(blocks.alias("R"), col("L.blk") <= col("R.blk"))
+          .repartition(numCombos)
+          .flatMap { case (lb, rb) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            val same = lb.blk == rb.blk
+            var i = 0
+            while (i < lb.items.length) {
+              val a = lb.items(i)
+              val x = a.hs
+              var j = if (same) i + 1 else 0
+              while (j < rb.items.length) {
+                val b = rb.items(j)
+                // J ≤ min/max: skip hopeless pairs before the merge.
+                if (math.min(a.n, b.n) >= t * math.max(a.n, b.n)) {
+                  val y = b.hs
+                  var p = 0; var q = 0; var c = 0L
+                  while (p < x.length && q < y.length) {
+                    val u = x(p); val v = y(q)
+                    if (u == v) { c += 1; p += 1; q += 1 }
+                    else if (u < v) p += 1
+                    else q += 1
+                  }
+                  val jac = c.toDouble / (a.n + b.n - c)
+                  if (jac >= t) out += ((math.min(a.id, b.id),
+                    math.max(a.id, b.id), jac))
+                }
+                j += 1
+              }
+              i += 1
+            }
+            out
+          }.toDF("a_id", "b_id", "jaccard")
       } else {
-        val sizes = sh.select(col("id"), size(col("sh")).cast("bigint").as("n"))
-        flat.as("a").join(flat.as("b"),
-            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-          .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
-          .agg(count(lit(1)).as("common"))
-          .join(sizes.select(col("id").as("a_id"), col("n").as("na")), "a_id")
-          .join(sizes.select(col("id").as("b_id"), col("n").as("nb")), "b_id")
+        // Global rarest-first order on shingle hashes: (frequency, hash).
+        val flat = docsets.select(col("id"), explode(col("hs")).as("h"))
+        val freq = flat.groupBy("h").agg(count(lit(1)).as("f"))
+        val prefix = flat.join(freq, "h")
+          .withColumn("r", row_number().over(
+            Window.partitionBy("id").orderBy(col("f"), col("h"))))
+          .join(docsets.select(col("id"), col("n")), "id")
+          .where(col("r") <= col("n") - ceil(col("n") * threshold) + 1)
+          .select(col("id"), col("h"))
+        val cands = prefix.as("a").join(prefix.as("b"),
+            col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+          .distinct()
+        cands
+          .join(docsets.select(col("id").as("a_id"), col("hs").as("a_hs"),
+            col("n").as("na")), "a_id")
+          .join(docsets.select(col("id").as("b_id"), col("hs").as("b_hs"),
+            col("n").as("nb")), "b_id")
+          .withColumn("common", graft.functions.GraftFunctions
+            .sortedCommon(col("a_hs"), col("b_hs")))
+          .withColumn("jaccard",
+            col("common") / (col("na") + col("nb") - col("common")))
+          .select(col("a_id"), col("b_id"), col("jaccard"))
       }
 
-    common
-      .withColumn("jaccard",
-        col("common") / (col("na") + col("nb") - col("common")))
+    scored
       .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash as 64 codegen'd sign-sum aggregates over exploded
-    * distinct-token hashes. Returns (id, sim bigint). */
+  /** 64-bit SimHash over distinct-token hashes, as one codegen'd kernel
+    * projection (shingle width 1 = the token hash set — identical hash
+    * values to `xxhash64(token)`). Returns (id, sim bigint); no shuffle. */
   private def simhashSig(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val toks = Balance(docs)
-      .select(col(idCol).as("id"),
-        explode(array_distinct(split(col(textCol), " "))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$b"))
-    val combined = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
-      acc + when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), combined.as("sim"))
-  }
+      textCol: String): DataFrame =
+    docHashSets(docs, idCol, textCol, shingleN = 1)
+      .select(col("id"),
+        graft.functions.GraftFunctions.simhash(col("hs")).as("sim"))
 
   /** SimHash near-dedup: 64-bit simhash per doc, bucket by the four 16-bit
     * chunks (pigeonhole: any pair with ≤ 3 chunk-mismatches shares an exact

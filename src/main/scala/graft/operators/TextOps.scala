@@ -20,15 +20,25 @@ object TextOps {
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
   /** Distinct word n-gram shingles, `"w1 w2 … wn"`. Empty array when the
-    * document has fewer than n tokens (never an ANSI index error). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+    * document has fewer than n tokens (never an ANSI index error).
+    *
+    * IMPORTANT for hot paths: pass an already-projected token *column*
+    * (see [[shinglesOfTokens]]) rather than composing over `tokens(text)`
+    * inline. Higher-order lambdas evaluate interpreted, re-evaluating any
+    * captured non-attribute sub-expression per element — an inline `split`
+    * here would re-tokenize the document for every shingle (measured ~10×
+    * the whole operator's cost at sf0.1). */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
+
+  /** [[wordShingles]] over a pre-computed token array. Keep `t` a plain
+    * column reference in caller plans so per-element access is O(1). */
+  def shinglesOfTokens(t: Column, n: Int): Column =
     when(size(t) >= n,
       array_distinct(
         transform(sequence(lit(0), size(t) - n),
           i => concat_ws(" ", (1 to n).map(k => element_at(t, i + k)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** MinHash signature of a shingle set: k independent hash functions
     * h_j(s) = xxhash64(s, j), each taking the min over the set. One pass per

@@ -33,8 +33,8 @@ object Pipeline {
         .orderBy("a_id", "b_id")
     },
     // Exact n-gram (word-bigram) Jaccard near-dup pairs — the ground truth
-    // for d2, hash-checked against DuckDB. Adaptive bitset/join strategy
-    // (Dedup.exactJaccard).
+    // for d2, hash-checked against DuckDB. Adaptive blocked-all-pairs /
+    // prefix-filtered-join strategy (Dedup.exactJaccard).
     df("d3_dedup_jaccard",
       Some("with toks as (select doc_id, string_split(text, ' ') as t from documents), " +
         "sh as (select doc_id, unnest(list_distinct(list_transform(range(1, len(t)), " +

@@ -1,0 +1,160 @@
+/** Native per-row sketch kernels (shingle hash-sets, MinHash, SimHash).
+  *
+  * Why expressions and not built-in compositions: the sketch math is
+  * per-element loops (n-gram windows, k hash families, 64 bit-planes).
+  * Expressed with higher-order functions those loops evaluate interpreted —
+  * per-element Catalyst dispatch plus re-evaluation of captured
+  * sub-expressions (measured seconds at sf0.1 for 5k docs). Expressed as
+  * explode → 64 aggregate columns they force a shuffle per sketch. As
+  * native expressions each sketch is one codegen-visible call into a tight
+  * JVM loop: the whole sketch pipeline becomes a map-side projection that
+  * scales linearly with input splits — on a 100 TB corpus, signatures
+  * compute inside the scan stage with zero shuffle.
+  *
+  * Hashing matches Spark's `xxhash64(...)` chaining (seed 42, then
+  * per-value chaining via [[XXH64]]), so these kernels are reproducible
+  * from public SQL semantics.
+  */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+
+/** Loop bodies shared by interpreted eval and generated code. Top-level
+  * object → static forwarders, callable from Janino-compiled codegen. */
+object SketchKernels {
+
+  /** Sorted distinct xxhash64 of every n-token window. Hash of window
+    * (w_i … w_{i+n-1}) ≡ SQL `xxhash64(w_i, …, w_{i+n-1})`. */
+  def shingleHashSet(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements() - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 42L
+      var k = 0
+      while (k < n) {
+        h = XXH64.hashUTF8String(tokens.getUTF8String(i + k), h)
+        k += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    var r = 1
+    while (r < m) {
+      if (hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == m) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** k-function MinHash: sig(j) = min over h of `xxhash64(h, j)`
+    * (hashLong then hashInt chaining, seed 42 — Spark's family). */
+  def minhashSig(hs: ArrayData, k: Int): ArrayData = {
+    val m = hs.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val base = XXH64.hashLong(hs.getLong(i), 42L)
+      var j = 0
+      while (j < k) {
+        val v = XXH64.hashInt(j, base)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over element hashes: bit b set iff more elements have
+    * bit b set than clear (+1/−1 vote per element). */
+  def simhash64(hs: ArrayData): Long = {
+    val m = hs.numElements()
+    val cnt = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (cnt(b) > 0) sim |= 1L << b
+      b += 1
+    }
+    sim
+  }
+}
+
+/** array<string> tokens → sorted distinct array<bigint> n-gram hashes.
+  * Empty array (not null, not an error) when the doc has < n tokens. */
+case class ShingleHashSet(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(t: Any): Any =
+    SketchKernels.shingleHashSet(t.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.SketchKernels.shingleHashSet($c, $n)")
+
+  override protected def withNewChildInternal(nc: Expression): Expression =
+    copy(child = nc)
+}
+
+/** array<bigint> element hashes → k-long MinHash signature. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"signature length must be >= 1, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(t: Any): Any =
+    SketchKernels.minhashSig(t.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.SketchKernels.minhashSig($c, $k)")
+
+  override protected def withNewChildInternal(nc: Expression): Expression =
+    copy(child = nc)
+}
+
+/** array<bigint> element hashes → 64-bit SimHash. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(t: Any): Any =
+    SketchKernels.simhash64(t.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.SketchKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(nc: Expression): Expression =
+    copy(child = nc)
+}

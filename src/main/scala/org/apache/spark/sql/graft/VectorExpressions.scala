@@ -116,6 +116,63 @@ case class BitsetIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two ASCENDING-sorted `array<bigint>` sets via a
+  * codegen'd linear merge: O(|a|+|b|), no allocation. Verification kernel
+  * for set-similarity candidates (Dedup.exactJaccard) where the sets are
+  * 64-bit shingle hashes. Inputs MUST be duplicate-free and sorted. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_sorted_common"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var (i, j) = (0, 0)
+    var s = 0L
+    while (i < nx && j < ny) {
+      val (u, v) = (x.getLong(i), y.getLong(j))
+      if (u == v) { s += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val u = ctx.freshName("u")
+      val v = ctx.freshName("v")
+      val s = ctx.freshName("s")
+      s"""
+         |int $nx = $x.numElements(); int $ny = $y.numElements();
+         |int $i = 0; int $j = 0; long $s = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $u = $x.getLong($i); long $v = $y.getLong($j);
+         |  if ($u == $v) { $s++; $i++; $j++; }
+         |  else if ($u < $v) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column ↔ Expression bridge for code outside the sql package. */
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

@@ -18,18 +18,31 @@ class JaccardSpec extends SparkSpecBase {
     ).toDF("doc_id", "text")
   }
 
-  test("bitset and join paths agree with each other and with hand math") {
-    val viaBitset = Dedup.exactJaccard(docs, "doc_id", "text",
-      threshold = 0.5, maxBitsetDict = 65536)
+  test("blocked all-pairs and prefix-join paths agree with hand math") {
+    val viaBlocked = Dedup.exactJaccard(docs, "doc_id", "text",
+      threshold = 0.5, maxAllPairsDocs = 8192)
       .orderBy("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val viaJoin = Dedup.exactJaccard(docs, "doc_id", "text",
-      threshold = 0.5, maxBitsetDict = 0) // force the join path
+    val viaPrefixJoin = Dedup.exactJaccard(docs, "doc_id", "text",
+      threshold = 0.5, maxAllPairsDocs = 0) // force the prefix-join path
       .orderBy("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(viaBitset.toSeq == viaJoin.toSeq)
+    assert(viaBlocked.toSeq == viaPrefixJoin.toSeq)
     // hand-checked: (1,2) = 3/5 = 0.6, (1,4) = 1.0, (2,4) = 0.6, 3 isolated
-    assert(viaBitset.toSeq == Seq((1L, 2L, 0.6), (1L, 4L, 1.0), (2L, 4L, 0.6)))
+    assert(viaBlocked.toSeq == Seq((1L, 2L, 0.6), (1L, 4L, 1.0), (2L, 4L, 0.6)))
+  }
+
+  test("sorted-merge kernel counts common elements exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 3L, 9L), Seq(2L, 3L, 9L, 11L)), // {3,9} → 2
+      (Seq(-5L, 7L), Seq(8L, 9L)),             // disjoint → 0
+      (Seq.empty[Long], Seq(1L))               // empty → 0
+    ).toDF("a", "b")
+    val got = df.select(
+      graft.functions.GraftFunctions.sortedCommon(col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 0L, 0L))
   }
 
   test("bitset kernel counts common bits exactly") {
