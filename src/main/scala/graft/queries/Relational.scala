@@ -1,7 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
+
 import graft.QueryDef
-import graft.QueryDef.sql
+import graft.QueryDef.{df, sql}
+import graft.operators.Ranks
 
 /** The reference's relational surface (SURVEY.md §2) re-expressed over the
   * driver testdata tables, one named query per operator row, each with a
@@ -215,19 +218,37 @@ object Relational {
   // All xfail in the reference (tests/markers.py:4-7); working here. Spark
   // rank/dense_rank yield int — cast to bigint to match DuckDB's.
   private val windows = Seq(
-    // W1 — rank over global order (:772-786)
-    sql("w1_rank",
-      "select o_orderkey, cast(rank() over (order by o_totalprice desc) as bigint) as rnk " +
-        "from orders order by o_orderkey"),
+    // W1 — rank over global order (:772-786). Global (no PARTITION BY)
+    // windows run via the distributed range-partitioned rank operator
+    // (operators/Ranks.scala) instead of Spark's single-task WindowExec;
+    // the DuckDB oracle stays the plain window-function SQL.
+    df("w1_rank",
+      Some("select o_orderkey, cast(rank() over (order by o_totalprice desc) as bigint) as rnk " +
+        "from orders order by o_orderkey")) { (s, dir) =>
+      Ranks.globalRank(s.table("orders"), "rnk", dense = false,
+          col("o_totalprice").desc)
+        .select(col("o_orderkey"), col("rnk"))
+        .orderBy("o_orderkey")
+    },
     // W2 — rank over multi-key mixed-direction order (:789-825)
-    sql("w2_rank_multi",
-      "select l_orderkey, l_linenumber, " +
+    df("w2_rank_multi",
+      Some("select l_orderkey, l_linenumber, " +
         "cast(rank() over (order by l_quantity desc, l_extendedprice asc, l_orderkey) as bigint) as rnk " +
-        "from lineitem order by l_orderkey, l_linenumber, rnk"),
+        "from lineitem order by l_orderkey, l_linenumber, rnk")) { (s, dir) =>
+      Ranks.globalRank(s.table("lineitem"), "rnk", dense = false,
+          col("l_quantity").desc, col("l_extendedprice").asc, col("l_orderkey").asc)
+        .select(col("l_orderkey"), col("l_linenumber"), col("rnk"))
+        .orderBy("l_orderkey", "l_linenumber", "rnk")
+    },
     // W3 — dense_rank (:828-863)
-    sql("w3_dense_rank",
-      "select o_orderkey, cast(dense_rank() over (order by o_totalprice desc) as bigint) as drnk " +
-        "from orders order by o_orderkey"),
+    df("w3_dense_rank",
+      Some("select o_orderkey, cast(dense_rank() over (order by o_totalprice desc) as bigint) as drnk " +
+        "from orders order by o_orderkey")) { (s, dir) =>
+      Ranks.globalRank(s.table("orders"), "drnk", dense = true,
+          col("o_totalprice").desc)
+        .select(col("o_orderkey"), col("drnk"))
+        .orderBy("o_orderkey")
+    },
     // W4 — rank partitioned (:866-918)
     sql("w4_rank_partition",
       "select o_orderkey, o_custkey, " +

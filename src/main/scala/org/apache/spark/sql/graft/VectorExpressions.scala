@@ -177,4 +177,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The value beneath a sort Column (`col.desc` → `col`); identity for
+    * plain value Columns. Spark 4 models sort order at the ColumnNode
+    * level, so this unwrap must happen here, inside the sql package. */
+  def sortChild(c: Column): Column = c.node match {
+    case s: org.apache.spark.sql.internal.SortOrder => Column(s.child)
+    case _ => c
+  }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ranks
+
+/** The distributed global-rank operator must be value-identical to Spark's
+  * single-task window functions, including ties and mixed sort directions. */
+class RanksSpec extends SparkSpecBase {
+
+  test("distributed rank matches rank() over global order, with ties") {
+    val li = spark.table("lineitem")
+    val got = Ranks.globalRank(li, "rnk", dense = false,
+        maxSingleTaskRows = 0L, // force the distributed path
+        col("l_quantity").desc, col("l_orderkey").asc)
+      .select(col("l_orderkey"), col("l_linenumber"), col("rnk"))
+    val want = li.select(col("l_orderkey"), col("l_linenumber"),
+      rank().over(Window.orderBy(col("l_quantity").desc, col("l_orderkey").asc))
+        .cast("long").as("rnk"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("distributed dense rank matches dense_rank() over global order") {
+    val o = spark.table("orders")
+    val got = Ranks.globalRank(o, "drnk", dense = true,
+        maxSingleTaskRows = 0L, col("o_totalprice").desc)
+      .select(col("o_orderkey"), col("drnk"))
+    val want = o.select(col("o_orderkey"),
+      dense_rank().over(Window.orderBy(col("o_totalprice").desc))
+        .cast("long").as("drnk"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("distributed path keeps the shuffle-partition fan-out") {
+    val out = Ranks.globalRank(spark.table("orders"), "rnk", dense = false,
+      maxSingleTaskRows = 0L, col("o_totalprice").desc)
+    // Spark's built-in global window collapses to 1 partition.
+    assert(out.rdd.getNumPartitions > 1)
+  }
+
+  test("adaptive default picks the same values either way") {
+    val got = Ranks.globalRank(spark.table("orders"), "rnk", dense = false,
+        col("o_totalprice").desc) // small input → built-in window path
+      .select(col("o_orderkey"), col("rnk"))
+    val dist = Ranks.globalRank(spark.table("orders"), "rnk", dense = false,
+        maxSingleTaskRows = 0L, col("o_totalprice").desc)
+      .select(col("o_orderkey"), col("rnk"))
+    assert(got.exceptAll(dist).isEmpty && dist.exceptAll(got).isEmpty)
+  }
+}
