@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{BitsetIntersectCount, DotProduct, GraftBridge, MinHashSig, ShingleHashSet, SimHash64, SortedIntersectCount}
+import org.apache.spark.sql.graft.{BitsetIntersectCount, DotProduct, GraftBridge, MinHashSig, ShingleHashSet, SimHash64, SortedIntersectCount, WinnowFingerprints}
 
 /** Public registration + Column-API access for graft's native Catalyst
   * expressions (see org.apache.spark.sql.graft for the implementations). */
@@ -45,4 +45,9 @@ object GraftFunctions {
   /** 64-bit SimHash of an array<bigint> element-hash set. */
   def simhash(hashes: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(hashes)))
+
+  /** Sorted distinct winnowing fingerprints (rolling-hash byte k-grams,
+    * rightmost-min per w-window) of a string column. */
+  def winnow(text: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowFingerprints(GraftBridge.expression(text), k, w))
 }

@@ -269,6 +269,40 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming").cast("bigint").as("hamming"))
   }
 
+  /** Winnowing near-dedup (MOSS-style, Schleimer et al. SIGMOD'03): each doc
+    * becomes a sorted set of rolling-hash fingerprints
+    * ([[graft.functions.GraftFunctions.winnow]] — map-side, O(bytes) per
+    * doc, no shuffle); pairs sharing ≥ `minShared` fingerprints are
+    * reported with their overlap count. Any shared byte run of length
+    * ≥ w + k − 1 guarantees a shared fingerprint, so recall for substantial
+    * copied passages is total — unlike token-shingle Jaccard, this catches
+    * partial-overlap plagiarism-style duplication, not just whole-doc
+    * similarity. The fingerprint bucket join is the only shuffle; `maxFreq`
+    * drops ubiquitous fingerprints (boilerplate) before the quadratic
+    * bucket blowup, same skew-guard idea as [[minhashLsh]]'s `maxBucket`.
+    */
+  def winnowing(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16,
+      w: Int = 30,
+      minShared: Int = 3,
+      maxFreq: Int = 200): DataFrame = {
+    val fps = Balance(docs).select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.winnow(col(textCol), k, w).as("fps"))
+    val flat = fps.select(col("id"), explode(col("fps")).as("fp"))
+    val rare = flat
+      .withColumn("f", count(lit(1)).over(Window.partitionBy("fp")))
+      .where(col("f") <= maxFreq)
+      .drop("f")
+    rare.as("a").join(rare.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Embedding near-dedup: pairs with cosine ≥ threshold (exact, codegen'd
     * dot product — see [[Similarity.cosinePairs]]); at corpus scale prefer
     * [[Similarity.lshTopK]]'s bucketing. */

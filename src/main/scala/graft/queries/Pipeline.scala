@@ -56,6 +56,14 @@ object Pipeline {
       Dedup.simhash(s.table("documents"), "doc_id", "text", maxHamming = 6)
         .orderBy("a_id", "b_id")
     },
+    // Winnowing (rolling-hash) fingerprint near-dedup — fingerprint
+    // selection is hash-family-defined, rows-only; the winnowing guarantee
+    // itself is property-tested in OperatorsSpec.
+    df("d6_dedup_winnow", None) { (s, dir) =>
+      Dedup.winnowing(s.table("documents"), "doc_id", "text",
+        k = 16, w = 30, minShared = 3, maxFreq = 100)
+        .orderBy("a_id", "b_id")
+    },
     // Embedding-cosine near-dup pairs, exact — DuckDB list_cosine_similarity
     // on double vectors is the oracle.
     df("d5_dedup_embedding",
@@ -99,6 +107,23 @@ object Pipeline {
         "from documents order by doc_id",
       "select doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) as fp " +
         "from documents order by doc_id"),
+    // BPE-ish regex tokenization: split on non-alphanumerics, drop empties —
+    // identical regex semantics on both engines.
+    sql("t6_regex_tokens",
+      "select doc_id, cast(size(filter(split(lower(text), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0)) as bigint) as n_subtokens from documents order by doc_id",
+      "select doc_id, cast(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0)) as bigint) as n_subtokens from documents order by doc_id"),
+    // Rolling-hash (winnowing) document fingerprints — per-doc fingerprint
+    // set size + set; hash family is engine-defined → rows-only.
+    df("t7_rolling_fingerprint", None) { (s, dir) =>
+      s.table("documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.winnow(col("text"), 8, 4).as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("bigint").as("n_fp"),
+          col("fps"))
+        .orderBy("doc_id")
+    },
     // Stopword/quality ratios via higher-order filter.
     df("t5_stopword_ratio",
       Some("select doc_id, cast(len(list_filter(string_split(text, ' '), " +

@@ -211,7 +211,40 @@ object Relational {
       (s, dir) => { graft.Tables.ensure(s, dir)
         graft.Engine.query(s,
           "select approx_count_distinct(l_partkey) as approx_parts from lineitem") },
-      None) // HLL sketch — engine-specific estimate, rows-only check
+      None), // HLL sketch — engine-specific estimate, rows-only check
+    // Beyond-reference: ROLLUP subtotal hierarchy with GROUPING() markers.
+    sql("a15_rollup",
+      "select coalesce(l_returnflag, 'ALL') as rf, coalesce(l_linestatus, 'ALL') as ls, " +
+        "cast(grouping(l_returnflag) + grouping(l_linestatus) as bigint) as lvl, " +
+        "round(sum(l_quantity), 2) as sum_qty, count(*) as cnt " +
+        "from lineitem group by rollup(l_returnflag, l_linestatus) " +
+        "order by lvl, rf, ls"),
+    // Beyond-reference: explicit GROUPING SETS (two independent breakdowns).
+    sql("a16_grouping_sets",
+      "select coalesce(l_returnflag, '-') as rf, coalesce(l_linestatus, '-') as ls, " +
+        "round(sum(l_extendedprice), 2) as sum_price, count(*) as cnt " +
+        "from lineitem group by grouping sets ((l_returnflag), (l_linestatus)) " +
+        "order by rf, ls"),
+    // Beyond-reference: exact interpolated percentiles (Spark percentile ≡
+    // DuckDB quantile_cont: both linear-interpolate on the sorted values).
+    sql("a17_percentile",
+      "select l_returnflag, round(percentile(l_quantity, 0.5), 4) as p50, " +
+        "round(percentile(l_quantity, 0.9), 4) as p90, " +
+        "round(percentile(l_extendedprice, 0.99), 2) as p99_price " +
+        "from lineitem group by l_returnflag order by l_returnflag",
+      "select l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) as p50, " +
+        "round(quantile_cont(l_quantity, 0.9), 4) as p90, " +
+        "round(quantile_cont(l_extendedprice, 0.99), 2) as p99_price " +
+        "from lineitem group by l_returnflag order by l_returnflag"),
+    // Beyond-reference: manual pivot via conditional aggregation (the shape
+    // Spark's PIVOT clause lowers to; written portably for the oracle).
+    sql("a18_pivot",
+      "select l_returnflag, " +
+        "round(sum(case when l_linestatus = 'F' then l_quantity else 0 end), 2) as qty_f, " +
+        "round(sum(case when l_linestatus = 'O' then l_quantity else 0 end), 2) as qty_o, " +
+        "count(case when l_linestatus = 'F' then 1 end) as cnt_f, " +
+        "count(case when l_linestatus = 'O' then 1 end) as cnt_o " +
+        "from lineitem group by l_returnflag order by l_returnflag")
   )
 
   // ---------------------------------------------------------------- §2.6 W*

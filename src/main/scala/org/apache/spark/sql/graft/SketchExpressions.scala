@@ -72,6 +72,56 @@ object SketchKernels {
     new GenericArrayData(sig)
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * Rabin-Karp rolling hash over byte k-grams (O(1) per position), each
+    * base hash avalanched through [[XXH64.hashLong]] (seed 42), then the
+    * RIGHTMOST minimum of every w-hash window is selected (robust
+    * winnowing). Guarantees: any byte-substring match of length
+    * ≥ w + k − 1 yields a shared fingerprint; density ≈ 2/(w+1). Output is
+    * the sorted distinct selected hashes — ready for bucket-join dedup.
+    * Docs shorter than k bytes fingerprint to the empty set. */
+  def winnowFingerprints(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val m = bytes.length - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    // Rolling base hash: h_i = sum b[i+j] * B^(k-1-j) mod 2^64.
+    val B = 1000003L
+    var top = 1L // B^(k-1)
+    var j = 1
+    while (j < k) { top *= B; j += 1 }
+    val hs = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    hs(0) = XXH64.hashLong(h, 42L)
+    i = 1
+    while (i < m) {
+      h = (h - (bytes(i - 1) & 0xffL) * top) * B + (bytes(i + k - 1) & 0xffL)
+      hs(i) = XXH64.hashLong(h, 42L)
+      i += 1
+    }
+    // Rightmost-min of each w-window via a monotonic (strictly increasing)
+    // index deque — O(m) total.
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val dq = new Array[Int](m)
+    var lo = 0
+    var hi = 0 // deque in dq[lo, hi)
+    i = 0
+    while (i < m) {
+      while (hi > lo && hs(dq(hi - 1)) >= hs(i)) hi -= 1 // keep rightmost min
+      dq(hi) = i; hi += 1
+      if (dq(lo) <= i - w) lo += 1
+      if (i >= w - 1 || i == m - 1) sel.add(hs(dq(lo)))
+      i += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over element hashes: bit b set iff more elements have
     * bit b set than clear (+1/−1 vote per element). */
   def simhash64(hs: ArrayData): Long = {
@@ -135,6 +185,29 @@ case class MinHashSig(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.graft.SketchKernels.minhashSig($c, $k)")
+
+  override protected def withNewChildInternal(nc: Expression): Expression =
+    copy(child = nc)
+}
+
+/** string → sorted distinct winnowing fingerprints (array<bigint>).
+  * k = byte k-gram width, w = winnowing window (both compile-time). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && w >= 1, s"winnow(k=$k, w=$w): both must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(t: Any): Any =
+    SketchKernels.winnowFingerprints(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.SketchKernels.winnowFingerprints($c, $k, $w)")
 
   override protected def withNewChildInternal(nc: Expression): Expression =
     copy(child = nc)

@@ -112,6 +112,46 @@ class OperatorsSpec extends SparkSpecBase {
     assert(feats.length == 8 && feats.forall(v => v >= 0 && v < 1))
   }
 
+  test("winnow: guarantee — shared substring ≥ w+k−1 ⇒ shared fingerprint") {
+    import spark.implicits._
+    val k = 8; val w = 4
+    // Docs 1/2 share a 40-char passage (≥ w+k−1 = 11); doc 3 shares nothing.
+    val shared = "this exact passage is copied in both docs"
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"zzz $shared qqq unrelated trailer text"),
+      (3L, "no overlap at all with anything else here")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        graft.functions.GraftFunctions.winnow(col("text"), k, w).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // Sorted distinct output.
+    val f1 = df.where(col("doc_id") === 1)
+      .select(graft.functions.GraftFunctions.winnow(col("text"), k, w))
+      .head().getSeq[Long](0)
+    assert(f1 == f1.sorted && f1.distinct == f1)
+    // Short docs (< k bytes) → empty set, not error.
+    val short = Seq(Tuple1("tiny")).toDF("text")
+      .select(graft.functions.GraftFunctions.winnow(col("text"), k, w))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
+  test("winnowing dedup pairs docs sharing a passage, not distinct docs") {
+    import spark.implicits._
+    val shared = "this exact passage is copied in both documents verbatim"
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"zzz $shared qqq unrelated trailer text"),
+      (3L, "no overlap at all with anything else in this corpus now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowing(df, "doc_id", "text", k = 8, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("fingerprint normalizes whitespace and case") {
     import spark.implicits._
     val df = Seq(Tuple1("The  Quick   fox"), Tuple1("the quick fox")).toDF("text")
