@@ -164,6 +164,17 @@ object Pipeline {
         emb.where(col("vec_id") >= 10),
         "vec_id", "embedding", k = 5, groups = 8)
         .orderBy("qid", "rnk")
+    },
+    // IVF (inverted-file) ANN — spherical-k-means coarse quantizer, probe
+    // nprobe/nlist of the corpus per query. Approximate + quantizer-defined
+    // → rows-only; recall vs bruteTopK is property-tested in OperatorsSpec.
+    df("s3_ann_ivf", None) { (s, dir) =>
+      val emb = s.table("embeddings")
+      Similarity.ivfTopK(
+        emb.where(col("vec_id") < 10),
+        emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .orderBy("qid", "rnk")
     }
   )
 

@@ -88,6 +88,39 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got == Seq(1L, 3L)) // cos: 1→.995, 3→.994, 2→0, 4→-1
   }
 
+  test("ivfTopK: valid ranked output with good recall vs brute force") {
+    import spark.implicits._
+    // Deterministic clustered corpus: 4 well-separated direction clusters
+    // in 8-d, 50 points each; queries are near cluster centers.
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0), Array(0, 1.0, 0, 0, 0, 0, 0, 0),
+      Array(0, 0, 1.0, 0, 0, 0, 0, 0), Array(0, 0, 0, 1.0, 0, 0, 0, 0))
+    val corpus = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong + 100, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = (0 until 4).map { i =>
+      (i.toLong, centers(i).map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+
+    val brute = Similarity.bruteTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 2, trainCap = 200)
+      .select("qid", "cid", "rnk").collect()
+    // Shape: ≤ k ranked rows per query, rnk contiguous from 1.
+    val byQ = ivf.groupBy(_.getLong(0))
+    assert(byQ.size == 4)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1 to rows.length).map(_.toLong))
+    }
+    // Recall@5 vs exact ≥ 80% on well-clustered data.
+    val hits = ivf.map(r => (r.getLong(0), r.getLong(1))).count(brute.contains)
+    assert(hits >= (brute.size * 0.8).toInt,
+      s"IVF recall too low: $hits of ${brute.size}")
+  }
+
   test("langId is deterministic and favors the matching profile") {
     import spark.implicits._
     val df = Seq(
