@@ -157,7 +157,33 @@ object Relational {
     // J9 — case-insensitive table/column resolution (:43-50, :487-494)
     sql("j9_case_insensitive",
       "select O_ORDERKEY as okey, C_NAME as cname from ORDERS " +
-        "join CUSTOMER on ORDERS.o_custkey = customer.C_CUSTKEY order by okey")
+        "join CUSTOMER on ORDERS.o_custkey = customer.C_CUSTKEY order by okey"),
+    // Beyond-reference: salted join (operators/Skew.scala) — salting is a
+    // physical spread only, so the result must hash-match the plain join.
+    df("j10_salted_join",
+      Some("select l.l_orderkey, l.l_linenumber, o.o_custkey " +
+        "from lineitem l join orders o on l.l_orderkey = o.o_orderkey " +
+        "order by l.l_orderkey, l.l_linenumber, o.o_custkey")) { (s, dir) =>
+      graft.operators.Skew.saltedJoin(
+          s.table("lineitem").select("l_orderkey", "l_linenumber"),
+          s.table("orders").select(col("o_orderkey").as("l_orderkey"),
+            col("o_custkey")),
+          Seq("l_orderkey"), n = 8)
+        .orderBy("l_orderkey", "l_linenumber", "o_custkey")
+    },
+    // Beyond-reference: hot-key split join — broadcast path for hot keys,
+    // shuffle path for the rest; same hash-match-the-plain-join contract.
+    df("j11_hot_split_join",
+      Some("select l.l_orderkey, l.l_linenumber, o.o_custkey " +
+        "from lineitem l join orders o on l.l_orderkey = o.o_orderkey " +
+        "order by l.l_orderkey, l.l_linenumber, o.o_custkey")) { (s, dir) =>
+      graft.operators.Skew.hotSplitJoin(
+          s.table("lineitem").select("l_orderkey", "l_linenumber"),
+          s.table("orders").select(col("o_orderkey").as("l_orderkey"),
+            col("o_custkey")),
+          Seq("l_orderkey"), minCount = 5L)
+        .orderBy("l_orderkey", "l_linenumber", "o_custkey")
+    }
   )
 
   // ---------------------------------------------------------------- §2.5 A*

@@ -121,6 +121,30 @@ class OperatorsSpec extends SparkSpecBase {
       s"IVF recall too low: $hits of ${brute.size}")
   }
 
+  test("salted and hot-split joins match the plain join exactly") {
+    import spark.implicits._
+    // Heavy skew: key 1 holds 80% of left rows.
+    val left = ((1 to 400).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => ((i % 7 + 2).toLong, i.toLong + 1000)))
+      .toDF("k", "lv")
+    val right = (1 to 9).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    val expected = left.join(right, Seq("k"))
+      .orderBy("k", "lv").collect().toSeq
+
+    val salted = graft.operators.Skew.saltedJoin(left, right, Seq("k"), n = 4)
+      .orderBy("k", "lv").collect().toSeq
+    assert(salted == expected)
+
+    val split = graft.operators.Skew.hotSplitJoin(left, right, Seq("k"),
+        minCount = 100L)
+      .orderBy("k", "lv").collect().toSeq
+    assert(split == expected)
+    // The hot path really is a broadcast join.
+    val plan = graft.operators.Skew.hotSplitJoin(left, right, Seq("k"), 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("langId is deterministic and favors the matching profile") {
     import spark.implicits._
     val df = Seq(
