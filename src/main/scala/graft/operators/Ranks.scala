@@ -37,13 +37,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Ranks {
 
-  /** [[globalRank]] with the default 2M-row single-task cutoff. */
+  /** [[globalRank]] with the default single-task cutoff. 500k is the
+    * measured local[32] crossover at sf0.1 (distributed 1.6s vs
+    * single-task window 2.2s steady-state at 600k lineitem rows); below
+    * it the built-in window's lack of extra jobs/Row conversion wins. */
   def globalRank(
       df: DataFrame,
       rankCol: String,
       dense: Boolean,
       order: Column*): DataFrame =
-    globalRank(df, rankCol, dense, maxSingleTaskRows = 2000000L, order: _*)
+    globalRank(df, rankCol, dense, maxSingleTaskRows = 500000L, order: _*)
 
   /** Append `rankCol` (bigint) holding the global rank (`dense = false`) or
     * dense rank (`dense = true`) of each row under `order`.
