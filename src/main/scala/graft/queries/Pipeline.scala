@@ -133,7 +133,33 @@ object Pipeline {
         .select(col("doc_id"),
           TextOps.stopwordCount(col("text")).as("n_stopwords"))
         .orderBy("doc_id")
-    }
+    },
+    // Corpus statistics: global top-k token frequencies. explode → groupBy
+    // is the canonical distributed shape: partial aggregation combines
+    // map-side, and ORDER BY + LIMIT lowers to TakeOrderedAndProject (no
+    // full sort of the vocabulary). Deterministic via (cnt, token)
+    // tie-break.
+    sql("t8_top_tokens",
+      "select token, count(*) as cnt from (select explode(filter(" +
+        "split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) as token " +
+        "from documents) group by token order by cnt desc, token limit 20",
+      "select token, count(*) as cnt from (select unnest(list_filter(" +
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) as token " +
+        "from documents) t group by token order by cnt desc, token limit 20"),
+    // Corpus statistics: word-bigram counts (the n-gram language-model /
+    // contamination-check shape) — transform over a zip of the token array
+    // with its tail, then the same explode-aggregate-topk plan.
+    sql("t9_bigram_counts",
+      "select bigram, count(*) as cnt from (select explode(" +
+        "transform(slice(toks, 1, size(toks) - 1), (t, i) -> concat(t, ' ', toks[i + 1]))) as bigram " +
+        "from (select filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) as toks " +
+        "from documents) where size(toks) > 1) " +
+        "group by bigram order by cnt desc, bigram limit 20",
+      "select bigram, count(*) as cnt from (select unnest([toks[i] || ' ' || toks[i+1] " +
+        "for i in range(1, len(toks))]) as bigram " +
+        "from (select list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0) as toks from documents) t where len(toks) > 1) tt " +
+        "group by bigram order by cnt desc, bigram limit 20")
   )
 
   private val similarity = Seq(
