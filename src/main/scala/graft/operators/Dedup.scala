@@ -312,4 +312,72 @@ object Dedup {
       vecCol: String,
       threshold: Double): DataFrame =
     Similarity.cosinePairs(emb, idCol, vecCol, threshold)
+
+  /** Connected components over a near-dup pair list: (id, component) where
+    * `component` is the minimum id reachable from `id`. Iterative min-label
+    * propagation — each round every node takes the min of its own and its
+    * neighbors' labels (one shuffle for the neighbor-min, one join to merge;
+    * all DataFrame ops, nothing driver-side). Converges in graph-diameter
+    * rounds; near-dup clusters are shallow (diameter ≤ a few hops), so
+    * `maxIter` defaults low. A round that changes no label ends iteration
+    * early — checked with one count per round on the (small) label frame,
+    * not the corpus.
+    *
+    * Only ids that appear in `pairs` are returned — singletons don't need a
+    * component. Caches each round's labels; unpersists the previous round.
+    */
+  def components(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 10): DataFrame = {
+    // Undirected edge list, both directions.
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("comp")).cache()
+    labels.count() // materialize before the loop mutates `labels`
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      // min over neighbors' labels, then merge with own label.
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+        .where(col("comp") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup-aware dedup: resolve `pairs` into components and keep one
+    * representative per cluster (the minimum id) plus every unpaired doc.
+    * Output: the deduplicated id set as (id, component) — component equals
+    * id for kept rows. */
+  def keepRepresentatives(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 10): DataFrame = {
+    val comp = components(pairs, aCol, bCol, maxIter)
+    docs.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .where(col("comp").isNull || col("comp") === col("id"))
+      .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
+  }
 }

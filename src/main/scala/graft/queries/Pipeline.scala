@@ -64,6 +64,37 @@ object Pipeline {
         k = 16, w = 30, minShared = 3, maxFreq = 100)
         .orderBy("a_id", "b_id")
     },
+    // Cluster resolution: near-dup pairs → connected components → one
+    // representative per cluster + all singletons. Pairs come from the
+    // exact d1 fingerprint (engine-independent), so the component structure
+    // is deterministic; the oracle replays it with a recursive CTE
+    // (transitive closure via min-label fixpoint is exactly what WITH
+    // RECURSIVE computes on DuckDB's side).
+    df("d7_dedup_clusters",
+      Some("with recursive pairs as (select a.doc_id as a_id, b.doc_id as b_id " +
+        "from (select doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) as fp from documents) a " +
+        "join (select doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) as fp from documents) b " +
+        "on a.fp = b.fp and a.doc_id < b.doc_id), " +
+        "edges as (select a_id as src, b_id as dst from pairs " +
+        "union select b_id, a_id from pairs), " +
+        "reach as (select src, dst from edges " +
+        "union select r.src, e.dst from reach r join edges e on r.dst = e.src " +
+        "where r.src != e.dst), " +
+        "comp as (select src as id, least(src, min(dst)) as component " +
+        "from reach group by src), " +
+        "all_docs as (select doc_id as id from documents) " +
+        "select d.id, coalesce(c.component, d.id) as component from all_docs d " +
+        "left join comp c on d.id = c.id " +
+        "where c.component is null or c.component = d.id order by d.id")) { (s, dir) =>
+      val docs = s.table("documents")
+      val fpPairs = docs
+        .select(col("doc_id"), graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      val edgesDf = fpPairs.as("a").join(fpPairs.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      Dedup.keepRepresentatives(docs, "doc_id", edgesDf, "a_id", "b_id")
+        .orderBy("id")
+    },
     // Embedding-cosine near-dup pairs, exact — DuckDB list_cosine_similarity
     // on double vectors is the oracle.
     df("d5_dedup_embedding",

@@ -121,6 +121,26 @@ class OperatorsSpec extends SparkSpecBase {
       s"IVF recall too low: $hits of ${brute.size}")
   }
 
+  test("components: min-label propagation resolves transitive clusters") {
+    import spark.implicits._
+    // Chain 20-21-22-23 needs >1 round: label must propagate end to end.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("a_id", "b_id")
+    val comp = graft.operators.Dedup.components(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+
+    val docs = (1L to 25L).map(Tuple1(_)).toDF("doc_id")
+    val kept = graft.operators.Dedup
+      .keepRepresentatives(docs, "doc_id", pairs, "a_id", "b_id")
+      .collect().map(_.getLong(0)).toSet
+    // Representatives 1/10/20 survive; other cluster members drop;
+    // singletons (4..9, 12..19, 24, 25) survive.
+    val expected = (1L to 25L).toSet -- Set(2L, 3L, 11L, 21L, 22L, 23L)
+    assert(kept == expected)
+  }
+
   test("salted and hot-split joins match the plain join exactly") {
     import spark.implicits._
     // Heavy skew: key 1 holds 80% of left rows.
