@@ -463,7 +463,30 @@ object Relational {
       "select event_id, cast(get_json_object(props, '$.k') as bigint) as k_val " +
         "from events order by event_id",
       "select event_id, cast(json_extract_string(props, '$.k') as bigint) as k_val " +
-        "from events order by event_id")
+        "from events order by event_id"),
+    // Beyond-reference: as-of join (operators/AsOf.scala) — each click gets
+    // the latest view at-or-before it for the same user. DuckDB's native
+    // ASOF LEFT JOIN is the oracle; (user_id, ts) is unique per side, so
+    // the match is deterministic.
+    df("e4_asof_join",
+      Some("select l.event_id, l.user_id, r.event_id as view_event_id, " +
+        "r.ts as view_ts " +
+        "from (select * from events where event_type = 'click') l " +
+        "asof left join (select * from events where event_type = 'view') r " +
+        "on l.user_id = r.user_id and l.ts >= r.ts " +
+        "order by l.event_id")) { (s, dir) =>
+      val ev = s.table("events")
+      graft.operators.AsOf.join(
+          ev.where(col("event_type") === "click")
+            .select("event_id", "user_id", "ts"),
+          ev.where(col("event_type") === "view")
+            .select(col("user_id"), col("ts"),
+              col("event_id").as("view_event_id"), col("ts").as("view_ts")),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          payload = Seq("view_event_id", "view_ts"))
+        .select("event_id", "user_id", "view_event_id", "view_ts")
+        .orderBy("event_id")
+    }
   )
 
   val defs: Seq[QueryDef] =

@@ -121,6 +121,23 @@ class OperatorsSpec extends SparkSpecBase {
       s"IVF recall too low: $hits of ${brute.size}")
   }
 
+  test("asof join: latest at-or-before match per key, null when none") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "L10"), (1L, 20L, "L20"), (2L, 5L, "L5"),
+      (3L, 7L, "L7")).toDF("k", "t", "lv")
+    val right = Seq((1L, 8L, "R8"), (1L, 15L, "R15"), (1L, 20L, "R20"),
+      (2L, 6L, "R6")).toDF("k", "t", "rv")
+    val got = graft.operators.AsOf.join(left, right, Seq("k"), "t", "t",
+        Seq("rv"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(3)))).toSeq
+    assert(got == Seq(
+      (1L, 10L, Some("R8")),   // 8 ≤ 10 < 15
+      (1L, 20L, Some("R20")),  // equal timestamp matches (inclusive)
+      (2L, 5L, None),          // right row is later (6 > 5)
+      (3L, 7L, None)))         // key absent on the right
+  }
+
   test("components: min-label propagation resolves transitive clusters") {
     import spark.implicits._
     // Chain 20-21-22-23 needs >1 round: label must propagate end to end.
