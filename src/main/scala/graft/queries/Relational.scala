@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit}
 
 import graft.QueryDef
 import graft.QueryDef.{df, sql}
@@ -485,6 +485,31 @@ object Relational {
           keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
           payload = Seq("view_event_id", "view_ts"))
         .select("event_id", "user_id", "view_event_id", "view_ts")
+        .orderBy("event_id")
+    },
+    // Beyond-reference: keyless range join (operators/RangeJoin.scala) —
+    // clicks within one hour after each signup, counted per signup. The
+    // chunk-bucketed equi-join replaces Spark's broadcast-nested-loop plan
+    // for pure range predicates; DuckDB's IEJoin runs the same query as
+    // the oracle.
+    df("e5_range_join",
+      Some("select s.event_id, count(c.event_id) as n_clicks " +
+        "from (select * from events where event_type = 'signup') s " +
+        "left join (select * from events where event_type = 'click') c " +
+        "on c.ts >= s.ts and c.ts < s.ts + interval 1 hour " +
+        "group by s.event_id order by s.event_id")) { (s, dir) =>
+      val ev = s.table("events")
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("event_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("interval 1 hour")).as("end_ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val matched = graft.operators.RangeJoin.pointInInterval(
+          clicks, signups, "click_ts", "start_ts", "end_ts")
+        .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+      signups.select("event_id").join(matched, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
         .orderBy("event_id")
     }
   )

@@ -138,6 +138,20 @@ class OperatorsSpec extends SparkSpecBase {
       (3L, 7L, None)))         // key absent on the right
   }
 
+  test("range join: exact boundary semantics across chunk borders") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val points = Seq((1L, ts(100)), (2L, ts(3600)), (3L, ts(3700)),
+      (4L, ts(7200))).toDF("pid", "pt")
+    // Interval [100, 3700): spans two 3600s chunks; point at 3700 excluded
+    // (end-exclusive), point at 100 included (start-inclusive).
+    val intervals = Seq((10L, ts(100), ts(3700))).toDF("iid", "s", "e")
+    val got = graft.operators.RangeJoin.pointInInterval(
+        points, intervals, "pt", "s", "e", chunkSeconds = 3600L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L)))
+  }
+
   test("components: min-label propagation resolves transitive clusters") {
     import spark.implicits._
     // Chain 20-21-22-23 needs >1 round: label must propagate end to end.
