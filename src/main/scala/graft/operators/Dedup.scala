@@ -319,9 +319,9 @@ object Dedup {
     * neighbors' labels (one shuffle for the neighbor-min, one join to merge;
     * all DataFrame ops, nothing driver-side). Converges in graph-diameter
     * rounds; near-dup clusters are shallow (diameter ≤ a few hops), so
-    * `maxIter` defaults low. A round that changes no label ends iteration
-    * early — checked with one count per round on the (small) label frame,
-    * not the corpus.
+    * `maxIter` defaults low. Labels only ever decrease, so `sum(comp)` is
+    * a monotone convergence signal: a round that leaves the sum unchanged
+    * changed nothing — one scalar aggregate per round, no compare join.
     *
     * Only ids that appear in `pairs` are returned — singletons don't need a
     * component. Caches each round's labels; unpersists the previous round.
@@ -336,10 +336,13 @@ object Dedup {
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
 
+    def labelSum(df: DataFrame): Long = // coalesce: sum of zero rows is null
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("m"))
       .select(col("id"), least(col("id"), col("m")).as("comp")).cache()
-    labels.count() // materialize before the loop mutates `labels`
+    var prevSum = labelSum(labels) // also materializes the cache
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
@@ -352,11 +355,11 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .where(col("comp") =!= col("old")).limit(1).count()
+      val curSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0L
+      converged = curSum == prevSum
+      prevSum = curSum
       it += 1
     }
     edges.unpersist()

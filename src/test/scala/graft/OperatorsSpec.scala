@@ -170,6 +170,13 @@ class OperatorsSpec extends SparkSpecBase {
     // singletons (4..9, 12..19, 24, 25) survive.
     val expected = (1L to 25L).toSet -- Set(2L, 3L, 11L, 21L, 22L, 23L)
     assert(kept == expected)
+
+    // Empty pair list (no duplicates found): every doc survives.
+    val none = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val keptAll = graft.operators.Dedup
+      .keepRepresentatives(docs, "doc_id", none, "a_id", "b_id")
+      .count()
+    assert(keptAll == 25L)
   }
 
   test("salted and hot-split joins match the plain join exactly") {
