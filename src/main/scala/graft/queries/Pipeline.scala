@@ -65,16 +65,21 @@ object Pipeline {
         .orderBy("a_id", "b_id")
     },
     // Cluster resolution: near-dup pairs → connected components → one
-    // representative per cluster + all singletons. Pairs come from the
-    // exact d1 fingerprint (engine-independent), so the component structure
-    // is deterministic; the oracle replays it with a recursive CTE
-    // (transitive closure via min-label fixpoint is exactly what WITH
-    // RECURSIVE computes on DuckDB's side).
+    // representative per cluster + all singletons. Pairs are the exact
+    // word-bigram-Jaccard pairs of d3 (engine-independent), so the
+    // component structure is deterministic; the oracle replays it with a
+    // recursive CTE (transitive closure via min-label fixpoint is exactly
+    // what WITH RECURSIVE computes on DuckDB's side).
     df("d7_dedup_clusters",
-      Some("with recursive pairs as (select a.doc_id as a_id, b.doc_id as b_id " +
-        "from (select doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) as fp from documents) a " +
-        "join (select doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) as fp from documents) b " +
-        "on a.fp = b.fp and a.doc_id < b.doc_id), " +
+      Some("with recursive toks as (select doc_id, string_split(text, ' ') as t from documents), " +
+        "sh as (select doc_id, unnest(list_distinct(list_transform(range(1, len(t)), " +
+        "i -> array_to_string(t[i:i+1], ' ')))) as s from toks where len(t) >= 2), " +
+        "sizes as (select doc_id, count(distinct s) as n from sh group by doc_id), " +
+        "cand as (select a.doc_id as a_id, b.doc_id as b_id, count(*) as common " +
+        "from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id group by a.doc_id, b.doc_id), " +
+        "pairs as (select a_id, b_id from cand " +
+        "join sizes sa on a_id = sa.doc_id join sizes sb on b_id = sb.doc_id " +
+        "where common * 1.0 / (sa.n + sb.n - common) >= 0.6), " +
         "edges as (select a_id as src, b_id as dst from pairs " +
         "union select b_id, a_id from pairs), " +
         "reach as (select src, dst from edges " +
@@ -87,12 +92,9 @@ object Pipeline {
         "left join comp c on d.id = c.id " +
         "where c.component is null or c.component = d.id order by d.id")) { (s, dir) =>
       val docs = s.table("documents")
-      val fpPairs = docs
-        .select(col("doc_id"), graft.operators.TextOps.fingerprint(col("text")).as("fp"))
-      val edgesDf = fpPairs.as("a").join(fpPairs.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      Dedup.keepRepresentatives(docs, "doc_id", edgesDf, "a_id", "b_id")
+      val pairsDf = Dedup.exactJaccard(docs, "doc_id", "text",
+        shingleN = 2, threshold = 0.6)
+      Dedup.keepRepresentatives(docs, "doc_id", pairsDf, "a_id", "b_id")
         .orderBy("id")
     },
     // Embedding-cosine near-dup pairs, exact — DuckDB list_cosine_similarity
