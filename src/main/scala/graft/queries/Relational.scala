@@ -511,6 +511,16 @@ object Relational {
         .select(col("event_id"),
           coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
         .orderBy("event_id")
+    },
+    // The streaming tumbling-window aggregation (streaming/Windowed.scala)
+    // run in batch-backfill mode — aligned 1-hour windows are exactly
+    // date_trunc('hour') on the oracle side.
+    df("e6_stream_backfill",
+      Some("select date_trunc('hour', ts) as window_start, event_type, " +
+        "count(*) as n_events, round(sum(value), 2) as total_value " +
+        "from events group by 1, 2 order by 1, 2")) { (s, dir) =>
+      graft.streaming.Windowed.typeCounts(s.table("events"))
+        .orderBy("window_start", "event_type")
     }
   )
 

@@ -43,6 +43,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.head == (2L, 3.0)) // first closed session: events 1+2
   }
 
+  test("tumbling-window typeCounts: stream result equals batch backfill") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val events = Seq(
+      Event(1, ts(5), 1, "view", 1.0),
+      Event(2, ts(20), 2, "view", 2.0),
+      Event(3, ts(45), 1, "click", 4.0),
+      Event(4, ts(70), 3, "view", 8.0),   // second window
+      Event(5, ts(200), 1, "view", 16.0)) // far ahead: advances watermark
+
+    val input = MemoryStream[Event]
+    val q = graft.streaming.Windowed.typeCounts(input.toDF(),
+        width = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(events.take(4): _*)
+    q.processAllAvailable()
+    input.addData(events.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("win_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = graft.streaming.Windowed.typeCounts(events.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // Append mode only emits windows sealed by the watermark; everything it
+    // emits must agree with the batch computation over the same data.
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+    // The first hour's windows are sealed (watermark passed min 200 - 10).
+    assert(streamed.exists(_._2 == "click"))
+  }
+
   test("customSessions (flatMapGroupsWithState) matches batch semantics") {
     import spark.implicits._
     // Batch mode: state machine applied per user over sorted events.
