@@ -262,6 +262,18 @@ object Relational {
         "round(quantile_cont(l_quantity, 0.9), 4) as p90, " +
         "round(quantile_cont(l_extendedprice, 0.99), 2) as p99_price " +
         "from lineitem group by l_returnflag order by l_returnflag"),
+    // Beyond-reference: approx percentiles — the 100 TB path. Exact
+    // percentile (a17) buffers every group value; approx_percentile's
+    // Greenwald-Khanna sketch is bounded-memory and merges map-side.
+    // Sketch estimates are engine-specific → rows-only check; a17 carries
+    // the oracle for the exact variant.
+    QueryDef("a19_approx_percentile",
+      (s, dir) => { graft.Tables.ensure(s, dir)
+        graft.Engine.query(s,
+          "select l_returnflag, approx_percentile(l_quantity, 0.5, 10000) as p50, " +
+            "approx_percentile(l_extendedprice, 0.99, 10000) as p99_price " +
+            "from lineitem group by l_returnflag order by l_returnflag") },
+      None),
     // Beyond-reference: manual pivot via conditional aggregation (the shape
     // Spark's PIVOT clause lowers to; written portably for the oracle).
     sql("a18_pivot",

@@ -24,6 +24,30 @@ class SourcesSpec extends SparkSpecBase {
     Engine.removeTempTable(spark, "csv_t")
   }
 
+  test("partitioned sink: filters on partition columns become pruning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_part").toFile.getPath + "/t"
+    val df = (1 to 100).map(i => (i.toLong, s"flag${i % 4}", i * 1.5))
+      .toDF("id", "flag", "v")
+    graft.sources.Sink.partitioned(df, dir, "flag")
+
+    val back = spark.read.parquet(dir).where(col("flag") === "flag1")
+    assert(back.count() == 25)
+    // The partition filter must be applied at file-listing time, not as a
+    // row-level data filter.
+    val scan = back.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("flag"))
+    // Only the matching directory's files are read.
+    val files = back.queryExecution.executedPlan.collectLeaves().head match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .flatMap(_.files).map(_.getPath.toString)
+    }
+    assert(files.nonEmpty && files.forall(_.contains("flag=flag1")))
+  }
+
   test("json ingest round-trips") {
     val dir = Files.createTempDirectory("graft_json").toFile
     val f = new java.io.File(dir, "t.json")
