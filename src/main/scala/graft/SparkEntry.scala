@@ -8,10 +8,12 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     _root_.graft.queries.Relational.defs ++ _root_.graft.queries.Pipeline.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The end-to-end curation pipeline (quality gate → dedup → per-language
+    * stats) — the north-star composition rather than a single operator. */
   def entry(spark: SparkSession): DataFrame = {
     val byName = allDefs.map(d => d.name -> d).toMap
-    byName("h1_pricing_summary").fn(spark, "/root/testdata/sf0.001")
+    byName("x1_curation_pipeline").fn(spark, "/root/testdata/sf0.001")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

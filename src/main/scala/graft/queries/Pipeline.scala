@@ -267,5 +267,44 @@ object Pipeline {
     }
   )
 
-  val defs: Seq[QueryDef] = dedup ++ text ++ similarity ++ multimodal
+  private val composite = Seq(
+    // End-to-end curation pipeline — the north-star composition: quality
+    // gate (token count + lexical diversity) → exact dedup (first doc per
+    // content fingerprint survives) → per-language corpus stats. Every
+    // stage is deterministic, so the whole chain is oracle-checked; the
+    // plan is one scan + one window shuffle on fp + one partial-aggregated
+    // groupBy on lang.
+    df("x1_curation_pipeline",
+      Some("with q as (select doc_id, lang, " +
+        "len(string_split(text, ' ')) as n_tokens, " +
+        "len(list_distinct(string_split(text, ' '))) as n_distinct, " +
+        "md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) as fp " +
+        "from documents), " +
+        "f as (select * from q where n_tokens >= 10 " +
+        "and n_distinct * 1.0 / n_tokens >= 0.3), " +
+        "d as (select * from (select *, row_number() over " +
+        "(partition by fp order by doc_id) as rn from f) where rn = 1) " +
+        "select lang, count(*) as n_docs, round(avg(n_tokens), 4) as avg_tokens " +
+        "from d group by lang order by lang")) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val q = s.table("documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        .where(col("n_tokens") >= 10 &&
+          col("n_distinct") / col("n_tokens") >= 0.3)
+      val deduped = q.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("fp").orderBy("doc_id")))
+        .where(col("rn") === 1)
+      deduped.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"))
+        .orderBy("lang")
+    }
+  )
+
+  val defs: Seq[QueryDef] =
+    dedup ++ text ++ similarity ++ multimodal ++ composite
 }
