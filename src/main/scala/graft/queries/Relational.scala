@@ -437,7 +437,34 @@ object Relational {
         "join region on n_regionkey = r_regionkey " +
         "where r_name = 'ASIA' and o_orderdate >= timestamp '1996-01-01 00:00:00' " +
         "and o_orderdate < timestamp '1997-01-01 00:00:00' " +
-        "group by n_name order by n_name")
+        "group by n_name order by n_name"),
+    // TPC-H Q6-shaped forecast revenue — pure scan + pushed filters + one
+    // global aggregate; the plan is a single stage ending in one row.
+    sql("h6_forecast_revenue",
+      "select round(sum(l_extendedprice * l_discount), 2) as revenue " +
+        "from lineitem " +
+        "where l_shipdate >= timestamp '1996-01-01 00:00:00' " +
+        "and l_shipdate < timestamp '1997-01-01 00:00:00' " +
+        "and l_discount between 0.05 and 0.07 and l_quantity < 24"),
+    // TPC-H Q4-shaped order-priority check — EXISTS decorrelates to a
+    // left-semi join; counts per priority bucket.
+    sql("h4_order_priority",
+      "select o_orderpriority, count(*) as order_count from orders " +
+        "where o_orderdate >= timestamp '1996-06-01 00:00:00' " +
+        "and o_orderdate < timestamp '1996-09-01 00:00:00' " +
+        "and exists (select 1 from lineitem where l_orderkey = o_orderkey " +
+        "and l_shipdate > o_orderdate) " +
+        "group by o_orderpriority order by o_orderpriority"),
+    // TPC-H Q12-shaped shipping-mode classification over a join with
+    // conditional aggregation.
+    sql("h12_priority_shipping",
+      "select l_returnflag, " +
+        "sum(case when o_orderpriority in ('1-URGENT', '2-HIGH') then 1 else 0 end) as high_line_count, " +
+        "sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH') then 1 else 0 end) as low_line_count " +
+        "from orders join lineitem on o_orderkey = l_orderkey " +
+        "where l_shipdate >= timestamp '1996-01-01 00:00:00' " +
+        "and l_shipdate < timestamp '1997-01-01 00:00:00' " +
+        "group by l_returnflag order by l_returnflag")
   )
 
   // ------------------------------------------------------------- events e*
