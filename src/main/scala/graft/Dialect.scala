@@ -18,6 +18,10 @@ package graft
   *     `to_timestamp('YYYY-MM-DD HH:MM:SS')`; the ANSI literal form
   *     `timestamp '…'` and one-arg `timestamp(x)` are left alone
   *     (reference `tests/pandas_sql_functionality_test.py:1008,1014`).
+  *   - U1-U6: the reference grammar lets each set-operation input carry its
+  *     own ORDER BY / LIMIT without parentheses (reference
+  *     `tests/pandas_sql_functionality_test.py:529-638`); Spark's parser
+  *     requires such branches parenthesized, so they are wrapped here.
   *
   * Everything else in the reference's grammar is already valid Spark SQL, so
   * no further rewriting is needed — Catalyst does the real parsing/planning.
@@ -84,6 +88,78 @@ object Dialect {
       }
     }
     out.result()
+  }
+
+  /** Wrap un-parenthesized set-op branches that carry their own ORDER BY /
+    * LIMIT. Non-final depth-0 branches are wrapped when they contain a
+    * depth-0 ORDER BY or LIMIT; the final branch only when it contains a
+    * LIMIT (a trailing ORDER BY alone is the ANSI whole-result sort and is
+    * left in place). Set ops inside subqueries (depth > 0) are untouched.
+    */
+  private def parenthesizeSetOps(sql: String): String = {
+    val toks = lex(sql)
+    val setOps = Set("union", "intersect", "except")
+    var depth = 0
+    // Token ranges [start, end) of each depth-0 set-op keyword (+ ALL/DISTINCT).
+    val ops = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Sym("(") => depth += 1; i += 1
+        case Sym(")") => depth -= 1; i += 1
+        case Word(w) if depth == 0 && setOps(w.toLowerCase) =>
+          var e = i + 1
+          var j = e
+          while (j < toks.length && toks(j).isInstanceOf[Space]) j += 1
+          if (j < toks.length) toks(j) match {
+            case Word(x) if x.equalsIgnoreCase("all") ||
+                x.equalsIgnoreCase("distinct") => e = j + 1
+            case _ =>
+          }
+          ops += ((i, e))
+          i = e
+        case _ => i += 1
+      }
+    }
+    if (ops.isEmpty) return sql
+
+    val starts = 0 +: ops.map(_._2).toVector
+    val ends = ops.map(_._1).toVector :+ toks.length
+    def hasTopLevel(from: Int, until: Int, words: Set[String]): Boolean = {
+      var d = 0
+      var k = from
+      var found = false
+      while (k < until) {
+        toks(k) match {
+          case Sym("(") => d += 1
+          case Sym(")") => d -= 1
+          case Word(w) if d == 0 && words(w.toLowerCase) => found = true
+          case _ =>
+        }
+        k += 1
+      }
+      found
+    }
+    val sb = new StringBuilder
+    for (b <- starts.indices) {
+      val isLast = b == starts.length - 1
+      val needs =
+        if (isLast) hasTopLevel(starts(b), ends(b), Set("limit"))
+        else hasTopLevel(starts(b), ends(b), Set("order", "limit"))
+      var s = starts(b)
+      var e = ends(b)
+      while (s < e && toks(s).isInstanceOf[Space]) s += 1
+      while (e > s && toks(e - 1).isInstanceOf[Space]) e -= 1
+      if (b > 0) sb += ' '
+      if (needs) sb += '('
+      (s until e).foreach(k => sb ++= toks(k).text)
+      if (needs) sb += ')'
+      if (!isLast) {
+        sb += ' '
+        (ops(b)._1 until ops(b)._2).foreach(k => sb ++= toks(k).text)
+      }
+    }
+    sb.result()
   }
 
   def rewrite(sql: String): String = {
@@ -170,6 +246,6 @@ object Dialect {
           i += 1
       }
     }
-    out.result()
+    parenthesizeSetOps(out.result())
   }
 }

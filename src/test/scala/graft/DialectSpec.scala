@@ -71,4 +71,24 @@ class DialectSpec extends AnyFunSuite {
     val q = "select 'it''s int64' from t"
     assert(Dialect.rewrite(q) == q)
   }
+
+  test("set-op branches with own order by/limit get parenthesized") {
+    assert(Dialect.rewrite(
+      "select * from t order by w desc limit 5 union select * from t order by w asc limit 3") ==
+      "(select * from t order by w desc limit 5) union (select * from t order by w asc limit 3)")
+    // plain set ops untouched
+    assert(Dialect.rewrite("select a from t union all select a from u") ==
+      "select a from t union all select a from u")
+    // trailing whole-result ORDER BY stays global (last branch unwrapped)
+    assert(Dialect.rewrite("select a from t union select a from u order by a") ==
+      "select a from t union select a from u order by a")
+    // subquery set ops (depth > 0) untouched
+    val sub = "select * from (select a from t limit 2 union select a from u limit 2) s"
+    assert(Dialect.rewrite(sub) ==
+      "select * from (select a from t limit 2 union select a from u limit 2) s")
+    // except/intersect spellings, middle branch of three
+    assert(Dialect.rewrite(
+      "select a from t limit 1 except select a from u limit 2 intersect select a from v") ==
+      "(select a from t limit 1) except (select a from u limit 2) intersect select a from v")
+  }
 }

@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Parity with the reference's own test surface: fixture-shaped tables
+  * (FIXTURES.md — forest_fires / digimon_mon_list / digimon_move_list /
+  * avocado) and the reference's query shapes in the reference's dialect
+  * (pandas type names, `today()`, two-arg `timestamp()`), run through
+  * `Engine.query` exactly as a reference user would write them
+  * (reference spec: `dataframe_sql/tests/pandas_sql_functionality_test.py`).
+  * Queries the reference declares but xfails (windows :772-967, global
+  * HAVING :361-398, self cross join :456-459) must WORK here.
+  */
+class ReferenceParitySpec extends SparkSpecBase {
+
+  private def ff: DataFrame = {
+    import spark.implicits._
+    // (X, Y, month, day, FFMC, DMC, DC, ISI, temp, RH, wind, rain, area)
+    Seq(
+      (7L, 5L, "mar", "fri", 86.2, 26.2, 94.3, 5.1, 8.2, 51L, 6.7, 0.0, 0.0),
+      (7L, 4L, "oct", "tue", 90.6, 35.4, 669.1, 6.7, 18.0, 33L, 0.9, 0.0, 0.0),
+      (7L, 4L, "oct", "sat", 90.6, 43.7, 686.9, 6.7, 14.6, 33L, 1.3, 0.0, 0.0),
+      (8L, 6L, "mar", "fri", 91.7, 33.3, 77.5, 9.0, 8.3, 97L, 4.0, 0.2, 0.0),
+      (8L, 6L, "mar", "sun", 89.3, 51.3, 102.2, 9.6, 11.4, 99L, 1.8, 0.0, 0.0),
+      (8L, 6L, "aug", "sun", 92.3, 85.3, 488.0, 14.7, 22.2, 29L, 5.4, 0.0, 10.5)
+    ).toDF("X", "Y", "month", "day", "FFMC", "DMC", "DC", "ISI", "temp", "RH",
+      "wind", "rain", "area")
+  }
+
+  private def mons: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "Kuramon", "Baby", "Free", "Neutral", 2L, "Neutral"),
+      (2L, "Pabumon", "Baby", "Free", "Neutral", 2L, "Neutral"),
+      (3L, "Punimon", "Baby", "Free", "Fire", 2L, "Fire"),
+      (4L, "Botamon", "Baby", "Vaccine", "Plant", 3L, "Plant")
+    ).toDF("Number", "Digimon", "Stage", "Type", "Attribute", "Memory",
+      "mon_attribute")
+  }
+
+  private def moves: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("Wolkenapalm I", "Physical", "Fire", 3L, 25L, "Fire"),
+      ("Heavy Strike I", "Physical", "Neutral", 6L, 50L, "Neutral"),
+      ("Awesome Quake I", "Physical", "Earth", 6L, 45L, "Earth")
+    ).toDF("Move", "Type", "Attribute", "SP Cost", "Power", "move_attribute")
+  }
+
+  private def avocado: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "2015-12-27", 1.33, "conventional", 2015L, "Albany"),
+      (2L, "2015-12-20", 1.35, "conventional", 2015L, "Albany"),
+      (3L, "2015-12-13", 0.93, "organic", 2015L, "Albany")
+    ).toDF("avocado_id", "Date", "AveragePrice", "type", "year", "region")
+  }
+
+  private def withTables[T](f: => T): T = {
+    Engine.registerTempTable(ff, "forest_fires")
+    Engine.registerTempTable(mons, "digimon_mon_list")
+    Engine.registerTempTable(moves, "digimon_move_list")
+    Engine.registerTempTable(avocado, "avocado")
+    try f finally Seq("forest_fires", "digimon_mon_list", "digimon_move_list",
+      "avocado").foreach(Engine.removeTempTable(spark, _))
+  }
+
+  private def q(sql: String): DataFrame = Engine.query(spark, sql)
+
+  test("select star, case-insensitive table name") { withTables {
+    assert(q("select * from forest_fires").count() == 6)
+    assert(q("select * from FOREST_fires").count() == 6)
+  }}
+
+  test("projection, alias, case-insensitive columns take query-written case") {
+    withTables {
+      val r = q("select temp, RH, wind, rain as water, area from forest_fires")
+      assert(r.columns.toSeq == Seq("temp", "RH", "wind", "water", "area"))
+      val r2 = q("select wind, rh from forest_fires")
+      assert(r2.columns.toSeq == Seq("wind", "rh"))
+  }}
+
+  test("multiple aliases of one column; literals; bare arithmetic") {
+    withTables {
+      val r = q("select wind as a, wind as b, wind as c from forest_fires")
+      assert(r.columns.toSeq == Seq("a", "b", "c"))
+      val lit = q("select wind, 'yes' as wind_yes from forest_fires")
+      assert(lit.select("wind_yes").distinct().head().getString(0) == "yes")
+      assert(q("select 1 + 2 * 3 as num from forest_fires")
+        .head().getInt(0) == 7)
+  }}
+
+  test("arithmetic with precedence and parentheses") { withTables {
+    val r = q("select temp * wind + rain / DMC + 37 as res from forest_fires " +
+      "order by res desc limit 1").head().getDouble(0)
+    assert(math.abs(r - (22.2 * 5.4 + 0.0 / 85.3 + 37)) < 1e-9)
+    val p = q("select 20 * (avocado_id + 3) / (20 + avocado_id) as t " +
+      "from avocado order by avocado_id").collect().map(_.getDouble(0))
+    assert(math.abs(p(0) - 20.0 * 4 / 21) < 1e-9)
+  }}
+
+  test("CAST with pandas type names (the reference dialect)") { withTables {
+    val r = q("select cast(temp as int64) as t64, cast(temp as int32) as t32, " +
+      "cast(temp as int16) as t16, cast(temp as float64) as f64, " +
+      "cast(temp as float32) as f32, cast(temp as float16) as f16, " +
+      "cast(temp as object) as obj, cast(temp as varchar) as vc, " +
+      "cast(temp as category) as cat, cast(temp as bool) as b " +
+      "from forest_fires")
+    val types = r.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("t64") == "bigint" && types("t32") == "int" &&
+      types("t16") == "smallint" && types("f64") == "double" &&
+      types("f32") == "float" && types("f16") == "float" &&
+      types("obj") == "string" && types("vc") == "string" &&
+      types("cat") == "string" && types("b") == "boolean")
+    val ts = q("select cast(Date as datetime64) as d from avocado " +
+      "order by d limit 1").head().getTimestamp(0)
+    assert(ts.toString.startsWith("2015-12-13"))
+  }}
+
+  test("CASE WHEN: first match wins, with and without alias") { withTables {
+    val r = q("select case when wind > 5 then 'strong' " +
+      "when wind = 5 then 'mid' else 'weak' end as wind_strength " +
+      "from forest_fires order by wind desc")
+    assert(r.columns.toSeq == Seq("wind_strength"))
+    assert(r.head().getString(0) == "strong")
+    val dup = q("select case when wind > 1 then 'first' " +
+      "when wind > 1 then 'second' else 'third' end as c from forest_fires " +
+      "where wind > 1")
+    assert(dup.distinct().head().getString(0) == "first")
+  }}
+
+  test("now() / today() / two-arg timestamp() dialect") { withTables {
+    val r = q("select now() as n, today() as t, " +
+      "timestamp('2019-01-31', '23:20:32') as ts from forest_fires limit 1")
+      .head()
+    assert(r.getTimestamp(0) != null)
+    assert(r.getDate(1) != null)
+    assert(r.getTimestamp(2).toString == "2019-01-31 23:20:32.0")
+  }}
+
+  test("WHERE: all six comparisons, and/or, between, in, not in") {
+    withTables {
+      assert(q("select * from forest_fires where temp > 8.0 and rain = 0 " +
+        "and rh >= 33 and wind != 0.9 and dc <= 600 and isi < 10").count() == 2)
+      assert(q("select * from forest_fires " +
+        "where (month = 'mar' and day = 'fri') or area > 5").count() == 3)
+      assert(q("select * from forest_fires where temp between 8.2 and 14.6")
+        .count() == 4)
+      assert(q("select * from forest_fires where month in ('mar', 'aug')")
+        .count() == 4)
+      assert(q("select * from forest_fires where month not in ('mar', 'aug')")
+        .count() == 2)
+  }}
+
+  test("join matrix on the digimon tables, unqualified and qualified keys") {
+    withTables {
+      val inner = q("select * from digimon_mon_list join digimon_move_list " +
+        "on mon_attribute = move_attribute")
+      assert(inner.count() == 3) // Neutral×1 matches 1 move ×2 mons + Fire×1
+      val left = q("select * from digimon_mon_list left join digimon_move_list " +
+        "on mon_attribute = move_attribute")
+      assert(left.count() == 4) // Plant mon survives with nulls
+      val right = q("select * from digimon_mon_list right join " +
+        "digimon_move_list on mon_attribute = move_attribute")
+      assert(right.count() == 4) // Earth move survives
+      val full = q("select * from digimon_mon_list full outer join " +
+        "digimon_move_list on mon_attribute = move_attribute")
+      assert(full.count() == 5)
+      val qual = q("select * from digimon_mon_list join digimon_move_list " +
+        "on digimon_mon_list.attribute = digimon_move_list.attribute")
+      assert(qual.count() == 3)
+      val cross = q("select * from digimon_mon_list cross join " +
+        "digimon_move_list")
+      assert(cross.count() == 12)
+  }}
+
+  test("implicit comma cross join and (reference-xfail) self cross join") {
+    withTables {
+      assert(q("select * from digimon_mon_list, digimon_move_list")
+        .count() == 12)
+      assert(q("select table1.wind, table2.temp from forest_fires table1, " +
+        "forest_fires table2").count() == 36)
+  }}
+
+  test("aggregates: global, multi, group by, having, distinct") { withTables {
+    assert(math.abs(q("select avg(temp) from forest_fires")
+      .head().getDouble(0) - (8.2 + 18.0 + 14.6 + 8.3 + 11.4 + 22.2) / 6) < 1e-9)
+    val multi = q("select min(temp) as mn, max(temp) as mx, avg(temp) as av, " +
+      "max(wind) as mw from forest_fires").head()
+    assert(multi.getDouble(0) == 8.2 && multi.getDouble(1) == 22.2 &&
+      multi.getDouble(3) == 6.7)
+    assert(q("select month, day from forest_fires group by month, day")
+      .count() == 5)
+    val hav = q("select month, sum(area) as s from forest_fires " +
+      "group by month having sum(area) > 1")
+    assert(hav.count() == 1 && hav.head().getString(0) == "aug")
+    // reference-xfail: HAVING without GROUP BY
+    assert(q("select max(temp) as m from forest_fires having max(temp) > 20")
+      .count() == 1)
+    assert(q("select max(temp) as m from forest_fires having max(temp) > 99")
+      .count() == 0)
+    assert(q("select distinct month from forest_fires").count() == 3)
+  }}
+
+  test("(reference-xfail) windows: rank and dense_rank work here") {
+    withTables {
+      val r = q("select wind, rank() over(order by wind desc) as rnk " +
+        "from forest_fires order by rnk")
+      assert(r.head().getDouble(0) == 6.7)
+      val rp = q("select day, wind, rank() over(partition by day " +
+        "order by wind desc) as rnk from forest_fires order by day, rnk")
+      assert(rp.where(col("rnk") === 1).count() == 4) // one per day group
+      val d = q("select wind, dense_rank() over(order by month) as dr " +
+        "from forest_fires order by dr")
+      assert(d.select(max(col("dr"))).head().getInt(0) == 3) // 3 months
+  }}
+
+  test("order by multi-direction, limit, top-k") { withTables {
+    val r = q("select temp, wind from forest_fires " +
+      "order by temp desc, wind asc limit 3").collect()
+    assert(r.map(_.getDouble(0)).toSeq == Seq(22.2, 18.0, 14.6))
+    assert(q("select * from forest_fires limit 2").count() == 2)
+  }}
+
+  test("set operations with per-input order by/limit") { withTables {
+    val u = q("select * from forest_fires order by wind desc limit 2 " +
+      "union select * from forest_fires order by wind asc limit 2")
+    assert(u.count() == 4)
+    val ua = q("select month from forest_fires union all " +
+      "select month from forest_fires")
+    assert(ua.count() == 12)
+    val i = q("select month from forest_fires intersect " +
+      "select 'mar' as month")
+    assert(i.collect().map(_.getString(0)).toSeq == Seq("mar"))
+    val e = q("select distinct month from forest_fires except " +
+      "select 'mar' as month")
+    assert(e.collect().map(_.getString(0)).toSet == Set("oct", "aug"))
+  }}
+
+  test("nested aliased derived tables") { withTables {
+    val r = q("select * from (select area, rain from forest_fires) rain_area")
+    assert(r.columns.toSeq == Seq("area", "rain") && r.count() == 6)
+    val r2 = q("select * from (select * from " +
+      "(select area, rain from forest_fires) t1) t2")
+    assert(r2.count() == 6)
+  }}
+
+  test("register / query / remove lifecycle like the reference's 3 calls") {
+    import spark.implicits._
+    val d = Seq((1L, "x")).toDF("id", "s")
+    Engine.registerTempTable(d, "tmp_parity")
+    assert(Engine.query(spark, "select * from tmp_parity").count() == 1)
+    Engine.removeTempTable(spark, "tmp_parity")
+    intercept[Exception] {
+      Engine.query(spark, "select * from tmp_parity").collect()
+    }
+  }
+}
