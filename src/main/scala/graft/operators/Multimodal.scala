@@ -37,6 +37,21 @@ object Multimodal {
       expr("transform(sequence(0, 7), " +
         "i -> pmod(xxhash64(content, i), 1000) / cast(1000 as double))"))
 
+  /** ======= STUB: "resize" — payload shrunk by `factor`. =======
+    * A real implementation decodes, resamples (image scale / audio rate
+    * conversion), and re-encodes; this stand-in truncates to the leading
+    * 1/factor of the bytes so the plan shape — narrow map, binary in →
+    * smaller binary out, metadata recomputed alongside — is exercised with
+    * deterministic output. */
+  def resizeStub(payloads: DataFrame, factor: Int = 4): DataFrame =
+    payloads
+      .withColumn("resized",
+        expr(s"substring(content, 1, int(ceil(length(content) / $factor)))"))
+      .withColumn("resized_meta", struct(
+        lit("application/octet-stream").as("mime"),
+        length(col("resized")).cast("bigint").as("n_bytes"),
+        md5(col("resized")).as("content_md5")))
+
   /** Frame sampling: split the payload into fixed-size "frames" (chunks) and
     * explode one row per frame — the plan shape of video frame-sampling.
     * Chunk fingerprints are real (md5 over the slice). */

@@ -264,6 +264,17 @@ object Pipeline {
         Multimodal.withPayload(s.table("documents"), "doc_id", "text"))
         .select(col("doc_id"), col("features"))
         .orderBy("doc_id")
+    },
+    // Resize plumbing (stubbed codec): output bytes + recomputed metadata
+    // are deterministic → full oracle via substring on the same payload.
+    df("m4_resize",
+      Some("select doc_id, cast(ceil(octet_length(cast(text as blob)) / 4.0) " +
+        "as bigint) as n_resized from documents order by doc_id")) { (s, dir) =>
+      Multimodal.resizeStub(
+          Multimodal.withPayload(s.table("documents"), "doc_id", "text"))
+        .select(col("doc_id"),
+          col("resized_meta.n_bytes").as("n_resized"))
+        .orderBy("doc_id")
     }
   )
 
