@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Typed metadata struct over a binary column — the one place the
+    * payload-metadata contract (mime, byte count, content hash) lives. */
+  private def metaStruct(content: org.apache.spark.sql.Column) = struct(
+    lit("application/octet-stream").as("mime"),
+    length(content).cast("bigint").as("n_bytes"),
+    md5(content).as("content_md5"))
+
   /** Attach a binary payload + metadata struct to each document. In a real
     * pipeline the binary arrives from the source (parquet/lance binary
     * column); here the documents' text bytes stand in as the payload. */
@@ -22,10 +29,7 @@ object Multimodal {
     docs.select(
       col(idCol).as("doc_id"),
       col(textCol).cast("binary").as("content"),
-      struct(
-        lit("application/octet-stream").as("mime"),
-        length(col(textCol).cast("binary")).cast("bigint").as("n_bytes"),
-        md5(col(textCol).cast("binary")).as("content_md5")).as("meta"))
+      metaStruct(col(textCol).cast("binary")).as("meta"))
 
   /** ======= STUB: deterministic fake "decode / feature-extract". =======
     * A real implementation decodes the payload (JPEG/WAV/MP4) and emits
@@ -43,14 +47,13 @@ object Multimodal {
     * 1/factor of the bytes so the plan shape — narrow map, binary in →
     * smaller binary out, metadata recomputed alongside — is exercised with
     * deterministic output. */
-  def resizeStub(payloads: DataFrame, factor: Int = 4): DataFrame =
+  def resizeStub(payloads: DataFrame, factor: Int = 4): DataFrame = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
     payloads
       .withColumn("resized",
         expr(s"substring(content, 1, int(ceil(length(content) / $factor)))"))
-      .withColumn("resized_meta", struct(
-        lit("application/octet-stream").as("mime"),
-        length(col("resized")).cast("bigint").as("n_bytes"),
-        md5(col("resized")).as("content_md5")))
+      .withColumn("resized_meta", metaStruct(col("resized")))
+  }
 
   /** Frame sampling: split the payload into fixed-size "frames" (chunks) and
     * explode one row per frame — the plan shape of video frame-sampling.
