@@ -179,6 +179,44 @@ object Pipeline {
       "select token, count(*) as cnt from (select unnest(list_filter(" +
         "regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) as token " +
         "from documents) t group by token order by cnt desc, token limit 20"),
+    // Deterministic train/validation split: bucket by a content-hash hex
+    // digit — reproducible on any engine/cluster (no rand()), stable under
+    // re-partitioning, and exactly re-derivable for lineage audits. 12/16
+    // hex chars → 75% train.
+    sql("t10_train_split",
+      "select doc_id, case when substring(md5(cast(text as binary)), 1, 1) " +
+        "in ('0','1','2','3','4','5','6','7','8','9','a','b') " +
+        "then 'train' else 'val' end as split " +
+        "from documents order by doc_id",
+      "select doc_id, case when substring(md5(text), 1, 1) " +
+        "in ('0','1','2','3','4','5','6','7','8','9','a','b') " +
+        "then 'train' else 'val' end as split " +
+        "from documents order by doc_id"),
+    // Vocabulary-mapped tokenization: learn a top-100 vocab (frequency,
+    // deterministic tie-break), broadcast-join it back, and emit per-doc
+    // token-id sequences in document order with -1 for OOV. The vocab side
+    // is tiny by construction → broadcast; the corpus side is one explode +
+    // one aggregation.
+    sql("t11_vocab_tokenize",
+      "with toks as (select doc_id, posexplode(filter(split(lower(text), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0)) as (pos, token) from documents), " +
+        "counts as (select token, count(*) as cnt from toks group by token " +
+        "order by cnt desc, token limit 100), " +
+        "vocab as (select token, cast(row_number() over (order by cnt desc, token) - 1 " +
+        "as bigint) as tid from counts) " +
+        "select doc_id, transform(array_sort(collect_list(named_struct(" +
+        "'p', pos, 't', coalesce(tid, -1)))), x -> x.t) as token_ids " +
+        "from toks left join vocab using (token) " +
+        "group by doc_id order by doc_id",
+      "with toks as (select doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0)) as token, " +
+        "unnest(range(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0)))) as pos from documents), " +
+        "vocab as (select token, cast(row_number() over (order by count(*) desc, token) - 1 as bigint) as tid " +
+        "from toks group by token order by count(*) desc, token limit 100) " +
+        "select doc_id, list(coalesce(tid, -1) order by pos) as token_ids " +
+        "from toks left join vocab using (token) " +
+        "group by doc_id order by doc_id"),
     // Corpus statistics: word-bigram counts (the n-gram language-model /
     // contamination-check shape) — transform over a zip of the token array
     // with its tail, then the same explode-aggregate-topk plan.
