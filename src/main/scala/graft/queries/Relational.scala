@@ -168,7 +168,7 @@ object Relational {
           s.table("lineitem").select("l_orderkey", "l_linenumber"),
           s.table("orders").select(col("o_orderkey").as("l_orderkey"),
             col("o_custkey")),
-          Seq("l_orderkey"), n = 8)
+          Seq("l_orderkey"), n = 4)
         .orderBy("l_orderkey", "l_linenumber", "o_custkey")
     },
     // Beyond-reference: hot-key split join — broadcast path for hot keys,

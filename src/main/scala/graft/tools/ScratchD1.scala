@@ -1,25 +1,25 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Scratch: debug d7 components at sf0.01. */
+/** Scratch: isolate j10/h5 bench timings. */
 object ScratchD1 {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.Tables.ensure(spark, "/root/testdata/sf0.01")
-    val docs = spark.table("documents")
-    val fp = docs.select(col("doc_id"),
-      graft.operators.TextOps.fingerprint(col("text")).as("fp"))
-    val edges = fp.as("a").join(fp.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-    println("[d1] edges: " + edges.count())
-    edges.printSchema()
-    val comp = graft.operators.Dedup.components(edges, "a_id", "b_id")
-    println("[d1] comp rows: " + comp.count())
+    val dir = "/root/testdata/sf0.1"
+    graft.Tables.ensure(spark, dir)
+    def time(name: String): Unit = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[d1] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    time("j1_inner") // warm
+    for (_ <- 1 to 2) { time("j10_salted_join"); time("h5_local_supplier"); time("h4_order_priority") }
     spark.stop()
   }
 }
