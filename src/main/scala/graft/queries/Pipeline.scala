@@ -97,6 +97,58 @@ object Pipeline {
       Dedup.keepRepresentatives(docs, "doc_id", pairsDf, "a_id", "b_id")
         .orderBy("id")
     },
+    // Incremental dedup — the production arrival path: a new batch is kept
+    // only where its fingerprint is absent from the existing corpus
+    // (left-anti join against the known-fingerprint set) and unique within
+    // the batch (first doc wins). The known-fp side at 100 TB is a compact
+    // fingerprint index, not the corpus.
+    df("d8_dedup_incremental",
+      Some("with fp as (select doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) as fp " +
+        "from documents), " +
+        "existing as (select fp from fp where doc_id % 5 != 0), " +
+        "incoming as (select * from fp where doc_id % 5 = 0) " +
+        "select doc_id from incoming i " +
+        "where not exists (select 1 from existing e where e.fp = i.fp) " +
+        "and doc_id = (select min(doc_id) from incoming j where j.fp = i.fp) " +
+        "order by doc_id")) { (s, dir) =>
+      val fp = s.table("documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      val existing = fp.where(col("doc_id") % 5 =!= 0).select("fp")
+      val incoming = fp.where(col("doc_id") % 5 === 0)
+      val novel = incoming.join(existing, Seq("fp"), "left_anti")
+      novel.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("fp").orderBy("doc_id")))
+        .where(col("rn") === 1)
+        .select("doc_id").orderBy("doc_id")
+    },
+    // Train/val contamination check over the t10 split: val docs sharing
+    // any word-5-gram with a train doc (the standard n-gram-overlap
+    // eval-integrity gate, run as one distinct-gram equi-join on the gram —
+    // same bucket-join shape as the dedups, so the same scale properties).
+    sql("d9_contamination",
+      "with toks as (select doc_id, " +
+        "case when substring(md5(cast(text as binary)), 1, 1) " +
+        "in ('0','1','2','3','4','5','6','7','8','9','a','b') " +
+        "then 'train' else 'val' end as split, split(text, ' ') as t " +
+        "from documents where size(split(text, ' ')) >= 5), " +
+        "grams as (select doc_id, split, explode(array_distinct(" +
+        "transform(sequence(0, size(t) - 5), i -> concat_ws(' ', slice(t, i + 1, 5))))) as g " +
+        "from toks) " +
+        "select distinct v.doc_id from grams v join grams tr " +
+        "on v.g = tr.g and v.split = 'val' and tr.split = 'train' " +
+        "order by v.doc_id",
+      "with toks as (select doc_id, " +
+        "case when substring(md5(text), 1, 1) " +
+        "in ('0','1','2','3','4','5','6','7','8','9','a','b') " +
+        "then 'train' else 'val' end as split, string_split(text, ' ') as t " +
+        "from documents where len(string_split(text, ' ')) >= 5), " +
+        "grams as (select doc_id, split, unnest(list_distinct(" +
+        "list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')))) as g " +
+        "from toks) " +
+        "select distinct v.doc_id from grams v join grams tr " +
+        "on v.g = tr.g and v.split = 'val' and tr.split = 'train' " +
+        "order by v.doc_id"),
     // Embedding-cosine near-dup pairs, exact — DuckDB list_cosine_similarity
     // on double vectors is the oracle.
     df("d5_dedup_embedding",
