@@ -330,6 +330,15 @@ object Relational {
       "select l_orderkey, l_linenumber, " +
         "cast(dense_rank() over (partition by l_returnflag order by l_quantity desc) as bigint) as drnk " +
         "from lineitem order by l_orderkey, l_linenumber, drnk"),
+    // Beyond-reference: grouped top-k (top-3 orders per customer) — the
+    // rank-then-filter shape; Spark pushes the k-filter into WindowExec
+    // (WindowGroupLimit) so no group ever materializes fully sorted.
+    sql("w7_topk_per_group",
+      "select o_custkey, o_orderkey, rnk from (" +
+        "select o_custkey, o_orderkey, " +
+        "cast(row_number() over (partition by o_custkey " +
+        "order by o_totalprice desc, o_orderkey) as bigint) as rnk " +
+        "from orders) where rnk <= 3 order by o_custkey, rnk"),
     // Beyond-reference: row_number / lag / lead / running frame aggregates.
     sql("w6_row_number_lag",
       "select o_orderkey, " +

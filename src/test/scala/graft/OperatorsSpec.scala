@@ -203,6 +203,30 @@ class OperatorsSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("lshTopK: valid ranked output with good recall vs brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Seq(
+      Array(1.0, 0, 0, 0, 0, 0, 0, 0), Array(0, 1.0, 0, 0, 0, 0, 0, 0),
+      Array(0, 0, 1.0, 0, 0, 0, 0, 0), Array(0, 0, 0, 1.0, 0, 0, 0, 0))
+    val corpus = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong + 100, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = (0 until 4).map { i =>
+      (i.toLong, centers(i).map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+
+    val brute = Similarity.bruteTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(queries, corpus, "vec_id", "embedding", 5,
+        dim = 8, groups = 8, bitsPerGroup = 2)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hits = lsh.count(brute.contains)
+    assert(hits >= (brute.size * 0.8).toInt,
+      s"LSH recall too low: $hits of ${brute.size}")
+  }
+
   test("langId is deterministic and favors the matching profile") {
     import spark.implicits._
     val df = Seq(
