@@ -269,6 +269,18 @@ object Pipeline {
         "select doc_id, list(coalesce(tid, -1) order by pos) as token_ids " +
         "from toks left join vocab using (token) " +
         "group by doc_id order by doc_id"),
+    // Deterministic stratified sampling: k docs per language, ranked by a
+    // content-independent hash of the id — reproducible across engines and
+    // cluster layouts (no rand()), one window shuffle on the stratum.
+    sql("t12_stratified_sample",
+      "select lang, doc_id from (select lang, doc_id, " +
+        "row_number() over (partition by lang " +
+        "order by md5(cast(doc_id as string)), doc_id) as rn " +
+        "from documents) where rn <= 10 order by lang, doc_id",
+      "select lang, doc_id from (select lang, doc_id, " +
+        "row_number() over (partition by lang " +
+        "order by md5(cast(doc_id as varchar)), doc_id) as rn " +
+        "from documents) t where rn <= 10 order by lang, doc_id"),
     // Corpus statistics: word-bigram counts (the n-gram language-model /
     // contamination-check shape) — transform over a zip of the token array
     // with its tail, then the same explode-aggregate-topk plan.

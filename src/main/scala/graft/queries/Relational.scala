@@ -464,6 +464,26 @@ object Relational {
         "and exists (select 1 from lineitem where l_orderkey = o_orderkey " +
         "and l_shipdate > o_orderdate) " +
         "group by o_orderpriority order by o_orderpriority"),
+    // Pre-aggregated join: collapse lineitem to one row per order BEFORE
+    // the join, so the join input (and at scale, the shuffle) carries
+    // |orders| rows instead of |lineitem|. The oracle states the same
+    // result as a plain join + group-by; the Spark text IS the pre-agg
+    // shape.
+    // Per-row IEEE products are bit-identical on both engines; summing them
+    // as decimals keeps the aggregation exact and associative, so the
+    // two-level (pre-agg) and flat groupings agree to the last digit.
+    sql("h7_preagg_join",
+      "select o_custkey, round(cast(sum(order_rev) as double), 2) as revenue, " +
+        "cast(sum(n_lines) as bigint) as n_lines from orders join " +
+        "(select l_orderkey, " +
+        "sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,10))) as order_rev, " +
+        "count(*) as n_lines from lineitem group by l_orderkey) li " +
+        "on o_orderkey = l_orderkey " +
+        "group by o_custkey order by o_custkey",
+      "select o_custkey, round(cast(sum(cast(l_extendedprice * (1 - l_discount) " +
+        "as decimal(28,10))) as double), 2) as revenue, " +
+        "count(*) as n_lines from orders join lineitem on o_orderkey = l_orderkey " +
+        "group by o_custkey order by o_custkey"),
     // TPC-H Q12-shaped shipping-mode classification over a join with
     // conditional aggregation.
     sql("h12_priority_shipping",
@@ -560,6 +580,24 @@ object Relational {
           coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
         .orderBy("event_id")
     },
+    // Funnel analysis: users whose first view precedes their first click,
+    // which precedes their first purchase — one conditional-min aggregate
+    // per user (a single hash shuffle), no self-joins.
+    sql("e7_funnel",
+      "select count(*) as n_converted from (" +
+        "select user_id, " +
+        "min(case when event_type = 'view' then ts end) as t_view, " +
+        "min(case when event_type = 'click' then ts end) as t_click, " +
+        "min(case when event_type = 'purchase' then ts end) as t_purchase " +
+        "from events group by user_id) " +
+        "where t_view < t_click and t_click < t_purchase",
+      "select count(*) as n_converted from (" +
+        "select user_id, " +
+        "min(case when event_type = 'view' then ts end) as t_view, " +
+        "min(case when event_type = 'click' then ts end) as t_click, " +
+        "min(case when event_type = 'purchase' then ts end) as t_purchase " +
+        "from events group by user_id) t " +
+        "where t_view < t_click and t_click < t_purchase"),
     // The streaming tumbling-window aggregation (streaming/Windowed.scala)
     // run in batch-backfill mode — aligned 1-hour windows are exactly
     // date_trunc('hour') on the oracle side.
