@@ -339,6 +339,14 @@ object Relational {
         "cast(row_number() over (partition by o_custkey " +
         "order by o_totalprice desc, o_orderkey) as bigint) as rnk " +
         "from orders) where rnk <= 3 order by o_custkey, rnk"),
+    // Beyond-reference: the distribution-analytic windows — percent_rank,
+    // cume_dist, ntile — over a deterministic total order.
+    sql("w8_analytic_windows",
+      "select o_orderkey, " +
+        "round(percent_rank() over (order by o_totalprice, o_orderkey), 6) as pr, " +
+        "round(cume_dist() over (order by o_totalprice, o_orderkey), 6) as cd, " +
+        "cast(ntile(4) over (order by o_totalprice, o_orderkey) as bigint) as quartile " +
+        "from orders order by o_orderkey"),
     // Beyond-reference: row_number / lag / lead / running frame aggregates.
     sql("w6_row_number_lag",
       "select o_orderkey, " +
@@ -464,6 +472,15 @@ object Relational {
         "and exists (select 1 from lineitem where l_orderkey = o_orderkey " +
         "and l_shipdate > o_orderdate) " +
         "group by o_orderpriority order by o_orderpriority"),
+    // TPC-H Q10-shaped returned-item reporting: revenue lost to returns
+    // per customer, top 20 — join + filtered aggregation + top-k.
+    sql("h10_returned_items",
+      "select c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue " +
+        "from customer join orders on c_custkey = o_custkey " +
+        "join lineitem on l_orderkey = o_orderkey " +
+        "where l_returnflag = 'R' " +
+        "group by c_custkey, c_name " +
+        "order by revenue desc, c_custkey limit 20"),
     // Pre-aggregated join: collapse lineitem to one row per order BEFORE
     // the join, so the join input (and at scale, the shuffle) carries
     // |orders| rows instead of |lineitem|. The oracle states the same
