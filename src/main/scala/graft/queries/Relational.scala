@@ -490,15 +490,15 @@ object Relational {
     // as decimals keeps the aggregation exact and associative, so the
     // two-level (pre-agg) and flat groupings agree to the last digit.
     sql("h7_preagg_join",
-      "select o_custkey, round(cast(sum(order_rev) as double), 2) as revenue, " +
+      "select o_custkey, cast(round(sum(order_rev), 2) as double) as revenue, " +
         "cast(sum(n_lines) as bigint) as n_lines from orders join " +
         "(select l_orderkey, " +
         "sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,10))) as order_rev, " +
         "count(*) as n_lines from lineitem group by l_orderkey) li " +
         "on o_orderkey = l_orderkey " +
         "group by o_custkey order by o_custkey",
-      "select o_custkey, round(cast(sum(cast(l_extendedprice * (1 - l_discount) " +
-        "as decimal(28,10))) as double), 2) as revenue, " +
+      "select o_custkey, cast(round(sum(cast(l_extendedprice * (1 - l_discount) " +
+        "as decimal(28,10))), 2) as double) as revenue, " +
         "count(*) as n_lines from orders join lineitem on o_orderkey = l_orderkey " +
         "group by o_custkey order by o_custkey"),
     // TPC-H Q12-shaped shipping-mode classification over a join with
