@@ -110,7 +110,18 @@ object Relational {
     sql("f7_is_null",
       "select c_custkey, o_orderkey from customer " +
         "left join (select * from orders where o_totalprice > 400000) big on c_custkey = big.o_custkey " +
-        "where o_orderkey is null order by c_custkey")
+        "where o_orderkey is null order by c_custkey"),
+    // Beyond-reference: null-safe equality (IS NOT DISTINCT FROM) — NULL
+    // compares equal to NULL, unlike `=`'s three-valued logic.
+    sql("f8_null_safe_eq",
+      "select count(*) as n_match from (" +
+        "select case when l_linenumber % 7 = 0 then null else l_returnflag end as a, " +
+        "case when l_quantity < 3 then null else l_returnflag end as b " +
+        "from lineitem) where a is not distinct from b",
+      "select count(*) as n_match from (" +
+        "select case when l_linenumber % 7 = 0 then null else l_returnflag end as a, " +
+        "case when l_quantity < 3 then null else l_returnflag end as b " +
+        "from lineitem) t where a is not distinct from b")
   )
 
   // ---------------------------------------------------------------- §2.4 J*
@@ -158,6 +169,13 @@ object Relational {
     sql("j9_case_insensitive",
       "select O_ORDERKEY as okey, C_NAME as cname from ORDERS " +
         "join CUSTOMER on ORDERS.o_custkey = customer.C_CUSTKEY order by okey"),
+    // Beyond-reference: anti join (NOT EXISTS) — customers with no order
+    // above the threshold; plans as a broadcast anti join.
+    sql("j12_anti_join",
+      "select c_custkey from customer " +
+        "where not exists (select 1 from orders " +
+        "where o_custkey = c_custkey and o_totalprice > 200000) " +
+        "order by c_custkey"),
     // Beyond-reference: salted join (operators/Skew.scala) — salting is a
     // physical spread only, so the result must hash-match the plain join.
     df("j10_salted_join",
