@@ -39,6 +39,25 @@ class RanksSpec extends SparkSpecBase {
     assert(out.rdd.getNumPartitions > 1)
   }
 
+  test("degenerate low-cardinality key: giant tie groups stay correct") {
+    import spark.implicits._
+    // 3 distinct keys over 200k rows — every tie group dwarfs a partition.
+    val df = spark.range(200000)
+      .select(col("id"), (col("id") % 3).as("k"))
+    val got = Ranks.globalRank(df, "rnk", dense = false,
+        maxSingleTaskRows = 0L, col("k").asc)
+      .groupBy("k", "rnk").count()
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // rank: all rows of key k share rank = #rows with smaller key + 1.
+    assert(got.toSeq == Seq((0L, 1L, 66667L), (1L, 66668L, 66667L),
+      (2L, 133335L, 66666L)))
+    val dense = Ranks.globalRank(df, "dr", dense = true,
+        maxSingleTaskRows = 0L, col("k").asc)
+      .select(col("k"), col("dr")).distinct()
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dense.toSeq == Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+  }
+
   test("adaptive default picks the same values either way") {
     val got = Ranks.globalRank(spark.table("orders"), "rnk", dense = false,
         col("o_totalprice").desc) // small input → built-in window path
