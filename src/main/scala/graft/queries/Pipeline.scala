@@ -269,6 +269,30 @@ object Pipeline {
         "select doc_id, list(coalesce(tid, -1) order by pos) as token_ids " +
         "from toks left join vocab using (token) " +
         "group by doc_id order by doc_id"),
+    // TF-IDF keyword search: score docs against fixed query terms and
+    // return the top 20 — one token explode, a tiny idf aggregate, and a
+    // decimal-summed score so engine-side addition order can't flip ranks.
+    sql("t13_tfidf_search",
+      "with toks as (select doc_id, explode(filter(split(lower(text), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0)) as tok from documents), " +
+        "tf as (select doc_id, tok, count(*) as tf from toks " +
+        "where tok in ('data', 'model', 'training') group by doc_id, tok), " +
+        "n as (select count(*) as n_docs from documents), " +
+        "idf as (select tok, ln((select n_docs from n) / count(distinct doc_id)) as idf " +
+        "from tf group by tok) " +
+        "select doc_id, cast(round(sum(cast(tf * idf as decimal(20,8))), 4) as double) as score " +
+        "from tf join idf using (tok) group by doc_id " +
+        "order by score desc, doc_id limit 20",
+      "with toks as (select doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0)) as tok from documents), " +
+        "tf as (select doc_id, tok, count(*) as tf from toks " +
+        "where tok in ('data', 'model', 'training') group by doc_id, tok), " +
+        "n as (select count(*) as n_docs from documents), " +
+        "idf as (select tok, ln((select n_docs from n) / count(distinct doc_id)) as idf " +
+        "from tf group by tok) " +
+        "select doc_id, cast(round(sum(cast(tf * idf as decimal(20,8))), 4) as double) as score " +
+        "from tf join idf using (tok) group by doc_id " +
+        "order by score desc, doc_id limit 20"),
     // Deterministic stratified sampling: k docs per language, ranked by a
     // content-independent hash of the id — reproducible across engines and
     // cluster layouts (no rand()), one window shuffle on the stratum.
