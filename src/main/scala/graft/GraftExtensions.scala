@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Session-extension packaging of the engine: with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`), plain `spark.sql(...)`
+  * accepts the reference dialect — no `Engine.query` wrapper needed — and
+  * the native kernel expressions are session-registered SQL functions.
+  *
+  *   - Parser injection: [[DialectParser]] applies [[Dialect.rewrite]]
+  *     (pandas CAST type names, `today()`, two-arg `timestamp()`, set-op
+  *     branch parenthesization) in front of Spark's ANTLR parser. Only
+  *     `parsePlan`/`parseQuery` — the query entry points — rewrite;
+  *     identifier/schema/type parsing delegates untouched.
+  *   - Function injection: `graft_dot`, `graft_bitset_common`,
+  *     `graft_sorted_common` become catalog functions (codegen'd native
+  *     expressions, usable from SQL without any registration call).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectParser { case (_, delegate) => new DialectParser(delegate) }
+
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two array<double>"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.DotProduct(args.head, args(1))))
+    e.injectFunction((FunctionIdentifier("graft_bitset_common"),
+      info("graft_bitset_common",
+        "graft_bitset_common(a, b) - popcount of ANDed array<bigint> bitsets"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.BitsetIntersectCount(args.head, args(1))))
+    e.injectFunction((FunctionIdentifier("graft_sorted_common"),
+      info("graft_sorted_common",
+        "graft_sorted_common(a, b) - intersection size of sorted array<bigint>"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.SortedIntersectCount(args.head, args(1))))
+  }
+}
+
+/** Applies the graft dialect pre-pass to query text, then delegates to
+  * Spark's parser. Non-query entry points (identifiers, schemas, types)
+  * pass through untouched — the dialect only concerns query text. */
+class DialectParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(Dialect.rewrite(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(Dialect.rewrite(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -256,4 +256,15 @@ class ReferenceParitySpec extends SparkSpecBase {
       Engine.query(spark, "select * from tmp_parity").collect()
     }
   }
+
+  test("DialectParser rewrites query text in front of the delegate") {
+    val delegate = spark.sessionState.sqlParser
+    val wrapped = new DialectParser(delegate)
+    // The bare parser rejects the pandas type name; the wrapped one maps it.
+    intercept[Exception] { delegate.parsePlan("select cast(x as int64) from t") }
+    val plan = wrapped.parsePlan("select cast(x as int64) from t")
+    assert(plan.toString.toLowerCase.contains("bigint"))
+    // Non-query entry points delegate untouched.
+    assert(wrapped.parseDataType("int").simpleString == "int")
+  }
 }
