@@ -281,6 +281,17 @@ object Dedup {
     * drops ubiquitous fingerprints (boilerplate) before the quadratic
     * bucket blowup, same skew-guard idea as [[minhashLsh]]'s `maxBucket`.
     */
+  /** `indexK = 0` (exact): every fingerprint enters the bucket join —
+    * total recall for any pair sharing ≥ minShared fingerprints. `indexK
+    * > 0` (scale path): only each doc's `indexK` SMALLEST fingerprints are
+    * bucket keys (the output is sorted, so that's a prefix slice);
+    * candidate pairs must collide on one of those, then the full sorted
+    * sets are intersected with the codegen'd merge kernel. Join input
+    * shrinks from ~2·bytes/(w+1) rows per doc to `indexK`, at the cost of
+    * min-hash-style probabilistic recall for pairs whose shared
+    * fingerprints are all outside both min-K prefixes (unlikely for
+    * substantial overlap — shared fingerprints are uniform hashes, so each
+    * lands in a min-K prefix with the usual minhash collision odds). */
   def winnowing(
       docs: DataFrame,
       idCol: String,
@@ -288,19 +299,40 @@ object Dedup {
       k: Int = 16,
       w: Int = 30,
       minShared: Int = 3,
-      maxFreq: Int = 200): DataFrame = {
+      maxFreq: Int = 200,
+      indexK: Int = 0): DataFrame = {
     val fps = Balance(docs).select(col(idCol).as("id"),
       graft.functions.GraftFunctions.winnow(col(textCol), k, w).as("fps"))
-    val flat = fps.select(col("id"), explode(col("fps")).as("fp"))
-    val rare = flat
-      .withColumn("f", count(lit(1)).over(Window.partitionBy("fp")))
-      .where(col("f") <= maxFreq)
-      .drop("f")
-    rare.as("a").join(rare.as("b"),
-        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
+    if (indexK == 0) {
+      val flat = fps.select(col("id"), explode(col("fps")).as("fp"))
+      val rare = flat
+        .withColumn("f", count(lit(1)).over(Window.partitionBy("fp")))
+        .where(col("f") <= maxFreq)
+        .drop("f")
+      rare.as("a").join(rare.as("b"),
+          col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= minShared)
+    } else {
+      val keyed = fps
+        .select(col("id"), explode(slice(col("fps"), 1, indexK)).as("fp"))
+      val rare = keyed
+        .withColumn("f", count(lit(1)).over(Window.partitionBy("fp")))
+        .where(col("f") <= maxFreq)
+        .drop("f")
+      val cands = rare.as("a").join(rare.as("b"),
+          col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+        .distinct()
+      cands
+        .join(fps.select(col("id").as("a_id"), col("fps").as("a_fps")), "a_id")
+        .join(fps.select(col("id").as("b_id"), col("fps").as("b_fps")), "b_id")
+        .withColumn("n_shared", graft.functions.GraftFunctions
+          .sortedCommon(col("a_fps"), col("b_fps")))
+        .where(col("n_shared") >= minShared)
+        .select(col("a_id"), col("b_id"), col("n_shared"))
+    }
   }
 
   /** Embedding near-dedup: pairs with cosine ≥ threshold (exact, codegen'd

@@ -289,6 +289,13 @@ class OperatorsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // The min-K-indexed scale path finds the same pair (shared fingerprints
+    // dominate both docs' prefixes here) and nothing for the distinct doc.
+    val indexed = Dedup.winnowing(df, "doc_id", "text", k = 8, w = 4,
+        minShared = 2, indexK = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed.contains((1L, 2L)))
+    assert(!indexed.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
   test("fingerprint normalizes whitespace and case") {
