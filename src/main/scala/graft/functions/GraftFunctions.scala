@@ -50,4 +50,10 @@ object GraftFunctions {
     * rightmost-min per w-window) of a string column. */
   def winnow(text: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowFingerprints(GraftBridge.expression(text), k, w))
+
+  /** Index of the centroid (rows of `cents`) with the highest dot product
+    * against an array<double> column — fused codegen'd argmax. */
+  def nearestCentroid(v: Column, cents: Seq[Seq[Double]]): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.NearestCentroid(GraftBridge.expression(v), cents))
 }

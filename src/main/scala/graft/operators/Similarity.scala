@@ -170,10 +170,12 @@ object Similarity {
       .map(_.getSeq[Double](0).toArray)
     val cents = trainCentroids(sample, nlist, maxIter)
 
+    // Corpus-side assignment is the per-row hot loop: a fused codegen'd
+    // argmax over the baked centroid matrix (centroids are unit vectors, so
+    // the un-normalized dot picks the same list as the cosine).
     val unit = (v: Column, n: Column) => transform(v, x => x / n)
     val assigned = c.withColumn("list",
-      array_min(centroidDistances(unit(col("cv"), col("cn")), cents))
-        .getField("i"))
+      GraftFunctions.nearestCentroid(col("cv"), cents))
 
     val q = queries.select(col(idCol).as("qid"),
         toDoubleVec(col(vecCol)).as("qv"))

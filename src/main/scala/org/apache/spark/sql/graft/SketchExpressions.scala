@@ -20,7 +20,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Loop bodies shared by interpreted eval and generated code. Top-level
   * object → static forwarders, callable from Janino-compiled codegen. */
@@ -120,6 +120,25 @@ object SketchKernels {
     i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
+  }
+
+  /** argmax over centroid dot products; ties break to the lowest index.
+    * Vector shorter than the centroid dim scores only its prefix. */
+  def nearestCentroid(v: ArrayData, m: Array[Array[Double]]): Int = {
+    val n = v.numElements()
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var i = 0
+    while (i < m.length) {
+      val c = m(i)
+      val lim = math.min(n, c.length)
+      var d = 0.0
+      var j = 0
+      while (j < lim) { d += v.getDouble(j) * c(j); j += 1 }
+      if (d > bestDot) { bestDot = d; best = i }
+      i += 1
+    }
+    best
   }
 
   /** 64-bit SimHash over element hashes: bit b set iff more elements have
@@ -227,6 +246,38 @@ case class SimHash64(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.graft.SketchKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(nc: Expression): Expression =
+    copy(child = nc)
+}
+
+/** array<double> vector → index (int) of the centroid with the highest dot
+  * product. The centroid matrix is a plan-time constant baked into the
+  * expression (broadcast with the codegen'd closure via a reference
+  * object), so corpus-side IVF list assignment is one fused
+  * nlist × dim multiply-add loop per row — no per-row struct/array
+  * allocation, no interpreted dispatch. */
+case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cents.nonEmpty && cents.forall(_.length == cents.head.length),
+    "centroids must be non-empty and rectangular")
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override protected def nullSafeEval(t: Any): Any =
+    SketchKernels.nearestCentroid(t.asInstanceOf[ArrayData], matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroidMatrix", matrix, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.SketchKernels.nearestCentroid($c, $m)")
+  }
 
   override protected def withNewChildInternal(nc: Expression): Expression =
     copy(child = nc)
