@@ -41,8 +41,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Persist the result to a file as well: a single stdout line can be lost
+    // under sbt/log4j noise or truncated by a capture buffer (round-1 driver
+    // saw rc=0 but parsed=null). File targets: $SPARK_GRAFT_OUT/bench.json if
+    // set, plus bench.json in the working directory.
+    val outPaths =
+      sys.env.get("SPARK_GRAFT_OUT").map(d => java.nio.file.Paths.get(d, "bench.json")).toSeq :+
+        java.nio.file.Paths.get("bench.json")
+    outPaths.foreach { p =>
+      try {
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
+    // Print last, after spark.stop(), so no executor/log line can interleave;
+    // flush so the line is complete even if the JVM is torn down abruptly.
+    println(json)
+    System.out.flush()
   }
 }

@@ -93,10 +93,20 @@ object Dialect {
   /** Wrap un-parenthesized set-op branches that carry their own ORDER BY /
     * LIMIT. Non-final depth-0 branches are wrapped when they contain a
     * depth-0 ORDER BY or LIMIT; the final branch only when it contains a
-    * LIMIT (a trailing ORDER BY alone is the ANSI whole-result sort and is
-    * left in place). Set ops inside subqueries (depth > 0) are untouched.
+    * LIMIT AND `finalBranchLocal` is set (a trailing ORDER BY alone is the
+    * ANSI whole-result sort and is always left in place). Set ops inside
+    * subqueries (depth > 0) are untouched.
+    *
+    * `finalBranchLocal = true` is the reference's grammar (a trailing
+    * ORDER BY + LIMIT belongs to the last input — reference
+    * `tests/pandas_sql_functionality_test.py:529-638`); `false` preserves
+    * ANSI whole-result semantics for the trailing clause. [[Engine.query]]
+    * (the reference-dialect entry point) uses the former; the session-wide
+    * injected parser ([[DialectParser]]) uses the latter, so it only ever
+    * rewrites branch text that stock Spark would fail to parse — it can
+    * never change the result of a valid Spark query.
     */
-  private def parenthesizeSetOps(sql: String): String = {
+  private def parenthesizeSetOps(sql: String, finalBranchLocal: Boolean): String = {
     val toks = lex(sql)
     val setOps = Set("union", "intersect", "except")
     var depth = 0
@@ -144,7 +154,8 @@ object Dialect {
     for (b <- starts.indices) {
       val isLast = b == starts.length - 1
       val needs =
-        if (isLast) hasTopLevel(starts(b), ends(b), Set("limit"))
+        if (isLast) finalBranchLocal &&
+          hasTopLevel(starts(b), ends(b), Set("limit"))
         else hasTopLevel(starts(b), ends(b), Set("order", "limit"))
       var s = starts(b)
       var e = ends(b)
@@ -162,7 +173,9 @@ object Dialect {
     sb.result()
   }
 
-  def rewrite(sql: String): String = {
+  def rewrite(sql: String): String = rewrite(sql, finalSetOpBranchLocal = true)
+
+  def rewrite(sql: String, finalSetOpBranchLocal: Boolean): String = {
     val toks = lex(sql)
     val out = new StringBuilder
 
@@ -199,6 +212,36 @@ object Dialect {
           mapNextType = true
           out ++= w
           i += 1
+
+        case Word(w) if w.equalsIgnoreCase("limit") =>
+          // Reference grammar `LIMIT offset, row_count` (sql_select_query
+          // .py:78) → Spark `LIMIT row_count OFFSET offset`. Plain `LIMIT n`
+          // passes through untouched.
+          def digitRun(from: Int): Option[(String, Int)] = {
+            var j = from
+            val sb = new StringBuilder
+            while (j < toks.length && (toks(j) match {
+              case Sym(s) => s.length == 1 && s.charAt(0).isDigit
+              case _ => false
+            })) { sb ++= toks(j).text; j += 1 }
+            if (sb.nonEmpty) Some((sb.result(), j)) else None
+          }
+          val r = for {
+            p1 <- Option(skipWs(i + 1)).filter(_ >= 0)
+            (off, a) <- digitRun(p1)
+            p2 <- Option(skipWs(a)).filter(_ >= 0)
+            if toks(p2).text == ","
+            p3 <- Option(skipWs(p2 + 1)).filter(_ >= 0)
+            (cnt, b) <- digitRun(p3)
+          } yield (off, cnt, b)
+          r match {
+            case Some((off, cnt, next)) =>
+              out ++= s"limit $cnt offset $off"
+              i = next
+            case None =>
+              out ++= w
+              i += 1
+          }
 
         case Word(w) if w.equalsIgnoreCase("today") =>
           val p = skipWs(i + 1)
@@ -246,6 +289,6 @@ object Dialect {
           i += 1
       }
     }
-    parenthesizeSetOps(out.result())
+    parenthesizeSetOps(out.result(), finalSetOpBranchLocal)
   }
 }

@@ -29,5 +29,42 @@ object Engine {
   /** Parse + plan a SELECT against the registered tables; lazy result.
     * Reference: `query` (`sql_select_query.py:64-96`). */
   def query(spark: SparkSession, sql: String): DataFrame =
-    spark.sql(Dialect.rewrite(sql))
+    namingParity(spark.sql(Dialect.rewrite(sql)))
+
+  private val identifierRe = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** Reference output-naming conventions, applied as a zero-cost projection
+    * rename on the analyzed plan (no extra plan nodes — `toDF` rewrites the
+    * top-level aliases):
+    *
+    *   - un-aliased select expressions are auto-named `_col0`, `_col1`, …
+    *     positionally (reference
+    *     `tests/pandas_sql_functionality_test.py:206-213`, `:271-277`,
+    *     `:1012-1014`). Detection: Spark auto-names such columns with the
+    *     expression's pretty SQL (`avg(temp)`, `(x + 1)`, `1`), which is
+    *     never a bare identifier; user aliases must be bare identifiers (or
+    *     they chose the quoted form deliberately and keep it).
+    *   - name-clashing output columns (e.g. `select *` over a join of tables
+    *     sharing a non-key column) are disambiguated as `<table>.<col>` from
+    *     the attribute's qualifier (reference `tests/utils.py:48-90`,
+    *     `tests/pandas_sql_functionality_test.py:434-453`). Columns that are
+    *     unique stay unprefixed, matching the reference.
+    */
+  private def namingParity(df: DataFrame): DataFrame = {
+    val out = df.queryExecution.analyzed.output
+    val names = out.map(_.name)
+    val clashing = names.groupBy(_.toLowerCase).collect {
+      case (k, vs) if vs.size > 1 => k
+    }.toSet
+    var n = -1
+    val renamed = out.map { a =>
+      if (!identifierRe.pattern.matcher(a.name).matches()) {
+        n += 1
+        s"_col$n"
+      } else if (clashing(a.name.toLowerCase) && a.qualifier.nonEmpty) {
+        s"${a.qualifier.last}.${a.name}"
+      } else a.name
+    }
+    if (renamed == names) df else df.toDF(renamed: _*)
+  }
 }

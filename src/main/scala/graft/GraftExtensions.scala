@@ -52,11 +52,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * pass through untouched — the dialect only concerns query text. */
 class DialectParser(delegate: ParserInterface) extends ParserInterface {
 
+  // finalSetOpBranchLocal=false: the session-wide parser only rewrites
+  // constructs stock Spark would reject (per-branch ORDER BY/LIMIT on
+  // non-final set-op inputs, pandas cast names, today()); a trailing
+  // ORDER BY + LIMIT keeps its ANSI whole-result meaning, so injecting
+  // this parser never changes the result of a valid Spark query. The
+  // reference's branch-local trailing-LIMIT grammar lives only behind
+  // Engine.query.
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(Dialect.rewrite(sqlText))
+    delegate.parsePlan(Dialect.rewrite(sqlText, finalSetOpBranchLocal = false))
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(Dialect.rewrite(sqlText))
+    delegate.parseQuery(Dialect.rewrite(sqlText, finalSetOpBranchLocal = false))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

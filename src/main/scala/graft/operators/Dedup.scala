@@ -291,7 +291,16 @@ object Dedup {
     * min-hash-style probabilistic recall for pairs whose shared
     * fingerprints are all outside both min-K prefixes (unlikely for
     * substantial overlap — shared fingerprints are uniform hashes, so each
-    * lands in a min-K prefix with the usual minhash collision odds). */
+    * lands in a min-K prefix with the usual minhash collision odds).
+    *
+    * Semantic difference from the exact path: `indexK > 0` applies
+    * `maxFreq` only to the bucket KEYS; the verification count
+    * (`n_shared`) intersects the FULL fingerprint sets, so ubiquitous
+    * (boilerplate) fingerprints count toward `minShared` in indexed mode
+    * but not in exact mode. Filtering them out of the verify step would
+    * require the same global fingerprint-frequency aggregation the index
+    * mode exists to avoid; callers that need the exact-mode rarity
+    * semantics should run `indexK = 0`. */
   def winnowing(
       docs: DataFrame,
       idCol: String,
@@ -335,15 +344,18 @@ object Dedup {
     }
   }
 
-  /** Embedding near-dedup: pairs with cosine ≥ threshold (exact, codegen'd
-    * dot product — see [[Similarity.cosinePairs]]); at corpus scale prefer
-    * [[Similarity.lshTopK]]'s bucketing. */
+  /** Embedding near-dedup: exact pairs with cosine ≥ threshold, computed on
+    * the blocked all-pairs grid ([[Similarity.cosinePairsBlocked]]) — the
+    * corpus-wide shape: B(B+1)/2 co-located block-pair tasks, bounded
+    * per-task memory, no BroadcastNestedLoopJoin. (Exactness is the
+    * operator's contract; for approximate-but-subquadratic near-dup use
+    * [[Similarity.lshTopK]]'s bucketing.) */
   def embedding(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame =
-    Similarity.cosinePairs(emb, idCol, vecCol, threshold)
+    Similarity.cosinePairsBlocked(emb, idCol, vecCol, threshold)
 
   /** Connected components over a near-dup pair list: (id, component) where
     * `component` is the minimum id reachable from `id`. Iterative min-label
@@ -395,6 +407,14 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Dedup.components: label propagation did NOT converge within " +
+          s"maxIter=$maxIter rounds — a duplicate chain longer than the " +
+          s"iteration budget is split into multiple components. Raise " +
+          s"maxIter (rounds needed = graph diameter).")
+    // The returned DataFrame is the final round's cache handle; callers that
+    // are done with it should .unpersist() to release executor storage.
     labels
   }
 

@@ -1,10 +1,55 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
+
+/** Bounded top-k accumulator over (score, id) pairs: keeps the k best by
+  * (score desc, id asc). Registered as a UDAF, it plans as an
+  * ObjectHashAggregate with map-side PARTIAL mode — every input partition
+  * reduces to at most k entries per group BEFORE the shuffle, so the
+  * exchange carries O(k · partitions) rows per group instead of every
+  * scored candidate. This is the two-phase (per-partition heap + merge)
+  * top-k that survives a 100 TB corpus; a `row_number() over (partition by
+  * qid)` window would funnel all scored rows of a query into one task.
+  *
+  * Selection is by comparison only (no floating-point arithmetic), so the
+  * survivors — and therefore the results — are bit-identical to the
+  * window-ranked formulation, with the same deterministic (score desc,
+  * id asc) tie-break.
+  */
+private[operators] class TopKAggregator(k: Int)
+    extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+  require(k >= 1, s"top-k needs k >= 1, got $k")
+
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  /** Insert into a (score desc, id asc)-sorted list capped at k — O(k),
+    * with k small (10..100) this beats heap constant factors. */
+  private def insert(buf: List[(Double, Long)],
+      e: (Double, Long)): List[(Double, Long)] = {
+    if (buf.lengthCompare(k) >= 0 && !beats(e, buf.last)) buf
+    else {
+      val (pre, post) = buf.span(beats(_, e))
+      (pre ::: e :: post).take(k)
+    }
+  }
+
+  def zero: List[(Double, Long)] = Nil
+  def reduce(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] =
+    insert(buf, in)
+  def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+    b.foldLeft(a)(insert)
+  def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
+  def bufferEncoder: Encoder[List[(Double, Long)]] =
+    ExpressionEncoder[List[(Double, Long)]]()
+  def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -26,6 +71,21 @@ import graft.functions.GraftFunctions
   * oracle-comparable.
   */
 object Similarity {
+
+  /** Exact per-query top-k of `scored` (qid, cid, cos) via the two-phase
+    * [[TopKAggregator]]. Output: (qid, cid, cos_sim rounded, rnk 1..k),
+    * identical to ranking with a qid-partitioned window but with a bounded
+    * shuffle (≤ k entries per qid per input partition). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k))
+    scored
+      .groupBy("qid")
+      .agg(topk(col("cos"), col("cid").cast("long")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col._2").as("cid"),
+        round(col("col._1"), 4).as("cos_sim"),
+        (col("pos") + 1).cast("bigint").as("rnk"))
+  }
 
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
@@ -52,15 +112,13 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .select(col("qid"), col("cid"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"),
-        col("rnk"))
+    topKPerQuery(scored, k)
   }
 
-  /** All pairs (a_id < b_id) with cosine ≥ threshold. Norms precomputed per
-    * row; the pair loop is just the codegen'd dot. */
+  /** All pairs (a_id < b_id) with cosine ≥ threshold via a `id < id` theta
+    * join — plans as a broadcast-nested-loop, so this is ONLY for bounded
+    * candidate sets (post-LSH verification, small tables). For corpus-wide
+    * exact pairs use [[cosinePairsBlocked]]. */
   def cosinePairs(
       emb: DataFrame,
       idCol: String,
@@ -72,6 +130,83 @@ object Similarity {
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
         (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
       .where(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  private[operators] case class VecRow(id: Long, v: Array[Double], nrm: Double)
+  private[operators] case class VecBlock(blk: Int, items: Array[VecRow])
+
+  /** Exact all-pairs cosine ≥ threshold as a **blocked grid** (the shape
+    * exact all-pairs should take on a cluster — same pattern as
+    * [[Dedup.exactJaccard]]'s all-pairs path): vectors hash into B blocks,
+    * the B(B+1)/2 block pairs become independent co-located tasks, and each
+    * task runs a tight JVM dot-product loop over primitive arrays. Work is
+    * inherently O(n²) (that is the operator's contract — it is the exact
+    * ground truth LSH/IVF approximate), but no O(n²) join rows are ever
+    * materialized, no single task exceeds two blocks of vectors, and the
+    * plan is two broadcast-hash equi-joins (the tiny combo grid against the
+    * block table) — no BroadcastNestedLoopJoin, no CartesianProduct.
+    * B scales with corpus size (`n / targetBlockRows`) so per-task memory
+    * stays bounded as the corpus grows.
+    *
+    * Per-pair arithmetic (sequential IEEE dot, one sqrt per vector) is
+    * identical to [[cosinePairs]], so results hash-match it and the oracle.
+    * Ids must be long-castable. */
+  def cosinePairsBlocked(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      targetBlockRows: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col(idCol).cast("long").as("id"),
+        toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val n = e.count()
+    val numBlocks = math.max(2, math.max(
+      math.ceil(math.sqrt(4.0 * spark.sparkContext.defaultParallelism)),
+      math.ceil(n.toDouble / targetBlockRows)).toInt)
+    val numCombos = numBlocks * (numBlocks + 1) / 2
+    val blocks = e
+      .select(pmod(hash(col("id")), lit(numBlocks)).cast("int").as("blk"),
+        struct(col("id"), col("v"), col("nrm")).as("vr"))
+      .groupBy("blk").agg(collect_list(col("vr")).as("items"))
+    val combos = spark
+      .createDataset(for { i <- 0 until numBlocks; j <- i until numBlocks }
+        yield (i, j))
+      .toDF("bi", "bj")
+    val t = threshold
+    broadcast(combos)
+      .join(blocks.select(col("blk").as("bi"), col("items").as("litems")), "bi")
+      .join(blocks.select(col("blk").as("bj"), col("items").as("ritems")), "bj")
+      .select(col("bi"), col("bj"), col("litems"), col("ritems"))
+      .repartition(numCombos)
+      .as[(Int, Int, Array[VecRow], Array[VecRow])]
+      .flatMap { case (bi, bj, litems, ritems) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        val same = bi == bj
+        var i = 0
+        while (i < litems.length) {
+          val a = litems(i)
+          val av = a.v
+          var j = if (same) i + 1 else 0
+          while (j < ritems.length) {
+            val b = ritems(j)
+            val bv = b.v
+            var d = 0.0
+            var p = 0
+            while (p < av.length) { d += av(p) * bv(p); p += 1 }
+            val cos = d / (a.nrm * b.nrm)
+            if (cos >= t) out += ((math.min(a.id, b.id),
+              math.max(a.id, b.id), cos))
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("a_id", "b_id", "cos")
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
@@ -100,8 +235,13 @@ object Similarity {
     * becomes the scale bottleneck — only the (distributed, codegen'd)
     * assignment pass touches the full corpus. Deterministic: seeded init
     * from hash-ordered rows, fixed iteration count. */
-  private def trainCentroids(sample: Array[Array[Double]], nlist: Int,
+  private def trainCentroids(sample: Array[Array[Double]], nlistRequested: Int,
       maxIter: Int): Seq[Seq[Double]] = {
+    require(sample.nonEmpty,
+      "ivfTopK: training sample is empty — corpus has no vectors")
+    // Effective list count is clamped to the sample size: fewer sample rows
+    // than requested lists would index past the seeded centroids.
+    val nlist = math.min(nlistRequested, sample.length)
     val dim = sample.head.length
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
@@ -165,9 +305,18 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cid"),
         toDoubleVec(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-    val sample = c.orderBy(xxhash64(col("cid"))).limit(trainCap)
+    // Uniform training sample without a corpus-wide TakeOrdered: a seeded
+    // Bernoulli sample sized from the (metadata-cheap) row count, capped at
+    // trainCap. Deterministic for a fixed input layout; quantizer quality
+    // only needs uniformity, not a specific draw.
+    val total = c.count()
+    val fraction = if (total == 0) 1.0
+      else math.min(1.0, trainCap * 1.2 / total)
+    val sampled =
+      (if (fraction < 1.0) c.sample(withReplacement = false, fraction, seed = 42L)
+       else c)
       .select(col("cv")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    val sample = sampled.take(trainCap).map(_.getSeq[Double](0).toArray)
     val cents = trainCentroids(sample, nlist, maxIter)
 
     // Corpus-side assignment is the per-row hot loop: a fused codegen'd
@@ -185,14 +334,10 @@ object Similarity {
       .withColumn("list", explode(transform(col("probe"), p => p.getField("i"))))
       .drop("probe")
 
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    assigned.join(broadcast(q), Seq("list"))
+    val scored = assigned.join(broadcast(q), Seq("list"))
       .select(col("qid"), col("cid"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"),
-        col("rnk"))
+    topKPerQuery(scored, k)
   }
 
   /** Approximate cosine top-k: candidates = corpus rows sharing ≥1 subcode
@@ -226,13 +371,9 @@ object Similarity {
       .groupBy("qid", "cid").agg(first("qv").as("qv"), first("cv").as("cv"),
         first("qid_n").as("qn"), first("cid_n").as("cn"))
 
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    candidates
+    val scored = candidates
       .select(col("qid"), col("cid"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("cid"), round(col("cos"), 4).as("cos_sim"),
-        col("rnk"))
+    topKPerQuery(scored, k)
   }
 }

@@ -60,17 +60,40 @@ object Skew {
 
   /** Inner equi-join with hot-key routing: rows whose key frequency on the
     * left is ≥ `minCount` join via an explicit broadcast of the matching
-    * right-side rows; the rest take the ordinary shuffle join. */
+    * right-side rows; the rest take the ordinary shuffle join.
+    *
+    * Guarded against misconfiguration: the hot-key set is collected to the
+    * driver (bounded — at most `maxHotKeys + 1` rows move), and when it is
+    * empty or larger than `maxHotKeys` the plain shuffle join is returned
+    * instead. A `minCount` at or below the typical key frequency would
+    * otherwise classify much of the table as "hot" and broadcast a huge
+    * right slice — hot keys are rare or they aren't hot. The collected keys
+    * also replace the earlier cached-DataFrame plumbing, so repeated calls
+    * leave nothing pinned in executor storage.
+    *
+    * Result is identical to `left.join(right, keys)` in every case. The
+    * broadcast of `rHot` assumes few right-side rows per hot key (a dim-like
+    * right side) — with `maxHotKeys` keys it is bounded by
+    * `maxHotKeys · rowsPerKey`. */
   def hotSplitJoin(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
-      minCount: Long): DataFrame = {
-    val hot = hotKeys(left, keys, minCount).cache()
+      minCount: Long,
+      maxHotKeys: Int = 10000): DataFrame = {
+    val hotRows = hotKeys(left, keys, minCount).limit(maxHotKeys + 1).collect()
+    if (hotRows.isEmpty || hotRows.length > maxHotKeys)
+      return left.join(right, keys)
 
-    val lHot = left.join(broadcast(hot), keys, "left_semi")
-    val lCold = left.join(broadcast(hot), keys, "left_anti")
-    val rHot = right.join(broadcast(hot), keys, "left_semi")
+    val spark = left.sparkSession
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keys.map(k => left.schema(k)))
+    val hot = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), keySchema))
+
+    val lHot = left.join(hot, keys, "left_semi")
+    val lCold = left.join(hot, keys, "left_anti")
+    val rHot = right.join(hot, keys, "left_semi")
 
     lHot.join(broadcast(rHot), keys).unionByName(lCold.join(right, keys))
   }

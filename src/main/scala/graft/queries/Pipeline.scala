@@ -201,12 +201,15 @@ object Pipeline {
         "t -> length(t) > 0)) as bigint) as n_subtokens from documents order by doc_id"),
     // Rolling-hash (winnowing) document fingerprints — per-doc fingerprint
     // set size + set; hash family is engine-defined → rows-only.
+    // The fingerprint set is serialized to a comma-joined string: the
+    // driver's pandas comparator cannot sort/hash raw array cells.
     df("t7_rolling_fingerprint", None) { (s, dir) =>
       s.table("documents")
         .select(col("doc_id"),
           graft.functions.GraftFunctions.winnow(col("text"), 8, 4).as("fps"))
         .select(col("doc_id"), size(col("fps")).cast("bigint").as("n_fp"),
-          col("fps"))
+          expr("array_join(transform(fps, x -> cast(x as string)), ',')")
+            .as("fps"))
         .orderBy("doc_id")
     },
     // Stopword/quality ratios via higher-order filter.
@@ -256,8 +259,8 @@ object Pipeline {
         "order by cnt desc, token limit 100), " +
         "vocab as (select token, cast(row_number() over (order by cnt desc, token) - 1 " +
         "as bigint) as tid from counts) " +
-        "select doc_id, transform(array_sort(collect_list(named_struct(" +
-        "'p', pos, 't', coalesce(tid, -1)))), x -> x.t) as token_ids " +
+        "select doc_id, array_join(transform(array_sort(collect_list(named_struct(" +
+        "'p', pos, 't', coalesce(tid, -1)))), x -> cast(x.t as string)), ',') as token_ids " +
         "from toks left join vocab using (token) " +
         "group by doc_id order by doc_id",
       "with toks as (select doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
@@ -266,7 +269,7 @@ object Pipeline {
         "t -> length(t) > 0)))) as pos from documents), " +
         "vocab as (select token, cast(row_number() over (order by count(*) desc, token) - 1 as bigint) as tid " +
         "from toks group by token order by count(*) desc, token limit 100) " +
-        "select doc_id, list(coalesce(tid, -1) order by pos) as token_ids " +
+        "select doc_id, array_to_string(list(coalesce(tid, -1) order by pos), ',') as token_ids " +
         "from toks left join vocab using (token) " +
         "group by doc_id order by doc_id"),
     // TF-IDF keyword search: score docs against fixed query terms and
@@ -385,10 +388,14 @@ object Pipeline {
     },
     // Decode-stub features: schema/batch plumbing for multimodal decode;
     // stubbed codec → rows-only.
+    // The feature vector is serialized to a comma-joined string: the
+    // driver's pandas comparator cannot sort/hash raw array cells.
     df("m3_decode_features", None) { (s, dir) =>
       Multimodal.decodeFeaturesStub(
         Multimodal.withPayload(s.table("documents"), "doc_id", "text"))
-        .select(col("doc_id"), col("features"))
+        .select(col("doc_id"),
+          expr("array_join(transform(features, x -> cast(x as string)), ',')")
+            .as("features"))
         .orderBy("doc_id")
     },
     // Resize plumbing (stubbed codec): output bytes + recomputed metadata

@@ -191,16 +191,26 @@ object Relational {
     },
     // Beyond-reference: hot-key split join — broadcast path for hot keys,
     // shuffle path for the rest; same hash-match-the-plain-join contract.
+    // The join key is synthetically skewed (every third order collapses to
+    // key 1, so ~1/3 of lineitem lands on one key) — that's the case this
+    // operator exists for: a plain hash join puts that whole tie group in
+    // one task, the split join handles it map-side via a one-row broadcast.
+    // minCount = 1000 sits orders of magnitude above the median key
+    // frequency (~4), so ONLY the genuinely hot key takes the broadcast
+    // path; TPC-H's uniform keys all stay on the shuffle path.
     df("j11_hot_split_join",
-      Some("select l.l_orderkey, l.l_linenumber, o.o_custkey " +
-        "from lineitem l join orders o on l.l_orderkey = o.o_orderkey " +
-        "order by l.l_orderkey, l.l_linenumber, o.o_custkey")) { (s, dir) =>
+      Some("select k, l_linenumber, o_custkey from " +
+        "(select case when l_orderkey % 3 = 0 then 1 else l_orderkey end as k, " +
+        "l_linenumber from lineitem) l join orders o on l.k = o.o_orderkey " +
+        "order by k, l_linenumber, o_custkey")) { (s, dir) =>
       graft.operators.Skew.hotSplitJoin(
-          s.table("lineitem").select("l_orderkey", "l_linenumber"),
-          s.table("orders").select(col("o_orderkey").as("l_orderkey"),
+          s.table("lineitem").select(
+            expr("case when l_orderkey % 3 = 0 then 1 else l_orderkey end").as("k"),
+            col("l_linenumber")),
+          s.table("orders").select(col("o_orderkey").as("k"),
             col("o_custkey")),
-          Seq("l_orderkey"), minCount = 5L)
-        .orderBy("l_orderkey", "l_linenumber", "o_custkey")
+          Seq("k"), minCount = 1000L)
+        .orderBy("k", "l_linenumber", "o_custkey")
     }
   )
 
@@ -521,10 +531,13 @@ object Relational {
         "group by o_custkey order by o_custkey"),
     // TPC-H Q12-shaped shipping-mode classification over a join with
     // conditional aggregation.
+    // Cast the conditional sums to bigint on both engines: Spark's
+    // sum(int) is bigint while DuckDB's is hugeint (int128), so without
+    // the cast the hashed value representations diverge (same fix as h7).
     sql("h12_priority_shipping",
       "select l_returnflag, " +
-        "sum(case when o_orderpriority in ('1-URGENT', '2-HIGH') then 1 else 0 end) as high_line_count, " +
-        "sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH') then 1 else 0 end) as low_line_count " +
+        "cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH') then 1 else 0 end) as bigint) as high_line_count, " +
+        "cast(sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH') then 1 else 0 end) as bigint) as low_line_count " +
         "from orders join lineitem on o_orderkey = l_orderkey " +
         "where l_shipdate >= timestamp '1996-01-01 00:00:00' " +
         "and l_shipdate < timestamp '1997-01-01 00:00:00' " +
