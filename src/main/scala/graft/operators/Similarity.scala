@@ -1,9 +1,12 @@
 package graft.operators
 
+import scala.reflect.runtime.universe.TypeTag
+
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 
 import graft.functions.GraftFunctions
 
@@ -21,17 +24,24 @@ import graft.functions.GraftFunctions
   * window-ranked formulation, with the same deterministic (score desc,
   * id asc) tie-break.
   */
-private[operators] class TopKAggregator(k: Int)
-    extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+private[operators] class TopKAggregator[I: TypeTag](k: Int)(implicit ord: Ordering[I])
+    extends Aggregator[(Double, I), List[(Double, I)], Seq[(Double, I)]] {
   require(k >= 1, s"top-k needs k >= 1, got $k")
 
-  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** Score comparison via java.lang.Double.compare — a TOTAL order (NaN
+    * sorts above +Inf, matching Spark's desc-sort NaN placement), so a NaN
+    * score (e.g. a NaN vector component) ranks deterministically instead of
+    * making insertion partition-order-dependent. (Zero-norm vectors never
+    * reach the aggregator — scoring yields NULL and they are filtered.) */
+  private def beats(a: (Double, I), b: (Double, I)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && ord.lt(a._2, b._2))
+  }
 
   /** Insert into a (score desc, id asc)-sorted list capped at k — O(k),
     * with k small (10..100) this beats heap constant factors. */
-  private def insert(buf: List[(Double, Long)],
-      e: (Double, Long)): List[(Double, Long)] = {
+  private def insert(buf: List[(Double, I)],
+      e: (Double, I)): List[(Double, I)] = {
     if (buf.lengthCompare(k) >= 0 && !beats(e, buf.last)) buf
     else {
       val (pre, post) = buf.span(beats(_, e))
@@ -39,16 +49,16 @@ private[operators] class TopKAggregator(k: Int)
     }
   }
 
-  def zero: List[(Double, Long)] = Nil
-  def reduce(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] =
+  def zero: List[(Double, I)] = Nil
+  def reduce(buf: List[(Double, I)], in: (Double, I)): List[(Double, I)] =
     insert(buf, in)
-  def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+  def merge(a: List[(Double, I)], b: List[(Double, I)]): List[(Double, I)] =
     b.foldLeft(a)(insert)
-  def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
-  def bufferEncoder: Encoder[List[(Double, Long)]] =
-    ExpressionEncoder[List[(Double, Long)]]()
-  def outputEncoder: Encoder[Seq[(Double, Long)]] =
-    ExpressionEncoder[Seq[(Double, Long)]]()
+  def finish(buf: List[(Double, I)]): Seq[(Double, I)] = buf
+  def bufferEncoder: Encoder[List[(Double, I)]] =
+    ExpressionEncoder[List[(Double, I)]]()
+  def outputEncoder: Encoder[Seq[(Double, I)]] =
+    ExpressionEncoder[Seq[(Double, I)]]()
 }
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -75,16 +85,33 @@ object Similarity {
   /** Exact per-query top-k of `scored` (qid, cid, cos) via the two-phase
     * [[TopKAggregator]]. Output: (qid, cid, cos_sim rounded, rnk 1..k),
     * identical to ranking with a qid-partitioned window but with a bounded
-    * shuffle (≤ k entries per qid per input partition). */
+    * shuffle (≤ k entries per qid per input partition).
+    *
+    * The candidate id keeps its source type: integral ids aggregate as long
+    * and cast back (bit-identical, numeric tie-break); any other type
+    * (string/uuid/…) aggregates as string with a lexicographic tie-break —
+    * no id is ever null-collapsed by a forced long cast. */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val topk = udaf(new TopKAggregator(k))
-    scored
-      .groupBy("qid")
-      .agg(topk(col("cos"), col("cid").cast("long")).as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), col("col._2").as("cid"),
-        round(col("col._1"), 4).as("cos_sim"),
-        (col("pos") + 1).cast("bigint").as("rnk"))
+    def run[I: TypeTag : Ordering](df: DataFrame): DataFrame = {
+      val topk = udaf(new TopKAggregator[I](k))
+      df.groupBy("qid")
+        .agg(topk(col("cos"), col("cid")).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col._2").as("cid"),
+          round(col("col._1"), 4).as("cos_sim"),
+          (col("pos") + 1).cast("bigint").as("rnk"))
+    }
+    // Zero-norm vectors have no direction: their cosine is NULL (try_divide
+    // at every scoring site — ANSI 0/0 would otherwise abort the query) and
+    // they are excluded from the ranking rather than polluting it.
+    val defined = scored.where(col("cos").isNotNull)
+    defined.schema("cid").dataType match {
+      case t @ (ByteType | ShortType | IntegerType | LongType) =>
+        run[Long](defined.withColumn("cid", col("cid").cast(LongType)))
+          .withColumn("cid", col("cid").cast(t))
+      case StringType => run[String](defined)
+      case _ => run[String](defined.withColumn("cid", col("cid").cast(StringType)))
+    }
   }
 
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
@@ -93,7 +120,9 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** NULL (not an ANSI divide-by-zero error) when either vector is zero-norm. */
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), norm(a) * norm(b))
 
   /** Exact cosine top-k of `corpus` for each row of `queries`.
     * Output: (qid, cid, cos_sim, rnk), rnk 1..k per qid. */
@@ -111,7 +140,8 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+        try_divide(dot(col("qv"), col("cv")),
+          col("qn") * col("cn")).as("cos"))
     topKPerQuery(scored, k)
   }
 
@@ -128,13 +158,13 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     e.as("x").join(e.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+        try_divide(dot(col("x.v"), col("y.v")),
+          col("x.nrm") * col("y.nrm")).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
-  private[operators] case class VecRow(id: Long, v: Array[Double], nrm: Double)
-  private[operators] case class VecBlock(blk: Int, items: Array[VecRow])
+  private[operators] case class VecRow[I](id: I, v: Array[Double], nrm: Double)
 
   /** Exact all-pairs cosine ≥ threshold as a **blocked grid** (the shape
     * exact all-pairs should take on a cluster — same pattern as
@@ -151,17 +181,42 @@ object Similarity {
     *
     * Per-pair arithmetic (sequential IEEE dot, one sqrt per vector) is
     * identical to [[cosinePairs]], so results hash-match it and the oracle.
-    * Ids must be long-castable. */
+    * Ids keep their source type: integral ids run the long path (numeric
+    * a_id < b_id pair ordering, cast back on output), anything else runs as
+    * string with lexicographic pair ordering. */
   def cosinePairsBlocked(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      targetBlockRows: Int = 4096): DataFrame = {
+      targetBlockRows: Int = 4096): DataFrame =
+    emb.schema(idCol).dataType match {
+      case t @ (ByteType | ShortType | IntegerType | LongType) =>
+        cosinePairsBlockedImpl[Long](emb, col(idCol).cast(LongType), vecCol,
+          threshold, targetBlockRows)
+          .select(col("a_id").cast(t).as("a_id"),
+            col("b_id").cast(t).as("b_id"), col("cos_sim"))
+      case StringType =>
+        cosinePairsBlockedImpl[String](emb, col(idCol), vecCol, threshold,
+          targetBlockRows)
+      case _ =>
+        cosinePairsBlockedImpl[String](emb, col(idCol).cast(StringType),
+          vecCol, threshold, targetBlockRows)
+    }
+
+  private def cosinePairsBlockedImpl[I: TypeTag](
+      emb: DataFrame,
+      idExpr: Column,
+      vecCol: String,
+      threshold: Double,
+      targetBlockRows: Int)(implicit ord: Ordering[I]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = emb.select(col(idCol).cast("long").as("id"),
-        toDoubleVec(col(vecCol)).as("v"))
+    implicit val rowEnc: Encoder[(Int, Int, Array[VecRow[I]], Array[VecRow[I]])] =
+      ExpressionEncoder[(Int, Int, Array[VecRow[I]], Array[VecRow[I]])]()
+    implicit val outEnc: Encoder[(I, I, Double)] =
+      ExpressionEncoder[(I, I, Double)]()
+    val e = emb.select(idExpr.as("id"), toDoubleVec(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     val n = e.count()
     val numBlocks = math.max(2, math.max(
@@ -182,9 +237,9 @@ object Similarity {
       .join(blocks.select(col("blk").as("bj"), col("items").as("ritems")), "bj")
       .select(col("bi"), col("bj"), col("litems"), col("ritems"))
       .repartition(numCombos)
-      .as[(Int, Int, Array[VecRow], Array[VecRow])]
+      .as[(Int, Int, Array[VecRow[I]], Array[VecRow[I]])]
       .flatMap { case (bi, bj, litems, ritems) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(I, I, Double)]
         val same = bi == bj
         var i = 0
         while (i < litems.length) {
@@ -198,8 +253,10 @@ object Similarity {
             var p = 0
             while (p < av.length) { d += av(p) * bv(p); p += 1 }
             val cos = d / (a.nrm * b.nrm)
-            if (cos >= t) out += ((math.min(a.id, b.id),
-              math.max(a.id, b.id), cos))
+            if (cos >= t) {
+              if (ord.lteq(a.id, b.id)) out += ((a.id, b.id, cos))
+              else out += ((b.id, a.id, cos))
+            }
             j += 1
           }
           i += 1
@@ -336,7 +393,8 @@ object Similarity {
 
     val scored = assigned.join(broadcast(q), Seq("list"))
       .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+        try_divide(dot(col("qv"), col("cv")),
+          col("qn") * col("cn")).as("cos"))
     topKPerQuery(scored, k)
   }
 
@@ -373,7 +431,8 @@ object Similarity {
 
     val scored = candidates
       .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+        try_divide(dot(col("qv"), col("cv")),
+          col("qn") * col("cn")).as("cos"))
     topKPerQuery(scored, k)
   }
 }

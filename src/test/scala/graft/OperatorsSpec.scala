@@ -88,6 +88,50 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got == Seq(1L, 3L)) // cos: 1→.995, 3→.994, 2→0, 4→-1
   }
 
+  test("bruteTopK preserves non-numeric ids (no long cast)") {
+    import spark.implicits._
+    val q = Seq(("query-a", Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      ("doc-1", Seq(1.0f, 0.1f, 0.0f)),
+      ("doc-2", Seq(0.0f, 1.0f, 0.0f)),
+      ("doc-3", Seq(0.9f, 0.0f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.bruteTopK(q, c, "vec_id", "embedding", 2)
+    assert(r.schema("cid").dataType.typeName == "string")
+    assert(r.orderBy("rnk").collect().map(_.getString(1)).toSeq ==
+      Seq("doc-1", "doc-3"))
+  }
+
+  test("cosinePairsBlocked preserves non-numeric ids; pairs order lexically") {
+    import spark.implicits._
+    val e = Seq(
+      ("u-b", Seq(1.0f, 0.0f)),
+      ("u-a", Seq(1.0f, 0.01f)),
+      ("u-c", Seq(0.0f, 1.0f))
+    ).toDF("doc_id", "embedding")
+    val got = Similarity.cosinePairsBlocked(e, "doc_id", "embedding", 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("u-a", "u-b")))
+  }
+
+  test("zero-norm vectors don't crash or pollute top-k (excluded as NULL)") {
+    import spark.implicits._
+    val q = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // Zero vectors have no direction: under ANSI mode a plain 0/0 divide
+    // would abort the whole query; try_divide scores them NULL and the
+    // ranking excludes them — same answer on every partitioning.
+    val c = Seq(
+      (10L, Seq(0.0f, 0.0f)),
+      (11L, Seq(0.0f, 0.0f)),
+      (12L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    (1 to 4).foreach { parts =>
+      val got = Similarity.bruteTopK(q, c.repartition(parts), "vec_id",
+        "embedding", 2).orderBy("rnk").collect().map(_.getLong(1)).toSeq
+      assert(got == Seq(12L), s"partitions=$parts")
+    }
+  }
+
   test("ivfTopK: valid ranked output with good recall vs brute force") {
     import spark.implicits._
     // Deterministic clustered corpus: 4 well-separated direction clusters

@@ -267,4 +267,43 @@ class ReferenceParitySpec extends SparkSpecBase {
     // Non-query entry points delegate untouched.
     assert(wrapped.parseDataType("int").simpleString == "int")
   }
+
+  test("un-aliased select expressions auto-name _col0.. positionally") {
+    // Reference `tests/pandas_sql_functionality_test.py:206-213` (_col0 for a
+    // bare aggregate) and `:271-277` (_col0.._col3 across a multi-agg select).
+    withTables {
+      assert(q("select avg(temp) from forest_fires").columns.toSeq ==
+        Seq("_col0"))
+      val multi = q("select min(temp), max(temp), avg(temp), max(wind) " +
+        "from forest_fires")
+      assert(multi.columns.toSeq == Seq("_col0", "_col1", "_col2", "_col3"))
+      // Mixed: aliased and bare expressions interleave; only bare ones are
+      // renamed, numbering follows select-list position among renamed cols.
+      val mixed = q("select temp as t, temp + 1, wind from forest_fires")
+      assert(mixed.columns.toSeq == Seq("t", "_col0", "wind"))
+  }}
+
+  test("user aliases are kept verbatim — bare and quoted forms") {
+    withTables {
+      // A quoted alias is a user decision, not an auto-generated name: it
+      // must never collapse to _colN even though it isn't a bare identifier.
+      val quoted = q("select temp as `max temp` from forest_fires")
+      assert(quoted.columns.toSeq == Seq("max temp"))
+      assert(q("select avg(temp) as mean_temp from forest_fires")
+        .columns.toSeq == Seq("mean_temp"))
+  }}
+
+  test("join name-clash columns prefix as <table>.<col>; unique cols don't") {
+    // Reference `tests/utils.py:48-90`, `pandas_sql_functionality_test
+    // .py:434-453`: same-named non-key columns across a join surface
+    // table-qualified; unique columns stay bare.
+    withTables {
+      val r = q("select * from digimon_mon_list cross join digimon_move_list")
+      val cols = r.columns.toSeq
+      assert(cols.contains("digimon_mon_list.Type") &&
+        cols.contains("digimon_move_list.Type"))
+      assert(cols.contains("digimon_mon_list.Attribute") &&
+        cols.contains("digimon_move_list.Attribute"))
+      assert(cols.contains("Digimon") && cols.contains("Move")) // unique: bare
+  }}
 }
