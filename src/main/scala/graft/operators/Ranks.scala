@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftBridge
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Distributed global ranking.
   *
@@ -46,7 +46,15 @@ object Ranks {
       rankCol: String,
       dense: Boolean,
       order: Column*): DataFrame =
-    globalRank(df, rankCol, dense, maxSingleTaskRows = 500000L, order: _*)
+    globalRank(df, rankCol, dense, maxSingleTaskRows = 500000L, -1L, order: _*)
+
+  def globalRank(
+      df: DataFrame,
+      rankCol: String,
+      dense: Boolean,
+      maxSingleTaskRows: Long,
+      order: Column*): DataFrame =
+    globalRank(df, rankCol, dense, maxSingleTaskRows, -1L, order: _*)
 
   /** Append `rankCol` (bigint) holding the global rank (`dense = false`) or
     * dense rank (`dense = true`) of each row under `order`.
@@ -57,14 +65,18 @@ object Ranks {
     * Row conversion); above it, the distributed two-job path takes over.
     * The same shape of choice Spark itself makes for broadcast vs shuffle
     * joins. Pass `maxSingleTaskRows = 0` to force the distributed path
-    * (and skip the stats action). */
+    * (and skip the stats action). Callers that already know the input
+    * cardinality pass it as `knownCount` (>= 0) so no count job runs over a
+    * computed input; -1 means unknown. */
   def globalRank(
       df: DataFrame,
       rankCol: String,
       dense: Boolean,
       maxSingleTaskRows: Long,
+      knownCount: Long,
       order: Column*): DataFrame = {
-    if (maxSingleTaskRows > 0 && df.count() <= maxSingleTaskRows) {
+    def rows = if (knownCount >= 0) knownCount else df.count()
+    if (maxSingleTaskRows > 0 && rows <= maxSingleTaskRows) {
       val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
       val r = if (dense) dense_rank() else rank()
       return df.withColumn(rankCol, r.over(w).cast("long"))
@@ -121,5 +133,118 @@ object Ranks {
       prepared.schema.fields.patch(keyIdx, Nil, 1) :+
         StructField(rankCol, LongType, nullable = false))
     spark.createDataFrame(ranked, outSchema)
+  }
+
+  /** Append the distribution analytics — `percent_rank()` (`prCol`, double),
+    * `cume_dist()` (`cdCol`, double) and `ntile(ntileN)` (`ntileCol`,
+    * bigint) — over a GLOBAL `order` (no PARTITION BY), distributed.
+    *
+    * Spark's built-in path for these is a one-task WindowExec ("No Partition
+    * Defined" warning) — the same scale cliff [[globalRank]] avoids, so this
+    * reuses its exact two-job shape (range partition → per-partition stats →
+    * prefix-summed offsets on one shared RDD). All three analytics are
+    * derivable from what that machinery already knows:
+    *
+    *   - `percent_rank = (rank − 1) / (N − 1)` (0 when N = 1), where rank is
+    *     the tie-group's first global row position;
+    *   - `cume_dist = tieGroupEnd / N`, where tieGroupEnd is the global
+    *     position of the group's last row;
+    *   - `ntile(n)`: Spark/ANSI bucketing from the global row position alone
+    *     — the first `N mod n` buckets get `⌊N/n⌋+1` rows, the rest `⌊N/n⌋`.
+    *
+    * N rides the closure (a scalar from the stats job). Within a partition
+    * rows stream one TIE GROUP at a time (cume_dist needs the group end
+    * before the first row of the group can emit); only a giant single-key
+    * tie group would buffer — the same skew caveat as dense_rank above.
+    *
+    * Default cutoff 100k: the analytic window carries three functions and a
+    * running frame, so its single-task crossover sits lower than plain
+    * rank's (measured at sf0.1: distributed ≈ built-in at 150k orders rows,
+    * and only the distributed path avoids the one-task scale cliff).
+    * Results are identical to the built-in window functions. */
+  def globalAnalytics(
+      df: DataFrame,
+      order: Seq[Column],
+      ntileN: Int,
+      prCol: String = "pr",
+      cdCol: String = "cd",
+      ntileCol: String = "tile",
+      maxSingleTaskRows: Long = 100000L,
+      knownCount: Long = -1L): DataFrame = {
+    require(ntileN > 0, s"ntile bucket count must be positive, got $ntileN")
+    def rows = if (knownCount >= 0) knownCount else df.count()
+    if (maxSingleTaskRows > 0 && rows <= maxSingleTaskRows) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+      return df
+        .withColumn(prCol, percent_rank().over(w))
+        .withColumn(cdCol, cume_dist().over(w))
+        .withColumn(ntileCol, ntile(ntileN).over(w).cast("long"))
+    }
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+
+    val keyCols = order.map(GraftBridge.sortChild)
+    val prepared = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__graft_key", struct(keyCols: _*))
+    val keyIdx = prepared.schema.fieldIndex("__graft_key")
+    val rdd = prepared.rdd // one RDD → one set of range boundaries, reused
+
+    // Job 1: row count per partition → prefix offsets + total N.
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single((pid, it.size.toLong))
+    }.collect().sortBy(_._1)
+    val rowOffsets = stats.scanLeft(0L)(_ + _._2).init
+    val total = stats.map(_._2).sum
+    val offsets = spark.sparkContext.broadcast(rowOffsets)
+
+    // ntile bucket layout from N alone (ANSI): first `rem` buckets one wider.
+    val n = ntileN.toLong
+    val bucketSize = total / n
+    val rem = total % n
+    val wideSpan = rem * (bucketSize + 1) // rows covered by the wide buckets
+
+    // Job 2: stream tie groups; emit each group once its end is known.
+    val analyzed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = offsets.value(pid)
+      val buf = it.buffered
+      var pos = 0L // local position of the last consumed row
+      val groups = new Iterator[(Long, Array[Row])] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): (Long, Array[Row]) = {
+          val start = pos + 1
+          val first = buf.next(); pos += 1
+          val key = first.getStruct(keyIdx)
+          val acc = scala.collection.mutable.ArrayBuffer(first)
+          while (buf.hasNext && buf.head.getStruct(keyIdx) == key) {
+            acc += buf.next(); pos += 1
+          }
+          (start, acc.toArray)
+        }
+      }
+      groups.flatMap { case (startLocal, group) =>
+        val rank = off + startLocal // global rank shared by the tie group
+        val end = rank - 1 + group.length // global position of the group end
+        val pr = if (total <= 1L) 0.0 else (rank - 1).toDouble / (total - 1)
+        val cd = end.toDouble / total
+        group.iterator.zipWithIndex.map { case (r, i) =>
+          val p = rank + i // global row position (1-based)
+          val tile =
+            if (p <= wideSpan) (p - 1) / (bucketSize + 1) + 1
+            else rem + (p - wideSpan - 1) / bucketSize + 1
+          // Seq[Any], not Seq(...): weak conformance would silently widen
+          // the Long tile to Double to unify with pr/cd.
+          Row.fromSeq(r.toSeq.patch(keyIdx, Nil, 1) ++ Seq[Any](pr, cd, tile))
+        }
+      }
+    }
+
+    val outSchema = StructType(
+      prepared.schema.fields.patch(keyIdx, Nil, 1) ++ Seq(
+        StructField(prCol, DoubleType, nullable = false),
+        StructField(cdCol, DoubleType, nullable = false),
+        StructField(ntileCol, LongType, nullable = false)))
+    spark.createDataFrame(analyzed, outSchema)
   }
 }

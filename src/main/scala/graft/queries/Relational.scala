@@ -368,13 +368,26 @@ object Relational {
         "order by o_totalprice desc, o_orderkey) as bigint) as rnk " +
         "from orders) where rnk <= 3 order by o_custkey, rnk"),
     // Beyond-reference: the distribution-analytic windows — percent_rank,
-    // cume_dist, ntile — over a deterministic total order.
-    sql("w8_analytic_windows",
-      "select o_orderkey, " +
+    // cume_dist, ntile — over a deterministic total order. Like W1/W3, the
+    // global (no PARTITION BY) window routes through the distributed
+    // range-partitioned operator (operators/Ranks.globalAnalytics) instead
+    // of Spark's single-task WindowExec; the DuckDB oracle stays the plain
+    // window-function SQL. All three derive from exact integer positions, so
+    // the IEEE divisions are bit-identical across engines.
+    df("w8_analytic_windows",
+      Some("select o_orderkey, " +
         "round(percent_rank() over (order by o_totalprice, o_orderkey), 6) as pr, " +
         "round(cume_dist() over (order by o_totalprice, o_orderkey), 6) as cd, " +
         "cast(ntile(4) over (order by o_totalprice, o_orderkey) as bigint) as quartile " +
-        "from orders order by o_orderkey"),
+        "from orders order by o_orderkey")) { (s, dir) =>
+      import org.apache.spark.sql.functions.round
+      Ranks.globalAnalytics(s.table("orders"),
+          Seq(col("o_totalprice").asc, col("o_orderkey").asc),
+          ntileN = 4, prCol = "pr", cdCol = "cd", ntileCol = "quartile")
+        .select(col("o_orderkey"), round(col("pr"), 6).as("pr"),
+          round(col("cd"), 6).as("cd"), col("quartile"))
+        .orderBy("o_orderkey")
+    },
     // Beyond-reference: row_number / lag / lead / running frame aggregates.
     sql("w6_row_number_lag",
       "select o_orderkey, " +

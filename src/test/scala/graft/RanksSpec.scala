@@ -58,6 +58,43 @@ class RanksSpec extends SparkSpecBase {
     assert(dense.toSeq == Seq((0L, 1L), (1L, 2L), (2L, 3L)))
   }
 
+  test("distributed analytics match percent_rank/cume_dist/ntile, with ties") {
+    // l_quantity has heavy ties (50 distinct values) — exercises the
+    // tie-group streaming for percent_rank (group-start rank) and cume_dist
+    // (group-end position); ntile(7) exercises an uneven bucket layout.
+    val li = spark.table("lineitem")
+    val order = Seq(col("l_quantity").asc, col("l_orderkey").asc)
+    val got = Ranks.globalAnalytics(li, order, ntileN = 7,
+        maxSingleTaskRows = 0L) // force the distributed path
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("pr"), col("cd"), col("tile"))
+    val w = Window.orderBy(order: _*)
+    val want = li.select(col("l_orderkey"), col("l_linenumber"),
+      percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"),
+      ntile(7).over(w).cast("long").as("tile"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("distributed analytics: no WindowExec, multi-partition output") {
+    val out = Ranks.globalAnalytics(spark.table("orders"),
+      Seq(col("o_totalprice").asc, col("o_orderkey").asc), ntileN = 4,
+      maxSingleTaskRows = 0L)
+    // The whole point: no single-task WindowExec anywhere in the plan.
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    assert(out.rdd.getNumPartitions > 1)
+  }
+
+  test("analytics adaptive default picks the same values either way") {
+    val o = spark.table("orders")
+    val order = Seq(col("o_totalprice").asc, col("o_orderkey").asc)
+    val small = Ranks.globalAnalytics(o, order, ntileN = 4)
+      .select(col("o_orderkey"), col("pr"), col("cd"), col("tile"))
+    val dist = Ranks.globalAnalytics(o, order, ntileN = 4,
+        maxSingleTaskRows = 0L)
+      .select(col("o_orderkey"), col("pr"), col("cd"), col("tile"))
+    assert(small.exceptAll(dist).isEmpty && dist.exceptAll(small).isEmpty)
+  }
+
   test("adaptive default picks the same values either way") {
     val got = Ranks.globalRank(spark.table("orders"), "rnk", dense = false,
         col("o_totalprice").desc) // small input → built-in window path
