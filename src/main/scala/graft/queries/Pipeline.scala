@@ -124,8 +124,15 @@ object Pipeline {
     },
     // Train/val contamination check over the t10 split: val docs sharing
     // any word-5-gram with a train doc (the standard n-gram-overlap
-    // eval-integrity gate, run as one distinct-gram equi-join on the gram —
-    // same bucket-join shape as the dedups, so the same scale properties).
+    // eval-integrity gate). Scale shape: a LEFT-SEMI join of val grams
+    // against the distinct train-gram set — the semi join stops at the
+    // first match, so no (val-gram × train-gram) pair rows ever
+    // materialize — plus a train-gram doc-frequency cap (<= 200, mirroring
+    // winnowing's maxFreq, operators/Dedup.scala): a boilerplate 5-gram
+    // (license header, navigation chrome) shared by thousands of docs is
+    // noise, not contamination evidence, and without the cap it would be
+    // the one skew-quadratic bucket in the pipeline. The cap is applied
+    // identically in the DuckDB oracle.
     sql("d9_contamination",
       "with toks as (select doc_id, " +
         "case when substring(md5(cast(text as binary)), 1, 1) " +
@@ -134,9 +141,11 @@ object Pipeline {
         "from documents where size(split(text, ' ')) >= 5), " +
         "grams as (select doc_id, split, explode(array_distinct(" +
         "transform(sequence(0, size(t) - 5), i -> concat_ws(' ', slice(t, i + 1, 5))))) as g " +
-        "from toks) " +
-        "select distinct v.doc_id from grams v join grams tr " +
-        "on v.g = tr.g and v.split = 'val' and tr.split = 'train' " +
+        "from toks), " +
+        "train_grams as (select g from grams where split = 'train' " +
+        "group by g having count(*) <= 200) " +
+        "select distinct v.doc_id from grams v " +
+        "where v.split = 'val' and v.g in (select g from train_grams) " +
         "order by v.doc_id",
       "with toks as (select doc_id, " +
         "case when substring(md5(text), 1, 1) " +
@@ -145,9 +154,11 @@ object Pipeline {
         "from documents where len(string_split(text, ' ')) >= 5), " +
         "grams as (select doc_id, split, unnest(list_distinct(" +
         "list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')))) as g " +
-        "from toks) " +
-        "select distinct v.doc_id from grams v join grams tr " +
-        "on v.g = tr.g and v.split = 'val' and tr.split = 'train' " +
+        "from toks), " +
+        "train_grams as (select g from grams where split = 'train' " +
+        "group by g having count(*) <= 200) " +
+        "select distinct v.doc_id from grams v " +
+        "where v.split = 'val' and v.g in (select g from train_grams) " +
         "order by v.doc_id"),
     // Embedding-cosine near-dup pairs, exact — DuckDB list_cosine_similarity
     // on double vectors is the oracle.

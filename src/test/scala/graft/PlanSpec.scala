@@ -61,6 +61,14 @@ class PlanSpec extends SparkSpecBase {
       "as-of join fell back to a non-equi plan")
   }
 
+  test("contamination check plans a left-semi gram join, no pair blowup") {
+    val p = planOf("d9_contamination")
+    assert(p.contains("LeftSemi"),
+      "val-grams vs train-grams should be a left-semi join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "gram join fell back to a non-equi plan")
+  }
+
   test("sketch dedup computes map-side: no shuffle before the bucket join") {
     val p = planOf("d2_dedup_minhash")
     // The minhash signature expression must appear in a Project (map-side),
