@@ -423,16 +423,17 @@ object Similarity {
     val q = coded(queries, "qid", "qv")
     val c = coded(corpus, "cid", "cv")
 
-    val candidates = c.join(broadcast(q), Seq("g", "code"))
-      .select(col("qid"), col("cid"), col("qv"), col("cv"),
-        col("qid_n"), col("cid_n"))
-      .groupBy("qid", "cid").agg(first("qv").as("qv"), first("cv").as("cv"),
-        first("qid_n").as("qn"), first("cid_n").as("cn"))
-
-    val scored = candidates
+    // Score BEFORE the (qid,cid) candidate dedup: a pair's cosine is
+    // identical whichever subcode matched it, so aggregating max(cos)
+    // dedups on one scalar — the exchange carries (qid,cid,cos) rows
+    // instead of two ~dim-sized double vectors per candidate. The dot
+    // product is recomputed once per matching subcode (≤ `groups`), all
+    // map-side codegen; shuffle width is what kills at scale, not FLOPs.
+    val scored = c.join(broadcast(q), Seq("g", "code"))
       .select(col("qid"), col("cid"),
         try_divide(dot(col("qv"), col("cv")),
-          col("qn") * col("cn")).as("cos"))
+          col("qid_n") * col("cid_n")).as("cos"))
+      .groupBy("qid", "cid").agg(max("cos").as("cos"))
     topKPerQuery(scored, k)
   }
 }

@@ -139,6 +139,46 @@ class ReferenceParitySpec extends SparkSpecBase {
     assert(r.getTimestamp(2).toString == "2019-01-31 23:20:32.0")
   }}
 
+  test("un-aliased time functions keep reference names: now()/today()/_literalN") {
+    withTables {
+      // Reference `test_timestamps` (:1008-1015): the un-aliased select list
+      // `wind, now(), today(), timestamp('2019-01-31','23:20:32')` yields
+      // columns `wind, now(), today(), _literal2` — the time functions keep
+      // their own names, the constant timestamp is `_literalN`, and all
+      // three share one positional counter.
+      val r = q("select wind, now(), today(), " +
+        "timestamp('2019-01-31', '23:20:32') from forest_fires")
+      assert(r.columns.toSeq == Seq("wind", "now()", "today()", "_literal2"))
+      // Ordinary un-aliased expressions still take _colN (:271-277).
+      val m = q("select min(temp), max(temp), now() from forest_fires")
+      assert(m.columns.toSeq == Seq("_col0", "_col1", "now()"))
+    }
+  }
+
+  test("user aliases survive the chained query -> register -> query flow") {
+    withTables {
+      // The _colN rename must not leak its auto-alias marker into a
+      // registered result: a user alias OVER a _colN column is user-written
+      // and must be kept verbatim on re-query.
+      val first = q("select avg(temp) from forest_fires")
+      assert(first.columns.toSeq == Seq("_col0"))
+      Engine.registerTempTable(first, "t2")
+      try {
+        val second = q("select _col0 as x from t2")
+        assert(second.columns.toSeq == Seq("x"))
+        // And an un-aliased reference to it stays _col0 (a plain column
+        // reference, not an auto-generated alias).
+        assert(q("select _col0 from t2").columns.toSeq == Seq("_col0"))
+      } finally Engine.removeTempTable(spark, "t2")
+    }
+  }
+
+  test("remove_temp_table on an unknown name throws, like the reference") {
+    intercept[IllegalArgumentException] {
+      Engine.removeTempTable(spark, "never_registered_table")
+    }
+  }
+
   test("WHERE: all six comparisons, and/or, between, in, not in") {
     withTables {
       assert(q("select * from forest_fires where temp > 8.0 and rain = 0 " +
