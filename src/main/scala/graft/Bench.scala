@@ -40,6 +40,9 @@ object Bench {
     val results = names.map(n => n -> materialize(n))
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // `value` is always the FULL-suite total (the round-over-round headline
+    // number), even on the printed line whose `queries` map carries only the
+    // headline subset — the full map lives in bench.json.
     def jsonFor(sel: Seq[(String, Double)]): String = {
       val qs = sel.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")

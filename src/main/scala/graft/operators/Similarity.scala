@@ -198,11 +198,23 @@ object Similarity {
             col("b_id").cast(t).as("b_id"), col("cos_sim"))
       case StringType =>
         cosinePairsBlockedImpl[String](emb, col(idCol), vecCol, threshold,
-          targetBlockRows)
+          targetBlockRows)(implicitly, Utf8IdOrdering)
       case _ =>
         cosinePairsBlockedImpl[String](emb, col(idCol).cast(StringType),
-          vecCol, threshold, targetBlockRows)
+          vecCol, threshold, targetBlockRows)(implicitly, Utf8IdOrdering)
     }
+
+  /** String-id pair orientation must match [[cosinePairs]]' `x.id < y.id`,
+    * which Spark evaluates as a BINARY (UTF-8 byte) compare. Scala's default
+    * Ordering[String] compares UTF-16 code units — for supplementary-plane
+    * characters the two disagree, which would flip (a_id, b_id) orientation
+    * between the blocked and join paths and break their hash-match
+    * guarantee. */
+  private object Utf8IdOrdering extends Ordering[String] {
+    def compare(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+  }
 
   private def cosinePairsBlockedImpl[I: TypeTag](
       emb: DataFrame,
