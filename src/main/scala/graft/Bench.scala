@@ -33,8 +33,15 @@ object Bench {
 
     Tables.ensure(spark, sfDir)
     // Warmup: pay JVM/codegen/first-stage costs outside the measurement.
+    // The set-op pair covers the INTERSECT ALL / EXCEPT ALL replication
+    // shapes, whose first-use codegen (~0.3-0.7s) otherwise lands on
+    // whichever u-series query runs first — the round-3 "regression" was
+    // exactly this measurement-order JIT noise (warm steady-state was flat
+    // round-over-round; see BENCH_NOTES.md).
     materialize("h1_pricing_summary")
     materialize("j1_inner")
+    materialize("u4_intersect_all")
+    materialize("u6_except_all")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> materialize(n))

@@ -178,6 +178,16 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a (possibly hand-transformed) logical plan; the
+    * plan is re-analyzed, so rules like DeduplicateRelations repair any
+    * duplicated relation subtrees a transform introduced. `Dataset.ofRows`
+    * is private[sql] — this is the sanctioned doorway for graft code. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** The value beneath a sort Column (`col.desc` → `col`); identity for
     * plain value Columns. Spark 4 models sort order at the ColumnNode
     * level, so this unwrap must happen here, inside the sql package. */

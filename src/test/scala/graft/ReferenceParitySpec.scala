@@ -179,6 +179,29 @@ class ReferenceParitySpec extends SparkSpecBase {
     }
   }
 
+  test("EXCEPT compat flag: symmetric difference like the reference, ANSI default") {
+    // Reference `test_except_distinct` (:590-614): outer-merge keeping rows
+    // present in exactly ONE side, deduped — a symmetric difference. ANSI
+    // EXCEPT (the default here) keeps only left-side rows.
+    import spark.implicits._
+    Engine.registerTempTable(Seq(1, 2, 3).toDF("v"), "sa")
+    Engine.registerTempTable(Seq(3, 4).toDF("v"), "sb")
+    try {
+      val sql = "select v from sa except select v from sb"
+      assert(Engine.query(spark, sql).collect().map(_.getInt(0)).sorted
+        .toSeq == Seq(1, 2))
+      spark.conf.set(Engine.SymmetricExceptKey, "true")
+      try {
+        assert(Engine.query(spark, sql).collect().map(_.getInt(0)).sorted
+          .toSeq == Seq(1, 2, 4))
+        // EXCEPT ALL keeps ANSI semantics either way.
+        assert(Engine.query(spark,
+            "select v from sa except all select v from sb")
+          .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+      } finally spark.conf.unset(Engine.SymmetricExceptKey)
+    } finally Seq("sa", "sb").foreach(Engine.removeTempTable(spark, _))
+  }
+
   test("WHERE: all six comparisons, and/or, between, in, not in") {
     withTables {
       assert(q("select * from forest_fires where temp > 8.0 and rain = 0 " +
