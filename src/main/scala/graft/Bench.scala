@@ -19,6 +19,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // 120 queries × several codegen units overflow the default 100-entry
+      // compile cache; evictions turn mid-suite queries cold again and
+      // inject multi-second recompile noise (BENCH_NOTES.md).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

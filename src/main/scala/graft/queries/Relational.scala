@@ -324,8 +324,11 @@ object Relational {
     df("w1_rank",
       Some("select o_orderkey, cast(rank() over (order by o_totalprice desc) as bigint) as rnk " +
         "from orders order by o_orderkey")) { (s, dir) =>
-      Ranks.globalRank(s.table("orders"), "rnk", dense = false,
-          col("o_totalprice").desc)
+      // Project BEFORE ranking: the operator's RDD boundary blocks
+      // Catalyst's column pruning, so the shuffle must not carry the
+      // five unused orders columns.
+      Ranks.globalRank(s.table("orders").select("o_orderkey", "o_totalprice"),
+          "rnk", dense = false, col("o_totalprice").desc)
         .select(col("o_orderkey"), col("rnk"))
         .orderBy("o_orderkey")
     },
@@ -334,7 +337,9 @@ object Relational {
       Some("select l_orderkey, l_linenumber, " +
         "cast(rank() over (order by l_quantity desc, l_extendedprice asc, l_orderkey) as bigint) as rnk " +
         "from lineitem order by l_orderkey, l_linenumber, rnk")) { (s, dir) =>
-      Ranks.globalRank(s.table("lineitem"), "rnk", dense = false,
+      Ranks.globalRank(s.table("lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+          "rnk", dense = false,
           col("l_quantity").desc, col("l_extendedprice").asc, col("l_orderkey").asc)
         .select(col("l_orderkey"), col("l_linenumber"), col("rnk"))
         .orderBy("l_orderkey", "l_linenumber", "rnk")
@@ -343,8 +348,8 @@ object Relational {
     df("w3_dense_rank",
       Some("select o_orderkey, cast(dense_rank() over (order by o_totalprice desc) as bigint) as drnk " +
         "from orders order by o_orderkey")) { (s, dir) =>
-      Ranks.globalRank(s.table("orders"), "drnk", dense = true,
-          col("o_totalprice").desc)
+      Ranks.globalRank(s.table("orders").select("o_orderkey", "o_totalprice"),
+          "drnk", dense = true, col("o_totalprice").desc)
         .select(col("o_orderkey"), col("drnk"))
         .orderBy("o_orderkey")
     },
@@ -381,7 +386,7 @@ object Relational {
         "cast(ntile(4) over (order by o_totalprice, o_orderkey) as bigint) as quartile " +
         "from orders order by o_orderkey")) { (s, dir) =>
       import org.apache.spark.sql.functions.round
-      Ranks.globalAnalytics(s.table("orders"),
+      Ranks.globalAnalytics(s.table("orders").select("o_orderkey", "o_totalprice"),
           Seq(col("o_totalprice").asc, col("o_orderkey").asc),
           ntileN = 4, prCol = "pr", cdCol = "cd", ntileCol = "quartile")
         .select(col("o_orderkey"), round(col("pr"), 6).as("pr"),
