@@ -358,23 +358,48 @@ object Dedup {
     Similarity.cosinePairsBlocked(emb, idCol, vecCol, threshold)
 
   /** Connected components over a near-dup pair list: (id, component) where
-    * `component` is the minimum id reachable from `id`. Iterative min-label
-    * propagation — each round every node takes the min of its own and its
-    * neighbors' labels (one shuffle for the neighbor-min, one join to merge;
-    * all DataFrame ops, nothing driver-side). Converges in graph-diameter
-    * rounds; near-dup clusters are shallow (diameter ≤ a few hops), so
-    * `maxIter` defaults low. Labels only ever decrease, so `sum(comp)` is
-    * a monotone convergence signal: a round that leaves the sum unchanged
-    * changed nothing — one scalar aggregate per round, no compare join.
+    * `component` is the minimum id reachable from `id`.
     *
-    * Only ids that appear in `pairs` are returned — singletons don't need a
-    * component. Caches each round's labels; unpersists the previous round.
+    * Two paths, picked by edge count (one cheap aggregate):
+    *
+    *   - `edges ≤ localEdgeCap` (default 1M): collect the PAIR LIST — not
+    *     the corpus — and run driver union-find (path compression + union
+    *     by min root). Near-dup pair lists are orders of magnitude smaller
+    *     than their corpus; even at 100 TB most runs land here, and the
+    *     iterative path's per-round job overhead (broadcast + two shuffles
+    *     + a convergence action) dwarfs the actual work for small graphs
+    *     (measured at sf0.1: ~4 s loop vs ~0.1 s local). Same bounded-
+    *     collect pattern as Skew's hot-key scan and IVF's training sample.
+    *   - above the cap: iterative min-label propagation — each round every
+    *     node takes the min of its own and its neighbors' labels (one
+    *     shuffle for the neighbor-min, one join to merge; all DataFrame
+    *     ops). Converges in graph-diameter rounds; near-dup clusters are
+    *     shallow, so `maxIter` defaults low. Labels only ever decrease, so
+    *     `sum(comp)` is a monotone convergence signal: a round that leaves
+    *     the sum unchanged changed nothing — one scalar aggregate per
+    *     round, no compare join. Caches each round's labels; unpersists
+    *     the previous round.
+    *
+    * String ids order by UTF8 bytes on both paths (Spark's `least` is a
+    * binary compare). Only ids that appear in `pairs` are returned —
+    * singletons don't need a component.
     */
   def components(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 10,
+      localEdgeCap: Int = 1000000): DataFrame = {
+    if (localEdgeCap > 0) {
+      // One job decides AND fetches: collect at most cap+1 edges via a
+      // CollectLimit (a separate count() would compute the whole upstream
+      // pair pipeline twice). Overflow → fall through to the
+      // distributed loop.
+      val sample = pairs.select(col(aCol), col(bCol))
+        .limit(localEdgeCap + 1).collect()
+      if (sample.length <= localEdgeCap)
+        return componentsLocal(pairs, aCol, sample)
+    }
     // Undirected edge list, both directions.
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -416,6 +441,64 @@ object Dedup {
     // The returned DataFrame is the final round's cache handle; callers that
     // are done with it should .unpersist() to release executor storage.
     labels
+  }
+
+  /** Driver union-find over a collected pair list (small-graph path of
+    * [[components]]): ids dense-mapped to ints, path-compressed find,
+    * component representative = min id (UTF8-byte order for strings,
+    * matching the distributed path's binary `least`). */
+  private def componentsLocal(
+      pairs: DataFrame,
+      aCol: String,
+      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val spark = pairs.sparkSession
+    val idType = pairs.schema(aCol).dataType
+
+    val index = new java.util.HashMap[Any, Int]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def nodeOf(v: Any): Int = {
+      val known = index.getOrDefault(v, -1)
+      if (known >= 0) known
+      else {
+        val n = ids.length
+        index.put(v, n); ids += v; parent += n; n
+      }
+    }
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val p = parent(c); parent(c) = r; c = p }
+      r
+    }
+    edges.foreach { r =>
+      val a = find(nodeOf(r.get(0)))
+      val b = find(nodeOf(r.get(1)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+
+    val lt: (Any, Any) => Boolean = idType match {
+      case StringType => (x, y) =>
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(x.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(y.asInstanceOf[String])) < 0
+      case _ => (x, y) =>
+        x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
+    val minOfRoot = new java.util.HashMap[Int, Any]()
+    ids.indices.foreach { i =>
+      val r = find(i)
+      val cur = minOfRoot.get(r)
+      if (cur == null || lt(ids(i), cur)) minOfRoot.put(r, ids(i))
+    }
+    val out = ids.indices.map(i => Row(ids(i), minOfRoot.get(find(i))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1),
+      StructType(Seq(StructField("id", idType), StructField("comp", idType))))
   }
 
   /** Near-dup-aware dedup: resolve `pairs` into components and keep one

@@ -201,10 +201,18 @@ class OperatorsSpec extends SparkSpecBase {
     // Chain 20-21-22-23 needs >1 round: label must propagate end to end.
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
       (20L, 21L), (21L, 22L), (22L, 23L)).toDF("a_id", "b_id")
+    val expectedComp = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L)
+    // Default: small edge list → driver union-find path.
     val comp = graft.operators.Dedup.components(pairs, "a_id", "b_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    assert(comp == expectedComp)
+    // localEdgeCap = 0 forces the distributed label-propagation path; both
+    // paths must agree exactly.
+    val compDist = graft.operators.Dedup
+      .components(pairs, "a_id", "b_id", maxIter = 10, localEdgeCap = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compDist == expectedComp)
 
     val docs = (1L to 25L).map(Tuple1(_)).toDF("doc_id")
     val kept = graft.operators.Dedup
