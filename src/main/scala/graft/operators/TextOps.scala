@@ -106,4 +106,35 @@ object TextOps {
     * Used for exact/near-exact dedup keys and cache keys. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), " +", " ")))
+
+  /** PII patterns a pre-training scrub removes, in redaction order. Each is
+    * codegen'd `regexp_replace` — a narrow per-row map, no shuffle, safe to
+    * fuse into the ingest projection at any scale. Deliberately
+    * high-precision shapes (emails, international-ish phone numbers, IPv4,
+    * 13–19-digit card runs); corpus-specific recall tuning belongs in
+    * caller-supplied extra patterns. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    // Most-specific first: each pass runs on the previous pass's output, so
+    // the general phone shape (a long digit run) must not get first claim
+    // on IPv4s or card numbers.
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("\\b[0-9]{13,19}\\b", "<NUMBER>"),
+    ("\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"))
+
+  /** Scrubbed text: every [[piiPatterns]] match replaced by its tag. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** Count of PII matches removed by [[redactPii]], for scrub-rate audits.
+    * Counts at each sequential redaction step — same semantics as the
+    * replacement chain, so one card number is one <NUMBER>, not also a
+    * phone match. */
+  def piiMatchCount(text: Column): Column =
+    piiPatterns.foldLeft((text, lit(0))) { case ((c, n), (re, tag)) =>
+      (regexp_replace(c, re, tag),
+        n + size(regexp_extract_all(c, lit(re), lit(0))))
+    }._2.cast("bigint")
 }

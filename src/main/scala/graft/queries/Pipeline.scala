@@ -335,6 +335,33 @@ object Pipeline {
         "group by bigram order by cnt desc, bigram limit 20")
   )
 
+  // Gopher/C4-style repetition quality signals: per-doc duplicate word-2gram
+  // fraction and most-common-2gram share. One explode + a two-level
+  // aggregation (gram counts, then per-doc stats) — partial aggregation
+  // combines map-side, and nothing is quadratic in doc length. Divisions are
+  // forced through double casts so both engines do the same IEEE math.
+  private val repetition = Seq(
+    sql("t14_repetition_signals",
+      "with g as (select doc_id, explode(transform(sequence(0, size(t) - 2), " +
+        "i -> concat_ws(' ', slice(t, i + 1, 2)))) as g " +
+        "from (select doc_id, split(text, ' ') as t from documents) where size(t) >= 2), " +
+        "c as (select doc_id, g, count(*) as cnt from g group by doc_id, g) " +
+        "select doc_id, cast(sum(cnt) as bigint) as n_grams, " +
+        "cast(count(*) as bigint) as n_distinct, " +
+        "round(1.0 - cast(count(*) as double) / cast(sum(cnt) as double), 6) as dup_frac, " +
+        "round(cast(max(cnt) as double) / cast(sum(cnt) as double), 6) as top_share " +
+        "from c group by doc_id order by doc_id",
+      "with g as (select doc_id, unnest(list_transform(range(1, len(t)), " +
+        "i -> array_to_string(t[i:i+1], ' '))) as g " +
+        "from (select doc_id, string_split(text, ' ') as t from documents) s where len(t) >= 2), " +
+        "c as (select doc_id, g, count(*) as cnt from g group by doc_id, g) " +
+        "select doc_id, cast(sum(cnt) as bigint) as n_grams, " +
+        "cast(count(*) as bigint) as n_distinct, " +
+        "round(1.0 - cast(count(*) as double) / cast(sum(cnt) as double), 6) as dup_frac, " +
+        "round(cast(max(cnt) as double) / cast(sum(cnt) as double), 6) as top_share " +
+        "from c group by doc_id order by doc_id")
+  )
+
   private val similarity = Seq(
     // Brute-force exact ANN baseline: top-5 cosine neighbors for the first
     // 10 vectors among the rest.
@@ -460,6 +487,54 @@ object Pipeline {
     }
   )
 
+  // Training-batch assembly: deterministic sequence packing and domain
+  // mixture sampling — the two ops between a curated corpus and a dataloader.
+  private val assembly = Seq(
+    // Greedy streaming pack: per-language doc stream in id order, cumulative
+    // token count, pack = the 1024-token bin where the doc STARTS. One
+    // window shuffle on lang; no collect, no per-pack state. Reproducible on
+    // any engine/cluster layout (id order, no rand()).
+    sql("x2_sequence_packing",
+      "with t as (select doc_id, lang, cast(size(split(text, ' ')) as bigint) as n_tokens " +
+        "from documents), " +
+        "c as (select doc_id, lang, n_tokens, " +
+        "sum(n_tokens) over (partition by lang order by doc_id " +
+        "rows between unbounded preceding and current row) - n_tokens as start_tok from t) " +
+        "select doc_id, lang, n_tokens, " +
+        "cast(floor(cast(start_tok as double) / 1024.0) as bigint) as pack_id, " +
+        "cast(start_tok % 1024 as bigint) as pack_offset " +
+        "from c order by doc_id",
+      "with t as (select doc_id, lang, cast(len(string_split(text, ' ')) as bigint) as n_tokens " +
+        "from documents), " +
+        "c as (select doc_id, lang, n_tokens, " +
+        "sum(n_tokens) over (partition by lang order by doc_id " +
+        "rows between unbounded preceding and current row) - n_tokens as start_tok from t) " +
+        "select doc_id, lang, n_tokens, " +
+        "cast(floor(cast(start_tok as double) / 1024.0) as bigint) as pack_id, " +
+        "cast(start_tok % 1024 as bigint) as pack_offset " +
+        "from c order by doc_id"),
+    // Domain (language) mixture sampling at fixed per-domain rates, decided
+    // by a content-hash bucket — deterministic, engine-portable (no rand()),
+    // exactly re-derivable for lineage audits. 16 hex buckets from the
+    // first md5 char (ascii-folded to 0..15): en keeps 16/16, zh/de 8/16,
+    // es/fr 4/16 — the up/down-sampling shape of training mixtures. Pure
+    // narrow map + filter: no shuffle at all before the output sort.
+    sql("x3_domain_mixture",
+      "with b as (select doc_id, lang, ascii(substring(md5(cast(text as binary)), 1, 1)) as a " +
+        "from documents), " +
+        "v as (select doc_id, lang, a - 48 - case when a >= 97 then 39 else 0 end as bucket from b) " +
+        "select doc_id, lang, cast(bucket as bigint) as bucket from v " +
+        "where bucket < case lang when 'en' then 16 when 'zh' then 8 when 'de' then 8 else 4 end " +
+        "order by doc_id",
+      "with b as (select doc_id, lang, ascii(substring(md5(text), 1, 1)) as a " +
+        "from documents), " +
+        "v as (select doc_id, lang, a - 48 - case when a >= 97 then 39 else 0 end as bucket from b) " +
+        "select doc_id, lang, cast(bucket as bigint) as bucket from v " +
+        "where bucket < case lang when 'en' then 16 when 'zh' then 8 when 'de' then 8 else 4 end " +
+        "order by doc_id")
+  )
+
   val defs: Seq[QueryDef] =
-    dedup ++ text ++ similarity ++ multimodal ++ composite
+    dedup ++ text ++ repetition ++ similarity ++ multimodal ++ composite ++
+      assembly
 }

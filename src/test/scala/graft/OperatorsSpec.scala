@@ -231,6 +231,26 @@ class OperatorsSpec extends SparkSpecBase {
     assert(keptAll == 25L)
   }
 
+  test("PII redaction: emails, phones, IPs, card runs tagged; counts audit") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "contact jane.doe+x@example.co.uk or call +1 (415) 555-0132 now"),
+      (2L, "server at 10.0.42.7 charged card 4111111111111111 yesterday"),
+      (3L, "no pii in this row at all"),
+      (4L, "")
+    ).toDF("id", "text")
+    val out = docs.select($"id", TextOps.redactPii($"text").as("red"),
+        TextOps.piiMatchCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == "contact <EMAIL> or call <PHONE> now")
+    assert(out(1L)._2 == 2L)
+    assert(out(2L)._1 == "server at <IP> charged card <NUMBER> yesterday")
+    assert(out(2L)._2 == 2L)
+    assert(out(3L) == ("no pii in this row at all", 0L))
+    assert(out(4L) == ("", 0L))
+  }
+
   test("salted and hot-split joins match the plain join exactly") {
     import spark.implicits._
     // Heavy skew: key 1 holds 80% of left rows.
