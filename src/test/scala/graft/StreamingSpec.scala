@@ -79,6 +79,52 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.exists(_._2 == "click"))
   }
 
+  test("streaming curation: gate filters, watermarked dedup drops re-arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    val low = "a a a a a a a a a a a a" // diversity below the 0.3 gate
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text", "lang")
+    val q = graft.streaming.Curate.curated(docs, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("curated_out")
+      .outputMode(OutputMode.Append).start()
+
+    // Timestamps sit well past epoch 0: the initial watermark IS epoch 0,
+    // and dropDuplicatesWithinWatermark discards events at-or-before it.
+    input.addData(
+      (1L, ts(60), good, "en"),
+      (2L, ts(61), low, "en"),      // gated out
+      (3L, ts(62), good + " x", "en"))
+    q.processAllAvailable()
+    input.addData(
+      (4L, ts(70), good, "en"),     // duplicate of doc 1 within watermark
+      (5L, ts(150), good + " y", "en")) // advances watermark far past 60-62
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("curated_out")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L, 3L, 5L)) // 2 gated, 4 deduped
+
+    // Batch backfill path: same operators on a static frame.
+    val batch = Seq(
+      (1L, ts(60), good, "en"), (2L, ts(61), low, "en"),
+      (4L, ts(70), good, "en")).toDF("doc_id", "ts", "text", "lang")
+    val kept = graft.streaming.Curate.curated(batch)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L)) // 2 gated; 1-vs-4 deduped (one survivor)
+
+    // Windowed stats tail on the deduped batch result.
+    val stats = graft.streaming.Curate.langWindowStats(
+      graft.streaming.Curate.curated(
+        Seq((1L, ts(60), good, "en"), (3L, ts(62), good + " x", "en"))
+          .toDF("doc_id", "ts", "text", "lang")))
+      .collect()
+    assert(stats.length == 1 && stats.head.getAs[Long]("n_docs") == 2L)
+  }
+
   test("customSessions (flatMapGroupsWithState) matches batch semantics") {
     import spark.implicits._
     // Batch mode: state machine applied per user over sorted events.
