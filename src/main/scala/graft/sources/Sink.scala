@@ -29,4 +29,19 @@ object Sink {
   def sorted(df: DataFrame, path: String, orderCols: String*): Unit =
     df.sortWithinPartitions(orderCols.head, orderCols.tail: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Bucketed (and optionally bucket-sorted) managed table: pays the
+    * shuffle ONCE at write time so every later equi-join or aggregation on
+    * `bucketCol` between tables sharing the bucketing is EXCHANGE-FREE —
+    * the co-located-join layout for fact tables joined on the same key
+    * query after query (at 100 TB, re-shuffling the fact table per query is
+    * the single largest avoidable cost). Bucket count is a layout contract:
+    * both sides of a co-located join need the same `numBuckets`. */
+  def bucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, sortCols: String*): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

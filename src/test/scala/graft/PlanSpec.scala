@@ -61,6 +61,20 @@ class PlanSpec extends SparkSpecBase {
       "as-of join fell back to a non-equi plan")
   }
 
+  test("repetition signals partial-aggregate at both levels") {
+    val p = planOf("t14_repetition_signals")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "gram/doc aggregation lost its map-side combine")
+  }
+
+  test("domain mixture is a narrow map: bucket filter pushed to the scan") {
+    val p = planOf("x3_domain_mixture")
+    // No shuffle except the final presentation sort. FormattedMode prints
+    // each node in the tree AND the details list — count detail headers.
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 1, s"expected only the output sort exchange:\n$p")
+  }
+
   test("contamination check plans a left-semi gram join, no pair blowup") {
     val p = planOf("d9_contamination")
     assert(p.contains("LeftSemi"),

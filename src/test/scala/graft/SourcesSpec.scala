@@ -48,6 +48,32 @@ class SourcesSpec extends SparkSpecBase {
     assert(files.nonEmpty && files.forall(_.contains("flag=flag1")))
   }
 
+  test("bucketed sink: co-located equi-join plans with no Exchange") {
+    import spark.implicits._
+    val facts = (1 to 2000).map(i => (i.toLong % 97, i.toLong, i * 2.0))
+      .toDF("k", "fid", "v")
+    val dims = (0 to 96).map(i => (i.toLong, s"name$i")).toDF("k", "name")
+    graft.sources.Sink.bucketed(facts, "bkt_facts", "k", 8, "k")
+    graft.sources.Sink.bucketed(dims, "bkt_dims", "k", 8, "k")
+    // Disable broadcast so the join actually exercises the bucketing (a
+    // broadcast join would hide a missing co-location).
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bkt_facts").join(spark.table("bkt_dims"), "k")
+      assert(j.count() == 2000)
+      val plan = j.queryExecution.executedPlan.toString
+      // The write-time shuffle is the only one: the join reads both sides
+      // bucket-aligned.
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("drop table if exists bkt_facts")
+      spark.sql("drop table if exists bkt_dims")
+    }
+  }
+
   test("json ingest round-trips") {
     val dir = Files.createTempDirectory("graft_json").toFile
     val f = new java.io.File(dir, "t.json")

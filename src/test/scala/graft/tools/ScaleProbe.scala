@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev scale-up probe: replicate sf0.1 tables REP× with distinct ids and
+  * time this round's operators on them. Replication makes every duplicate
+  * cluster REP× denser, so dedup-family numbers are worst-case. Test-tree
+  * only — not shipped.
+  *
+  *   sbt "Test/runMain graft.tools.ScaleProbe [rep]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val rep = args.headOption.map(_.toInt).getOrElse(40)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.ensure(spark, sfDir)
+
+    def replicate(table: String, idCols: Seq[String]): DataFrame = {
+      val base = spark.table(table)
+      val n = base.count()
+      base.crossJoin(spark.range(rep).select(col("id").as("__r")))
+        .select(base.columns.map { c =>
+          if (idCols.contains(c)) (col(c) + col("__r") * lit(n * 10)).as(c)
+          else col(c)
+        }: _*)
+    }
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val d = df
+      d.write.format("noop").mode("overwrite").save()
+      println(f"[scale] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    val docs = replicate("documents", Seq("doc_id")).cache()
+    println(s"[scale] documents x$rep = ${docs.count()} rows")
+    val orders = replicate("orders", Seq("o_orderkey")).cache()
+    println(s"[scale] orders x$rep = ${orders.count()} rows")
+    docs.createOrReplaceTempView("documents")
+    orders.createOrReplaceTempView("orders")
+
+    // This round's changed operators, biggest-risk first.
+    time("d9_contamination (semi join + freq cap)") {
+      graft.SparkEntry.queries("d9_contamination")(spark, sfDir)
+    }
+    time("t14_repetition_signals") {
+      graft.SparkEntry.queries("t14_repetition_signals")(spark, sfDir)
+    }
+    time("x2_sequence_packing") {
+      graft.SparkEntry.queries("x2_sequence_packing")(spark, sfDir)
+    }
+    time("x3_domain_mixture") {
+      graft.SparkEntry.queries("x3_domain_mixture")(spark, sfDir)
+    }
+    time("w8 analytics distributed") {
+      graft.operators.Ranks.globalAnalytics(
+        orders.select("o_orderkey", "o_totalprice"),
+        Seq(col("o_totalprice").asc, col("o_orderkey").asc), ntileN = 4,
+        maxSingleTaskRows = 0L)
+    }
+    // components: pairs from exact 2-gram jaccard over the replicated corpus
+    // (every cluster is rep x denser). Forces BOTH paths.
+    val pairs = graft.operators.Dedup.exactJaccard(
+      docs, "doc_id", "text", shingleN = 2, threshold = 0.6).cache()
+    println(s"[scale] near-dup pairs = ${pairs.count()}")
+    time("components local (union-find)") {
+      graft.operators.Dedup.components(pairs, "a_id", "b_id")
+    }
+    time("components distributed (label prop)") {
+      graft.operators.Dedup.components(pairs, "a_id", "b_id",
+        maxIter = 10, localEdgeCap = 0)
+    }
+    spark.stop()
+  }
+}
