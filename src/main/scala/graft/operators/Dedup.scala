@@ -139,6 +139,19 @@ object Dedup {
     *     [[graft.functions.GraftFunctions.sortedCommon]]. Shuffles scale
     *     with the prefix index + surviving candidates, not with N².
     *
+    * Before either path, docs with IDENTICAL shingle sets are collapsed to
+    * one representative (groupBy the hash set, keep the min id + member
+    * list): exact duplicates make pair scoring quadratic in copy count for
+    * pairs whose jaccard is 1.0 by definition. A corpus where every doc has
+    * k exact copies scores k² fewer candidate pairs; the members expand
+    * back afterwards (within-group pairs at jaccard 1.0, cross-group pairs
+    * inheriting their representatives' score — identical by construction,
+    * so the output is exactly what the uncollapsed computation produces).
+    * The expansion's output size is the operator's contract, not a design
+    * choice. Measured: 40×-replicated sf0.1 (200k docs, every cluster 40
+    * deep) OOM'd an 8 GB driver mid-verification uncollapsed; collapsed it
+    * scores 5k unique docsets.
+    *
     * Output: (a_id, b_id, jaccard ≥ threshold), a_id < b_id — identical for
     * both paths (and to the DuckDB oracle). Ids must be long-castable.
     */
@@ -151,8 +164,16 @@ object Dedup {
       maxAllPairsDocs: Long = 8192): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val docsets = docHashSets(docs, idCol, textCol, shingleN)
+    val allsets = docHashSets(docs, idCol, textCol, shingleN)
       .select(col("id").cast("long").as("id"), col("hs"), col("n"))
+
+    // Collapse identical shingle sets; `ids` stays sorted so expansion is
+    // deterministic.
+    val groups = allsets
+      .groupBy(col("hs"), col("n"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(col("ids")(0).as("id"), col("hs"), col("n"), col("ids"))
+    val docsets = groups.select(col("id"), col("hs"), col("n"))
 
     val scored =
       if (docs.count() <= maxAllPairsDocs) {
@@ -224,8 +245,22 @@ object Dedup {
           .select(col("a_id"), col("b_id"), col("jaccard"))
       }
 
-    scored
-      .where(col("jaccard") >= threshold)
+    // Expand representatives back to members: cross-group pairs inherit
+    // their representatives' score (identical sets ⇒ identical jaccard);
+    // within-group pairs are exact duplicates at jaccard 1.0.
+    val members = groups
+      .select(col("id").as("rep"), explode(col("ids")).as("mid"))
+    val cross = scored.where(col("jaccard") >= threshold)
+      .join(members.select(col("rep").as("a_id"), col("mid").as("ma")), "a_id")
+      .join(members.select(col("rep").as("b_id"), col("mid").as("mb")), "b_id")
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
+    val within = groups.where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 

@@ -32,6 +32,24 @@ class JaccardSpec extends SparkSpecBase {
     assert(viaBlocked.toSeq == Seq((1L, 2L, 0.6), (1L, 4L, 1.0), (2L, 4L, 0.6)))
   }
 
+  test("dup-dense corpus: identical-set collapse expands to exact pair set") {
+    import spark.implicits._
+    // 3 distinct texts x 50 exact copies each: the collapse scores 3 unique
+    // docsets, then expands. Texts A/B overlap (jac 0.6 over bigrams), C is
+    // isolated.
+    val base = Seq("a b c d e", "a b c d x", "p q r s t")
+    val dense = (0 until 150).map(i => ((i + 1).toLong, base(i % 3)))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactJaccard(dense, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // within-group: 3 x C(50,2) pairs at 1.0; cross A-B: 50*50 at 0.6.
+    assert(out.count(_._3 == 1.0) == 3 * (50 * 49 / 2))
+    assert(out.count(_._3 == 0.6) == 50 * 50)
+    assert(out.length == 3 * 1225 + 2500)
+    // a_id < b_id everywhere; no pair involves the isolated group across.
+    assert(out.forall(p => p._1 < p._2))
+  }
+
   test("sorted-merge kernel counts common elements exactly") {
     import spark.implicits._
     val df = Seq(

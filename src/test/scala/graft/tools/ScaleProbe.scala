@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val rep = args.headOption.map(_.toInt).getOrElse(40)
+    // Optional second arg: comma-separated name substrings to run (default
+    // all sections).
+    val only = args.drop(1).headOption.map(_.split(",").toSeq).getOrElse(Nil)
+    def wanted(name: String): Boolean =
+      only.isEmpty || only.exists(name.contains)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -36,11 +41,12 @@ object ScaleProbe {
         }: _*)
     }
 
-    def time(name: String)(df: => DataFrame): Unit = {
+    def time(name: String)(df: => DataFrame): Unit = if (wanted(name)) {
       val t0 = System.nanoTime()
       val d = df
       d.write.format("noop").mode("overwrite").save()
       println(f"[scale] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      System.out.flush()
     }
 
     val docs = replicate("documents", Seq("doc_id")).cache()
@@ -71,15 +77,18 @@ object ScaleProbe {
     }
     // components: pairs from exact 2-gram jaccard over the replicated corpus
     // (every cluster is rep x denser). Forces BOTH paths.
-    val pairs = graft.operators.Dedup.exactJaccard(
-      docs, "doc_id", "text", shingleN = 2, threshold = 0.6).cache()
-    println(s"[scale] near-dup pairs = ${pairs.count()}")
-    time("components local (union-find)") {
-      graft.operators.Dedup.components(pairs, "a_id", "b_id")
-    }
-    time("components distributed (label prop)") {
-      graft.operators.Dedup.components(pairs, "a_id", "b_id",
-        maxIter = 10, localEdgeCap = 0)
+    if (wanted("components")) {
+      val pairs = graft.operators.Dedup.exactJaccard(
+        docs, "doc_id", "text", shingleN = 2, threshold = 0.6).cache()
+      println(s"[scale] near-dup pairs = ${pairs.count()}")
+      System.out.flush()
+      time("components local (union-find)") {
+        graft.operators.Dedup.components(pairs, "a_id", "b_id")
+      }
+      time("components distributed (label prop)") {
+        graft.operators.Dedup.components(pairs, "a_id", "b_id",
+          maxIter = 10, localEdgeCap = 0)
+      }
     }
     spark.stop()
   }
