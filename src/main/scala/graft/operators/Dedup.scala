@@ -168,11 +168,17 @@ object Dedup {
       .select(col("id").cast("long").as("id"), col("hs"), col("n"))
 
     // Collapse identical shingle sets; `ids` stays sorted so expansion is
-    // deterministic.
+    // deterministic. PERSISTED (memory-and-disk): the grouped sketch table
+    // feeds five consumers (blocked grid L/R or prefix index + two
+    // verification joins, plus member expansion), whose differing column
+    // prunes defeat exchange reuse — uncached, the corpus would be scanned
+    // and re-sketched five times per action. The cache holds sketches
+    // (~1 KB/doc), not documents; Spark evicts it LRU.
     val groups = allsets
       .groupBy(col("hs"), col("n"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .select(col("ids")(0).as("id"), col("hs"), col("n"), col("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docsets = groups.select(col("id"), col("hs"), col("n"))
 
     val scored =
