@@ -68,7 +68,12 @@ object Dedup {
       threshold: Double = 0.6,
       maxBucket: Int = 10000): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // Persisted for the same reason as exactJaccard's collapsed table: the
+    // hash-set frame feeds the bucket derivation AND both verification
+    // joins — uncached, the corpus is scanned and re-shingled four times
+    // per action. Sketch-sized (~1 KB/doc), LRU-evicted.
     val ds = docHashSets(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // (id, band, bucket) — only this 3-column form is shuffled.
     val buckets = ds
