@@ -295,7 +295,10 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 6): DataFrame = {
+    // 16 bytes/doc; feeds both sides of the chunk-bucket self-join — see
+    // the persist rationale on minhashLsh.
     val sim = simhashSig(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val chunks = sim.select(col("id"), col("sim"),
       explode(expr(
@@ -356,8 +359,12 @@ object Dedup {
       minShared: Int = 3,
       maxFreq: Int = 200,
       indexK: Int = 0): DataFrame = {
+    // Rolling-hash kernel output; both the exact path's self-join sides and
+    // the indexed path's key/verify branches re-read it — see the persist
+    // rationale on minhashLsh.
     val fps = Balance(docs).select(col(idCol).as("id"),
       graft.functions.GraftFunctions.winnow(col(textCol), k, w).as("fps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (indexK == 0) {
       val flat = fps.select(col("id"), explode(col("fps")).as("fp"))
       val rare = flat
