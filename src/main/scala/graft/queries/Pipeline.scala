@@ -401,6 +401,70 @@ object Pipeline {
         emb.where(col("vec_id") >= 10),
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
         .orderBy("qid", "rnk")
+    },
+    // Hybrid retrieval — the canonical RAG/corpus-search shape: a lexical
+    // TF-IDF prefilter picks 100 candidates (cheap, index-friendly), a
+    // deterministic query vector (element-wise decimal-exact mean of the
+    // top-5 lexical hits' embeddings — order-independent, so engine-
+    // portable) re-ranks them by cosine. Candidate set stays 100 rows, so
+    // the re-rank is a broadcast of one vector over a tiny table — at
+    // corpus scale all heavy lifting stays in the lexical aggregation.
+    df("s4_hybrid_search",
+      Some("with toks as (select doc_id, unnest(list_filter(" +
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) as tok " +
+        "from documents), " +
+        "tf as (select doc_id, tok, count(*) as tf from toks " +
+        "where tok in ('data', 'model', 'training') group by doc_id, tok), " +
+        "n as (select count(*) as n_docs from documents), " +
+        "idf as (select tok, ln((select n_docs from n) / count(distinct doc_id)) as idf " +
+        "from tf group by tok), " +
+        "lex as (select doc_id, cast(round(sum(cast(tf * idf as decimal(20,8))), 4) as double) " +
+        "as lex_score from tf join idf using (tok) group by doc_id), " +
+        "cand as (select doc_id, lex_score from lex order by lex_score desc, doc_id limit 100), " +
+        "seeds as (select doc_id from cand order by lex_score desc, doc_id limit 5), " +
+        "e as (select vec_id, cast(embedding as double[]) as v from embeddings), " +
+        "sv as (select unnest(v) as x, unnest(range(len(v))) as pos " +
+        "from seeds join e on e.vec_id = seeds.doc_id), " +
+        "qv as (select pos, cast(sum(cast(x as decimal(27,10))) / 5 as double) as q " +
+        "from sv group by pos), " +
+        "qvec as (select list(q order by pos) as qv from qv) " +
+        "select c.doc_id, c.lex_score, " +
+        "round(list_cosine_similarity((select qv from qvec), e.v), 4) as cos_sim " +
+        "from cand c join e on e.vec_id = c.doc_id " +
+        "order by cos_sim desc, doc_id limit 20")) { (s, dir) =>
+      val lex = graft.Engine.query(s,
+        "with toks as (select doc_id, explode(filter(split(lower(text), '[^a-z0-9]+'), " +
+          "t -> length(t) > 0)) as tok from documents), " +
+          "tf as (select doc_id, tok, count(*) as tf from toks " +
+          "where tok in ('data', 'model', 'training') group by doc_id, tok), " +
+          "n as (select count(*) as n_docs from documents), " +
+          "idf as (select tok, ln((select n_docs from n) / count(distinct doc_id)) as idf " +
+          "from tf group by tok) " +
+          "select doc_id, cast(round(sum(cast(tf * idf as decimal(20,8))), 4) as double) " +
+          "as lex_score from tf join idf using (tok) group by doc_id")
+      val cand = lex.orderBy(col("lex_score").desc, col("doc_id")).limit(100)
+      val e = s.table("embeddings")
+        .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      // Deterministic query vector: decimal-exact element-wise mean of the
+      // top-5 lexical hits (exact addition is order-independent, unlike
+      // double summation).
+      val seeds = cand.orderBy(col("lex_score").desc, col("doc_id")).limit(5)
+        .join(e, col("vec_id") === col("doc_id"))
+      val qvec = seeds
+        .select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg((sum(col("x").cast("decimal(27,10)")) / 5).cast("double").as("q"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, q))), s -> s.q)")
+          .as("qv"))
+      val scored = cand
+        .join(e, col("vec_id") === col("doc_id"))
+        .crossJoin(broadcast(qvec))
+        .select(col("doc_id"), col("lex_score"),
+          round(Similarity.dot(col("qv"), col("v")) /
+            (Similarity.norm(col("qv")) * Similarity.norm(col("v"))), 4)
+            .as("cos_sim"))
+      // orderBy+limit lowers to TakeOrderedAndProject (no global window).
+      scored.orderBy(col("cos_sim").desc, col("doc_id")).limit(20)
     }
   )
 
