@@ -379,6 +379,14 @@ object Similarity {
     // trainCap. Deterministic for a fixed input layout; quantizer quality
     // only needs uniformity, not a specific draw.
     val total = c.count()
+    // nlist <= 0: derive from the corpus via the faiss √n rule of thumb, so
+    // list sizes stay ~√n as the corpus grows instead of the fixed default
+    // silently degrading to a near-scan. Clamped so the quantizer stays
+    // trainable from the capped sample (≥ ~5 points per centroid).
+    val lists =
+      if (nlist > 0) nlist
+      else math.max(16, math.min(math.sqrt(total.toDouble).toInt,
+        trainCap / 5))
     val fraction = if (total == 0) 1.0
       else math.min(1.0, trainCap * 1.2 / total)
     val sampled =
@@ -386,7 +394,7 @@ object Similarity {
        else c)
       .select(col("cv")).collect()
     val sample = sampled.take(trainCap).map(_.getSeq[Double](0).toArray)
-    val cents = trainCentroids(sample, nlist, maxIter)
+    val cents = trainCentroids(sample, lists, maxIter)
 
     // Corpus-side assignment is the per-row hot loop: a fused codegen'd
     // argmax over the baked centroid matrix (centroids are unit vectors, so

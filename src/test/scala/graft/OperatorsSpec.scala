@@ -163,6 +163,13 @@ class OperatorsSpec extends SparkSpecBase {
     val hits = ivf.map(r => (r.getLong(0), r.getLong(1))).count(brute.contains)
     assert(hits >= (brute.size * 0.8).toInt,
       s"IVF recall too low: $hits of ${brute.size}")
+
+    // nlist <= 0: the √n auto-rule (clamped to ≥ 16) still yields valid
+    // ranked output — √200 ≈ 14 clamps to 16 lists here.
+    val auto = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", 5,
+        nlist = 0, nprobe = 4, trainCap = 200)
+      .select("qid", "cid", "rnk").collect()
+    assert(auto.groupBy(_.getLong(0)).size == 4 && auto.nonEmpty)
   }
 
   test("asof join: latest at-or-before match per key, null when none") {
