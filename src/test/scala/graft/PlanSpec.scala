@@ -17,6 +17,25 @@ class PlanSpec extends SparkSpecBase {
     df.queryExecution.explainString(FormattedMode)
   }
 
+  test("global sweep: no query falls back to cartesian/nested-loop joins") {
+    // Cross joins are the operator under test for j5/j6/j7 and the tiny
+    // broadcast combo-grid drivers (blocked cosine/jaccard, s4's 1-row
+    // query-vector broadcast) are cartesian BY DESIGN — bounded fan-out of
+    // a broadcast side, not an O(n²) row blowup.
+    val intentional = Set("j5_cross", "j6_implicit_cross", "j7_self_cross",
+      "d5_dedup_embedding", "d3_dedup_jaccard", "d7_dedup_clusters",
+      "s4_hybrid_search")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(intentional)
+      .flatMap { name =>
+        val plan = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("filters and projection reach the parquet scan") {
     val p = planOf("f1_compare")
     assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
