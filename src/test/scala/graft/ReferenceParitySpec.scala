@@ -331,6 +331,37 @@ class ReferenceParitySpec extends SparkSpecBase {
     assert(wrapped.parseDataType("int").simpleString == "int")
   }
 
+  test("GraftExtensions end-to-end: extended session accepts the dialect") {
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate returns the existing session, so clear the
+    // active/default slots to force a NEW session (same SparkContext) with
+    // the extensions applied; restore afterwards.
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(ext ne prev)
+      import ext.implicits._
+      Seq((1L, 2.0)).toDF("a", "b").createOrReplaceTempView("ext_t")
+      // Pandas cast names + today() through PLAIN spark.sql — parser
+      // injection, no Engine.query wrapper.
+      val r = ext.sql(
+        "select cast(a as int64) as a64, cast(b as float32) as b32, " +
+          "today() as d from ext_t").head()
+      assert(r.getLong(0) == 1L && r.getDate(2) != null)
+      // Native kernels as catalog functions — no registration call.
+      val d = ext.sql(
+        "select graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").head()
+      assert(d.getDouble(0) == 11.0)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("un-aliased select expressions auto-name _col0.. positionally") {
     // Reference `tests/pandas_sql_functionality_test.py:206-213` (_col0 for a
     // bare aggregate) and `:271-277` (_col0.._col3 across a multi-agg select).
