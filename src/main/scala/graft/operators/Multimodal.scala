@@ -55,6 +55,47 @@ object Multimodal {
       .withColumn("resized_meta", metaStruct(col("resized")))
   }
 
+  /** Batched decode — the `mapPartitions` integration point a VECTORIZED
+    * codec (JNI image/audio library, ONNX runtime) plugs into: payloads
+    * stream through each partition in fixed-size batches (the Scala analog
+    * of `mapInPandas`'s Arrow batches), `codec` sees a whole batch at once
+    * (amortizing per-call JNI/model overhead), and rows come back 1:1.
+    *
+    * The default codec is the deterministic stub (byte length, head byte,
+    * tail byte — reproducible from the payload text by any engine, so this
+    * path is fully oracle-checkable, unlike hash-based stubs). Memory per
+    * task is one batch of payloads, not the partition. */
+  def decodeBatched(
+      payloads: DataFrame,
+      batchSize: Int = 64,
+      codec: Seq[Array[Byte]] => Seq[(Long, Int, Int)] = stubBatchCodec)
+      : DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val out = codec(batch.map(_._2))
+          require(out.length == batch.length,
+            s"codec returned ${out.length} rows for a ${batch.length}-row batch")
+          batch.iterator.zip(out.iterator).map { case ((id, _), (n, h, t)) =>
+            (id, n, h, t)
+          }
+        }
+      }
+      .toDF("doc_id", "n_bytes", "head_byte", "tail_byte")
+  }
+
+  /** ======= STUB batch codec: whole-batch byte stats. ======= */
+  private def stubBatchCodec(batch: Seq[Array[Byte]]): Seq[(Long, Int, Int)] =
+    batch.map { bytes =>
+      if (bytes.isEmpty) (0L, -1, -1)
+      else (bytes.length.toLong, bytes.head & 0xff, bytes.last & 0xff)
+    }
+
   /** Frame sampling: split the payload into fixed-size "frames" (chunks) and
     * explode one row per frame — the plan shape of video frame-sampling.
     * Chunk fingerprints are real (md5 over the slice). */

@@ -500,6 +500,19 @@ object Pipeline {
             .as("features"))
         .orderBy("doc_id")
     },
+    // Batched decode plumbing: payloads stream through mapPartitions in
+    // fixed-size batches (the vectorized-codec integration point). The stub
+    // codec emits byte stats reproducible from the text by any engine, so
+    // unlike the hash-based m3 stub this path gets a FULL oracle.
+    df("m5_decode_batched",
+      Some("select doc_id, cast(octet_length(cast(text as blob)) as bigint) as n_bytes, " +
+        "ascii(substring(text, 1, 1)) as head_byte, " +
+        "ascii(substring(text, length(text), 1)) as tail_byte " +
+        "from documents order by doc_id")) { (s, dir) =>
+      Multimodal.decodeBatched(
+          Multimodal.withPayload(s.table("documents"), "doc_id", "text"))
+        .orderBy("doc_id")
+    },
     // Resize plumbing (stubbed codec): output bytes + recomputed metadata
     // are deterministic → full oracle via substring on the same payload.
     df("m4_resize",

@@ -238,6 +238,25 @@ class OperatorsSpec extends SparkSpecBase {
     assert(keptAll == 25L)
   }
 
+  test("decodeBatched: codec sees fixed-size batches, rows map 1:1") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val docs = (1 to 150).map(i => (i.toLong, "x" * i)).toDF("doc_id", "text")
+    val payloads = graft.operators.Multimodal.withPayload(docs, "doc_id", "text")
+    val batchSizes = spark.sparkContext.collectionAccumulator[Int]("batches")
+    val out = graft.operators.Multimodal.decodeBatched(
+        payloads.repartition(1), batchSize = 64,
+        codec = { batch =>
+          batchSizes.add(batch.length)
+          batch.map(b => (b.length.toLong, b.head & 0xff, b.last & 0xff))
+        })
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1:1 rows, correct values.
+    assert(out.size == 150 && (1 to 150).forall(i => out(i.toLong) == i.toLong))
+    // One partition of 150 rows at batchSize 64 → batches of 64, 64, 22.
+    assert(batchSizes.value.asScala.toSeq.sorted == Seq(22, 64, 64))
+  }
+
   test("PII redaction: emails, phones, IPs, card runs tagged; counts audit") {
     import spark.implicits._
     import graft.operators.TextOps
