@@ -664,6 +664,24 @@ object Relational {
         "min(case when event_type = 'purchase' then ts end) as t_purchase " +
         "from events group by user_id) t " +
         "where t_view < t_click and t_click < t_purchase"),
+    // Cohort retention: users grouped by first-seen day, activity counted
+    // per (cohort day, activity day) — two hash aggregations and one join
+    // on user_id; the firsts side is per-user (small), so the join
+    // broadcasts at scale. Day granularity (date_trunc week is
+    // locale-sensitive across engines; day is not).
+    sql("e8_cohort_retention",
+      "with firsts as (select user_id, cast(min(ts) as date) as cohort " +
+        "from events group by user_id), " +
+        "act as (select distinct user_id, cast(ts as date) as d from events) " +
+        "select cohort, d, count(*) as n_users " +
+        "from act join firsts using (user_id) " +
+        "group by cohort, d order by cohort, d",
+      "with firsts as (select user_id, cast(min(ts) as date) as cohort " +
+        "from events group by user_id), " +
+        "act as (select distinct user_id, cast(ts as date) as d from events) " +
+        "select cohort, d, count(*) as n_users " +
+        "from act join firsts using (user_id) " +
+        "group by cohort, d order by cohort, d"),
     // The streaming tumbling-window aggregation (streaming/Windowed.scala)
     // run in batch-backfill mode — aligned 1-hour windows are exactly
     // date_trunc('hour') on the oracle side.
