@@ -44,6 +44,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_sorted_common(a, b) - intersection size of sorted array<bigint>"),
       (args: Seq[Expression]) =>
         org.apache.spark.sql.graft.SortedIntersectCount(args.head, args(1))))
+    // Composed-from-built-ins functions inject as catalyst trees built from
+    // the SAME pattern list the Column API uses (a bridged Column
+    // composition would arrive as unresolved ColumnNodes and never
+    // re-resolve mid-analysis).
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Literal, RegExpExtractAll, RegExpReplace, Size}
+    import org.apache.spark.sql.types.LongType
+    def redactExpr(arg: Expression): Expression =
+      graft.operators.TextOps.piiPatterns.foldLeft(arg) {
+        case (acc, (re, tag)) =>
+          RegExpReplace(acc, Literal(re), Literal(tag))
+      }
+    def piiCountExpr(arg: Expression): Expression = {
+      val (_, n) = graft.operators.TextOps.piiPatterns
+        .foldLeft((arg, Literal(0): Expression)) {
+          case ((acc, cnt), (re, tag)) =>
+            (RegExpReplace(acc, Literal(re), Literal(tag)),
+              Add(cnt, Size(RegExpExtractAll(acc, Literal(re), Literal(0)))))
+        }
+      Cast(n, LongType)
+    }
+    e.injectFunction((FunctionIdentifier("graft_redact_pii"),
+      info("graft_redact_pii",
+        "graft_redact_pii(text) - text with email/IP/card/phone matches tagged"),
+      (args: Seq[Expression]) => redactExpr(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_pii_count"),
+      info("graft_pii_count",
+        "graft_pii_count(text) - count of PII matches graft_redact_pii removes"),
+      (args: Seq[Expression]) => piiCountExpr(args.head)))
   }
 }
 

@@ -356,6 +356,11 @@ class ReferenceParitySpec extends SparkSpecBase {
       val d = ext.sql(
         "select graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").head()
       assert(d.getDouble(0) == 11.0)
+      // Composed functions injected through the bridge.
+      val pii = ext.sql(
+        "select graft_redact_pii('mail a@b.co now'), " +
+          "graft_pii_count('mail a@b.co now')").head()
+      assert(pii.getString(0) == "mail <EMAIL> now" && pii.getLong(1) == 1L)
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
