@@ -464,7 +464,15 @@ object Relational {
         "(select o_custkey from orders where o_totalprice > 450000) order by c_custkey"),
     sql("q6_exists",
       "select c_custkey from customer where exists " +
-        "(select 1 from orders where o_custkey = c_custkey and o_totalprice > 450000) order by c_custkey")
+        "(select 1 from orders where o_custkey = c_custkey and o_totalprice > 450000) order by c_custkey"),
+    // Beyond-reference: correlated LATERAL subquery — per-region top-2
+    // nations. Catalyst decorrelates this into a ranked join (no per-row
+    // re-execution), the same plan the rank-then-filter shape gets.
+    sql("q7_lateral",
+      "select r_name, n_name, n_nationkey from region r, " +
+        "lateral (select n_name, n_nationkey from nation " +
+        "where n_regionkey = r.r_regionkey order by n_nationkey limit 2) " +
+        "order by r_name, n_nationkey")
   )
 
   // ------------------------------------------------------ headline (bench)
