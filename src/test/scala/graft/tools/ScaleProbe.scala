@@ -35,7 +35,7 @@ object ScaleProbe {
       val base = spark.table(table)
       val n = base.count()
       base.crossJoin(spark.range(rep).select(col("id").as("__r")))
-        .select(base.columns.map { c =>
+        .select(base.columns.toIndexedSeq.map { c =>
           if (idCols.contains(c)) (col(c) + col("__r") * lit(n * 10)).as(c)
           else col(c)
         }: _*)
