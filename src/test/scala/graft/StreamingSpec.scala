@@ -125,6 +125,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(stats.length == 1 && stats.head.getAs[Long]("n_docs") == 2L)
   }
 
+  test("file-source stream: curation over arriving parquet batches") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("graft_stream_src").toFile.getPath
+    val good = "the quick brown fox jumps over the lazy dog again and again"
+    // Batch 1 lands before the stream starts; batch 2 arrives "later" —
+    // AvailableNow processes everything present, in file order.
+    Seq((1L, ts(60), good, "en"), (2L, ts(61), "a a a a a a a a a a a a", "en"))
+      .toDF("doc_id", "ts", "text", "lang")
+      .write.parquet(dir + "/b1")
+    Seq((3L, ts(70), good + " x", "en"), (4L, ts(71), good, "en"))
+      .toDF("doc_id", "ts", "text", "lang")
+      .write.parquet(dir + "/b2")
+
+    val src = spark.readStream
+      .schema("doc_id long, ts timestamp, text string, lang string")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val out = Files.createTempDirectory("graft_stream_out").toFile.getPath
+    val q = graft.streaming.Curate.curated(src, watermark = "30 minutes")
+      .select("doc_id", "lang")
+      .writeStream.format("parquet")
+      .option("path", out + "/data")
+      .option("checkpointLocation", out + "/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val ids = spark.read.parquet(out + "/data")
+      .select("doc_id").as[Long].collect().toSet
+    // 2 gated (low diversity); exactly one of the duplicate pair {1, 4}
+    // survives dedup (file processing order decides which); 3 kept.
+    assert(ids.contains(3L) && !ids.contains(2L))
+    assert((ids - 3L).size == 1 && (ids - 3L).subsetOf(Set(1L, 4L)))
+  }
+
   test("customSessions (flatMapGroupsWithState) matches batch semantics") {
     import spark.implicits._
     // Batch mode: state machine applied per user over sorted events.
