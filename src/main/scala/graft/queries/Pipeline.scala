@@ -567,26 +567,31 @@ object Pipeline {
   // Training-batch assembly: deterministic sequence packing and domain
   // mixture sampling — the two ops between a curated corpus and a dataloader.
   private val assembly = Seq(
-    // Greedy streaming pack: per-language doc stream in id order, cumulative
-    // token count, pack = the 1024-token bin where the doc STARTS. One
-    // window shuffle on lang; no collect, no per-pack state. Reproducible on
-    // any engine/cluster layout (id order, no rand()).
+    // Greedy streaming pack WITHIN (language, shard): shard = doc_id mod 64,
+    // cumulative token count in id order inside each shard, pack = the
+    // 1024-token bin where the doc STARTS (packs never span shards — which
+    // is how production packing works: each dataloader shard packs its own
+    // stream). Partitioning by (lang, shard) is the scale design: a
+    // lang-only window would funnel the dominant language into ONE task,
+    // while 64 shards per language keep the window parallel at any corpus
+    // size (shard count is the parallelism knob). Deterministic on any
+    // engine/cluster layout (id order, no rand()).
     sql("x2_sequence_packing",
-      "with t as (select doc_id, lang, cast(size(split(text, ' ')) as bigint) as n_tokens " +
-        "from documents), " +
-        "c as (select doc_id, lang, n_tokens, " +
-        "sum(n_tokens) over (partition by lang order by doc_id " +
+      "with t as (select doc_id, lang, doc_id % 64 as shard, " +
+        "cast(size(split(text, ' ')) as bigint) as n_tokens from documents), " +
+        "c as (select doc_id, lang, shard, n_tokens, " +
+        "sum(n_tokens) over (partition by lang, shard order by doc_id " +
         "rows between unbounded preceding and current row) - n_tokens as start_tok from t) " +
-        "select doc_id, lang, n_tokens, " +
+        "select doc_id, lang, cast(shard as bigint) as shard, n_tokens, " +
         "cast(floor(cast(start_tok as double) / 1024.0) as bigint) as pack_id, " +
         "cast(start_tok % 1024 as bigint) as pack_offset " +
         "from c order by doc_id",
-      "with t as (select doc_id, lang, cast(len(string_split(text, ' ')) as bigint) as n_tokens " +
-        "from documents), " +
-        "c as (select doc_id, lang, n_tokens, " +
-        "sum(n_tokens) over (partition by lang order by doc_id " +
+      "with t as (select doc_id, lang, doc_id % 64 as shard, " +
+        "cast(len(string_split(text, ' ')) as bigint) as n_tokens from documents), " +
+        "c as (select doc_id, lang, shard, n_tokens, " +
+        "sum(n_tokens) over (partition by lang, shard order by doc_id " +
         "rows between unbounded preceding and current row) - n_tokens as start_tok from t) " +
-        "select doc_id, lang, n_tokens, " +
+        "select doc_id, lang, cast(shard as bigint) as shard, n_tokens, " +
         "cast(floor(cast(start_tok as double) / 1024.0) as bigint) as pack_id, " +
         "cast(start_tok % 1024 as bigint) as pack_offset " +
         "from c order by doc_id"),
