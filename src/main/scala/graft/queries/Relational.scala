@@ -477,6 +477,22 @@ object Relational {
 
   // ------------------------------------------------------ headline (bench)
   private val headline = Seq(
+    // TPC-H Q2-shaped minimum-cost supplier (lineitem stands in for
+    // partsupp): correlated aggregate subquery over a multi-join. Catalyst
+    // decorrelates the `= (select min ...)` into an aggregate + join —
+    // no per-row re-execution. `min` (not avg) of the unit price keeps the
+    // double math order-independent, so no decimal detour is needed.
+    sql("h2_min_cost_supplier",
+      "with supply as (select l_partkey as partkey, l_suppkey as suppkey, " +
+        "min(l_extendedprice / l_quantity) as cost " +
+        "from lineitem group by 1, 2) " +
+        "select p_partkey, s_suppkey, s_name, round(cost, 4) as min_cost " +
+        "from part " +
+        "join supply on partkey = p_partkey " +
+        "join supplier on s_suppkey = suppkey " +
+        "where p_size <= 5 " +
+        "and cost = (select min(s2.cost) from supply s2 where s2.partkey = p_partkey) " +
+        "order by p_partkey, s_suppkey"),
     // TPC-H Q1-shaped pricing summary — the flagship scan+agg pattern.
     sql("h1_pricing_summary",
       "select l_returnflag, l_linestatus, " +
