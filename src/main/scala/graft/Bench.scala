@@ -66,9 +66,10 @@ object Bench {
     // ~4KB, so its opening brace was cut off. The headline line stays well
     // under the tail window (and the [success] trailer sbt appends after it).
     val headline = Seq(
-      "h1_pricing_summary", "h3_shipping_priority", "h4_order_priority",
-      "h5_local_supplier", "h6_forecast_revenue", "h7_preagg_join",
-      "h10_returned_items", "h12_priority_shipping", "x1_curation_pipeline",
+      "h1_pricing_summary", "h2_min_cost_supplier", "h3_shipping_priority",
+      "h4_order_priority", "h5_local_supplier", "h6_forecast_revenue",
+      "h7_preagg_join", "h10_returned_items", "h12_priority_shipping",
+      "x1_curation_pipeline",
       "j1_inner", "j10_salted_join", "j11_hot_split_join",
       "w2_rank_multi", "w5_dense_rank_partition",
       "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf",
