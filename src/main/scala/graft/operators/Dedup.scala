@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   * cause (the dropped buckets are boilerplate-like content better handled by
   * an exact-hash pre-pass anyway).
   *
+  * Sketch tables that feed multiple consumers (self-join sides,
+  * verification joins) are persisted MEMORY_AND_DISK for the lifetime of
+  * the session — sketch-sized (~1 KB/doc or less), LRU-evicted under
+  * pressure. A long-lived service calling these operators repeatedly
+  * should `spark.catalog.clearCache()` between corpora (per-call
+  * unpersist would have to run before the caller's action and defeat the
+  * reuse the cache exists for).
+  *
   * Sketch computation (shingle hash-sets, minhash signatures, simhash) runs
   * in native codegen'd kernel expressions
   * (org.apache.spark.sql.graft.SketchExpressions): one narrow projection
@@ -186,8 +194,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docsets = groups.select(col("id"), col("hs"), col("n"))
 
+    // Path choice counts the COLLAPSED docsets — what actually gets scored
+    // (the motivating dup-dense corpus has 200k docs but 5k unique sets,
+    // squarely blocked-grid territory). The count also materializes the
+    // persisted groups cache, so it costs one pass that every later
+    // consumer reuses rather than an extra corpus scan.
     val scored =
-      if (docs.count() <= maxAllPairsDocs) {
+      if (groups.count() <= maxAllPairsDocs) {
         val numBlocks = math.max(2, math.ceil(math.sqrt(
           4.0 * spark.sparkContext.defaultParallelism)).toInt)
         val numCombos = numBlocks * (numBlocks + 1) / 2

@@ -89,11 +89,19 @@ object Multimodal {
       .toDF("doc_id", "n_bytes", "head_byte", "tail_byte")
   }
 
-  /** ======= STUB batch codec: whole-batch byte stats. ======= */
+  /** ======= STUB batch codec: whole-batch payload stats. =======
+    * Head/tail are the first/last Unicode CODEPOINTS of the UTF-8 payload
+    * (not raw bytes): any engine can recompute `ascii(first char)` from the
+    * text, so the oracle contract holds for non-ASCII documents too — a raw
+    * tail byte would be a UTF-8 continuation byte there. */
   private def stubBatchCodec(batch: Seq[Array[Byte]]): Seq[(Long, Int, Int)] =
     batch.map { bytes =>
       if (bytes.isEmpty) (0L, -1, -1)
-      else (bytes.length.toLong, bytes.head & 0xff, bytes.last & 0xff)
+      else {
+        val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        (bytes.length.toLong, s.codePointAt(0),
+          s.codePointBefore(s.length))
+      }
     }
 
   /** Frame sampling: split the payload into fixed-size "frames" (chunks) and

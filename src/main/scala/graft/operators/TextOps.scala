@@ -120,7 +120,12 @@ object TextOps {
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
     ("\\b[0-9]{13,19}\\b", "<NUMBER>"),
-    ("\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"))
+    // Phone requires STRUCTURE, not just digits near spaces — a leading
+    // "+" (international form, spaces/parens allowed) or a dash-joined
+    // group shape. A bare space-separated digit run ("2019 2020 2021",
+    // score tables) is prose, not PII, and must survive the scrub.
+    ("(?:\\+[0-9][0-9()\\- ]{7,}[0-9]|\\(?[0-9]{2,4}\\)?[\\- ]?[0-9]{2,4}-[0-9]{2,6})",
+      "<PHONE>"))
 
   /** Scrubbed text: every [[piiPatterns]] match replaced by its tag. */
   def redactPii(text: Column): Column =

@@ -264,7 +264,9 @@ class OperatorsSpec extends SparkSpecBase {
       (1L, "contact jane.doe+x@example.co.uk or call +1 (415) 555-0132 now"),
       (2L, "server at 10.0.42.7 charged card 4111111111111111 yesterday"),
       (3L, "no pii in this row at all"),
-      (4L, "")
+      (4L, ""),
+      (5L, "rankings for 2019 2020 2021 stay intact"), // prose, not a phone
+      (6L, "dial 415-555-0132 today")
     ).toDF("id", "text")
     val out = docs.select($"id", TextOps.redactPii($"text").as("red"),
         TextOps.piiMatchCount($"text").as("n"))
@@ -275,6 +277,8 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out(2L)._2 == 2L)
     assert(out(3L) == ("no pii in this row at all", 0L))
     assert(out(4L) == ("", 0L))
+    assert(out(5L) == ("rankings for 2019 2020 2021 stay intact", 0L))
+    assert(out(6L) == ("dial <PHONE> today", 1L))
   }
 
   test("salted and hot-split joins match the plain join exactly") {

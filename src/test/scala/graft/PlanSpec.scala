@@ -25,12 +25,20 @@ class PlanSpec extends SparkSpecBase {
     val intentional = Set("j5_cross", "j6_implicit_cross", "j7_self_cross",
       "d5_dedup_embedding", "d3_dedup_jaccard", "d7_dedup_clusters",
       "s4_hybrid_search")
+    // BNLJ additionally tolerated where the broadcast side is BOUNDED by
+    // design — a scalar subquery result (1×n "join" = a map) or brute ANN's
+    // fixed query batch scored against every corpus row (the operator's
+    // exactness contract).
+    val scalarBroadcast = Set("q4_scalar_subquery", "h6_forecast_revenue",
+      "t13_tfidf_search", "s1_ann_brute")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intentional)
       .flatMap { name =>
         val plan = SparkEntry.queries(name)(spark, dir)
           .queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct")
+        else if (plan.contains("BroadcastNestedLoopJoin") &&
+            !scalarBroadcast(name)) Some(s"$name: BroadcastNestedLoopJoin")
         else None
       }
     assert(offenders.isEmpty, offenders.mkString("\n"))

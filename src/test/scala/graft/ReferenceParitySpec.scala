@@ -152,6 +152,11 @@ class ReferenceParitySpec extends SparkSpecBase {
       // Ordinary un-aliased expressions still take _colN (:271-277).
       val m = q("select min(temp), max(temp), now() from forest_fires")
       assert(m.columns.toSeq == Seq("_col0", "_col1", "now()"))
+      // Classification survives a non-Project plan root (LIMIT/ORDER BY
+      // wrap the select list's Project below a Limit/Sort node).
+      val lim = q("select wind, timestamp('2019-01-31', '23:20:32') " +
+        "from forest_fires order by wind limit 2")
+      assert(lim.columns.toSeq == Seq("wind", "_literal0"))
     }
   }
 

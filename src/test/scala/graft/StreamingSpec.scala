@@ -114,7 +114,9 @@ class StreamingSpec extends SparkSpecBase {
       (4L, ts(70), good, "en")).toDF("doc_id", "ts", "text", "lang")
     val kept = graft.streaming.Curate.curated(batch)
       .collect().map(_.getAs[Long]("doc_id")).toSet
-    assert(kept == Set(1L)) // 2 gated; 1-vs-4 deduped (one survivor)
+    // 2 gated; exactly ONE of the duplicate pair {1, 4} survives — batch
+    // dropDuplicates keeps an arbitrary row per key, so don't pin which.
+    assert(kept.size == 1 && kept.subsetOf(Set(1L, 4L)))
 
     // Windowed stats tail on the deduped batch result.
     val stats = graft.streaming.Curate.langWindowStats(
