@@ -157,11 +157,15 @@ object Ranks {
     * before the first row of the group can emit); only a giant single-key
     * tie group would buffer — the same skew caveat as dense_rank above.
     *
-    * Default cutoff 100k: the analytic window carries three functions and a
-    * running frame, so its single-task crossover sits lower than plain
-    * rank's (measured at sf0.1: distributed ≈ built-in at 150k orders rows,
-    * and only the distributed path avoids the one-task scale cliff).
-    * Results are identical to the built-in window functions. */
+    * Default cutoff 100k — deliberately BELOW the raw-speed crossover
+    * (measured at sf0.1/150k orders rows the distributed path costs
+    * ~0.8–2.1 s vs ~0.8 s single-task; the two-job shape amortizes only
+    * above ~1M rows, reaching 7.4 s at 6M where one task would be the
+    * cliff). The cutoff buys cliff-free behavior, not peak small-input
+    * speed: above 100k rows no stage is ever one task, which is the
+    * property that survives a 100× scale-up. Callers that know their
+    * input stays small can raise it. Results are identical to the
+    * built-in window functions. */
   def globalAnalytics(
       df: DataFrame,
       order: Seq[Column],
