@@ -393,6 +393,19 @@ object Relational {
           round(col("cd"), 6).as("cd"), col("quartile"))
         .orderBy("o_orderkey")
     },
+    // Beyond-reference: event-time RANGE frame — per-customer 30-day
+    // trailing order total (range frames bound by VALUE distance, not row
+    // count; the time-windowed-aggregate shape). Partitioned by customer →
+    // scale-safe.
+    sql("w9_range_frame",
+      "select o_orderkey, " +
+        "round(sum(o_totalprice) over (partition by o_custkey order by o_orderdate " +
+        "range between interval '30' day preceding and current row), 2) as trailing_30d " +
+        "from orders order by o_orderkey",
+      "select o_orderkey, " +
+        "round(sum(o_totalprice) over (partition by o_custkey order by o_orderdate " +
+        "range between interval '30 days' preceding and current row), 2) as trailing_30d " +
+        "from orders order by o_orderkey"),
     // Beyond-reference: row_number / lag / lead / running frame aggregates.
     sql("w6_row_number_lag",
       "select o_orderkey, " +
