@@ -132,9 +132,9 @@ object Dedup {
   /** Exact all-pairs n-gram Jaccard (the ground truth [[minhashLsh]]
     * approximates). Shingles are 64-bit-hashed once; each doc becomes a
     * sorted hash set (collision odds ≈ d²/2⁶⁵ — negligible below trillions
-    * of distinct shingles). Physical strategy is chosen from the corpus row
-    * count (one cheap stats action — parquet footer count when `docs` is a
-    * bare scan):
+    * of distinct shingles). Physical strategy is chosen from the COLLAPSED
+    * unique-docset count (see below — the quantity actually scored; the
+    * count doubles as the sketch-cache materialization pass):
     *
     *   - `≤ maxAllPairsDocs`: **blocked all-pairs**. Docs hash into B
     *     blocks; the B(B+1)/2 block pairs become independent tasks, each a

@@ -61,10 +61,10 @@ object Multimodal {
     * of `mapInPandas`'s Arrow batches), `codec` sees a whole batch at once
     * (amortizing per-call JNI/model overhead), and rows come back 1:1.
     *
-    * The default codec is the deterministic stub (byte length, head byte,
-    * tail byte — reproducible from the payload text by any engine, so this
-    * path is fully oracle-checkable, unlike hash-based stubs). Memory per
-    * task is one batch of payloads, not the partition. */
+    * The default codec is the deterministic stub (byte length, head/tail
+    * Unicode CODEPOINTS — reproducible from the payload text by any engine,
+    * so this path is fully oracle-checkable, unlike hash-based stubs).
+    * Memory per task is one batch of payloads, not the partition. */
   def decodeBatched(
       payloads: DataFrame,
       batchSize: Int = 64,
@@ -86,7 +86,7 @@ object Multimodal {
           }
         }
       }
-      .toDF("doc_id", "n_bytes", "head_byte", "tail_byte")
+      .toDF("doc_id", "n_bytes", "head_cp", "tail_cp")
   }
 
   /** ======= STUB batch codec: whole-batch payload stats. =======

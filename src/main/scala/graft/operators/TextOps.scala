@@ -120,11 +120,15 @@ object TextOps {
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
     ("\\b[0-9]{13,19}\\b", "<NUMBER>"),
-    // Phone requires STRUCTURE, not just digits near spaces — a leading
-    // "+" (international form, spaces/parens allowed) or a dash-joined
-    // group shape. A bare space-separated digit run ("2019 2020 2021",
-    // score tables) is prose, not PII, and must survive the scrub.
-    ("(?:\\+[0-9][0-9()\\- ]{7,}[0-9]|\\(?[0-9]{2,4}\\)?[\\- ]?[0-9]{2,4}-[0-9]{2,6})",
+    // Phone requires STRUCTURE, not just digits near separators: a leading
+    // "+" (international form, spaces/parens allowed), a PRESENT closing
+    // paren (US area-code form, space or dash separators), or >= 3 purely
+    // dash-joined groups. Two-group dash forms ("2020-21" seasons,
+    // "1234-56" page ranges) and bare space-separated digit runs
+    // ("2019 2020 2021") are prose, not PII, and must survive the scrub.
+    ("(?:\\+[0-9][0-9()\\- ]{7,}[0-9]" +
+      "|\\(?[0-9]{2,4}\\)[\\- ]?[0-9]{2,4}[\\- ]?[0-9]{2,6}" +
+      "|[0-9]{2,4}(?:-[0-9]{2,6}){2,3})",
       "<PHONE>"))
 
   /** Scrubbed text: every [[piiPatterns]] match replaced by its tag. */

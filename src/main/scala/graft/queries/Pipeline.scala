@@ -506,8 +506,8 @@ object Pipeline {
     // unlike the hash-based m3 stub this path gets a FULL oracle.
     df("m5_decode_batched",
       Some("select doc_id, cast(octet_length(cast(text as blob)) as bigint) as n_bytes, " +
-        "ascii(substring(text, 1, 1)) as head_byte, " +
-        "ascii(substring(text, length(text), 1)) as tail_byte " +
+        "ascii(substring(text, 1, 1)) as head_cp, " +
+        "ascii(substring(text, length(text), 1)) as tail_cp " +
         "from documents order by doc_id")) { (s, dir) =>
       Multimodal.decodeBatched(
           Multimodal.withPayload(s.table("documents"), "doc_id", "text"))

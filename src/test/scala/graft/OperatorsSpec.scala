@@ -266,7 +266,9 @@ class OperatorsSpec extends SparkSpecBase {
       (3L, "no pii in this row at all"),
       (4L, ""),
       (5L, "rankings for 2019 2020 2021 stay intact"), // prose, not a phone
-      (6L, "dial 415-555-0132 today")
+      (6L, "dial 415-555-0132 today"),
+      (7L, "the 2020-21 season, pp. 1234-56, all prose"), // two-group dashes
+      (8L, "call (415) 555 0132 or card 4111-1111-1111-1111")
     ).toDF("id", "text")
     val out = docs.select($"id", TextOps.redactPii($"text").as("red"),
         TextOps.piiMatchCount($"text").as("n"))
@@ -279,6 +281,8 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out(4L) == ("", 0L))
     assert(out(5L) == ("rankings for 2019 2020 2021 stay intact", 0L))
     assert(out(6L) == ("dial <PHONE> today", 1L))
+    assert(out(7L) == ("the 2020-21 season, pp. 1234-56, all prose", 0L))
+    assert(out(8L) == ("call <PHONE> or card <PHONE>", 2L))
   }
 
   test("salted and hot-split joins match the plain join exactly") {
