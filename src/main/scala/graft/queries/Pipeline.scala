@@ -362,6 +362,36 @@ object Pipeline {
         "from c group by doc_id order by doc_id")
   )
 
+  // Corpus-trained unigram log-probability quality score (the cheap end of
+  // LM-based filtering): P(tok) from corpus counts, per-doc mean log-prob.
+  // One vocab aggregation + one scoring join; the per-doc sum folds the
+  // log-probs IN TOKEN ORDER on both engines (Spark `aggregate` /
+  // DuckDB `list_reduce` over a position-sorted list), so the double math
+  // is sequential and bit-identical — a bare SUM would be order-free.
+  private val lmScore = Seq(
+    sql("t15_unigram_logprob",
+      "with toks as (select doc_id, posexplode(filter(split(lower(text), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0)) as (pos, tok) from documents), " +
+        "n as (select count(*) as total from toks), " +
+        "probs as (select tok, ln(count(*) / (select total from n)) as logp " +
+        "from toks group by tok), " +
+        "agg as (select doc_id, transform(array_sort(collect_list(struct(pos, logp))), " +
+        "s -> s.logp) as lps from toks join probs using (tok) group by doc_id) " +
+        "select doc_id, round(aggregate(lps, cast(0 as double), (a, x) -> a + x) " +
+        "/ size(lps), 4) as mean_logprob from agg order by doc_id",
+      "with toks as (select doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0)) as tok, " +
+        "unnest(range(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0)))) as pos from documents), " +
+        "n as (select count(*) as total from toks), " +
+        "probs as (select tok, ln(count(*) / (select total from n)) as logp " +
+        "from toks group by tok), " +
+        "agg as (select doc_id, list(logp order by pos) as lps " +
+        "from toks join probs using (tok) group by doc_id) " +
+        "select doc_id, round(list_reduce(lps, (a, x) -> a + x) " +
+        "/ len(lps), 4) as mean_logprob from agg order by doc_id")
+  )
+
   private val similarity = Seq(
     // Brute-force exact ANN baseline: top-5 cosine neighbors for the first
     // 10 vectors among the rest.
@@ -617,6 +647,6 @@ object Pipeline {
   )
 
   val defs: Seq[QueryDef] =
-    dedup ++ text ++ repetition ++ similarity ++ multimodal ++ composite ++
-      assembly
+    dedup ++ text ++ repetition ++ lmScore ++ similarity ++ multimodal ++
+      composite ++ assembly
 }
