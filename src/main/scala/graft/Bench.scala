@@ -74,9 +74,10 @@ object Bench {
       "w2_rank_multi", "w5_dense_rank_partition",
       "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf",
       "d1_dedup_exact", "d2_dedup_minhash", "d3_dedup_jaccard",
-      "d5_dedup_embedding", "d7_dedup_clusters",
-      "t11_vocab_tokenize", "t13_tfidf_search", "e4_asof_join", "e5_range_join",
-      "m2_frame_sample")
+      "d5_dedup_embedding", "d7_dedup_clusters", "d9_contamination",
+      "t11_vocab_tokenize", "t13_tfidf_search", "t14_repetition_signals",
+      "e4_asof_join", "e5_range_join",
+      "m2_frame_sample", "s4_hybrid_search", "x2_sequence_packing")
     val headlineJson = jsonFor(results.filter(r => headline.contains(r._1)))
     val fullJson = jsonFor(results)
     // File targets: $SPARK_GRAFT_OUT/bench.json when set, else bench.json in
