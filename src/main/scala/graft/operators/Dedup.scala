@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   * an exact-hash pre-pass anyway).
   *
   * Sketch tables that feed multiple consumers (self-join sides,
-  * verification joins) are persisted MEMORY_AND_DISK for the lifetime of
-  * the session — sketch-sized (~1 KB/doc or less), LRU-evicted under
-  * pressure. A long-lived service calling these operators repeatedly
-  * should `spark.catalog.clearCache()` between corpora (per-call
-  * unpersist would have to run before the caller's action and defeat the
-  * reuse the cache exists for).
+  * verification joins) are persisted MEMORY_AND_DISK — sketch-sized
+  * (~1 KB/doc or less), LRU-evicted under pressure. Per-call unpersist
+  * would have to run before the caller's action and defeat the reuse the
+  * cache exists for, so release is the CALLER's scope decision:
+  * [[withSketchCache]] brackets a unit of work (unpersists everything the
+  * enclosed operators registered once the bracket closes),
+  * [[releaseSketchCaches]] drops all graft sketch caches between corpora
+  * in a long-lived service. Every persisting operator below notes this
+  * contract.
   *
   * Sketch computation (shingle hash-sets, minhash signatures, simhash) runs
   * in native codegen'd kernel expressions
@@ -34,6 +37,49 @@ import org.apache.spark.sql.functions._
   * semantics.
   */
 object Dedup {
+
+  /** Every sketch-table persist these operators create, in creation order.
+    * Persists are deliberately NOT released per-call (the cache exists so a
+    * caller's action reuses the sketches across the operator's multiple
+    * consumers); this registry makes release deterministic instead of
+    * session-lifetime: [[withSketchCache]] brackets a scope,
+    * [[releaseSketchCaches]] drops everything. */
+  private val sketchCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def persistSketch(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sketchCaches.synchronized { sketchCaches += p }
+    p
+  }
+
+  /** Unpersist every sketch cache registered by this object's operators
+    * (non-blocking). Call between corpora in a long-lived service. */
+  def releaseSketchCaches(): Unit = sketchCaches.synchronized {
+    sketchCaches.foreach(_.unpersist(false))
+    sketchCaches.clear()
+  }
+
+  /** Scoped sketch-cache bracket: run `body`, then unpersist every sketch
+    * cache the enclosed dedup operators registered — intra-call reuse is
+    * kept (persists live while `body` runs), executor storage is released
+    * deterministically when it closes. ACTIONS on the operators' results
+    * must happen inside the bracket; a DataFrame returned out of it will
+    * recompute its sketches on the next action. Brackets scope by
+    * registration order, so concurrent brackets on different threads may
+    * release each other's caches (harmless — a released sketch recomputes,
+    * it doesn't corrupt). */
+  def withSketchCache[T](body: => T): T = {
+    val before = sketchCaches.synchronized { sketchCaches.length }
+    try body
+    finally {
+      val added = sketchCaches.synchronized {
+        val a = sketchCaches.drop(before).toList
+        sketchCaches.remove(before, sketchCaches.length - before)
+        a
+      }
+      added.foreach(_.unpersist(false))
+    }
+  }
 
   /** Exact dedup: group by a content fingerprint, keep the smallest id.
     * One hash-shuffle; map-side partial aggregation makes the shuffle size
@@ -79,9 +125,9 @@ object Dedup {
     // Persisted for the same reason as exactJaccard's collapsed table: the
     // hash-set frame feeds the bucket derivation AND both verification
     // joins — uncached, the corpus is scanned and re-shingled four times
-    // per action. Sketch-sized (~1 KB/doc), LRU-evicted.
-    val ds = docHashSets(docs, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per action. Sketch-sized (~1 KB/doc), LRU-evicted; released by
+    // [[withSketchCache]] / [[releaseSketchCaches]].
+    val ds = persistSketch(docHashSets(docs, idCol, textCol, shingleN))
 
     // (id, band, bucket) — only this 3-column form is shuffled.
     val buckets = ds
@@ -163,7 +209,11 @@ object Dedup {
     * The expansion's output size is the operator's contract, not a design
     * choice. Measured: 40×-replicated sf0.1 (200k docs, every cluster 40
     * deep) OOM'd an 8 GB driver mid-verification uncollapsed; collapsed it
-    * scores 5k unique docsets.
+    * scores 5k unique docsets. Corpora at or below `collapseFloor` input
+    * rows skip the collapse AND the persist entirely (straight to the
+    * blocked grid on raw docsets): at that size both are pure fixed
+    * overhead, and the quadratic-in-copies blowup the collapse insures
+    * against is bounded by the corpus itself.
     *
     * Output: (a_id, b_id, jaccard ≥ threshold), a_id < b_id — identical for
     * both paths (and to the DuckDB oracle). Ids must be long-castable.
@@ -174,11 +224,23 @@ object Dedup {
       textCol: String,
       shingleN: Int = 2,
       threshold: Double = 0.6,
-      maxAllPairsDocs: Long = 8192): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+      maxAllPairsDocs: Long = 8192,
+      collapseFloor: Long = 8192): DataFrame = {
     val allsets = docHashSets(docs, idCol, textCol, shingleN)
       .select(col("id").cast("long").as("id"), col("hs"), col("n"))
+
+    // Small-corpus fast path: `docs.count()` is an upper bound on the
+    // docset count (parquet-footer-cheap on bare scans, one narrow job
+    // otherwise). At or below the floor, the identical-set collapse +
+    // persist is pure fixed overhead (~1 s/call measured at sf0.1): the
+    // blocked grid re-sketches a tiny corpus faster than a persist
+    // materializes, and the O(copies²) blowup the collapse insures against
+    // cannot hurt at this size. Dup-dense corpora above the floor — where
+    // an uncollapsed run measurably OOMs (40×-replication probe) — still
+    // take the collapsed path.
+    if (docs.count() <= math.min(collapseFloor, maxAllPairsDocs))
+      return blockedGridPairs(allsets, threshold)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
 
     // Collapse identical shingle sets; `ids` stays sorted so expansion is
     // deterministic. PERSISTED (memory-and-disk): the grouped sketch table
@@ -186,12 +248,12 @@ object Dedup {
     // verification joins, plus member expansion), whose differing column
     // prunes defeat exchange reuse — uncached, the corpus would be scanned
     // and re-sketched five times per action. The cache holds sketches
-    // (~1 KB/doc), not documents; Spark evicts it LRU.
-    val groups = allsets
+    // (~1 KB/doc), not documents; Spark evicts it LRU, and
+    // [[withSketchCache]] / [[releaseSketchCaches]] drop it deterministically.
+    val groups = persistSketch(allsets
       .groupBy(col("hs"), col("n"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .select(col("ids")(0).as("id"), col("hs"), col("n"), col("ids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("ids")(0).as("id"), col("hs"), col("n"), col("ids")))
     val docsets = groups.select(col("id"), col("hs"), col("n"))
 
     // Path choice counts the COLLAPSED docsets — what actually gets scored
@@ -200,74 +262,8 @@ object Dedup {
     // persisted groups cache, so it costs one pass that every later
     // consumer reuses rather than an extra corpus scan.
     val scored =
-      if (groups.count() <= maxAllPairsDocs) {
-        val numBlocks = math.max(2, math.ceil(math.sqrt(
-          4.0 * spark.sparkContext.defaultParallelism)).toInt)
-        val numCombos = numBlocks * (numBlocks + 1) / 2
-        val blocks = docsets
-          .select(pmod(hash(col("id")), lit(numBlocks)).cast("int").as("blk"),
-            struct(col("id"), col("hs"), col("n")).as("ds"))
-          .groupBy("blk").agg(collect_list(col("ds")).as("items"))
-          .as[Block]
-        val t = threshold
-        blocks.alias("L")
-          .joinWith(blocks.alias("R"), col("L.blk") <= col("R.blk"))
-          .repartition(numCombos)
-          .flatMap { case (lb, rb) =>
-            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-            val same = lb.blk == rb.blk
-            var i = 0
-            while (i < lb.items.length) {
-              val a = lb.items(i)
-              val x = a.hs
-              var j = if (same) i + 1 else 0
-              while (j < rb.items.length) {
-                val b = rb.items(j)
-                // J ≤ min/max: skip hopeless pairs before the merge.
-                if (math.min(a.n, b.n) >= t * math.max(a.n, b.n)) {
-                  val y = b.hs
-                  var p = 0; var q = 0; var c = 0L
-                  while (p < x.length && q < y.length) {
-                    val u = x(p); val v = y(q)
-                    if (u == v) { c += 1; p += 1; q += 1 }
-                    else if (u < v) p += 1
-                    else q += 1
-                  }
-                  val jac = c.toDouble / (a.n + b.n - c)
-                  if (jac >= t) out += ((math.min(a.id, b.id),
-                    math.max(a.id, b.id), jac))
-                }
-                j += 1
-              }
-              i += 1
-            }
-            out
-          }.toDF("a_id", "b_id", "jaccard")
-      } else {
-        // Global rarest-first order on shingle hashes: (frequency, hash).
-        val flat = docsets.select(col("id"), explode(col("hs")).as("h"))
-        val freq = flat.groupBy("h").agg(count(lit(1)).as("f"))
-        val prefix = flat.join(freq, "h")
-          .withColumn("r", row_number().over(
-            Window.partitionBy("id").orderBy(col("f"), col("h"))))
-          .join(docsets.select(col("id"), col("n")), "id")
-          .where(col("r") <= col("n") - ceil(col("n") * threshold) + 1)
-          .select(col("id"), col("h"))
-        val cands = prefix.as("a").join(prefix.as("b"),
-            col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-          .distinct()
-        cands
-          .join(docsets.select(col("id").as("a_id"), col("hs").as("a_hs"),
-            col("n").as("na")), "a_id")
-          .join(docsets.select(col("id").as("b_id"), col("hs").as("b_hs"),
-            col("n").as("nb")), "b_id")
-          .withColumn("common", graft.functions.GraftFunctions
-            .sortedCommon(col("a_hs"), col("b_hs")))
-          .withColumn("jaccard",
-            col("common") / (col("na") + col("nb") - col("common")))
-          .select(col("a_id"), col("b_id"), col("jaccard"))
-      }
+      if (groups.count() <= maxAllPairsDocs) blockedGridPairs(docsets, threshold)
+      else prefixFilterPairs(docsets, threshold)
 
     // Expand representatives back to members: cross-group pairs inherit
     // their representatives' score (identical sets ⇒ identical jaccard);
@@ -286,6 +282,88 @@ object Dedup {
       .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
     cross.unionByName(within)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Blocked all-pairs grid over (id, hs, n) docsets: B(B+1)/2 independent
+    * block-pair tasks, each a tight JVM merge-intersection loop with a
+    * size-ratio skip. Emits (a_id, b_id, jaccard ≥ threshold), unrounded. */
+  private def blockedGridPairs(docsets: DataFrame, threshold: Double): DataFrame = {
+    val spark = docsets.sparkSession
+    import spark.implicits._
+    val numBlocks = math.max(2, math.ceil(math.sqrt(
+      4.0 * spark.sparkContext.defaultParallelism)).toInt)
+    val numCombos = numBlocks * (numBlocks + 1) / 2
+    val blocks = docsets
+      .select(pmod(hash(col("id")), lit(numBlocks)).cast("int").as("blk"),
+        struct(col("id"), col("hs"), col("n")).as("ds"))
+      .groupBy("blk").agg(collect_list(col("ds")).as("items"))
+      .as[Block]
+    val t = threshold
+    blocks.alias("L")
+      .joinWith(blocks.alias("R"), col("L.blk") <= col("R.blk"))
+      .repartition(numCombos)
+      .flatMap { case (lb, rb) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        val same = lb.blk == rb.blk
+        var i = 0
+        while (i < lb.items.length) {
+          val a = lb.items(i)
+          val x = a.hs
+          var j = if (same) i + 1 else 0
+          while (j < rb.items.length) {
+            val b = rb.items(j)
+            // J ≤ min/max: skip hopeless pairs before the merge.
+            if (math.min(a.n, b.n) >= t * math.max(a.n, b.n)) {
+              val y = b.hs
+              var p = 0; var q = 0; var c = 0L
+              while (p < x.length && q < y.length) {
+                val u = x(p); val v = y(q)
+                if (u == v) { c += 1; p += 1; q += 1 }
+                else if (u < v) p += 1
+                else q += 1
+              }
+              val jac = c.toDouble / (a.n + b.n - c)
+              if (jac >= t) out += ((math.min(a.id, b.id),
+                math.max(a.id, b.id), jac))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }.toDF("a_id", "b_id", "jaccard")
+  }
+
+  /** Prefix-filtered shingle join (PPJoin family) over (id, hs, n) docsets:
+    * under a global rarest-first shingle order, two docs with J ≥ t must
+    * share one of their first `n − ⌈t·n⌉ + 1` shingles, so only that prefix
+    * is indexed/joined; candidates verify via the codegen'd sorted-merge
+    * kernel. Emits (a_id, b_id, jaccard), NOT thresholded (the caller
+    * filters after expansion). */
+  private def prefixFilterPairs(docsets: DataFrame, threshold: Double): DataFrame = {
+    // Global rarest-first order on shingle hashes: (frequency, hash).
+    val flat = docsets.select(col("id"), explode(col("hs")).as("h"))
+    val freq = flat.groupBy("h").agg(count(lit(1)).as("f"))
+    val prefix = flat.join(freq, "h")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("id").orderBy(col("f"), col("h"))))
+      .join(docsets.select(col("id"), col("n")), "id")
+      .where(col("r") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("id"), col("h"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    cands
+      .join(docsets.select(col("id").as("a_id"), col("hs").as("a_hs"),
+        col("n").as("na")), "a_id")
+      .join(docsets.select(col("id").as("b_id"), col("hs").as("b_hs"),
+        col("n").as("nb")), "b_id")
+      .withColumn("common", graft.functions.GraftFunctions
+        .sortedCommon(col("a_hs"), col("b_hs")))
+      .withColumn("jaccard",
+        col("common") / (col("na") + col("nb") - col("common")))
+      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
   /** 64-bit SimHash over distinct-token hashes, as one codegen'd kernel
@@ -309,9 +387,9 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 6): DataFrame = {
     // 16 bytes/doc; feeds both sides of the chunk-bucket self-join — see
-    // the persist rationale on minhashLsh.
-    val sim = simhashSig(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the persist rationale on minhashLsh. Released by [[withSketchCache]]
+    // / [[releaseSketchCaches]].
+    val sim = persistSketch(simhashSig(docs, idCol, textCol))
 
     val chunks = sim.select(col("id"), col("sim"),
       explode(expr(
@@ -362,7 +440,13 @@ object Dedup {
     * but not in exact mode. Filtering them out of the verify step would
     * require the same global fingerprint-frequency aggregation the index
     * mode exists to avoid; callers that need the exact-mode rarity
-    * semantics should run `indexK = 0`. */
+    * semantics should run `indexK = 0`.
+    *
+    * `indexK = -1` (the default) picks the path from the corpus row count,
+    * the same adaptive choice [[exactJaccard]] makes: exact at or below
+    * `indexFloor` rows (one cheap count — parquet-footer metadata on bare
+    * scans), min-16 index above (measured at 200k replicated docs: 12 s
+    * indexed vs 42 s exact). */
   def winnowing(
       docs: DataFrame,
       idCol: String,
@@ -371,14 +455,19 @@ object Dedup {
       w: Int = 30,
       minShared: Int = 3,
       maxFreq: Int = 200,
-      indexK: Int = 0): DataFrame = {
+      indexK: Int = -1,
+      indexFloor: Long = 50000): DataFrame = {
+    val kIdx =
+      if (indexK >= 0) indexK
+      else if (docs.count() <= indexFloor) 0
+      else 16
     // Rolling-hash kernel output; both the exact path's self-join sides and
     // the indexed path's key/verify branches re-read it — see the persist
-    // rationale on minhashLsh.
-    val fps = Balance(docs).select(col(idCol).as("id"),
-      graft.functions.GraftFunctions.winnow(col(textCol), k, w).as("fps"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (indexK == 0) {
+    // rationale on minhashLsh. Released by [[withSketchCache]] /
+    // [[releaseSketchCaches]].
+    val fps = persistSketch(Balance(docs).select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.winnow(col(textCol), k, w).as("fps")))
+    if (kIdx == 0) {
       val flat = fps.select(col("id"), explode(col("fps")).as("fp"))
       val rare = flat
         .withColumn("f", count(lit(1)).over(Window.partitionBy("fp")))
@@ -391,7 +480,7 @@ object Dedup {
         .where(col("n_shared") >= minShared)
     } else {
       val keyed = fps
-        .select(col("id"), explode(slice(col("fps"), 1, indexK)).as("fp"))
+        .select(col("id"), explode(slice(col("fps"), 1, kIdx)).as("fp"))
       val rare = keyed
         .withColumn("f", count(lit(1)).over(Window.partitionBy("fp")))
         .where(col("f") <= maxFreq)
@@ -456,18 +545,28 @@ object Dedup {
       bCol: String,
       maxIter: Int = 10,
       localEdgeCap: Int = 1000000): DataFrame = {
-    if (localEdgeCap > 0) {
+    val fwd0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // Persist the 2-column edge selection BEFORE the probe: on overflow the
+    // distributed loop reuses the materialized edges instead of recomputing
+    // the whole upstream pair pipeline (probe + fall-through used to pay it
+    // twice). Edge lists are tiny relative to their corpus (~16 bytes/pair).
+    val probed =
+      if (localEdgeCap > 0)
+        Some(fwd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else None
+    if (probed.isDefined) {
       // One job decides AND fetches: collect at most cap+1 edges via a
       // CollectLimit (a separate count() would compute the whole upstream
       // pair pipeline twice). Overflow → fall through to the
       // distributed loop.
-      val sample = pairs.select(col(aCol), col(bCol))
-        .limit(localEdgeCap + 1).collect()
-      if (sample.length <= localEdgeCap)
+      val sample = probed.get.limit(localEdgeCap + 1).collect()
+      if (sample.length <= localEdgeCap) {
+        probed.get.unpersist(false)
         return componentsLocal(pairs, aCol, sample)
+      }
     }
     // Undirected edge list, both directions.
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val fwd = probed.getOrElse(fwd0)
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
 
@@ -498,14 +597,17 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    probed.foreach(_.unpersist(false))
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"Dedup.components: label propagation did NOT converge within " +
           s"maxIter=$maxIter rounds — a duplicate chain longer than the " +
           s"iteration budget is split into multiple components. Raise " +
           s"maxIter (rounds needed = graph diameter).")
-    // The returned DataFrame is the final round's cache handle; callers that
-    // are done with it should .unpersist() to release executor storage.
+    // The returned DataFrame is the final round's cache handle; callers
+    // either .unpersist() it when done or let [[withSketchCache]] /
+    // [[releaseSketchCaches]] release it (registered here for that).
+    sketchCaches.synchronized { sketchCaches += labels }
     labels
   }
 

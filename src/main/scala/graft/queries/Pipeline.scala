@@ -534,10 +534,12 @@ object Pipeline {
     // fixed-size batches (the vectorized-codec integration point). The stub
     // codec emits byte stats reproducible from the text by any engine, so
     // unlike the hash-based m3 stub this path gets a FULL oracle.
+    // The case-whens mirror the stub codec's (0, -1, -1) empty-payload
+    // sentinel — DuckDB's bare ascii('') would yield 0, not -1.
     df("m5_decode_batched",
       Some("select doc_id, cast(octet_length(cast(text as blob)) as bigint) as n_bytes, " +
-        "ascii(substring(text, 1, 1)) as head_cp, " +
-        "ascii(substring(text, length(text), 1)) as tail_cp " +
+        "case when length(text) = 0 then -1 else ascii(substring(text, 1, 1)) end as head_cp, " +
+        "case when length(text) = 0 then -1 else ascii(substring(text, length(text), 1)) end as tail_cp " +
         "from documents order by doc_id")) { (s, dir) =>
       Multimodal.decodeBatched(
           Multimodal.withPayload(s.table("documents"), "doc_id", "text"))

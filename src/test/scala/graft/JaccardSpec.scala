@@ -40,7 +40,10 @@ class JaccardSpec extends SparkSpecBase {
     val base = Seq("a b c d e", "a b c d x", "p q r s t")
     val dense = (0 until 150).map(i => ((i + 1).toLong, base(i % 3)))
       .toDF("doc_id", "text")
-    val out = Dedup.exactJaccard(dense, "doc_id", "text", threshold = 0.5)
+    // collapseFloor = 0 forces the collapsed path (150 docs would otherwise
+    // take the small-corpus fast path).
+    val out = Dedup.exactJaccard(dense, "doc_id", "text", threshold = 0.5,
+        collapseFloor = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     // within-group: 3 x C(50,2) pairs at 1.0; cross A-B: 50*50 at 0.6.
     assert(out.count(_._3 == 1.0) == 3 * (50 * 49 / 2))
@@ -48,6 +51,32 @@ class JaccardSpec extends SparkSpecBase {
     assert(out.length == 3 * 1225 + 2500)
     // a_id < b_id everywhere; no pair involves the isolated group across.
     assert(out.forall(p => p._1 < p._2))
+    // The small-corpus fast path (no collapse, no persist) must produce the
+    // IDENTICAL pair set — the collapse is a physical insurance, not a
+    // semantic change.
+    val fast = Dedup.exactJaccard(dense, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fast.sortBy(p => (p._1, p._2)).toSeq == out.sortBy(p => (p._1, p._2)).toSeq)
+  }
+
+  test("withSketchCache releases every sketch persist when the bracket closes") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val n = Dedup.withSketchCache {
+      // Forced-collapse jaccard + minhash + winnowing + simhash: four
+      // persistSketch sites, plus components' returned label cache.
+      val pairs = Dedup.exactJaccard(docs, "doc_id", "text",
+        threshold = 0.5, collapseFloor = 0)
+      val lsh = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      val win = Dedup.winnowing(docs, "doc_id", "text", k = 4, w = 2,
+        minShared = 1)
+      val sh = Dedup.simhash(docs, "doc_id", "text")
+      val comp = Dedup.components(pairs, "a_id", "b_id", localEdgeCap = 0)
+      pairs.count() + lsh.count() + win.count() + sh.count() + comp.count()
+    }
+    assert(n > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "sketch caches leaked past the withSketchCache bracket")
   }
 
   test("sorted-merge kernel counts common elements exactly") {

@@ -62,8 +62,12 @@ class RanksSpec extends SparkSpecBase {
     // l_quantity has heavy ties (50 distinct values) — exercises the
     // tie-group streaming for percent_rank (group-start rank) and cume_dist
     // (group-end position); ntile(7) exercises an uneven bucket layout.
+    // l_linenumber completes a TOTAL order: (l_quantity, l_orderkey) alone
+    // can tie (one order repeating a quantity), and ntile assignment within
+    // a tie group depends on physical row order.
     val li = spark.table("lineitem")
-    val order = Seq(col("l_quantity").asc, col("l_orderkey").asc)
+    val order = Seq(col("l_quantity").asc, col("l_orderkey").asc,
+      col("l_linenumber").asc)
     val got = Ranks.globalAnalytics(li, order, ntileN = 7,
         maxSingleTaskRows = 0L) // force the distributed path
       .select(col("l_orderkey"), col("l_linenumber"),
