@@ -47,4 +47,16 @@ object Tables {
     ensure(spark, dir)
     spark.table(name)
   }
+
+  private val counts = new ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
+
+  /** Memoized row count of a registered base table: one count job per
+    * (session, sfDir, table) — parquet-footer metadata, no scan — then a
+    * map lookup. Rank/analytics callers pass this as `knownCount` so their
+    * adaptive strategy choice never adds a per-query job. */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    ensure(spark, dir)
+    counts.computeIfAbsent((spark, dir, name),
+      _ => java.lang.Long.valueOf(spark.table(name).count())).longValue()
+  }
 }

@@ -599,26 +599,21 @@ object Pipeline {
   // Training-batch assembly: deterministic sequence packing and domain
   // mixture sampling — the two ops between a curated corpus and a dataloader.
   private val assembly = Seq(
-    // Greedy streaming pack WITHIN (language, shard): shard = doc_id mod 64,
+    // Greedy streaming pack WITHIN (language, shard): shard = doc_id mod S,
     // cumulative token count in id order inside each shard, pack = the
     // 1024-token bin where the doc STARTS (packs never span shards — which
     // is how production packing works: each dataloader shard packs its own
     // stream). Partitioning by (lang, shard) is the scale design: a
     // lang-only window would funnel the dominant language into ONE task,
-    // while 64 shards per language keep the window parallel at any corpus
-    // size (shard count is the parallelism knob). Deterministic on any
-    // engine/cluster layout (id order, no rand()).
-    sql("x2_sequence_packing",
-      "with t as (select doc_id, lang, doc_id % 64 as shard, " +
-        "cast(size(split(text, ' ')) as bigint) as n_tokens from documents), " +
-        "c as (select doc_id, lang, shard, n_tokens, " +
-        "sum(n_tokens) over (partition by lang, shard order by doc_id " +
-        "rows between unbounded preceding and current row) - n_tokens as start_tok from t) " +
-        "select doc_id, lang, cast(shard as bigint) as shard, n_tokens, " +
-        "cast(floor(cast(start_tok as double) / 1024.0) as bigint) as pack_id, " +
-        "cast(start_tok % 1024 as bigint) as pack_offset " +
-        "from c order by doc_id",
-      "with t as (select doc_id, lang, doc_id % 64 as shard, " +
+    // while S shards per language keep the window parallel at any corpus
+    // size. S itself is ADAPTIVE — max(64, rows/1M) from the memoized table
+    // count — so pack windows stay ≲1M rows no matter how far the corpus
+    // scales; the static DuckDB oracle uses 64, identical for any corpus
+    // under 64M docs (every driver sf qualifies; divergence above that is
+    // the operator doing its job). Deterministic on any engine/cluster
+    // layout (id order, no rand()).
+    df("x2_sequence_packing",
+      Some("with t as (select doc_id, lang, doc_id % 64 as shard, " +
         "cast(len(string_split(text, ' ')) as bigint) as n_tokens from documents), " +
         "c as (select doc_id, lang, shard, n_tokens, " +
         "sum(n_tokens) over (partition by lang, shard order by doc_id " +
@@ -626,7 +621,19 @@ object Pipeline {
         "select doc_id, lang, cast(shard as bigint) as shard, n_tokens, " +
         "cast(floor(cast(start_tok as double) / 1024.0) as bigint) as pack_id, " +
         "cast(start_tok % 1024 as bigint) as pack_offset " +
-        "from c order by doc_id"),
+        "from c order by doc_id")) { (s, dir) =>
+      val shards = math.max(64L, graft.Tables.rowCount(s, dir, "documents") / 1000000L)
+      graft.Engine.query(s,
+        s"with t as (select doc_id, lang, doc_id % $shards as shard, " +
+          "cast(size(split(text, ' ')) as bigint) as n_tokens from documents), " +
+          "c as (select doc_id, lang, shard, n_tokens, " +
+          "sum(n_tokens) over (partition by lang, shard order by doc_id " +
+          "rows between unbounded preceding and current row) - n_tokens as start_tok from t) " +
+          "select doc_id, lang, cast(shard as bigint) as shard, n_tokens, " +
+          "cast(floor(cast(start_tok as double) / 1024.0) as bigint) as pack_id, " +
+          "cast(start_tok % 1024 as bigint) as pack_offset " +
+          "from c order by doc_id")
+    },
     // Domain (language) mixture sampling at fixed per-domain rates, decided
     // by a content-hash bucket — deterministic, engine-portable (no rand()),
     // exactly re-derivable for lineage audits. 16 hex buckets from the

@@ -326,9 +326,11 @@ object Relational {
         "from orders order by o_orderkey")) { (s, dir) =>
       // Project BEFORE ranking: the operator's RDD boundary blocks
       // Catalyst's column pruning, so the shuffle must not carry the
-      // five unused orders columns.
+      // five unused orders columns. knownCount = the memoized table count,
+      // so strategy selection adds no per-query count job.
       Ranks.globalRank(s.table("orders").select("o_orderkey", "o_totalprice"),
-          "rnk", dense = false, col("o_totalprice").desc)
+          "rnk", dense = false, 500000L,
+          graft.Tables.rowCount(s, dir, "orders"), col("o_totalprice").desc)
         .select(col("o_orderkey"), col("rnk"))
         .orderBy("o_orderkey")
     },
@@ -339,7 +341,8 @@ object Relational {
         "from lineitem order by l_orderkey, l_linenumber, rnk")) { (s, dir) =>
       Ranks.globalRank(s.table("lineitem")
             .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
-          "rnk", dense = false,
+          "rnk", dense = false, 500000L,
+          graft.Tables.rowCount(s, dir, "lineitem"),
           col("l_quantity").desc, col("l_extendedprice").asc, col("l_orderkey").asc)
         .select(col("l_orderkey"), col("l_linenumber"), col("rnk"))
         .orderBy("l_orderkey", "l_linenumber", "rnk")
@@ -349,7 +352,8 @@ object Relational {
       Some("select o_orderkey, cast(dense_rank() over (order by o_totalprice desc) as bigint) as drnk " +
         "from orders order by o_orderkey")) { (s, dir) =>
       Ranks.globalRank(s.table("orders").select("o_orderkey", "o_totalprice"),
-          "drnk", dense = true, col("o_totalprice").desc)
+          "drnk", dense = true, 500000L,
+          graft.Tables.rowCount(s, dir, "orders"), col("o_totalprice").desc)
         .select(col("o_orderkey"), col("drnk"))
         .orderBy("o_orderkey")
     },
@@ -388,7 +392,8 @@ object Relational {
       import org.apache.spark.sql.functions.round
       Ranks.globalAnalytics(s.table("orders").select("o_orderkey", "o_totalprice"),
           Seq(col("o_totalprice").asc, col("o_orderkey").asc),
-          ntileN = 4, prCol = "pr", cdCol = "cd", ntileCol = "quartile")
+          ntileN = 4, prCol = "pr", cdCol = "cd", ntileCol = "quartile",
+          knownCount = graft.Tables.rowCount(s, dir, "orders"))
         .select(col("o_orderkey"), round(col("pr"), 6).as("pr"),
           round(col("cd"), 6).as("cd"), col("quartile"))
         .orderBy("o_orderkey")
