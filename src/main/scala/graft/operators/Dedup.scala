@@ -366,6 +366,130 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Persisted corpus-side state for INCREMENTAL near-dup dedup — the
+    * production arrival path: sketch the corpus once, then probe each new
+    * batch against the index without ever re-reading or re-sketching
+    * corpus documents.
+    *
+    *   - `docsets`: (id, hs, n) — per-doc sorted distinct shingle hashes,
+    *     the verification side (~1 KB/doc).
+    *   - `prefixes`: (id, h) — each doc's prefix-filter join keys (see
+    *     [[buildNearDupIndex]]).
+    *   - `freq`: (h, f) — corpus shingle document frequencies, FROZEN at
+    *     build time. The prefix lemma needs one consistent global shingle
+    *     order across corpus and every future batch; freezing the
+    *     rarest-first order here keeps corpus prefixes valid forever
+    *     (a batch arrival can't retroactively change them), at the cost of
+    *     drifting rarity estimates — re-build the index when drift
+    *     accumulates, exactly like rebuilding table statistics.
+    *
+    * All three are MEMORY_AND_DISK persists registered with the sketch
+    * cache ([[Dedup.withSketchCache]] / [[Dedup.releaseSketchCaches]]);
+    * in a pipeline they'd live behind a bucketed parquet sink keyed on
+    * `h` (sources/Sink.bucketed) so probe joins co-locate without a
+    * corpus-side shuffle. */
+  final case class NearDupIndex private[operators] (
+      docsets: DataFrame,
+      prefixes: DataFrame,
+      freq: DataFrame,
+      shingleN: Int,
+      threshold: Double) {
+    /** Force-materialize the persisted frames. Ordered so the CORPUS IS
+      * SCANNED EXACTLY ONCE: docsets materializes from the scan; freq and
+      * prefixes derive from the docsets cache. */
+    def materialize(): NearDupIndex = {
+      docsets.count(); freq.count(); prefixes.count(); this
+    }
+  }
+
+  /** Build the [[NearDupIndex]] for [[probeNearDups]]. Same sketch family
+    * as [[exactJaccard]] (word shingles → sorted 64-bit hash sets), same
+    * prefix-filter keys as its large-corpus path: under a global
+    * rarest-first order, two docs with J ≥ t must share one of their first
+    * `n − ⌈t·n⌉ + 1` shingles — so only those keys are indexed, and recall
+    * is TOTAL (the probe is exact, not LSH-probabilistic: its kept-set is
+    * oracle-checkable and deterministic). */
+  def buildNearDupIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 2,
+      threshold: Double = 0.6): NearDupIndex = {
+    val sets = persistSketch(docHashSets(corpus, idCol, textCol, shingleN)
+      .select(col("id").cast("long").as("id"), col("hs"), col("n")))
+    val freq = persistSketch(sets.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("f")))
+    val prefixes = persistSketch(prefixKeys(sets, freq, threshold))
+    NearDupIndex(sets, prefixes, freq, shingleN, threshold)
+  }
+
+  /** (id, h) prefix-filter join keys: each docset's first
+    * `n − ⌈t·n⌉ + 1` shingle hashes under the frozen global rarest-first
+    * order (f, h). Hashes absent from `freq` count as frequency 0 — a
+    * corpus-unseen shingle is by definition the rarest kind of key, and
+    * the order stays consistent across sides because no corpus doc
+    * contains it. */
+  private def prefixKeys(
+      sets: DataFrame, freq: DataFrame, threshold: Double): DataFrame =
+    sets.select(col("id"), col("n"), explode(col("hs")).as("h"))
+      .join(freq, Seq("h"), "left")
+      .withColumn("f", coalesce(col("f"), lit(0L)))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("id").orderBy(col("f"), col("h"))))
+      .where(col("r") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("id"), col("h"))
+
+  /** Incremental near-dup dedup: the ids of `batch` documents that are NOT
+    * near-duplicates (exact shingle Jaccard ≥ the index's threshold) of any
+    * corpus document or any SMALLER-ID batch document — first-arrival-wins,
+    * the same contract as the exact-fingerprint incremental path (d8), with
+    * near-dup instead of exact matching.
+    *
+    * Scale shape: batch-side sketches compute map-side; candidates come
+    * from two equi-joins of batch prefix keys (against the corpus prefix
+    * index, and against themselves for within-batch pairs); verification
+    * is the codegen'd sorted-merge kernel on candidates only. The corpus
+    * contributes ONLY its persisted index frames — no corpus document is
+    * read, so probe cost scales with the batch, not the corpus
+    * (IncrementalDedupSpec asserts the probe plan contains no corpus
+    * scan). Ids must be long-castable and disjoint from corpus ids. */
+  def probeNearDups(
+      index: NearDupIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val t = index.threshold
+    val bsets = persistSketch(docHashSets(batch, idCol, textCol, index.shingleN)
+      .select(col("id").cast("long").as("id"), col("hs"), col("n")))
+    val bpref = prefixKeys(bsets, index.freq, t)
+
+    // Verify candidate (b_id, a_id) pairs with exact Jaccard; emit hit b_ids.
+    def verified(cands: DataFrame, right: DataFrame): DataFrame =
+      cands
+        .join(bsets.select(col("id").as("b_id"), col("hs").as("b_hs"),
+          col("n").as("nb")), "b_id")
+        .join(right.select(col("id").as("a_id"), col("hs").as("a_hs"),
+          col("n").as("na")), "a_id")
+        .withColumn("common", graft.functions.GraftFunctions
+          .sortedCommon(col("b_hs"), col("a_hs")))
+        .where(col("common") / (col("nb") + col("na") - col("common")) >= t)
+        .select(col("b_id").as("doc_id"))
+
+    val corpusHits = verified(
+      bpref.as("b").join(index.prefixes.as("a"), col("b.h") === col("a.h"))
+        .select(col("b.id").as("b_id"), col("a.id").as("a_id")).distinct(),
+      index.docsets)
+    val earlierHits = verified(
+      bpref.as("b").join(bpref.as("a"),
+          col("b.h") === col("a.h") && col("a.id") < col("b.id"))
+        .select(col("b.id").as("b_id"), col("a.id").as("a_id")).distinct(),
+      bsets)
+
+    batch.select(col(idCol).cast("long").as("doc_id"))
+      .join(corpusHits, Seq("doc_id"), "left_anti")
+      .join(earlierHits, Seq("doc_id"), "left_anti")
+  }
+
   /** 64-bit SimHash over distinct-token hashes, as one codegen'd kernel
     * projection (shingle width 1 = the token hash set — identical hash
     * values to `xxhash64(token)`). Returns (id, sim bigint); no shuffle. */

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT interpolated quantiles (percentile_cont semantics)
+  * with bounded memory.
+  *
+  * Spark's built-in `percentile()` buffers every value of a group inside
+  * the aggregation buffer (an ObjectHashAggregate holding an OpenHashMap
+  * per group) — fine at 60k rows, a memory cliff when one group holds
+  * billions. This operator never materializes a group:
+  *
+  *   1. aggregate to DISTINCT (group, value) counts — the only corpus-sized
+  *      shuffle, map-side partial-combined, sized by distinct values, not
+  *      rows;
+  *   2. running `sum(cnt)` window per group over the sorted distinct
+  *      values: value v covers global 1-based ranks
+  *      `(cum − cnt, cum]` within its group — WindowExec sort/spill is
+  *      bounded by distinct values per group;
+  *   3. per-group totals join back (broadcast — one row per group);
+  *   4. the quantile at fraction p needs only the values at ranks
+  *      `⌊p·(n−1)⌋+1` and `⌊p·(n−1)⌋+2`: a conditional-min aggregate over
+  *      the ranked distinct values picks both in one pass (cum is
+  *      nondecreasing in v, so "value at rank r" = min v with cum ≥ r);
+  *   5. linear interpolation, with Spark's own coefficient form
+  *      `(hi_idx − pos)·lo + (pos − lo_idx)·hi` so results are
+  *      bit-identical to the built-in `percentile()` (QuantilesSpec
+  *      asserts exact equality, not rounded closeness).
+  *
+  * At 100 TB the plan is: scan → partial-agg → one shuffle on
+  * (group, value) → per-group distinct-value window → tiny broadcast join
+  * → final agg. Nothing buffers a raw group; a single-key skew lands on
+  * the distinct-value window, which spills and is bounded by CARDINALITY,
+  * not row count.
+  */
+object Quantiles {
+
+  /** Append one exact interpolated quantile column per (prob, outCol) pair,
+    * grouped by `groupCols`, over `valueCol` (cast to double; NULLs are
+    * excluded, matching `percentile()` / `quantile_cont`). Returns one row
+    * per group: groupCols ++ outCols. */
+  def exactGroupQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      probs: Seq[Double],
+      outCols: Seq[String]): DataFrame = {
+    require(probs.nonEmpty && probs.length == outCols.length,
+      s"probs (${probs.length}) and outCols (${outCols.length}) must pair up")
+    require(probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile fractions must be in [0, 1], got $probs")
+    val g = groupCols.map(col)
+    val vals = df
+      .select((g :+ col(valueCol).cast("double").as("__v")): _*)
+      .where(col("__v").isNotNull)
+
+    // (1) distinct-value counts; (2) running rank coverage per group.
+    val cnts = vals.groupBy((g :+ col("__v")): _*).agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cnts.withColumn("__cum", sum(col("__cnt")).over(w))
+
+    // (3) per-group totals — one row per group, broadcast.
+    val totals = vals.groupBy(g: _*).agg(count(lit(1)).as("__n"))
+    val joined = ranked.join(broadcast(totals), groupCols)
+
+    // (4) conditional-min picks the two bracketing values per prob.
+    def pos(p: Double) = (col("__n") - 1) * lit(p)
+    def loRank(p: Double) = floor(pos(p)) + 1
+    def hiRank(p: Double) = least(floor(pos(p)) + 2, col("__n"))
+    val picks = probs.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        min(when(col("__cum") >= loRank(p), col("__v"))).as(s"__lo$i"),
+        min(when(col("__cum") >= hiRank(p), col("__v"))).as(s"__hi$i"))
+    }
+    val grouped = joined
+      .groupBy((g :+ col("__n")): _*)
+      .agg(picks.head, picks.tail: _*)
+
+    // (5) interpolate with the built-in percentile()'s coefficient form.
+    val outs = probs.zipWithIndex.map { case (p, i) =>
+      val position = pos(p)
+      val lower = floor(position)
+      when(position === lower, col(s"__lo$i"))
+        .otherwise(col(s"__lo$i") * (lower + 1 - position) +
+          col(s"__hi$i") * (position - lower))
+        .as(outCols(i))
+    }
+    grouped.select((g ++ outs): _*)
+  }
+}

@@ -122,6 +122,35 @@ object Pipeline {
         .where(col("rn") === 1)
         .select("doc_id").orderBy("doc_id")
     },
+    // Incremental NEAR-dup dedup — the production 100 TB arrival path d8
+    // covers only for exact fingerprints: the corpus (doc_id % 5 != 0) is
+    // sketched ONCE into a persisted prefix-filter index, then the arriving
+    // batch (doc_id % 5 == 0) is probed against it — kept docs near-dup
+    // (word-bigram Jaccard >= 0.6) neither any corpus doc nor any
+    // earlier-id batch doc. The probe is exact (prefix filter, not LSH), so
+    // the kept-set is deterministic and the DuckDB oracle replays it as
+    // plain batch-vs-(corpus + earlier batch) Jaccard.
+    df("d10_dedup_incremental_near",
+      Some("with toks as (select doc_id, string_split(text, ' ') as t from documents), " +
+        "sh as (select doc_id, unnest(list_distinct(list_transform(range(1, len(t)), " +
+        "i -> array_to_string(t[i:i+1], ' ')))) as s from toks where len(t) >= 2), " +
+        "sizes as (select doc_id, count(distinct s) as n from sh group by doc_id), " +
+        "cand as (select b.doc_id as bid, a.doc_id as aid, count(*) as common " +
+        "from sh b join sh a on b.s = a.s " +
+        "where b.doc_id % 5 = 0 and (a.doc_id % 5 != 0 or a.doc_id < b.doc_id) " +
+        "group by b.doc_id, a.doc_id), " +
+        "hits as (select distinct bid from cand " +
+        "join sizes sb on bid = sb.doc_id join sizes sa on aid = sa.doc_id " +
+        "where common * 1.0 / (sb.n + sa.n - common) >= 0.6) " +
+        "select doc_id from documents where doc_id % 5 = 0 " +
+        "and doc_id not in (select bid from hits) order by doc_id")) { (s, dir) =>
+      val docs = s.table("documents")
+      val idx = Dedup.buildNearDupIndex(docs.where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", shingleN = 2, threshold = 0.6)
+      Dedup.probeNearDups(idx, docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
     // Train/val contamination check over the t10 split: val docs sharing
     // any word-5-gram with a train doc (the standard n-gram-overlap
     // eval-integrity gate). Scale shape: a LEFT-SEMI join of val grams

@@ -290,6 +290,31 @@ object Relational {
         "round(quantile_cont(l_quantity, 0.9), 4) as p90, " +
         "round(quantile_cont(l_extendedprice, 0.99), 2) as p99_price " +
         "from lineitem group by l_returnflag order by l_returnflag"),
+    // The same exact percentiles computed DISTRIBUTED with bounded memory
+    // (operators/Quantiles): the built-in percentile() behind a17 buffers
+    // every group value in its aggregation buffer, a cliff when one group
+    // holds billions of rows; the distinct-value-rank formulation never
+    // materializes a group and is bit-identical to it (QuantilesSpec).
+    // Same quantile_cont oracle as a17.
+    df("a17b_percentile_dist",
+      Some("select l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) as p50, " +
+        "round(quantile_cont(l_quantity, 0.9), 4) as p90, " +
+        "round(quantile_cont(l_extendedprice, 0.99), 2) as p99_price " +
+        "from lineitem group by l_returnflag order by l_returnflag")) { (s, dir) =>
+      import org.apache.spark.sql.functions.round
+      val li = s.table("lineitem")
+      val qty = graft.operators.Quantiles.exactGroupQuantiles(
+        li.select("l_returnflag", "l_quantity"),
+        Seq("l_returnflag"), "l_quantity", Seq(0.5, 0.9), Seq("p50", "p90"))
+      val price = graft.operators.Quantiles.exactGroupQuantiles(
+        li.select("l_returnflag", "l_extendedprice"),
+        Seq("l_returnflag"), "l_extendedprice", Seq(0.99), Seq("p99_price"))
+      qty.join(price, "l_returnflag")
+        .select(col("l_returnflag"), round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"),
+          round(col("p99_price"), 2).as("p99_price"))
+        .orderBy("l_returnflag")
+    },
     // Beyond-reference: approx percentiles — the 100 TB path. Exact
     // percentile (a17) buffers every group value; approx_percentile's
     // Greenwald-Khanna sketch is bounded-memory and merges map-side.

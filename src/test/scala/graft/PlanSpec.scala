@@ -110,6 +110,17 @@ class PlanSpec extends SparkSpecBase {
       "gram join fell back to a non-equi plan")
   }
 
+  test("distributed percentile plans hash aggregates, not group buffers") {
+    val plan = SparkEntry.queries("a17b_percentile_dist")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // The whole point of a17b vs a17: no ObjectHashAggregate holding every
+    // group value in its buffer — distinct-value HashAggregates + a
+    // per-group window only.
+    assert(!plan.contains("ObjectHashAggregate"),
+      "group-buffering aggregate in the distributed percentile plan")
+    assert(plan.contains("HashAggregate"), "expected hash aggregation")
+  }
+
   test("sketch dedup computes map-side: no shuffle before the bucket join") {
     val p = planOf("d2_dedup_minhash")
     // The minhash signature expression must appear in a Project (map-side),
