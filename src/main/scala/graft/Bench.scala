@@ -107,7 +107,8 @@ object Bench {
     val headline = Seq(
       "h1_pricing_summary", "h2_min_cost_supplier", "h3_shipping_priority",
       "h4_order_priority", "h5_local_supplier", "h6_forecast_revenue",
-      "h7_preagg_join", "h10_returned_items", "h12_priority_shipping",
+      "h7_preagg_join", "h8_market_share", "h9_product_profit",
+      "h10_returned_items", "h12_priority_shipping", "h21_waiting_supplier",
       "x1_curation_pipeline",
       "j1_inner", "j10_salted_join", "j11_hot_split_join",
       "w2_rank_multi", "w5_dense_rank_partition",

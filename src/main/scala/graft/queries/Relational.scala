@@ -626,7 +626,186 @@ object Relational {
         "from orders join lineitem on o_orderkey = l_orderkey " +
         "where l_shipdate >= timestamp '1996-01-01 00:00:00' " +
         "and l_shipdate < timestamp '1997-01-01 00:00:00' " +
-        "group by l_returnflag order by l_returnflag")
+        "group by l_returnflag order by l_returnflag"),
+    // TPC-H Q8-shaped national market share: 7-way join (every dim
+    // broadcastable, lineitem the only fact-sized input) feeding a
+    // conditional-ratio aggregate per year. Sums are exact decimals so the
+    // ratio divides two bit-identical doubles on both engines.
+    sql("h8_market_share",
+      "with v as (select cast(year(o_orderdate) as int) as o_year, " +
+        "cast(l_extendedprice * (1 - l_discount) as decimal(28,10)) as volume, " +
+        "n2.n_name as supp_nation " +
+        "from lineitem " +
+        "join orders on l_orderkey = o_orderkey " +
+        "join customer on o_custkey = c_custkey " +
+        "join nation n1 on c_nationkey = n1.n_nationkey " +
+        "join region on n1.n_regionkey = r_regionkey " +
+        "join supplier on l_suppkey = s_suppkey " +
+        "join nation n2 on s_nationkey = n2.n_nationkey " +
+        "join part on l_partkey = p_partkey " +
+        "where r_name = 'ASIA' and p_type = 'PROMO') " +
+        "select o_year, round(cast(sum(case when supp_nation = 'NATION_5' " +
+        "then volume else cast(0 as decimal(28,10)) end) as double) " +
+        "/ cast(sum(volume) as double), 6) as mkt_share " +
+        "from v group by o_year order by o_year"),
+    // TPC-H Q9-shaped product profit (no partsupp table here, so supply
+    // cost is modeled as 10% of retail price × quantity): per-row IEEE
+    // profit is bit-identical across engines, summed as exact decimal.
+    sql("h9_product_profit",
+      "select nation, o_year, round(cast(sum(amount) as double), 2) as sum_profit " +
+        "from (select n_name as nation, cast(year(o_orderdate) as int) as o_year, " +
+        "cast(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1 " +
+        "as decimal(28,10)) as amount " +
+        "from lineitem " +
+        "join supplier on l_suppkey = s_suppkey " +
+        "join part on l_partkey = p_partkey " +
+        "join orders on l_orderkey = o_orderkey " +
+        "join nation on s_nationkey = n_nationkey " +
+        "where p_name like '%gear%') profit " +
+        "group by nation, o_year order by nation, o_year"),
+    // TPC-H Q11-shaped important stock (lineitem revenue stands in for
+    // partsupp value): group-by + a scalar-subquery threshold over the SAME
+    // grouped CTE — Catalyst evaluates the CTE once per consumer but both
+    // consumers are one shuffle each; the threshold compare happens on
+    // doubles cast from exact decimal sums.
+    sql("h11_important_stock",
+      "with supply as (select l_partkey, " +
+        "sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,10))) as supply_val " +
+        "from lineitem join supplier on l_suppkey = s_suppkey " +
+        "join nation on s_nationkey = n_nationkey " +
+        "where n_name in ('NATION_3', 'NATION_7') " +
+        "group by l_partkey) " +
+        "select l_partkey, cast(round(supply_val, 2) as double) as val " +
+        "from supply " +
+        "where cast(supply_val as double) > " +
+        "(select cast(sum(supply_val) as double) * 0.001 from supply) " +
+        "order by val desc, l_partkey"),
+    // TPC-H Q13-shaped customer order distribution: LEFT join with an
+    // extra join-side predicate (kept customers with zero orders count 0),
+    // then a second aggregation over the first's output.
+    sql("h13_customer_distribution",
+      "select c_count, count(*) as custdist from " +
+        "(select c_custkey, count(o_orderkey) as c_count " +
+        "from customer left join orders on c_custkey = o_custkey " +
+        "and o_orderpriority <> '1-URGENT' " +
+        "group by c_custkey) c_orders " +
+        "group by c_count order by custdist desc, c_count desc"),
+    // TPC-H Q14-shaped promo revenue share: a one-month scan window (filter
+    // pushed to the parquet scan) + broadcast part join + conditional-ratio
+    // aggregate on exact decimal sums.
+    sql("h14_promo_revenue",
+      "select round(cast(sum(case when p_type = 'PROMO' then disc_price " +
+        "else cast(0 as decimal(28,10)) end) as double) * 100 " +
+        "/ cast(sum(disc_price) as double), 4) as promo_revenue " +
+        "from (select p_type, " +
+        "cast(l_extendedprice * (1 - l_discount) as decimal(28,10)) as disc_price " +
+        "from lineitem join part on l_partkey = p_partkey " +
+        "where l_shipdate >= timestamp '1996-09-01 00:00:00' " +
+        "and l_shipdate < timestamp '1996-10-01 00:00:00') t"),
+    // TPC-H Q15-shaped top supplier: revenue CTE consumed twice (rows +
+    // max threshold); ties on the max all surface, ordered by key.
+    sql("h15_top_supplier",
+      "with revenue as (select l_suppkey as supplier_no, " +
+        "sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,10))) as total_rev " +
+        "from lineitem " +
+        "where l_shipdate >= timestamp '1996-01-01 00:00:00' " +
+        "and l_shipdate < timestamp '1996-04-01 00:00:00' " +
+        "group by l_suppkey) " +
+        "select s_suppkey, s_name, cast(round(total_rev, 2) as double) as total_revenue " +
+        "from supplier join revenue on s_suppkey = supplier_no " +
+        "where total_rev = (select max(total_rev) from revenue) " +
+        "order by s_suppkey"),
+    // TPC-H Q16-shaped supplier-part counts (distinct lineitem pairs stand
+    // in for partsupp; negative-balance suppliers stand in for the
+    // complaints exclusion): NOT IN over a tiny subquery + count(distinct).
+    sql("h16_parts_supplier_count",
+      "select p_brand, p_type, p_size, count(distinct l_suppkey) as supplier_cnt " +
+        "from lineitem join part on l_partkey = p_partkey " +
+        "where p_brand <> 'Brand#3' and p_type <> 'PROMO' " +
+        "and p_size in (1, 5, 9, 14, 20, 23, 36, 45) " +
+        "and l_suppkey not in (select s_suppkey from supplier where s_acctbal < 0) " +
+        "group by p_brand, p_type, p_size " +
+        "order by supplier_cnt desc, p_brand, p_type, p_size"),
+    // TPC-H Q17-shaped small-quantity revenue: correlated scalar aggregate
+    // subquery (avg per part) — Catalyst decorrelates it into an aggregate
+    // + join, no per-row re-execution. Quantities are integral doubles so
+    // the avg is exact on both engines.
+    sql("h17_small_quantity",
+      "select round(cast(sum(cast(l_extendedprice as decimal(28,10))) as double) / 7.0, 2) as avg_yearly " +
+        "from lineitem join part on p_partkey = l_partkey " +
+        "where p_brand = 'Brand#5' and p_type = 'SMALL' " +
+        "and l_quantity < (select 0.2 * avg(l_quantity) from lineitem l2 " +
+        "where l2.l_partkey = p_partkey)"),
+    // TPC-H Q18-shaped large-volume customers: IN over a grouped HAVING
+    // subquery (plans as a semi join on orderkey), then a wide group-by
+    // joined back to customers. Quantity sums are integral → exact.
+    sql("h18_large_volume_customer",
+      "select c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, " +
+        "cast(sum(l_quantity) as double) as total_qty " +
+        "from customer join orders on c_custkey = o_custkey " +
+        "join lineitem on o_orderkey = l_orderkey " +
+        "where o_orderkey in (select l_orderkey from lineitem " +
+        "group by l_orderkey having sum(l_quantity) > 300) " +
+        "group by c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice " +
+        "order by o_totalprice desc, o_orderkey limit 100"),
+    // TPC-H Q19-shaped disjunctive predicate revenue: three OR-groups over
+    // (brand, size, quantity) — exercises CNF conversion pushing the
+    // common part-join key through while the residual disjunction stays a
+    // post-join filter.
+    sql("h19_discounted_revenue",
+      "select round(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,10))) " +
+        "as double), 2) as revenue " +
+        "from lineitem join part on p_partkey = l_partkey " +
+        "where (p_brand = 'Brand#2' and p_size between 1 and 5 " +
+        "and l_quantity >= 1 and l_quantity <= 11) " +
+        "or (p_brand = 'Brand#11' and p_size between 1 and 10 " +
+        "and l_quantity >= 10 and l_quantity <= 20) " +
+        "or (p_brand = 'Brand#23' and p_size between 1 and 15 " +
+        "and l_quantity >= 20 and l_quantity <= 30)"),
+    // TPC-H Q20-shaped part promotion: nested IN chain (suppliers who moved
+    // significant volume of a part family in a window) — the grouped HAVING
+    // subquery plans as agg → semi join, never a pair blowup.
+    sql("h20_part_promotion",
+      "select s_suppkey, s_name from supplier " +
+        "where s_suppkey in (select l_suppkey " +
+        "from lineitem join part on l_partkey = p_partkey " +
+        "where p_name like 'red%' " +
+        "and l_shipdate >= timestamp '1996-01-01 00:00:00' " +
+        "and l_shipdate < timestamp '1997-01-01 00:00:00' " +
+        "group by l_suppkey having sum(l_quantity) > 200) " +
+        "order by s_suppkey"),
+    // TPC-H Q21-shaped waiting-supplier check (no commit/receipt dates in
+    // this schema, so 'sole returning supplier on a multi-supplier order'
+    // stands in): EXISTS + NOT EXISTS both correlated on the same key —
+    // Catalyst plans one left-semi and one left-anti join, no re-execution.
+    sql("h21_waiting_supplier",
+      "select s_name, count(*) as numwait " +
+        "from supplier join lineitem l1 on s_suppkey = l1.l_suppkey " +
+        "join orders on o_orderkey = l1.l_orderkey " +
+        "where o_orderstatus = 'F' and l1.l_returnflag = 'R' " +
+        "and exists (select 1 from lineitem l2 where l2.l_orderkey = l1.l_orderkey " +
+        "and l2.l_suppkey <> l1.l_suppkey) " +
+        "and not exists (select 1 from lineitem l3 where l3.l_orderkey = l1.l_orderkey " +
+        "and l3.l_suppkey <> l1.l_suppkey and l3.l_returnflag = 'R') " +
+        "group by s_name order by numwait desc, s_name limit 100"),
+    // TPC-H Q22-shaped global sales opportunity (custkey buckets stand in
+    // for phone country codes; "never placed an urgent order" stands in for
+    // "never ordered" — every synthetic customer has orders): global-average
+    // scalar subquery threshold + NOT EXISTS anti join. The threshold is an
+    // exact decimal sum divided by a count, bit-identical doubles across
+    // engines.
+    sql("h22_global_sales_opportunity",
+      "with cust as (select c_custkey, c_acctbal, " +
+        "cast(c_custkey % 10 as int) as cc from customer) " +
+        "select cc as cntrycode, count(*) as numcust, " +
+        "round(cast(sum(cast(c_acctbal as decimal(18,2))) as double), 2) as totacctbal " +
+        "from cust " +
+        "where cc in (1, 3, 5, 7) " +
+        "and c_acctbal > (select cast(sum(cast(c_acctbal as decimal(18,2))) as double) / count(*) " +
+        "from cust where c_acctbal > 0.0 and cc in (1, 3, 5, 7)) " +
+        "and not exists (select 1 from orders where o_custkey = c_custkey " +
+        "and o_orderpriority = '1-URGENT') " +
+        "group by cc order by cc")
   )
 
   // ------------------------------------------------------------- events e*

@@ -128,4 +128,25 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("graft_minhash") || p.contains("minhash"),
       "native minhash kernel missing from the plan")
   }
+
+  test("h21 exists/not-exists pair decorrelates to one semi + one anti join") {
+    val plan = SparkEntry.queries("h21_waiting_supplier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // Both correlated subqueries must plan as joins on l_orderkey — a
+    // per-row re-execution (subquery inside a Filter) would scan lineitem
+    // once per probe row at cluster scale.
+    assert(plan.contains("LeftSemi"), "EXISTS did not plan as a left-semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS did not plan as a left-anti join")
+    assert(!plan.contains("CartesianProduct"), "correlation fell back to cartesian")
+  }
+
+  test("h17 correlated scalar aggregate decorrelates to an aggregate + join") {
+    val plan = SparkEntry.queries("h17_small_quantity")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // The per-part avg(l_quantity) threshold must be computed once by an
+    // aggregate joined back on partkey, not re-evaluated per outer row.
+    assert(plan.contains("HashAggregate"), "expected a decorrelated aggregate")
+    assert(!plan.toLowerCase.contains("scalar-subquery"),
+      "correlated subquery survived into the physical plan")
+  }
 }
