@@ -423,6 +423,40 @@ object Dedup {
     NearDupIndex(sets, prefixes, freq, shingleN, threshold)
   }
 
+  /** Extend a [[NearDupIndex]] with newly arrived documents (typically the
+    * batch a [[probeNearDups]] call just classified) WITHOUT touching the
+    * corpus: the new docs are sketched once, their prefix keys computed
+    * under the index's FROZEN shingle-frequency order (a batch arrival
+    * must not retroactively change corpus prefixes — see [[NearDupIndex]]),
+    * and both frames appended as a new persisted layer over the existing
+    * cached layers.
+    *
+    * The new layer is EAGERLY materialized before this returns: the
+    * streaming caller (streaming/NearDupStream) hands us a micro-batch
+    * frame that is only recomputable while its micro-batch is executing,
+    * so the sketches must be resident before the batch commits
+    * (MEMORY_AND_DISK spills rather than evicts, so they stay resident).
+    *
+    * Extension cost scales with the new docs only; existing layers are
+    * shared, not copied. Each extension adds one union node of plan
+    * lineage — a long-lived pipeline should compact (rebuild the index, or
+    * sink its frames to bucketed parquet via sources/Sink.bucketed) every
+    * O(100) batches, the same cadence as table-statistics refresh. */
+  def extendIndex(
+      index: NearDupIndex,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String): NearDupIndex = {
+    val sets = persistSketch(docHashSets(newDocs, idCol, textCol, index.shingleN)
+      .select(col("id").cast("long").as("id"), col("hs"), col("n")))
+    val prefs = persistSketch(prefixKeys(sets, index.freq, index.threshold))
+    sets.count(); prefs.count()
+    // The unions are NOT persisted — they read two resident caches, so
+    // re-persisting them would double executor storage for no scan savings.
+    NearDupIndex(index.docsets.union(sets), index.prefixes.union(prefs),
+      index.freq, index.shingleN, index.threshold)
+  }
+
   /** (id, h) prefix-filter join keys: each docset's first
     * `n − ⌈t·n⌉ + 1` shingle hashes under the frozen global rarest-first
     * order (f, h). Hashes absent from `freq` count as frequency 0 — a
@@ -458,10 +492,39 @@ object Dedup {
       batch: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val t = index.threshold
     val bsets = persistSketch(docHashSets(batch, idCol, textCol, index.shingleN)
       .select(col("id").cast("long").as("id"), col("hs"), col("n")))
-    val bpref = prefixKeys(bsets, index.freq, t)
+    probeWith(index, batch, idCol, bsets,
+      prefixKeys(bsets, index.freq, index.threshold))
+  }
+
+  /** [[probeNearDups]] + [[extendIndex]] sharing ONE batch sketch pass —
+    * the per-micro-batch step of streaming/NearDupStream. The returned
+    * index is already materialized (safe to use after the batch frame is
+    * gone); the kept frame is lazy, so the caller decides when (and
+    * whether) to act on it before adopting the new index. */
+  def probeAndExtend(
+      index: NearDupIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): (DataFrame, NearDupIndex) = {
+    val bsets = persistSketch(docHashSets(batch, idCol, textCol, index.shingleN)
+      .select(col("id").cast("long").as("id"), col("hs"), col("n")))
+    val bpref = persistSketch(prefixKeys(bsets, index.freq, index.threshold))
+    bsets.count(); bpref.count()
+    val kept = probeWith(index, batch, idCol, bsets, bpref)
+    (kept, NearDupIndex(index.docsets.union(bsets),
+      index.prefixes.union(bpref), index.freq, index.shingleN,
+      index.threshold))
+  }
+
+  private def probeWith(
+      index: NearDupIndex,
+      batch: DataFrame,
+      idCol: String,
+      bsets: DataFrame,
+      bpref: DataFrame): DataFrame = {
+    val t = index.threshold
 
     // Verify candidate (b_id, a_id) pairs with exact Jaccard; emit hit b_ids.
     def verified(cands: DataFrame, right: DataFrame): DataFrame =

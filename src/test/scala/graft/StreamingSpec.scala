@@ -8,6 +8,10 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Sessionize
 import graft.streaming.Sessionize.Event
 
+/** Document fixture for the near-dup stream (top-level: MemoryStream needs
+  * a TypeTag-backed encoder). */
+case class NdDoc(doc_id: Long, text: String)
+
 /** Streaming sessionization through a real micro-batch run (MemoryStream →
   * watermark/state → memory sink). */
 class StreamingSpec extends SparkSpecBase {
@@ -180,5 +184,78 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.length == 1)
     assert(out.head.user_id == 1 && out.head.n_events == 2 &&
       out.head.total_value == 3.0)
+  }
+
+  test("near-dup stream: corpus dup, cross-batch dup, dropped-doc chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.NearDupStream
+
+    val corpus = Seq((1L, "a b c d e"), (2L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val state = new NearDupStream.IndexState(
+      Dedup.buildNearDupIndex(corpus, "doc_id", "text"))
+    val input = MemoryStream[NdDoc]
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = NearDupStream.run(input.toDF(), state, "doc_id", "text") { kept =>
+      got ++= kept.select("doc_id").as[Long].collect()
+    }
+    // Batch 1: 10 dups corpus doc 1 (bigram J = 3/5); 15 is novel.
+    input.addData(NdDoc(10, "a b c d x"), NdDoc(15, "m n o u v"))
+    q.processAllAvailable()
+    // Batch 2: 20 dups batch-1 KEPT doc 15 (J = 3/5); 25 dups batch-1
+    // DROPPED doc 10 (J = 3/5, vs corpus doc 1 only 2/6) — still a dup,
+    // because arrivals fold into the index whether kept or not; 30 novel.
+    input.addData(NdDoc(20, "m n o u w"), NdDoc(25, "b c d x y"),
+      NdDoc(30, "q r s t0 zz"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(got.toSet == Set(15L, 30L))
+    // The index absorbed corpus + all five arrivals (kept AND dropped).
+    assert(state.index.docsets.count() == 7)
+    Dedup.releaseSketchCaches()
+  }
+
+  test("near-dup stream equals the one-shot batch probe over the same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.NearDupStream
+    import org.apache.spark.sql.functions.col
+
+    // Same corpus/batch split as d10, with the batch arriving as TWO
+    // micro-batches in ascending id order (stream arrival order == the
+    // batch operator's smaller-id-is-earlier order, so the contracts
+    // coincide and the kept sets must be identical).
+    val docs = spark.table("documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val arrivals = docs.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id").cast("long"), col("text"))
+      .orderBy("doc_id").as[NdDoc].collect()
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+
+    val state = new NearDupStream.IndexState(
+      Dedup.buildNearDupIndex(corpus, "doc_id", "text"))
+    val input = MemoryStream[NdDoc]
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = NearDupStream.run(input.toDF(), state, "doc_id", "text") { kept =>
+      got ++= kept.select("doc_id").as[Long].collect()
+    }
+    input.addData(first: _*)
+    q.processAllAvailable()
+    input.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val oneShot = Dedup.probeNearDups(
+        Dedup.buildNearDupIndex(corpus, "doc_id", "text"),
+        arrivals.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(got.toSet == oneShot)
+    assert(got.nonEmpty && got.size < arrivals.length,
+      "fixture should both keep and drop arrivals")
+    Dedup.releaseSketchCaches()
   }
 }
