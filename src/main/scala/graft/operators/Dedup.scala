@@ -408,15 +408,30 @@ object Dedup {
     * rarest-first order, two docs with J ≥ t must share one of their first
     * `n − ⌈t·n⌉ + 1` shingles — so only those keys are indexed, and recall
     * is TOTAL (the probe is exact, not LSH-probabilistic: its kept-set is
-    * oracle-checkable and deterministic). */
+    * oracle-checkable and deterministic).
+    *
+    * Above `collapseFloor` corpus docs, identical shingle sets collapse to
+    * their smallest-id representative BEFORE indexing (the d3 density
+    * insurance): "near-dup of some corpus doc" is a predicate over distinct
+    * corpus CONTENTS, so dropping copies changes nothing semantically while
+    * a dup-dense corpus (40×-replication probe) stops multiplying every
+    * probe's candidate join by the copy count — and the index itself stays
+    * content-sized, not corpus-sized. Below the floor the groupBy shuffle
+    * is pure overhead and is skipped (one `corpus.count()` pass decides;
+    * parquet-footer-cheap on bare scans). */
   def buildNearDupIndex(
       corpus: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 2,
-      threshold: Double = 0.6): NearDupIndex = {
-    val sets = persistSketch(docHashSets(corpus, idCol, textCol, shingleN)
-      .select(col("id").cast("long").as("id"), col("hs"), col("n")))
+      threshold: Double = 0.6,
+      collapseFloor: Long = 8192): NearDupIndex = {
+    val raw = docHashSets(corpus, idCol, textCol, shingleN)
+      .select(col("id").cast("long").as("id"), col("hs"), col("n"))
+    val sets = persistSketch(
+      if (corpus.count() <= collapseFloor) raw
+      else raw.groupBy(col("hs"), col("n")).agg(min(col("id")).as("id"))
+        .select(col("id"), col("hs"), col("n")))
     val freq = persistSketch(sets.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("f")))
     val prefixes = persistSketch(prefixKeys(sets, freq, threshold))
@@ -493,40 +508,75 @@ object Dedup {
       index: NearDupIndex,
       batch: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
-    val bsets = persistSketch(docHashSets(batch, idCol, textCol, index.shingleN)
-      .select(col("id").cast("long").as("id"), col("hs"), col("n")))
-    probeWith(index, batch, idCol, bsets,
-      prefixKeys(bsets, index.freq, index.threshold))
-  }
+      textCol: String,
+      collapseFloor: Long = 8192): DataFrame =
+    probeParts(index, batch, idCol, textCol, collapseFloor)._1
 
   /** [[probeNearDups]] + [[extendIndex]] sharing ONE batch sketch pass —
     * the per-micro-batch step of streaming/NearDupStream. The returned
     * index is already materialized (safe to use after the batch frame is
     * gone); the kept frame is lazy, so the caller decides when (and
-    * whether) to act on it before adopting the new index. */
+    * whether) to act on it before adopting the new index. Above the
+    * collapse floor the index gains only the batch's distinct NEW contents
+    * (copies and corpus twins re-index nothing — same semantics, smaller
+    * index). */
   def probeAndExtend(
       index: NearDupIndex,
       batch: DataFrame,
       idCol: String,
-      textCol: String): (DataFrame, NearDupIndex) = {
-    val bsets = persistSketch(docHashSets(batch, idCol, textCol, index.shingleN)
-      .select(col("id").cast("long").as("id"), col("hs"), col("n")))
-    val bpref = persistSketch(prefixKeys(bsets, index.freq, index.threshold))
-    bsets.count(); bpref.count()
-    val kept = probeWith(index, batch, idCol, bsets, bpref)
-    (kept, NearDupIndex(index.docsets.union(bsets),
-      index.prefixes.union(bpref), index.freq, index.shingleN,
+      textCol: String,
+      collapseFloor: Long = 8192): (DataFrame, NearDupIndex) = {
+    val (kept, psets, ppref) =
+      probeParts(index, batch, idCol, textCol, collapseFloor)
+    psets.count(); ppref.count()
+    (kept, NearDupIndex(index.docsets.union(psets),
+      index.prefixes.union(ppref), index.freq, index.shingleN,
       index.threshold))
   }
 
-  private def probeWith(
+  /** Shared probe pipeline: returns (kept ids, the batch docsets an index
+    * extension should adopt, their prefix keys). Above `collapseFloor`
+    * batch docs, two exact pre-passes shrink the candidate joins with zero
+    * recall loss (both produce certain J = 1 hits, the d3 density
+    * insurance applied to the arrival path):
+    *   - identical batch shingle sets collapse to their smallest-id
+    *     representative (non-representatives are dups of it by identity);
+    *   - representatives with an identical corpus content (array-equality
+    *     semi join against the index docsets) are corpus dups outright.
+    * Only surviving representatives enter the prefix-filter joins, so a
+    * dup-dense arrival stream (40×-replication probe) degrades to the
+    * distinct-content workload instead of multiplying candidate pairs by
+    * the copy count squared. Below the floor both pre-passes are skipped —
+    * pure shuffle overhead on a small batch (the bsets.count() that decides
+    * also materializes the persisted sketches every consumer reuses). */
+  private def probeParts(
       index: NearDupIndex,
       batch: DataFrame,
       idCol: String,
-      bsets: DataFrame,
-      bpref: DataFrame): DataFrame = {
+      textCol: String,
+      collapseFloor: Long): (DataFrame, DataFrame, DataFrame) = {
     val t = index.threshold
+    val bsetsAll = persistSketch(docHashSets(batch, idCol, textCol, index.shingleN)
+      .select(col("id").cast("long").as("id"), col("hs"), col("n")))
+    val dense = bsetsAll.count() > collapseFloor
+
+    // (probe-side docsets, certain-hit ids from the exact pre-passes)
+    val (bsets, preHits) =
+      if (!dense) (bsetsAll, None)
+      else {
+        val groups = persistSketch(bsetsAll.groupBy(col("hs"), col("n"))
+          .agg(sort_array(collect_list(col("id"))).as("ids")))
+        val reps = groups.select(col("ids")(0).as("id"), col("hs"), col("n"))
+        val nonReps = groups.where(size(col("ids")) > 1)
+          .select(explode(slice(col("ids"), 2, Int.MaxValue)).as("doc_id"))
+        val twins = reps
+          .join(index.docsets.select(col("hs")), Seq("hs"), "left_semi")
+          .select(col("id").as("doc_id"))
+        val survivors = persistSketch(reps
+          .join(index.docsets.select(col("hs")), Seq("hs"), "left_anti"))
+        (survivors, Some(nonReps.union(twins)))
+      }
+    val bpref = persistSketch(prefixKeys(bsets, index.freq, t))
 
     // Verify candidate (b_id, a_id) pairs with exact Jaccard; emit hit b_ids.
     def verified(cands: DataFrame, right: DataFrame): DataFrame =
@@ -563,14 +613,22 @@ object Dedup {
       bpref.as("b").join(index.prefixes.as("a"), prune)
         .select(col("b.id").as("b_id"), col("a.id").as("a_id")).distinct(),
       index.docsets)
+    // Earlier-arrival near-dups compare surviving representatives only:
+    // a non-representative's matches are its representative's, and an
+    // exact corpus twin's near-dups are near-dups of that corpus content,
+    // which the corpus join already catches.
     val earlierHits = verified(
       bpref.as("b").join(bpref.as("a"), prune && col("a.id") < col("b.id"))
         .select(col("b.id").as("b_id"), col("a.id").as("a_id")).distinct(),
       bsets)
 
-    batch.select(col(idCol).cast("long").as("doc_id"))
-      .join(corpusHits, Seq("doc_id"), "left_anti")
-      .join(earlierHits, Seq("doc_id"), "left_anti")
+    val kept = preHits.foldLeft(
+      batch.select(col(idCol).cast("long").as("doc_id"))
+        .join(corpusHits, Seq("doc_id"), "left_anti")
+        .join(earlierHits, Seq("doc_id"), "left_anti")) {
+      (acc, hits) => acc.join(hits, Seq("doc_id"), "left_anti")
+    }
+    (kept, bsets, bpref)
   }
 
   /** 64-bit SimHash over distinct-token hashes, as one codegen'd kernel

@@ -54,6 +54,37 @@ class IncrementalDedupSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("dense-path pre-passes (collapse + corpus twins) keep the exact kept-set") {
+    import org.apache.spark.sql.DataFrame
+    val docs = spark.table("documents")
+    // Dup-dense fixture: corpus and batch each carry exact copies (shifted
+    // ids), and some batch contents are exact corpus twins — the shapes the
+    // dense path's pre-passes collapse away.
+    def withCopies(df: DataFrame, shift: Long): DataFrame =
+      df.union(df.select((col("doc_id") + shift).as("doc_id"), col("text")))
+    val corpus = withCopies(
+      docs.where(col("doc_id") % 5 =!= 0).select("doc_id", "text"), 2000000L)
+    val batch = withCopies(
+      docs.where(col("doc_id") % 5 === 0).select("doc_id", "text")
+        .union(docs.where(col("doc_id") % 25 === 1) // corpus twins
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))),
+      4000000L)
+
+    def kept(floor: Long): Set[Long] = {
+      val idx = Dedup.buildNearDupIndex(corpus, "doc_id", "text",
+        collapseFloor = floor)
+      val r = Dedup.probeNearDups(idx, batch, "doc_id", "text",
+        collapseFloor = floor).collect().map(_.getLong(0)).toSet
+      Dedup.releaseSketchCaches()
+      r
+    }
+    val dense = kept(0) // force collapse + twin pre-passes
+    val plain = kept(Long.MaxValue) // force the uncollapsed joins
+    assert(dense == plain)
+    assert(dense.nonEmpty && dense.size < batch.count(),
+      "fixture should both keep and drop batch docs")
+  }
+
   test("probe reaches the corpus only through the persisted index") {
     import spark.implicits._
     val corpus = spark.table("documents").where(col("doc_id") % 5 =!= 0)

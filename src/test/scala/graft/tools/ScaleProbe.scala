@@ -75,6 +75,43 @@ object ScaleProbe {
         Seq(col("o_totalprice").asc, col("o_orderkey").asc), ntileN = 4,
         maxSingleTaskRows = 0L)
     }
+    // d10 arrival path at rep× density: corpus/batch split of the
+    // replicated docs — every distinct content now has rep copies spread
+    // across both sides, so the collapse + twin pre-passes carry the load.
+    if (wanted("d10")) {
+      time("d10 incremental near-dup (index build + probe)") {
+        val corpus = docs.where(col("doc_id") % 5 =!= 0)
+        val batch = docs.where(col("doc_id") % 5 === 0)
+        val idx = graft.operators.Dedup.buildNearDupIndex(
+          corpus, "doc_id", "text")
+        graft.operators.Dedup.probeNearDups(idx, batch, "doc_id", "text")
+      }
+      graft.operators.Dedup.releaseSketchCaches()
+    }
+    // TPC-H-shaped joins at rep× lineitem/orders. Keys replicate with ONE
+    // shared offset so l_orderkey still joins o_orderkey; suppliers are
+    // NOT replicated, so per-supplier density grows rep× (the skew probe).
+    if (wanted("h21") || wanted("h8")) {
+      val off = 10000000L
+      def repKeyed(table: String, keys: Seq[String]): DataFrame = {
+        val base = spark.read.parquet(s"$sfDir/$table.parquet")
+        base.crossJoin(spark.range(rep).select(col("id").as("__r")))
+          .select(base.columns.toIndexedSeq.map { c =>
+            if (keys.contains(c)) (col(c) + col("__r") * lit(off)).as(c)
+            else col(c)
+          }: _*)
+      }
+      repKeyed("lineitem", Seq("l_orderkey"))
+        .createOrReplaceTempView("lineitem")
+      repKeyed("orders", Seq("o_orderkey"))
+        .createOrReplaceTempView("orders")
+      time("h21_waiting_supplier (rep x lineitem, semi+anti self-joins)") {
+        graft.SparkEntry.queries("h21_waiting_supplier")(spark, sfDir)
+      }
+      time("h8_market_share (7-way join)") {
+        graft.SparkEntry.queries("h8_market_share")(spark, sfDir)
+      }
+    }
     // components: pairs from exact 2-gram jaccard over the replicated corpus
     // (every cluster is rep x denser). Forces BOTH paths.
     if (wanted("components")) {
