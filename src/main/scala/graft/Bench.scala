@@ -112,7 +112,7 @@ object Bench {
       "x1_curation_pipeline",
       "j1_inner", "j10_salted_join", "j11_hot_split_join",
       "w2_rank_multi", "w5_dense_rank_partition",
-      "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf",
+      "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s5_ann_pq",
       "d1_dedup_exact", "d2_dedup_minhash", "d3_dedup_jaccard",
       "d5_dedup_embedding", "d7_dedup_clusters", "d9_contamination",
       "t11_vocab_tokenize", "t13_tfidf_search", "t14_repetition_signals",

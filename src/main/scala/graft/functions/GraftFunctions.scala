@@ -56,4 +56,21 @@ object GraftFunctions {
   def nearestCentroid(v: Column, cents: Seq[Seq[Double]]): Column =
     GraftBridge.column(
       org.apache.spark.sql.graft.NearestCentroid(GraftBridge.expression(v), cents))
+
+  /** Product-quantization code words (array<int>, one per subspace) of an
+    * array<double> vector against baked codebooks cb(subspace)(centroid). */
+  def pqEncode(v: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.PqEncode(GraftBridge.expression(v), cb))
+
+  /** Flattened PQ asymmetric-distance lookup table (m·ksub doubles) of a
+    * query vector against the baked codebooks. */
+  def pqLut(v: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.PqLut(GraftBridge.expression(v), cb))
+
+  /** PQ asymmetric score Σ_j lut(j·ksub + codes(j)) ≈ the raw dot product. */
+  def pqScore(codes: Column, lut: Column): Column =
+    GraftBridge.column(org.apache.spark.sql.graft.PqScore(
+      GraftBridge.expression(codes), GraftBridge.expression(lut)))
 }

@@ -418,6 +418,118 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Plain-L2 Lloyd k-means per contiguous subspace over a driver-side
+    * sample — the PQ codebook trainer. Deterministic: seeded init from the
+    * distinct subvectors, empty clusters keep their previous centroid.
+    * Subspace widths are dim/m with the remainder going to the last
+    * subspace, so any (dim, m) pair trains. */
+  private def trainPqCodebooks(sample: Array[Array[Double]], m: Int,
+      ksubRequested: Int, maxIter: Int): Seq[Seq[Seq[Double]]] = {
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample.head.length
+    require(m >= 1 && m <= dim, s"PQ subspaces m=$m out of range for dim=$dim")
+    val base = dim / m
+    val starts = (0 until m).map(_ * base)
+    val widths = (0 until m).map(j => if (j == m - 1) dim - starts(j) else base)
+    (0 until m).map { j =>
+      val (off, d) = (starts(j), widths(j))
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + d))
+      val distinct = subs.map(_.toSeq).distinct.map(_.toArray)
+      val ksub = math.max(1, math.min(ksubRequested, distinct.length))
+      val rnd = new scala.util.Random(42L + j)
+      var cents = rnd.shuffle(distinct.indices.toList).take(ksub)
+        .map(i => distinct(i).clone()).toArray
+      var it = 0
+      while (it < maxIter) {
+        val sums = Array.fill(ksub)(new Array[Double](d))
+        val counts = new Array[Int](ksub)
+        subs.foreach { s =>
+          var best = 0
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var acc = 0.0
+            var i = 0
+            while (i < d) { val x = s(i) - cents(c)(i); acc += x * x; i += 1 }
+            if (acc < bd) { bd = acc; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < d) { sums(best)(i) += s(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ksub) { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }
+        it += 1
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** Product-quantization approximate cosine top-k (the faiss ADC layout,
+    * Spark-first): per-subspace codebooks trained on a bounded driver-side
+    * sample; the corpus is encoded ONCE into m small code words + a stored
+    * norm (≈16× less data than the raw vectors — at 100 TB the codes table
+    * is what a production pipeline persists and scans); each query carries
+    * a flattened lookup table, so the scoring scan does m table lookups
+    * per (query, row) pair instead of a dim-wide dot product. The PQ
+    * top-(k·rerankFactor) candidates are then re-scored EXACTLY against
+    * their full vectors (one bounded candidate fetch join), which restores
+    * near-exact top-k quality from an approximate scan. Output matches
+    * [[bruteTopK]]: (qid, cid, cos_sim, rnk). */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 256,
+      maxIter: Int = 8,
+      trainCap: Int = 20000,
+      rerankFactor: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"),
+        toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    // Same bounded, seeded sampling as ivfTopK: training cost is
+    // independent of corpus size.
+    val total = c.count()
+    val fraction = if (total == 0) 1.0
+      else math.min(1.0, trainCap * 1.2 / total)
+    val sampled =
+      (if (fraction < 1.0) c.sample(withReplacement = false, fraction, seed = 42L)
+       else c)
+      .select(col("cv")).collect()
+    val sample = sampled.take(trainCap).map(_.getSeq[Double](0).toArray)
+    val cbs = trainPqCodebooks(sample, m, ksub, maxIter)
+
+    // Scan 1 — compressed: (cid, codes, cn) only. Encoding is a codegen'd
+    // argmin kernel inside the scan projection, map-side.
+    val codes = c.select(col("cid"), col("cn"),
+      GraftFunctions.pqEncode(col("cv"), cbs).as("codes"))
+    val q = queries.select(col(idCol).as("qid"),
+        toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val qlut = q.select(col("qid"), col("qn"),
+      GraftFunctions.pqLut(col("qv"), cbs).as("lut"))
+
+    val approx = codes.crossJoin(broadcast(qlut))
+      .select(col("qid"), col("cid"),
+        try_divide(GraftFunctions.pqScore(col("codes"), col("lut")),
+          col("qn") * col("cn")).as("cos"))
+    val cand = topKPerQuery(approx, k * rerankFactor).select("qid", "cid")
+
+    // Scan 2 — bounded candidate fetch (nq·k·rerankFactor rows broadcast
+    // against the corpus) + exact re-rank.
+    val exact = c.join(broadcast(cand), Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        try_divide(dot(col("qv"), col("cv")), col("qn") * col("cn")).as("cos"))
+    topKPerQuery(exact, k)
+  }
+
   /** Approximate cosine top-k: candidates = corpus rows sharing ≥1 subcode
     * with the query, scored exactly, per-query top-k. */
   def lshTopK(

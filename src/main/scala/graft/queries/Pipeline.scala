@@ -461,6 +461,20 @@ object Pipeline {
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
         .orderBy("qid", "rnk")
     },
+    // PQ ANN — the compressed-corpus scan: codebooks train on a bounded
+    // sample, the scoring pass reads m=8 byte-sized code words + a norm
+    // per row (~16× less data than raw 64-d float vectors at 100 TB), and
+    // an exact re-rank of the PQ top-(k·8) restores near-exact quality.
+    // Rows-only (approximate scan + re-rank); recall vs brute is
+    // spec-asserted.
+    df("s5_ann_pq", None) { (s, dir) =>
+      val emb = s.table("embeddings")
+      Similarity.pqTopK(
+        emb.where(col("vec_id") < 10),
+        emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy("qid", "rnk")
+    },
     // Hybrid retrieval — the canonical RAG/corpus-search shape: a lexical
     // TF-IDF prefilter picks 100 candidates (cheap, index-friendly), a
     // deterministic query vector (element-wise decimal-exact mean of the

@@ -8,11 +8,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the vector hot path: dot product over
   * `array<double>`. A codegen'd tight loop over `ArrayData` — stays inside
@@ -163,6 +163,181 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |  long $u = $x.getLong($i); long $v = $y.getLong($j);
          |  if ($u == $v) { $s++; $i++; $j++; }
          |  else if ($u < $v) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Shared JVM kernels for the product-quantization expressions below —
+  * static methods so the codegen templates call straight into compiled
+  * code (the NearestCentroid/SketchKernels pattern). `cb(j)(c)` is centroid
+  * `c` of contiguous subspace `j`; subspace widths come from the centroids
+  * themselves, so a dimension that doesn't divide evenly just gives the
+  * last subspace the remainder. */
+object VectorKernels {
+
+  /** PQ encode: per subspace, the index of the L2-nearest centroid of the
+    * corresponding contiguous subvector. */
+  def pqEncode(v: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cb.length
+    val codes = new Array[Int](m)
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val cents = cb(j)
+      val d = cents(0).length
+      var best = 0
+      var bestDist = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var s = 0.0
+        var i = 0
+        while (i < d) {
+          val diff = v.getDouble(off + i) - cent(i)
+          s += diff * diff
+          i += 1
+        }
+        if (s < bestDist) { bestDist = s; best = c }
+        c += 1
+      }
+      codes(j) = best
+      off += d
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Asymmetric-distance lookup table for a query vector, flattened to
+    * m·ksub doubles: lut(j·ksub + c) = q_subvector_j · cb(j)(c). The PQ
+    * approximation of q·x is then a sum of m table lookups. */
+  def pqLut(q: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cb.length
+    val ksub = cb(0).length
+    val lut = new Array[Double](m * ksub)
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val cents = cb(j)
+      val d = cents(0).length
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var s = 0.0
+        var i = 0
+        while (i < d) { s += q.getDouble(off + i) * cent(i); i += 1 }
+        lut(j * ksub + c) = s
+        c += 1
+      }
+      off += d
+      j += 1
+    }
+    new GenericArrayData(lut)
+  }
+}
+
+/** PQ code word per subspace for an `array<double>` vector, against
+  * codebooks baked into the plan (trained driver-side on a bounded
+  * sample, like NearestCentroid's matrix). Output `array<int>` of length
+  * m — the 100 TB story: the corpus scan that scores candidates reads
+  * these m small ints (+ one stored norm) instead of the full vector. */
+case class PqEncode(child: Expression, cb: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cb.nonEmpty && cb.forall(_.nonEmpty),
+    "PQ codebooks must be non-empty")
+
+  @transient private lazy val matrix: Array[Array[Array[Double]]] =
+    cb.map(_.map(_.toArray).toArray).toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.pqEncode(v.asInstanceOf[ArrayData], matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("pqCodebooks", matrix, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.VectorKernels.pqEncode($c, $m)")
+  }
+
+  override protected def withNewChildInternal(nc: Expression): Expression =
+    copy(child = nc)
+}
+
+/** Flattened asymmetric-distance lookup table (m·ksub doubles) for a query
+  * `array<double>` vector against the baked codebooks. Computed once per
+  * QUERY row; corpus rows only do table lookups (PqScore). */
+case class PqLut(child: Expression, cb: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cb.nonEmpty && cb.forall(_.nonEmpty),
+    "PQ codebooks must be non-empty")
+
+  @transient private lazy val matrix: Array[Array[Array[Double]]] =
+    cb.map(_.map(_.toArray).toArray).toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_lut"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.pqLut(v.asInstanceOf[ArrayData], matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("pqCodebooks", matrix, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.VectorKernels.pqLut($c, $m)")
+  }
+
+  override protected def withNewChildInternal(nc: Expression): Expression =
+    copy(child = nc)
+}
+
+/** PQ asymmetric score: Σ_j lut(j·ksub + codes(j)) ≈ q·x, the per-pair hot
+  * loop of the compressed-corpus scan — m lookups per pair, codegen'd
+  * inline (no subvector arithmetic at scan time). ksub is recovered from
+  * the operand shapes, so one expression serves any codebook geometry. */
+case class PqScore(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_score"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val ksub = lut.numElements() / m
+    var s = 0.0
+    var j = 0
+    while (j < m) { s += lut.getDouble(j * ksub + codes.getInt(j)); j += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val ks = ctx.freshName("ks")
+      val s = ctx.freshName("s")
+      s"""
+         |int $m = $codes.numElements();
+         |int $ks = $lut.numElements() / $m;
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $s += $lut.getDouble($j * $ks + $codes.getInt($j));
          |}
          |${ev.value} = $s;
        """.stripMargin

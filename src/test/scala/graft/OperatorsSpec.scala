@@ -172,6 +172,45 @@ class OperatorsSpec extends SparkSpecBase {
     assert(auto.groupBy(_.getLong(0)).size == 4 && auto.nonEmpty)
   }
 
+  test("pqTopK: valid ranked output with high recall after exact re-rank") {
+    // Real embeddings table: 10 queries vs the remaining corpus, the same
+    // split as the s5 query. The exact re-rank of the PQ top-(k·4) should
+    // recover nearly all of brute force's top-5.
+    val emb = spark.table("embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val corpus = emb.where(col("vec_id") >= 10)
+    val brute = Similarity.bruteTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("qid", "cid", "rnk").collect()
+    val byQ = pq.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq ==
+        (1 to rows.length).map(_.toLong))
+    }
+    val hits = pq.map(r => (r.getLong(0), r.getLong(1))).count(brute.contains)
+    assert(hits >= (brute.size * 0.8).toInt,
+      s"PQ recall too low: $hits of ${brute.size}")
+  }
+
+  test("pqTopK: ragged dims (dim % m != 0) still encode and rank") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 10-d vectors with m=3 → subspace widths 3/3/4.
+    val corpus = (0 until 120).map { i =>
+      (i.toLong + 100, Seq.fill(10)((rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = (0 until 3).map { i =>
+      (i.toLong, Seq.fill(10)((rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(queries, corpus, "vec_id", "embedding", 4,
+        m = 3, ksub = 8, trainCap = 120)
+      .select("qid", "cid", "rnk").collect()
+    assert(out.groupBy(_.getLong(0)).size == 3)
+    assert(out.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 4))
+  }
+
   test("asof join: latest at-or-before match per key, null when none") {
     import spark.implicits._
     val left = Seq((1L, 10L, "L10"), (1L, 20L, "L20"), (2L, 5L, "L5"),
