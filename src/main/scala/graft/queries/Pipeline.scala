@@ -336,6 +336,43 @@ object Pipeline {
         "select doc_id, cast(round(sum(cast(tf * idf as decimal(20,8))), 4) as double) as score " +
         "from tf join idf using (tok) group by doc_id " +
         "order by score desc, doc_id limit 20"),
+    // BM25 retrieval (k1 = 1.2, b = 0.75) — the standard lexical ranking
+    // the TF-IDF query (t13) approximates. Same scale shape: token
+    // explode → per-doc/term tf (partial-aggregated), tiny df/stats
+    // frames broadcast back. Double determinism: every intermediate is
+    // cast to double BEFORE any division (decimal division scales differ
+    // between engines), per-row weights are then bit-identical IEEE, and
+    // the per-doc sum goes through an exact decimal so grouping order
+    // can't move the hash.
+    sql("t16_bm25_search",
+      "with toks as (select doc_id, explode(filter(split(lower(text), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0)) as tok from documents), " +
+        "dl as (select doc_id, count(*) as dl from toks group by doc_id), " +
+        "stats as (select count(*) as n_docs, avg(dl) as avgdl from dl), " +
+        "tf as (select doc_id, tok, count(*) as tf from toks " +
+        "where tok in ('data', 'model', 'training') group by doc_id, tok), " +
+        "df as (select tok, count(distinct doc_id) as df from tf group by tok), " +
+        "w as (select t.doc_id, " +
+        "ln(1 + (cast((select n_docs from stats) as double) - df + 0.5) / (cast(df as double) + 0.5)) " +
+        "* (cast(tf as double) * 2.2) " +
+        "/ (cast(tf as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / (select avgdl from stats)))) as w " +
+        "from tf t join df using (tok) join dl on t.doc_id = dl.doc_id) " +
+        "select doc_id, cast(round(sum(cast(w as decimal(20,8))), 4) as double) as score " +
+        "from w group by doc_id order by score desc, doc_id limit 20",
+      "with toks as (select doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0)) as tok from documents), " +
+        "dl as (select doc_id, count(*) as dl from toks group by doc_id), " +
+        "stats as (select count(*) as n_docs, avg(dl) as avgdl from dl), " +
+        "tf as (select doc_id, tok, count(*) as tf from toks " +
+        "where tok in ('data', 'model', 'training') group by doc_id, tok), " +
+        "df as (select tok, count(distinct doc_id) as df from tf group by tok), " +
+        "w as (select t.doc_id, " +
+        "ln(1 + (cast((select n_docs from stats) as double) - df + 0.5) / (cast(df as double) + 0.5)) " +
+        "* (cast(tf as double) * 2.2) " +
+        "/ (cast(tf as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / (select avgdl from stats)))) as w " +
+        "from tf t join df using (tok) join dl on t.doc_id = dl.doc_id) " +
+        "select doc_id, cast(round(sum(cast(w as decimal(20,8))), 4) as double) as score " +
+        "from w group by doc_id order by score desc, doc_id limit 20"),
     // Deterministic stratified sampling: k docs per language, ranked by a
     // content-independent hash of the id — reproducible across engines and
     // cluster layouts (no rand()), one window shuffle on the stratum.
