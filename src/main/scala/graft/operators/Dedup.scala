@@ -438,6 +438,40 @@ object Dedup {
     NearDupIndex(sets, prefixes, freq, shingleN, threshold)
   }
 
+  /** Persist a [[NearDupIndex]] to parquet under `path` (three frames:
+    * docsets/prefixes/freq + a one-row params frame). This is the restart
+    * story the streaming arrival path (streaming/NearDupStream) relies on:
+    * the index is executor-cache-resident while a pipeline runs and is
+    * checkpointed here at compaction points — NOT in the streaming state
+    * store, which would rewrite every sketch each micro-batch commit. The
+    * prefix frame is written bucketed-by-`h` shaped (repartitioned on the
+    * join key) so a reloaded probe join co-locates without a corpus-side
+    * shuffle. */
+  def saveIndex(index: NearDupIndex, path: String): Unit = {
+    index.docsets.write.mode("overwrite").parquet(s"$path/docsets")
+    index.prefixes.repartition(col("h"))
+      .write.mode("overwrite").parquet(s"$path/prefixes")
+    index.freq.write.mode("overwrite").parquet(s"$path/freq")
+    val spark = index.docsets.sparkSession
+    import spark.implicits._
+    Seq((index.shingleN, index.threshold)).toDF("shingle_n", "threshold")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a [[NearDupIndex]] written by [[saveIndex]]. Frames come back as
+    * MEMORY_AND_DISK persists (registered with the sketch cache like a
+    * fresh build); parameters are read from the params frame so the loaded
+    * index probes identically to the one that was saved. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): NearDupIndex = {
+    val params = spark.read.parquet(s"$path/params").head()
+    NearDupIndex(
+      persistSketch(spark.read.parquet(s"$path/docsets")),
+      persistSketch(spark.read.parquet(s"$path/prefixes")),
+      persistSketch(spark.read.parquet(s"$path/freq")),
+      params.getAs[Int]("shingle_n"), params.getAs[Double]("threshold"))
+  }
+
   /** Extend a [[NearDupIndex]] with newly arrived documents (typically the
     * batch a [[probeNearDups]] call just classified) WITHOUT touching the
     * corpus: the new docs are sketched once, their prefix keys computed

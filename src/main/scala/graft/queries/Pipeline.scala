@@ -336,6 +336,25 @@ object Pipeline {
         "select doc_id, cast(round(sum(cast(tf * idf as decimal(20,8))), 4) as double) as score " +
         "from tf join idf using (tok) group by doc_id " +
         "order by score desc, doc_id limit 20"),
+    // Token-window chunking with offsets — the RAG/context-window prep op:
+    // each doc explodes into windows of 50 tokens at stride 40 (10-token
+    // overlap), carrying (start_tok, n_toks, chunk). Pure narrow
+    // explode — no shuffle except the presentation sort; chunk count
+    // scales with corpus tokens, never with pairs. Offsets are 1-based on
+    // both engines (Spark slice and DuckDB list slicing are both 1-based).
+    sql("t17_chunk_documents",
+      "select doc_id, inline(transform(sequence(1, size(toks), 40), " +
+        "s -> struct(cast(s as bigint) as start_tok, " +
+        "cast(size(slice(toks, s, 50)) as bigint) as n_toks, " +
+        "concat_ws(' ', slice(toks, s, 50)) as chunk))) " +
+        "from (select doc_id, split(text, ' ') as toks from documents) " +
+        "order by doc_id, start_tok",
+      "select doc_id, cast(s as bigint) as start_tok, " +
+        "cast(len(toks[s:s+49]) as bigint) as n_toks, " +
+        "array_to_string(toks[s:s+49], ' ') as chunk " +
+        "from (select doc_id, string_split(text, ' ') as toks from documents), " +
+        "unnest(range(1, len(toks) + 1, 40)) as u(s) " +
+        "order by doc_id, start_tok"),
     // BM25 retrieval (k1 = 1.2, b = 0.75) — the standard lexical ranking
     // the TF-IDF query (t13) approximates. Same scale shape: token
     // explode → per-doc/term tf (partial-aggregated), tiny df/stats
@@ -732,7 +751,30 @@ object Pipeline {
         "v as (select doc_id, lang, a - 48 - case when a >= 97 then 39 else 0 end as bucket from b) " +
         "select doc_id, lang, cast(bucket as bigint) as bucket from v " +
         "where bucket < case lang when 'en' then 16 when 'zh' then 8 when 'de' then 8 else 4 end " +
-        "order by doc_id")
+        "order by doc_id"),
+    // Deterministic multi-epoch shuffle: each epoch's training order is a
+    // content-independent permutation keyed by md5(epoch:doc_id) —
+    // reproducible across engines, cluster layouts, and reruns (no
+    // rand()). The query emits each epoch's first 100 positions; the
+    // rank-then-filter lowers to WindowGroupLimit, so each map task
+    // forwards at most 100 rows per epoch instead of its whole partition
+    // (w7's shape). Writing a FULL epoch permutation at 100 TB is the
+    // same key as a range-partitioned sort (Sink.sorted by the hash) —
+    // positions beyond top-k belong to the Ranks prefix-sum machinery,
+    // not a window.
+    sql("x4_epoch_shuffle",
+      "select cast(epoch as bigint) as epoch, cast(pos as bigint) as pos, doc_id " +
+        "from (select epoch, doc_id, " +
+        "row_number() over (partition by epoch order by " +
+        "md5(concat(cast(epoch as string), ':', cast(doc_id as string))), doc_id) as pos " +
+        "from (select doc_id, explode(sequence(0, 2)) as epoch from documents)) " +
+        "where pos <= 100 order by epoch, pos",
+      "select cast(epoch as bigint) as epoch, cast(pos as bigint) as pos, doc_id " +
+        "from (select epoch, doc_id, " +
+        "row_number() over (partition by epoch order by " +
+        "md5(concat(cast(epoch as varchar), ':', cast(doc_id as varchar))), doc_id) as pos " +
+        "from documents cross join (select unnest(range(0, 3)) as epoch) e) t " +
+        "where pos <= 100 order by epoch, pos")
   )
 
   val defs: Seq[QueryDef] =

@@ -85,6 +85,27 @@ class IncrementalDedupSpec extends SparkSpecBase {
       "fixture should both keep and drop batch docs")
   }
 
+  test("saved + reloaded index probes identically (the restart path)") {
+    val docs = spark.table("documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val built = Dedup.buildNearDupIndex(corpus, "doc_id", "text")
+    val direct = Dedup.probeNearDups(built, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
+    Dedup.saveIndex(built, dir)
+    Dedup.releaseSketchCaches()
+    val loaded = Dedup.loadIndex(spark, dir)
+    assert(loaded.shingleN == built.shingleN &&
+      loaded.threshold == built.threshold)
+    val replay = Dedup.probeNearDups(loaded, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(replay == direct)
+    assert(replay.nonEmpty)
+    Dedup.releaseSketchCaches()
+  }
+
   test("probe reaches the corpus only through the persisted index") {
     import spark.implicits._
     val corpus = spark.table("documents").where(col("doc_id") % 5 =!= 0)
