@@ -393,7 +393,13 @@ object Dedup {
       prefixes: DataFrame,
       freq: DataFrame,
       shingleN: Int,
-      threshold: Double) {
+      threshold: Double,
+      /** The persisted frames this index (and no other live index built
+        * from a different corpus) references — exactly what
+        * [[compactIndex]] may unpersist once a compacted replacement
+        * exists. Extension layers append here, so release stays precise
+        * even after hundreds of [[extendIndex]] calls. */
+      private[graft] layers: Seq[DataFrame] = Nil) {
     /** Force-materialize the persisted frames. Ordered so the CORPUS IS
       * SCANNED EXACTLY ONCE: docsets materializes from the scan; freq and
       * prefixes derive from the docsets cache. */
@@ -435,7 +441,8 @@ object Dedup {
     val freq = persistSketch(sets.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("f")))
     val prefixes = persistSketch(prefixKeys(sets, freq, threshold))
-    NearDupIndex(sets, prefixes, freq, shingleN, threshold)
+    NearDupIndex(sets, prefixes, freq, shingleN, threshold,
+      layers = Seq(sets, freq, prefixes))
   }
 
   /** Persist a [[NearDupIndex]] to parquet under `path` (three frames:
@@ -443,33 +450,90 @@ object Dedup {
     * story the streaming arrival path (streaming/NearDupStream) relies on:
     * the index is executor-cache-resident while a pipeline runs and is
     * checkpointed here at compaction points — NOT in the streaming state
-    * store, which would rewrite every sketch each micro-batch commit. The
-    * prefix frame is written bucketed-by-`h` shaped (repartitioned on the
-    * join key) so a reloaded probe join co-locates without a corpus-side
-    * shuffle. */
-  def saveIndex(index: NearDupIndex, path: String): Unit = {
+    * store, which would rewrite every sketch each micro-batch commit.
+    *
+    * The prefix frame — the probe's candidate-join side — is written as an
+    * `h`-bucketed external table (files at `$path/prefixes`, bucketing
+    * metadata under a path-derived catalog name), so a reloaded probe join
+    * reads the corpus side already hash-partitioned on the join key: NO
+    * corpus-side Exchange, the write-time shuffle paid once for every
+    * probe after restart (IncrementalDedupSpec asserts the plan).
+    *
+    * Saving an index whose prefix layers were LOADED from this same `path`
+    * would overwrite files the plan still reads (Spark rejects it) — pass
+    * such an index through [[compactIndex]] first; its checkpointed frames
+    * have no file lineage, so save-in-place is safe. That is exactly the
+    * order streaming/NearDupStream uses. */
+  def saveIndex(index: NearDupIndex, path: String,
+      numBuckets: Int = 32): Unit = {
     index.docsets.write.mode("overwrite").parquet(s"$path/docsets")
-    index.prefixes.repartition(col("h"))
-      .write.mode("overwrite").parquet(s"$path/prefixes")
+    graft.sources.Sink.bucketedExternal(index.prefixes, prefixTable(path),
+      s"$path/prefixes", "h", numBuckets, "h")
     index.freq.write.mode("overwrite").parquet(s"$path/freq")
     val spark = index.docsets.sparkSession
     import spark.implicits._
-    Seq((index.shingleN, index.threshold)).toDF("shingle_n", "threshold")
+    Seq((index.shingleN, index.threshold, numBuckets))
+      .toDF("shingle_n", "threshold", "num_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
-  /** Load a [[NearDupIndex]] written by [[saveIndex]]. Frames come back as
-    * MEMORY_AND_DISK persists (registered with the sketch cache like a
-    * fresh build); parameters are read from the params frame so the loaded
-    * index probes identically to the one that was saved. */
+  /** Deterministic catalog name for the bucketed prefix table at `path`:
+    * bucketing metadata is catalog-resident, so the name must be derivable
+    * from the path alone for a restarted session to re-register it. */
+  private def prefixTable(path: String): String =
+    "graft_ndidx_p" + java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(path.hashCode))
+
+  /** Load a [[NearDupIndex]] written by [[saveIndex]]. Docsets/freq come
+    * back as MEMORY_AND_DISK persists (registered with the sketch cache
+    * like a fresh build). The prefix frame is deliberately NOT cached: it
+    * reads through the bucketed table so its HashPartitioning(h) layout
+    * reaches the probe join planner directly — the probe query contains
+    * the join, so Spark keeps the bucketed scan and skips the corpus-side
+    * Exchange. In a session that didn't write the table (restart), the
+    * same files are re-registered under the same bucketed layout. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): NearDupIndex = {
     val params = spark.read.parquet(s"$path/params").head()
-    NearDupIndex(
-      persistSketch(spark.read.parquet(s"$path/docsets")),
-      persistSketch(spark.read.parquet(s"$path/prefixes")),
-      persistSketch(spark.read.parquet(s"$path/freq")),
-      params.getAs[Int]("shingle_n"), params.getAs[Double]("threshold"))
+    val tbl = prefixTable(path)
+    val prefixes =
+      if (spark.catalog.tableExists(tbl)) spark.table(tbl)
+      else if (params.schema.fieldNames.contains("num_buckets")) {
+        val nb = params.getAs[Int]("num_buckets")
+        spark.sql(
+          s"""create table $tbl (id bigint, h bigint, r bigint, n bigint)
+             |using parquet clustered by (h) sorted by (h) into $nb buckets
+             |location '$path/prefixes'""".stripMargin)
+        spark.table(tbl)
+      } else spark.read.parquet(s"$path/prefixes") // pre-bucketing format
+    val docsets = persistSketch(spark.read.parquet(s"$path/docsets"))
+    val freq = persistSketch(spark.read.parquet(s"$path/freq"))
+    NearDupIndex(docsets, prefixes, freq,
+      params.getAs[Int]("shingle_n"), params.getAs[Double]("threshold"),
+      layers = Seq(docsets, freq))
+  }
+
+  /** Rebuild a layered index into FLAT-lineage resident frames. Each
+    * [[extendIndex]]/[[probeAndExtend]] adds one union node of plan
+    * lineage; after O(100) micro-batches the plan itself (analysis,
+    * optimization, scheduling) becomes the per-probe cost. Compaction
+    * eagerly localCheckpoints each frame — one job per frame over the
+    * already-resident caches, after which the plan is a single leaf scan
+    * of executor-stored partitions regardless of how many layers had
+    * accumulated — and (by default) unpersists the superseded layers, so
+    * executor storage holds ONE copy of the index, not two.
+    *
+    * `releaseOld = true` invalidates the PRE-compaction index handle (and
+    * any older handle sharing its layers): micro-batch-derived layers
+    * cannot recompute once their batch is gone. Adopt the returned index
+    * and drop the old reference — the streaming caller does exactly that. */
+  def compactIndex(index: NearDupIndex,
+      releaseOld: Boolean = true): NearDupIndex = {
+    val d = index.docsets.localCheckpoint(true)
+    val p = index.prefixes.localCheckpoint(true)
+    val f = index.freq.localCheckpoint(true)
+    if (releaseOld) index.layers.foreach(_.unpersist(false))
+    NearDupIndex(d, p, f, index.shingleN, index.threshold, layers = Nil)
   }
 
   /** Extend a [[NearDupIndex]] with newly arrived documents (typically the
@@ -503,7 +567,8 @@ object Dedup {
     // The unions are NOT persisted — they read two resident caches, so
     // re-persisting them would double executor storage for no scan savings.
     NearDupIndex(index.docsets.union(sets), index.prefixes.union(prefs),
-      index.freq, index.shingleN, index.threshold)
+      index.freq, index.shingleN, index.threshold,
+      layers = index.layers ++ Seq(sets, prefs))
   }
 
   /** (id, h, r, n) prefix-filter join keys: each docset's first
@@ -565,7 +630,7 @@ object Dedup {
     psets.count(); ppref.count()
     (kept, NearDupIndex(index.docsets.union(psets),
       index.prefixes.union(ppref), index.freq, index.shingleN,
-      index.threshold))
+      index.threshold, layers = index.layers ++ Seq(psets, ppref)))
   }
 
   /** Shared probe pipeline: returns (kept ids, the batch docsets an index
@@ -601,8 +666,12 @@ object Dedup {
         val groups = persistSketch(bsetsAll.groupBy(col("hs"), col("n"))
           .agg(sort_array(collect_list(col("id"))).as("ids")))
         val reps = groups.select(col("ids")(0).as("id"), col("hs"), col("n"))
+        // length = size(ids): an Int.MaxValue "rest of the array" length
+        // overflows in Spark's interpreted Slice.nullSafeEval (start+length
+        // wraps negative → empty array), so only the size-bounded form is
+        // safe under codegen fallback.
         val nonReps = groups.where(size(col("ids")) > 1)
-          .select(explode(slice(col("ids"), 2, Int.MaxValue)).as("doc_id"))
+          .select(explode(slice(col("ids"), lit(2), size(col("ids")))).as("doc_id"))
         val twins = reps
           .join(index.docsets.select(col("hs")), Seq("hs"), "left_semi")
           .select(col("id").as("doc_id"))

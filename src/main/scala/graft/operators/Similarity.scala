@@ -468,6 +468,18 @@ object Similarity {
     }
   }
 
+  /** Pad ragged codebooks (a low-cardinality subspace can train fewer than
+    * `ksubRequested` centroids) to a uniform ksub by repeating each
+    * subspace's last centroid. Uniformity is what lets `pqLut` flatten to a
+    * fixed m·ksub stride and `PqScore` recover ksub as lut.length/m;
+    * duplicate centroids are score-neutral (strict `<` in the argmin keeps
+    * the first occurrence, and the LUT rows are identical). */
+  private def padCodebooks(cbs: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
+    val kmax = cbs.map(_.length).max
+    cbs.map(cb => if (cb.length == kmax) cb
+      else cb ++ Seq.fill(kmax - cb.length)(cb.last))
+  }
+
   /** Product-quantization approximate cosine top-k (the faiss ADC layout,
     * Spark-first): per-subspace codebooks trained on a bounded driver-side
     * sample; the corpus is encoded ONCE into m small code words + a stored
@@ -503,7 +515,7 @@ object Similarity {
        else c)
       .select(col("cv")).collect()
     val sample = sampled.take(trainCap).map(_.getSeq[Double](0).toArray)
-    val cbs = trainPqCodebooks(sample, m, ksub, maxIter)
+    val cbs = padCodebooks(trainPqCodebooks(sample, m, ksub, maxIter))
 
     // Scan 1 — compressed: (cid, codes, cn) only. Encoding is a codegen'd
     // argmin kernel inside the scan projection, map-side.
@@ -538,11 +550,30 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      dim: Int = 64,
+      dim: Int = 0,
       groups: Int = 4,
       bitsPerGroup: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, groups * bitsPerGroup, seed)
+    // dim = 0 (default) infers the hyperplane dimension from the corpus — a
+    // LIMIT-1 scan, independent of corpus size. An explicit dim is validated
+    // instead of trusted: a mismatch would silently truncate every dot
+    // product (DotProduct loops to min(len)), zeroing the sign bits' signal.
+    val sampledDim = corpus
+      .select(size(toDoubleVec(col(vecCol))).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val planeDim =
+      if (dim > 0) {
+        require(sampledDim == 0 || sampledDim == dim,
+          s"lshTopK: dim=$dim does not match the corpus embedding " +
+            s"dimension $sampledDim")
+        dim
+      } else {
+        require(sampledDim > 0,
+          "lshTopK: cannot infer embedding dimension from an empty corpus; " +
+            "pass dim explicitly")
+        sampledDim
+      }
+    val planes = hyperplanes(planeDim, groups * bitsPerGroup, seed)
 
     def coded(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), toDoubleVec(col(vecCol)).as(vec))

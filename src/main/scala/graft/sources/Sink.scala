@@ -44,4 +44,26 @@ object Sink {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
+
+  /** [[bucketed]] with the files at an explicit `path` (external table):
+    * the bucketing metadata lives in the catalog entry, the data lives
+    * where the caller says — the layout an index checkpoint needs, where
+    * the path (not the warehouse) is the durable artifact and a later
+    * session re-registers the same files under a fresh catalog. */
+  def bucketedExternal(df: DataFrame, table: String, path: String,
+      bucketCol: String, numBuckets: Int, sortCols: String*): Unit = {
+    val spark = df.sparkSession
+    // Dropping an EXTERNAL table leaves its files; clear the location
+    // explicitly so a re-save never mixes stale part-files into the new
+    // table (overwrite semantics must hold at the path, not just the
+    // catalog entry).
+    spark.sql(s"drop table if exists $table")
+    val hpath = new org.apache.hadoop.fs.Path(path)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hpath)) fs.delete(hpath, true)
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", path).bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

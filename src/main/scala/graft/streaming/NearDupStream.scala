@@ -55,19 +55,40 @@ object NearDupStream {
     * dropped earlier arrival is still a duplicate). One sketch pass per
     * batch serves both probe and extension (Dedup.probeAndExtend); the
     * state adopts the extended index only after `sink` returns, so a sink
-    * failure never leaves docs indexed-but-unsunk. */
+    * failure never leaves docs indexed-but-unsunk.
+    *
+    * Every `compactEvery` micro-batches the index is compacted
+    * (Dedup.compactIndex): the per-batch union layers are rebuilt into
+    * flat-lineage checkpointed frames and the superseded layer persists
+    * are released, so both plan depth and executor storage stay bounded
+    * over an UNBOUNDED stream — without compaction each batch adds a
+    * union node that every later probe re-plans. When `checkpointPath` is
+    * set, each compacted index is also saved there (Dedup.saveIndex, the
+    * bucketed restart artifact) — compaction-then-save order matters: the
+    * compacted frames have no file lineage, so saving over the path the
+    * index was originally loaded from is safe. `compactEvery <= 0`
+    * disables compaction (and checkpointing). */
   def run(
       docs: DataFrame,
       state: IndexState,
       idCol: String,
-      textCol: String)(sink: DataFrame => Unit): StreamingQuery =
+      textCol: String,
+      compactEvery: Long = 100,
+      checkpointPath: Option[String] = None)(
+      sink: DataFrame => Unit): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (keptIds, extended) =
           Dedup.probeAndExtend(state.index, batch, idCol, textCol)
         sink(batch.join(keptIds.withColumnRenamed("doc_id", idCol),
           Seq(idCol), "left_semi"))
-        state.adopt(extended)
+        val next =
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            val compacted = Dedup.compactIndex(extended)
+            checkpointPath.foreach(p => Dedup.saveIndex(compacted, p))
+            compacted
+          } else extended
+        state.adopt(next)
       }
       .start()
 }

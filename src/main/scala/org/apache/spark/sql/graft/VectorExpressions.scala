@@ -279,6 +279,11 @@ case class PqLut(child: Expression, cb: Seq[Seq[Seq[Double]]])
     extends UnaryExpression with ExpectsInputTypes {
   require(cb.nonEmpty && cb.forall(_.nonEmpty),
     "PQ codebooks must be non-empty")
+  // The flat LUT uses a uniform ksub stride and PqScore recovers ksub as
+  // lut.length/m — ragged codebooks would index past segment boundaries.
+  require(cb.forall(_.length == cb.head.length),
+    s"PQ codebooks must have uniform ksub per subspace " +
+      s"(got ${cb.map(_.length).mkString(",")}); pad before building the LUT")
 
   @transient private lazy val matrix: Array[Array[Array[Double]]] =
     cb.map(_.map(_.toArray).toArray).toArray

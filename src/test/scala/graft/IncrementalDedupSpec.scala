@@ -106,6 +106,55 @@ class IncrementalDedupSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("reloaded bucketed index: probe join has no corpus-side exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val docs = spark.table("documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val built = Dedup.buildNearDupIndex(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ndidxb").toString
+    Dedup.saveIndex(built, dir)
+    Dedup.releaseSketchCaches()
+    val loaded = Dedup.loadIndex(spark, dir)
+
+    // Force a shuffled join (broadcast would hide missing co-location) and
+    // a statically-traversable plan (AQE wraps stages in leaf nodes).
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = Dedup.probeNearDups(loaded, batch, "doc_id", "text")
+      val plan = probe.queryExecution.executedPlan
+      def hasPrefixScan(p: SparkPlan): Boolean = p.collectLeaves().exists {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("prefixes"))
+        case _ => false
+      }
+      assert(hasPrefixScan(plan), "probe plan lost the bucketed prefix scan")
+      // The candidate join's corpus side — the subtree between the join and
+      // the bucketed prefix scan — must carry no Exchange: the write-time
+      // bucketing already hash-partitioned it on the join key h.
+      val joinSides = plan.collect {
+        case j: SortMergeJoinExec => j.children.filter(hasPrefixScan)
+        case j: ShuffledHashJoinExec => j.children.filter(hasPrefixScan)
+      }.flatten
+      assert(joinSides.nonEmpty, "no shuffled join reads the prefix table")
+      val innermost = joinSides.minBy(_.collect { case p => p }.size)
+      val shuffles = innermost.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"corpus prefix side still shuffles after reload:\n$innermost")
+      // And the reloaded probe still answers.
+      assert(probe.collect().nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      Dedup.releaseSketchCaches()
+    }
+  }
+
   test("probe reaches the corpus only through the persisted index") {
     import spark.implicits._
     val corpus = spark.table("documents").where(col("doc_id") % 5 =!= 0)

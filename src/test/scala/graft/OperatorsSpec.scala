@@ -211,6 +211,52 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 4))
   }
 
+  test("pqTopK: constant subspace (ragged ksub) pads to uniform codebooks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // With m=2 over 8 dims, subspace 0 (dims 0-3) is CONSTANT → k-means
+    // trains a single centroid there while subspace 1 trains up to ksub.
+    // Without uniform padding the flat LUT stride (ksub = cb(0).length = 1)
+    // would write subspace 1's entries past its segment — crash or silent
+    // score corruption. Padded, recall matches the gaussian case.
+    def vec() = (Seq(1.0, 2.0, 3.0, 4.0) ++
+      Seq.fill(4)(rnd.nextGaussian())).map(_.toFloat)
+    val corpus = (0 until 150).map(i => (i.toLong + 100, vec()))
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 3).map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+    val brute = Similarity.bruteTopK(queries, corpus, "vec_id", "embedding", 3)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(queries, corpus, "vec_id", "embedding", 3,
+        m = 2, ksub = 8, trainCap = 150)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq.length == 9)
+    val hits = pq.count(brute.contains)
+    assert(hits >= (brute.size * 0.8).toInt,
+      s"PQ recall too low with padded codebooks: $hits of ${brute.size}")
+  }
+
+  test("lshTopK: dim inferred from the corpus; explicit mismatch throws") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val corpus = (0 until 30).map(i =>
+      (i.toLong + 100, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // No dim passed: inferred (8) from the corpus — valid ranked output.
+    val ok = Similarity.lshTopK(queries, corpus, "vec_id", "embedding", 3,
+      groups = 2, bitsPerGroup = 2)
+    assert(ok.select("rnk").collect().map(_.getLong(0)).forall(_ <= 3))
+    // A wrong explicit dim fails loudly instead of silently truncating
+    // every dot product to min(len).
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(queries, corpus, "vec_id", "embedding", 3, dim = 64)
+    }
+    assert(e.getMessage.contains("does not match"))
+  }
+
   test("asof join: latest at-or-before match per key, null when none") {
     import spark.implicits._
     val left = Seq((1L, 10L, "L10"), (1L, 20L, "L20"), (2L, 5L, "L5"),

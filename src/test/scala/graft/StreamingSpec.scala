@@ -258,4 +258,74 @@ class StreamingSpec extends SparkSpecBase {
       "fixture should both keep and drop arrivals")
     Dedup.releaseSketchCaches()
   }
+
+  test("near-dup stream: compaction bounds plan depth, checkpoint reloads") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.NearDupStream
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    import org.apache.spark.sql.functions.col
+
+    val docs = spark.table("documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val arrivals = docs.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id").cast("long"), col("text"))
+      .orderBy("doc_id").as[NdDoc].collect()
+    // Contiguous ascending groups keep stream arrival order == the batch
+    // operator's smaller-id-earlier order.
+    val parts = arrivals.grouped(
+      math.max(1, math.ceil(arrivals.length / 4.0).toInt)).toSeq
+
+    val ckpt = java.nio.file.Files.createTempDirectory("ndstream").toString
+    val state = new NearDupStream.IndexState(
+      Dedup.buildNearDupIndex(corpus, "doc_id", "text"))
+    val input = MemoryStream[NdDoc]
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    // compactEvery = 1: every batch compacts then saves IN PLACE over the
+    // same checkpoint path — the order (compact, then save) is what makes
+    // repeated save-over-self safe, and it exercises extension on top of a
+    // compacted (flat-lineage) index at every batch after the first.
+    val q = NearDupStream.run(input.toDF(), state, "doc_id", "text",
+        compactEvery = 1, checkpointPath = Some(ckpt)) { kept =>
+      got ++= kept.select("doc_id").as[Long].collect()
+    }
+    parts.foreach { p => input.addData(p: _*); q.processAllAvailable() }
+    q.stop()
+
+    // Semantics unchanged by compaction: kept-set == the one-shot probe.
+    val oneShot = Dedup.probeNearDups(
+        Dedup.buildNearDupIndex(corpus, "doc_id", "text"),
+        arrivals.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(got.toSet == oneShot)
+    assert(got.nonEmpty && got.size < arrivals.length)
+
+    // Plan depth is bounded: the adopted index is fully compacted — no
+    // union layers, regardless of how many batches ran (uncompacted, it
+    // would carry one Union per batch).
+    def unions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical.collect { case u: Union => u }.size
+    assert(unions(state.index.docsets) == 0,
+      s"docsets plan still layered: ${unions(state.index.docsets)} unions")
+    assert(unions(state.index.prefixes) == 0,
+      s"prefixes plan still layered: ${unions(state.index.prefixes)} unions")
+
+    // The checkpoint holds the COMPLETE index (every compaction included
+    // all prior batches) and probes identically to the live one.
+    val reloaded = Dedup.loadIndex(spark, ckpt)
+    assert(reloaded.docsets.count() == state.index.docsets.count())
+    val probeBatch = docs.where(col("doc_id") % 25 === 3)
+      .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
+      .union(Seq((9000001L, "entirely novel compaction probe text"))
+        .toDF("doc_id", "text"))
+    val live = Dedup.probeNearDups(state.index, probeBatch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val replay = Dedup.probeNearDups(reloaded, probeBatch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(live == replay)
+    assert(live.contains(9000001L), "novel doc should be kept")
+    assert(live.size < probeBatch.count(), "twin docs should be dropped")
+    Dedup.releaseSketchCaches()
+  }
 }
