@@ -893,15 +893,14 @@ object Dedup {
     *     + a convergence action) dwarfs the actual work for small graphs
     *     (measured at sf0.1: ~4 s loop vs ~0.1 s local). Same bounded-
     *     collect pattern as Skew's hot-key scan and IVF's training sample.
-    *   - above the cap: iterative min-label propagation — each round every
-    *     node takes the min of its own and its neighbors' labels (one
-    *     shuffle for the neighbor-min, one join to merge; all DataFrame
-    *     ops). Converges in graph-diameter rounds; near-dup clusters are
-    *     shallow, so `maxIter` defaults low. Labels only ever decrease, so
-    *     `sum(comp)` is a monotone convergence signal: a round that leaves
-    *     the sum unchanged changed nothing — one scalar aggregate per
-    *     round, no compare join. Caches each round's labels; unpersists
-    *     the previous round.
+    *   - above the cap: alternating large-star/small-star contraction
+    *     (Kiveris et al. 2014) — each round rewires larger neighbors to
+    *     the neighborhood min (large-star) then contracts smaller
+    *     neighbors onto it (small-star), all DataFrame ops. Converges in
+    *     O(log n) rounds regardless of graph shape — a 1000-link
+    *     duplicate CHAIN converges in ~10 rounds where min-label
+    *     propagation would need diameter (1000) rounds. Caches each
+    *     round's edge set; unpersists the previous round.
     *
     * String ids order by UTF8 bytes on both paths (Spark's `least` is a
     * binary compare). Only ids that appear in `pairs` are returned —
@@ -911,7 +910,7 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 10,
+      maxIter: Int = 20,
       localEdgeCap: Int = 1000000): DataFrame = {
     val fwd0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     // Persist the 2-column edge selection BEFORE the probe: on overflow the
@@ -933,47 +932,74 @@ object Dedup {
         return componentsLocal(pairs, aCol, sample)
       }
     }
-    // Undirected edge list, both directions.
+    // Alternating large-star/small-star contraction (Kiveris et al. 2014,
+    // "Connected Components in MapReduce and Beyond"): converges in
+    // O(log n) rounds REGARDLESS of graph shape, vs the graph-DIAMETER
+    // rounds of plain min-label propagation — the long-duplicate-chain
+    // insurance (a 1000-link chain converges in ~10 rounds here where
+    // propagation would need 1000). Edges stay canonically oriented
+    // (u = bigger endpoint, v = smaller); both ops preserve components
+    // exactly, and the fixed point is a star per component rooted at its
+    // min id.
     val fwd = probed.getOrElse(fwd0)
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+    // Each round is localCheckpoint'd (eager): an iterative plan that
+    // references the previous round several times grows EXPONENTIALLY in
+    // the logical tree if only cached (cache short-circuits execution,
+    // not analysis), and 20 rounds of that OOMs the planner itself.
+    // Checkpointing flattens the round to a leaf; superseded rounds are
+    // dropped by the context cleaner when unreferenced.
+    var cur = fwd.where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint(true)
 
-    def labelSum(df: DataFrame): Long = // coalesce: sum of zero rows is null
-      df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
-
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("m"))
-      .select(col("id"), least(col("id"), col("m")).as("comp")).cache()
-    var prevSum = labelSum(labels) // also materializes the cache
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      // min over neighbors' labels, then merge with own label.
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("comp")).as("ncomp"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .cache()
-      val curSum = labelSum(next)
-      labels.unpersist()
-      labels = next
-      converged = curSum == prevSum
-      prevSum = curSum
+      // Large-star: every node links its LARGER neighbors to the min of
+      // its closed neighborhood. Each undirected edge is processed in its
+      // smaller endpoint's group of the symmetric view, so no edge is
+      // dropped; output keeps the (bigger, smaller) orientation because
+      // m ≤ u < v for every emitted (v, m).
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(lsMin, Seq("u")).where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // Small-star: every node links its smaller neighbors (and itself)
+      // to the neighborhood min m; m < u always (some neighbor is < u),
+      // so the self-link needs no filter.
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val next = ls.join(ssMin, Seq("u"))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint(true)
+      // Set equality of two distinct frames: same count + empty diff
+      // (checked lazily via a limit-1 collect, not a full count).
+      converged = next.count() == cur.count() &&
+        next.except(cur).limit(1).collect().isEmpty
+      cur = next
       it += 1
     }
-    edges.unpersist()
-    probed.foreach(_.unpersist(false))
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"Dedup.components: label propagation did NOT converge within " +
-          s"maxIter=$maxIter rounds — a duplicate chain longer than the " +
-          s"iteration budget is split into multiple components. Raise " +
-          s"maxIter (rounds needed = graph diameter).")
-    // The returned DataFrame is the final round's cache handle; callers
-    // either .unpersist() it when done or let [[withSketchCache]] /
+        s"Dedup.components: star contraction did NOT converge within " +
+          s"maxIter=$maxIter rounds — raise maxIter (rounds needed = " +
+          s"O(log n); 20 covers any realistic graph).")
+    // At the fixed point every non-root points straight at its component
+    // min; under an exhausted budget a node may still carry several
+    // links, so take the min per node rather than trusting star shape.
+    val mapping = cur.groupBy(col("u").as("id")).agg(min(col("v")).as("comp"))
+    val ids = fwd.select(col("src").as("id"))
+      .union(fwd.select(col("dst").as("id"))).distinct()
+    val labels = ids.join(mapping, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .cache()
+    labels.count() // materialize before releasing what it derives from
+    probed.foreach(_.unpersist(false))
+    // The returned DataFrame is a cache handle; callers either
+    // .unpersist() it when done or let [[withSketchCache]] /
     // [[releaseSketchCaches]] release it (registered here for that).
     sketchCaches.synchronized { sketchCaches += labels }
     labels

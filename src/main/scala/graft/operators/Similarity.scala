@@ -370,52 +370,110 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       maxIter: Int = 8,
-      trainCap: Int = 20000): DataFrame = {
-    val c = corpus.select(col(idCol).as("cid"),
-        toDoubleVec(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-    // Uniform training sample without a corpus-wide TakeOrdered: a seeded
-    // Bernoulli sample sized from the (metadata-cheap) row count, capped at
-    // trainCap. Deterministic for a fixed input layout; quantizer quality
-    // only needs uniformity, not a specific draw.
-    val total = c.count()
-    // nlist <= 0: derive from the corpus via the faiss √n rule of thumb, so
-    // list sizes stay ~√n as the corpus grows instead of the fixed default
-    // silently degrading to a near-scan. Clamped so the quantizer stays
-    // trainable from the capped sample (≥ ~5 points per centroid).
-    val lists =
-      if (nlist > 0) nlist
-      else math.max(16, math.min(math.sqrt(total.toDouble).toInt,
-        trainCap / 5))
+      trainCap: Int = 20000): DataFrame =
+    ivfProbe(buildIvfIndex(corpus, idCol, vecCol, nlist, maxIter, trainCap),
+      queries, idCol, vecCol, k, nprobe)
+
+  /** Trained IVF state: the spherical-k-means centroids plus the corpus
+    * assigned to inverted lists ((cid, cv, cn, list)). Build once, probe
+    * per query batch ([[ivfProbe]]); persist with [[saveIvfIndex]]. */
+  final case class IvfIndex private[operators] (
+      centroids: Seq[Seq[Double]], assigned: DataFrame)
+
+  /** Uniform bounded training sample without a corpus-wide TakeOrdered: a
+    * seeded Bernoulli sample sized from the (metadata-cheap) row count,
+    * capped at `trainCap`. Deterministic for a fixed input layout;
+    * quantizer quality only needs uniformity, not a specific draw. */
+  private def sampleVecs(c: DataFrame, total: Long,
+      trainCap: Int): Array[Array[Double]] = {
     val fraction = if (total == 0) 1.0
       else math.min(1.0, trainCap * 1.2 / total)
     val sampled =
       (if (fraction < 1.0) c.sample(withReplacement = false, fraction, seed = 42L)
        else c)
       .select(col("cv")).collect()
-    val sample = sampled.take(trainCap).map(_.getSeq[Double](0).toArray)
-    val cents = trainCentroids(sample, lists, maxIter)
+    sampled.take(trainCap).map(_.getSeq[Double](0).toArray)
+  }
 
-    // Corpus-side assignment is the per-row hot loop: a fused codegen'd
-    // argmax over the baked centroid matrix (centroids are unit vectors, so
-    // the un-normalized dot picks the same list as the cosine).
+  /** Train the coarse quantizer and assign every corpus vector to its
+    * inverted list — the one-off batch half of IVF. `nlist <= 0` derives
+    * the list count via the faiss √n rule of thumb, so list sizes stay ~√n
+    * as the corpus grows instead of a fixed default silently degrading to
+    * a near-scan (clamped so the quantizer stays trainable from the capped
+    * sample, ≥ ~5 points per centroid). Assignment is a fused codegen'd
+    * argmax over the baked centroid matrix (centroids are unit vectors, so
+    * the un-normalized dot picks the same list as the cosine). */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      maxIter: Int = 8,
+      trainCap: Int = 20000): IvfIndex = {
+    val c = corpus.select(col(idCol).as("cid"),
+        toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val total = c.count()
+    val lists =
+      if (nlist > 0) nlist
+      else math.max(16, math.min(math.sqrt(total.toDouble).toInt,
+        trainCap / 5))
+    val cents = trainCentroids(sampleVecs(c, total, trainCap), lists, maxIter)
+    IvfIndex(cents, c.withColumn("list",
+      GraftFunctions.nearestCentroid(col("cv"), cents)))
+  }
+
+  /** Probe a (built or loaded) [[IvfIndex]]: each query exactly scores only
+    * its `nprobe` nearest-centroid lists. The probe-list ids are collected
+    * (bounded by nlist) and pushed as a corpus-side filter BEFORE the
+    * broadcast join — on an index loaded from [[loadIvfIndex]]'s
+    * list-partitioned layout that predicate is partition PRUNING: only the
+    * probed lists' directories are read, ~nprobe/nlist of the corpus, which
+    * is the entire point of IVF at 100 TB. */
+  def ivfProbe(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
     val unit = (v: Column, n: Column) => transform(v, x => x / n)
-    val assigned = c.withColumn("list",
-      GraftFunctions.nearestCentroid(col("cv"), cents))
-
     val q = queries.select(col(idCol).as("qid"),
         toDoubleVec(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .withColumn("probe", slice(array_sort(
-        centroidDistances(unit(col("qv"), col("qn")), cents)), 1, nprobe))
+        centroidDistances(unit(col("qv"), col("qn")), index.centroids)), 1, nprobe))
       .withColumn("list", explode(transform(col("probe"), p => p.getField("i"))))
       .drop("probe")
-
-    val scored = assigned.join(broadcast(q), Seq("list"))
+    val probeLists = q.select("list").distinct().collect().map(_.getInt(0))
+    val scored = index.assigned
+      .where(col("list").isin(probeLists.map(Int.box): _*))
+      .join(broadcast(q), Seq("list"))
       .select(col("qid"), col("cid"),
         try_divide(dot(col("qv"), col("cv")),
           col("qn") * col("cn")).as("cos"))
     topKPerQuery(scored, k)
+  }
+
+  /** Persist an [[IvfIndex]]: centroids as a small frame, the inverted
+    * lists hive-partitioned BY LIST — the directory layout that turns
+    * [[ivfProbe]]'s probe-list filter into partition pruning on reload. */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("i", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    graft.sources.Sink.partitioned(index.assigned, s"$path/lists", "list")
+  }
+
+  /** Load an [[IvfIndex]] written by [[saveIvfIndex]]. No retraining, no
+    * re-assignment: probing resumes against the partitioned lists. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids").orderBy("i")
+      .select("v").collect().map(_.getSeq[Double](0)).toSeq
+    IvfIndex(cents, spark.read.parquet(s"$path/lists"))
   }
 
   /** Plain-L2 Lloyd k-means per contiguous subspace over a driver-side
@@ -501,45 +559,100 @@ object Similarity {
       ksub: Int = 256,
       maxIter: Int = 8,
       trainCap: Int = 20000,
-      rerankFactor: Int = 8): DataFrame = {
+      rerankFactor: Int = 8): DataFrame =
+    pqProbe(buildPqIndex(corpus, idCol, vecCol, m, ksub, maxIter, trainCap),
+      queries, corpus, idCol, vecCol, k, rerankFactor)
+
+  /** Trained PQ state: per-subspace codebooks plus the corpus encoded to
+    * (cid, cn, codes) — ~16× less scan data than the raw vectors at the
+    * m=8 default. Build once, probe per query batch ([[pqProbe]]); persist
+    * with [[savePqIndex]]. The raw corpus stays OUTSIDE the index (probe
+    * takes it as a parameter for the bounded exact re-rank fetch) — at
+    * 100 TB duplicating the vectors into the index would defeat the
+    * compression that makes PQ worth building. */
+  final case class PqIndex private[operators] (
+      codebooks: Seq[Seq[Seq[Double]]], codes: DataFrame)
+
+  /** Train the codebooks on a bounded seeded sample (same recipe as
+    * [[buildIvfIndex]]) and encode the corpus ONCE — a codegen'd argmin
+    * kernel inside the scan projection, map-side. */
+  def buildPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      ksub: Int = 256,
+      maxIter: Int = 8,
+      trainCap: Int = 20000): PqIndex = {
     val c = corpus.select(col(idCol).as("cid"),
         toDoubleVec(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-    // Same bounded, seeded sampling as ivfTopK: training cost is
-    // independent of corpus size.
     val total = c.count()
-    val fraction = if (total == 0) 1.0
-      else math.min(1.0, trainCap * 1.2 / total)
-    val sampled =
-      (if (fraction < 1.0) c.sample(withReplacement = false, fraction, seed = 42L)
-       else c)
-      .select(col("cv")).collect()
-    val sample = sampled.take(trainCap).map(_.getSeq[Double](0).toArray)
-    val cbs = padCodebooks(trainPqCodebooks(sample, m, ksub, maxIter))
+    val cbs = padCodebooks(
+      trainPqCodebooks(sampleVecs(c, total, trainCap), m, ksub, maxIter))
+    PqIndex(cbs, c.select(col("cid"), col("cn"),
+      GraftFunctions.pqEncode(col("cv"), cbs).as("codes")))
+  }
 
-    // Scan 1 — compressed: (cid, codes, cn) only. Encoding is a codegen'd
-    // argmin kernel inside the scan projection, map-side.
-    val codes = c.select(col("cid"), col("cn"),
-      GraftFunctions.pqEncode(col("cv"), cbs).as("codes"))
+  /** Probe a (built or loaded) [[PqIndex]]: ADC scoring over the compressed
+    * codes (each query carries a flattened lookup table, so the scan does m
+    * table lookups per pair instead of a dim-wide dot product), then the
+    * PQ top-(k·rerankFactor) candidates are re-scored EXACTLY against their
+    * full vectors from `corpus` — one bounded candidate fetch join
+    * (nq·k·rerankFactor rows broadcast against the corpus), restoring
+    * near-exact top-k quality from an approximate scan. */
+  def pqProbe(
+      index: PqIndex,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerankFactor: Int = 8): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
         toDoubleVec(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val qlut = q.select(col("qid"), col("qn"),
-      GraftFunctions.pqLut(col("qv"), cbs).as("lut"))
+      GraftFunctions.pqLut(col("qv"), index.codebooks).as("lut"))
 
-    val approx = codes.crossJoin(broadcast(qlut))
+    val approx = index.codes.crossJoin(broadcast(qlut))
       .select(col("qid"), col("cid"),
         try_divide(GraftFunctions.pqScore(col("codes"), col("lut")),
           col("qn") * col("cn")).as("cos"))
     val cand = topKPerQuery(approx, k * rerankFactor).select("qid", "cid")
 
-    // Scan 2 — bounded candidate fetch (nq·k·rerankFactor rows broadcast
-    // against the corpus) + exact re-rank.
+    val c = corpus.select(col(idCol).as("cid"),
+        toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val exact = c.join(broadcast(cand), Seq("cid"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("cid"),
         try_divide(dot(col("qv"), col("cv")), col("qn") * col("cn")).as("cos"))
     topKPerQuery(exact, k)
+  }
+
+  /** Persist a [[PqIndex]]: codebooks as a small (j, c, v) frame, the
+    * encoded corpus as parquet — the compressed artifact a production
+    * pipeline scans instead of the raw vectors. */
+  def savePqIndex(index: PqIndex, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (v, c) => (j, c, v) }
+    }.toDF("j", "c", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load a [[PqIndex]] written by [[savePqIndex]]: no retraining, no
+    * re-encoding — query batches probe the stored codes directly. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqIndex = {
+    val cbs = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    PqIndex(cbs, spark.read.parquet(s"$path/codes"))
   }
 
   /** Approximate cosine top-k: candidates = corpus rows sharing ≥1 subcode

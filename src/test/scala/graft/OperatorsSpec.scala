@@ -237,6 +237,61 @@ class OperatorsSpec extends SparkSpecBase {
       s"PQ recall too low with padded codebooks: $hits of ${brute.size}")
   }
 
+  test("IVF index: saved + loaded probe returns exactly the inline top-k") {
+    val emb = spark.table("embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val corpus = emb.where(col("vec_id") >= 10)
+    val inline = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding"), dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val probe = Similarity.ivfProbe(loaded, queries, "vec_id", "embedding", 5)
+    val probed = probe.select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probed == inline)
+    assert(probed.nonEmpty)
+
+    // The probe-list filter partition-prunes the hive-partitioned lists:
+    // the scan reads only the probed lists' directories. (AQE wraps the
+    // executed plan in a leaf node; plan statically for the traversal.)
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = Similarity.ivfProbe(loaded, queries, "vec_id", "embedding", 5)
+        .queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("lists")) => f
+        }
+      assert(scans.nonEmpty, "probe plan lost the partitioned list scan")
+      assert(scans.head.partitionFilters.nonEmpty,
+        "probe-list filter did not reach the partitioned scan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+  }
+
+  test("PQ index: saved + loaded probe returns exactly the inline top-k") {
+    val emb = spark.table("embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val corpus = emb.where(col("vec_id") >= 10)
+    val inline = Similarity.pqTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.savePqIndex(
+      Similarity.buildPqIndex(corpus, "vec_id", "embedding"), dir)
+    val loaded = Similarity.loadPqIndex(spark, dir)
+    val probed = Similarity
+      .pqProbe(loaded, queries, corpus, "vec_id", "embedding", 5)
+      .select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probed == inline)
+    assert(probed.nonEmpty)
+  }
+
   test("lshTopK: dim inferred from the corpus; explicit mismatch throws") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
@@ -288,7 +343,24 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got == Set((1L, 10L), (2L, 10L)))
   }
 
-  test("components: min-label propagation resolves transitive clusters") {
+  test("components: 1000-link chain converges within the log-round budget") {
+    import spark.implicits._
+    // A single 1000-edge path graph: graph diameter 1000, so plain
+    // min-label propagation could NOT converge in 20 rounds — the
+    // alternating large-star/small-star contraction must (O(log n)).
+    // localEdgeCap = 0 forces the distributed path.
+    val chain = (0 until 1000).map(i => (i.toLong, i.toLong + 1))
+      .toDF("a_id", "b_id")
+    val out = graft.operators.Dedup
+      .components(chain, "a_id", "b_id", maxIter = 20, localEdgeCap = 0)
+      .collect()
+    assert(out.length == 1001)
+    assert(out.forall(_.getLong(1) == 0L),
+      "chain did not contract to a single component rooted at 0")
+    graft.operators.Dedup.releaseSketchCaches()
+  }
+
+  test("components: both paths resolve transitive clusters") {
     import spark.implicits._
     // Chain 20-21-22-23 needs >1 round: label must propagate end to end.
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),

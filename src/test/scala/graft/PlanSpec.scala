@@ -30,7 +30,7 @@ class PlanSpec extends SparkSpecBase {
     // fixed query batch scored against every corpus row (the operator's
     // exactness contract).
     val scalarBroadcast = Set("q4_scalar_subquery", "h6_forecast_revenue",
-      "t13_tfidf_search", "s1_ann_brute", "s5_ann_pq")
+      "t13_tfidf_search", "s1_ann_brute", "s5_ann_pq", "s6_ann_pq_index")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intentional)
       .flatMap { name =>

@@ -112,6 +112,33 @@ object ScaleProbe {
         graft.SparkEntry.queries("h8_market_share")(spark, sfDir)
       }
     }
+    // Round-5/6 operators: PQ ANN (inline vs persisted-index probe), BM25,
+    // chunk explode, epoch shuffle — all on rep× replicated inputs.
+    if (wanted("s5") || wanted("s6")) {
+      replicate("embeddings", Seq("vec_id")).cache()
+        .createOrReplaceTempView("embeddings")
+      println(s"[scale] embeddings x$rep = ${spark.table("embeddings").count()} rows")
+      time("s5_ann_pq (train+encode+probe per call)") {
+        graft.SparkEntry.queries("s5_ann_pq")(spark, sfDir)
+      }
+      // Pass 1 builds + saves + loads the index; pass 2 hits the resident
+      // index — the steady-state probe cost a serving process pays.
+      time("s6_ann_pq_index pass1 (build+save+load+probe)") {
+        graft.SparkEntry.queries("s6_ann_pq_index")(spark, sfDir)
+      }
+      time("s6_ann_pq_index pass2 (probe only)") {
+        graft.SparkEntry.queries("s6_ann_pq_index")(spark, sfDir)
+      }
+    }
+    time("t16_bm25_search") {
+      graft.SparkEntry.queries("t16_bm25_search")(spark, sfDir)
+    }
+    time("t17_chunk_documents (token-window explode)") {
+      graft.SparkEntry.queries("t17_chunk_documents")(spark, sfDir)
+    }
+    time("x4_epoch_shuffle") {
+      graft.SparkEntry.queries("x4_epoch_shuffle")(spark, sfDir)
+    }
     // components: pairs from exact 2-gram jaccard over the replicated corpus
     // (every cluster is rep x denser). Forces BOTH paths.
     if (wanted("components")) {
@@ -122,9 +149,9 @@ object ScaleProbe {
       time("components local (union-find)") {
         graft.operators.Dedup.components(pairs, "a_id", "b_id")
       }
-      time("components distributed (label prop)") {
+      time("components distributed (star contraction)") {
         graft.operators.Dedup.components(pairs, "a_id", "b_id",
-          maxIter = 10, localEdgeCap = 0)
+          localEdgeCap = 0)
       }
     }
     spark.stop()
