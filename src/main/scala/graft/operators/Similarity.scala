@@ -476,6 +476,55 @@ object Similarity {
     IvfIndex(cents, spark.read.parquet(s"$path/lists"))
   }
 
+  /** Approximate embedding near-dup PAIRS at corpus scale — the production
+    * escalation of the exact blocked grid ([[cosinePairsBlocked]], which
+    * scores ALL B(B+1)/2 block pairs): an IVF coarse quantizer buckets the
+    * corpus, each vector is MULTI-assigned to its `nprobe` nearest lists,
+    * candidates are same-list pairs only, and every candidate is verified
+    * with the exact cosine — so precision is exact (the output is a SUBSET
+    * of the exact operator's pairs, spec-asserted) and only recall is
+    * approximate. Expected work drops from n²/2 to ~Σ|list|² (an
+    * nlist-fold reduction on balanced lists); the miss mode is a pair
+    * whose assignment sets don't intersect, which multi-assignment
+    * (`nprobe` ≥ 2, the standard mitigation) makes rare for genuinely
+    * close vectors — near-identical embeddings rank their nearest lists
+    * near-identically. Scoring happens INSIDE the list join and dedups on
+    * the (a, b, cos) scalars ([[lshTopK]]'s trick), so the exchange never
+    * carries vectors. Output matches [[cosinePairsBlocked]]:
+    * (a_id, b_id, cos_sim rounded to 4), a_id < b_id. */
+  def ivfCosinePairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      maxIter: Int = 8,
+      trainCap: Int = 20000): DataFrame = {
+    val c = emb.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val total = c.count()
+    val lists =
+      if (nlist > 0) nlist
+      else math.max(16, math.min(math.sqrt(total.toDouble).toInt,
+        trainCap / 5))
+    val cents = trainCentroids(sampleVecs(c, total, trainCap), lists, maxIter)
+    val unit = (v: Column, n: Column) => transform(v, x => x / n)
+    val coded = c.where(col("cn") > 0)
+      .withColumn("probe", slice(array_sort(
+        centroidDistances(unit(col("cv"), col("cn")), cents)), 1, nprobe))
+      .withColumn("list", explode(transform(col("probe"), p => p.getField("i"))))
+      .select(col("id"), col("cv"), col("cn"), col("list"))
+    coded.as("a").join(coded.as("b"),
+        col("a.list") === col("b.list") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        try_divide(dot(col("a.cv"), col("b.cv")),
+          col("a.cn") * col("b.cn")).as("cos"))
+      .where(col("cos") >= threshold)
+      .groupBy("a_id", "b_id")
+      .agg(round(max(col("cos")), 4).as("cos_sim"))
+  }
+
   /** Plain-L2 Lloyd k-means per contiguous subspace over a driver-side
     * sample — the PQ codebook trainer. Deterministic: seeded init from the
     * distinct subvectors, empty clusters keep their previous centroid.

@@ -32,6 +32,21 @@ object Pipeline {
       Similarity.loadPqIndex(s, path)
     })
 
+  /** Same resident-index pattern for IVF ([[pqIndexes]] doc applies): the
+    * saved layout hive-partitions the inverted lists, so the repeat-call
+    * probe partition-prunes to its probed lists. */
+  private val ivfIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
+  private def ivfIndexFor(s: org.apache.spark.sql.SparkSession, dir: String,
+      corpus: org.apache.spark.sql.DataFrame): Similarity.IvfIndex =
+    ivfIndexes.getOrElseUpdate(dir, {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(corpus, "vec_id", "embedding"), path)
+      Similarity.loadIvfIndex(s, path)
+    })
+
   private val dedup = Seq(
     // Exact dedup via content fingerprint; keep min id per group.
     sql("d1_dedup_exact",
@@ -216,6 +231,16 @@ object Pipeline {
       (s, dir) =>
         Dedup.embedding(s.table("embeddings"), "vec_id", "embedding", 0.4)
           .orderBy("a_id", "b_id")
+    },
+    // IVF-bucketed embedding near-dup — d5's corpus-scale escalation:
+    // candidates restricted to vectors sharing an IVF list (multi-assigned
+    // to nprobe=2 lists), verified by the exact cosine. Precision is exact
+    // (spec asserts the output ⊆ d5's pairs); recall is quantizer-defined
+    // → rows-only.
+    df("d11_dedup_embedding_ivf", None) { (s, dir) =>
+      Similarity.ivfCosinePairs(s.table("embeddings"),
+        "vec_id", "embedding", threshold = 0.4)
+        .orderBy("a_id", "b_id")
     }
   )
 
@@ -560,6 +585,17 @@ object Pipeline {
       Similarity.pqProbe(idx,
         emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
         "vec_id", "embedding", k = 5)
+        .orderBy("qid", "rnk")
+    },
+    // IVF ANN probing a PERSISTED index (s6's IVF twin): inverted lists
+    // reloaded from their hive-partitioned layout, so the probe reads only
+    // the probed lists' directories (partition pruning, plan-asserted in
+    // OperatorsSpec). Spec: probe returns exactly s3's inline top-k.
+    df("s7_ann_ivf_index", None) { (s, dir) =>
+      val emb = s.table("embeddings")
+      val idx = ivfIndexFor(s, dir, emb.where(col("vec_id") >= 10))
+      Similarity.ivfProbe(idx, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 4)
         .orderBy("qid", "rnk")
     },
     // Hybrid retrieval — the canonical RAG/corpus-search shape: a lexical

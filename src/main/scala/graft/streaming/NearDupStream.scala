@@ -48,6 +48,31 @@ object NearDupStream {
     private[streaming] def adopt(next: NearDupIndex): Unit = current = next
   }
 
+  /** Load-or-bootstrap the stream's index state — the restart story in one
+    * call: if a `Dedup.saveIndex` checkpoint exists at `path`, load it (no
+    * corpus re-read; the bucketed probe layout comes back via the catalog
+    * re-registration in `Dedup.loadIndex`); otherwise build the index from
+    * `corpus`, save the bootstrap checkpoint, and reload THROUGH the saved
+    * artifact, so first run and restart probe the identical layout. Pass
+    * the returned state plus the same `path` as [[run]]'s `checkpointPath`
+    * and the stream keeps its own checkpoint current at each compaction. */
+  def resume(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 2,
+      threshold: Double = 0.6): IndexState = {
+    val params = new org.apache.hadoop.fs.Path(s"$path/params")
+    val fs = params.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(params))
+      Dedup.saveIndex(
+        Dedup.buildNearDupIndex(corpus, idCol, textCol, shingleN, threshold),
+        path)
+    new IndexState(Dedup.loadIndex(spark, path))
+  }
+
   /** Start the dedup stream: each micro-batch is probed against the
     * current index, the kept (novel) rows are handed to `sink`, and the
     * FULL batch — kept and dropped alike — is folded into the index

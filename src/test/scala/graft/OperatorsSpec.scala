@@ -292,6 +292,26 @@ class OperatorsSpec extends SparkSpecBase {
     assert(probed.nonEmpty)
   }
 
+  test("ivfCosinePairs: exact-precision subset of blocked pairs, good recall") {
+    val emb = spark.table("embeddings")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val exact = Similarity
+      .cosinePairsBlocked(emb, "vec_id", "embedding", 0.4)
+      .collect().map(key).toSet
+    val approx = Similarity
+      .ivfCosinePairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(key)
+    // Precision is EXACT by construction: every candidate is verified with
+    // the same cosine the blocked operator computes, so (a, b, cos_sim)
+    // triples must be a subset.
+    val extras = approx.filterNot(exact.contains)
+    assert(extras.isEmpty, s"non-exact pairs emitted: ${extras.take(3).toSeq}")
+    // Recall: multi-assignment (nprobe=2) should catch most exact pairs.
+    assert(approx.length >= (exact.size * 0.8).toInt,
+      s"IVF pair recall too low: ${approx.length} of ${exact.size}")
+  }
+
   test("lshTopK: dim inferred from the corpus; explicit mismatch throws") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

@@ -328,4 +328,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(live.size < probeBatch.count(), "twin docs should be dropped")
     Dedup.releaseSketchCaches()
   }
+
+  test("resume: bootstrap saves a checkpoint; restart loads it unchanged") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.NearDupStream
+    import org.apache.spark.sql.functions.col
+
+    val docs = spark.table("documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ndresume").toString
+
+    // First call: no checkpoint yet → builds from the corpus and saves.
+    val boot = NearDupStream.resume(spark, dir, corpus, "doc_id", "text")
+    val kept1 = Dedup.probeNearDups(boot.index, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    Dedup.releaseSketchCaches()
+
+    // Restart: corpus argument must NOT be re-read — hand it an empty
+    // frame to prove the load path is taken.
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val restarted = NearDupStream.resume(spark, dir, empty, "doc_id", "text")
+    val kept2 = Dedup.probeNearDups(restarted.index, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept1)
+    assert(kept1.nonEmpty && kept1.size < batch.count(),
+      "fixture should both keep and drop batch docs")
+    Dedup.releaseSketchCaches()
+  }
 }
