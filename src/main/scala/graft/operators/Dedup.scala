@@ -459,43 +459,127 @@ object Dedup {
     * corpus-side Exchange, the write-time shuffle paid once for every
     * probe after restart (IncrementalDedupSpec asserts the plan).
     *
+    * Saves are GENERATIONAL and crash-safe: each save writes a fresh
+    * `g<N>/` directory (docsets, bucketed prefixes, freq, then params
+    * LAST — its parquet `_SUCCESS` is the generation's commit marker), so
+    * a crash mid-save leaves an ignorable partial directory and the
+    * previous generation intact; nothing is ever deleted before its
+    * replacement is fully committed. One previous generation is retained
+    * after each save (an in-flight reader of the prior index keeps
+    * working through one full save cycle); older ones are removed.
+    *
     * Saving an index whose prefix layers were LOADED from this same `path`
-    * would overwrite files the plan still reads (Spark rejects it) — pass
-    * such an index through [[compactIndex]] first; its checkpointed frames
-    * have no file lineage, so save-in-place is safe. That is exactly the
-    * order streaming/NearDupStream uses. */
-  def saveIndex(index: NearDupIndex, path: String,
-      numBuckets: Int = 32): Unit = {
-    index.docsets.write.mode("overwrite").parquet(s"$path/docsets")
-    graft.sources.Sink.bucketedExternal(index.prefixes, prefixTable(path),
-      s"$path/prefixes", "h", numBuckets, "h")
-    index.freq.write.mode("overwrite").parquet(s"$path/freq")
+    * is safe for the same reason: the new generation writes to a fresh
+    * directory, never over files a live plan reads. */
+  def saveIndex(index: NearDupIndex, path: String, numBuckets: Int = 32,
+      batchId: Long = -1L, kept: Option[DataFrame] = None): Unit = {
     val spark = index.docsets.sparkSession
+    val fs = fsFor(spark, path)
+    val prior = completeGens(spark, path)
+    val next = prior.headOption.map(_ + 1).getOrElse(0)
+    val gdir = s"$path/g$next"
+    // A crashed earlier attempt may have left a partial, uncommitted g$next.
+    if (fs.exists(new org.apache.hadoop.fs.Path(gdir)))
+      fs.delete(new org.apache.hadoop.fs.Path(gdir), true)
+    index.docsets.write.mode("overwrite").parquet(s"$gdir/docsets")
+    graft.sources.Sink.bucketedExternal(index.prefixes,
+      prefixTable(path, next), s"$gdir/prefixes", "h", numBuckets, "h")
+    index.freq.write.mode("overwrite").parquet(s"$gdir/freq")
+    kept.foreach(_.select(col("doc_id").cast("long").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$gdir/kept"))
     import spark.implicits._
-    Seq((index.shingleN, index.threshold, numBuckets))
-      .toDF("shingle_n", "threshold", "num_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    // params last — the commit marker.
+    Seq((index.shingleN, index.threshold, numBuckets, batchId))
+      .toDF("shingle_n", "threshold", "num_buckets", "batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$gdir/params")
+    prior.filter(_ < next - 1).foreach { g =>
+      spark.sql(s"drop table if exists ${prefixTable(path, g)}")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/g$g"), true)
+    }
   }
 
-  /** Deterministic catalog name for the bucketed prefix table at `path`:
-    * bucketing metadata is catalog-resident, so the name must be derivable
-    * from the path alone for a restarted session to re-register it. */
-  private def prefixTable(path: String): String =
+  private def fsFor(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed generations under `path`, newest first. A generation counts
+    * only once its params write finished (parquet `_SUCCESS`) — partial
+    * directories from crashed saves are invisible. */
+  private def completeGens(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Int] = {
+    val fs = fsFor(spark, path)
+    val base = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("g\\d+") => n.drop(1).toInt }
+      .filter(g => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/g$g/params/_SUCCESS")))
+      .sorted(Ordering[Int].reverse)
+  }
+
+  /** Deterministic catalog name for generation `gen`'s bucketed prefix
+    * table at `path`: bucketing metadata is catalog-resident, so the name
+    * must be derivable from (path, gen) alone for a restarted session to
+    * re-register it. */
+  private def prefixTable(path: String, gen: Int): String =
+    "graft_ndidx_p" + java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(path.hashCode)) + s"_g$gen"
+
+  /** Legacy (pre-generational) flat-layout table name. */
+  private def legacyPrefixTable(path: String): String =
     "graft_ndidx_p" + java.lang.Long.toHexString(
       java.lang.Integer.toUnsignedLong(path.hashCode))
 
-  /** Load a [[NearDupIndex]] written by [[saveIndex]]. Docsets/freq come
-    * back as MEMORY_AND_DISK persists (registered with the sketch cache
-    * like a fresh build). The prefix frame is deliberately NOT cached: it
-    * reads through the bucketed table so its HashPartitioning(h) layout
-    * reaches the probe join planner directly — the probe query contains
-    * the join, so Spark keeps the bucketed scan and skips the corpus-side
-    * Exchange. In a session that didn't write the table (restart), the
-    * same files are re-registered under the same bucketed layout. */
+  /** Load a [[NearDupIndex]] written by [[saveIndex]] — the newest
+    * committed generation (legacy flat layouts still load). Docsets/freq
+    * come back as MEMORY_AND_DISK persists (registered with the sketch
+    * cache like a fresh build). The prefix frame is deliberately NOT
+    * cached: it reads through the bucketed table so its HashPartitioning
+    * layout reaches the probe join planner directly — the probe query
+    * contains the join, so Spark keeps the bucketed scan and skips the
+    * corpus-side Exchange. In a session that didn't write the table
+    * (restart), the same files are re-registered under the same bucketed
+    * layout. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): NearDupIndex =
+    loadLatestGen(spark, path).map(_._1)
+      .getOrElse(legacyLoadIndex(spark, path))
+
+  /** (index, gen, batch_id) of the newest committed generation, if any. */
+  private[graft] def loadLatestGen(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(NearDupIndex, Int, Long)] =
+    completeGens(spark, path).headOption.map { g =>
+      val gdir = s"$path/g$g"
+      val params = spark.read.parquet(s"$gdir/params").head()
+      val tbl = prefixTable(path, g)
+      val prefixes =
+        if (spark.catalog.tableExists(tbl)) spark.table(tbl)
+        else {
+          val nb = params.getAs[Int]("num_buckets")
+          spark.sql(
+            s"""create table $tbl (id bigint, h bigint, r bigint, n bigint)
+               |using parquet clustered by (h) sorted by (h) into $nb buckets
+               |location '$gdir/prefixes'""".stripMargin)
+          spark.table(tbl)
+        }
+      val docsets = persistSketch(spark.read.parquet(s"$gdir/docsets"))
+      val freq = persistSketch(spark.read.parquet(s"$gdir/freq"))
+      val batchId =
+        if (params.schema.fieldNames.contains("batch_id"))
+          params.getAs[Long]("batch_id")
+        else -1L
+      (NearDupIndex(docsets, prefixes, freq,
+        params.getAs[Int]("shingle_n"), params.getAs[Double]("threshold"),
+        layers = Seq(docsets, freq)), g, batchId)
+    }
+
+  private def legacyLoadIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): NearDupIndex = {
     val params = spark.read.parquet(s"$path/params").head()
-    val tbl = prefixTable(path)
+    val tbl = legacyPrefixTable(path)
     val prefixes =
       if (spark.catalog.tableExists(tbl)) spark.table(tbl)
       else if (params.schema.fieldNames.contains("num_buckets")) {
@@ -513,6 +597,93 @@ object Dedup {
       layers = Seq(docsets, freq))
   }
 
+  /** Write one micro-batch's fold to the checkpoint's write-ahead delta
+    * log (`$path/delta/b<batchId>/{sets,prefs,kept}`, kept written LAST as
+    * the commit marker). The delta is batch-sized, so the per-batch
+    * durability cost matches what a state-store commit would have been —
+    * but only for the batch, never the corpus. With the delta on disk
+    * BEFORE any side effect becomes visible, a crash at any later point
+    * replays deterministically: restart = last generation + newer deltas
+    * ([[loadIndexWithDeltas]]), and a re-delivered already-folded batch
+    * sinks its recorded kept-set ([[checkpointKept]]) instead of being
+    * re-probed against an index that already contains it (which would
+    * silently drop every kept row). */
+  private[graft] def appendIndexDelta(path: String, batchId: Long,
+      sets: DataFrame, prefs: DataFrame, kept: DataFrame): Unit = {
+    val d = s"$path/delta/b$batchId"
+    sets.write.mode("overwrite").parquet(s"$d/sets")
+    prefs.write.mode("overwrite").parquet(s"$d/prefs")
+    kept.select(col("doc_id").cast("long").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$d/kept")
+  }
+
+  /** Committed delta batch ids under `path`, ascending. */
+  private[graft] def indexDeltaBatches(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[Long] = {
+    val fs = fsFor(spark, path)
+    val base = new org.apache.hadoop.fs.Path(s"$path/delta")
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("b\\d+") => n.drop(1).toLong }
+      .filter(b => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/delta/b$b/kept/_SUCCESS")))
+      .sorted
+  }
+
+  /** Drop deltas with batchId ≤ `upTo` — called after a generation save
+    * folds them in. Offsets for every batch before the save are already
+    * committed by the streaming engine (a batch's offsets commit before
+    * the next batch starts), so no dropped delta can be replayed. */
+  private[graft] def clearIndexDeltas(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      upTo: Long): Unit = {
+    val fs = fsFor(spark, path)
+    indexDeltaBatches(spark, path).filter(_ <= upTo).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/delta/b$b"), true)
+    }
+  }
+
+  /** Restore the full index state: newest generation + every newer delta,
+    * returning (index, last durably folded batch id). */
+  private[graft] def loadIndexWithDeltas(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(NearDupIndex, Long)] =
+    loadLatestGen(spark, path).map { case (gen, _, genBatch) =>
+      val deltas = indexDeltaBatches(spark, path).filter(_ > genBatch)
+      val idx = deltas.foldLeft(gen) { (acc, b) =>
+        val sets = persistSketch(
+          spark.read.parquet(s"$path/delta/b$b/sets"))
+        val prefs = persistSketch(
+          spark.read.parquet(s"$path/delta/b$b/prefs"))
+        NearDupIndex(acc.docsets.union(sets), acc.prefixes.union(prefs),
+          acc.freq, acc.shingleN, acc.threshold,
+          layers = acc.layers ++ Seq(sets, prefs))
+      }
+      (idx, deltas.lastOption.getOrElse(genBatch))
+    }
+
+  /** The kept-set recorded for `batchId`, if the checkpoint still has it
+    * (its delta, or the generation saved at exactly that batch). */
+  private[graft] def checkpointKept(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batchId: Long): Option[DataFrame] = {
+    val fs = fsFor(spark, path)
+    val delta = s"$path/delta/b$batchId/kept"
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$delta/_SUCCESS")))
+      Some(spark.read.parquet(delta))
+    else completeGens(spark, path).headOption.flatMap { g =>
+      val params = spark.read.parquet(s"$path/g$g/params").head()
+      val keptPath = s"$path/g$g/kept"
+      if (params.schema.fieldNames.contains("batch_id") &&
+          params.getAs[Long]("batch_id") == batchId &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$keptPath/_SUCCESS")))
+        Some(spark.read.parquet(keptPath))
+      else None
+    }
+  }
+
   /** Rebuild a layered index into FLAT-lineage resident frames. Each
     * [[extendIndex]]/[[probeAndExtend]] adds one union node of plan
     * lineage; after O(100) micro-batches the plan itself (analysis,
@@ -527,6 +698,14 @@ object Dedup {
     * any older handle sharing its layers): micro-batch-derived layers
     * cannot recompute once their batch is gone. Adopt the returned index
     * and drop the old reference — the streaming caller does exactly that. */
+  /** Unpersist exactly the layers `index` references — for retiring an
+    * index that has been superseded (a bootstrap copy after its saved
+    * artifact is reloaded, a pre-compaction handle after adoption) without
+    * the blast radius of [[releaseSketchCaches]], which would also evict
+    * every other live index in the session. */
+  def releaseIndex(index: NearDupIndex): Unit =
+    index.layers.foreach(_.unpersist(false))
+
   def compactIndex(index: NearDupIndex,
       releaseOld: Boolean = true): NearDupIndex = {
     val d = index.docsets.localCheckpoint(true)
@@ -625,10 +804,26 @@ object Dedup {
       idCol: String,
       textCol: String,
       collapseFloor: Long = 8192): (DataFrame, NearDupIndex) = {
+    val (kept, _, _, extended) =
+      probeAndExtendParts(index, batch, idCol, textCol, collapseFloor)
+    (kept, extended)
+  }
+
+  /** [[probeAndExtend]] that also exposes the batch's new sketch layer
+    * (sets + prefix keys) — what the streaming caller writes to the
+    * write-ahead delta log ([[appendIndexDelta]]) before any side effect
+    * of the batch becomes visible. */
+  private[graft] def probeAndExtendParts(
+      index: NearDupIndex,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      collapseFloor: Long = 8192)
+      : (DataFrame, DataFrame, DataFrame, NearDupIndex) = {
     val (kept, psets, ppref) =
       probeParts(index, batch, idCol, textCol, collapseFloor)
     psets.count(); ppref.count()
-    (kept, NearDupIndex(index.docsets.union(psets),
+    (kept, psets, ppref, NearDupIndex(index.docsets.union(psets),
       index.prefixes.union(ppref), index.freq, index.shingleN,
       index.threshold, layers = index.layers ++ Seq(psets, ppref)))
   }
@@ -912,23 +1107,22 @@ object Dedup {
       bCol: String,
       maxIter: Int = 20,
       localEdgeCap: Int = 1000000): DataFrame = {
-    val fwd0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    // Persist the 2-column edge selection BEFORE the probe: on overflow the
-    // distributed loop reuses the materialized edges instead of recomputing
-    // the whole upstream pair pipeline (probe + fall-through used to pay it
-    // twice). Edge lists are tiny relative to their corpus (~16 bytes/pair).
-    val probed =
-      if (localEdgeCap > 0)
-        Some(fwd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      else None
-    if (probed.isDefined) {
+    // Persist the 2-column edge selection in EVERY path: the local probe
+    // and the distributed loop each read it more than once (the probe +
+    // fall-through, or the initial contraction input + the final ids
+    // frame), so an un-persisted frame would recompute the whole upstream
+    // pair pipeline per read. Edge lists are tiny relative to their corpus
+    // (~16 bytes/pair).
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (localEdgeCap > 0) {
       // One job decides AND fetches: collect at most cap+1 edges via a
       // CollectLimit (a separate count() would compute the whole upstream
       // pair pipeline twice). Overflow → fall through to the
       // distributed loop.
-      val sample = probed.get.limit(localEdgeCap + 1).collect()
+      val sample = fwd.limit(localEdgeCap + 1).collect()
       if (sample.length <= localEdgeCap) {
-        probed.get.unpersist(false)
+        fwd.unpersist(false)
         return componentsLocal(pairs, aCol, sample)
       }
     }
@@ -941,7 +1135,6 @@ object Dedup {
     // (u = bigger endpoint, v = smaller); both ops preserve components
     // exactly, and the fixed point is a star per component rooted at its
     // min id.
-    val fwd = probed.getOrElse(fwd0)
     // Each round is localCheckpoint'd (eager): an iterative plan that
     // references the previous round several times grows EXPONENTIALLY in
     // the logical tree if only cached (cache short-circuits execution,
@@ -997,7 +1190,7 @@ object Dedup {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
       .cache()
     labels.count() // materialize before releasing what it derives from
-    probed.foreach(_.unpersist(false))
+    fwd.unpersist(false)
     // The returned DataFrame is a cache handle; callers either
     // .unpersist() it when done or let [[withSketchCache]] /
     // [[releaseSketchCaches]] release it (registered here for that).

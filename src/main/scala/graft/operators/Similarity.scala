@@ -403,6 +403,20 @@ object Similarity {
     * sample, ≥ ~5 points per centroid). Assignment is a fused codegen'd
     * argmax over the baked centroid matrix (centroids are unit vectors, so
     * the un-normalized dot picks the same list as the cosine). */
+  /** Shared quantizer-training step for every IVF-family operator: derive
+    * the list count (the faiss √n rule when `nlist <= 0`, clamped so the
+    * quantizer stays trainable from the capped sample) and train on the
+    * bounded seeded sample. `c` must carry the vectors as `cv`. */
+  private def trainQuantizer(c: DataFrame, nlist: Int, maxIter: Int,
+      trainCap: Int): Seq[Seq[Double]] = {
+    val total = c.count()
+    val lists =
+      if (nlist > 0) nlist
+      else math.max(16, math.min(math.sqrt(total.toDouble).toInt,
+        trainCap / 5))
+    trainCentroids(sampleVecs(c, total, trainCap), lists, maxIter)
+  }
+
   def buildIvfIndex(
       corpus: DataFrame,
       idCol: String,
@@ -413,12 +427,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cid"),
         toDoubleVec(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-    val total = c.count()
-    val lists =
-      if (nlist > 0) nlist
-      else math.max(16, math.min(math.sqrt(total.toDouble).toInt,
-        trainCap / 5))
-    val cents = trainCentroids(sampleVecs(c, total, trainCap), lists, maxIter)
+    val cents = trainQuantizer(c, nlist, maxIter, trainCap)
     IvfIndex(cents, c.withColumn("list",
       GraftFunctions.nearestCentroid(col("cv"), cents)))
   }
@@ -503,12 +512,7 @@ object Similarity {
       trainCap: Int = 20000): DataFrame = {
     val c = emb.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-    val total = c.count()
-    val lists =
-      if (nlist > 0) nlist
-      else math.max(16, math.min(math.sqrt(total.toDouble).toInt,
-        trainCap / 5))
-    val cents = trainCentroids(sampleVecs(c, total, trainCap), lists, maxIter)
+    val cents = trainQuantizer(c, nlist, maxIter, trainCap)
     val unit = (v: Column, n: Column) => transform(v, x => x / n)
     val coded = c.where(col("cn") > 0)
       .withColumn("probe", slice(array_sort(
@@ -720,8 +724,12 @@ object Similarity {
     // LIMIT-1 scan, independent of corpus size. An explicit dim is validated
     // instead of trusted: a mismatch would silently truncate every dot
     // product (DotProduct loops to min(len)), zeroing the sign bits' signal.
+    // Null/empty embeddings are skipped BEFORE the limit — which row a
+    // LIMIT-1 scan returns is layout-dependent, and a scrubbed null row
+    // must not flakily abort a corpus whose real vectors are fine.
     val sampledDim = corpus
-      .select(size(toDoubleVec(col(vecCol))).as("d")).limit(1).collect()
+      .select(size(toDoubleVec(col(vecCol))).as("d"))
+      .where(col("d") > 0).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
     val planeDim =
       if (dim > 0) {

@@ -20,11 +20,22 @@ object Pipeline {
     * the resident-index state a long-lived serving process holds. Repeat
     * calls (and the bench's best-of-2) then measure the PROBE — the
     * recurring cost — not quantizer training or corpus encoding. */
+  /** Cache key for the resident ANN indexes: the session identity is part
+    * of the key (cached DataFrames are bound to the session that built
+    * them — a second session in the same JVM must not receive frames from
+    * a possibly-stopped sibling). Within one session the key assumes the
+    * `embeddings` table for a given sf dir is stable; a caller that
+    * re-points the temp view must swap it before the first indexed query
+    * (ScaleProbe's pattern) or the cached index would still encode the old
+    * corpus. */
+  private def idxKey(s: org.apache.spark.sql.SparkSession, dir: String) =
+    s"${System.identityHashCode(s)}:$dir"
+
   private val pqIndexes =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.PqIndex]
   private def pqIndexFor(s: org.apache.spark.sql.SparkSession, dir: String,
       corpus: org.apache.spark.sql.DataFrame): Similarity.PqIndex =
-    pqIndexes.getOrElseUpdate(dir, {
+    pqIndexes.getOrElseUpdate(idxKey(s, dir), {
       val path =
         java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
       Similarity.savePqIndex(
@@ -39,7 +50,7 @@ object Pipeline {
     scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
   private def ivfIndexFor(s: org.apache.spark.sql.SparkSession, dir: String,
       corpus: org.apache.spark.sql.DataFrame): Similarity.IvfIndex =
-    ivfIndexes.getOrElseUpdate(dir, {
+    ivfIndexes.getOrElseUpdate(idxKey(s, dir), {
       val path =
         java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
       Similarity.saveIvfIndex(

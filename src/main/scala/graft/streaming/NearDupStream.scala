@@ -41,21 +41,36 @@ object NearDupStream {
 
   /** Mutable handle on the evolving index. The streaming engine runs
     * foreachBatch callbacks sequentially, so the only concurrency is
-    * readers of [[index]] from other threads — volatile is sufficient. */
-  final class IndexState(initial: NearDupIndex) {
+    * readers of [[index]] from other threads — volatile is sufficient for
+    * visibility. A reader's handle stays PROBE-SAFE until the second
+    * compaction after it was taken: [[run]] releases a compaction's
+    * superseded layers one compaction LATE, and `Dedup.saveIndex` retains
+    * one previous checkpoint generation, so both the cached layers and
+    * the backing files of the previous index survive a full compaction
+    * interval. Handles held across two compactions are out of contract.
+    *
+    * [[lastIndexedBatch]] is the newest batch durably folded into the
+    * restored index (generation or write-ahead delta) — [[run]] uses it
+    * to recognize engine-replayed batches that the index already
+    * contains. */
+  final class IndexState(initial: NearDupIndex,
+      private[streaming] val restoredBatch: Long = -1L) {
     @volatile private var current: NearDupIndex = initial
     def index: NearDupIndex = current
+    def lastIndexedBatch: Long = restoredBatch
     private[streaming] def adopt(next: NearDupIndex): Unit = current = next
   }
 
   /** Load-or-bootstrap the stream's index state — the restart story in one
-    * call: if a `Dedup.saveIndex` checkpoint exists at `path`, load it (no
-    * corpus re-read; the bucketed probe layout comes back via the catalog
-    * re-registration in `Dedup.loadIndex`); otherwise build the index from
-    * `corpus`, save the bootstrap checkpoint, and reload THROUGH the saved
-    * artifact, so first run and restart probe the identical layout. Pass
-    * the returned state plus the same `path` as [[run]]'s `checkpointPath`
-    * and the stream keeps its own checkpoint current at each compaction. */
+    * call: if a `Dedup.saveIndex` checkpoint exists at `path`, restore the
+    * newest committed generation PLUS every newer write-ahead delta (so
+    * nothing a prior run durably folded is lost, even batches after its
+    * last compaction); otherwise build the index from `corpus`, save the
+    * bootstrap checkpoint, and reload THROUGH the saved artifact, so first
+    * run and restart probe the identical layout. Pass the returned state
+    * plus the same `path` as [[run]]'s `checkpointPath` — and give the
+    * STREAMING ENGINE a checkpoint too (`queryCheckpointLocation`), so its
+    * offset replay window and the index's durability line up. */
   def resume(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -63,57 +78,97 @@ object NearDupStream {
       idCol: String,
       textCol: String,
       shingleN: Int = 2,
-      threshold: Double = 0.6): IndexState = {
-    val params = new org.apache.hadoop.fs.Path(s"$path/params")
-    val fs = params.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(params))
-      Dedup.saveIndex(
-        Dedup.buildNearDupIndex(corpus, idCol, textCol, shingleN, threshold),
-        path)
-    new IndexState(Dedup.loadIndex(spark, path))
-  }
+      threshold: Double = 0.6): IndexState =
+    Dedup.loadIndexWithDeltas(spark, path) match {
+      case Some((idx, lastBatch)) => new IndexState(idx, lastBatch)
+      case None =>
+        val built =
+          Dedup.buildNearDupIndex(corpus, idCol, textCol, shingleN, threshold)
+        Dedup.saveIndex(built, path)
+        // The bootstrap copy is superseded by the loaded artifact below;
+        // releasing it keeps the long-lived stream at ONE resident index,
+        // not two.
+        Dedup.releaseIndex(built)
+        new IndexState(Dedup.loadIndex(spark, path))
+    }
 
   /** Start the dedup stream: each micro-batch is probed against the
     * current index, the kept (novel) rows are handed to `sink`, and the
     * FULL batch — kept and dropped alike — is folded into the index
     * (matching the batch contract: a doc that duplicates an already-
     * dropped earlier arrival is still a duplicate). One sketch pass per
-    * batch serves both probe and extension (Dedup.probeAndExtend); the
-    * state adopts the extended index only after `sink` returns, so a sink
-    * failure never leaves docs indexed-but-unsunk.
+    * batch serves both probe and extension; the state adopts the extended
+    * index only after `sink` returns, so a sink failure never leaves docs
+    * indexed-but-unsunk.
     *
-    * Every `compactEvery` micro-batches the index is compacted
-    * (Dedup.compactIndex): the per-batch union layers are rebuilt into
-    * flat-lineage checkpointed frames and the superseded layer persists
-    * are released, so both plan depth and executor storage stay bounded
-    * over an UNBOUNDED stream — without compaction each batch adds a
-    * union node that every later probe re-plans. When `checkpointPath` is
-    * set, each compacted index is also saved there (Dedup.saveIndex, the
-    * bucketed restart artifact) — compaction-then-save order matters: the
-    * compacted frames have no file lineage, so saving over the path the
-    * index was originally loaded from is safe. `compactEvery <= 0`
-    * disables compaction (and checkpointing). */
+    * Durability, when `checkpointPath` is set: the batch's new sketch
+    * layer + kept-set are appended to a write-ahead delta log BEFORE the
+    * sink runs, and every `compactEvery` batches the index is compacted
+    * (flat-lineage checkpointed frames; plan depth and executor storage
+    * stay bounded over an unbounded stream) and saved as a fresh
+    * crash-safe generation, after which the folded deltas are dropped. A
+    * batch the engine re-delivers after a crash (its offsets uncommitted,
+    * but its fold already durable) is recognized via
+    * `state.lastIndexedBatch`: its RECORDED kept-set is sunk and nothing
+    * is re-folded — re-probing would find every doc already in the index
+    * and silently emit zero kept rows. Superseded layer caches are
+    * released one compaction late (see [[IndexState]]'s reader contract).
+    *
+    * `queryCheckpointLocation` is handed to the engine as its own
+    * checkpoint so offset tracking survives restarts alongside the index
+    * checkpoint. `compactEvery <= 0` disables compaction. */
   def run(
       docs: DataFrame,
       state: IndexState,
       idCol: String,
       textCol: String,
       compactEvery: Long = 100,
-      checkpointPath: Option[String] = None)(
-      sink: DataFrame => Unit): StreamingQuery =
-    docs.writeStream
+      checkpointPath: Option[String] = None,
+      queryCheckpointLocation: Option[String] = None)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    // Reader grace: layers retired at compaction N are unpersisted at
+    // compaction N+1.
+    var retired: Seq[DataFrame] = Nil
+    val writer = docs.writeStream
+    queryCheckpointLocation.fold(writer)(p =>
+        writer.option("checkpointLocation", p))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (keptIds, extended) =
-          Dedup.probeAndExtend(state.index, batch, idCol, textCol)
-        sink(batch.join(keptIds.withColumnRenamed("doc_id", idCol),
-          Seq(idCol), "left_semi"))
-        val next =
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-            val compacted = Dedup.compactIndex(extended)
-            checkpointPath.foreach(p => Dedup.saveIndex(compacted, p))
-            compacted
-          } else extended
-        state.adopt(next)
+        val spark = batch.sparkSession
+        if (batchId <= state.lastIndexedBatch) {
+          checkpointPath.flatMap(p =>
+              Dedup.checkpointKept(spark, p, batchId)) match {
+            case Some(keptIds) =>
+              sink(batch.join(keptIds.withColumnRenamed("doc_id", idCol),
+                Seq(idCol), "left_semi"))
+            case None =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"NearDupStream: batch $batchId replayed but its kept " +
+                  s"record is gone from the checkpoint — emitting nothing " +
+                  s"(the batch's docs are already in the index).")
+          }
+        } else {
+          val (keptIds, psets, ppref, extended) =
+            Dedup.probeAndExtendParts(state.index, batch, idCol, textCol)
+          checkpointPath.foreach(p =>
+            Dedup.appendIndexDelta(p, batchId, psets, ppref, keptIds))
+          sink(batch.join(keptIds.withColumnRenamed("doc_id", idCol),
+            Seq(idCol), "left_semi"))
+          val next =
+            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+              val toRelease = retired
+              retired = extended.layers
+              val compacted = Dedup.compactIndex(extended, releaseOld = false)
+              checkpointPath.foreach { p =>
+                Dedup.saveIndex(compacted, p, batchId = batchId,
+                  kept = Some(keptIds))
+                Dedup.clearIndexDeltas(spark, p, upTo = batchId)
+              }
+              toRelease.foreach(_.unpersist(false))
+              compacted
+            } else extended
+          state.adopt(next)
+        }
       }
       .start()
+  }
 }

@@ -329,6 +329,61 @@ class StreamingSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("write-ahead deltas restore un-compacted batches; replay sinks recorded kept-set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.NearDupStream
+
+    val corpus = Seq((1L, "a b c d e"), (2L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ndwal").toString
+    val s1 = NearDupStream.resume(spark, dir, corpus, "doc_id", "text")
+    assert(s1.lastIndexedBatch == -1L)
+
+    // No compaction in-window: durability must come from the write-ahead
+    // delta log alone.
+    val in1 = MemoryStream[NdDoc]
+    val got1 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q1 = NearDupStream.run(in1.toDF(), s1, "doc_id", "text",
+        compactEvery = 1000, checkpointPath = Some(dir)) { kept =>
+      got1 ++= kept.select("doc_id").as[Long].collect()
+    }
+    in1.addData(NdDoc(10, "a b c d x"), NdDoc(15, "m n o u v")) // batch 0
+    q1.processAllAvailable()
+    in1.addData(NdDoc(20, "m n o u w"), NdDoc(30, "q r s t0 zz")) // batch 1
+    q1.processAllAvailable()
+    q1.stop()
+    assert(got1.toSet == Set(15L, 30L))
+
+    // Restart: bootstrap generation + deltas b0/b1 restore the FULL fold,
+    // including the batches no compaction ever saved.
+    val s2 = NearDupStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "text")
+    assert(s2.lastIndexedBatch == 1L)
+    assert(s2.index.docsets.count() == 6) // 2 corpus + 4 arrivals
+
+    // A fresh query restarts batch ids at 0 — exactly the shape of an
+    // engine replay whose offsets never committed. Both batches are
+    // already folded (durably, via deltas): the stream must sink their
+    // RECORDED kept rows, not re-probe (which would emit zero rows).
+    val in2 = MemoryStream[NdDoc]
+    val got2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = NearDupStream.run(in2.toDF(), s2, "doc_id", "text",
+        compactEvery = 1000, checkpointPath = Some(dir)) { kept =>
+      got2 ++= kept.select("doc_id").as[Long].collect()
+    }
+    in2.addData(NdDoc(10, "a b c d x"), NdDoc(15, "m n o u v"))
+    q2.processAllAvailable()
+    in2.addData(NdDoc(20, "m n o u w"), NdDoc(30, "q r s t0 zz"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.toSet == Set(15L, 30L),
+      "replayed batches must re-emit their recorded kept rows")
+    assert(s2.index.docsets.count() == 6, "replay must not re-fold docs")
+    Dedup.releaseSketchCaches()
+  }
+
   test("resume: bootstrap saves a checkpoint; restart loads it unchanged") {
     import spark.implicits._
     import graft.operators.Dedup
