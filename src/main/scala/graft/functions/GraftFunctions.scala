@@ -57,6 +57,13 @@ object GraftFunctions {
     GraftBridge.column(
       org.apache.spark.sql.graft.NearestCentroid(GraftBridge.expression(v), cents))
 
+  /** Top-k centroid indices by dot product, descending (array<int>) — the
+    * IVF multi-assignment kernel. */
+  def nearestCentroids(v: Column, cents: Seq[Seq[Double]], k: Int): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.NearestCentroids(
+        GraftBridge.expression(v), cents, k))
+
   /** Product-quantization code words (array<int>, one per subspace) of an
     * array<double> vector against baked codebooks cb(subspace)(centroid). */
   def pqEncode(v: Column, cb: Seq[Seq[Seq[Double]]]): Column =

@@ -310,19 +310,30 @@ object Similarity {
       "ivfTopK: training sample is empty — corpus has no vectors")
     // Effective list count is clamped to the sample size: fewer sample rows
     // than requested lists would index past the seeded centroids.
-    val nlist = math.min(nlistRequested, sample.length)
     val dim = sample.head.length
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
-    val unit = sample.map(normalize)
-    var cents = unit.take(nlist).map(_.clone)
+    // Train on the DISTINCT unit vectors (the trainPqCodebooks recipe),
+    // for two reasons measured on dup-dense corpora (40-copy replication,
+    // boilerplate-heavy web embeddings):
+    //   - seeding from raw sample rows would pick near-identical
+    //     centroids and collapse the effective list count to the handful
+    //     of distinct vectors in the first nlist rows — turning the
+    //     Σ|list|² pair-join into a near-full n² grid;
+    //   - Lloyd iterations cost O(points × nlist × dim) on the DRIVER;
+    //     over distinct points that is bounded by the true content
+    //     diversity instead of the duplication factor (copies move a
+    //     centroid's mean nowhere new anyway).
+    val distinct = sample.map(normalize).map(_.toSeq).distinct.map(_.toArray)
+    val nlist = math.min(nlistRequested, distinct.length)
+    var cents = distinct.take(nlist).map(_.clone)
     var it = 0
     while (it < maxIter) {
       val sums = Array.fill(nlist)(new Array[Double](dim))
       val cnt = new Array[Int](nlist)
-      unit.foreach { u =>
+      distinct.foreach { u =>
         var best = 0; var bestDot = Double.NegativeInfinity
         var i = 0
         while (i < nlist) {
@@ -343,13 +354,6 @@ object Similarity {
     }
     cents.map(_.toSeq).toSeq
   }
-
-  /** (1 − u·c_i, i) structs for every centroid — struct ordering makes
-    * array_min/array_sort pick the highest-cosine lists. */
-  private def centroidDistances(u: Column, cents: Seq[Seq[Double]]): Column =
-    array(cents.zipWithIndex.map { case (c, i) =>
-      struct((lit(1.0) - dot(u, typedlit(c))).as("d"), lit(i).as("i"))
-    }: _*)
 
   /** IVF approximate cosine top-k (the faiss `IVFFlat` layout, Spark-first):
     * a spherical-k-means coarse quantizer partitions the corpus into `nlist`
@@ -446,14 +450,11 @@ object Similarity {
       vecCol: String,
       k: Int,
       nprobe: Int = 4): DataFrame = {
-    val unit = (v: Column, n: Column) => transform(v, x => x / n)
     val q = queries.select(col(idCol).as("qid"),
         toDoubleVec(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .withColumn("probe", slice(array_sort(
-        centroidDistances(unit(col("qv"), col("qn")), index.centroids)), 1, nprobe))
-      .withColumn("list", explode(transform(col("probe"), p => p.getField("i"))))
-      .drop("probe")
+      .withColumn("list", explode(
+        GraftFunctions.nearestCentroids(col("qv"), index.centroids, nprobe)))
     val probeLists = q.select("list").distinct().collect().map(_.getInt(0))
     val scored = index.assigned
       .where(col("list").isin(probeLists.map(Int.box): _*))
@@ -506,18 +507,23 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nlist: Int = 16,
+      // nlist MUST grow with the corpus here (√n default) — intra-list work
+      // is Σ|list|², so a fixed list count degrades toward the full n²/2
+      // grid as n grows (measured: 16 lists @80k vectors was SLOWER than
+      // the exact grid; √n lists is what delivers the nlist-fold win).
+      nlist: Int = 0,
       nprobe: Int = 4,
       maxIter: Int = 8,
       trainCap: Int = 20000): DataFrame = {
     val c = emb.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
     val cents = trainQuantizer(c, nlist, maxIter, trainCap)
-    val unit = (v: Column, n: Column) => transform(v, x => x / n)
+    // Corpus-side multi-assignment is the per-row hot loop: one fused
+    // codegen'd top-nprobe kernel (ranking by raw dot == cosine ranking
+    // against unit centroids), not an nlist-struct array + sort per row.
     val coded = c.where(col("cn") > 0)
-      .withColumn("probe", slice(array_sort(
-        centroidDistances(unit(col("cv"), col("cn")), cents)), 1, nprobe))
-      .withColumn("list", explode(transform(col("probe"), p => p.getField("i"))))
+      .withColumn("list",
+        explode(GraftFunctions.nearestCentroids(col("cv"), cents, nprobe)))
       .select(col("id"), col("cv"), col("cn"), col("list"))
     coded.as("a").join(coded.as("b"),
         col("a.list") === col("b.list") && col("a.id") < col("b.id"))

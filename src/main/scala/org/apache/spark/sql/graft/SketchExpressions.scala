@@ -141,6 +141,45 @@ object SketchKernels {
     best
   }
 
+  /** Top-`k` centroid indices by dot product, descending (ties to the
+    * lowest index — consistent with [[nearestCentroid]]): the IVF
+    * MULTI-assignment kernel. One fused nlist × dim loop + an O(nlist · k)
+    * selection per row, no per-row struct arrays or sorts — the difference
+    * between a corpus-side assignment that scales and one that allocates
+    * nlist structs per row. */
+  def nearestCentroids(v: ArrayData, m: Array[Array[Double]],
+      k: Int): ArrayData = {
+    val n = v.numElements()
+    val dots = new Array[Double](m.length)
+    var i = 0
+    while (i < m.length) {
+      val c = m(i)
+      val lim = math.min(n, c.length)
+      var d = 0.0
+      var j = 0
+      while (j < lim) { d += v.getDouble(j) * c(j); j += 1 }
+      dots(i) = d
+      i += 1
+    }
+    val kk = math.min(k, m.length)
+    val out = new Array[Int](kk)
+    val used = new Array[Boolean](m.length)
+    var s = 0
+    while (s < kk) {
+      var best = -1
+      var bd = Double.NegativeInfinity
+      var j = 0
+      while (j < m.length) {
+        if (!used(j) && dots(j) > bd) { bd = dots(j); best = j }
+        j += 1
+      }
+      used(best) = true
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over element hashes: bit b set iff more elements have
     * bit b set than clear (+1/−1 vote per element). */
   def simhash64(hs: ArrayData): Long = {
@@ -277,6 +316,39 @@ case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
     val m = ctx.addReferenceObj("centroidMatrix", matrix, "double[][]")
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.graft.SketchKernels.nearestCentroid($c, $m)")
+  }
+
+  override protected def withNewChildInternal(nc: Expression): Expression =
+    copy(child = nc)
+}
+
+/** array<double> vector → the `k` centroid indices with the highest dot
+  * products, descending (array<int>) — the IVF multi-assignment twin of
+  * [[NearestCentroid]], with the same baked centroid matrix. Ranking by
+  * raw dot equals ranking by cosine when the centroids are unit vectors
+  * (the trainer's invariant): the row's own norm scales every dot
+  * equally. */
+case class NearestCentroids(child: Expression, cents: Seq[Seq[Double]],
+    k: Int) extends UnaryExpression with ExpectsInputTypes {
+  require(cents.nonEmpty && cents.forall(_.length == cents.head.length),
+    "centroids must be non-empty and rectangular")
+  require(k >= 1, s"nearestCentroids needs k >= 1, got $k")
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nearest_centroids"
+
+  override protected def nullSafeEval(t: Any): Any =
+    SketchKernels.nearestCentroids(t.asInstanceOf[ArrayData], matrix, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroidMatrix", matrix, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.SketchKernels.nearestCentroids($c, $m, $k)")
   }
 
   override protected def withNewChildInternal(nc: Expression): Expression =

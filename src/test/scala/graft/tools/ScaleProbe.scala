@@ -114,7 +114,7 @@ object ScaleProbe {
     }
     // Round-5/6 operators: PQ ANN (inline vs persisted-index probe), BM25,
     // chunk explode, epoch shuffle — all on rep× replicated inputs.
-    if (wanted("s5") || wanted("s6")) {
+    if (wanted("s5") || wanted("s6") || wanted("d5") || wanted("d11")) {
       replicate("embeddings", Seq("vec_id")).cache()
         .createOrReplaceTempView("embeddings")
       println(s"[scale] embeddings x$rep = ${spark.table("embeddings").count()} rows")
@@ -128,6 +128,14 @@ object ScaleProbe {
       }
       time("s6_ann_pq_index pass2 (probe only)") {
         graft.SparkEntry.queries("s6_ann_pq_index")(spark, sfDir)
+      }
+      // d5's exact blocked grid vs d11's IVF-bucketed pairs on the same
+      // replicated corpus — the n² vs Σ|list|² comparison at scale.
+      time("d5_dedup_embedding (exact blocked grid)") {
+        graft.SparkEntry.queries("d5_dedup_embedding")(spark, sfDir)
+      }
+      time("d11_dedup_embedding_ivf (bucketed pairs)") {
+        graft.SparkEntry.queries("d11_dedup_embedding_ivf")(spark, sfDir)
       }
     }
     time("t16_bm25_search") {
