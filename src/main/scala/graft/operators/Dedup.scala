@@ -609,12 +609,43 @@ object Dedup {
     * re-probed against an index that already contains it (which would
     * silently drop every kept row). */
   private[graft] def appendIndexDelta(path: String, batchId: Long,
-      sets: DataFrame, prefs: DataFrame, kept: DataFrame): Unit = {
+      sets: DataFrame, prefs: DataFrame, ids: DataFrame,
+      kept: DataFrame): Unit = {
     val d = s"$path/delta/b$batchId"
     sets.write.mode("overwrite").parquet(s"$d/sets")
     prefs.write.mode("overwrite").parquet(s"$d/prefs")
+    // The batch's full id list — what lets a restart distinguish a genuine
+    // engine replay of this batch from a batch-id collision (a fresh query
+    // without the engine checkpoint renumbers from 0).
+    ids.write.mode("overwrite").parquet(s"$d/ids")
     kept.select(col("doc_id").cast("long").as("doc_id"))
       .write.mode("overwrite").parquet(s"$d/kept")
+  }
+
+  /** True when a pre-generational flat-layout checkpoint exists at `path`
+    * (the legacy saveIndex layout: frames directly under the root). */
+  private[graft] def hasLegacyIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    fsFor(spark, path).exists(
+      new org.apache.hadoop.fs.Path(s"$path/params"))
+
+  /** True when the write-ahead delta recorded under `batchId` covers
+    * EXACTLY this batch's documents. A genuine engine replay re-delivers
+    * the same docs; a fresh query restarted without the engine checkpoint
+    * reuses the same batch ids for NEW data — id-set equality is what
+    * tells them apart. */
+  private[graft] def deltaMatchesBatch(
+      spark: org.apache.spark.sql.SparkSession, path: String, batchId: Long,
+      batch: DataFrame, idCol: String): Boolean = {
+    val fs = fsFor(spark, path)
+    val idsPath = s"$path/delta/b$batchId/ids"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idsPath/_SUCCESS"))) false
+    else {
+      val recorded = spark.read.parquet(idsPath)
+      val ids = batch.select(col(idCol).cast("long").as("doc_id"))
+      recorded.count() == ids.count() &&
+        ids.except(recorded).limit(1).collect().isEmpty
+    }
   }
 
   /** Committed delta batch ids under `path`, ascending. */
@@ -657,6 +688,9 @@ object Dedup {
           spark.read.parquet(s"$path/delta/b$b/sets"))
         val prefs = persistSketch(
           spark.read.parquet(s"$path/delta/b$b/prefs"))
+        // Materialize NOW: a later WAL append must never race a lazy read
+        // of these files.
+        sets.count(); prefs.count()
         NearDupIndex(acc.docsets.union(sets), acc.prefixes.union(prefs),
           acc.freq, acc.shingleN, acc.threshold,
           layers = acc.layers ++ Seq(sets, prefs))
@@ -698,14 +732,6 @@ object Dedup {
     * any older handle sharing its layers): micro-batch-derived layers
     * cannot recompute once their batch is gone. Adopt the returned index
     * and drop the old reference — the streaming caller does exactly that. */
-  /** Unpersist exactly the layers `index` references — for retiring an
-    * index that has been superseded (a bootstrap copy after its saved
-    * artifact is reloaded, a pre-compaction handle after adoption) without
-    * the blast radius of [[releaseSketchCaches]], which would also evict
-    * every other live index in the session. */
-  def releaseIndex(index: NearDupIndex): Unit =
-    index.layers.foreach(_.unpersist(false))
-
   def compactIndex(index: NearDupIndex,
       releaseOld: Boolean = true): NearDupIndex = {
     val d = index.docsets.localCheckpoint(true)
@@ -714,6 +740,14 @@ object Dedup {
     if (releaseOld) index.layers.foreach(_.unpersist(false))
     NearDupIndex(d, p, f, index.shingleN, index.threshold, layers = Nil)
   }
+
+  /** Unpersist exactly the layers `index` references — for retiring an
+    * index that has been superseded (a bootstrap copy after its saved
+    * artifact is reloaded, a pre-compaction handle after adoption) without
+    * the blast radius of [[releaseSketchCaches]], which would also evict
+    * every other live index in the session. */
+  def releaseIndex(index: NearDupIndex): Unit =
+    index.layers.foreach(_.unpersist(false))
 
   /** Extend a [[NearDupIndex]] with newly arrived documents (typically the
     * batch a [[probeNearDups]] call just classified) WITHOUT touching the

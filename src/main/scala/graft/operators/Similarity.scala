@@ -371,7 +371,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nlist: Int = 16,
+      nlist: Int = 0,
       nprobe: Int = 4,
       maxIter: Int = 8,
       trainCap: Int = 20000): DataFrame =
@@ -399,14 +399,6 @@ object Similarity {
     sampled.take(trainCap).map(_.getSeq[Double](0).toArray)
   }
 
-  /** Train the coarse quantizer and assign every corpus vector to its
-    * inverted list — the one-off batch half of IVF. `nlist <= 0` derives
-    * the list count via the faiss √n rule of thumb, so list sizes stay ~√n
-    * as the corpus grows instead of a fixed default silently degrading to
-    * a near-scan (clamped so the quantizer stays trainable from the capped
-    * sample, ≥ ~5 points per centroid). Assignment is a fused codegen'd
-    * argmax over the baked centroid matrix (centroids are unit vectors, so
-    * the un-normalized dot picks the same list as the cosine). */
   /** Shared quantizer-training step for every IVF-family operator: derive
     * the list count (the faiss √n rule when `nlist <= 0`, clamped so the
     * quantizer stays trainable from the capped sample) and train on the
@@ -421,11 +413,19 @@ object Similarity {
     trainCentroids(sampleVecs(c, total, trainCap), lists, maxIter)
   }
 
+  /** Train the coarse quantizer and assign every corpus vector to its
+    * inverted list — the one-off batch half of IVF. The default
+    * `nlist = 0` derives the list count via the faiss √n rule of thumb
+    * (floored at 16), so list sizes stay ~√n as the corpus grows instead
+    * of a fixed default silently degrading toward a full scan; pass an
+    * explicit positive nlist to pin it. Assignment is a fused codegen'd
+    * argmax over the baked centroid matrix (centroids are unit vectors,
+    * so the un-normalized dot picks the same list as the cosine). */
   def buildIvfIndex(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      nlist: Int = 16,
+      nlist: Int = 0,
       maxIter: Int = 8,
       trainCap: Int = 20000): IvfIndex = {
     val c = corpus.select(col(idCol).as("cid"),

@@ -20,43 +20,60 @@ object Pipeline {
     * the resident-index state a long-lived serving process holds. Repeat
     * calls (and the bench's best-of-2) then measure the PROBE — the
     * recurring cost — not quantizer training or corpus encoding. */
-  /** Cache key for the resident ANN indexes: the session identity is part
-    * of the key (cached DataFrames are bound to the session that built
-    * them — a second session in the same JVM must not receive frames from
-    * a possibly-stopped sibling). Within one session the key assumes the
-    * `embeddings` table for a given sf dir is stable; a caller that
-    * re-points the temp view must swap it before the first indexed query
-    * (ScaleProbe's pattern) or the cached index would still encode the old
-    * corpus. */
-  private def idxKey(s: org.apache.spark.sql.SparkSession, dir: String) =
-    s"${System.identityHashCode(s)}:$dir"
+  /** Resident ANN indexes, one per (live session, sf dir). Entries hold a
+    * WEAK reference to their session and the reference itself is identity-
+    * compared on lookup: frames cached by a stopped session are never
+    * served to a new one (an identityHashCode reused after GC cannot
+    * alias), and entries whose session was collected are purged on every
+    * access, so repeated create-session/stop cycles don't accumulate
+    * index state. Within one session the cache assumes the `embeddings`
+    * table for a given sf dir is stable; a caller that re-points the temp
+    * view must swap it before the first indexed query (ScaleProbe's
+    * pattern) or the cached index would still encode the old corpus. The
+    * per-build artifacts live under java.io.tmpdir. */
+  private def cachedIdx[T](
+      map: scala.collection.concurrent.TrieMap[String,
+        (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession], T)],
+      s: org.apache.spark.sql.SparkSession, dir: String)(build: => T): T = {
+    map.filterInPlace { case (_, (ref, _)) => ref.get != null }
+    val key = s"${System.identityHashCode(s)}:$dir"
+    map.get(key) match {
+      case Some((ref, idx)) if ref.get eq s => idx
+      case _ =>
+        val idx = build
+        map.put(key, (new java.lang.ref.WeakReference(s), idx))
+        idx
+    }
+  }
 
-  private val pqIndexes =
-    scala.collection.concurrent.TrieMap.empty[String, Similarity.PqIndex]
+  private val pqIndexes = scala.collection.concurrent.TrieMap.empty[String,
+    (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
+      Similarity.PqIndex)]
   private def pqIndexFor(s: org.apache.spark.sql.SparkSession, dir: String,
       corpus: org.apache.spark.sql.DataFrame): Similarity.PqIndex =
-    pqIndexes.getOrElseUpdate(idxKey(s, dir), {
+    cachedIdx(pqIndexes, s, dir) {
       val path =
         java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
       Similarity.savePqIndex(
         Similarity.buildPqIndex(corpus, "vec_id", "embedding"), path)
       Similarity.loadPqIndex(s, path)
-    })
+    }
 
-  /** Same resident-index pattern for IVF ([[pqIndexes]] doc applies): the
+  /** Same resident-index pattern for IVF ([[cachedIdx]] doc applies): the
     * saved layout hive-partitions the inverted lists, so the repeat-call
     * probe partition-prunes to its probed lists. */
-  private val ivfIndexes =
-    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfIndex]
+  private val ivfIndexes = scala.collection.concurrent.TrieMap.empty[String,
+    (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
+      Similarity.IvfIndex)]
   private def ivfIndexFor(s: org.apache.spark.sql.SparkSession, dir: String,
       corpus: org.apache.spark.sql.DataFrame): Similarity.IvfIndex =
-    ivfIndexes.getOrElseUpdate(idxKey(s, dir), {
+    cachedIdx(ivfIndexes, s, dir) {
       val path =
         java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
       Similarity.saveIvfIndex(
         Similarity.buildIvfIndex(corpus, "vec_id", "embedding"), path)
       Similarity.loadIvfIndex(s, path)
-    })
+    }
 
   private val dedup = Seq(
     // Exact dedup via content fingerprint; keep min id per group.

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Dedup
@@ -81,6 +82,11 @@ object NearDupStream {
       threshold: Double = 0.6): IndexState =
     Dedup.loadIndexWithDeltas(spark, path) match {
       case Some((idx, lastBatch)) => new IndexState(idx, lastBatch)
+      case None if Dedup.hasLegacyIndex(spark, path) =>
+        // Pre-generational flat-layout checkpoint: load it rather than
+        // silently rebuilding from `corpus` (which would drop every doc a
+        // prior run folded). No batch-id metadata exists in that layout.
+        new IndexState(Dedup.loadIndex(spark, path))
       case None =>
         val built =
           Dedup.buildNearDupIndex(corpus, idCol, textCol, shingleN, threshold)
@@ -129,12 +135,28 @@ object NearDupStream {
     // Reader grace: layers retired at compaction N are unpersisted at
     // compaction N+1.
     var retired: Seq[DataFrame] = Nil
+    // Batch-id rebase, engaged when the engine restarts WITHOUT its own
+    // checkpoint: fresh queries renumber batches from 0, so new data can
+    // arrive under an id the WAL already used. Once a collision is
+    // detected, every subsequent batch's WAL bookkeeping uses
+    // batchId + offset — a fresh id namespace above the restored
+    // high-water mark, so a superseding entry never overwrites files the
+    // restored index still reads.
+    var idOffset = -1L
     val writer = docs.writeStream
     queryCheckpointLocation.fold(writer)(p =>
         writer.option("checkpointLocation", p))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        if (batchId <= state.lastIndexedBatch) {
+        // A batch id at-or-below the restored high-water mark is a genuine
+        // engine replay ONLY if the write-ahead record covers exactly this
+        // batch's docs; otherwise this is NEW data under a reused id that
+        // must be folded normally — treating it as a replay would silently
+        // drop it from the index and sink stale rows.
+        val isReplay = idOffset < 0 && batchId <= state.lastIndexedBatch &&
+          checkpointPath.exists(p =>
+            Dedup.deltaMatchesBatch(spark, p, batchId, batch, idCol))
+        if (isReplay) {
           checkpointPath.flatMap(p =>
               Dedup.checkpointKept(spark, p, batchId)) match {
             case Some(keptIds) =>
@@ -147,10 +169,20 @@ object NearDupStream {
                   s"(the batch's docs are already in the index).")
           }
         } else {
+          if (idOffset < 0 && batchId <= state.lastIndexedBatch) {
+            idOffset = state.lastIndexedBatch + 1 - batchId
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"NearDupStream: batch $batchId reuses an already-folded id " +
+                s"with different documents — engine restarted without its " +
+                s"checkpoint (pass queryCheckpointLocation). Rebasing WAL " +
+                s"ids by +$idOffset and folding as new data.")
+          }
+          val walId = batchId + math.max(0L, idOffset)
           val (keptIds, psets, ppref, extended) =
             Dedup.probeAndExtendParts(state.index, batch, idCol, textCol)
           checkpointPath.foreach(p =>
-            Dedup.appendIndexDelta(p, batchId, psets, ppref, keptIds))
+            Dedup.appendIndexDelta(p, walId, psets, ppref,
+              batch.select(col(idCol).cast("long").as("doc_id")), keptIds))
           sink(batch.join(keptIds.withColumnRenamed("doc_id", idCol),
             Seq(idCol), "left_semi"))
           val next =
@@ -159,9 +191,11 @@ object NearDupStream {
               retired = extended.layers
               val compacted = Dedup.compactIndex(extended, releaseOld = false)
               checkpointPath.foreach { p =>
-                Dedup.saveIndex(compacted, p, batchId = batchId,
+                Dedup.saveIndex(compacted, p, batchId = walId,
                   kept = Some(keptIds))
-                Dedup.clearIndexDeltas(spark, p, upTo = batchId)
+                // Keep this batch's own delta: its id-list is what future
+                // replay detection for the generation batch checks.
+                Dedup.clearIndexDeltas(spark, p, upTo = walId - 1)
               }
               toRelease.foreach(_.unpersist(false))
               compacted

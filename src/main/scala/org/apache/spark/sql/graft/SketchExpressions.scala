@@ -170,7 +170,11 @@ object SketchKernels {
       var bd = Double.NegativeInfinity
       var j = 0
       while (j < m.length) {
-        if (!used(j) && dots(j) > bd) { bd = dots(j); best = j }
+        // `best < 0` keeps the first unused index even when every dot is
+        // NaN (NaN > x is always false) — an all-NaN row degrades to
+        // lowest-index assignment like nearestCentroid's best=0 init,
+        // instead of crashing on used(-1).
+        if (!used(j) && (best < 0 || dots(j) > bd)) { bd = dots(j); best = j }
         j += 1
       }
       used(best) = true

@@ -381,6 +381,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(got2.toSet == Set(15L, 30L),
       "replayed batches must re-emit their recorded kept rows")
     assert(s2.index.docsets.count() == 6, "replay must not re-fold docs")
+
+    // NOT a replay: a restart without the engine checkpoint reuses batch
+    // id 0 for NEW data. The recorded id-set for b0 doesn't match, so the
+    // batch must be folded normally — not swallowed by replay handling.
+    val s3 = NearDupStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "text")
+    assert(s3.lastIndexedBatch == 1L)
+    val in3 = MemoryStream[NdDoc]
+    val got3 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q3 = NearDupStream.run(in3.toDF(), s3, "doc_id", "text",
+        compactEvery = 1000, checkpointPath = Some(dir)) { kept =>
+      got3 ++= kept.select("doc_id").as[Long].collect()
+    }
+    in3.addData(NdDoc(40, "h i j k l")) // novel content at batch id 0
+    q3.processAllAvailable()
+    q3.stop()
+    assert(got3.toSet == Set(40L),
+      "new data at a colliding batch id must be kept, not swallowed")
+    assert(s3.index.docsets.count() == 7, "new data must fold into the index")
     Dedup.releaseSketchCaches()
   }
 
