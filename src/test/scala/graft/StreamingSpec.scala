@@ -403,6 +403,58 @@ class StreamingSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("engine-checkpointed restart: history preserved, numbering continues") {
+    import java.nio.file.Files
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.NearDupStream
+
+    val srcDir = Files.createTempDirectory("nd_src").toString
+    val idxCkpt = Files.createTempDirectory("nd_idx").toString
+    val engCkpt = Files.createTempDirectory("nd_eng").toString
+    val corpus = Seq((1L, "a b c d e"), (2L, "p q r s t"))
+      .toDF("doc_id", "text")
+
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    def stream(state: NearDupStream.IndexState) = {
+      val src = spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir)
+      NearDupStream.run(src, state, "doc_id", "text",
+          compactEvery = 1000, checkpointPath = Some(idxCkpt),
+          queryCheckpointLocation = Some(engCkpt)) { kept =>
+        got ++= kept.select("doc_id").as[Long].collect()
+      }
+    }
+
+    // Run 1: bootstrap + one arrival file.
+    Seq((10L, "a b c d x"), (15L, "m n o u v")).toDF("doc_id", "text")
+      .write.parquet(srcDir + "/f1")
+    val s1 = NearDupStream.resume(spark, idxCkpt, corpus, "doc_id", "text")
+    val q1 = stream(s1)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(got.toSet == Set(15L)) // 10 dups corpus doc 1
+
+    // Run 2: a REAL restart — fresh state from the index checkpoint, the
+    // ENGINE's checkpoint continues batch numbering and replays nothing
+    // committed, so new ids land above the WAL high-water mark (no
+    // collision/rebase) and stream history carries across runs: 20 dups
+    // doc 15 kept by the PREVIOUS run, 30 is novel.
+    Seq((20L, "m n o u w"), (30L, "q r s t0 zz")).toDF("doc_id", "text")
+      .write.parquet(srcDir + "/f2")
+    val s2 = NearDupStream.resume(spark, idxCkpt, corpus.limit(0),
+      "doc_id", "text")
+    assert(s2.lastIndexedBatch >= 0L)
+    assert(s2.index.docsets.count() == 4) // 2 corpus + run-1 arrivals
+    val q2 = stream(s2)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.toSet == Set(15L, 30L),
+      "cross-run dup must drop; novel doc must survive the restart")
+    Dedup.releaseSketchCaches()
+  }
+
   test("resume: bootstrap saves a checkpoint; restart loads it unchanged") {
     import spark.implicits._
     import graft.operators.Dedup
