@@ -869,7 +869,52 @@ object Pipeline {
         "row_number() over (partition by epoch order by " +
         "md5(concat(cast(epoch as varchar), ':', cast(doc_id as varchar))), doc_id) as pos " +
         "from documents cross join (select unnest(range(0, 3)) as epoch) e) t " +
-        "where pos <= 100 order by epoch, pos")
+        "where pos <= 100 order by epoch, pos"),
+    // Leakage-safe train/eval split: assignment is by NEAR-DUP CLUSTER, not
+    // by document — a random per-doc split leaks training content into
+    // eval whenever a near-duplicate lands on the other side, inflating
+    // eval scores. Cluster id = min doc id of the exact-Jaccard component
+    // (d7's machinery); the split is a deterministic md5 of the CLUSTER id
+    // (~25% eval), so every member of a cluster lands on the same side by
+    // construction. The oracle replays the closure with d7's recursive CTE
+    // and hashes identically (md5 hex is engine-portable).
+    df("x5_leakage_safe_split",
+      Some("with recursive toks as (select doc_id, string_split(text, ' ') as t from documents), " +
+        "sh as (select doc_id, unnest(list_distinct(list_transform(range(1, len(t)), " +
+        "i -> array_to_string(t[i:i+1], ' ')))) as s from toks where len(t) >= 2), " +
+        "sizes as (select doc_id, count(distinct s) as n from sh group by doc_id), " +
+        "cand as (select a.doc_id as a_id, b.doc_id as b_id, count(*) as common " +
+        "from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id group by a.doc_id, b.doc_id), " +
+        "pairs as (select a_id, b_id from cand " +
+        "join sizes sa on a_id = sa.doc_id join sizes sb on b_id = sb.doc_id " +
+        "where common * 1.0 / (sa.n + sb.n - common) >= 0.6), " +
+        "edges as (select a_id as src, b_id as dst from pairs " +
+        "union select b_id, a_id from pairs), " +
+        "reach as (select src, dst from edges " +
+        "union select r.src, e.dst from reach r join edges e on r.dst = e.src " +
+        "where r.src != e.dst), " +
+        "comp as (select src as id, least(src, min(dst)) as component " +
+        "from reach group by src), " +
+        "labeled as (select d.doc_id, coalesce(c.component, d.doc_id) as component " +
+        "from documents d left join comp c on d.doc_id = c.id) " +
+        "select doc_id, component, " +
+        "case when substr(md5(cast(component as varchar)), 1, 1) in ('0','1','2','3') " +
+        "then 'eval' else 'train' end as split from labeled order by doc_id")) {
+      (s, dir) =>
+        val docs = s.table("documents")
+        val pairs = Dedup.exactJaccard(docs, "doc_id", "text",
+          shingleN = 2, threshold = 0.6)
+        val comp = Dedup.components(pairs, "a_id", "b_id")
+          .withColumnRenamed("id", "doc_id")
+        docs.select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("component"))
+          .withColumn("split",
+            when(substring(md5(col("component").cast("string")), 1, 1)
+              .isin("0", "1", "2", "3"), "eval").otherwise("train"))
+          .orderBy("doc_id")
+    }
   )
 
   val defs: Seq[QueryDef] =

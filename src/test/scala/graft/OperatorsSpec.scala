@@ -363,6 +363,24 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got == Set((1L, 10L), (2L, 10L)))
   }
 
+  test("leakage-safe split: no near-dup cluster straddles train/eval") {
+    val out = SparkEntry.queries("x5_leakage_safe_split")(spark, sfDir)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // The split is a function of the component, so every cluster lands
+    // whole on one side — the property that makes the split leakage-safe.
+    rows.groupBy(_._2).foreach { case (compId, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $compId straddles the split")
+    }
+    // Both sides are non-empty and multi-doc clusters exist in the fixture
+    // (otherwise the property is vacuous).
+    assert(rows.map(_._3).distinct.sorted.toSeq == Seq("eval", "train"))
+    assert(rows.groupBy(_._2).exists(_._2.length > 1),
+      "fixture has no multi-doc near-dup cluster")
+    graft.operators.Dedup.releaseSketchCaches()
+  }
+
   test("components: 1000-link chain converges within the log-round budget") {
     import spark.implicits._
     // A single 1000-edge path graph: graph diameter 1000, so plain

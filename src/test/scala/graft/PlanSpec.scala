@@ -24,7 +24,7 @@ class PlanSpec extends SparkSpecBase {
     // a broadcast side, not an O(n²) row blowup.
     val intentional = Set("j5_cross", "j6_implicit_cross", "j7_self_cross",
       "d5_dedup_embedding", "d3_dedup_jaccard", "d7_dedup_clusters",
-      "s4_hybrid_search")
+      "s4_hybrid_search", "x5_leakage_safe_split")
     // BNLJ additionally tolerated where the broadcast side is BOUNDED by
     // design — a scalar subquery result (1×n "join" = a map) or brute ANN's
     // fixed query batch scored against every corpus row (the operator's
