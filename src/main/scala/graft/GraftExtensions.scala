@@ -44,6 +44,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_sorted_common(a, b) - intersection size of sorted array<bigint>"),
       (args: Seq[Expression]) =>
         org.apache.spark.sql.graft.SortedIntersectCount(args.head, args(1))))
+    // Sketch kernels whose tuning arguments are plan-time constants: the
+    // SQL argument must be a foldable literal (same contract as Spark's
+    // own approx_percentile accuracy argument).
+    def litInt(e: Expression, fn: String, arg: String): Int = {
+      require(e.foldable, s"$fn: $arg must be a literal integer")
+      e.eval().asInstanceOf[Number].intValue()
+    }
+    e.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes",
+        "graft_shingle_hashes(tokens, n) - sorted distinct 64-bit hashes of n-grams of array<string>"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.ShingleHashSet(args.head,
+          litInt(args(1), "graft_shingle_hashes", "n"))))
+    e.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash",
+        "graft_minhash(hashes, k) - k-long MinHash signature of array<bigint>"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.MinHashSig(args.head,
+          litInt(args(1), "graft_minhash", "k"))))
+    e.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash",
+        "graft_simhash(hashes) - 64-bit SimHash of array<bigint> element hashes"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.SimHash64(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_winnow"),
+      info("graft_winnow",
+        "graft_winnow(text, k, w) - winnowing fingerprints (k-gram, window w)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.WinnowFingerprints(args.head,
+          litInt(args(1), "graft_winnow", "k"),
+          litInt(args(2), "graft_winnow", "w"))))
     // Composed-from-built-ins functions inject as catalyst trees built from
     // the SAME pattern list the Column API uses (a bridged Column
     // composition would arrive as unresolved ColumnNodes and never

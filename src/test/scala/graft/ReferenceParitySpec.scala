@@ -366,6 +366,31 @@ class ReferenceParitySpec extends SparkSpecBase {
         "select graft_redact_pii('mail a@b.co now'), " +
           "graft_pii_count('mail a@b.co now')").head()
       assert(pii.getString(0) == "mail <EMAIL> now" && pii.getLong(1) == 1L)
+      // Sketch kernels with literal tuning args, straight from SQL — and
+      // they agree with the Column-API wrappers on the same inputs.
+      val sk = ext.sql(
+        "select graft_simhash(graft_shingle_hashes(array('a','b','c'), 2)), " +
+          "size(graft_minhash(graft_shingle_hashes(array('a','b','c'), 2), 16)), " +
+          "size(graft_winnow('abcdefghijklmnopqrstuvwxyz 0123456789', 4, 5))")
+        .head()
+      import org.apache.spark.sql.functions.{lit, size => asize, typedlit}
+      val viaColumns = Seq(Tuple1(Seq("a", "b", "c"))).toDF("t")
+        .select(
+          graft.functions.GraftFunctions.simhash(
+            graft.functions.GraftFunctions.shingleHashes($"t", 2)),
+          asize(graft.functions.GraftFunctions.minhashSig(
+            graft.functions.GraftFunctions.shingleHashes($"t", 2), 16)),
+          asize(graft.functions.GraftFunctions.winnow(
+            lit("abcdefghijklmnopqrstuvwxyz 0123456789"), 4, 5)))
+        .head()
+      assert(sk.getLong(0) == viaColumns.getLong(0))
+      assert(sk.getInt(1) == viaColumns.getInt(1) && sk.getInt(1) == 16)
+      assert(sk.getInt(2) == viaColumns.getInt(2) && sk.getInt(2) > 0)
+      // Non-literal tuning args fail loudly instead of mis-binding.
+      val err = intercept[Exception] {
+        ext.sql("select graft_winnow('abc', cast(rand()*4 as int), 5)").head()
+      }
+      assert(err.getMessage.contains("literal"))
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
