@@ -147,6 +147,11 @@ object ScaleProbe {
     time("x4_epoch_shuffle") {
       graft.SparkEntry.queries("x4_epoch_shuffle")(spark, sfDir)
     }
+    // x5 composes the two heaviest dedup pieces (exact-Jaccard pair gen +
+    // connected components) over the dup-dense replicated corpus.
+    time("x5_leakage_safe_split") {
+      graft.SparkEntry.queries("x5_leakage_safe_split")(spark, sfDir)
+    }
     // components: pairs from exact 2-gram jaccard over the replicated corpus
     // (every cluster is rep x denser). Forces BOTH paths.
     if (wanted("components")) {
