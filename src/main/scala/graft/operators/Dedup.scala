@@ -1307,4 +1307,230 @@ object Dedup {
       .where(col("comp").isNull || col("comp") === col("id"))
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
+
+  // ─────────────────────── exact-fingerprint index ───────────────────────
+
+  /** Persisted EXACT-dedup state: the distinct content fingerprints of every
+    * document already admitted to the corpus. This is the durable twin of
+    * the d8 arrival path's "existing" side — content-sized (one 32-byte md5
+    * per distinct document), not corpus-sized, and the only thing an
+    * incremental exact-dedup service needs to hold between batches. */
+  final case class FingerprintIndex private[operators] (
+      fps: DataFrame,
+      numBuckets: Int)
+
+  /** One corpus scan → distinct fingerprint set. Map-side partial
+    * aggregation makes the distinct shuffle proportional to distinct
+    * CONTENT, so a dup-dense corpus indexes at its deduplicated size. */
+  def buildFingerprintIndex(corpus: DataFrame, idCol: String,
+      textCol: String): FingerprintIndex =
+    FingerprintIndex(persistSketch(Balance(corpus)
+      .select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()), 32)
+
+  /** Deterministic catalog name for generation `gen`'s bucketed fingerprint
+    * table at `path` — same (path, gen)-derivable contract as
+    * [[prefixTable]] so a restarted session re-registers it. */
+  private def fpTable(path: String, gen: Int): String =
+    "graft_fpidx_" + java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(path.hashCode)) + s"_g$gen"
+
+  /** Persist a [[FingerprintIndex]] under `path`. Same generational
+    * crash-safety contract as [[saveIndex]] (fresh `g<N>/`, params written
+    * LAST as the commit marker, one prior generation retained). The
+    * fingerprint set is written as an `fp`-bucketed external table so every
+    * post-restart probe's anti join reads the index already partitioned on
+    * the join key — the batch side (batch-sized) is the only Exchange. */
+  def saveFingerprintIndex(index: FingerprintIndex, path: String,
+      numBuckets: Int = 32): Unit = {
+    val spark = index.fps.sparkSession
+    val fs = fsFor(spark, path)
+    val prior = completeGens(spark, path)
+    val next = prior.headOption.map(_ + 1).getOrElse(0)
+    val gdir = s"$path/g$next"
+    if (fs.exists(new org.apache.hadoop.fs.Path(gdir)))
+      fs.delete(new org.apache.hadoop.fs.Path(gdir), true)
+    graft.sources.Sink.bucketedExternal(index.fps,
+      fpTable(path, next), s"$gdir/fps", "fp", numBuckets, "fp")
+    import spark.implicits._
+    Seq(numBuckets).toDF("num_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$gdir/params")
+    prior.filter(_ < next - 1).foreach { g =>
+      spark.sql(s"drop table if exists ${fpTable(path, g)}")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/g$g"), true)
+    }
+  }
+
+  /** Load the newest committed [[FingerprintIndex]] generation at `path`,
+    * re-registering the bucketed table if this session didn't write it. The
+    * frame is deliberately NOT cached: it reads through the bucketed scan so
+    * its HashPartitioning reaches the probe's anti-join planner. */
+  def loadFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): FingerprintIndex = {
+    val g = completeGens(spark, path).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed fingerprint index at $path"))
+    val gdir = s"$path/g$g"
+    val nb = spark.read.parquet(s"$gdir/params").head().getAs[Int]("num_buckets")
+    val tbl = fpTable(path, g)
+    val fps =
+      if (spark.catalog.tableExists(tbl)) spark.table(tbl)
+      else {
+        spark.sql(
+          s"""create table $tbl (fp string)
+             |using parquet clustered by (fp) sorted by (fp) into $nb buckets
+             |location '$gdir/fps'""".stripMargin)
+        spark.table(tbl)
+      }
+    FingerprintIndex(fps, nb)
+  }
+
+  /** Batch rows kept by incremental exact dedup against the index:
+    * fingerprint absent from the index (anti join) AND first — minimum
+    * `idCol` — among the batch rows sharing it (within-batch first-wins
+    * window, batch-sized). Returns the batch's columns. Kept-set is
+    * deterministic, so it oracle-checks as plain SQL. */
+  def probeNovelExact(index: FingerprintIndex, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val bfp = batch.withColumn("fp", TextOps.fingerprint(col(textCol)))
+    bfp.join(index.fps, Seq("fp"), "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy(col(idCol))))
+      .where(col("rn") === 1)
+      .drop("rn", "fp")
+  }
+
+  /** Fold a kept batch into the index. A plain union stays distinct by
+    * construction: [[probeNovelExact]]'s anti join guarantees kept
+    * fingerprints are absent from the index, and its first-wins window
+    * guarantees they're unique within the batch. Checkpoint via
+    * [[saveFingerprintIndex]] at compaction points, exactly like the
+    * near-dup index. */
+  def extendFingerprintIndex(index: FingerprintIndex, keptBatch: DataFrame,
+      textCol: String): FingerprintIndex =
+    index.copy(fps = index.fps.select("fp").union(
+      keptBatch.select(TextOps.fingerprint(col(textCol)).as("fp"))))
+
+  // ───────────────────────── winnowing index ─────────────────────────────
+
+  /** Persisted winnowing-fingerprint state: the flat (doc, fingerprint)
+    * posting list plus the per-fingerprint corpus document frequency. The
+    * incremental twin of [[winnowing]] — an arriving batch is fingerprinted
+    * once and joined against this instead of re-sketching the corpus. */
+  final case class WinnowIndex private[operators] (
+      fps: DataFrame,
+      freq: DataFrame,
+      k: Int,
+      w: Int,
+      maxFreq: Int)
+
+  /** One corpus scan through the winnowing kernel → posting list + doc
+    * frequencies. `fps` is stored RAW (uncapped); the `maxFreq` boilerplate
+    * cap is applied at probe time from `freq`, so a fingerprint that
+    * crosses the cap as the index grows is excluded from later probes
+    * without rebuilding. */
+  def buildWinnowIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 30, maxFreq: Int = 200): WinnowIndex = {
+    val flat = persistSketch(Balance(corpus).select(
+      col(idCol).cast("long").as("id"),
+      explode(graft.functions.GraftFunctions.winnow(col(textCol), k, w))
+        .as("fp")))
+    val freq = persistSketch(flat.groupBy("fp").agg(count(lit(1)).as("f")))
+    WinnowIndex(flat, freq, k, w, maxFreq)
+  }
+
+  private def wnTable(path: String, gen: Int): String =
+    "graft_wnidx_" + java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(path.hashCode)) + s"_g$gen"
+
+  /** Persist a [[WinnowIndex]] under `path` — generational, params-last
+    * commit marker, one prior generation retained ([[saveIndex]] contract).
+    * The posting list is `fp`-bucketed so the reloaded probe join carries
+    * no corpus-side Exchange; `freq` is a plain parquet frame (fingerprint
+    * cardinality ≪ posting-list size, broadcast at probe time). */
+  def saveWinnowIndex(index: WinnowIndex, path: String,
+      numBuckets: Int = 32): Unit = {
+    val spark = index.fps.sparkSession
+    val fs = fsFor(spark, path)
+    val prior = completeGens(spark, path)
+    val next = prior.headOption.map(_ + 1).getOrElse(0)
+    val gdir = s"$path/g$next"
+    if (fs.exists(new org.apache.hadoop.fs.Path(gdir)))
+      fs.delete(new org.apache.hadoop.fs.Path(gdir), true)
+    graft.sources.Sink.bucketedExternal(index.fps,
+      wnTable(path, next), s"$gdir/fps", "fp", numBuckets, "fp")
+    index.freq.write.mode("overwrite").parquet(s"$gdir/freq")
+    import spark.implicits._
+    Seq((index.k, index.w, index.maxFreq, numBuckets))
+      .toDF("k", "w", "max_freq", "num_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$gdir/params")
+    prior.filter(_ < next - 1).foreach { g =>
+      spark.sql(s"drop table if exists ${wnTable(path, g)}")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/g$g"), true)
+    }
+  }
+
+  /** Load the newest committed [[WinnowIndex]] generation at `path`. The
+    * posting list reads through the bucketed table (probe-join layout);
+    * `freq` is cached like a fresh build's. */
+  def loadWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): WinnowIndex = {
+    val g = completeGens(spark, path).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed winnowing index at $path"))
+    val gdir = s"$path/g$g"
+    val p = spark.read.parquet(s"$gdir/params").head()
+    val tbl = wnTable(path, g)
+    val fps =
+      if (spark.catalog.tableExists(tbl)) spark.table(tbl)
+      else {
+        spark.sql(
+          s"""create table $tbl (id bigint, fp bigint)
+             |using parquet clustered by (fp) sorted by (fp) into
+             |${p.getAs[Int]("num_buckets")} buckets
+             |location '$gdir/fps'""".stripMargin)
+        spark.table(tbl)
+      }
+    WinnowIndex(fps, persistSketch(spark.read.parquet(s"$gdir/freq")),
+      p.getAs[Int]("k"), p.getAs[Int]("w"), p.getAs[Int]("max_freq"))
+  }
+
+  /** Near-dup pairs (a_id = indexed doc, b_id = batch doc, n_shared) of an
+    * arriving batch against the persisted index: the batch is winnowed with
+    * the index's (k, w) — one narrow kernel projection — then one fp-equi-
+    * join against the posting list. The `maxFreq` cap uses the INDEX side's
+    * document frequency (the stable corpus statistic; [[winnowing]]'s
+    * one-shot cap counts all docs, so the two agree wherever the cap
+    * doesn't bind). Probe cost scales with the batch, not the corpus: the
+    * posting-list side reads pre-bucketed after a [[saveWinnowIndex]] /
+    * [[loadWinnowIndex]] round-trip. */
+  def probeWinnow(index: WinnowIndex, batch: DataFrame, idCol: String,
+      textCol: String, minShared: Int = 3): DataFrame = {
+    val bflat = Balance(batch).select(
+      col(idCol).cast("long").as("b_id"),
+      explode(graft.functions.GraftFunctions
+        .winnow(col(textCol), index.k, index.w)).as("fp"))
+    val rare = broadcast(
+      index.freq.where(col("f") <= index.maxFreq).select("fp"))
+    index.fps.join(rare, "fp")
+      .join(bflat, "fp")
+      .groupBy(col("id").as("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Fold a batch's postings into the index: posting-list union plus an
+    * incremental frequency merge (index freq ⊎ batch freq — never a
+    * corpus-wide recount). */
+  def extendWinnowIndex(index: WinnowIndex, batch: DataFrame, idCol: String,
+      textCol: String): WinnowIndex = {
+    val bflat = Balance(batch).select(
+      col(idCol).cast("long").as("id"),
+      explode(graft.functions.GraftFunctions
+        .winnow(col(textCol), index.k, index.w)).as("fp"))
+    val bfreq = bflat.groupBy("fp").agg(count(lit(1)).as("f"))
+    index.copy(
+      fps = index.fps.select("id", "fp").union(bflat),
+      freq = index.freq.select("fp", "f").union(bfreq)
+        .groupBy("fp").agg(sum(col("f")).as("f")))
+  }
 }

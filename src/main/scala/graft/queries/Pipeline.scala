@@ -75,6 +75,37 @@ object Pipeline {
       Similarity.loadIvfIndex(s, path)
     }
 
+  /** Resident persisted-index state for the incremental dedup gate queries
+    * ([[cachedIdx]] doc applies): built + saved + reloaded once per
+    * (session, sf dir), so repeat calls measure the PROBE — the recurring
+    * arrival-path cost — not corpus sketching. */
+  private val fpIndexes = scala.collection.concurrent.TrieMap.empty[String,
+    (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
+      Dedup.FingerprintIndex)]
+  private def fpIndexFor(s: org.apache.spark.sql.SparkSession, dir: String,
+      corpus: => org.apache.spark.sql.DataFrame): Dedup.FingerprintIndex =
+    cachedIdx(fpIndexes, s, dir) {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_fp_idx").toString
+      Dedup.saveFingerprintIndex(
+        Dedup.buildFingerprintIndex(corpus, "doc_id", "text"), path)
+      Dedup.loadFingerprintIndex(s, path)
+    }
+
+  private val wnIndexes = scala.collection.concurrent.TrieMap.empty[String,
+    (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
+      Dedup.WinnowIndex)]
+  private def wnIndexFor(s: org.apache.spark.sql.SparkSession, dir: String,
+      corpus: => org.apache.spark.sql.DataFrame): Dedup.WinnowIndex =
+    cachedIdx(wnIndexes, s, dir) {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_wn_idx").toString
+      Dedup.saveWinnowIndex(
+        Dedup.buildWinnowIndex(corpus, "doc_id", "text",
+          k = 16, w = 30, maxFreq = 100), path)
+      Dedup.loadWinnowIndex(s, path)
+    }
+
   private val dedup = Seq(
     // Exact dedup via content fingerprint; keep min id per group.
     sql("d1_dedup_exact",
@@ -268,6 +299,37 @@ object Pipeline {
     df("d11_dedup_embedding_ivf", None) { (s, dir) =>
       Similarity.ivfCosinePairs(s.table("embeddings"),
         "vec_id", "embedding", threshold = 0.4)
+        .orderBy("a_id", "b_id")
+    },
+    // d8 through its PERSISTED index: the corpus fingerprint set is built,
+    // checkpointed, and reloaded once per session (resident-index pattern,
+    // fpIndexFor), then the batch probes the reloaded bucketed table. Same
+    // kept-set contract as d8 — the oracle is identical — so the green row
+    // verifies the save/load round-trip end-to-end, not just the join.
+    df("d12_dedup_fp_index",
+      Some("with fp as (select doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) as fp " +
+        "from documents), " +
+        "existing as (select fp from fp where doc_id % 5 != 0), " +
+        "incoming as (select * from fp where doc_id % 5 = 0) " +
+        "select doc_id from incoming i " +
+        "where not exists (select 1 from existing e where e.fp = i.fp) " +
+        "and doc_id = (select min(doc_id) from incoming j where j.fp = i.fp) " +
+        "order by doc_id")) { (s, dir) =>
+      val docs = s.table("documents")
+      val idx = fpIndexFor(s, dir, docs.where(col("doc_id") % 5 =!= 0))
+      Dedup.probeNovelExact(idx, docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    },
+    // d6 through its PERSISTED index: corpus winnowing postings reloaded
+    // from the bucketed checkpoint, batch winnowed once and joined. Pairs
+    // are hash-family-defined (same as d6) → rows-only; the probe ≡
+    // one-shot equivalence is spec-asserted (IncrementalDedupSpec).
+    df("d13_dedup_winnow_index", None) { (s, dir) =>
+      val docs = s.table("documents")
+      val idx = wnIndexFor(s, dir, docs.where(col("doc_id") % 5 =!= 0))
+      Dedup.probeWinnow(idx, docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", minShared = 3)
         .orderBy("a_id", "b_id")
     }
   )

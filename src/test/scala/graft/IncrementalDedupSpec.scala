@@ -155,6 +155,145 @@ class IncrementalDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("fingerprint index: saved + reloaded probe matches the inline d8 kept-set") {
+    val docs = spark.table("documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    // The synthetic corpus has no exact copies across the %5 split, so give
+    // the batch real work: exact corpus twins (must drop) and within-batch
+    // twins (first id wins) alongside the genuinely novel docs.
+    val batch = docs.where(col("doc_id") % 5 === 0).select("doc_id", "text")
+      .union(docs.where(col("doc_id") % 25 === 1) // corpus twins
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .union(docs.where(col("doc_id") % 25 === 0) // in-batch twins
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+
+    // Inline ground truth — the d8 arrival-path shape, no index machinery.
+    def fpOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+    val expected = fpOf(batch)
+      .join(fpOf(corpus).select("fp"), Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+
+    val built = Dedup.buildFingerprintIndex(corpus, "doc_id", "text")
+    val direct = Dedup.probeNovelExact(built, batch, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(direct == expected)
+
+    val dir = java.nio.file.Files.createTempDirectory("fpidx").toString
+    Dedup.saveFingerprintIndex(built, dir)
+    Dedup.releaseSketchCaches()
+    val loaded = Dedup.loadFingerprintIndex(spark, dir)
+    val replay = Dedup.probeNovelExact(loaded, batch, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(replay == expected)
+    assert(replay.nonEmpty && replay.size < batch.count(),
+      "fixture should both keep and drop batch docs")
+
+    // Extension folds the kept batch in: re-probing the same batch now
+    // keeps nothing (every kept fingerprint is indexed, every dropped one
+    // already was).
+    val extended = Dedup.extendFingerprintIndex(loaded,
+      Dedup.probeNovelExact(loaded, batch, "doc_id", "text"), "text")
+    assert(Dedup.probeNovelExact(extended, batch, "doc_id", "text").isEmpty)
+    Dedup.releaseSketchCaches()
+  }
+
+  test("reloaded fingerprint index: anti join has no index-side exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val docs = spark.table("documents")
+    val built = Dedup.buildFingerprintIndex(
+      docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("fpidxb").toString
+    Dedup.saveFingerprintIndex(built, dir)
+    Dedup.releaseSketchCaches()
+    val loaded = Dedup.loadFingerprintIndex(spark, dir)
+
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = Dedup.probeNovelExact(loaded,
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+      val plan = probe.queryExecution.executedPlan
+      def hasFpScan(p: SparkPlan): Boolean = p.collectLeaves().exists {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("/fps"))
+        case _ => false
+      }
+      val joinSides = plan.collect {
+        case j: SortMergeJoinExec => j.children.filter(hasFpScan)
+        case j: ShuffledHashJoinExec => j.children.filter(hasFpScan)
+      }.flatten
+      assert(joinSides.nonEmpty, "no shuffled join reads the fp table")
+      val shuffles = joinSides.flatMap(_.collect {
+        case e: ShuffleExchangeLike => e
+      })
+      assert(shuffles.isEmpty,
+        s"fingerprint index side still shuffles after reload:\n${joinSides.head}")
+      assert(probe.collect().nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      Dedup.releaseSketchCaches()
+    }
+  }
+
+  test("winnow index: saved + reloaded probe matches one-shot winnowing cross-pairs") {
+    val docs = spark.table("documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    // maxFreq high enough that the cap never binds — the one place the
+    // incremental (corpus-frequency) and one-shot (all-docs-frequency)
+    // semantics could differ.
+    val oneShot = Dedup.winnowing(docs, "doc_id", "text",
+        k = 16, w = 30, minShared = 2, maxFreq = 1000000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) =>
+        (a % 5 == 0) != (b % 5 == 0) // exactly one side in the batch
+      }
+      .map { case (a, b, n) => // orient as (corpus, batch)
+        if (a % 5 == 0) (b, a, n) else (a, b, n)
+      }.toSet
+
+    val built = Dedup.buildWinnowIndex(corpus, "doc_id", "text",
+      k = 16, w = 30, maxFreq = 1000000)
+    val dir = java.nio.file.Files.createTempDirectory("wnidx").toString
+    Dedup.saveWinnowIndex(built, dir)
+    Dedup.releaseSketchCaches()
+    val loaded = Dedup.loadWinnowIndex(spark, dir)
+    assert(loaded.k == 16 && loaded.w == 30)
+    val probed = Dedup.probeWinnow(loaded, batch, "doc_id", "text",
+        minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probed == oneShot)
+    assert(probed.nonEmpty, "fixture should produce winnow pairs")
+    Dedup.releaseSketchCaches()
+  }
+
+  test("winnow index: extension sees new postings, frequency cap applies") {
+    import spark.implicits._
+    val corpus = Seq((1L, "x " * 200)).toDF("doc_id", "text")
+    val idx = Dedup.buildWinnowIndex(corpus, "doc_id", "text",
+      k = 8, w = 4, maxFreq = 2)
+    // A batch doc identical to doc 1 pairs with it.
+    val b1 = Seq((10L, "x " * 200)).toDF("doc_id", "text")
+    assert(Dedup.probeWinnow(idx, b1, "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
+    // After folding two more copies in, every fingerprint's corpus
+    // frequency is 3 > maxFreq=2 — the boilerplate cap now silences it.
+    val grown = Dedup.extendWinnowIndex(idx,
+      Seq((20L, "x " * 200), (30L, "x " * 200)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(Dedup.probeWinnow(grown, b1, "doc_id", "text", minShared = 1)
+      .isEmpty)
+    Dedup.releaseSketchCaches()
+  }
+
   test("probe reaches the corpus only through the persisted index") {
     import spark.implicits._
     val corpus = spark.table("documents").where(col("doc_id") % 5 =!= 0)
