@@ -1308,6 +1308,107 @@ object Dedup {
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
 
+  // ───────────────────── exact-substring dedup ───────────────────────────
+
+  /** Per-doc token-window frame shared by the substring-dedup family:
+    * (doc_id, pos, h) — h = xxhash64 of the `windowTokens`-token window
+    * starting at 0-based token position `pos`. The window hash is computed
+    * in one narrow projection (array of 8-byte hashes, then posexplode), so
+    * the shuffle that follows carries 16-byte rows, never window STRINGS —
+    * at corpus scale the strings are ~6× the token bytes and would dominate
+    * every exchange. Hashing trades that for a 2⁻⁶⁴ collision risk per
+    * pair, the standard ExactSubstr engineering choice. */
+  private def tokenWindows(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame =
+    Balance(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("t"))
+      .where(size(col("t")) >= windowTokens)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $windowTokens), " +
+          s"i -> xxhash64(concat_ws(' ', slice(t, i + 1, $windowTokens))))"))
+        .as(Seq("pos", "h")))
+
+  /** ExactSubstr-style duplicated-substring statistics (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * suffix-array pass re-expressed as a fixed-window frequency join): a
+    * window is DUPLICATED when the same `windowTokens`-token sequence
+    * occurs ≥ `minOccurrences` times across the corpus (within-doc repeats
+    * count — self-repetition is ExactSubstr's bread and butter). Returns
+    * (doc_id, n_windows, n_dup_windows) per doc with ≥ 1 window, ordered
+    * output left to the caller.
+    *
+    * Scale shape: one narrow window-hash projection, one (h)-shuffle with
+    * map-side partial counts for the frequency table, one (h)-join back.
+    * Nothing is ever quadratic: a window duplicated a million times is one
+    * frequency row, and the join fans it back to exactly its occurrence
+    * count (rows that already existed). */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    val wins = persistSketch(
+      tokenWindows(docs, idCol, textCol, windowTokens))
+    val freq = wins.groupBy("h").agg(count(lit(1)).as("occ"))
+    wins.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("occ") >= minOccurrences, 1)).as("n_dup_windows"))
+  }
+
+  /** The removal input: every occurrence of a duplicated window EXCEPT the
+    * globally-first one (minimum (doc_id, pos) — one `min(struct)` partial
+    * aggregation, no per-group sort, so a boilerplate window duplicated a
+    * million times costs one agg row, not a skewed million-row sort).
+    * Returns (doc_id, pos). */
+  def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    val wins = persistSketch(
+      tokenWindows(docs, idCol, textCol, windowTokens))
+    val firsts = wins.groupBy("h").agg(
+      count(lit(1)).as("occ"),
+      min(struct(col("doc_id"), col("pos"))).as("first"))
+      .where(col("occ") >= minOccurrences)
+      .select("h", "first")
+    wins.join(firsts, "h")
+      .where(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .select("doc_id", "pos")
+  }
+
+  /** ExactSubstr removal: cut every non-canonical duplicated window out of
+    * the text, keeping exactly one occurrence corpus-wide. Overlapping /
+    * adjacent removal windows are merged into intervals first (two
+    * doc-partitioned analytic passes — gap-flag via lag, running-sum group
+    * id — each bounded by tokens/doc, never corpus-sized state), then the
+    * token ranges are dropped in one per-doc array filter. Returns
+    * (doc_id, text) with docs untouched by removal passed through.
+    *
+    * Like the original, no second pass runs over the cleaned text: splices
+    * that create NEW duplicate windows across a cut are accepted. */
+  def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    val rm = substringDupSpans(docs, idCol, textCol,
+      windowTokens, minOccurrences)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val intervals = rm
+      .withColumn("gap",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > windowTokens, 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("gap")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + windowTokens - 1).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("cuts"))
+    Balance(docs)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .join(intervals, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cuts").isNull, col("text")).otherwise(expr(
+          "concat_ws(' ', filter(transform(split(text, ' '), (x, i) -> " +
+            "if (exists(cuts, c -> i >= c.s and i <= c.e), null, x)), " +
+            "x -> x is not null))")).as("text"))
+  }
+
   // ─────────────────────── exact-fingerprint index ───────────────────────
 
   /** Persisted EXACT-dedup state: the distinct content fingerprints of every

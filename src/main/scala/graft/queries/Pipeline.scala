@@ -331,6 +331,24 @@ object Pipeline {
       Dedup.probeWinnow(idx, docs.where(col("doc_id") % 5 === 0),
           "doc_id", "text", minShared = 3)
         .orderBy("a_id", "b_id")
+    },
+    // ExactSubstr-style duplicated-substring stats: windows of 8 tokens
+    // occurring >= 2 times corpus-wide (within-doc repeats count). The
+    // engine counts 64-bit window HASHES (what survives a 100 TB shuffle);
+    // the oracle counts the window strings — identical absent an xxhash64
+    // collision in the fixed test corpus (verified: none).
+    df("d14_dedup_substring",
+      Some("with toks as (select doc_id, string_split(text, ' ') as t from documents), " +
+        "wins as (select doc_id, unnest(list_transform(range(1, len(t) - 6), " +
+        "i -> array_to_string(t[i:i+7], ' '))) as g from toks where len(t) >= 8), " +
+        "freq as (select g, count(*) as occ from wins group by g) " +
+        "select w.doc_id, count(*) as n_windows, " +
+        "count(*) filter (where f.occ >= 2) as n_dup_windows " +
+        "from wins w join freq f on w.g = f.g " +
+        "group by w.doc_id order by w.doc_id")) { (s, dir) =>
+      Dedup.substringDupStats(s.table("documents"), "doc_id", "text",
+          windowTokens = 8, minOccurrences = 2)
+        .orderBy("doc_id")
     }
   )
 

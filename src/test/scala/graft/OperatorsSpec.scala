@@ -605,4 +605,85 @@ class OperatorsSpec extends SparkSpecBase {
     val fps = df.select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
     assert(fps(0) == fps(1))
   }
+
+  test("substringDupStats: hand math — shared and self-repeated windows") {
+    import spark.implicits._
+    // Doc 1 and 2 share the 4-token run "a b c d"; doc 3 repeats its own
+    // "p q r s" twice; doc 4 is clean; doc 5 is too short for any window.
+    val df = Seq(
+      (1L, "a b c d e f"),       // windows: abcd bcde cdef
+      (2L, "x a b c d y"),       // windows: xabc abcd bcdy
+      (3L, "p q r s p q r s"),   // pqrs qrsp rspq spqr pqrs
+      (4L, "one two three four five"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val stats = Dedup.substringDupStats(df, "doc_id", "text",
+        windowTokens = 4, minOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats(1L) == (3L, 1L)) // abcd duplicated
+    assert(stats(2L) == (3L, 1L))
+    assert(stats(3L) == (5L, 2L)) // pqrs occurs twice, both occurrences dup
+    assert(stats(4L) == (2L, 0L))
+    assert(!stats.contains(5L))
+    Dedup.releaseSketchCaches()
+  }
+
+  test("stripDupSpans: keeps the globally-first occurrence, cuts the rest") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),       // loses its "a b c d" (doc 1 is canonical)
+      (3L, "p q r s p q r s"),   // self-repeat: second pqrs run cut
+      (4L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(df, "doc_id", "text",
+        windowTokens = 4, minOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b c d e f") // canonical — untouched
+    assert(out(2L) == "x y")
+    // doc 3: dup windows are pqrs@0 and pqrs@4; canonical is (3,0), so the
+    // cut interval is [4,7] — the trailing repeat.
+    assert(out(3L) == "p q r s")
+    assert(out(4L) == "one two three four five")
+    Dedup.releaseSketchCaches()
+  }
+
+  test("stripDupSpans: overlapping dup windows merge into one interval") {
+    import spark.implicits._
+    // Doc 20 embeds doc 10's entire 6-token text: dup windows of length 4
+    // at positions 1,2,3 of doc 20 — overlapping, must merge to one cut
+    // [1,6], not three separate 4-token cuts.
+    val df = Seq(
+      (10L, "m n o p q r"),
+      (20L, "z m n o p q r z2 z3")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(df, "doc_id", "text",
+        windowTokens = 4, minOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) == "m n o p q r")
+    assert(out(20L) == "z z2 z3")
+    Dedup.releaseSketchCaches()
+  }
+
+  test("substring dedup on the documents table: stats consistent, strip is a projection") {
+    val docs = spark.table("documents")
+    val stats = Dedup.substringDupStats(docs, "doc_id", "text",
+      windowTokens = 8, minOccurrences = 2).collect()
+    assert(stats.forall(r => r.getLong(2) <= r.getLong(1)),
+      "dup windows must be a subset of windows")
+    assert(stats.exists(_.getLong(2) > 0),
+      "fixture should contain duplicated 8-token windows")
+    val cleaned = Dedup.stripDupSpans(docs, "doc_id", "text",
+      windowTokens = 8, minOccurrences = 2)
+    assert(cleaned.count() == docs.count(), "strip keeps every doc")
+    // Docs with no dup windows pass through byte-identical.
+    val untouched = stats.filter(_.getLong(2) == 0).map(_.getLong(0)).toSet
+    val changed = cleaned.as("c")
+      .join(docs.as("d"), col("c.doc_id") === col("d.doc_id"))
+      .where(col("c.text") =!= col("d.text"))
+      .select(col("c.doc_id")).collect().map(_.getLong(0)).toSet
+    assert(changed.intersect(untouched).isEmpty)
+    assert(changed.nonEmpty, "some doc should actually lose a span")
+    Dedup.releaseSketchCaches()
+  }
 }
