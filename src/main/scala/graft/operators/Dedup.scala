@@ -1308,6 +1308,31 @@ object Dedup {
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
 
+  // ───────────────────── semantic (embedding) dedup ──────────────────────
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space with a k-means quantizer, find
+    * within-cluster pairs at cosine ≥ `eps`, resolve them into connected
+    * components, keep one representative (minimum id) per component plus
+    * every unpaired doc. Returns the kept set as (id, component).
+    *
+    * The pair search is [[Similarity.ivfCosinePairs]] — Σ|list|² work with
+    * √n lists, never the n²/2 grid — so PRECISION is exact (every dropped
+    * doc really has a ≥ eps neighbor; the cosine is re-verified, not
+    * quantized) while recall is quantizer-defined: nprobe multi-assignment
+    * recovers most cross-boundary pairs, and a missed pair only means a
+    * semantic twin survives — the failure mode SemDeDup itself accepts in
+    * exchange for subquadratic cost. Component resolution is the log-round
+    * large-star/small-star pass ([[components]]), so a transitive chain of
+    * twins collapses to ONE kept doc corpus-wide, not one per cluster. */
+  def semantic(emb: DataFrame, idCol: String, vecCol: String, eps: Double,
+      nlist: Int = 0, nprobe: Int = 4): DataFrame = {
+    val pairs = Similarity.ivfCosinePairs(emb, idCol, vecCol,
+      threshold = eps, nlist = nlist, nprobe = nprobe)
+    keepRepresentatives(emb, idCol, pairs, "a_id", "b_id")
+  }
+
   // ───────────────────── exact-substring dedup ───────────────────────────
 
   /** Per-doc token-window frame shared by the substring-dedup family:

@@ -349,6 +349,16 @@ object Pipeline {
       Dedup.substringDupStats(s.table("documents"), "doc_id", "text",
           windowTokens = 8, minOccurrences = 2)
         .orderBy("doc_id")
+    },
+    // SemDeDup: quantizer-clustered embedding dedup — kept set after
+    // collapsing cosine >= 0.4 within-cluster twins to one representative.
+    // Recall is quantizer-defined → rows-only; precision-exactness (kept
+    // set ⊇ the exact grid's kept set) and the nlist=1 ≡ exact equivalence
+    // are spec-asserted (OperatorsSpec).
+    df("d15_dedup_semantic", None) { (s, dir) =>
+      Dedup.semantic(s.table("embeddings"), "vec_id", "embedding",
+          eps = 0.4)
+        .orderBy("id")
     }
   )
 

@@ -665,6 +665,46 @@ class OperatorsSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("semantic dedup: nlist=1 equals the exact-grid kept set") {
+    val emb = spark.table("embeddings")
+    val exactPairs = Dedup.embedding(emb, "vec_id", "embedding", 0.4)
+    val exactKept = Dedup.keepRepresentatives(emb, "vec_id",
+        exactPairs, "a_id", "b_id")
+      .collect().map(_.getLong(0)).toSet
+    // One cluster → the IVF pair search degenerates to the full pair set,
+    // so the kept sets must be identical.
+    val oneList = Dedup.semantic(emb, "vec_id", "embedding", eps = 0.4,
+        nlist = 1, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(oneList == exactKept)
+    assert(exactKept.nonEmpty && exactKept.size < emb.count(),
+      "fixture should both keep and drop embeddings")
+    Dedup.releaseSketchCaches()
+  }
+
+  test("semantic dedup: precision-exact — never drops a doc the exact grid keeps") {
+    val emb = spark.table("embeddings")
+    val exactKept = Dedup.keepRepresentatives(emb, "vec_id",
+        Dedup.embedding(emb, "vec_id", "embedding", 0.4), "a_id", "b_id")
+      .collect().map(_.getLong(0)).toSet
+    val sem = Dedup.semantic(emb, "vec_id", "embedding", eps = 0.4)
+      .collect().map(_.getLong(0)).toSet
+    // A missed cross-cluster pair can only KEEP an extra doc, never drop
+    // one that has no true >= eps neighbor... except representative choice:
+    // with identical pair sets min-id reps agree, and any dropped doc must
+    // have a true neighbor. Assert the sound direction per component:
+    // every doc semantic drops has a genuine >= 0.4 neighbor.
+    val dropped = emb.select(col("vec_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet -- sem
+    val paired = Dedup.embedding(emb, "vec_id", "embedding", 0.4)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(dropped.subsetOf(paired),
+      "semantic dedup dropped a doc with no true >= eps neighbor")
+    assert(sem.size >= exactKept.size,
+      "quantized recall can only keep MORE than the exact grid")
+    Dedup.releaseSketchCaches()
+  }
+
   test("substring dedup on the documents table: stats consistent, strip is a projection") {
     val docs = spark.table("documents")
     val stats = Dedup.substringDupStats(docs, "doc_id", "text",
