@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** A REAL crash-restart of the streaming near-dup path: a child JVM is
+  * killed with SIGKILL semantics (`Runtime.halt` — no shutdown hooks, no
+  * cleanup) mid-batch, at the worst moment the durability design allows:
+  * the batch's write-ahead delta is on disk, its kept rows are NOT sunk,
+  * and the engine's offsets are uncommitted. A second child JVM restarts
+  * from the two checkpoints and must (a) recognize the re-delivered batch
+  * as already folded, (b) sink its RECORDED kept-set instead of re-probing
+  * (which would emit zero rows), and (c) process the remaining files
+  * normally — ending with exactly-once kept output across the crash.
+  *
+  * The existing StreamingSpec restart tests stop cleanly; this is the only
+  * test where the first process never gets to say goodbye. */
+class CrashRestartSpec extends SparkSpecBase {
+
+  private def runChild(args: Seq[String], logFile: String): Int = {
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
+      .toString
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.CrashStreamMain") ++ args
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new java.io.File(logFile))
+    val p = pb.start()
+    assert(p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+      s"child JVM did not exit within 240s — log: $logFile")
+    p.exitValue()
+  }
+
+  test("kill -9 mid-batch: WAL replay restores exactly-once kept output") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("crash9").toString
+    val srcDir = s"$base/src"
+    val idxCkpt = s"$base/idx"
+    val qCkpt = s"$base/eng"
+    val sinkDir = s"$base/sink"
+
+    Seq((1L, "a b c d e"), (2L, "p q r s t")).toDF("doc_id", "text")
+      .write.parquet(s"$srcDir/corpus")
+    // One micro-batch per file (maxFilesPerTrigger=1), ordered by mtime:
+    //  f1: 10 dups corpus doc 1 (J=0.6), 15 novel         -> kept {15}
+    //  f2: 20 dups doc 15 from the PREVIOUS batch, 30 novel -> kept {30}
+    //  f3: 40 novel, 45 dups corpus doc 1                 -> kept {40}
+    val files = Seq(
+      "f1" -> Seq((10L, "a b c d x"), (15L, "m n o u v")),
+      "f2" -> Seq((20L, "m n o u w"), (30L, "q r s t0 zz")),
+      "f3" -> Seq((40L, "h i j k l"), (45L, "a b c d y")))
+    files.zipWithIndex.foreach { case ((name, rows), i) =>
+      val dir = s"$srcDir/stream/$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(dir)
+      // Deterministic arrival order for the file source's mtime sort.
+      val t0 = System.currentTimeMillis() - 100000
+      Files.walk(Paths.get(dir)).forEach(p =>
+        p.toFile.setLastModified(t0 + i * 2000L))
+    }
+
+    // Run 1: sink one batch (f1), then die by halt(137) DURING f2 — after
+    // f2's WAL delta is written, before its kept rows are sunk.
+    val args = Seq(idxCkpt, qCkpt, srcDir, sinkDir)
+    val rc1 = runChild(args :+ "1", s"$base/run1.log")
+    assert(rc1 == 137, s"first child should die by halt(137), got $rc1 — " +
+      s"log: $base/run1.log")
+    val afterCrash = spark.read.parquet(sinkDir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(afterCrash.sorted == Seq(15L),
+      s"crash point wrong: sink after crash = $afterCrash")
+
+    // Run 2: restart from the same checkpoints, run to completion.
+    val rc2 = runChild(args :+ "-1", s"$base/run2.log")
+    assert(rc2 == 0, s"restart child failed with $rc2 — log: $base/run2.log")
+
+    val ids = spark.read.parquet(sinkDir)
+      .select("doc_id").as[Long].collect().toSeq
+    // Exactly-once: each kept doc appears ONCE — the replayed batch sank
+    // its recorded kept-set (30), not zero rows (re-probe bug) and not a
+    // duplicate of batch 0's output.
+    assert(ids.sorted == Seq(15L, 30L, 40L),
+      s"kept output after crash-restart: $ids")
+  }
+}
