@@ -1327,10 +1327,36 @@ object Dedup {
     * large-star/small-star pass ([[components]]), so a transitive chain of
     * twins collapses to ONE kept doc corpus-wide, not one per cluster. */
   def semantic(emb: DataFrame, idCol: String, vecCol: String, eps: Double,
-      nlist: Int = 0, nprobe: Int = 4): DataFrame = {
-    val pairs = Similarity.ivfCosinePairs(emb, idCol, vecCol,
-      threshold = eps, nlist = nlist, nprobe = nprobe)
-    keepRepresentatives(emb, idCol, pairs, "a_id", "b_id")
+      nlist: Int = 0, nprobe: Int = 4,
+      collapseFloor: Long = 8192): DataFrame = {
+    if (emb.count() <= collapseFloor) {
+      val pairs = Similarity.ivfCosinePairs(emb, idCol, vecCol,
+        threshold = eps, nlist = nlist, nprobe = nprobe)
+      keepRepresentatives(emb, idCol, pairs, "a_id", "b_id")
+    } else {
+      // Identical-vector collapse — the d3/d10 density insurance applied to
+      // the embedding space: bit-identical vectors are cosine-1 twins at
+      // any eps ≤ 1, so only one representative per distinct vector enters
+      // the quadratic-ish pair search (a dup-dense corpus pairs at its
+      // DISTINCT size) and each copy rejoins its representative's
+      // component through one explicit edge. Zero-norm vectors are
+      // excluded from collapse edges — cosine is undefined for them, so
+      // the pair search never drops them and neither may the collapse.
+      val nz = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .where(expr(
+          "aggregate(v, 0D, (a, x) -> a + cast(x as double) * cast(x as double))") > 0)
+      val reps = persistSketch(
+        nz.groupBy("v").agg(min(col("id")).as("rid")))
+      val repPairs = Similarity.ivfCosinePairs(
+        reps.select(col("rid").as(idCol), col("v").as(vecCol)),
+        idCol, vecCol, threshold = eps, nlist = nlist, nprobe = nprobe)
+        .select(col("a_id"), col("b_id"))
+      val copyEdges = nz.join(reps, "v")
+        .where(col("id") =!= col("rid"))
+        .select(col("rid").as("a_id"), col("id").as("b_id"))
+      keepRepresentatives(emb, idCol, repPairs.union(copyEdges),
+        "a_id", "b_id")
+    }
   }
 
   // ───────────────────── exact-substring dedup ───────────────────────────

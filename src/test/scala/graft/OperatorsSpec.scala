@@ -705,6 +705,37 @@ class OperatorsSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("semantic dedup: identical-vector collapse keeps the exact kept-set") {
+    import org.apache.spark.sql.DataFrame
+    val emb = spark.table("embeddings")
+    // Dup-dense fixture: two extra exact copies of every vector, plus a
+    // zero vector and its copy (which must BOTH survive — cosine is
+    // undefined for them, so no path may pair or collapse them away).
+    def withCopies(df: DataFrame, shift: Long): DataFrame =
+      df.union(df.select((col("vec_id") + shift).as("vec_id"),
+        col("embedding")))
+    import spark.implicits._
+    val zeroes = Seq((9000001L, Array.fill(64)(0f)),
+        (9000002L, Array.fill(64)(0f)))
+      .toDF("vec_id", "embedding")
+    val dense = withCopies(withCopies(
+      emb.select("vec_id", "embedding"), 1000000L), 2000000L)
+      .union(zeroes)
+    def kept(floor: Long): Set[Long] = {
+      val r = Dedup.semantic(dense, "vec_id", "embedding", eps = 0.4,
+          nlist = 1, nprobe = 1, collapseFloor = floor)
+        .collect().map(_.getLong(0)).toSet
+      Dedup.releaseSketchCaches()
+      r
+    }
+    val collapsed = kept(0) // force the collapse pre-pass
+    val plain = kept(Long.MaxValue) // force the direct path
+    assert(collapsed == plain)
+    assert(collapsed.contains(9000001L) && collapsed.contains(9000002L),
+      "zero-norm vectors must survive both paths")
+    assert(collapsed.nonEmpty && collapsed.size < dense.count())
+  }
+
   test("substring dedup on the documents table: stats consistent, strip is a projection") {
     val docs = spark.table("documents")
     val stats = Dedup.substringDupStats(docs, "doc_id", "text",

@@ -114,7 +114,35 @@ object ScaleProbe {
     }
     // Round-5/6 operators: PQ ANN (inline vs persisted-index probe), BM25,
     // chunk explode, epoch shuffle — all on rep× replicated inputs.
-    if (wanted("s5") || wanted("s6") || wanted("d5") || wanted("d11")) {
+    // Round-6 persisted dedup indexes + substring dedup at rep× density.
+    // Index pass 1 builds + saves + reloads; pass 2 is the resident-index
+    // probe — the steady-state arrival-path cost.
+    time("d12_dedup_fp_index pass1 (build+save+load+probe)") {
+      graft.SparkEntry.queries("d12_dedup_fp_index")(spark, sfDir)
+    }
+    time("d12_dedup_fp_index pass2 (probe only)") {
+      graft.SparkEntry.queries("d12_dedup_fp_index")(spark, sfDir)
+    }
+    time("d13_dedup_winnow_index pass1 (build+save+load+probe)") {
+      graft.SparkEntry.queries("d13_dedup_winnow_index")(spark, sfDir)
+    }
+    time("d13_dedup_winnow_index pass2 (probe only)") {
+      graft.SparkEntry.queries("d13_dedup_winnow_index")(spark, sfDir)
+    }
+    // Replication makes every 8-token window rep× duplicated — worst-case
+    // frequency-join fan-back for the ExactSubstr shape.
+    time("d14_dedup_substring (window freq stats)") {
+      graft.SparkEntry.queries("d14_dedup_substring")(spark, sfDir)
+    }
+    if (wanted("strip")) {
+      time("stripDupSpans (interval merge + token cut)") {
+        graft.operators.Dedup.stripDupSpans(docs, "doc_id", "text",
+          windowTokens = 8, minOccurrences = 2)
+      }
+      graft.operators.Dedup.releaseSketchCaches()
+    }
+    if (wanted("s5") || wanted("s6") || wanted("d5") || wanted("d11") ||
+        wanted("d15")) {
       replicate("embeddings", Seq("vec_id")).cache()
         .createOrReplaceTempView("embeddings")
       println(s"[scale] embeddings x$rep = ${spark.table("embeddings").count()} rows")
@@ -136,6 +164,9 @@ object ScaleProbe {
       }
       time("d11_dedup_embedding_ivf (bucketed pairs)") {
         graft.SparkEntry.queries("d11_dedup_embedding_ivf")(spark, sfDir)
+      }
+      time("d15_dedup_semantic (IVF pairs + components + keep)") {
+        graft.SparkEntry.queries("d15_dedup_semantic")(spark, sfDir)
       }
     }
     time("t16_bm25_search") {
