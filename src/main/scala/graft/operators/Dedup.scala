@@ -1460,6 +1460,112 @@ object Dedup {
             "x -> x is not null))")).as("text"))
   }
 
+  // ─────────────────────── substring (window) index ──────────────────────
+
+  /** Persisted ExactSubstr state: the per-window-hash occurrence count over
+    * every document already admitted. Content-sized (one (hash, count) row
+    * per DISTINCT window), and sufficient for arrival-time substring-dup
+    * detection: a batch window is duplicated iff its corpus count plus its
+    * within-batch count reaches the threshold — exactly the one-shot
+    * statistic over corpus ∪ batch, restricted to the batch. */
+  final case class SubstringIndex private[operators] (
+      freq: DataFrame,
+      windowTokens: Int)
+
+  /** One corpus scan through the window-hash kernel → frequency table
+    * (map-side partial counts; the shuffle carries (hash, count), never
+    * text). */
+  def buildSubstringIndex(corpus: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8): SubstringIndex =
+    SubstringIndex(persistSketch(
+      tokenWindows(corpus, idCol, textCol, windowTokens)
+        .groupBy("h").agg(count(lit(1)).as("occ"))), windowTokens)
+
+  private def ssTable(path: String, gen: Int): String =
+    "graft_ssidx_" + java.lang.Long.toHexString(
+      java.lang.Integer.toUnsignedLong(path.hashCode)) + s"_g$gen"
+
+  /** Persist a [[SubstringIndex]] — generational, params-last commit
+    * marker, one prior generation retained ([[saveIndex]] contract); the
+    * frequency table is `h`-bucketed so a reloaded probe's frequency join
+    * reads the index already partitioned on the join key. */
+  def saveSubstringIndex(index: SubstringIndex, path: String,
+      numBuckets: Int = 32): Unit = {
+    val spark = index.freq.sparkSession
+    val fs = fsFor(spark, path)
+    val prior = completeGens(spark, path)
+    val next = prior.headOption.map(_ + 1).getOrElse(0)
+    val gdir = s"$path/g$next"
+    if (fs.exists(new org.apache.hadoop.fs.Path(gdir)))
+      fs.delete(new org.apache.hadoop.fs.Path(gdir), true)
+    graft.sources.Sink.bucketedExternal(index.freq,
+      ssTable(path, next), s"$gdir/freq", "h", numBuckets, "h")
+    import spark.implicits._
+    Seq((index.windowTokens, numBuckets))
+      .toDF("window_tokens", "num_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$gdir/params")
+    prior.filter(_ < next - 1).foreach { g =>
+      spark.sql(s"drop table if exists ${ssTable(path, g)}")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/g$g"), true)
+    }
+  }
+
+  /** Load the newest committed [[SubstringIndex]] generation at `path`,
+    * re-registering the bucketed table if this session didn't write it. */
+  def loadSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): SubstringIndex = {
+    val g = completeGens(spark, path).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed substring index at $path"))
+    val gdir = s"$path/g$g"
+    val p = spark.read.parquet(s"$gdir/params").head()
+    val tbl = ssTable(path, g)
+    val freq =
+      if (spark.catalog.tableExists(tbl)) spark.table(tbl)
+      else {
+        spark.sql(
+          s"""create table $tbl (h bigint, occ bigint)
+             |using parquet clustered by (h) sorted by (h) into
+             |${p.getAs[Int]("num_buckets")} buckets
+             |location '$gdir/freq'""".stripMargin)
+        spark.table(tbl)
+      }
+    SubstringIndex(freq, p.getAs[Int]("window_tokens"))
+  }
+
+  /** Arrival-time [[substringDupStats]]: per batch doc, total windows and
+    * windows duplicated against corpus-plus-batch (corpus count from the
+    * index + within-batch count ≥ `minOccurrences`) — bit-identical to the
+    * one-shot stats over corpus ∪ batch restricted to the batch, so the
+    * kept statistic is oracle-checkable. Probe cost scales with the batch:
+    * one narrow kernel projection, one batch-hash aggregation, one
+    * frequency join whose index side reads pre-bucketed after a
+    * save/load round-trip. */
+  def probeSubstringDups(index: SubstringIndex, batch: DataFrame,
+      idCol: String, textCol: String, minOccurrences: Int = 2): DataFrame = {
+    val bwins = persistSketch(
+      tokenWindows(batch, idCol, textCol, index.windowTokens))
+    val joint = bwins.groupBy("h").agg(count(lit(1)).as("bocc"))
+      .join(index.freq, Seq("h"), "left")
+      .select(col("h"),
+        (col("bocc") + coalesce(col("occ"), lit(0L))).as("occ"))
+    bwins.join(joint, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("occ") >= minOccurrences, 1)).as("n_dup_windows"))
+  }
+
+  /** Fold a batch into the index: frequency merge (index ⊎ batch counts),
+    * never a corpus recount. Checkpoint via [[saveSubstringIndex]] at
+    * compaction points. */
+  def extendSubstringIndex(index: SubstringIndex, batch: DataFrame,
+      idCol: String, textCol: String): SubstringIndex = {
+    val bfreq = tokenWindows(batch, idCol, textCol, index.windowTokens)
+      .groupBy("h").agg(count(lit(1)).as("occ"))
+    index.copy(freq = index.freq.select("h", "occ").union(bfreq)
+      .groupBy("h").agg(sum(col("occ")).as("occ")))
+  }
+
   // ─────────────────────── exact-fingerprint index ───────────────────────
 
   /** Persisted EXACT-dedup state: the distinct content fingerprints of every

@@ -106,6 +106,20 @@ object Pipeline {
       Dedup.loadWinnowIndex(s, path)
     }
 
+  private val ssIndexes = scala.collection.concurrent.TrieMap.empty[String,
+    (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
+      Dedup.SubstringIndex)]
+  private def ssIndexFor(s: org.apache.spark.sql.SparkSession, dir: String,
+      corpus: => org.apache.spark.sql.DataFrame): Dedup.SubstringIndex =
+    cachedIdx(ssIndexes, s, dir) {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_ss_idx").toString
+      Dedup.saveSubstringIndex(
+        Dedup.buildSubstringIndex(corpus, "doc_id", "text",
+          windowTokens = 8), path)
+      Dedup.loadSubstringIndex(s, path)
+    }
+
   private val dedup = Seq(
     // Exact dedup via content fingerprint; keep min id per group.
     sql("d1_dedup_exact",
@@ -348,6 +362,28 @@ object Pipeline {
         "group by w.doc_id order by w.doc_id")) { (s, dir) =>
       Dedup.substringDupStats(s.table("documents"), "doc_id", "text",
           windowTokens = 8, minOccurrences = 2)
+        .orderBy("doc_id")
+    },
+    // d14 through its PERSISTED index — the arrival path: corpus window
+    // frequencies are checkpointed and reloaded once (resident-index
+    // pattern), then the batch's dup-window stats count corpus-plus-batch
+    // occurrences — bit-identical to the one-shot stats over all docs
+    // restricted to the batch, so the oracle is d14's filtered to the
+    // batch and the green row verifies the save/load round-trip.
+    df("d16_dedup_substring_index",
+      Some("with toks as (select doc_id, string_split(text, ' ') as t from documents), " +
+        "wins as (select doc_id, unnest(list_transform(range(1, len(t) - 6), " +
+        "i -> array_to_string(t[i:i+7], ' '))) as g from toks where len(t) >= 8), " +
+        "freq as (select g, count(*) as occ from wins group by g) " +
+        "select w.doc_id, count(*) as n_windows, " +
+        "count(*) filter (where f.occ >= 2) as n_dup_windows " +
+        "from wins w join freq f on w.g = f.g " +
+        "where w.doc_id % 5 = 0 " +
+        "group by w.doc_id order by w.doc_id")) { (s, dir) =>
+      val docs = s.table("documents")
+      val idx = ssIndexFor(s, dir, docs.where(col("doc_id") % 5 =!= 0))
+      Dedup.probeSubstringDups(idx, docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", minOccurrences = 2)
         .orderBy("doc_id")
     },
     // SemDeDup: quantizer-clustered embedding dedup — kept set after

@@ -294,6 +294,53 @@ class IncrementalDedupSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("substring index: saved + reloaded probe matches one-shot stats on the batch") {
+    val docs = spark.table("documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    // One-shot ground truth over corpus ∪ batch (= all docs), restricted
+    // to the batch.
+    val expected = Dedup.substringDupStats(docs, "doc_id", "text",
+        windowTokens = 8, minOccurrences = 2)
+      .where(col("doc_id") % 5 === 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val built = Dedup.buildSubstringIndex(corpus, "doc_id", "text",
+      windowTokens = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ssidx").toString
+    Dedup.saveSubstringIndex(built, dir)
+    Dedup.releaseSketchCaches()
+    val loaded = Dedup.loadSubstringIndex(spark, dir)
+    assert(loaded.windowTokens == 8)
+    val probed = Dedup.probeSubstringDups(loaded, batch, "doc_id", "text",
+        minOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(probed == expected)
+    assert(probed.values.exists(_._2 > 0),
+      "fixture should contain cross-split duplicated windows")
+    Dedup.releaseSketchCaches()
+  }
+
+  test("substring index: extension counts prior batches toward the threshold") {
+    import spark.implicits._
+    val corpus = Seq((1L, "c1 c2 c3 c4 c5")).toDF("doc_id", "text")
+    val idx = Dedup.buildSubstringIndex(corpus, "doc_id", "text",
+      windowTokens = 4)
+    // Batch 1 introduces a novel phrase: not duplicated yet.
+    val b1 = Seq((10L, "n1 n2 n3 n4")).toDF("doc_id", "text")
+    val r1 = Dedup.probeSubstringDups(idx, b1, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(r1 == Map(10L -> 0L))
+    // After folding batch 1 in, a later doc repeating the phrase IS a dup
+    // — and so is a doc repeating the original corpus text.
+    val grown = Dedup.extendSubstringIndex(idx, b1, "doc_id", "text")
+    val b2 = Seq((20L, "n1 n2 n3 n4"), (30L, "c1 c2 c3 c4")).toDF("doc_id", "text")
+    val r2 = Dedup.probeSubstringDups(grown, b2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(r2 == Map(20L -> 1L, 30L -> 1L))
+    Dedup.releaseSketchCaches()
+  }
+
   test("probe reaches the corpus only through the persisted index") {
     import spark.implicits._
     val corpus = spark.table("documents").where(col("doc_id") % 5 =!= 0)

@@ -134,6 +134,12 @@ object ScaleProbe {
     time("d14_dedup_substring (window freq stats)") {
       graft.SparkEntry.queries("d14_dedup_substring")(spark, sfDir)
     }
+    time("d16_dedup_substring_index pass1 (build+save+load+probe)") {
+      graft.SparkEntry.queries("d16_dedup_substring_index")(spark, sfDir)
+    }
+    time("d16_dedup_substring_index pass2 (probe only)") {
+      graft.SparkEntry.queries("d16_dedup_substring_index")(spark, sfDir)
+    }
     if (wanted("strip")) {
       time("stripDupSpans (interval merge + token cut)") {
         graft.operators.Dedup.stripDupSpans(docs, "doc_id", "text",
