@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{BitsetIntersectCount, DotProduct, GraftBridge, MinHashSig, ShingleHashSet, SimHash64, SortedIntersectCount, WinnowFingerprints}
+import org.apache.spark.sql.graft.{BitsetIntersectCount, ByteBlockHash, DotProduct, GraftBridge, MinHashSig, ShingleHashSet, SimHash64, SortedIntersectCount, WinnowFingerprints}
 
 /** Public registration + Column-API access for graft's native Catalyst
   * expressions (see org.apache.spark.sql.graft for the implementations). */
@@ -50,6 +50,11 @@ object GraftFunctions {
     * rightmost-min per w-window) of a string column. */
   def winnow(text: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowFingerprints(GraftBridge.expression(text), k, w))
+
+  /** 64-bit byte-block average-hash of a binary column — the perceptual-
+    * hash voting step, locality-sensitive in the byte domain. */
+  def byteBlockHash(content: Column): Column =
+    GraftBridge.column(ByteBlockHash(GraftBridge.expression(content)))
 
   /** Index of the centroid (rows of `cents`) with the highest dot product
     * against an array<double> column — fused codegen'd argmax. */

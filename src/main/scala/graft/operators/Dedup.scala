@@ -982,11 +982,21 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6): DataFrame =
+    hammingPairs(simhashSig(docs, idCol, textCol), maxHamming)
+
+  /** Pairs of 64-bit signatures within `maxHamming` bits, via the 16-bit
+    * chunk pigeonhole self-join: any pair with ≤ 3 chunk-mismatches shares
+    * an exact chunk, so recall is total for maxHamming ≤ 16·(4−1) in the
+    * worst case and for any realistic maxHamming ≪ 16. Shared by SimHash
+    * text dedup and perceptual-hash payload dedup — `sig` is any
+    * (id, sim: bigint) frame. Returns (a_id, b_id, hamming), a_id < b_id.
+    * The signature frame persists while the join runs ([[withSketchCache]]
+    * / [[releaseSketchCaches]] contract). */
+  def hammingPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
     // 16 bytes/doc; feeds both sides of the chunk-bucket self-join — see
-    // the persist rationale on minhashLsh. Released by [[withSketchCache]]
-    // / [[releaseSketchCaches]].
-    val sim = persistSketch(simhashSig(docs, idCol, textCol))
+    // the persist rationale on minhashLsh.
+    val sim = persistSketch(sig.select(col("id"), col("sim")))
 
     val chunks = sim.select(col("id"), col("sim"),
       explode(expr(

@@ -116,4 +116,18 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
         md5(expr(s"substring(content, frame_idx * $frameBytes + 1, $frameBytes)"))
           .as("frame_fp"))
+
+  /** Perceptual near-dup pairs over binary payloads: a 64-bit byte-block
+    * average-hash per payload (one codegen'd kernel projection — the aHash
+    * voting step; a true pHash's decode + resize + DCT belongs in the
+    * codec slot, stubbed as identity here, and would feed this SAME
+    * column), then the 16-bit-chunk pigeonhole Hamming join shared with
+    * SimHash text dedup ([[Dedup.hammingPairs]]). Returns
+    * (a_id, b_id, hamming), a_id < b_id. Scale shape: signature computes
+    * inside the scan stage; the only shuffle is the chunk-bucket join. */
+  def perceptualNearDups(payloads: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content", maxHamming: Int = 6): DataFrame =
+    Dedup.hammingPairs(payloads.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.byteBlockHash(col(contentCol))
+        .as("sim")), maxHamming)
 }

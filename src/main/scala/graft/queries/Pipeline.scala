@@ -875,6 +875,26 @@ object Pipeline {
         .select(col("doc_id"),
           col("resized_meta.n_bytes").as("n_resized"))
         .orderBy("doc_id")
+    },
+    // Perceptual near-dup over binary payloads: codegen'd byte-block
+    // average-hash + the SimHash-shared pigeonhole Hamming join. The
+    // fixture pairs each payload with a same-length twin carrying a short
+    // fixed-position overwrite — the identity-stub analog of "same image,
+    // small re-encode artifact", the domain a byte-mean hash is locality-
+    // sensitive in (shifted-text near-dups are NOT: that normalization is
+    // the decode+resize step of a real pHash, i.e. the codec slot). Hash
+    // family is engine-defined → rows-only; recall-on-twins / no-cross-
+    // pairs properties are spec-asserted (OperatorsSpec).
+    df("m6_phash_neardup", None) { (s, dir) =>
+      val docs = s.table("documents").where(length(col("text")) >= 64)
+        .select("doc_id", "text")
+      val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat(substring(text, 1, 28), repeat('#', 8), " +
+          "substring(text, 37))").as("text"))
+      Multimodal.perceptualNearDups(
+          Multimodal.withPayload(docs.union(twins), "doc_id", "text"),
+          maxHamming = 6)
+        .orderBy("a_id", "b_id")
     }
   )
 

@@ -20,7 +20,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Loop bodies shared by interpreted eval and generated code. Top-level
   * object → static forwarders, callable from Janino-compiled codegen. */
@@ -207,6 +207,38 @@ object SketchKernels {
     }
     sim
   }
+
+  /** 64-bit average-hash over byte blocks: the payload splits into 64
+    * equal-ish slices; bit b is set iff slice b's mean byte value exceeds
+    * the global mean. Locality-sensitive in the byte domain — a local edit
+    * perturbs only the slices it touches, so Hamming distance tracks edit
+    * locality. This is the aHash family's voting step; the DCT/resize of a
+    * true pHash belongs to the decoded-pixel domain (the codec slot —
+    * stubbed as identity in this container, see operators/Multimodal). */
+  def byteBlockHash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val s = ((i.toLong * 64) / n).toInt
+      sums(s) += (bytes(i) & 0xff)
+      cnts(s) += 1
+      i += 1
+    }
+    var total = 0L
+    var j = 0
+    while (j < 64) { total += sums(j); j += 1 }
+    val mean = total.toDouble / n
+    var h = 0L
+    j = 0
+    while (j < 64) {
+      if (cnts(j) > 0 && sums(j).toDouble / cnts(j) > mean) h |= 1L << j
+      j += 1
+    }
+    h
+  }
 }
 
 /** array<string> tokens → sorted distinct array<bigint> n-gram hashes.
@@ -289,6 +321,26 @@ case class SimHash64(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.graft.SketchKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(nc: Expression): Expression =
+    copy(child = nc)
+}
+
+/** binary payload → 64-bit byte-block average-hash
+  * ([[SketchKernels.byteBlockHash]]). */
+case class ByteBlockHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_byte_block_hash"
+
+  override protected def nullSafeEval(t: Any): Any =
+    SketchKernels.byteBlockHash(t.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.SketchKernels.byteBlockHash($c)")
 
   override protected def withNewChildInternal(nc: Expression): Expression =
     copy(child = nc)

@@ -540,6 +540,27 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got(1) == "es")
   }
 
+  test("perceptual hash: identical payloads collide, local edit stays near, distinct far") {
+    import spark.implicits._
+    val base = ("x" * 40) + ("y" * 40) + ("z" * 40) + ("w" * 40)
+    val df = Seq(
+      (1L, base),
+      (2L, base),                                  // identical → hamming 0
+      (3L, base.updated(5, 'q').toString),         // one-byte edit → near
+      (4L, scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).alphanumeric.take(160).mkString)
+    ).toDF("doc_id", "text")
+    val payloads = Multimodal.withPayload(df, "doc_id", "text")
+    val pairs = Multimodal.perceptualNearDups(payloads, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L, "identical payloads must be hamming 0")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      "a one-byte edit must stay within the hamming budget")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated random payload must not pair")
+    Dedup.releaseSketchCaches()
+  }
+
   test("multimodal: payload meta + frame sampling shapes") {
     val p = Multimodal.withPayload(docs, "doc_id", "text")
     val meta = p.where(col("doc_id") === 1).select("meta.n_bytes").head().getLong(0)
