@@ -1060,6 +1060,37 @@ object Pipeline {
             when(substring(md5(col("component").cast("string")), 1, 1)
               .isin("0", "1", "2", "3"), "eval").otherwise("train"))
           .orderBy("doc_id")
+    },
+    // Percentile-band quality pruning — the Gopher-style "drop the length
+    // outliers" gate with thresholds computed FROM the corpus, not
+    // hand-set: keep docs whose token count sits inside the exact
+    // [p05, p95] band and whose lexical diversity clears a floor. The
+    // quantiles come from the distributed bounded-memory operator
+    // (operators/Quantiles — distinct-value shuffle, never a buffered
+    // group), land in a 1-row broadcast, and the filter is a narrow map:
+    // scan → quantile side-plan → broadcast → filter, at any corpus size.
+    df("x6_quality_quantile_filter",
+      Some("with f as (select doc_id, len(string_split(text, ' ')) as nt, " +
+        "len(list_distinct(string_split(text, ' '))) * 1.0 / " +
+        "len(string_split(text, ' ')) as dr from documents), " +
+        "t as (select quantile_cont(nt, 0.05) as lo, " +
+        "quantile_cont(nt, 0.95) as hi from f) " +
+        "select doc_id, cast(nt as bigint) as n_tokens from f, t " +
+        "where nt >= lo and nt <= hi and dr >= 0.3 order by doc_id")) {
+      (s, dir) =>
+        val toks = s.table("documents").select(col("doc_id"),
+          size(split(col("text"), " ")).as("nt"),
+          (size(array_distinct(split(col("text"), " "))).cast("double") /
+            size(split(col("text"), " "))).as("dr"))
+        val thr = graft.operators.Quantiles.exactGroupQuantiles(
+            toks.withColumn("__g", lit(1)), Seq("__g"), "nt",
+            Seq(0.05, 0.95), Seq("lo", "hi"))
+          .drop("__g")
+        toks.crossJoin(broadcast(thr))
+          .where(col("nt") >= col("lo") && col("nt") <= col("hi") &&
+            col("dr") >= 0.3)
+          .select(col("doc_id"), col("nt").cast("bigint").as("n_tokens"))
+          .orderBy("doc_id")
     }
   )
 
