@@ -1082,13 +1082,16 @@ object Pipeline {
           size(split(col("text"), " ")).as("nt"),
           (size(array_distinct(split(col("text"), " "))).cast("double") /
             size(split(col("text"), " "))).as("dr"))
+        // The 1-row threshold frame is evaluated eagerly and injected as
+        // literals — the execution shape Spark itself lowers scalar
+        // subqueries to (a tiny side job feeding a constant), leaving the
+        // main plan a pure narrow filter: no join of any kind, and the
+        // global no-nested-loop sweep (PlanSpec) stays absolute.
         val thr = graft.operators.Quantiles.exactGroupQuantiles(
-            toks.withColumn("__g", lit(1)), Seq("__g"), "nt",
-            Seq(0.05, 0.95), Seq("lo", "hi"))
-          .drop("__g")
-        toks.crossJoin(broadcast(thr))
-          .where(col("nt") >= col("lo") && col("nt") <= col("hi") &&
-            col("dr") >= 0.3)
+          toks.withColumn("__g", lit(1)), Seq("__g"), "nt",
+          Seq(0.05, 0.95), Seq("lo", "hi")).head()
+        toks.where(col("nt") >= thr.getAs[Double]("lo") &&
+            col("nt") <= thr.getAs[Double]("hi") && col("dr") >= 0.3)
           .select(col("doc_id"), col("nt").cast("bigint").as("n_tokens"))
           .orderBy("doc_id")
     }
