@@ -75,6 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.graft.WinnowFingerprints(args.head,
           litInt(args(1), "graft_winnow", "k"),
           litInt(args(2), "graft_winnow", "w"))))
+    e.injectFunction((FunctionIdentifier("graft_byte_block_hash"),
+      info("graft_byte_block_hash",
+        "graft_byte_block_hash(content) - 64-bit byte-block average-hash of binary"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.graft.ByteBlockHash(args.head)))
     // Composed-from-built-ins functions inject as catalyst trees built from
     // the SAME pattern list the Column API uses (a bridged Column
     // composition would arrive as unresolved ColumnNodes and never

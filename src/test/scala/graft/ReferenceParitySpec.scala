@@ -386,6 +386,12 @@ class ReferenceParitySpec extends SparkSpecBase {
       assert(sk.getLong(0) == viaColumns.getLong(0))
       assert(sk.getInt(1) == viaColumns.getInt(1) && sk.getInt(1) == 16)
       assert(sk.getInt(2) == viaColumns.getInt(2) && sk.getInt(2) > 0)
+      val bb = ext.sql(
+        "select graft_byte_block_hash(cast('abcabcabc' as binary))").head()
+      val bbCol = Seq(Tuple1("abcabcabc")).toDF("t")
+        .select(graft.functions.GraftFunctions.byteBlockHash(
+          $"t".cast("binary"))).head()
+      assert(bb.getLong(0) == bbCol.getLong(0))
       // Non-literal tuning args fail loudly instead of mis-binding.
       val err = intercept[Exception] {
         ext.sql("select graft_winnow('abc', cast(rand()*4 as int), 5)").head()
