@@ -474,6 +474,31 @@ object Dedup {
   def saveIndex(index: NearDupIndex, path: String, numBuckets: Int = 32,
       batchId: Long = -1L, kept: Option[DataFrame] = None): Unit = {
     val spark = index.docsets.sparkSession
+    import spark.implicits._
+    saveGenerational(spark, path,
+      params = Seq((index.shingleN, index.threshold, numBuckets, batchId))
+        .toDF("shingle_n", "threshold", "num_buckets", "batch_id"),
+      dropTables = g => Seq(prefixTable(path, g))) { (gdir, gen) =>
+      index.docsets.write.mode("overwrite").parquet(s"$gdir/docsets")
+      graft.sources.Sink.bucketedExternal(index.prefixes,
+        prefixTable(path, gen), s"$gdir/prefixes", "h", numBuckets, "h")
+      index.freq.write.mode("overwrite").parquet(s"$gdir/freq")
+      kept.foreach(_.select(col("doc_id").cast("long").as("doc_id"))
+        .write.mode("overwrite").parquet(s"$gdir/kept"))
+    }
+  }
+
+  /** The generational-checkpoint skeleton every persisted index shares
+    * (near-dup, fingerprint, winnowing, substring): pick the next
+    * generation number, clear any partial directory a crashed save left,
+    * write the artifacts, write `params` LAST as the commit marker, then
+    * prune generations older than the immediately-previous one (dropping
+    * their catalog tables first). Crash-safety properties — nothing
+    * deleted before its replacement commits, one prior generation retained
+    * for in-flight readers — live here, in ONE place. */
+  private def saveGenerational(spark: org.apache.spark.sql.SparkSession,
+      path: String, params: DataFrame, dropTables: Int => Seq[String])(
+      writeArtifacts: (String, Int) => Unit): Unit = {
     val fs = fsFor(spark, path)
     val prior = completeGens(spark, path)
     val next = prior.headOption.map(_ + 1).getOrElse(0)
@@ -481,22 +506,30 @@ object Dedup {
     // A crashed earlier attempt may have left a partial, uncommitted g$next.
     if (fs.exists(new org.apache.hadoop.fs.Path(gdir)))
       fs.delete(new org.apache.hadoop.fs.Path(gdir), true)
-    index.docsets.write.mode("overwrite").parquet(s"$gdir/docsets")
-    graft.sources.Sink.bucketedExternal(index.prefixes,
-      prefixTable(path, next), s"$gdir/prefixes", "h", numBuckets, "h")
-    index.freq.write.mode("overwrite").parquet(s"$gdir/freq")
-    kept.foreach(_.select(col("doc_id").cast("long").as("doc_id"))
-      .write.mode("overwrite").parquet(s"$gdir/kept"))
-    import spark.implicits._
+    writeArtifacts(gdir, next)
     // params last — the commit marker.
-    Seq((index.shingleN, index.threshold, numBuckets, batchId))
-      .toDF("shingle_n", "threshold", "num_buckets", "batch_id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$gdir/params")
+    params.coalesce(1).write.mode("overwrite").parquet(s"$gdir/params")
     prior.filter(_ < next - 1).foreach { g =>
-      spark.sql(s"drop table if exists ${prefixTable(path, g)}")
+      dropTables(g).foreach(t => spark.sql(s"drop table if exists $t"))
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/g$g"), true)
     }
   }
+
+  /** Read a generation's bucketed artifact through its catalog table,
+    * re-registering the same files under the same layout when this session
+    * didn't write it (the restart path). `schema`/`bucketCol` must match
+    * what [[graft.sources.Sink.bucketedExternal]] wrote. */
+  private def reRegisterBucketed(spark: org.apache.spark.sql.SparkSession,
+      tbl: String, schema: String, bucketCol: String, numBuckets: Int,
+      location: String): DataFrame =
+    if (spark.catalog.tableExists(tbl)) spark.table(tbl)
+    else {
+      spark.sql(
+        s"""create table $tbl ($schema)
+           |using parquet clustered by ($bucketCol) sorted by ($bucketCol)
+           |into $numBuckets buckets location '$location'""".stripMargin)
+      spark.table(tbl)
+    }
 
   private def fsFor(spark: org.apache.spark.sql.SparkSession,
       path: String): org.apache.hadoop.fs.FileSystem =
@@ -554,17 +587,9 @@ object Dedup {
     completeGens(spark, path).headOption.map { g =>
       val gdir = s"$path/g$g"
       val params = spark.read.parquet(s"$gdir/params").head()
-      val tbl = prefixTable(path, g)
-      val prefixes =
-        if (spark.catalog.tableExists(tbl)) spark.table(tbl)
-        else {
-          val nb = params.getAs[Int]("num_buckets")
-          spark.sql(
-            s"""create table $tbl (id bigint, h bigint, r bigint, n bigint)
-               |using parquet clustered by (h) sorted by (h) into $nb buckets
-               |location '$gdir/prefixes'""".stripMargin)
-          spark.table(tbl)
-        }
+      val prefixes = reRegisterBucketed(spark, prefixTable(path, g),
+        "id bigint, h bigint, r bigint, n bigint", "h",
+        params.getAs[Int]("num_buckets"), s"$gdir/prefixes")
       val docsets = persistSketch(spark.read.parquet(s"$gdir/docsets"))
       val freq = persistSketch(spark.read.parquet(s"$gdir/freq"))
       val batchId =
@@ -972,11 +997,10 @@ object Dedup {
       .select(col("id"),
         graft.functions.GraftFunctions.simhash(col("hs")).as("sim"))
 
-  /** SimHash near-dedup: 64-bit simhash per doc, bucket by the four 16-bit
-    * chunks (pigeonhole: any pair with ≤ 3 chunk-mismatches shares an exact
-    * chunk, so recall is total for maxHamming ≤ 3·16 in the worst case and
-    * for any realistic maxHamming ≪ 16), then verify Hamming distance on
-    * candidates. Returns (a_id, b_id, hamming) with hamming ≤ maxHamming,
+  /** SimHash near-dedup: 64-bit simhash per doc, bucketed and verified by
+    * [[hammingPairs]] — see there for the recall contract (total only at
+    * maxHamming ≤ 3; partial, clustered-difference-favoring above).
+    * Returns (a_id, b_id, hamming) with hamming ≤ maxHamming,
     * a_id < b_id. */
   def simhash(
       docs: DataFrame,
@@ -986,13 +1010,18 @@ object Dedup {
     hammingPairs(simhashSig(docs, idCol, textCol), maxHamming)
 
   /** Pairs of 64-bit signatures within `maxHamming` bits, via the 16-bit
-    * chunk pigeonhole self-join: any pair with ≤ 3 chunk-mismatches shares
-    * an exact chunk, so recall is total for maxHamming ≤ 16·(4−1) in the
-    * worst case and for any realistic maxHamming ≪ 16. Shared by SimHash
-    * text dedup and perceptual-hash payload dedup — `sig` is any
-    * (id, sim: bigint) frame. Returns (a_id, b_id, hamming), a_id < b_id.
-    * The signature frame persists while the join runs ([[withSketchCache]]
-    * / [[releaseSketchCaches]] contract). */
+    * chunk pigeonhole self-join. Recall is TOTAL only for maxHamming ≤ 3
+    * (with ≤ 3 differing bits, at most 3 of the 4 chunks are touched, so
+    * one chunk matches exactly); for larger budgets a pair is found iff
+    * its differing bits leave some 16-bit chunk untouched — likely when
+    * differences cluster, but NOT guaranteed (4 spread-out bits can touch
+    * all 4 chunks and the pair is missed). That partial recall is the
+    * hash-family contract both callers accept and the reason their gate
+    * checks are rows-only. Shared by SimHash text dedup and
+    * perceptual-hash payload dedup — `sig` is any (id, sim: bigint) frame.
+    * Returns (a_id, b_id, hamming), a_id < b_id. The signature frame
+    * persists while the join runs ([[withSketchCache]] /
+    * [[releaseSketchCaches]] contract). */
   def hammingPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
     // 16 bytes/doc; feeds both sides of the chunk-bucket self-join — see
     // the persist rationale on minhashLsh.
@@ -1352,9 +1381,15 @@ object Dedup {
       // component through one explicit edge. Zero-norm vectors are
       // excluded from collapse edges — cosine is undefined for them, so
       // the pair search never drops them and neither may the collapse.
-      val nz = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-        .where(expr(
-          "aggregate(v, 0D, (a, x) -> a + cast(x as double) * cast(x as double))") > 0)
+      // nz feeds both the collapse groupBy and the copy-edge join; persist
+      // so an expensive upstream embedding frame computes once (the
+      // count() above and keepRepresentatives' own scan still read `emb`
+      // directly — like the other adaptive operators, the cheap-count
+      // assumption is a bare scan; persist upstream otherwise).
+      val nz = persistSketch(
+        emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+          .where(expr(
+            "aggregate(v, 0D, (a, x) -> a + cast(x as double) * cast(x as double))") > 0))
       val reps = persistSketch(
         nz.groupBy("v").agg(min(col("id")).as("rid")))
       val repPairs = Similarity.ivfCosinePairs(
@@ -1435,15 +1470,21 @@ object Dedup {
   }
 
   /** ExactSubstr removal: cut every non-canonical duplicated window out of
-    * the text, keeping exactly one occurrence corpus-wide. Overlapping /
+    * the text, keeping the globally-first occurrence. Overlapping /
     * adjacent removal windows are merged into intervals first (two
     * doc-partitioned analytic passes — gap-flag via lag, running-sum group
     * id — each bounded by tokens/doc, never corpus-sized state), then the
     * token ranges are dropped in one per-doc array filter. Returns
     * (doc_id, text) with docs untouched by removal passed through.
     *
-    * Like the original, no second pass runs over the cleaned text: splices
-    * that create NEW duplicate windows across a cut are accepted. */
+    * Two caveats shared with the original's independent byte-range cuts:
+    * no second pass runs over the cleaned text (splices that create NEW
+    * duplicate windows across a cut are accepted), and a canonical
+    * occurrence can itself be damaged when it overlaps a DIFFERENT
+    * window's removal interval in the same doc — a phrase whose every
+    * occurrence overlaps other duplicated phrases may survive nowhere
+    * intact. "Keeps one occurrence" is per-window a best-effort floor,
+    * not an invariant. */
   def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 8, minOccurrences: Int = 2): DataFrame = {
     val rm = substringDupSpans(docs, idCol, textCol,
@@ -1502,21 +1543,13 @@ object Dedup {
   def saveSubstringIndex(index: SubstringIndex, path: String,
       numBuckets: Int = 32): Unit = {
     val spark = index.freq.sparkSession
-    val fs = fsFor(spark, path)
-    val prior = completeGens(spark, path)
-    val next = prior.headOption.map(_ + 1).getOrElse(0)
-    val gdir = s"$path/g$next"
-    if (fs.exists(new org.apache.hadoop.fs.Path(gdir)))
-      fs.delete(new org.apache.hadoop.fs.Path(gdir), true)
-    graft.sources.Sink.bucketedExternal(index.freq,
-      ssTable(path, next), s"$gdir/freq", "h", numBuckets, "h")
     import spark.implicits._
-    Seq((index.windowTokens, numBuckets))
-      .toDF("window_tokens", "num_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$gdir/params")
-    prior.filter(_ < next - 1).foreach { g =>
-      spark.sql(s"drop table if exists ${ssTable(path, g)}")
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/g$g"), true)
+    saveGenerational(spark, path,
+      params = Seq((index.windowTokens, numBuckets))
+        .toDF("window_tokens", "num_buckets"),
+      dropTables = g => Seq(ssTable(path, g))) { (gdir, gen) =>
+      graft.sources.Sink.bucketedExternal(index.freq,
+        ssTable(path, gen), s"$gdir/freq", "h", numBuckets, "h")
     }
   }
 
@@ -1529,18 +1562,9 @@ object Dedup {
         s"no committed substring index at $path"))
     val gdir = s"$path/g$g"
     val p = spark.read.parquet(s"$gdir/params").head()
-    val tbl = ssTable(path, g)
-    val freq =
-      if (spark.catalog.tableExists(tbl)) spark.table(tbl)
-      else {
-        spark.sql(
-          s"""create table $tbl (h bigint, occ bigint)
-             |using parquet clustered by (h) sorted by (h) into
-             |${p.getAs[Int]("num_buckets")} buckets
-             |location '$gdir/freq'""".stripMargin)
-        spark.table(tbl)
-      }
-    SubstringIndex(freq, p.getAs[Int]("window_tokens"))
+    SubstringIndex(reRegisterBucketed(spark, ssTable(path, g),
+      "h bigint, occ bigint", "h", p.getAs[Int]("num_buckets"),
+      s"$gdir/freq"), p.getAs[Int]("window_tokens"))
   }
 
   /** Arrival-time [[substringDupStats]]: per batch doc, total windows and
@@ -1583,9 +1607,7 @@ object Dedup {
     * the d8 arrival path's "existing" side — content-sized (one 32-byte md5
     * per distinct document), not corpus-sized, and the only thing an
     * incremental exact-dedup service needs to hold between batches. */
-  final case class FingerprintIndex private[operators] (
-      fps: DataFrame,
-      numBuckets: Int)
+  final case class FingerprintIndex private[operators] (fps: DataFrame)
 
   /** One corpus scan → distinct fingerprint set. Map-side partial
     * aggregation makes the distinct shuffle proportional to distinct
@@ -1593,7 +1615,7 @@ object Dedup {
   def buildFingerprintIndex(corpus: DataFrame, idCol: String,
       textCol: String): FingerprintIndex =
     FingerprintIndex(persistSketch(Balance(corpus)
-      .select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()), 32)
+      .select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()))
 
   /** Deterministic catalog name for generation `gen`'s bucketed fingerprint
     * table at `path` — same (path, gen)-derivable contract as
@@ -1611,20 +1633,12 @@ object Dedup {
   def saveFingerprintIndex(index: FingerprintIndex, path: String,
       numBuckets: Int = 32): Unit = {
     val spark = index.fps.sparkSession
-    val fs = fsFor(spark, path)
-    val prior = completeGens(spark, path)
-    val next = prior.headOption.map(_ + 1).getOrElse(0)
-    val gdir = s"$path/g$next"
-    if (fs.exists(new org.apache.hadoop.fs.Path(gdir)))
-      fs.delete(new org.apache.hadoop.fs.Path(gdir), true)
-    graft.sources.Sink.bucketedExternal(index.fps,
-      fpTable(path, next), s"$gdir/fps", "fp", numBuckets, "fp")
     import spark.implicits._
-    Seq(numBuckets).toDF("num_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$gdir/params")
-    prior.filter(_ < next - 1).foreach { g =>
-      spark.sql(s"drop table if exists ${fpTable(path, g)}")
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/g$g"), true)
+    saveGenerational(spark, path,
+      params = Seq(numBuckets).toDF("num_buckets"),
+      dropTables = g => Seq(fpTable(path, g))) { (gdir, gen) =>
+      graft.sources.Sink.bucketedExternal(index.fps,
+        fpTable(path, gen), s"$gdir/fps", "fp", numBuckets, "fp")
     }
   }
 
@@ -1639,17 +1653,8 @@ object Dedup {
         s"no committed fingerprint index at $path"))
     val gdir = s"$path/g$g"
     val nb = spark.read.parquet(s"$gdir/params").head().getAs[Int]("num_buckets")
-    val tbl = fpTable(path, g)
-    val fps =
-      if (spark.catalog.tableExists(tbl)) spark.table(tbl)
-      else {
-        spark.sql(
-          s"""create table $tbl (fp string)
-             |using parquet clustered by (fp) sorted by (fp) into $nb buckets
-             |location '$gdir/fps'""".stripMargin)
-        spark.table(tbl)
-      }
-    FingerprintIndex(fps, nb)
+    FingerprintIndex(reRegisterBucketed(spark, fpTable(path, g),
+      "fp string", "fp", nb, s"$gdir/fps"))
   }
 
   /** Batch rows kept by incremental exact dedup against the index:
@@ -1659,12 +1664,15 @@ object Dedup {
     * deterministic, so it oracle-checks as plain SQL. */
   def probeNovelExact(index: FingerprintIndex, batch: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val bfp = batch.withColumn("fp", TextOps.fingerprint(col(textCol)))
-    bfp.join(index.fps, Seq("fp"), "left_anti")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("fp").orderBy(col(idCol))))
-      .where(col("rn") === 1)
-      .drop("rn", "fp")
+    // Working columns are __graft-prefixed so a batch that already carries
+    // an "fp"/"rn" column of its own passes through untouched.
+    val bfp = batch.withColumn("__graft_fp", TextOps.fingerprint(col(textCol)))
+    bfp.join(index.fps.select(col("fp").as("__graft_fp")),
+        Seq("__graft_fp"), "left_anti")
+      .withColumn("__graft_rn", row_number().over(
+        Window.partitionBy("__graft_fp").orderBy(col(idCol))))
+      .where(col("__graft_rn") === 1)
+      .drop("__graft_rn", "__graft_fp")
   }
 
   /** Fold a kept batch into the index. A plain union stays distinct by
@@ -1710,36 +1718,35 @@ object Dedup {
     "graft_wnidx_" + java.lang.Long.toHexString(
       java.lang.Integer.toUnsignedLong(path.hashCode)) + s"_g$gen"
 
+  private def wnFreqTable(path: String, gen: Int): String =
+    wnTable(path, gen) + "_f"
+
   /** Persist a [[WinnowIndex]] under `path` — generational, params-last
     * commit marker, one prior generation retained ([[saveIndex]] contract).
-    * The posting list is `fp`-bucketed so the reloaded probe join carries
-    * no corpus-side Exchange; `freq` is a plain parquet frame (fingerprint
-    * cardinality ≪ posting-list size, broadcast at probe time). */
+    * BOTH frames are `fp`-bucketed with the same bucket count: the
+    * frequency table is content-sized like the posting list (one row per
+    * DISTINCT fingerprint — for mostly-unique text the same order of
+    * magnitude, far too big to broadcast), so the probe's cap-filter join
+    * must be a co-located bucket join, not a broadcast. */
   def saveWinnowIndex(index: WinnowIndex, path: String,
       numBuckets: Int = 32): Unit = {
     val spark = index.fps.sparkSession
-    val fs = fsFor(spark, path)
-    val prior = completeGens(spark, path)
-    val next = prior.headOption.map(_ + 1).getOrElse(0)
-    val gdir = s"$path/g$next"
-    if (fs.exists(new org.apache.hadoop.fs.Path(gdir)))
-      fs.delete(new org.apache.hadoop.fs.Path(gdir), true)
-    graft.sources.Sink.bucketedExternal(index.fps,
-      wnTable(path, next), s"$gdir/fps", "fp", numBuckets, "fp")
-    index.freq.write.mode("overwrite").parquet(s"$gdir/freq")
     import spark.implicits._
-    Seq((index.k, index.w, index.maxFreq, numBuckets))
-      .toDF("k", "w", "max_freq", "num_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$gdir/params")
-    prior.filter(_ < next - 1).foreach { g =>
-      spark.sql(s"drop table if exists ${wnTable(path, g)}")
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/g$g"), true)
+    saveGenerational(spark, path,
+      params = Seq((index.k, index.w, index.maxFreq, numBuckets))
+        .toDF("k", "w", "max_freq", "num_buckets"),
+      dropTables = g => Seq(wnTable(path, g), wnFreqTable(path, g))) {
+      (gdir, gen) =>
+        graft.sources.Sink.bucketedExternal(index.fps,
+          wnTable(path, gen), s"$gdir/fps", "fp", numBuckets, "fp")
+        graft.sources.Sink.bucketedExternal(index.freq,
+          wnFreqTable(path, gen), s"$gdir/freq", "fp", numBuckets, "fp")
     }
   }
 
-  /** Load the newest committed [[WinnowIndex]] generation at `path`. The
-    * posting list reads through the bucketed table (probe-join layout);
-    * `freq` is cached like a fresh build's. */
+  /** Load the newest committed [[WinnowIndex]] generation at `path`. Both
+    * frames read through their bucketed tables so the probe's
+    * posting-list ⋈ frequency join is exchange-free on both sides. */
   def loadWinnowIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): WinnowIndex = {
     val g = completeGens(spark, path).headOption.getOrElse(
@@ -1747,18 +1754,12 @@ object Dedup {
         s"no committed winnowing index at $path"))
     val gdir = s"$path/g$g"
     val p = spark.read.parquet(s"$gdir/params").head()
-    val tbl = wnTable(path, g)
-    val fps =
-      if (spark.catalog.tableExists(tbl)) spark.table(tbl)
-      else {
-        spark.sql(
-          s"""create table $tbl (id bigint, fp bigint)
-             |using parquet clustered by (fp) sorted by (fp) into
-             |${p.getAs[Int]("num_buckets")} buckets
-             |location '$gdir/fps'""".stripMargin)
-        spark.table(tbl)
-      }
-    WinnowIndex(fps, persistSketch(spark.read.parquet(s"$gdir/freq")),
+    val nb = p.getAs[Int]("num_buckets")
+    WinnowIndex(
+      reRegisterBucketed(spark, wnTable(path, g),
+        "id bigint, fp bigint", "fp", nb, s"$gdir/fps"),
+      reRegisterBucketed(spark, wnFreqTable(path, g),
+        "fp bigint, f bigint", "fp", nb, s"$gdir/freq"),
       p.getAs[Int]("k"), p.getAs[Int]("w"), p.getAs[Int]("max_freq"))
   }
 
@@ -1768,17 +1769,18 @@ object Dedup {
     * join against the posting list. The `maxFreq` cap uses the INDEX side's
     * document frequency (the stable corpus statistic; [[winnowing]]'s
     * one-shot cap counts all docs, so the two agree wherever the cap
-    * doesn't bind). Probe cost scales with the batch, not the corpus: the
-    * posting-list side reads pre-bucketed after a [[saveWinnowIndex]] /
-    * [[loadWinnowIndex]] round-trip. */
+    * doesn't bind). Probe cost scales with the batch: the posting-list ⋈
+    * frequency cap-filter join is co-located (both sides `fp`-bucketed
+    * with the same count after a [[saveWinnowIndex]] / [[loadWinnowIndex]]
+    * round-trip — the frequency table is content-sized, NOT broadcastable),
+    * and only the batch side of the final join shuffles. */
   def probeWinnow(index: WinnowIndex, batch: DataFrame, idCol: String,
       textCol: String, minShared: Int = 3): DataFrame = {
     val bflat = Balance(batch).select(
       col(idCol).cast("long").as("b_id"),
       explode(graft.functions.GraftFunctions
         .winnow(col(textCol), index.k, index.w)).as("fp"))
-    val rare = broadcast(
-      index.freq.where(col("f") <= index.maxFreq).select("fp"))
+    val rare = index.freq.where(col("f") <= index.maxFreq).select("fp")
     index.fps.join(rare, "fp")
       .join(bflat, "fp")
       .groupBy(col("id").as("a_id"), col("b_id"))

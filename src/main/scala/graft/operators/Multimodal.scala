@@ -122,7 +122,8 @@ object Multimodal {
     * voting step; a true pHash's decode + resize + DCT belongs in the
     * codec slot, stubbed as identity here, and would feed this SAME
     * column), then the 16-bit-chunk pigeonhole Hamming join shared with
-    * SimHash text dedup ([[Dedup.hammingPairs]]). Returns
+    * SimHash text dedup ([[Dedup.hammingPairs]] — recall total only at
+    * maxHamming ≤ 3, partial above; the hash-family contract). Returns
     * (a_id, b_id, hamming), a_id < b_id. Scale shape: signature computes
     * inside the scan stage; the only shuffle is the chunk-bucket join. */
   def perceptualNearDups(payloads: DataFrame, idCol: String = "doc_id",

@@ -275,6 +275,58 @@ class IncrementalDedupSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("reloaded winnow index: posting-frequency cap join has no index-side exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val docs = spark.table("documents")
+    val built = Dedup.buildWinnowIndex(
+      docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      k = 16, w = 30, maxFreq = 100)
+    val dir = java.nio.file.Files.createTempDirectory("wnidxb").toString
+    Dedup.saveWinnowIndex(built, dir)
+    Dedup.releaseSketchCaches()
+    val loaded = Dedup.loadWinnowIndex(spark, dir)
+
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = Dedup.probeWinnow(loaded,
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+      val plan = probe.queryExecution.executedPlan
+      def scans(p: SparkPlan, frag: String): Boolean =
+        p.collectLeaves().exists {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.contains(frag))
+          case _ => false
+        }
+      // The fps ⋈ freq cap join: BOTH sides are bucketed on fp with the
+      // same count — the content-sized frequency table must NOT broadcast
+      // and must NOT shuffle.
+      val capJoins = plan.collect {
+        case j: SortMergeJoinExec
+          if scans(j, "/fps") && scans(j, "/freq") => j
+        case j: ShuffledHashJoinExec
+          if scans(j, "/fps") && scans(j, "/freq") => j
+      }
+      assert(capJoins.nonEmpty, s"no shuffled cap join found:\n$plan")
+      // The OUTER batch join also contains both scans in its subtree —
+      // assert on the INNERMOST matching join, whose subtree is exactly
+      // the two bucketed index scans.
+      val innermost = capJoins.minBy(_.collect { case p => p }.size)
+      val shuffles = innermost.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"winnow index cap join still shuffles after reload:\n$innermost")
+      assert(probe.collect().nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      Dedup.releaseSketchCaches()
+    }
+  }
+
   test("winnow index: extension sees new postings, frequency cap applies") {
     import spark.implicits._
     val corpus = Seq((1L, "x " * 200)).toDF("doc_id", "text")
