@@ -486,6 +486,43 @@ object Similarity {
     IvfIndex(cents, spark.read.parquet(s"$path/lists"))
   }
 
+  /** Fold new vectors into an [[IvfIndex]] without retraining — faiss
+    * `add()` semantics: the quantizer is FROZEN (centroids unchanged, new
+    * vectors assigned through the same codegen'd argmax) and the lists
+    * grow. The right tool for arrivals drawn from the indexed
+    * distribution; sustained drift deserves a rebuild, which is why the
+    * centroids deliberately never move here. */
+  def extendIvfIndex(index: IvfIndex, newVecs: DataFrame, idCol: String,
+      vecCol: String): IvfIndex = {
+    val c = newVecs.select(col(idCol).as("cid"),
+        toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("list",
+        GraftFunctions.nearestCentroid(col("cv"), index.centroids))
+    index.copy(assigned = index.assigned.unionByName(c))
+  }
+
+  /** [[extendIvfIndex]] straight onto a saved index's files: assign the new
+    * vectors through the stored centroids and APPEND them into the
+    * hive-partitioned list layout — only the touched lists' directories
+    * gain part-files; nothing existing is rewritten, and a concurrent
+    * reader keeps partition-pruning correctly. Durability is
+    * append-grade, not WAL-grade: a crash mid-append can leave a partial
+    * batch — re-run idempotency is the caller's contract (dedup by id at
+    * probe time or re-append the full batch after `cid`-anti-joining the
+    * stored lists). Returns the loaded post-append index. */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String): IvfIndex = {
+    val idx = loadIvfIndex(spark, path)
+    newVecs.select(col(idCol).as("cid"),
+        toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("list",
+        GraftFunctions.nearestCentroid(col("cv"), idx.centroids))
+      .write.mode("append").partitionBy("list").parquet(s"$path/lists")
+    loadIvfIndex(spark, path)
+  }
+
   /** Approximate embedding near-dup PAIRS at corpus scale — the production
     * escalation of the exact blocked grid ([[cosinePairsBlocked]], which
     * scores ALL B(B+1)/2 block pairs): an IVF coarse quantizer buckets the
@@ -712,6 +749,36 @@ object Similarity {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
     PqIndex(cbs, spark.read.parquet(s"$path/codes"))
+  }
+
+  /** Fold new vectors into a [[PqIndex]] without retraining: codebooks are
+    * FROZEN (faiss `add()` semantics) and the arrivals are encoded through
+    * the same codegen'd kernel the build used. Sustained distribution
+    * drift deserves retrained codebooks — a rebuild, by design. */
+  def extendPqIndex(index: PqIndex, newVecs: DataFrame, idCol: String,
+      vecCol: String): PqIndex = {
+    val c = newVecs.select(col(idCol).as("cid"),
+        toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    index.copy(codes = index.codes.unionByName(c.select(col("cid"),
+      col("cn"), GraftFunctions.pqEncode(col("cv"), index.codebooks)
+        .as("codes"))))
+  }
+
+  /** [[extendPqIndex]] straight onto a saved index's files: encode with the
+    * stored codebooks and APPEND to the codes parquet. Same append-grade
+    * durability caveat as [[appendIvfIndex]]. Returns the loaded
+    * post-append index. */
+  def appendPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String): PqIndex = {
+    val idx = loadPqIndex(spark, path)
+    newVecs.select(col(idCol).as("cid"),
+        toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .select(col("cid"), col("cn"),
+        GraftFunctions.pqEncode(col("cv"), idx.codebooks).as("codes"))
+      .write.mode("append").parquet(s"$path/codes")
+    loadPqIndex(spark, path)
   }
 
   /** Approximate cosine top-k: candidates = corpus rows sharing ≥1 subcode

@@ -292,6 +292,63 @@ class OperatorsSpec extends SparkSpecBase {
     assert(probed.nonEmpty)
   }
 
+  test("IVF index extension: frozen-quantizer add finds new and old vectors") {
+    import spark.implicits._
+    val emb = spark.table("embeddings")
+    val corpus = emb.where(col("vec_id") >= 10 && col("vec_id") < 400)
+    val arrivals = emb.where(col("vec_id") >= 400)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfext").toString
+    val built = Similarity.buildIvfIndex(corpus, "vec_id", "embedding")
+    Similarity.saveIvfIndex(built, dir)
+
+    // In-memory extension and on-disk append agree with each other.
+    val extended = Similarity.extendIvfIndex(
+      Similarity.loadIvfIndex(spark, dir), arrivals, "vec_id", "embedding")
+    val appended = Similarity.appendIvfIndex(spark, dir, arrivals,
+      "vec_id", "embedding")
+    assert(appended.centroids == built.centroids,
+      "append must not move the quantizer")
+    // Querying an arrival by its own vector: top-1 is itself (cos 1), on
+    // both the extended and the appended index; an old corpus vector
+    // queried against either still finds itself too.
+    val qNew = arrivals.limit(3)
+    val qOld = corpus.limit(3)
+    for (idx <- Seq(extended, appended); q <- Seq(qNew, qOld)) {
+      val top1 = Similarity.ivfProbe(idx, q, "vec_id", "embedding", 1)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(top1.nonEmpty && top1.forall { case (a, b) => a == b },
+        s"self-query must rank itself first, got ${top1.toSeq}")
+    }
+    // The append landed INSIDE the partitioned layout (new part-files in
+    // list directories, no new top-level dirs).
+    val lists = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(lists.forall(_.startsWith("list=")))
+  }
+
+  test("PQ index extension: frozen codebooks encode arrivals findably") {
+    val emb = spark.table("embeddings")
+    val corpus = emb.where(col("vec_id") >= 10 && col("vec_id") < 400)
+      .select("vec_id", "embedding")
+    val arrivals = emb.where(col("vec_id") >= 400)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val all = corpus.union(arrivals)
+    val dir = java.nio.file.Files.createTempDirectory("pqext").toString
+    val built = Similarity.buildPqIndex(corpus, "vec_id", "embedding")
+    Similarity.savePqIndex(built, dir)
+    val appended = Similarity.appendPqIndex(spark, dir, arrivals,
+      "vec_id", "embedding")
+    assert(appended.codebooks == built.codebooks,
+      "append must not retrain the codebooks")
+    assert(appended.codes.count() == all.count())
+    val qNew = arrivals.limit(3)
+    val top1 = Similarity.pqProbe(appended, qNew, all, "vec_id", "embedding", 1)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.nonEmpty && top1.forall { case (a, b) => a == b },
+      s"self-query must rank itself first, got ${top1.toSeq}")
+  }
+
   test("ivfCosinePairs: exact-precision subset of blocked pairs, good recall") {
     val emb = spark.table("embeddings")
     def key(r: org.apache.spark.sql.Row) =
