@@ -1606,16 +1606,21 @@ object Dedup {
     * document already admitted to the corpus. This is the durable twin of
     * the d8 arrival path's "existing" side — content-sized (one 32-byte md5
     * per distinct document), not corpus-sized, and the only thing an
-    * incremental exact-dedup service needs to hold between batches. */
-  final case class FingerprintIndex private[operators] (fps: DataFrame)
+    * incremental exact-dedup service needs to hold between batches.
+    * `layers` tracks the persisted frames this index references (same
+    * release contract as [[NearDupIndex.layers]]). */
+  final case class FingerprintIndex private[operators] (fps: DataFrame,
+      private[graft] layers: Seq[DataFrame] = Nil)
 
   /** One corpus scan → distinct fingerprint set. Map-side partial
     * aggregation makes the distinct shuffle proportional to distinct
     * CONTENT, so a dup-dense corpus indexes at its deduplicated size. */
   def buildFingerprintIndex(corpus: DataFrame, idCol: String,
-      textCol: String): FingerprintIndex =
-    FingerprintIndex(persistSketch(Balance(corpus)
-      .select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()))
+      textCol: String): FingerprintIndex = {
+    val fps = persistSketch(Balance(corpus)
+      .select(TextOps.fingerprint(col(textCol)).as("fp")).distinct())
+    FingerprintIndex(fps, layers = Seq(fps))
+  }
 
   /** Deterministic catalog name for generation `gen`'s bucketed fingerprint
     * table at `path` — same (path, gen)-derivable contract as
@@ -1631,14 +1636,17 @@ object Dedup {
     * post-restart probe's anti join reads the index already partitioned on
     * the join key — the batch side (batch-sized) is the only Exchange. */
   def saveFingerprintIndex(index: FingerprintIndex, path: String,
-      numBuckets: Int = 32): Unit = {
+      numBuckets: Int = 32, batchId: Long = -1L,
+      kept: Option[DataFrame] = None): Unit = {
     val spark = index.fps.sparkSession
     import spark.implicits._
     saveGenerational(spark, path,
-      params = Seq(numBuckets).toDF("num_buckets"),
+      params = Seq((numBuckets, batchId)).toDF("num_buckets", "batch_id"),
       dropTables = g => Seq(fpTable(path, g))) { (gdir, gen) =>
       graft.sources.Sink.bucketedExternal(index.fps,
         fpTable(path, gen), s"$gdir/fps", "fp", numBuckets, "fp")
+      kept.foreach(_.select(col("doc_id").cast("long").as("doc_id"))
+        .write.mode("overwrite").parquet(s"$gdir/kept"))
     }
   }
 
@@ -1647,14 +1655,82 @@ object Dedup {
     * frame is deliberately NOT cached: it reads through the bucketed scan so
     * its HashPartitioning reaches the probe's anti-join planner. */
   def loadFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): FingerprintIndex = {
-    val g = completeGens(spark, path).headOption.getOrElse(
+      path: String): FingerprintIndex =
+    loadLatestFpGen(spark, path).map(_._1).getOrElse(
       throw new IllegalArgumentException(
         s"no committed fingerprint index at $path"))
-    val gdir = s"$path/g$g"
-    val nb = spark.read.parquet(s"$gdir/params").head().getAs[Int]("num_buckets")
-    FingerprintIndex(reRegisterBucketed(spark, fpTable(path, g),
-      "fp string", "fp", nb, s"$gdir/fps"))
+
+  private def loadLatestFpGen(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(FingerprintIndex, Long)] =
+    completeGens(spark, path).headOption.map { g =>
+      val gdir = s"$path/g$g"
+      val p = spark.read.parquet(s"$gdir/params").head()
+      val batchId =
+        if (p.schema.fieldNames.contains("batch_id"))
+          p.getAs[Long]("batch_id")
+        else -1L
+      (FingerprintIndex(reRegisterBucketed(spark, fpTable(path, g),
+        "fp string", "fp", p.getAs[Int]("num_buckets"), s"$gdir/fps")),
+        batchId)
+    }
+
+  /** Restore the full fingerprint-index state: newest generation + every
+    * newer write-ahead delta, returning (index, last durably folded batch
+    * id) — the [[loadIndexWithDeltas]] of the exact-dedup stream. */
+  private[graft] def loadFpIndexWithDeltas(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(FingerprintIndex, Long)] =
+    loadLatestFpGen(spark, path).map { case (gen, genBatch) =>
+      val deltas = indexDeltaBatches(spark, path).filter(_ > genBatch)
+      val idx = deltas.foldLeft(gen) { (acc, b) =>
+        val fps = persistSketch(
+          spark.read.parquet(s"$path/delta/b$b/fps"))
+        // Materialize NOW: a later WAL append must never race a lazy read.
+        fps.count()
+        FingerprintIndex(acc.fps.union(fps), acc.layers :+ fps)
+      }
+      (idx, deltas.lastOption.getOrElse(genBatch))
+    }
+
+  /** Write one micro-batch's exact-dedup fold to the write-ahead delta log
+    * (`$path/delta/b<id>/{fps,ids,kept}`, kept LAST as the commit marker —
+    * the same layout conventions [[appendIndexDelta]] uses, so the shared
+    * replay helpers work unchanged). */
+  private[graft] def appendFpDelta(path: String, batchId: Long,
+      fps: DataFrame, ids: DataFrame, kept: DataFrame): Unit = {
+    val d = s"$path/delta/b$batchId"
+    fps.write.mode("overwrite").parquet(s"$d/fps")
+    ids.write.mode("overwrite").parquet(s"$d/ids")
+    kept.select(col("doc_id").cast("long").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$d/kept")
+  }
+
+  /** The streaming probe step: kept batch rows ([[probeNovelExact]]
+    * semantics), the batch's kept-fingerprint layer (persisted and
+    * MATERIALIZED — micro-batch frames cannot recompute once the batch
+    * ends), and the extended index. Extending with kept fingerprints only
+    * is complete: a dropped doc's fingerprint is either already indexed or
+    * equals a kept batch doc's. */
+  private[graft] def probeAndExtendFpParts(index: FingerprintIndex,
+      batch: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, FingerprintIndex) = {
+    val kept = probeNovelExact(index, batch, idCol, textCol)
+    val keptIds = kept.select(col(idCol).cast("long").as("doc_id"))
+    val kfps = persistSketch(
+      kept.select(TextOps.fingerprint(col(textCol)).as("fp")))
+    kfps.count()
+    (keptIds, kfps,
+      FingerprintIndex(index.fps.union(kfps), index.layers :+ kfps))
+  }
+
+  /** Flatten a [[FingerprintIndex]]'s accumulated union lineage into one
+    * resident frame ([[compactIndex]] contract: `releaseOld = false`
+    * leaves the superseded layers for the caller's grace period). */
+  def compactFpIndex(index: FingerprintIndex,
+      releaseOld: Boolean = true): FingerprintIndex = {
+    val f = index.fps.localCheckpoint(true)
+    if (releaseOld) index.layers.foreach(_.unpersist(false))
+    FingerprintIndex(f, layers = Nil)
   }
 
   /** Batch rows kept by incremental exact dedup against the index:

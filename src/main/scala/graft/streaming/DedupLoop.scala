@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The arrival-loop skeleton shared by every index-backed streaming dedup
+  * (near-dup prefix-filter index in [[NearDupStream]], exact fingerprint
+  * index in [[FpDedupStream]]): per micro-batch probe → write-ahead delta →
+  * sink → adopt, with engine-replay recognition, batch-id rebase for
+  * checkpoint-less restarts, periodic compaction + generational save, and
+  * one-compaction-late release of superseded layers. The index-specific
+  * operations arrive as an [[DedupLoop.Ops]]; the crash/replay logic —
+  * the part that took a kill -9 test to pin down — lives HERE, once. */
+object DedupLoop {
+
+  /** Mutable handle on an evolving index. The streaming engine runs
+    * foreachBatch callbacks sequentially, so the only concurrency is
+    * readers of [[index]] from other threads — volatile is sufficient for
+    * visibility. A reader's handle stays PROBE-SAFE until the second
+    * compaction after it was taken: [[run]] releases a compaction's
+    * superseded layers one compaction LATE, and the generational saves
+    * retain one previous checkpoint generation, so both the cached layers
+    * and the backing files of the previous index survive a full save
+    * cycle. Handles held across two compactions are out of contract.
+    *
+    * [[lastIndexedBatch]] is the newest batch durably folded into the
+    * restored index (generation or write-ahead delta) — [[run]] uses it
+    * to recognize engine-replayed batches the index already contains. */
+  final class IndexState[I](initial: I,
+      private[streaming] val restoredBatch: Long = -1L) {
+    @volatile private var current: I = initial
+    def index: I = current
+    def lastIndexedBatch: Long = restoredBatch
+    private[streaming] def adopt(next: I): Unit = current = next
+  }
+
+  /** Index-specific operations the loop composes. All checkpoint-layout
+    * helpers (delta matching, recorded kept-sets, delta pruning) follow
+    * the shared `$path/delta/b<id>/…` + `$path/g<N>/…` conventions in
+    * `operators.Dedup`. */
+  trait Ops[I] {
+    /** Probe `batch` against `idx`: (kept-ids frame with one `doc_id`
+      * long column, extended index). When `checkpoint` is set, the
+      * batch's WAL delta — its new index layer(s), full id-list, and
+      * kept-set, kept written LAST as the commit marker — must be durable
+      * before this returns: the delta going down before any side effect
+      * is what makes a crash at any later point replayable. */
+    def probeAndLog(idx: I, batch: DataFrame, checkpoint: Option[String],
+        walId: Long): (DataFrame, I)
+    /** The persisted frames `idx` references (released one compaction
+      * late). */
+    def layers(idx: I): Seq[DataFrame]
+    /** Flatten accumulated union lineage into resident frames. */
+    def compact(idx: I): I
+    /** Save a fresh crash-safe generation recording `walId`/`kept`. */
+    def save(idx: I, path: String, walId: Long, kept: DataFrame): Unit
+    def clearDeltas(spark: SparkSession, path: String, upTo: Long): Unit
+    /** True when the WAL delta at `batchId` covers exactly this batch's
+      * docs (genuine replay vs batch-id collision). */
+    def deltaMatchesBatch(spark: SparkSession, path: String, batchId: Long,
+        batch: DataFrame): Boolean
+    /** The kept-set recorded for `batchId`, if the checkpoint has it. */
+    def checkpointKept(spark: SparkSession, path: String,
+        batchId: Long): Option[DataFrame]
+  }
+
+  /** Start the loop. Semantics and durability contract are documented on
+    * the public wrappers ([[NearDupStream.run]], [[FpDedupStream.run]]);
+    * mechanics:
+    *   - a batch id at-or-below the restored high-water mark whose WAL
+    *     record covers exactly this batch's docs is a genuine engine
+    *     replay → its RECORDED kept-set is sunk and nothing re-folds
+    *     (re-probing would find every doc already indexed and silently
+    *     emit zero kept rows);
+    *   - the same id range with DIFFERENT docs is a fresh query reusing
+    *     ids (engine restarted without its checkpoint) → WAL ids are
+    *     rebased above the high-water mark and the batch folds as new;
+    *   - every `compactEvery` batches the index compacts and saves a
+    *     generation, folded deltas are dropped, and the layers retired at
+    *     the PREVIOUS compaction are released (reader grace). */
+  def run[I](
+      docs: DataFrame,
+      state: IndexState[I],
+      idCol: String,
+      ops: Ops[I],
+      compactEvery: Long,
+      checkpointPath: Option[String],
+      queryCheckpointLocation: Option[String])(
+      sink: DataFrame => Unit): StreamingQuery = {
+    var retired: Seq[DataFrame] = Nil
+    var idOffset = -1L
+    val writer = docs.writeStream
+    queryCheckpointLocation.fold(writer)(p =>
+        writer.option("checkpointLocation", p))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val isReplay = idOffset < 0 && batchId <= state.lastIndexedBatch &&
+          checkpointPath.exists(p =>
+            ops.deltaMatchesBatch(spark, p, batchId, batch))
+        if (isReplay) {
+          checkpointPath.flatMap(p =>
+              ops.checkpointKept(spark, p, batchId)) match {
+            case Some(keptIds) =>
+              sink(batch.join(keptIds.withColumnRenamed("doc_id", idCol),
+                Seq(idCol), "left_semi"))
+            case None =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"DedupLoop: batch $batchId replayed but its kept record " +
+                  s"is gone from the checkpoint — emitting nothing (the " +
+                  s"batch's docs are already in the index).")
+          }
+        } else {
+          if (idOffset < 0 && batchId <= state.lastIndexedBatch) {
+            idOffset = state.lastIndexedBatch + 1 - batchId
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"DedupLoop: batch $batchId reuses an already-folded id " +
+                s"with different documents — engine restarted without its " +
+                s"checkpoint (pass queryCheckpointLocation). Rebasing WAL " +
+                s"ids by +$idOffset and folding as new data.")
+          }
+          val walId = batchId + math.max(0L, idOffset)
+          val (keptIds, extended) =
+            ops.probeAndLog(state.index, batch, checkpointPath, walId)
+          sink(batch.join(keptIds.withColumnRenamed("doc_id", idCol),
+            Seq(idCol), "left_semi"))
+          val next =
+            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+              val toRelease = retired
+              retired = ops.layers(extended)
+              val compacted = ops.compact(extended)
+              checkpointPath.foreach { p =>
+                ops.save(compacted, p, walId, keptIds)
+                // Keep this batch's own delta: its id-list is what future
+                // replay detection for the generation batch checks.
+                ops.clearDeltas(spark, p, upTo = walId - 1)
+              }
+              toRelease.foreach(_.unpersist(false))
+              compacted
+            } else extended
+          state.adopt(next)
+        }
+      }
+      .start()
+  }
+}

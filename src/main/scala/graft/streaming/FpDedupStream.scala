@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+import graft.operators.Dedup.FingerprintIndex
+
+/** Streaming incremental EXACT dedup against the durable fingerprint
+  * index — the arrival-time twin of `d12_dedup_fp_index`, and the
+  * unbounded-history escalation of [[Curate]]'s
+  * `dropDuplicatesWithinWatermark` stage: watermark state answers "seen
+  * within the window?", this stream answers "seen EVER?" while holding
+  * only the content-sized distinct-fingerprint set (one 32-byte md5 per
+  * distinct document) — never per-key state-store entries rewritten every
+  * commit.
+  *
+  * Semantics match the batch operator exactly: a doc is kept iff its
+  * fingerprint is absent from everything that came before (corpus AND
+  * stream history) and it is the first (min id) within its micro-batch.
+  * The micro-batch loop — WAL-before-side-effects, engine-replay
+  * recognition, batch-id rebase, compaction cadence, layer-release
+  * grace — is [[DedupLoop]], shared with [[NearDupStream]]; only the
+  * fingerprint-index operations live here. */
+object FpDedupStream {
+
+  /** See [[DedupLoop.IndexState]] for the handle/visibility contract. */
+  type IndexState = DedupLoop.IndexState[FingerprintIndex]
+
+  /** Load-or-bootstrap ([[NearDupStream.resume]] contract): restore the
+    * newest committed generation plus every newer write-ahead delta, or
+    * build from `corpus`, checkpoint, and reload through the saved
+    * artifact so first run and restart probe the identical layout. */
+  def resume(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String): IndexState =
+    Dedup.loadFpIndexWithDeltas(spark, path) match {
+      case Some((idx, lastBatch)) =>
+        new DedupLoop.IndexState(idx, lastBatch)
+      case None =>
+        val built = Dedup.buildFingerprintIndex(corpus, idCol, textCol)
+        Dedup.saveFingerprintIndex(built, path)
+        new DedupLoop.IndexState(Dedup.loadFingerprintIndex(spark, path))
+    }
+
+  private final class FpOps(idCol: String, textCol: String)
+      extends DedupLoop.Ops[FingerprintIndex] {
+    def probeAndLog(idx: FingerprintIndex, batch: DataFrame,
+        checkpoint: Option[String], walId: Long)
+        : (DataFrame, FingerprintIndex) = {
+      val (keptIds, kfps, extended) =
+        Dedup.probeAndExtendFpParts(idx, batch, idCol, textCol)
+      checkpoint.foreach(p => Dedup.appendFpDelta(p, walId, kfps,
+        batch.select(col(idCol).cast("long").as("doc_id")), keptIds))
+      (keptIds, extended)
+    }
+    def layers(idx: FingerprintIndex): Seq[DataFrame] = idx.layers
+    def compact(idx: FingerprintIndex): FingerprintIndex =
+      Dedup.compactFpIndex(idx, releaseOld = false)
+    def save(idx: FingerprintIndex, path: String, walId: Long,
+        kept: DataFrame): Unit =
+      Dedup.saveFingerprintIndex(idx, path, batchId = walId,
+        kept = Some(kept))
+    def clearDeltas(spark: SparkSession, path: String, upTo: Long): Unit =
+      Dedup.clearIndexDeltas(spark, path, upTo)
+    def deltaMatchesBatch(spark: SparkSession, path: String, batchId: Long,
+        batch: DataFrame): Boolean =
+      Dedup.deltaMatchesBatch(spark, path, batchId, batch, idCol)
+    def checkpointKept(spark: SparkSession, path: String,
+        batchId: Long): Option[DataFrame] =
+      Dedup.checkpointKept(spark, path, batchId)
+  }
+
+  /** Start the exact-dedup stream: kept (novel-content, first-in-batch)
+    * rows go to `sink`; kept FINGERPRINTS fold into the index (sufficient:
+    * a dropped doc's fingerprint is either already indexed or equals a
+    * kept batch doc's). Durability when `checkpointPath` is set follows
+    * [[NearDupStream.run]]: per-batch write-ahead delta before any side
+    * effect, periodic compaction + generational save, exactly-once replay
+    * of recorded kept-sets — the contract the kill -9 test pins for the
+    * shared loop. */
+  def run(
+      docs: DataFrame,
+      state: IndexState,
+      idCol: String,
+      textCol: String,
+      compactEvery: Long = 100,
+      checkpointPath: Option[String] = None,
+      queryCheckpointLocation: Option[String] = None)(
+      sink: DataFrame => Unit): StreamingQuery =
+    DedupLoop.run(docs, state, idCol, new FpOps(idCol, textCol),
+      compactEvery, checkpointPath, queryCheckpointLocation)(sink)
+}

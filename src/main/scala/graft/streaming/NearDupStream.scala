@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Dedup
@@ -20,14 +19,15 @@ import graft.operators.Dedup.NearDupIndex
   * smaller id = earlier arrival), so a corpus can be bootstrapped with
   * `buildNearDupIndex` + one batch `probeNearDups` pass and then kept
   * current by this stream — one semantic contract, two execution modes,
-  * the same structure Curate uses for exact-fingerprint dedup.
+  * the same structure [[FpDedupStream]] provides for exact-fingerprint
+  * dedup.
   *
   * Why foreachBatch and not `dropDuplicatesWithinWatermark`: near-dup
   * matching needs candidate JOINS against an evolving index (two equi-joins
   * + a verification kernel per batch), which is not expressible as a keyed
   * state lookup — the key set of a near-dup match is unbounded. The
-  * watermark-state route stays the right one for EXACT dedup (Curate);
-  * this operator is the near-dup escalation of it.
+  * watermark-state route stays the right one for bounded-window EXACT
+  * dedup (Curate); this operator is the near-dup escalation of it.
   *
   * State discipline at 100 TB: the index lives in executor storage
   * (MEMORY_AND_DISK sketch layers, ~1 KB/doc), NOT in the streaming state
@@ -37,30 +37,15 @@ import graft.operators.Dedup.NearDupIndex
   * exactly like a table-statistics cache. Probe cost per batch scales with
   * the batch, not the accumulated corpus (IncrementalDedupSpec asserts the
   * probe plan never re-scans corpus files).
-  */
+  *
+  * The micro-batch loop itself — replay recognition, batch-id rebase,
+  * compaction cadence, layer-release grace — is [[DedupLoop]], shared with
+  * the exact-fingerprint stream; this object contributes the
+  * NearDupIndex-specific operations. */
 object NearDupStream {
 
-  /** Mutable handle on the evolving index. The streaming engine runs
-    * foreachBatch callbacks sequentially, so the only concurrency is
-    * readers of [[index]] from other threads — volatile is sufficient for
-    * visibility. A reader's handle stays PROBE-SAFE until the second
-    * compaction after it was taken: [[run]] releases a compaction's
-    * superseded layers one compaction LATE, and `Dedup.saveIndex` retains
-    * one previous checkpoint generation, so both the cached layers and
-    * the backing files of the previous index survive a full compaction
-    * interval. Handles held across two compactions are out of contract.
-    *
-    * [[lastIndexedBatch]] is the newest batch durably folded into the
-    * restored index (generation or write-ahead delta) — [[run]] uses it
-    * to recognize engine-replayed batches that the index already
-    * contains. */
-  final class IndexState(initial: NearDupIndex,
-      private[streaming] val restoredBatch: Long = -1L) {
-    @volatile private var current: NearDupIndex = initial
-    def index: NearDupIndex = current
-    def lastIndexedBatch: Long = restoredBatch
-    private[streaming] def adopt(next: NearDupIndex): Unit = current = next
-  }
+  /** See [[DedupLoop.IndexState]] for the handle/visibility contract. */
+  type IndexState = DedupLoop.IndexState[NearDupIndex]
 
   /** Load-or-bootstrap the stream's index state — the restart story in one
     * call: if a `Dedup.saveIndex` checkpoint exists at `path`, restore the
@@ -73,7 +58,7 @@ object NearDupStream {
     * STREAMING ENGINE a checkpoint too (`queryCheckpointLocation`), so its
     * offset replay window and the index's durability line up. */
   def resume(
-      spark: org.apache.spark.sql.SparkSession,
+      spark: SparkSession,
       path: String,
       corpus: DataFrame,
       idCol: String,
@@ -81,12 +66,13 @@ object NearDupStream {
       shingleN: Int = 2,
       threshold: Double = 0.6): IndexState =
     Dedup.loadIndexWithDeltas(spark, path) match {
-      case Some((idx, lastBatch)) => new IndexState(idx, lastBatch)
+      case Some((idx, lastBatch)) =>
+        new DedupLoop.IndexState(idx, lastBatch)
       case None if Dedup.hasLegacyIndex(spark, path) =>
         // Pre-generational flat-layout checkpoint: load it rather than
         // silently rebuilding from `corpus` (which would drop every doc a
         // prior run folded). No batch-id metadata exists in that layout.
-        new IndexState(Dedup.loadIndex(spark, path))
+        new DedupLoop.IndexState(Dedup.loadIndex(spark, path))
       case None =>
         val built =
           Dedup.buildNearDupIndex(corpus, idCol, textCol, shingleN, threshold)
@@ -95,8 +81,36 @@ object NearDupStream {
         // releasing it keeps the long-lived stream at ONE resident index,
         // not two.
         Dedup.releaseIndex(built)
-        new IndexState(Dedup.loadIndex(spark, path))
+        new DedupLoop.IndexState(Dedup.loadIndex(spark, path))
     }
+
+  private final class NdOps(idCol: String, textCol: String)
+      extends DedupLoop.Ops[NearDupIndex] {
+    def probeAndLog(idx: NearDupIndex, batch: DataFrame,
+        checkpoint: Option[String], walId: Long): (DataFrame, NearDupIndex) = {
+      val (keptIds, psets, ppref, extended) =
+        Dedup.probeAndExtendParts(idx, batch, idCol, textCol)
+      checkpoint.foreach(p =>
+        Dedup.appendIndexDelta(p, walId, psets, ppref,
+          batch.select(org.apache.spark.sql.functions.col(idCol)
+            .cast("long").as("doc_id")), keptIds))
+      (keptIds, extended)
+    }
+    def layers(idx: NearDupIndex): Seq[DataFrame] = idx.layers
+    def compact(idx: NearDupIndex): NearDupIndex =
+      Dedup.compactIndex(idx, releaseOld = false)
+    def save(idx: NearDupIndex, path: String, walId: Long,
+        kept: DataFrame): Unit =
+      Dedup.saveIndex(idx, path, batchId = walId, kept = Some(kept))
+    def clearDeltas(spark: SparkSession, path: String, upTo: Long): Unit =
+      Dedup.clearIndexDeltas(spark, path, upTo)
+    def deltaMatchesBatch(spark: SparkSession, path: String, batchId: Long,
+        batch: DataFrame): Boolean =
+      Dedup.deltaMatchesBatch(spark, path, batchId, batch, idCol)
+    def checkpointKept(spark: SparkSession, path: String,
+        batchId: Long): Option[DataFrame] =
+      Dedup.checkpointKept(spark, path, batchId)
+  }
 
   /** Start the dedup stream: each micro-batch is probed against the
     * current index, the kept (novel) rows are handed to `sink`, and the
@@ -112,13 +126,8 @@ object NearDupStream {
     * sink runs, and every `compactEvery` batches the index is compacted
     * (flat-lineage checkpointed frames; plan depth and executor storage
     * stay bounded over an unbounded stream) and saved as a fresh
-    * crash-safe generation, after which the folded deltas are dropped. A
-    * batch the engine re-delivers after a crash (its offsets uncommitted,
-    * but its fold already durable) is recognized via
-    * `state.lastIndexedBatch`: its RECORDED kept-set is sunk and nothing
-    * is re-folded — re-probing would find every doc already in the index
-    * and silently emit zero kept rows. Superseded layer caches are
-    * released one compaction late (see [[IndexState]]'s reader contract).
+    * crash-safe generation, after which the folded deltas are dropped.
+    * Replay/rebase/grace mechanics: [[DedupLoop.run]].
     *
     * `queryCheckpointLocation` is handed to the engine as its own
     * checkpoint so offset tracking survives restarts alongside the index
@@ -131,78 +140,7 @@ object NearDupStream {
       compactEvery: Long = 100,
       checkpointPath: Option[String] = None,
       queryCheckpointLocation: Option[String] = None)(
-      sink: DataFrame => Unit): StreamingQuery = {
-    // Reader grace: layers retired at compaction N are unpersisted at
-    // compaction N+1.
-    var retired: Seq[DataFrame] = Nil
-    // Batch-id rebase, engaged when the engine restarts WITHOUT its own
-    // checkpoint: fresh queries renumber batches from 0, so new data can
-    // arrive under an id the WAL already used. Once a collision is
-    // detected, every subsequent batch's WAL bookkeeping uses
-    // batchId + offset — a fresh id namespace above the restored
-    // high-water mark, so a superseding entry never overwrites files the
-    // restored index still reads.
-    var idOffset = -1L
-    val writer = docs.writeStream
-    queryCheckpointLocation.fold(writer)(p =>
-        writer.option("checkpointLocation", p))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // A batch id at-or-below the restored high-water mark is a genuine
-        // engine replay ONLY if the write-ahead record covers exactly this
-        // batch's docs; otherwise this is NEW data under a reused id that
-        // must be folded normally — treating it as a replay would silently
-        // drop it from the index and sink stale rows.
-        val isReplay = idOffset < 0 && batchId <= state.lastIndexedBatch &&
-          checkpointPath.exists(p =>
-            Dedup.deltaMatchesBatch(spark, p, batchId, batch, idCol))
-        if (isReplay) {
-          checkpointPath.flatMap(p =>
-              Dedup.checkpointKept(spark, p, batchId)) match {
-            case Some(keptIds) =>
-              sink(batch.join(keptIds.withColumnRenamed("doc_id", idCol),
-                Seq(idCol), "left_semi"))
-            case None =>
-              org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"NearDupStream: batch $batchId replayed but its kept " +
-                  s"record is gone from the checkpoint — emitting nothing " +
-                  s"(the batch's docs are already in the index).")
-          }
-        } else {
-          if (idOffset < 0 && batchId <= state.lastIndexedBatch) {
-            idOffset = state.lastIndexedBatch + 1 - batchId
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"NearDupStream: batch $batchId reuses an already-folded id " +
-                s"with different documents — engine restarted without its " +
-                s"checkpoint (pass queryCheckpointLocation). Rebasing WAL " +
-                s"ids by +$idOffset and folding as new data.")
-          }
-          val walId = batchId + math.max(0L, idOffset)
-          val (keptIds, psets, ppref, extended) =
-            Dedup.probeAndExtendParts(state.index, batch, idCol, textCol)
-          checkpointPath.foreach(p =>
-            Dedup.appendIndexDelta(p, walId, psets, ppref,
-              batch.select(col(idCol).cast("long").as("doc_id")), keptIds))
-          sink(batch.join(keptIds.withColumnRenamed("doc_id", idCol),
-            Seq(idCol), "left_semi"))
-          val next =
-            if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-              val toRelease = retired
-              retired = extended.layers
-              val compacted = Dedup.compactIndex(extended, releaseOld = false)
-              checkpointPath.foreach { p =>
-                Dedup.saveIndex(compacted, p, batchId = walId,
-                  kept = Some(keptIds))
-                // Keep this batch's own delta: its id-list is what future
-                // replay detection for the generation batch checks.
-                Dedup.clearIndexDeltas(spark, p, upTo = walId - 1)
-              }
-              toRelease.foreach(_.unpersist(false))
-              compacted
-            } else extended
-          state.adopt(next)
-        }
-      }
-      .start()
-  }
+      sink: DataFrame => Unit): StreamingQuery =
+    DedupLoop.run(docs, state, idCol, new NdOps(idCol, textCol),
+      compactEvery, checkpointPath, queryCheckpointLocation)(sink)
 }

@@ -483,4 +483,118 @@ class StreamingSpec extends SparkSpecBase {
       "fixture should both keep and drop batch docs")
     Dedup.releaseSketchCaches()
   }
+
+  test("exact-dedup stream: corpus/in-stream dups drop, WAL restores, replay re-emits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.FpDedupStream
+
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("fpwal").toString
+    val s1 = FpDedupStream.resume(spark, dir, corpus, "doc_id", "text")
+    assert(s1.lastIndexedBatch == -1L)
+
+    val in1 = MemoryStream[NdDoc]
+    val got1 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q1 = FpDedupStream.run(in1.toDF(), s1, "doc_id", "text",
+        compactEvery = 1000, checkpointPath = Some(dir)) { kept =>
+      got1 ++= kept.select("doc_id").as[Long].collect()
+    }
+    // batch 0: 10 = exact corpus dup (whitespace/case-normalized), 15 novel
+    in1.addData(NdDoc(10, "Alpha  Beta"), NdDoc(15, "epsilon zeta"))
+    q1.processAllAvailable()
+    // batch 1: 20 dups the PREVIOUS batch's kept doc 15; 21/22 are
+    // in-batch twins (first id wins); 30 novel
+    in1.addData(NdDoc(20, "epsilon zeta"), NdDoc(22, "eta theta"),
+      NdDoc(21, "eta theta"), NdDoc(30, "iota kappa"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(got1.toSet == Set(15L, 21L, 30L))
+
+    // Restart from generation + WAL deltas: all folds restored.
+    val s2 = FpDedupStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "text")
+    assert(s2.lastIndexedBatch == 1L)
+    // 2 corpus + 15 + {21 or 22} + 30 distinct fingerprints
+    assert(s2.index.fps.count() == 5)
+
+    // Fresh query renumbering from 0 = engine replay shape: recorded
+    // kept-sets re-emit, nothing re-folds.
+    val in2 = MemoryStream[NdDoc]
+    val got2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = FpDedupStream.run(in2.toDF(), s2, "doc_id", "text",
+        compactEvery = 1000, checkpointPath = Some(dir)) { kept =>
+      got2 ++= kept.select("doc_id").as[Long].collect()
+    }
+    in2.addData(NdDoc(10, "Alpha  Beta"), NdDoc(15, "epsilon zeta"))
+    q2.processAllAvailable()
+    in2.addData(NdDoc(20, "epsilon zeta"), NdDoc(22, "eta theta"),
+      NdDoc(21, "eta theta"), NdDoc(30, "iota kappa"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.toSet == Set(15L, 21L, 30L),
+      "replayed batches must re-emit their recorded kept rows")
+    assert(s2.index.fps.count() == 5, "replay must not re-fold fingerprints")
+
+    // Batch-id collision with NEW data folds normally (rebase path).
+    val s3 = FpDedupStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "text")
+    val in3 = MemoryStream[NdDoc]
+    val got3 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q3 = FpDedupStream.run(in3.toDF(), s3, "doc_id", "text",
+        compactEvery = 1000, checkpointPath = Some(dir)) { kept =>
+      got3 ++= kept.select("doc_id").as[Long].collect()
+    }
+    in3.addData(NdDoc(40, "lambda mu"))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(got3.toSet == Set(40L),
+      "new data at a colliding batch id must be kept, not swallowed")
+    assert(s3.index.fps.count() == 6, "new data must fold into the index")
+    Dedup.releaseSketchCaches()
+  }
+
+  test("exact-dedup stream: compaction saves a generation the restart loads") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.FpDedupStream
+
+    val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("fpcompact").toString
+    val s1 = FpDedupStream.resume(spark, dir, corpus, "doc_id", "text")
+    val in1 = MemoryStream[NdDoc]
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    // compactEvery = 2: batch 1 triggers compaction + a generation save.
+    val q1 = FpDedupStream.run(in1.toDF(), s1, "doc_id", "text",
+        compactEvery = 2, checkpointPath = Some(dir)) { kept =>
+      got ++= kept.select("doc_id").as[Long].collect()
+    }
+    in1.addData(NdDoc(10, "epsilon zeta"))
+    q1.processAllAvailable()
+    in1.addData(NdDoc(20, "eta theta"), NdDoc(25, "alpha beta"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(got.toSet == Set(10L, 20L))
+
+    val s2 = FpDedupStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "text")
+    assert(s2.lastIndexedBatch == 1L)
+    assert(s2.index.fps.count() == 3)
+    // A post-restart arrival deduping stream history is dropped.
+    val in2 = MemoryStream[NdDoc]
+    val got2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = FpDedupStream.run(in2.toDF(), s2, "doc_id", "text",
+        compactEvery = 2, checkpointPath = Some(dir)) { kept =>
+      got2 ++= kept.select("doc_id").as[Long].collect()
+    }
+    in2.addData(NdDoc(50, "eta theta"), NdDoc(60, "nu xi"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.toSet == Set(60L),
+      "cross-run dup must drop; novel doc must survive the restart")
+    Dedup.releaseSketchCaches()
+  }
 }
