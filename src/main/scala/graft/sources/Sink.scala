@@ -45,6 +45,19 @@ object Sink {
       .saveAsTable(table)
   }
 
+  /** Size-capped training-export shards: parquet part-files holding at
+    * most `rowsPerFile` rows each (`maxRecordsPerFile` — the writer rolls
+    * files without an extra shuffle). The layout a training job's data
+    * loader wants: uniformly-sized shards it can assign to workers,
+    * produced in one pass from however many partitions the pipeline ended
+    * with. Combine with a preceding `repartition(n)` only when the
+    * partition COUNT must change too; the row cap alone never shuffles. */
+  def sharded(df: DataFrame, path: String, rowsPerFile: Long): Unit = {
+    require(rowsPerFile >= 1, s"rowsPerFile must be >= 1, got $rowsPerFile")
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", rowsPerFile).parquet(path)
+  }
+
   /** [[bucketed]] with the files at an explicit `path` (external table):
     * the bucketing metadata lives in the catalog entry, the data lives
     * where the caller says — the layout an index checkpoint needs, where

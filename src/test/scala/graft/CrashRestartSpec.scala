@@ -93,4 +93,35 @@ class CrashRestartSpec extends SparkSpecBase {
     assert(ids.sorted == Seq(15L, 30L, 40L),
       s"kept output after crash-restart: $ids")
   }
+
+  test("kill -9 mid-batch: exact-dedup stream survives on the same shared loop") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("crash9fp").toString
+    val srcDir = s"$base/src"
+    Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+      .write.parquet(s"$srcDir/corpus")
+    //  f1: 10 = exact corpus dup (normalized), 15 novel   -> kept {15}
+    //  f2: 20 dups batch-0's doc 15, 30 novel             -> kept {30}
+    //  f3: 40 novel, 45 = corpus dup                      -> kept {40}
+    val files = Seq(
+      "f1" -> Seq((10L, "Alpha  Beta"), (15L, "epsilon zeta")),
+      "f2" -> Seq((20L, "epsilon zeta"), (30L, "iota kappa")),
+      "f3" -> Seq((40L, "lambda mu"), (45L, "gamma delta")))
+    files.zipWithIndex.foreach { case ((name, rows), i) =>
+      val dir = s"$srcDir/stream/$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(dir)
+      val t0 = System.currentTimeMillis() - 100000
+      Files.walk(Paths.get(dir)).forEach(p =>
+        p.toFile.setLastModified(t0 + i * 2000L))
+    }
+    val args = Seq(s"$base/idx", s"$base/eng", srcDir, s"$base/sink")
+    val rc1 = runChild(args ++ Seq("1", "exact"), s"$base/run1.log")
+    assert(rc1 == 137, s"first child should die by halt(137), got $rc1")
+    val rc2 = runChild(args ++ Seq("-1", "exact"), s"$base/run2.log")
+    assert(rc2 == 0, s"restart child failed with $rc2 — log: $base/run2.log")
+    val ids = spark.read.parquet(s"$base/sink")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(15L, 30L, 40L),
+      s"kept output after crash-restart: $ids")
+  }
 }

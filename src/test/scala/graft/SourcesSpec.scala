@@ -106,4 +106,20 @@ class SourcesSpec extends SparkSpecBase {
       .head().getDouble(0)
     assert(got == 11.0)
   }
+
+  test("sharded sink: every shard holds at most rowsPerFile rows, nothing lost") {
+    import spark.implicits._
+    val df = spark.range(1000).select(col("id"))
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    graft.sources.Sink.sharded(df.repartition(2), dir, rowsPerFile = 100)
+    val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.length >= 10, s"expected >= 10 shards, got ${parts.length}")
+    val counts = parts.map(p =>
+      spark.read.parquet(p.getPath).count())
+    assert(counts.forall(_ <= 100), s"oversized shard: ${counts.toSeq}")
+    assert(counts.sum == 1000)
+    assert(spark.read.parquet(dir).as[Long].collect().toSet ==
+      (0L until 1000L).toSet)
+  }
 }
