@@ -1733,6 +1733,12 @@ object Dedup {
     FingerprintIndex(f, layers = Nil)
   }
 
+  /** Unpersist exactly the layers `index` references ([[releaseIndex]]
+    * contract for the fingerprint family — a superseded bootstrap copy
+    * releases without evicting other live indexes). */
+  def releaseFpIndex(index: FingerprintIndex): Unit =
+    index.layers.foreach(_.unpersist(false))
+
   /** Batch rows kept by incremental exact dedup against the index:
     * fingerprint absent from the index (anti join) AND first — minimum
     * `idCol` — among the batch rows sharing it (within-batch first-wins
@@ -1820,9 +1826,25 @@ object Dedup {
     }
   }
 
+  /** True when the parquet files under `dir` carry the bucketed writer's
+    * `_NNNNN` bucket-id suffix. Early winnow generations wrote `freq` as
+    * PLAIN parquet; registering a bucketed table over those files would
+    * make every later scan throw INVALID_BUCKET_FILE, so the loader
+    * detects the layout and falls back (correctness unaffected — only the
+    * cap join's co-location is lost for that legacy generation). */
+  private def hasBucketedFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val fs = fsFor(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.getPath.getName.matches("part-\\d+-.*_\\d{5}\\..*"))
+  }
+
   /** Load the newest committed [[WinnowIndex]] generation at `path`. Both
     * frames read through their bucketed tables so the probe's
-    * posting-list ⋈ frequency join is exchange-free on both sides. */
+    * posting-list ⋈ frequency join is exchange-free on both sides
+    * (legacy generations with a plain-parquet `freq` load cached like a
+    * fresh build's instead — see [[hasBucketedFiles]]). */
   def loadWinnowIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): WinnowIndex = {
     val g = completeGens(spark, path).headOption.getOrElse(
@@ -1831,11 +1853,15 @@ object Dedup {
     val gdir = s"$path/g$g"
     val p = spark.read.parquet(s"$gdir/params").head()
     val nb = p.getAs[Int]("num_buckets")
+    val freq =
+      if (hasBucketedFiles(spark, s"$gdir/freq"))
+        reRegisterBucketed(spark, wnFreqTable(path, g),
+          "fp bigint, f bigint", "fp", nb, s"$gdir/freq")
+      else persistSketch(spark.read.parquet(s"$gdir/freq"))
     WinnowIndex(
       reRegisterBucketed(spark, wnTable(path, g),
         "id bigint, fp bigint", "fp", nb, s"$gdir/fps"),
-      reRegisterBucketed(spark, wnFreqTable(path, g),
-        "fp bigint, f bigint", "fp", nb, s"$gdir/freq"),
+      freq,
       p.getAs[Int]("k"), p.getAs[Int]("w"), p.getAs[Int]("max_freq"))
   }
 

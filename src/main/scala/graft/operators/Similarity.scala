@@ -428,9 +428,7 @@ object Similarity {
       nlist: Int = 0,
       maxIter: Int = 8,
       trainCap: Int = 20000): IvfIndex = {
-    val c = corpus.select(col(idCol).as("cid"),
-        toDoubleVec(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
+    val c = corpusShape(corpus, idCol, vecCol)
     val cents = trainQuantizer(c, nlist, maxIter, trainCap)
     IvfIndex(cents, c.withColumn("list",
       GraftFunctions.nearestCentroid(col("cv"), cents)))
@@ -486,6 +484,20 @@ object Similarity {
     IvfIndex(cents, spark.read.parquet(s"$path/lists"))
   }
 
+  /** The shared (cid, cv, cn) corpus projection every index build and
+    * extension uses — ONE place for the id/vector/norm shape, so the
+    * in-memory extend and on-disk append paths can never diverge. */
+  private def corpusShape(vecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("cid"), toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+
+  /** [[corpusShape]] + frozen-quantizer list assignment. */
+  private def assignToLists(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    corpusShape(vecs, idCol, vecCol).withColumn("list",
+      GraftFunctions.nearestCentroid(col("cv"), centroids))
+
   /** Fold new vectors into an [[IvfIndex]] without retraining — faiss
     * `add()` semantics: the quantizer is FROZEN (centroids unchanged, new
     * vectors assigned through the same codegen'd argmax) and the lists
@@ -493,14 +505,9 @@ object Similarity {
     * distribution; sustained drift deserves a rebuild, which is why the
     * centroids deliberately never move here. */
   def extendIvfIndex(index: IvfIndex, newVecs: DataFrame, idCol: String,
-      vecCol: String): IvfIndex = {
-    val c = newVecs.select(col(idCol).as("cid"),
-        toDoubleVec(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-      .withColumn("list",
-        GraftFunctions.nearestCentroid(col("cv"), index.centroids))
-    index.copy(assigned = index.assigned.unionByName(c))
-  }
+      vecCol: String): IvfIndex =
+    index.copy(assigned = index.assigned.unionByName(
+      assignToLists(newVecs, idCol, vecCol, index.centroids)))
 
   /** [[extendIvfIndex]] straight onto a saved index's files: assign the new
     * vectors through the stored centroids and APPEND them into the
@@ -514,13 +521,9 @@ object Similarity {
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newVecs: DataFrame, idCol: String, vecCol: String): IvfIndex = {
     val idx = loadIvfIndex(spark, path)
-    newVecs.select(col(idCol).as("cid"),
-        toDoubleVec(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-      .withColumn("list",
-        GraftFunctions.nearestCentroid(col("cv"), idx.centroids))
+    assignToLists(newVecs, idCol, vecCol, idx.centroids)
       .write.mode("append").partitionBy("list").parquet(s"$path/lists")
-    loadIvfIndex(spark, path)
+    idx.copy(assigned = spark.read.parquet(s"$path/lists"))
   }
 
   /** Approximate embedding near-dup PAIRS at corpus scale — the production
@@ -680,9 +683,7 @@ object Similarity {
       ksub: Int = 256,
       maxIter: Int = 8,
       trainCap: Int = 20000): PqIndex = {
-    val c = corpus.select(col(idCol).as("cid"),
-        toDoubleVec(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
+    val c = corpusShape(corpus, idCol, vecCol)
     val total = c.count()
     val cbs = padCodebooks(
       trainPqCodebooks(sampleVecs(c, total, trainCap), m, ksub, maxIter))
@@ -751,19 +752,20 @@ object Similarity {
     PqIndex(cbs, spark.read.parquet(s"$path/codes"))
   }
 
+  /** [[corpusShape]] + frozen-codebook encoding. */
+  private def encodeWith(vecs: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    corpusShape(vecs, idCol, vecCol).select(col("cid"), col("cn"),
+      GraftFunctions.pqEncode(col("cv"), codebooks).as("codes"))
+
   /** Fold new vectors into a [[PqIndex]] without retraining: codebooks are
     * FROZEN (faiss `add()` semantics) and the arrivals are encoded through
     * the same codegen'd kernel the build used. Sustained distribution
     * drift deserves retrained codebooks — a rebuild, by design. */
   def extendPqIndex(index: PqIndex, newVecs: DataFrame, idCol: String,
-      vecCol: String): PqIndex = {
-    val c = newVecs.select(col(idCol).as("cid"),
-        toDoubleVec(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-    index.copy(codes = index.codes.unionByName(c.select(col("cid"),
-      col("cn"), GraftFunctions.pqEncode(col("cv"), index.codebooks)
-        .as("codes"))))
-  }
+      vecCol: String): PqIndex =
+    index.copy(codes = index.codes.unionByName(
+      encodeWith(newVecs, idCol, vecCol, index.codebooks)))
 
   /** [[extendPqIndex]] straight onto a saved index's files: encode with the
     * stored codebooks and APPEND to the codes parquet. Same append-grade
@@ -772,13 +774,9 @@ object Similarity {
   def appendPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newVecs: DataFrame, idCol: String, vecCol: String): PqIndex = {
     val idx = loadPqIndex(spark, path)
-    newVecs.select(col(idCol).as("cid"),
-        toDoubleVec(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-      .select(col("cid"), col("cn"),
-        GraftFunctions.pqEncode(col("cv"), idx.codebooks).as("codes"))
+    encodeWith(newVecs, idCol, vecCol, idx.codebooks)
       .write.mode("append").parquet(s"$path/codes")
-    loadPqIndex(spark, path)
+    idx.copy(codes = spark.read.parquet(s"$path/codes"))
   }
 
   /** Approximate cosine top-k: candidates = corpus rows sharing ≥1 subcode

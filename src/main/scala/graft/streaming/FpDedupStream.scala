@@ -44,6 +44,10 @@ object FpDedupStream {
       case None =>
         val built = Dedup.buildFingerprintIndex(corpus, idCol, textCol)
         Dedup.saveFingerprintIndex(built, path)
+        // The bootstrap copy is superseded by the reloaded table-backed
+        // artifact: release it so the long-lived stream holds ONE resident
+        // fingerprint set, not two ([[NearDupStream.resume]] contract).
+        Dedup.releaseFpIndex(built)
         new DedupLoop.IndexState(Dedup.loadFingerprintIndex(spark, path))
     }
 
