@@ -58,6 +58,16 @@ object Sink {
       .option("maxRecordsPerFile", rowsPerFile).parquet(path)
   }
 
+  /** Idempotent per-batch landing zone for at-least-once streams: batch
+    * `batchId` overwrites its OWN directory (`$path/b<batchId>/`), so a
+    * re-delivered batch — a crash after the sink wrote but before the
+    * engine committed offsets — replaces its earlier attempt instead of
+    * appending a duplicate. Reading `path` recursively yields each
+    * batch's rows exactly once. This is the foreachBatch idempotence
+    * recipe from the Structured Streaming guide, packaged. */
+  def idempotentBatch(df: DataFrame, path: String, batchId: Long): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$path/b$batchId")
+
   /** [[bucketed]] with the files at an explicit `path` (external table):
     * the bucketing metadata lives in the catalog entry, the data lives
     * where the caller says — the layout an index checkpoint needs, where

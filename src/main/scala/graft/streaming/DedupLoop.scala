@@ -86,7 +86,7 @@ object DedupLoop {
       compactEvery: Long,
       checkpointPath: Option[String],
       queryCheckpointLocation: Option[String])(
-      sink: DataFrame => Unit): StreamingQuery = {
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
     var retired: Seq[DataFrame] = Nil
     var idOffset = -1L
     val writer = docs.writeStream
@@ -101,8 +101,11 @@ object DedupLoop {
           checkpointPath.flatMap(p =>
               ops.checkpointKept(spark, p, batchId)) match {
             case Some(keptIds) =>
+              // The ENGINE batch id (stable across replay) keys the sink,
+              // so an idempotent per-batch sink overwrites its earlier
+              // attempt instead of duplicating it.
               sink(batch.join(keptIds.withColumnRenamed("doc_id", idCol),
-                Seq(idCol), "left_semi"))
+                Seq(idCol), "left_semi"), batchId)
             case None =>
               org.slf4j.LoggerFactory.getLogger(getClass).warn(
                 s"DedupLoop: batch $batchId replayed but its kept record " +
@@ -122,7 +125,7 @@ object DedupLoop {
           val (keptIds, extended) =
             ops.probeAndLog(state.index, batch, checkpointPath, walId)
           sink(batch.join(keptIds.withColumnRenamed("doc_id", idCol),
-            Seq(idCol), "left_semi"))
+            Seq(idCol), "left_semi"), batchId)
           val next =
             if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
               val toRelease = retired

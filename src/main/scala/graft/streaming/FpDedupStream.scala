@@ -96,6 +96,22 @@ object FpDedupStream {
       checkpointPath: Option[String] = None,
       queryCheckpointLocation: Option[String] = None)(
       sink: DataFrame => Unit): StreamingQuery =
+    runBatches(docs, state, idCol, textCol, compactEvery, checkpointPath,
+      queryCheckpointLocation)((kept, _) => sink(kept))
+
+  /** [[run]] with the ENGINE batch id passed to the sink
+    * ([[NearDupStream.runBatches]] contract — pair with
+    * `sources.Sink.idempotentBatch` for exactly-once landed output across
+    * post-sink crashes). */
+  def runBatches(
+      docs: DataFrame,
+      state: IndexState,
+      idCol: String,
+      textCol: String,
+      compactEvery: Long = 100,
+      checkpointPath: Option[String] = None,
+      queryCheckpointLocation: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
     DedupLoop.run(docs, state, idCol, new FpOps(idCol, textCol),
       compactEvery, checkpointPath, queryCheckpointLocation)(sink)
 }

@@ -141,6 +141,22 @@ object NearDupStream {
       checkpointPath: Option[String] = None,
       queryCheckpointLocation: Option[String] = None)(
       sink: DataFrame => Unit): StreamingQuery =
+    runBatches(docs, state, idCol, textCol, compactEvery, checkpointPath,
+      queryCheckpointLocation)((kept, _) => sink(kept))
+
+  /** [[run]] with the ENGINE batch id passed to the sink — the id is
+    * stable across a post-sink-crash replay, so writing through
+    * `sources.Sink.idempotentBatch(kept, out, batchId)` makes the landed
+    * output exactly-once even when the sink itself ran twice. */
+  def runBatches(
+      docs: DataFrame,
+      state: IndexState,
+      idCol: String,
+      textCol: String,
+      compactEvery: Long = 100,
+      checkpointPath: Option[String] = None,
+      queryCheckpointLocation: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
     DedupLoop.run(docs, state, idCol, new NdOps(idCol, textCol),
       compactEvery, checkpointPath, queryCheckpointLocation)(sink)
 }

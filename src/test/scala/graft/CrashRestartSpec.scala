@@ -124,4 +124,40 @@ class CrashRestartSpec extends SparkSpecBase {
     assert(ids.sorted == Seq(15L, 30L, 40L),
       s"kept output after crash-restart: $ids")
   }
+
+  test("kill -9 AFTER the sink wrote: idempotent per-batch sink stays exactly-once") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("crash9post").toString
+    val srcDir = s"$base/src"
+    Seq((1L, "a b c d e"), (2L, "p q r s t")).toDF("doc_id", "text")
+      .write.parquet(s"$srcDir/corpus")
+    val files = Seq(
+      "f1" -> Seq((10L, "a b c d x"), (15L, "m n o u v")),
+      "f2" -> Seq((20L, "m n o u w"), (30L, "q r s t0 zz")),
+      "f3" -> Seq((40L, "h i j k l"), (45L, "a b c d y")))
+    files.zipWithIndex.foreach { case ((name, rows), i) =>
+      val dir = s"$srcDir/stream/$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(dir)
+      val t0 = System.currentTimeMillis() - 100000
+      Files.walk(Paths.get(dir)).forEach(p =>
+        p.toFile.setLastModified(t0 + i * 2000L))
+    }
+    // Die AFTER batch 1's sink wrote its directory but BEFORE the engine
+    // committed offsets: the restart replays batch 1 and the sink runs
+    // AGAIN for output that already landed — the per-batch overwrite is
+    // what keeps the landed rows exactly-once.
+    val args = Seq(s"$base/idx", s"$base/eng", srcDir, s"$base/sink")
+    val rc1 = runChild(args ++ Seq("1", "near", "post"), s"$base/run1.log")
+    assert(rc1 == 137, s"first child should die by halt(137), got $rc1")
+    val afterCrash = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/sink").select("doc_id").as[Long].collect().toSeq
+    assert(afterCrash.sorted == Seq(15L, 30L),
+      s"crash point wrong: sink after crash = $afterCrash")
+    val rc2 = runChild(args ++ Seq("-1", "near", "post"), s"$base/run2.log")
+    assert(rc2 == 0, s"restart child failed with $rc2 — log: $base/run2.log")
+    val ids = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/sink").select("doc_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(15L, 30L, 40L),
+      s"kept output after post-sink crash-restart: $ids")
+  }
 }

@@ -12,19 +12,26 @@ import graft.streaming.NearDupStream
   * durable, BEFORE its kept rows reach the sink and before the engine
   * commits offsets. That is the crash the WAL replay contract exists for.
   *
-  * args: idxCkpt queryCkpt srcDir sinkDir killAfterBatches [mode]
+  * args: idxCkpt queryCkpt srcDir sinkDir killAfterBatches [mode] [killPoint]
   *   - srcDir/corpus : bootstrap corpus parquet
   *   - srcDir/stream : arrival files (one micro-batch each via
   *     maxFilesPerTrigger=1, ordered by file modification time)
   *   - killAfter < 0 : run to completion, exit 0.
   *   - mode: "near" (default, NearDupStream) or "exact" (FpDedupStream) —
   *     both ride the same DedupLoop, crashed at the same point.
+  *   - killPoint: "pre" (default — die before the Nth sink write: WAL
+  *     durable, output unsunk) or "post" (die AFTER the Nth sink write,
+  *     before offsets commit — the replay re-runs a sink that already
+  *     wrote, which is why the post mode lands output through the
+  *     idempotent per-batch sink: the duplicate attempt must overwrite,
+  *     not append).
   */
 object CrashStreamMain {
   def main(args: Array[String]): Unit = {
     val (idxCkpt, qCkpt, srcDir, sinkDir, killAfterS) =
       (args(0), args(1), args(2), args(3), args(4))
     val mode = if (args.length > 5) args(5) else "near"
+    val killPoint = if (args.length > 6) args(6) else "pre"
     val killAfter = killAfterS.toInt
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -42,23 +49,32 @@ object CrashStreamMain {
       .option("recursiveFileLookup", "true")
       .parquet(s"$srcDir/stream")
     val sunk = new java.util.concurrent.atomic.AtomicInteger(0)
-    val sink: org.apache.spark.sql.DataFrame => Unit = { kept =>
-      if (killAfter >= 0 && sunk.get() >= killAfter)
-        Runtime.getRuntime.halt(137) // simulated SIGKILL — see scaladoc
-      kept.select("doc_id").write.mode("append").parquet(sinkDir)
-      sunk.incrementAndGet()
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = {
+      (kept, batchId) =>
+        if (killPoint == "pre" && killAfter >= 0 && sunk.get() >= killAfter)
+          Runtime.getRuntime.halt(137) // simulated SIGKILL — see scaladoc
+        // post mode writes idempotently (per-batch overwrite) — the replay
+        // after the crash re-runs this write against the same directory.
+        if (killPoint == "post")
+          graft.sources.Sink.idempotentBatch(
+            kept.select("doc_id"), sinkDir, batchId)
+        else
+          kept.select("doc_id").write.mode("append").parquet(sinkDir)
+        if (killPoint == "post" && killAfter >= 0 && sunk.get() >= killAfter)
+          Runtime.getRuntime.halt(137) // SIGKILL after the write landed
+        sunk.incrementAndGet()
     }
     val q = mode match {
       case "exact" =>
         val state = graft.streaming.FpDedupStream.resume(
           spark, idxCkpt, corpus, "doc_id", "text")
-        graft.streaming.FpDedupStream.run(src, state, "doc_id", "text",
+        graft.streaming.FpDedupStream.runBatches(src, state, "doc_id", "text",
           compactEvery = 2, checkpointPath = Some(idxCkpt),
           queryCheckpointLocation = Some(qCkpt))(sink)
       case _ =>
         val state = NearDupStream.resume(
           spark, idxCkpt, corpus, "doc_id", "text")
-        NearDupStream.run(src, state, "doc_id", "text",
+        NearDupStream.runBatches(src, state, "doc_id", "text",
           compactEvery = 2, checkpointPath = Some(idxCkpt),
           queryCheckpointLocation = Some(qCkpt))(sink)
     }
