@@ -115,6 +115,8 @@ object Bench {
       "s1_ann_brute", "s2_ann_lsh", "s3_ann_ivf", "s5_ann_pq",
       "d1_dedup_exact", "d2_dedup_minhash", "d3_dedup_jaccard",
       "d5_dedup_embedding", "d7_dedup_clusters", "d9_contamination",
+      "d12_dedup_fp_index", "d14_dedup_substring", "d15_dedup_semantic",
+      "x6_quality_quantile_filter",
       "t11_vocab_tokenize", "t13_tfidf_search", "t14_repetition_signals",
       "e4_asof_join", "e5_range_join",
       "m2_frame_sample", "s4_hybrid_search", "x2_sequence_packing")
