@@ -117,6 +117,34 @@ object Multimodal {
         md5(expr(s"substring(content, frame_idx * $frameBytes + 1, $frameBytes)"))
           .as("frame_fp"))
 
+  /** Payload near-dup by SHARED FRAMES — the video-dedup shape: two
+    * payloads are related when ≥ `minShared` of their fixed-size frame
+    * fingerprints coincide (re-posted clips, shared intros/outros,
+    * partial copies). Frames come from [[sampleFrames]] (md5 per
+    * `frameBytes` slice — deterministic, so unlike the perceptual path
+    * this is fully oracle-checkable); the pair search is the winnowing
+    * shape: per-doc distinct fingerprints, a `maxFreq` boilerplate cap
+    * (an intro card shared by a million videos is noise, not a match —
+    * and the one skew-quadratic bucket without the cap), one
+    * fingerprint-equi self-join, count ≥ `minShared`. Returns
+    * (a_id, b_id, n_shared), a_id < b_id. */
+  def frameOverlap(payloads: DataFrame, frameBytes: Int,
+      minShared: Int = 2, maxFreq: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = sampleFrames(payloads, frameBytes)
+      .select(col("doc_id"), col("frame_fp")).distinct()
+    val rare = frames
+      .withColumn("f", count(lit(1)).over(Window.partitionBy("frame_fp")))
+      .where(col("f") <= maxFreq)
+      .drop("f")
+    rare.as("a").join(rare.as("b"),
+        col("a.frame_fp") === col("b.frame_fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Perceptual near-dup pairs over binary payloads: a 64-bit byte-block
     * average-hash per payload (one codegen'd kernel projection — the aHash
     * voting step; a true pHash's decode + resize + DCT belongs in the

@@ -895,6 +895,31 @@ object Pipeline {
           Multimodal.withPayload(docs.union(twins), "doc_id", "text"),
           maxHamming = 6)
         .orderBy("a_id", "b_id")
+    },
+    // Payload near-dup by shared frame fingerprints — the video-dedup
+    // shape. Frames are md5 slices (deterministic), so unlike m6 this is
+    // FULLY oracle-checked: each payload pairs with its appended-tail twin
+    // through their shared leading frames, and the oracle replays the
+    // identical frame/cap/count pipeline in SQL.
+    df("m7_frame_overlap",
+      Some("with docs2 as (select doc_id, text from documents where length(text) >= 64 " +
+        "union all select doc_id + 1000000, text || ' frame overlap tail marker' " +
+        "from documents where length(text) >= 64), " +
+        "frames as (select distinct doc_id, md5(text[f*32+1:f*32+32]) as fp " +
+        "from docs2, unnest(range(0, (length(text)-1)//32 + 1)) as t(f)), " +
+        "rare as (select * from frames where fp in " +
+        "(select fp from frames group by fp having count(*) <= 200)) " +
+        "select a.doc_id as a_id, b.doc_id as b_id, count(*) as n_shared " +
+        "from rare a join rare b on a.fp = b.fp and a.doc_id < b.doc_id " +
+        "group by 1, 2 having count(*) >= 2 order by a_id, b_id")) { (s, dir) =>
+      val docs = s.table("documents").where(length(col("text")) >= 64)
+        .select("doc_id", "text")
+      val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" frame overlap tail marker")).as("text"))
+      Multimodal.frameOverlap(
+          Multimodal.withPayload(docs.union(twins), "doc_id", "text"),
+          frameBytes = 32, minShared = 2, maxFreq = 200)
+        .orderBy("a_id", "b_id")
     }
   )
 

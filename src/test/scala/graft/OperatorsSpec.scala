@@ -618,6 +618,30 @@ class OperatorsSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("frameOverlap: shared aligned frames pair, boilerplate frames capped") {
+    import spark.implicits._
+    val b1 = "0123456789abcdef" // 16 bytes = one frame at frameBytes=16
+    val b2 = "ghijklmnopqrstuv"
+    val df = Seq(
+      (1L, b1 + b2 + "tail-one-xyzzzzz"), // frames: b1, b2, tail
+      (2L, b1 + b2 + "tail-two-qqqqqqq"), // shares 2 aligned frames w/ 1
+      (3L, "completely different content here"),
+      // 4/5 share ONE aligned frame only — below minShared=2.
+      (4L, b1 + "AAAAAAAAAAAAAAAA"),
+      (5L, b1 + "BBBBBBBBBBBBBBBB")
+    ).toDF("doc_id", "text")
+    val pairs = Multimodal.frameOverlap(
+        Multimodal.withPayload(df, "doc_id", "text"),
+        frameBytes = 16, minShared = 2, maxFreq = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 2L))
+    // With maxFreq=1 the shared block frame (present in docs 1,2,4,5)
+    // is boilerplate-capped away and nothing pairs.
+    assert(Multimodal.frameOverlap(
+      Multimodal.withPayload(df, "doc_id", "text"),
+      frameBytes = 16, minShared = 1, maxFreq = 1).isEmpty)
+  }
+
   test("multimodal: payload meta + frame sampling shapes") {
     val p = Multimodal.withPayload(docs, "doc_id", "text")
     val meta = p.where(col("doc_id") === 1).select("meta.n_bytes").head().getLong(0)
