@@ -1104,16 +1104,8 @@ object Dedup {
     val fps = persistSketch(Balance(docs).select(col(idCol).as("id"),
       graft.functions.GraftFunctions.winnow(col(textCol), k, w).as("fps")))
     if (kIdx == 0) {
-      val flat = fps.select(col("id"), explode(col("fps")).as("fp"))
-      val rare = flat
-        .withColumn("f", count(lit(1)).over(Window.partitionBy("fp")))
-        .where(col("f") <= maxFreq)
-        .drop("f")
-      rare.as("a").join(rare.as("b"),
-          col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
-        .agg(count(lit(1)).as("n_shared"))
-        .where(col("n_shared") >= minShared)
+      sharedKeyPairs(fps.select(col("id"), explode(col("fps")).as("fp")),
+        maxFreq, minShared)
     } else {
       val keyed = fps
         .select(col("id"), explode(slice(col("fps"), 1, kIdx)).as("fp"))
@@ -1133,6 +1125,27 @@ object Dedup {
         .where(col("n_shared") >= minShared)
         .select(col("a_id"), col("b_id"), col("n_shared"))
     }
+  }
+
+  /** The shared-key pair search used by winnowing's exact path and the
+    * multimodal frame-overlap operator: docs sharing ≥ `minShared` keys
+    * pair, keys held by more than `maxFreq` docs are boilerplate-capped
+    * (the one skew-quadratic bucket otherwise). `flat` is any (id, fp)
+    * frame; it is persisted here because BOTH self-join sides re-read it
+    * ([[withSketchCache]] / [[releaseSketchCaches]] contract). Returns
+    * (a_id, b_id, n_shared), a_id < b_id. */
+  private[operators] def sharedKeyPairs(flat: DataFrame, maxFreq: Int,
+      minShared: Int): DataFrame = {
+    val f = persistSketch(flat)
+    val rare = f
+      .withColumn("__f", count(lit(1)).over(Window.partitionBy("fp")))
+      .where(col("__f") <= maxFreq)
+      .drop("__f")
+    rare.as("a").join(rare.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
   }
 
   /** Embedding near-dedup: exact pairs with cosine ≥ threshold, computed on

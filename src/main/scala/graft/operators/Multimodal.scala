@@ -109,6 +109,12 @@ object Multimodal {
     * Chunk fingerprints are real (md5 over the slice). */
   def sampleFrames(payloads: DataFrame, frameBytes: Int): DataFrame =
     payloads
+      // Zero-length payloads have no frames. Without the guard,
+      // sequence(0, floor(-1/fb)) = sequence(0, -1) steps DOWNWARD and
+      // emits phantom [0, -1] indexes slicing to md5("") — and DuckDB's
+      // range(0, 0) replay correctly emits nothing, so the engines would
+      // disagree on exactly the empty-payload rows.
+      .where(length(col("content")) > 0)
       .select(col("doc_id"), col("content"),
         explode(sequence(lit(0),
           floor((length(col("content")) - 1) / frameBytes).cast("int")))
@@ -129,21 +135,11 @@ object Multimodal {
     * fingerprint-equi self-join, count ≥ `minShared`. Returns
     * (a_id, b_id, n_shared), a_id < b_id. */
   def frameOverlap(payloads: DataFrame, frameBytes: Int,
-      minShared: Int = 2, maxFreq: Int = 200): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val frames = sampleFrames(payloads, frameBytes)
-      .select(col("doc_id"), col("frame_fp")).distinct()
-    val rare = frames
-      .withColumn("f", count(lit(1)).over(Window.partitionBy("frame_fp")))
-      .where(col("f") <= maxFreq)
-      .drop("f")
-    rare.as("a").join(rare.as("b"),
-        col("a.frame_fp") === col("b.frame_fp") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
-  }
+      minShared: Int = 2, maxFreq: Int = 200): DataFrame =
+    Dedup.sharedKeyPairs(
+      sampleFrames(payloads, frameBytes)
+        .select(col("doc_id").as("id"), col("frame_fp").as("fp")).distinct(),
+      maxFreq, minShared)
 
   /** Perceptual near-dup pairs over binary payloads: a 64-bit byte-block
     * average-hash per payload (one codegen'd kernel projection — the aHash

@@ -124,8 +124,14 @@ object DedupLoop {
           val walId = batchId + math.max(0L, idOffset)
           val (keptIds, extended) =
             ops.probeAndLog(state.index, batch, checkpointPath, walId)
+          // Sink keyed by walId, not the raw engine id: after a rebase the
+          // engine reuses ids a PREVIOUS run already landed under, and an
+          // idempotent per-batch sink keyed by the raw id would overwrite
+          // that run's output. walId == batchId whenever no rebase
+          // occurred, so replay idempotence (which only arises pre-rebase)
+          // is unaffected.
           sink(batch.join(keptIds.withColumnRenamed("doc_id", idCol),
-            Seq(idCol), "left_semi"), batchId)
+            Seq(idCol), "left_semi"), walId)
           val next =
             if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
               val toRelease = retired
