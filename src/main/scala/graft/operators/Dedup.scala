@@ -1534,16 +1534,19 @@ object Dedup {
     * statistic over corpus ∪ batch, restricted to the batch. */
   final case class SubstringIndex private[operators] (
       freq: DataFrame,
-      windowTokens: Int)
+      windowTokens: Int,
+      private[graft] layers: Seq[DataFrame] = Nil)
 
   /** One corpus scan through the window-hash kernel → frequency table
     * (map-side partial counts; the shuffle carries (hash, count), never
     * text). */
   def buildSubstringIndex(corpus: DataFrame, idCol: String, textCol: String,
-      windowTokens: Int = 8): SubstringIndex =
-    SubstringIndex(persistSketch(
+      windowTokens: Int = 8): SubstringIndex = {
+    val freq = persistSketch(
       tokenWindows(corpus, idCol, textCol, windowTokens)
-        .groupBy("h").agg(count(lit(1)).as("occ"))), windowTokens)
+        .groupBy("h").agg(count(lit(1)).as("occ")))
+    SubstringIndex(freq, windowTokens, layers = Seq(freq))
+  }
 
   private def ssTable(path: String, gen: Int): String =
     "graft_ssidx_" + java.lang.Long.toHexString(
@@ -1554,31 +1557,116 @@ object Dedup {
     * frequency table is `h`-bucketed so a reloaded probe's frequency join
     * reads the index already partitioned on the join key. */
   def saveSubstringIndex(index: SubstringIndex, path: String,
-      numBuckets: Int = 32): Unit = {
+      numBuckets: Int = 32, batchId: Long = -1L,
+      kept: Option[DataFrame] = None): Unit = {
     val spark = index.freq.sparkSession
     import spark.implicits._
     saveGenerational(spark, path,
-      params = Seq((index.windowTokens, numBuckets))
-        .toDF("window_tokens", "num_buckets"),
+      params = Seq((index.windowTokens, numBuckets, batchId))
+        .toDF("window_tokens", "num_buckets", "batch_id"),
       dropTables = g => Seq(ssTable(path, g))) { (gdir, gen) =>
-      graft.sources.Sink.bucketedExternal(index.freq,
+      // Layered frequency frames merge at save time, so the stored
+      // generation is always one unique-h table.
+      graft.sources.Sink.bucketedExternal(
+        index.freq.groupBy("h").agg(sum(col("occ")).as("occ")),
         ssTable(path, gen), s"$gdir/freq", "h", numBuckets, "h")
+      kept.foreach(_.select(col("doc_id").cast("long").as("doc_id"))
+        .write.mode("overwrite").parquet(s"$gdir/kept"))
     }
   }
 
   /** Load the newest committed [[SubstringIndex]] generation at `path`,
     * re-registering the bucketed table if this session didn't write it. */
   def loadSubstringIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): SubstringIndex = {
-    val g = completeGens(spark, path).headOption.getOrElse(
+      path: String): SubstringIndex =
+    loadLatestSsGen(spark, path).map(_._1).getOrElse(
       throw new IllegalArgumentException(
         s"no committed substring index at $path"))
-    val gdir = s"$path/g$g"
-    val p = spark.read.parquet(s"$gdir/params").head()
-    SubstringIndex(reRegisterBucketed(spark, ssTable(path, g),
-      "h bigint, occ bigint", "h", p.getAs[Int]("num_buckets"),
-      s"$gdir/freq"), p.getAs[Int]("window_tokens"))
+
+  private def loadLatestSsGen(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(SubstringIndex, Long)] =
+    completeGens(spark, path).headOption.map { g =>
+      val gdir = s"$path/g$g"
+      val p = spark.read.parquet(s"$gdir/params").head()
+      val batchId =
+        if (p.schema.fieldNames.contains("batch_id"))
+          p.getAs[Long]("batch_id")
+        else -1L
+      (SubstringIndex(reRegisterBucketed(spark, ssTable(path, g),
+        "h bigint, occ bigint", "h", p.getAs[Int]("num_buckets"),
+        s"$gdir/freq"), p.getAs[Int]("window_tokens")), batchId)
+    }
+
+  /** Restore the full substring-index state: newest generation + every
+    * newer write-ahead delta as LAYERS (the probe sums them; compaction
+    * merges them). Returns (index, last durably folded batch id). */
+  private[graft] def loadSsIndexWithDeltas(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(SubstringIndex, Long)] =
+    loadLatestSsGen(spark, path).map { case (gen, genBatch) =>
+      val deltas = indexDeltaBatches(spark, path).filter(_ > genBatch)
+      val idx = deltas.foldLeft(gen) { (acc, b) =>
+        val f = persistSketch(spark.read.parquet(s"$path/delta/b$b/freq"))
+        f.count() // materialize before any later WAL append
+        acc.copy(freq = acc.freq.union(f), layers = acc.layers :+ f)
+      }
+      (idx, deltas.lastOption.getOrElse(genBatch))
+    }
+
+  /** Write one micro-batch's window-frequency fold to the write-ahead
+    * delta log (`$path/delta/b<id>/{freq,ids,kept}`, kept LAST as the
+    * commit marker — the shared replay helpers apply). */
+  private[graft] def appendSsDelta(path: String, batchId: Long,
+      freq: DataFrame, ids: DataFrame, kept: DataFrame): Unit = {
+    val d = s"$path/delta/b$batchId"
+    freq.write.mode("overwrite").parquet(s"$d/freq")
+    ids.write.mode("overwrite").parquet(s"$d/ids")
+    kept.select(col("doc_id").cast("long").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$d/kept")
   }
+
+  /** The streaming probe step for the substring gate: per-batch dup-window
+    * stats against corpus-plus-batch counts ([[probeSubstringDups]]), the
+    * kept set under the `maxDupRatio` rule — docs whose duplicated-window
+    * fraction stays at or below the ratio, plus docs too short to have any
+    * window (no evidence → keep) — and the extended index carrying the
+    * FULL batch's window counts as a new layer (dropped docs' windows were
+    * still seen; the one-shot statistic counts them). */
+  private[graft] def probeAndExtendSsParts(index: SubstringIndex,
+      batch: DataFrame, idCol: String, textCol: String,
+      minOccurrences: Int, maxDupRatio: Double)
+      : (DataFrame, DataFrame, SubstringIndex) = {
+    val stats = probeSubstringDups(index, batch, idCol, textCol,
+      minOccurrences)
+    val keptIds = batch.select(col(idCol).cast("long").as("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .where(col("n_windows").isNull ||
+        col("n_dup_windows") <= col("n_windows") * maxDupRatio)
+      .select("doc_id")
+    val bfreq = persistSketch(
+      tokenWindows(batch, idCol, textCol, index.windowTokens)
+        .groupBy("h").agg(count(lit(1)).as("occ")))
+    bfreq.count()
+    (keptIds, bfreq,
+      index.copy(freq = index.freq.union(bfreq),
+        layers = index.layers :+ bfreq))
+  }
+
+  /** Flatten a layered [[SubstringIndex]] into one merged resident frame
+    * ([[compactIndex]] contract: `releaseOld = false` leaves superseded
+    * layers for the caller's grace period). */
+  def compactSsIndex(index: SubstringIndex,
+      releaseOld: Boolean = true): SubstringIndex = {
+    val f = index.freq.groupBy("h").agg(sum(col("occ")).as("occ"))
+      .localCheckpoint(true)
+    if (releaseOld) index.layers.foreach(_.unpersist(false))
+    SubstringIndex(f, index.windowTokens, layers = Nil)
+  }
+
+  /** Unpersist exactly the layers `index` references ([[releaseIndex]]
+    * contract for the substring family). */
+  def releaseSsIndex(index: SubstringIndex): Unit =
+    index.layers.foreach(_.unpersist(false))
 
   /** Arrival-time [[substringDupStats]]: per batch doc, total windows and
     * windows duplicated against corpus-plus-batch (corpus count from the
@@ -1592,10 +1680,16 @@ object Dedup {
       idCol: String, textCol: String, minOccurrences: Int = 2): DataFrame = {
     val bwins = persistSketch(
       tokenWindows(batch, idCol, textCol, index.windowTokens))
+    // The sum-aggregate (not a bare join) makes the probe tolerant of a
+    // LAYERED index — a streaming extension unions per-batch frequency
+    // frames, so one hash may carry several (h, occ) rows until the next
+    // compaction merges them; summing collapses layers and the loaded
+    // single-generation case alike. The agg is batch-hash-sized.
     val joint = bwins.groupBy("h").agg(count(lit(1)).as("bocc"))
       .join(index.freq, Seq("h"), "left")
-      .select(col("h"),
-        (col("bocc") + coalesce(col("occ"), lit(0L))).as("occ"))
+      .groupBy("h")
+      .agg((first(col("bocc")) + coalesce(sum(col("occ")), lit(0L)))
+        .as("occ"))
     bwins.join(joint, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+import graft.operators.Dedup.SubstringIndex
+
+/** Streaming ExactSubstr gate — the arrival-time twin of
+  * `d16_dedup_substring_index`: each micro-batch's documents are scored
+  * against the corpus-plus-batch window frequencies, docs whose
+  * duplicated-window fraction exceeds `maxDupRatio` are dropped (the
+  * boilerplate/recycled-content gate), and the FULL batch's window counts
+  * fold into the durable index so later arrivals see everything that ever
+  * streamed past — state is the content-sized (hash, count) table, never
+  * documents.
+  *
+  * Same [[DedupLoop]] as the near-dup and exact-fingerprint streams
+  * (WAL-before-side-effects, replay recognition, batch-id rebase,
+  * compaction cadence — the kill -9-pinned contract); this object
+  * contributes the substring-index operations. Between compactions the
+  * index accumulates one frequency LAYER per batch; the probe sums layers
+  * (batch-hash-sized agg) and compaction merges them into one frame. */
+object SubstringStream {
+
+  /** See [[DedupLoop.IndexState]] for the handle/visibility contract. */
+  type IndexState = DedupLoop.IndexState[SubstringIndex]
+
+  /** Load-or-bootstrap ([[NearDupStream.resume]] contract). */
+  def resume(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 8): IndexState =
+    Dedup.loadSsIndexWithDeltas(spark, path) match {
+      case Some((idx, lastBatch)) =>
+        new DedupLoop.IndexState(idx, lastBatch)
+      case None =>
+        val built =
+          Dedup.buildSubstringIndex(corpus, idCol, textCol, windowTokens)
+        Dedup.saveSubstringIndex(built, path)
+        Dedup.releaseSsIndex(built)
+        new DedupLoop.IndexState(Dedup.loadSubstringIndex(spark, path))
+    }
+
+  private final class SsOps(idCol: String, textCol: String,
+      minOccurrences: Int, maxDupRatio: Double)
+      extends DedupLoop.Ops[SubstringIndex] {
+    def probeAndLog(idx: SubstringIndex, batch: DataFrame,
+        checkpoint: Option[String], walId: Long)
+        : (DataFrame, SubstringIndex) = {
+      val (keptIds, bfreq, extended) = Dedup.probeAndExtendSsParts(
+        idx, batch, idCol, textCol, minOccurrences, maxDupRatio)
+      checkpoint.foreach(p => Dedup.appendSsDelta(p, walId, bfreq,
+        batch.select(col(idCol).cast("long").as("doc_id")), keptIds))
+      (keptIds, extended)
+    }
+    def layers(idx: SubstringIndex): Seq[DataFrame] = idx.layers
+    def compact(idx: SubstringIndex): SubstringIndex =
+      Dedup.compactSsIndex(idx, releaseOld = false)
+    def save(idx: SubstringIndex, path: String, walId: Long,
+        kept: DataFrame): Unit =
+      Dedup.saveSubstringIndex(idx, path, batchId = walId,
+        kept = Some(kept))
+    def clearDeltas(spark: SparkSession, path: String, upTo: Long): Unit =
+      Dedup.clearIndexDeltas(spark, path, upTo)
+    def deltaMatchesBatch(spark: SparkSession, path: String, batchId: Long,
+        batch: DataFrame): Boolean =
+      Dedup.deltaMatchesBatch(spark, path, batchId, batch, idCol)
+    def checkpointKept(spark: SparkSession, path: String,
+        batchId: Long): Option[DataFrame] =
+      Dedup.checkpointKept(spark, path, batchId)
+  }
+
+  /** Start the substring gate stream: docs at or below `maxDupRatio`
+    * duplicated-window fraction (and docs too short to carry a window) go
+    * to `sink`; the full batch's counts fold in. Durability contract:
+    * [[NearDupStream.run]]. */
+  def run(
+      docs: DataFrame,
+      state: IndexState,
+      idCol: String,
+      textCol: String,
+      minOccurrences: Int = 2,
+      maxDupRatio: Double = 0.5,
+      compactEvery: Long = 100,
+      checkpointPath: Option[String] = None,
+      queryCheckpointLocation: Option[String] = None)(
+      sink: DataFrame => Unit): StreamingQuery =
+    runBatches(docs, state, idCol, textCol, minOccurrences, maxDupRatio,
+      compactEvery, checkpointPath, queryCheckpointLocation)(
+      (kept, _) => sink(kept))
+
+  /** [[run]] with the rebase-stable batch id passed to the sink
+    * ([[NearDupStream.runBatches]] contract). */
+  def runBatches(
+      docs: DataFrame,
+      state: IndexState,
+      idCol: String,
+      textCol: String,
+      minOccurrences: Int = 2,
+      maxDupRatio: Double = 0.5,
+      compactEvery: Long = 100,
+      checkpointPath: Option[String] = None,
+      queryCheckpointLocation: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    DedupLoop.run(docs, state, idCol,
+      new SsOps(idCol, textCol, minOccurrences, maxDupRatio),
+      compactEvery, checkpointPath, queryCheckpointLocation)(sink)
+}

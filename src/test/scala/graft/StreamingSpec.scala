@@ -556,6 +556,63 @@ class StreamingSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("substring gate stream: recycled content drops, WAL + compaction restore") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.SubstringStream
+
+    // Corpus phrase "w1 w2 w3 w4" seeds the window table (windowTokens=4).
+    val corpus = Seq((1L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sswal").toString
+    val s1 = SubstringStream.resume(spark, dir, corpus, "doc_id", "text",
+      windowTokens = 4)
+    assert(s1.lastIndexedBatch == -1L)
+
+    val in1 = MemoryStream[NdDoc]
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    // compactEvery = 2: batch 1 compacts layered freq + saves a generation.
+    val q1 = SubstringStream.run(in1.toDF(), s1, "doc_id", "text",
+        minOccurrences = 2, maxDupRatio = 0.5, compactEvery = 2,
+        checkpointPath = Some(dir)) { kept =>
+      got ++= kept.select("doc_id").as[Long].collect()
+    }
+    // batch 0: 10 = pure corpus recycle (1 window, duplicated -> ratio 1
+    // > 0.5, dropped); 15 = novel 5-token doc (2 windows, 0 dup, kept);
+    // 16 = too short for any window (kept, no evidence).
+    in1.addData(NdDoc(10, "w1 w2 w3 w4"), NdDoc(15, "n1 n2 n3 n4 n5"),
+      NdDoc(16, "tiny doc"))
+    q1.processAllAvailable()
+    // batch 1: 20 recycles batch-0's phrase entirely (both windows seen
+    // -> ratio 1, dropped); 30 = half-novel (windows: [n1..n4] dup,
+    // [x n1 n2 n3]/[q x n1 n2]... construct 6 tokens: "q x n1 n2 n3 n4"
+    // -> windows qxn1n2, xn1n2n3, n1n2n3n4 -> 1 of 3 dup -> ratio 0.33
+    // <= 0.5, kept.
+    in1.addData(NdDoc(20, "n1 n2 n3 n4 n5"), NdDoc(30, "q x n1 n2 n3 n4"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(got.toSet == Set(15L, 16L, 30L))
+
+    // Restart from the compacted generation (+ retained last delta).
+    val s2 = SubstringStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "text", windowTokens = 4)
+    assert(s2.lastIndexedBatch == 1L)
+    // A post-restart arrival recycling stream history drops.
+    val in2 = MemoryStream[NdDoc]
+    val got2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = SubstringStream.run(in2.toDF(), s2, "doc_id", "text",
+        minOccurrences = 2, maxDupRatio = 0.5, compactEvery = 1000,
+        checkpointPath = Some(dir)) { kept =>
+      got2 ++= kept.select("doc_id").as[Long].collect()
+    }
+    in2.addData(NdDoc(50, "n1 n2 n3 n4 n5"), NdDoc(60, "f1 f2 f3 f4 f5"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.toSet == Set(60L),
+      "cross-run recycle must drop; novel doc must survive the restart")
+    Dedup.releaseSketchCaches()
+  }
+
   test("exact-dedup stream: compaction saves a generation the restart loads") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

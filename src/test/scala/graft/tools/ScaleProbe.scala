@@ -140,6 +140,12 @@ object ScaleProbe {
     time("d16_dedup_substring_index pass2 (probe only)") {
       graft.SparkEntry.queries("d16_dedup_substring_index")(spark, sfDir)
     }
+    time("m7_frame_overlap (shared-frame pairs)") {
+      graft.SparkEntry.queries("m7_frame_overlap")(spark, sfDir)
+    }
+    time("m6_phash_neardup (hamming buckets)") {
+      graft.SparkEntry.queries("m6_phash_neardup")(spark, sfDir)
+    }
     if (wanted("strip")) {
       time("stripDupSpans (interval merge + token cut)") {
         graft.operators.Dedup.stripDupSpans(docs, "doc_id", "text",
