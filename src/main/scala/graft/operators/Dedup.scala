@@ -1565,10 +1565,15 @@ object Dedup {
       params = Seq((index.windowTokens, numBuckets, batchId))
         .toDF("window_tokens", "num_buckets", "batch_id"),
       dropTables = g => Seq(ssTable(path, g))) { (gdir, gen) =>
-      // Layered frequency frames merge at save time, so the stored
-      // generation is always one unique-h table.
-      graft.sources.Sink.bucketedExternal(
-        index.freq.groupBy("h").agg(sum(col("occ")).as("occ")),
+      // A layered index (union lineage — `layers` nonempty) merges at save
+      // time so the stored generation is one unique-h table; compacted /
+      // freshly-loaded indexes (layers empty) are already merged and skip
+      // the index-wide aggregate — the streaming save path always saves
+      // compacted, so the hot path never pays it.
+      val freqToSave =
+        if (index.layers.isEmpty) index.freq
+        else index.freq.groupBy("h").agg(sum(col("occ")).as("occ"))
+      graft.sources.Sink.bucketedExternal(freqToSave,
         ssTable(path, gen), s"$gdir/freq", "h", numBuckets, "h")
       kept.foreach(_.select(col("doc_id").cast("long").as("doc_id"))
         .write.mode("overwrite").parquet(s"$gdir/kept"))
@@ -1636,20 +1641,26 @@ object Dedup {
       batch: DataFrame, idCol: String, textCol: String,
       minOccurrences: Int, maxDupRatio: Double)
       : (DataFrame, DataFrame, SubstringIndex) = {
-    val stats = probeSubstringDups(index, batch, idCol, textCol,
-      minOccurrences)
+    // One window pass serves probe AND frequency layer. bwins rides in
+    // `layers` even though the extended freq doesn't reference it: layers
+    // are what the loop releases one compaction late, and without that
+    // bookkeeping the per-batch window cache would leak for the stream's
+    // lifetime (the probe's stats stay lazy until the sink's action, so
+    // it cannot be unpersisted here).
+    val bwins = persistSketch(
+      tokenWindows(batch, idCol, textCol, index.windowTokens))
+    val stats = probeSubstringDupsWith(index, bwins, minOccurrences)
     val keptIds = batch.select(col(idCol).cast("long").as("doc_id"))
       .join(stats, Seq("doc_id"), "left")
       .where(col("n_windows").isNull ||
         col("n_dup_windows") <= col("n_windows") * maxDupRatio)
       .select("doc_id")
     val bfreq = persistSketch(
-      tokenWindows(batch, idCol, textCol, index.windowTokens)
-        .groupBy("h").agg(count(lit(1)).as("occ")))
+      bwins.groupBy("h").agg(count(lit(1)).as("occ")))
     bfreq.count()
     (keptIds, bfreq,
       index.copy(freq = index.freq.union(bfreq),
-        layers = index.layers :+ bfreq))
+        layers = index.layers :+ bwins :+ bfreq))
   }
 
   /** Flatten a layered [[SubstringIndex]] into one merged resident frame
@@ -1677,9 +1688,16 @@ object Dedup {
     * frequency join whose index side reads pre-bucketed after a
     * save/load round-trip. */
   def probeSubstringDups(index: SubstringIndex, batch: DataFrame,
-      idCol: String, textCol: String, minOccurrences: Int = 2): DataFrame = {
-    val bwins = persistSketch(
-      tokenWindows(batch, idCol, textCol, index.windowTokens))
+      idCol: String, textCol: String, minOccurrences: Int = 2): DataFrame =
+    probeSubstringDupsWith(index, persistSketch(
+      tokenWindows(batch, idCol, textCol, index.windowTokens)),
+      minOccurrences)
+
+  /** [[probeSubstringDups]] over a caller-held window frame (the streaming
+    * path computes the batch's windows ONCE and derives probe, frequency
+    * layer, and release bookkeeping from the same handle). */
+  private def probeSubstringDupsWith(index: SubstringIndex,
+      bwins: DataFrame, minOccurrences: Int): DataFrame = {
     // The sum-aggregate (not a bare join) makes the probe tolerant of a
     // LAYERED index — a streaming extension unions per-batch frequency
     // frames, so one hash may carry several (h, occ) rows until the next

@@ -34,11 +34,16 @@ object DedupLoop {
     private[streaming] def adopt(next: I): Unit = current = next
   }
 
-  /** Index-specific operations the loop composes. All checkpoint-layout
+  /** Index-specific operations the loop composes. The checkpoint-layout
     * helpers (delta matching, recorded kept-sets, delta pruning) follow
     * the shared `$path/delta/b<id>/…` + `$path/g<N>/…` conventions in
-    * `operators.Dedup`. */
+    * `operators.Dedup` and are provided as DEFAULTS — every index family
+    * uses the same layout, so the conventions live once here, not once
+    * per Ops implementation. */
   trait Ops[I] {
+    /** The batch's id column — the delta id-list and sink joins key on
+      * it. */
+    def idCol: String
     /** Probe `batch` against `idx`: (kept-ids frame with one `doc_id`
       * long column, extended index). When `checkpoint` is set, the
       * batch's WAL delta — its new index layer(s), full id-list, and
@@ -54,14 +59,18 @@ object DedupLoop {
     def compact(idx: I): I
     /** Save a fresh crash-safe generation recording `walId`/`kept`. */
     def save(idx: I, path: String, walId: Long, kept: DataFrame): Unit
-    def clearDeltas(spark: SparkSession, path: String, upTo: Long): Unit
+    def clearDeltas(spark: SparkSession, path: String, upTo: Long): Unit =
+      graft.operators.Dedup.clearIndexDeltas(spark, path, upTo)
     /** True when the WAL delta at `batchId` covers exactly this batch's
       * docs (genuine replay vs batch-id collision). */
     def deltaMatchesBatch(spark: SparkSession, path: String, batchId: Long,
-        batch: DataFrame): Boolean
+        batch: DataFrame): Boolean =
+      graft.operators.Dedup.deltaMatchesBatch(spark, path, batchId, batch,
+        idCol)
     /** The kept-set recorded for `batchId`, if the checkpoint has it. */
     def checkpointKept(spark: SparkSession, path: String,
-        batchId: Long): Option[DataFrame]
+        batchId: Long): Option[DataFrame] =
+      graft.operators.Dedup.checkpointKept(spark, path, batchId)
   }
 
   /** Start the loop. Semantics and durability contract are documented on

@@ -51,7 +51,7 @@ object FpDedupStream {
         new DedupLoop.IndexState(Dedup.loadFingerprintIndex(spark, path))
     }
 
-  private final class FpOps(idCol: String, textCol: String)
+  private final class FpOps(val idCol: String, textCol: String)
       extends DedupLoop.Ops[FingerprintIndex] {
     def probeAndLog(idx: FingerprintIndex, batch: DataFrame,
         checkpoint: Option[String], walId: Long)
@@ -69,14 +69,6 @@ object FpDedupStream {
         kept: DataFrame): Unit =
       Dedup.saveFingerprintIndex(idx, path, batchId = walId,
         kept = Some(kept))
-    def clearDeltas(spark: SparkSession, path: String, upTo: Long): Unit =
-      Dedup.clearIndexDeltas(spark, path, upTo)
-    def deltaMatchesBatch(spark: SparkSession, path: String, batchId: Long,
-        batch: DataFrame): Boolean =
-      Dedup.deltaMatchesBatch(spark, path, batchId, batch, idCol)
-    def checkpointKept(spark: SparkSession, path: String,
-        batchId: Long): Option[DataFrame] =
-      Dedup.checkpointKept(spark, path, batchId)
   }
 
   /** Start the exact-dedup stream: kept (novel-content, first-in-batch)

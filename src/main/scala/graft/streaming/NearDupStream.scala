@@ -84,7 +84,7 @@ object NearDupStream {
         new DedupLoop.IndexState(Dedup.loadIndex(spark, path))
     }
 
-  private final class NdOps(idCol: String, textCol: String)
+  private final class NdOps(val idCol: String, textCol: String)
       extends DedupLoop.Ops[NearDupIndex] {
     def probeAndLog(idx: NearDupIndex, batch: DataFrame,
         checkpoint: Option[String], walId: Long): (DataFrame, NearDupIndex) = {
@@ -102,14 +102,6 @@ object NearDupStream {
     def save(idx: NearDupIndex, path: String, walId: Long,
         kept: DataFrame): Unit =
       Dedup.saveIndex(idx, path, batchId = walId, kept = Some(kept))
-    def clearDeltas(spark: SparkSession, path: String, upTo: Long): Unit =
-      Dedup.clearIndexDeltas(spark, path, upTo)
-    def deltaMatchesBatch(spark: SparkSession, path: String, batchId: Long,
-        batch: DataFrame): Boolean =
-      Dedup.deltaMatchesBatch(spark, path, batchId, batch, idCol)
-    def checkpointKept(spark: SparkSession, path: String,
-        batchId: Long): Option[DataFrame] =
-      Dedup.checkpointKept(spark, path, batchId)
   }
 
   /** Start the dedup stream: each micro-batch is probed against the

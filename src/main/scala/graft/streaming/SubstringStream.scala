@@ -46,7 +46,7 @@ object SubstringStream {
         new DedupLoop.IndexState(Dedup.loadSubstringIndex(spark, path))
     }
 
-  private final class SsOps(idCol: String, textCol: String,
+  private final class SsOps(val idCol: String, textCol: String,
       minOccurrences: Int, maxDupRatio: Double)
       extends DedupLoop.Ops[SubstringIndex] {
     def probeAndLog(idx: SubstringIndex, batch: DataFrame,
@@ -65,14 +65,6 @@ object SubstringStream {
         kept: DataFrame): Unit =
       Dedup.saveSubstringIndex(idx, path, batchId = walId,
         kept = Some(kept))
-    def clearDeltas(spark: SparkSession, path: String, upTo: Long): Unit =
-      Dedup.clearIndexDeltas(spark, path, upTo)
-    def deltaMatchesBatch(spark: SparkSession, path: String, batchId: Long,
-        batch: DataFrame): Boolean =
-      Dedup.deltaMatchesBatch(spark, path, batchId, batch, idCol)
-    def checkpointKept(spark: SparkSession, path: String,
-        batchId: Long): Option[DataFrame] =
-      Dedup.checkpointKept(spark, path, batchId)
   }
 
   /** Start the substring gate stream: docs at or below `maxDupRatio`
