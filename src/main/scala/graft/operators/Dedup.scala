@@ -1904,7 +1904,8 @@ object Dedup {
       freq: DataFrame,
       k: Int,
       w: Int,
-      maxFreq: Int)
+      maxFreq: Int,
+      private[graft] layers: Seq[DataFrame] = Nil)
 
   /** One corpus scan through the winnowing kernel → posting list + doc
     * frequencies. `fps` is stored RAW (uncapped); the `maxFreq` boilerplate
@@ -1918,7 +1919,7 @@ object Dedup {
       explode(graft.functions.GraftFunctions.winnow(col(textCol), k, w))
         .as("fp")))
     val freq = persistSketch(flat.groupBy("fp").agg(count(lit(1)).as("f")))
-    WinnowIndex(flat, freq, k, w, maxFreq)
+    WinnowIndex(flat, freq, k, w, maxFreq, layers = Seq(flat, freq))
   }
 
   private def wnTable(path: String, gen: Int): String =
@@ -1936,18 +1937,27 @@ object Dedup {
     * magnitude, far too big to broadcast), so the probe's cap-filter join
     * must be a co-located bucket join, not a broadcast. */
   def saveWinnowIndex(index: WinnowIndex, path: String,
-      numBuckets: Int = 32): Unit = {
+      numBuckets: Int = 32, batchId: Long = -1L,
+      kept: Option[DataFrame] = None): Unit = {
     val spark = index.fps.sparkSession
     import spark.implicits._
     saveGenerational(spark, path,
-      params = Seq((index.k, index.w, index.maxFreq, numBuckets))
-        .toDF("k", "w", "max_freq", "num_buckets"),
+      params = Seq((index.k, index.w, index.maxFreq, numBuckets, batchId))
+        .toDF("k", "w", "max_freq", "num_buckets", "batch_id"),
       dropTables = g => Seq(wnTable(path, g), wnFreqTable(path, g))) {
       (gdir, gen) =>
         graft.sources.Sink.bucketedExternal(index.fps,
           wnTable(path, gen), s"$gdir/fps", "fp", numBuckets, "fp")
-        graft.sources.Sink.bucketedExternal(index.freq,
+        // A layered index merges its frequency union at save time
+        // (compacted/loaded indexes are already merged and skip it —
+        // the streaming save path always saves compacted).
+        val freqToSave =
+          if (index.layers.isEmpty) index.freq
+          else index.freq.groupBy("fp").agg(sum(col("f")).as("f"))
+        graft.sources.Sink.bucketedExternal(freqToSave,
           wnFreqTable(path, gen), s"$gdir/freq", "fp", numBuckets, "fp")
+        kept.foreach(_.select(col("doc_id").cast("long").as("doc_id"))
+          .write.mode("overwrite").parquet(s"$gdir/kept"))
     }
   }
 
@@ -2030,4 +2040,107 @@ object Dedup {
       freq = index.freq.select("fp", "f").union(bfreq)
         .groupBy("fp").agg(sum(col("f")).as("f")))
   }
+
+  /** The streaming probe step for the winnow arrival path. First-arrival-
+    * wins like the near-dup stream: batch doc b is DROPPED iff it shares
+    * ≥ `minShared` cap-surviving fingerprints with any indexed doc or any
+    * smaller-id doc in the same batch (a doc pairing an already-dropped
+    * earlier arrival is still a duplicate). The `maxFreq` boilerplate cap
+    * uses the INDEX side's frequency — summed across layers but computed
+    * BATCH-SCOPED (a semi join restricts the frequency scan to the
+    * batch's fingerprints before the sum, so the per-batch aggregate is
+    * batch-hash-sized, never corpus-wide); within-batch self-pairs cap on
+    * batch-internal counts via [[sharedKeyPairs]]. The FULL batch's
+    * postings + counts fold in as layers ([[compactWnIndex]] merges). */
+  private[graft] def probeAndExtendWnParts(index: WinnowIndex,
+      batch: DataFrame, idCol: String, textCol: String, minShared: Int)
+      : (DataFrame, DataFrame, DataFrame, WinnowIndex) = {
+    val bflat = persistSketch(Balance(batch).select(
+      col(idCol).cast("long").as("id"),
+      explode(graft.functions.GraftFunctions
+        .winnow(col(textCol), index.k, index.w)).as("fp")))
+    bflat.count()
+    val bfreq = persistSketch(
+      bflat.groupBy("fp").agg(count(lit(1)).as("f")))
+    bfreq.count()
+
+    // Batch-scoped hot-fingerprint set: index frequency summed over
+    // layers, restricted to fingerprints this batch carries.
+    val hot = index.freq
+      .join(bflat.select("fp").distinct(), Seq("fp"), "left_semi")
+      .groupBy("fp").agg(sum(col("f")).as("f"))
+      .where(col("f") > index.maxFreq)
+      .select("fp")
+    val bOk = bflat.join(hot, Seq("fp"), "left_anti")
+
+    // Cross hits: batch docs sharing >= minShared fps with an indexed doc.
+    val crossHits = index.fps.join(
+        bOk.select(col("id").as("b_id"), col("fp")), "fp")
+      .groupBy(col("id"), col("b_id"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minShared)
+      .select(col("b_id").as("doc_id")).distinct()
+    // In-batch hits: b side of any smaller-id pair (batch-internal cap).
+    val selfHits = sharedKeyPairs(bOk, index.maxFreq, minShared)
+      .select(col("b_id").as("doc_id")).distinct()
+
+    val keptIds = batch.select(col(idCol).cast("long").as("doc_id"))
+      .join(crossHits.union(selfHits), Seq("doc_id"), "left_anti")
+    (keptIds, bflat, bfreq,
+      index.copy(fps = index.fps.union(bflat),
+        freq = index.freq.union(bfreq),
+        layers = index.layers :+ bflat :+ bfreq))
+  }
+
+  /** Write one micro-batch's winnow fold to the write-ahead delta log
+    * (`$path/delta/b<id>/{fps,freq,ids,kept}`, kept LAST — shared replay
+    * helpers apply). */
+  private[graft] def appendWnDelta(path: String, batchId: Long,
+      fps: DataFrame, freq: DataFrame, ids: DataFrame,
+      kept: DataFrame): Unit = {
+    val d = s"$path/delta/b$batchId"
+    fps.write.mode("overwrite").parquet(s"$d/fps")
+    freq.write.mode("overwrite").parquet(s"$d/freq")
+    ids.write.mode("overwrite").parquet(s"$d/ids")
+    kept.select(col("doc_id").cast("long").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$d/kept")
+  }
+
+  /** Restore the full winnow-index state: newest generation + every newer
+    * write-ahead delta as layers. Returns (index, last folded batch). */
+  private[graft] def loadWnIndexWithDeltas(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(WinnowIndex, Long)] =
+    completeGens(spark, path).headOption.map { g =>
+      val idx0 = loadWinnowIndex(spark, path)
+      val p = spark.read.parquet(s"$path/g$g/params").head()
+      val genBatch =
+        if (p.schema.fieldNames.contains("batch_id"))
+          p.getAs[Long]("batch_id")
+        else -1L
+      val deltas = indexDeltaBatches(spark, path).filter(_ > genBatch)
+      val idx = deltas.foldLeft(idx0) { (acc, b) =>
+        val fl = persistSketch(spark.read.parquet(s"$path/delta/b$b/fps"))
+        val fr = persistSketch(spark.read.parquet(s"$path/delta/b$b/freq"))
+        fl.count(); fr.count() // materialize before any later WAL append
+        acc.copy(fps = acc.fps.union(fl), freq = acc.freq.union(fr),
+          layers = acc.layers ++ Seq(fl, fr))
+      }
+      (idx, deltas.lastOption.getOrElse(genBatch))
+    }
+
+  /** Flatten a layered [[WinnowIndex]]: postings localCheckpoint, freq
+    * merged ([[compactIndex]] contract for `releaseOld`). */
+  def compactWnIndex(index: WinnowIndex,
+      releaseOld: Boolean = true): WinnowIndex = {
+    val fl = index.fps.localCheckpoint(true)
+    val fr = index.freq.groupBy("fp").agg(sum(col("f")).as("f"))
+      .localCheckpoint(true)
+    if (releaseOld) index.layers.foreach(_.unpersist(false))
+    WinnowIndex(fl, fr, index.k, index.w, index.maxFreq, layers = Nil)
+  }
+
+  /** Unpersist exactly the layers `index` references. */
+  def releaseWnIndex(index: WinnowIndex): Unit =
+    index.layers.foreach(_.unpersist(false))
 }

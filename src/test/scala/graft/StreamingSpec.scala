@@ -613,6 +613,58 @@ class StreamingSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("winnow stream: corpus/cross-batch/in-batch dups drop, restart restores") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.WinnowStream
+
+    // Long repeated-character docs give dense winnow fingerprints; the
+    // spec-pinned winnow guarantee (shared run >= w+k-1 => shared fp)
+    // makes full-copy pairs certain at these sizes.
+    def doc(c: Char) = s"$c" * 300
+    val corpus = Seq((1L, doc('a'))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("wnstream").toString
+    val s1 = WinnowStream.resume(spark, dir, corpus, "doc_id", "text",
+      k = 8, w = 4, maxFreq = 1000)
+    assert(s1.lastIndexedBatch == -1L)
+
+    val in1 = MemoryStream[NdDoc]
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    // compactEvery = 2: batch 1 compacts layered fps/freq + saves a gen.
+    val q1 = WinnowStream.run(in1.toDF(), s1, "doc_id", "text",
+        minShared = 1, compactEvery = 2, checkpointPath = Some(dir)) {
+      kept => got ++= kept.select("doc_id").as[Long].collect()
+    }
+    // batch 0: 10 copies corpus doc (drop); 15 novel (keep); 20 copies 15
+    // IN-batch, larger id (drop).
+    in1.addData(NdDoc(10, doc('a')), NdDoc(15, doc('b')),
+      NdDoc(20, doc('b')))
+    q1.processAllAvailable()
+    // batch 1: 30 copies batch-0's doc 15 (cross-batch drop); 40 novel.
+    in1.addData(NdDoc(30, doc('b')), NdDoc(40, doc('c')))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(got.toSet == Set(15L, 40L))
+
+    // Restart from the compacted generation: history preserved.
+    val s2 = WinnowStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "text", k = 8, w = 4, maxFreq = 1000)
+    assert(s2.lastIndexedBatch == 1L)
+    val in2 = MemoryStream[NdDoc]
+    val got2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = WinnowStream.run(in2.toDF(), s2, "doc_id", "text",
+        minShared = 1, compactEvery = 1000, checkpointPath = Some(dir)) {
+      kept => got2 ++= kept.select("doc_id").as[Long].collect()
+    }
+    in2.addData(NdDoc(50, doc('c')), NdDoc(60, doc('d')))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.toSet == Set(60L),
+      "cross-run dup must drop; novel doc must survive the restart")
+    Dedup.releaseSketchCaches()
+  }
+
   test("exact-dedup stream: compaction saves a generation the restart loads") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
