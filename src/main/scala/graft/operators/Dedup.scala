@@ -1135,8 +1135,15 @@ object Dedup {
     * ([[withSketchCache]] / [[releaseSketchCaches]] contract). Returns
     * (a_id, b_id, n_shared), a_id < b_id. */
   private[operators] def sharedKeyPairs(flat: DataFrame, maxFreq: Int,
+      minShared: Int): DataFrame =
+    sharedKeyPairsOn(persistSketch(flat), maxFreq, minShared)
+
+  /** [[sharedKeyPairs]] over a frame the CALLER persists and releases —
+    * the streaming path tracks its batch frames as index layers so the
+    * loop's one-compaction-late release bounds them; an internal persist
+    * here would escape that bookkeeping and leak one cache per batch. */
+  private[operators] def sharedKeyPairsOn(f: DataFrame, maxFreq: Int,
       minShared: Int): DataFrame = {
-    val f = persistSketch(flat)
     val rare = f
       .withColumn("__f", count(lit(1)).over(Window.partitionBy("fp")))
       .where(col("__f") <= maxFreq)
@@ -1905,7 +1912,13 @@ object Dedup {
       k: Int,
       w: Int,
       maxFreq: Int,
-      private[graft] layers: Seq[DataFrame] = Nil)
+      private[graft] layers: Seq[DataFrame] = Nil,
+      /** True when `freq` is a UNION of per-batch layers (multiple rows
+        * per fp until compaction merges them). Tracked explicitly —
+        * `layers` is cache-release bookkeeping and also holds frames of a
+        * freshly-BUILT index whose freq is already merged, so it cannot
+        * proxy for this. */
+      private[graft] freqLayered: Boolean = false)
 
   /** One corpus scan through the winnowing kernel → posting list + doc
     * frequencies. `fps` is stored RAW (uncapped); the `maxFreq` boilerplate
@@ -1949,11 +1962,12 @@ object Dedup {
         graft.sources.Sink.bucketedExternal(index.fps,
           wnTable(path, gen), s"$gdir/fps", "fp", numBuckets, "fp")
         // A layered index merges its frequency union at save time
-        // (compacted/loaded indexes are already merged and skip it —
-        // the streaming save path always saves compacted).
+        // (built/compacted/loaded indexes are already merged and skip
+        // it — the streaming save path always saves compacted).
         val freqToSave =
-          if (index.layers.isEmpty) index.freq
-          else index.freq.groupBy("fp").agg(sum(col("f")).as("f"))
+          if (index.freqLayered)
+            index.freq.groupBy("fp").agg(sum(col("f")).as("f"))
+          else index.freq
         graft.sources.Sink.bucketedExternal(freqToSave,
           wnFreqTable(path, gen), s"$gdir/freq", "fp", numBuckets, "fp")
         kept.foreach(_.select(col("doc_id").cast("long").as("doc_id"))
@@ -1981,24 +1995,36 @@ object Dedup {
     * (legacy generations with a plain-parquet `freq` load cached like a
     * fresh build's instead — see [[hasBucketedFiles]]). */
   def loadWinnowIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): WinnowIndex = {
-    val g = completeGens(spark, path).headOption.getOrElse(
+      path: String): WinnowIndex =
+    loadLatestWnGen(spark, path).map(_._1).getOrElse(
       throw new IllegalArgumentException(
         s"no committed winnowing index at $path"))
-    val gdir = s"$path/g$g"
-    val p = spark.read.parquet(s"$gdir/params").head()
-    val nb = p.getAs[Int]("num_buckets")
-    val freq =
-      if (hasBucketedFiles(spark, s"$gdir/freq"))
-        reRegisterBucketed(spark, wnFreqTable(path, g),
-          "fp bigint, f bigint", "fp", nb, s"$gdir/freq")
-      else persistSketch(spark.read.parquet(s"$gdir/freq"))
-    WinnowIndex(
-      reRegisterBucketed(spark, wnTable(path, g),
-        "id bigint, fp bigint", "fp", nb, s"$gdir/fps"),
-      freq,
-      p.getAs[Int]("k"), p.getAs[Int]("w"), p.getAs[Int]("max_freq"))
-  }
+
+  /** (index, generation batch id) of the newest committed generation —
+    * one directory listing, one params read (the sibling-family loader
+    * shape). */
+  private def loadLatestWnGen(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(WinnowIndex, Long)] =
+    completeGens(spark, path).headOption.map { g =>
+      val gdir = s"$path/g$g"
+      val p = spark.read.parquet(s"$gdir/params").head()
+      val nb = p.getAs[Int]("num_buckets")
+      val freq =
+        if (hasBucketedFiles(spark, s"$gdir/freq"))
+          reRegisterBucketed(spark, wnFreqTable(path, g),
+            "fp bigint, f bigint", "fp", nb, s"$gdir/freq")
+        else persistSketch(spark.read.parquet(s"$gdir/freq"))
+      val batchId =
+        if (p.schema.fieldNames.contains("batch_id"))
+          p.getAs[Long]("batch_id")
+        else -1L
+      (WinnowIndex(
+        reRegisterBucketed(spark, wnTable(path, g),
+          "id bigint, fp bigint", "fp", nb, s"$gdir/fps"),
+        freq,
+        p.getAs[Int]("k"), p.getAs[Int]("w"), p.getAs[Int]("max_freq")),
+        batchId)
+    }
 
   /** Near-dup pairs (a_id = indexed doc, b_id = batch doc, n_shared) of an
     * arriving batch against the persisted index: the batch is winnowed with
@@ -2017,7 +2043,15 @@ object Dedup {
       col(idCol).cast("long").as("b_id"),
       explode(graft.functions.GraftFunctions
         .winnow(col(textCol), index.k, index.w)).as("fp"))
-    val rare = index.freq.where(col("f") <= index.maxFreq).select("fp")
+    // Sum-then-filter keeps the cap correct on a LAYERED freq (multiple
+    // rows per fp between compactions: a per-row filter would cap
+    // per-layer and the surviving duplicates would multiply n_shared).
+    // On the loaded bucketed table the aggregation's required
+    // distribution is already satisfied by the fp hash-partitioning, so
+    // no exchange appears and the cap join stays co-located
+    // (IncrementalDedupSpec asserts the plan).
+    val rare = index.freq.groupBy("fp").agg(sum(col("f")).as("f"))
+      .where(col("f") <= index.maxFreq).select("fp")
     index.fps.join(rare, "fp")
       .join(bflat, "fp")
       .groupBy(col("id").as("a_id"), col("b_id"))
@@ -2071,7 +2105,10 @@ object Dedup {
       .groupBy("fp").agg(sum(col("f")).as("f"))
       .where(col("f") > index.maxFreq)
       .select("fp")
-    val bOk = bflat.join(hot, Seq("fp"), "left_anti")
+    // Persisted + tracked as a layer: both the cross join and the
+    // self-join's two sides read it, and the loop's one-compaction-late
+    // release is what bounds per-batch caches over an unbounded stream.
+    val bOk = persistSketch(bflat.join(hot, Seq("fp"), "left_anti"))
 
     // Cross hits: batch docs sharing >= minShared fps with an indexed doc.
     val crossHits = index.fps.join(
@@ -2081,15 +2118,15 @@ object Dedup {
       .where(col("n") >= minShared)
       .select(col("b_id").as("doc_id")).distinct()
     // In-batch hits: b side of any smaller-id pair (batch-internal cap).
-    val selfHits = sharedKeyPairs(bOk, index.maxFreq, minShared)
+    val selfHits = sharedKeyPairsOn(bOk, index.maxFreq, minShared)
       .select(col("b_id").as("doc_id")).distinct()
 
     val keptIds = batch.select(col(idCol).cast("long").as("doc_id"))
       .join(crossHits.union(selfHits), Seq("doc_id"), "left_anti")
     (keptIds, bflat, bfreq,
       index.copy(fps = index.fps.union(bflat),
-        freq = index.freq.union(bfreq),
-        layers = index.layers :+ bflat :+ bfreq))
+        freq = index.freq.union(bfreq), freqLayered = true,
+        layers = index.layers :+ bflat :+ bfreq :+ bOk))
   }
 
   /** Write one micro-batch's winnow fold to the write-ahead delta log
@@ -2111,20 +2148,14 @@ object Dedup {
   private[graft] def loadWnIndexWithDeltas(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Option[(WinnowIndex, Long)] =
-    completeGens(spark, path).headOption.map { g =>
-      val idx0 = loadWinnowIndex(spark, path)
-      val p = spark.read.parquet(s"$path/g$g/params").head()
-      val genBatch =
-        if (p.schema.fieldNames.contains("batch_id"))
-          p.getAs[Long]("batch_id")
-        else -1L
+    loadLatestWnGen(spark, path).map { case (idx0, genBatch) =>
       val deltas = indexDeltaBatches(spark, path).filter(_ > genBatch)
       val idx = deltas.foldLeft(idx0) { (acc, b) =>
         val fl = persistSketch(spark.read.parquet(s"$path/delta/b$b/fps"))
         val fr = persistSketch(spark.read.parquet(s"$path/delta/b$b/freq"))
         fl.count(); fr.count() // materialize before any later WAL append
         acc.copy(fps = acc.fps.union(fl), freq = acc.freq.union(fr),
-          layers = acc.layers ++ Seq(fl, fr))
+          freqLayered = true, layers = acc.layers ++ Seq(fl, fr))
       }
       (idx, deltas.lastOption.getOrElse(genBatch))
     }
