@@ -46,7 +46,7 @@ object Dedup {
     * [[releaseSketchCaches]] drops everything. */
   private val sketchCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  private def persistSketch(df: DataFrame): DataFrame = {
+  private[operators] def persistSketch(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sketchCaches.synchronized { sketchCaches += p }
     p
@@ -605,16 +605,24 @@ object Dedup {
       path: String): NearDupIndex = {
     val params = spark.read.parquet(s"$path/params").head()
     val tbl = legacyPrefixTable(path)
+    // num_buckets in params is a claim, not a guarantee: a checkpoint
+    // whose prefixes were written as plain parquet (params from a newer
+    // writer over an older artifact, or a partially migrated layout)
+    // would make every later probe throw INVALID_BUCKET_FILE if a
+    // bucketed table were registered over it — verify the files carry
+    // bucket-id suffixes before trusting the claim, exactly as the
+    // winnow freq loader does.
     val prefixes =
       if (spark.catalog.tableExists(tbl)) spark.table(tbl)
-      else if (params.schema.fieldNames.contains("num_buckets")) {
+      else if (params.schema.fieldNames.contains("num_buckets") &&
+          hasBucketedFiles(spark, s"$path/prefixes")) {
         val nb = params.getAs[Int]("num_buckets")
         spark.sql(
           s"""create table $tbl (id bigint, h bigint, r bigint, n bigint)
              |using parquet clustered by (h) sorted by (h) into $nb buckets
              |location '$path/prefixes'""".stripMargin)
         spark.table(tbl)
-      } else spark.read.parquet(s"$path/prefixes") // pre-bucketing format
+      } else persistSketch(spark.read.parquet(s"$path/prefixes"))
     val docsets = persistSketch(spark.read.parquet(s"$path/docsets"))
     val freq = persistSketch(spark.read.parquet(s"$path/freq"))
     NearDupIndex(docsets, prefixes, freq,
@@ -654,22 +662,71 @@ object Dedup {
     fsFor(spark, path).exists(
       new org.apache.hadoop.fs.Path(s"$path/params"))
 
+  /** The batch's (doc_id, fp) replay-identity frame: ids plus a per-doc
+    * CONTENT fingerprint. The fp column is what lets replay detection
+    * reject a batch that re-delivers the same ids with changed text (a
+    * stream restarted without its engine checkpoint re-reading a mutated
+    * source) — id-set equality alone would misclassify it as a replay,
+    * sink the stale recorded kept-set, and never fold the new content. */
+  private[graft] def batchReplayIds(batch: DataFrame, idCol: String,
+      textCol: Option[String]): DataFrame = textCol match {
+    case Some(t) => batch.select(col(idCol).cast("long").as("doc_id"),
+      xxhash64(col(t)).as("fp"))
+    case None => batch.select(col(idCol).cast("long").as("doc_id"))
+  }
+
   /** True when the write-ahead delta recorded under `batchId` covers
     * EXACTLY this batch's documents. A genuine engine replay re-delivers
     * the same docs; a fresh query restarted without the engine checkpoint
-    * reuses the same batch ids for NEW data — id-set equality is what
-    * tells them apart. */
+    * reuses the same batch ids for NEW data — (id, content-fingerprint)
+    * set equality is what tells them apart. Deltas written before the fp
+    * column existed (or a caller without a text column) compare ids only. */
   private[graft] def deltaMatchesBatch(
       spark: org.apache.spark.sql.SparkSession, path: String, batchId: Long,
-      batch: DataFrame, idCol: String): Boolean = {
+      batch: DataFrame, idCol: String,
+      textCol: Option[String] = None): Boolean = {
     val fs = fsFor(spark, path)
     val idsPath = s"$path/delta/b$batchId/ids"
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idsPath/_SUCCESS"))) false
     else {
       val recorded = spark.read.parquet(idsPath)
-      val ids = batch.select(col(idCol).cast("long").as("doc_id"))
-      recorded.count() == ids.count() &&
-        ids.except(recorded).limit(1).collect().isEmpty
+      val withFp = textCol.isDefined &&
+        recorded.schema.fieldNames.contains("fp")
+      val rec = if (withFp) recorded.select("doc_id", "fp")
+        else recorded.select("doc_id")
+      val ids = batchReplayIds(batch, idCol, if (withFp) textCol else None)
+      rec.count() == ids.count() &&
+        ids.except(rec).limit(1).collect().isEmpty
+    }
+  }
+
+  /** The committed delta id (≥ `fromId`) whose recorded (id, content-fp)
+    * set covers exactly this batch, if any. Scanning UPWARD from the raw
+    * engine id is what makes replay detection survive a batch-id REBASE:
+    * a prior run that restarted without its engine checkpoint recorded
+    * this batch's delta under `batchId + offset`, and a later engine
+    * replay arrives with the raw id again — only the id-set match, not
+    * the id itself, identifies it. Candidates are bounded by the deltas
+    * outstanding since the last compaction, and only restart-window
+    * batches (id at-or-below the restored high-water mark) ever scan. */
+  private[graft] def findMatchingDelta(
+      spark: org.apache.spark.sql.SparkSession, path: String, fromId: Long,
+      batch: DataFrame, idCol: String,
+      textCol: Option[String] = None): Option[Long] = {
+    val cands = indexDeltaBatches(spark, path).filter(_ >= fromId)
+    if (cands.isEmpty) None
+    else {
+      val n = batch.select(col(idCol)).count()
+      cands.find { b =>
+        val recorded = spark.read.parquet(s"$path/delta/b$b/ids")
+        val withFp = textCol.isDefined &&
+          recorded.schema.fieldNames.contains("fp")
+        val rec = if (withFp) recorded.select("doc_id", "fp")
+          else recorded.select("doc_id")
+        val ids = batchReplayIds(batch, idCol, if (withFp) textCol else None)
+        rec.count() == n &&
+          ids.except(rec).limit(1).collect().isEmpty
+      }
     }
   }
 

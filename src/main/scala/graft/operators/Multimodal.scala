@@ -141,6 +141,48 @@ object Multimodal {
         .select(col("doc_id").as("id"), col("frame_fp").as("fp")).distinct(),
       maxFreq, minShared)
 
+  /** Payload DEDUP — the linear kept-set composition over either pair
+    * primitive ([[frameOverlap]] / [[perceptualNearDups]]): resolve pair
+    * edges into connected components and keep one representative (minimum
+    * id) per cluster plus every unpaired payload. This, not the raw pair
+    * list, is the query shape that survives dup-dense corpora: m6/m7's
+    * pair OUTPUT is C(k,2) per k-copy cluster (quadratic — ~16M rows at
+    * the 40× probe), while the kept-set is linear in the corpus.
+    *
+    * Two-level structure, the d15/SemDeDup shape applied to payload bytes:
+    *   1. identical-content collapse — payloads with the same
+    *      `content_md5` are exact duplicates at ANY similarity setting, so
+    *      only one representative per distinct payload enters the pair
+    *      search (a dup-dense corpus pairs at its DISTINCT size), and each
+    *      copy rejoins its representative's component through one explicit
+    *      edge. This is also a SEMANTIC fix, not just a fast path: raw
+    *      pair queries count frame/bucket frequency per COPY, so a
+    *      payload duplicated beyond `maxFreq` has its own frames capped
+    *      away and the copies never pair — collapse counts frequency per
+    *      distinct content, and exact copies are always dups.
+    *   2. `pairFn` over the representative payloads — near-dup pairs
+    *      among distinct contents only.
+    * Components resolve via [[Dedup.keepRepresentatives]] (driver
+    * union-find under 1M edges, log-round large-star/small-star above).
+    * Returns (id, component) — component == id for every kept row. */
+  def payloadDedup(payloads: DataFrame)(
+      pairFn: DataFrame => DataFrame): DataFrame = {
+    val byContent = Dedup.persistSketch(payloads.select(
+      col("doc_id"), col("meta.content_md5").as("cfp")))
+    val reps = Dedup.persistSketch(byContent.groupBy("cfp")
+      .agg(min("doc_id").as("rep_id")))
+    // rep_id is the group minimum, so rep < copy holds and the edge list
+    // stays in (a_id < b_id) orientation without a sort.
+    val copyEdges = byContent.join(reps, "cfp")
+      .where(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("a_id"), col("doc_id").as("b_id"))
+    val repPayloads = payloads.join(
+      reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val pairs = pairFn(repPayloads).select("a_id", "b_id")
+    Dedup.keepRepresentatives(payloads, "doc_id",
+      copyEdges.unionByName(pairs), "a_id", "b_id")
+  }
+
   /** Perceptual near-dup pairs over binary payloads: a 64-bit byte-block
     * average-hash per payload (one codegen'd kernel projection — the aHash
     * voting step; a true pHash's decode + resize + DCT belongs in the

@@ -561,10 +561,15 @@ object Similarity {
     // Corpus-side multi-assignment is the per-row hot loop: one fused
     // codegen'd top-nprobe kernel (ranking by raw dot == cosine ranking
     // against unit centroids), not an nlist-struct array + sort per row.
-    val coded = c.where(col("cn") > 0)
+    // Persisted because BOTH self-join sides read it (the sharedKeyPairs
+    // contract): without the persist the corpus scan, norm, and
+    // nearest-centroid kernel run twice per call. Released via the
+    // sketch-cache contract (Dedup.withSketchCache /
+    // releaseSketchCaches).
+    val coded = Dedup.persistSketch(c.where(col("cn") > 0)
       .withColumn("list",
         explode(GraftFunctions.nearestCentroids(col("cv"), cents, nprobe)))
-      .select(col("id"), col("cv"), col("cn"), col("list"))
+      .select(col("id"), col("cv"), col("cn"), col("list")))
     coded.as("a").join(coded.as("b"),
         col("a.list") === col("b.list") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),

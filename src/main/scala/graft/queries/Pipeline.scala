@@ -40,10 +40,41 @@ object Pipeline {
     map.get(key) match {
       case Some((ref, idx)) if ref.get eq s => idx
       case _ =>
-        val idx = build
-        map.put(key, (new java.lang.ref.WeakReference(s), idx))
-        idx
+        // Double-checked under the map's lock so two concurrent first
+        // calls build (and write their temp-dir artifacts) once, not
+        // twice. Builds are once-per-(session, sf dir); contention on the
+        // coarse lock is nil.
+        map.synchronized {
+          map.get(key) match {
+            case Some((ref, idx)) if ref.get eq s => idx
+            case _ =>
+              val idx = build
+              map.put(key, (new java.lang.ref.WeakReference(s), idx))
+              idx
+          }
+        }
     }
+  }
+
+  /** Per-build index artifacts under java.io.tmpdir, deleted recursively
+    * when the JVM exits (a session's resident indexes live for the
+    * process; nothing re-reads the files after the process ends). */
+  private val tmpIdxDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val tmpIdxCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpIdxDirs.forEach { root =>
+        try
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => p.toFile.delete(): Unit)
+        catch { case _: java.io.IOException => () }
+      }))
+  private def tempIndexDir(prefix: String): String = {
+    tmpIdxCleanup
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tmpIdxDirs.add(p)
+    p.toString
   }
 
   private val pqIndexes = scala.collection.concurrent.TrieMap.empty[String,
@@ -52,8 +83,7 @@ object Pipeline {
   private def pqIndexFor(s: org.apache.spark.sql.SparkSession, dir: String,
       corpus: org.apache.spark.sql.DataFrame): Similarity.PqIndex =
     cachedIdx(pqIndexes, s, dir) {
-      val path =
-        java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+      val path = tempIndexDir("graft_pq_idx")
       Similarity.savePqIndex(
         Similarity.buildPqIndex(corpus, "vec_id", "embedding"), path)
       Similarity.loadPqIndex(s, path)
@@ -68,8 +98,7 @@ object Pipeline {
   private def ivfIndexFor(s: org.apache.spark.sql.SparkSession, dir: String,
       corpus: org.apache.spark.sql.DataFrame): Similarity.IvfIndex =
     cachedIdx(ivfIndexes, s, dir) {
-      val path =
-        java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      val path = tempIndexDir("graft_ivf_idx")
       Similarity.saveIvfIndex(
         Similarity.buildIvfIndex(corpus, "vec_id", "embedding"), path)
       Similarity.loadIvfIndex(s, path)
@@ -85,8 +114,7 @@ object Pipeline {
   private def fpIndexFor(s: org.apache.spark.sql.SparkSession, dir: String,
       corpus: => org.apache.spark.sql.DataFrame): Dedup.FingerprintIndex =
     cachedIdx(fpIndexes, s, dir) {
-      val path =
-        java.nio.file.Files.createTempDirectory("graft_fp_idx").toString
+      val path = tempIndexDir("graft_fp_idx")
       Dedup.saveFingerprintIndex(
         Dedup.buildFingerprintIndex(corpus, "doc_id", "text"), path)
       Dedup.loadFingerprintIndex(s, path)
@@ -98,8 +126,7 @@ object Pipeline {
   private def wnIndexFor(s: org.apache.spark.sql.SparkSession, dir: String,
       corpus: => org.apache.spark.sql.DataFrame): Dedup.WinnowIndex =
     cachedIdx(wnIndexes, s, dir) {
-      val path =
-        java.nio.file.Files.createTempDirectory("graft_wn_idx").toString
+      val path = tempIndexDir("graft_wn_idx")
       Dedup.saveWinnowIndex(
         Dedup.buildWinnowIndex(corpus, "doc_id", "text",
           k = 16, w = 30, maxFreq = 100), path)
@@ -112,8 +139,7 @@ object Pipeline {
   private def ssIndexFor(s: org.apache.spark.sql.SparkSession, dir: String,
       corpus: => org.apache.spark.sql.DataFrame): Dedup.SubstringIndex =
     cachedIdx(ssIndexes, s, dir) {
-      val path =
-        java.nio.file.Files.createTempDirectory("graft_ss_idx").toString
+      val path = tempIndexDir("graft_ss_idx")
       Dedup.saveSubstringIndex(
         Dedup.buildSubstringIndex(corpus, "doc_id", "text",
           windowTokens = 8), path)
@@ -920,6 +946,67 @@ object Pipeline {
           Multimodal.withPayload(docs.union(twins), "doc_id", "text"),
           frameBytes = 32, minShared = 2, maxFreq = 200)
         .orderBy("a_id", "b_id")
+    },
+    // Payload DEDUP — the linear kept-set m7's raw pairs compose into
+    // (identical-content collapse → frame-overlap pairs among distinct
+    // payloads → components → one representative per cluster): the query
+    // shape that survives dup-dense corpora, where the raw pair list is
+    // quadratic per cluster. Frames are md5 slices, so the whole chain is
+    // deterministic and the oracle replays it: distinct-content
+    // representatives, frame pairs among representatives (frequency cap
+    // per distinct content, not per copy), copy→rep edges, recursive-CTE
+    // transitive closure, min-label components.
+    df("m8_payload_dedup",
+      Some("with recursive docs2 as (select doc_id, text from documents where length(text) >= 64 " +
+        "union all select doc_id + 1000000, text || ' frame overlap tail marker' " +
+        "from documents where length(text) >= 64), " +
+        "reps as (select min(doc_id) as rep_id, text from docs2 group by text), " +
+        "copy_edges as (select r.rep_id as src, d.doc_id as dst from docs2 d " +
+        "join reps r on d.text = r.text where d.doc_id != r.rep_id), " +
+        "frames as (select distinct rep_id as doc_id, md5(text[f*32+1:f*32+32]) as fp " +
+        "from reps, unnest(range(0, (length(text)-1)//32 + 1)) as t(f)), " +
+        "rare as (select * from frames where fp in " +
+        "(select fp from frames group by fp having count(*) <= 200)), " +
+        "cand as (select a.doc_id as a_id, b.doc_id as b_id " +
+        "from rare a join rare b on a.fp = b.fp and a.doc_id < b.doc_id " +
+        "group by 1, 2 having count(*) >= 2), " +
+        "edges as (select src, dst from copy_edges " +
+        "union select dst, src from copy_edges " +
+        "union select a_id, b_id from cand union select b_id, a_id from cand), " +
+        "reach as (select src, dst from edges " +
+        "union select r.src, e.dst from reach r join edges e on r.dst = e.src " +
+        "where r.src != e.dst), " +
+        "comp as (select src as id, least(src, min(dst)) as component " +
+        "from reach group by src), " +
+        "all_docs as (select doc_id as id from docs2) " +
+        "select d.id, coalesce(c.component, d.id) as component from all_docs d " +
+        "left join comp c on d.id = c.id " +
+        "where c.component is null or c.component = d.id order by d.id")) { (s, dir) =>
+      val docs = s.table("documents").where(length(col("text")) >= 64)
+        .select("doc_id", "text")
+      val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" frame overlap tail marker")).as("text"))
+      Multimodal.payloadDedup(
+          Multimodal.withPayload(docs.union(twins), "doc_id", "text"))(
+          Multimodal.frameOverlap(_, frameBytes = 32, minShared = 2,
+            maxFreq = 200))
+        .orderBy("id")
+    },
+    // Perceptual payload dedup — the same kept-set composition over the
+    // m6 aHash/Hamming pair primitive. Hash family is engine-defined →
+    // rows-only; the twin-collapse property (every twin folds into its
+    // original's component) is spec-asserted alongside m6's pair recall
+    // (OperatorsSpec).
+    df("m9_phash_dedup", None) { (s, dir) =>
+      val docs = s.table("documents").where(length(col("text")) >= 64)
+        .select("doc_id", "text")
+      val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat(substring(text, 1, 28), repeat('#', 8), " +
+          "substring(text, 37))").as("text"))
+      Multimodal.payloadDedup(
+          Multimodal.withPayload(docs.union(twins), "doc_id", "text"))(
+          Multimodal.perceptualNearDups(_, maxHamming = 6))
+        .orderBy("id")
     }
   )
 

@@ -44,6 +44,11 @@ object DedupLoop {
     /** The batch's id column — the delta id-list and sink joins key on
       * it. */
     def idCol: String
+    /** The batch's content column. Replay detection fingerprints it
+      * (xxhash64 per doc) so a batch re-delivering the same ids with
+      * CHANGED text is folded as new data, not misclassified as a
+      * replay of the stale recorded kept-set. */
+    def textCol: String
     /** Probe `batch` against `idx`: (kept-ids frame with one `doc_id`
       * long column, extended index). When `checkpoint` is set, the
       * batch's WAL delta — its new index layer(s), full id-list, and
@@ -61,12 +66,19 @@ object DedupLoop {
     def save(idx: I, path: String, walId: Long, kept: DataFrame): Unit
     def clearDeltas(spark: SparkSession, path: String, upTo: Long): Unit =
       graft.operators.Dedup.clearIndexDeltas(spark, path, upTo)
-    /** True when the WAL delta at `batchId` covers exactly this batch's
-      * docs (genuine replay vs batch-id collision). */
-    def deltaMatchesBatch(spark: SparkSession, path: String, batchId: Long,
-        batch: DataFrame): Boolean =
-      graft.operators.Dedup.deltaMatchesBatch(spark, path, batchId, batch,
-        idCol)
+    /** The WAL delta id (≥ `fromId`) whose recorded (id, content-fp) set
+      * covers exactly this batch's docs, if any — a genuine replay, found
+      * even when a prior run's batch-id REBASE recorded it under a higher
+      * id (scanning upward vs id collision:
+      * [[graft.operators.Dedup.findMatchingDelta]]). */
+    def findMatchingDelta(spark: SparkSession, path: String, fromId: Long,
+        batch: DataFrame): Option[Long] =
+      graft.operators.Dedup.findMatchingDelta(spark, path, fromId, batch,
+        idCol, Some(textCol))
+    /** The batch's replay-identity frame — ids + content fingerprint —
+      * that [[probeAndLog]] implementations write into the WAL delta. */
+    def replayIds(batch: DataFrame): DataFrame =
+      graft.operators.Dedup.batchReplayIds(batch, idCol, Some(textCol))
     /** The kept-set recorded for `batchId`, if the checkpoint has it. */
     def checkpointKept(spark: SparkSession, path: String,
         batchId: Long): Option[DataFrame] =
@@ -77,16 +89,24 @@ object DedupLoop {
     * the public wrappers ([[NearDupStream.run]], [[FpDedupStream.run]]);
     * mechanics:
     *   - a batch id at-or-below the restored high-water mark whose WAL
-    *     record covers exactly this batch's docs is a genuine engine
-    *     replay → its RECORDED kept-set is sunk and nothing re-folds
-    *     (re-probing would find every doc already indexed and silently
-    *     emit zero kept rows);
-    *   - the same id range with DIFFERENT docs is a fresh query reusing
-    *     ids (engine restarted without its checkpoint) → WAL ids are
-    *     rebased above the high-water mark and the batch folds as new;
+    *     record covers exactly this batch's docs — matched by (id,
+    *     content-fingerprint) set against ANY outstanding delta at or
+    *     above the raw id, so a batch a PRIOR run recorded under a
+    *     rebased id is still recognized — is a genuine engine replay →
+    *     its RECORDED kept-set is sunk under the id it originally landed
+    *     with and nothing re-folds (re-probing would find every doc
+    *     already indexed and silently emit zero kept rows);
+    *   - the same id range with DIFFERENT docs (or same ids, changed
+    *     content) is a fresh query reusing ids (engine restarted without
+    *     its checkpoint) → WAL ids are rebased above the high-water mark
+    *     and the batch folds as new;
     *   - every `compactEvery` batches the index compacts and saves a
     *     generation, folded deltas are dropped, and the layers retired at
-    *     the PREVIOUS compaction are released (reader grace). */
+    *     the PREVIOUS compaction are released (reader grace).
+    * One caveat is inherent: a stream that genuinely delivers an
+    * IDENTICAL (ids + content) batch twice inside the restart window is
+    * indistinguishable from an engine replay and lands once — the same
+    * output an exact-dedup of the two batches would produce. */
   def run[I](
       docs: DataFrame,
       state: IndexState[I],
@@ -103,25 +123,43 @@ object DedupLoop {
         writer.option("checkpointLocation", p))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val isReplay = idOffset < 0 && batchId <= state.lastIndexedBatch &&
-          checkpointPath.exists(p =>
-            ops.deltaMatchesBatch(spark, p, batchId, batch))
-        if (isReplay) {
-          checkpointPath.flatMap(p =>
-              ops.checkpointKept(spark, p, batchId)) match {
+        // Scan for the replay's WAL record from the batch's EFFECTIVE id:
+        // the raw engine id on a fresh restart (idOffset unset), the
+        // rebased id once this run has rebased — a multi-batch replay
+        // window keeps matching after its first batch set the offset.
+        val replayedAs: Option[Long] =
+          if (batchId + math.max(0L, idOffset) <= state.lastIndexedBatch)
+            checkpointPath.flatMap(p => ops.findMatchingDelta(spark, p,
+              batchId + math.max(0L, idOffset), batch))
+          else None
+        replayedAs match {
+          case Some(recordedId) =>
+          if (recordedId > batchId && idOffset < 0) {
+            // The prior run rebased this batch; adopt its offset so this
+            // run's SUBSEQUENT fresh batches continue the same WAL
+            // numbering instead of re-deriving it via another rebase.
+            idOffset = recordedId - batchId
+            org.slf4j.LoggerFactory.getLogger(getClass).info(
+              s"DedupLoop: batch $batchId replays a delta the prior run " +
+                s"recorded under rebased id $recordedId — resuming with " +
+                s"id offset +$idOffset.")
+          }
+          ops.checkpointKept(spark, checkpointPath.get, recordedId) match {
             case Some(keptIds) =>
-              // The ENGINE batch id (stable across replay) keys the sink,
-              // so an idempotent per-batch sink overwrites its earlier
-              // attempt instead of duplicating it.
+              // The id the batch ORIGINALLY landed under (engine id when
+              // no rebase occurred) keys the sink, so an idempotent
+              // per-batch sink overwrites its earlier attempt instead of
+              // duplicating it.
               sink(batch.join(keptIds.withColumnRenamed("doc_id", idCol),
-                Seq(idCol), "left_semi"), batchId)
+                Seq(idCol), "left_semi"), recordedId)
             case None =>
               org.slf4j.LoggerFactory.getLogger(getClass).warn(
                 s"DedupLoop: batch $batchId replayed but its kept record " +
                   s"is gone from the checkpoint — emitting nothing (the " +
                   s"batch's docs are already in the index).")
           }
-        } else {
+          case None =>
+          {
           if (idOffset < 0 && batchId <= state.lastIndexedBatch) {
             idOffset = state.lastIndexedBatch + 1 - batchId
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -156,6 +194,7 @@ object DedupLoop {
               compacted
             } else extended
           state.adopt(next)
+          }
         }
       }
       .start()

@@ -51,7 +51,7 @@ object FpDedupStream {
         new DedupLoop.IndexState(Dedup.loadFingerprintIndex(spark, path))
     }
 
-  private final class FpOps(val idCol: String, textCol: String)
+  private final class FpOps(val idCol: String, val textCol: String)
       extends DedupLoop.Ops[FingerprintIndex] {
     def probeAndLog(idx: FingerprintIndex, batch: DataFrame,
         checkpoint: Option[String], walId: Long)
@@ -59,7 +59,7 @@ object FpDedupStream {
       val (keptIds, kfps, extended) =
         Dedup.probeAndExtendFpParts(idx, batch, idCol, textCol)
       checkpoint.foreach(p => Dedup.appendFpDelta(p, walId, kfps,
-        batch.select(col(idCol).cast("long").as("doc_id")), keptIds))
+        replayIds(batch), keptIds))
       (keptIds, extended)
     }
     def layers(idx: FingerprintIndex): Seq[DataFrame] = idx.layers

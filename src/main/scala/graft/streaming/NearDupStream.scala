@@ -71,7 +71,22 @@ object NearDupStream {
       case None if Dedup.hasLegacyIndex(spark, path) =>
         // Pre-generational flat-layout checkpoint: load it rather than
         // silently rebuilding from `corpus` (which would drop every doc a
-        // prior run folded). No batch-id metadata exists in that layout.
+        // prior run folded), then MIGRATE by saving a generation
+        // immediately — from the first batch on, the stream runs with the
+        // full WAL/compaction machinery instead of a second legacy pass.
+        // No batch-id metadata exists in the flat layout, so the one
+        // protection that cannot be recovered is replay recognition for a
+        // batch the PRIOR run sank but whose offsets the engine hadn't
+        // committed: if the engine replays it, it re-probes against an
+        // index that already contains it and emits zero kept rows.
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"NearDupStream: migrating pre-generational checkpoint at " +
+            s"$path — the first batch after migration has no replay " +
+            s"protection (an engine replay of the prior run's last " +
+            s"uncommitted batch will emit zero kept rows).")
+        val legacy = Dedup.loadIndex(spark, path)
+        Dedup.saveIndex(legacy, path)
+        Dedup.releaseIndex(legacy)
         new DedupLoop.IndexState(Dedup.loadIndex(spark, path))
       case None =>
         val built =
@@ -84,16 +99,15 @@ object NearDupStream {
         new DedupLoop.IndexState(Dedup.loadIndex(spark, path))
     }
 
-  private final class NdOps(val idCol: String, textCol: String)
+  private final class NdOps(val idCol: String, val textCol: String)
       extends DedupLoop.Ops[NearDupIndex] {
     def probeAndLog(idx: NearDupIndex, batch: DataFrame,
         checkpoint: Option[String], walId: Long): (DataFrame, NearDupIndex) = {
       val (keptIds, psets, ppref, extended) =
         Dedup.probeAndExtendParts(idx, batch, idCol, textCol)
       checkpoint.foreach(p =>
-        Dedup.appendIndexDelta(p, walId, psets, ppref,
-          batch.select(org.apache.spark.sql.functions.col(idCol)
-            .cast("long").as("doc_id")), keptIds))
+        Dedup.appendIndexDelta(p, walId, psets, ppref, replayIds(batch),
+          keptIds))
       (keptIds, extended)
     }
     def layers(idx: NearDupIndex): Seq[DataFrame] = idx.layers

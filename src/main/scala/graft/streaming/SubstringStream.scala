@@ -46,7 +46,7 @@ object SubstringStream {
         new DedupLoop.IndexState(Dedup.loadSubstringIndex(spark, path))
     }
 
-  private final class SsOps(val idCol: String, textCol: String,
+  private final class SsOps(val idCol: String, val textCol: String,
       minOccurrences: Int, maxDupRatio: Double)
       extends DedupLoop.Ops[SubstringIndex] {
     def probeAndLog(idx: SubstringIndex, batch: DataFrame,
@@ -55,7 +55,7 @@ object SubstringStream {
       val (keptIds, bfreq, extended) = Dedup.probeAndExtendSsParts(
         idx, batch, idCol, textCol, minOccurrences, maxDupRatio)
       checkpoint.foreach(p => Dedup.appendSsDelta(p, walId, bfreq,
-        batch.select(col(idCol).cast("long").as("doc_id")), keptIds))
+        replayIds(batch), keptIds))
       (keptIds, extended)
     }
     def layers(idx: SubstringIndex): Seq[DataFrame] = idx.layers

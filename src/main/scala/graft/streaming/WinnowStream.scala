@@ -43,7 +43,7 @@ object WinnowStream {
         new DedupLoop.IndexState(Dedup.loadWinnowIndex(spark, path))
     }
 
-  private final class WnOps(val idCol: String, textCol: String,
+  private final class WnOps(val idCol: String, val textCol: String,
       minShared: Int) extends DedupLoop.Ops[WinnowIndex] {
     def probeAndLog(idx: WinnowIndex, batch: DataFrame,
         checkpoint: Option[String], walId: Long)
@@ -51,7 +51,7 @@ object WinnowStream {
       val (keptIds, bflat, bfreq, extended) =
         Dedup.probeAndExtendWnParts(idx, batch, idCol, textCol, minShared)
       checkpoint.foreach(p => Dedup.appendWnDelta(p, walId, bflat, bfreq,
-        batch.select(col(idCol).cast("long").as("doc_id")), keptIds))
+        replayIds(batch), keptIds))
       (keptIds, extended)
     }
     def layers(idx: WinnowIndex): Seq[DataFrame] = idx.layers

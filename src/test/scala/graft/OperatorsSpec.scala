@@ -642,6 +642,71 @@ class OperatorsSpec extends SparkSpecBase {
       frameBytes = 16, minShared = 1, maxFreq = 1).isEmpty)
   }
 
+  test("payloadDedup: copies collapse past the freq cap, near-dups cluster, kept-set linear") {
+    import spark.implicits._
+    val b1 = "0123456789abcdef"
+    val b2 = "ghijklmnopqrstuv"
+    // Docs 1..4 are IDENTICAL — 4 copies of one content; doc 10 shares two
+    // aligned frames with them (near-dup); 20 is unrelated; 30/31 another
+    // identical pair. maxFreq=3 would cap the copies' own frames away in
+    // the RAW pair query (4 copies > 3) — the collapse makes frequency
+    // count per distinct content, so the near-dup pair still forms and the
+    // copies still fold.
+    val df = Seq(
+      (1L, b1 + b2 + "tail-one-xyzzzzz"), (2L, b1 + b2 + "tail-one-xyzzzzz"),
+      (3L, b1 + b2 + "tail-one-xyzzzzz"), (4L, b1 + b2 + "tail-one-xyzzzzz"),
+      (10L, b1 + b2 + "tail-two-qqqqqqq"),
+      (20L, "completely different content here"),
+      (30L, "same pair content 30-31 aaaaaaaa"),
+      (31L, "same pair content 30-31 aaaaaaaa")
+    ).toDF("doc_id", "text")
+    val kept = Multimodal.payloadDedup(
+        Multimodal.withPayload(df, "doc_id", "text"))(
+        Multimodal.frameOverlap(_, frameBytes = 16, minShared = 2,
+          maxFreq = 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kept == Map(1L -> 1L, 20L -> 20L, 30L -> 30L),
+      s"kept-set: $kept")
+    // Raw pairs on the same fixture DO lose the capped cluster (the
+    // semantic gap the collapse closes) — while the 2-copy 30/31 pair,
+    // under the cap, still forms.
+    val raw = Multimodal.frameOverlap(
+        Multimodal.withPayload(df, "doc_id", "text"),
+        frameBytes = 16, minShared = 2, maxFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(raw == Set((30L, 31L)),
+      s"freq cap at 3 must drop the 4-copy cluster's raw pairs, keep 30/31: $raw")
+    Dedup.releaseSketchCaches()
+  }
+
+  test("payloadDedup over perceptual hash: every twin folds into its original") {
+    import spark.implicits._
+    val docs = spark.table("documents")
+      .where(length(col("text")) >= 64).select("doc_id", "text")
+    val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr("concat(substring(text, 1, 28), repeat('#', 8), " +
+        "substring(text, 37))").as("text"))
+    val nTwins = twins.count()
+    val kept = Multimodal.payloadDedup(
+        Multimodal.withPayload(docs.union(twins), "doc_id", "text"))(
+        Multimodal.perceptualNearDups(_, maxHamming = 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // aHash is locality-sensitive, not exact: an 8-char overwrite moves
+    // some payloads past hamming 6 (the hash-family recall contract, same
+    // as m6's pair spec) — so the property is a recall FLOOR, not totality.
+    val twinSurvivors = kept.count(_._1 >= 1000000L)
+    assert(twinSurvivors <= 0.4 * nTwins,
+      s"$twinSurvivors of $nTwins twins survived — fold recall under 60%")
+    // Every captured twin folded into its ORIGINAL's component (min id =
+    // the original, ids below 1000000), never a twin-labeled cluster.
+    assert(kept.forall { case (id, comp) => comp == id },
+      "kept rows must be their own component representative")
+    val keptOriginals = kept.count(_._1 < 1000000L)
+    assert(keptOriginals > 0 && keptOriginals <= docs.count(),
+      "kept originals bounded by the original corpus")
+    Dedup.releaseSketchCaches()
+  }
+
   test("multimodal: payload meta + frame sampling shapes") {
     val p = Multimodal.withPayload(docs, "doc_id", "text")
     val meta = p.where(col("doc_id") === 1).select("meta.n_bytes").head().getLong(0)

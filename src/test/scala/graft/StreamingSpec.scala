@@ -403,6 +403,68 @@ class StreamingSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("rebased-batch replay recognized; same ids with changed content fold as new") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.NearDupStream
+
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ndrebase").toString
+
+    def runOnce(state: NearDupStream.IndexState,
+        batches: Seq[Seq[NdDoc]]): Seq[(Long, Long)] = {
+      val in = MemoryStream[NdDoc]
+      val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val q = NearDupStream.runBatches(in.toDF(), state, "doc_id", "text",
+          compactEvery = 1000, checkpointPath = Some(dir)) { (kept, bid) =>
+        kept.select("doc_id").as[Long].collect().foreach(d => got += ((bid, d)))
+      }
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      got.toSeq
+    }
+
+    // Run 1: two batches fold at walIds 0/1.
+    val s1 = NearDupStream.resume(spark, dir, corpus, "doc_id", "text")
+    runOnce(s1, Seq(Seq(NdDoc(10, "f g h i j")), Seq(NdDoc(20, "k l m n o"))))
+
+    // Run 2: engine checkpoint lost — batch id 0 reused for NEW data →
+    // rebase records its delta under walId 2.
+    val s2 = NearDupStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "text")
+    assert(s2.lastIndexedBatch == 1L)
+    assert(runOnce(s2, Seq(Seq(NdDoc(30, "p q r s t2")))) == Seq((2L, 30L)))
+
+    // Run 3: the engine now REPLAYS that rebased batch at raw id 0. The
+    // delta lives under id 2, not 0 — recognition must scan upward, sink
+    // the recorded kept-set under the id it originally landed with (2),
+    // and NOT re-fold. The next fresh batch continues at walId 3 (the
+    // prior run's offset is adopted, not re-derived via a second rebase).
+    val s3 = NearDupStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "text")
+    assert(s3.lastIndexedBatch == 2L)
+    val got3 = runOnce(s3, Seq(Seq(NdDoc(30, "p q r s t2")),
+      Seq(NdDoc(40, "u v w x y"))))
+    assert(got3 == Seq((2L, 30L), (3L, 40L)),
+      s"rebased replay must land under its original walId: $got3")
+    assert(s3.index.docsets.count() == 5, "replay must not re-fold docs")
+
+    // Run 4: batch id 0 reused with run-1's doc ID but CHANGED text — the
+    // content fingerprint rejects the replay match and the batch folds as
+    // new data (id-set equality alone would sink the stale kept-set and
+    // silently drop the new content).
+    val s4 = NearDupStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "text")
+    assert(s4.lastIndexedBatch == 3L)
+    val got4 = runOnce(s4, Seq(Seq(NdDoc(10, "z0 z1 z2 z3 z4"))))
+    assert(got4 == Seq((4L, 10L)),
+      s"changed content at a replayed id must fold as new data: $got4")
+    assert(s4.index.docsets.count() == 6,
+      "changed-content batch must fold into the index")
+    Dedup.releaseSketchCaches()
+  }
+
   test("engine-checkpointed restart: history preserved, numbering continues") {
     import java.nio.file.Files
     import spark.implicits._
