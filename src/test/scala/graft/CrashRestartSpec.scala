@@ -125,6 +125,81 @@ class CrashRestartSpec extends SparkSpecBase {
       s"kept output after crash-restart: $ids")
   }
 
+  /** Shared arrival-fixture writer: corpus parquet + one file per
+    * micro-batch with deterministic mtime order. */
+  private def writeArrivals(base: String,
+      corpus: Seq[(Long, String)],
+      files: Seq[(String, Seq[(Long, String)])]): Unit = {
+    import spark.implicits._
+    corpus.toDF("doc_id", "text").write.parquet(s"$base/src/corpus")
+    files.zipWithIndex.foreach { case ((name, rows), i) =>
+      val dir = s"$base/src/stream/$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(dir)
+      val t0 = System.currentTimeMillis() - 100000
+      Files.walk(Paths.get(dir)).forEach(p =>
+        p.toFile.setLastModified(t0 + i * 2000L))
+    }
+  }
+
+  private def crashThenRestart(base: String, mode: String): Seq[Long] = {
+    import spark.implicits._
+    val args = Seq(s"$base/idx", s"$base/eng", s"$base/src", s"$base/sink")
+    val rc1 = runChild(args ++ Seq("1", mode), s"$base/run1.log")
+    assert(rc1 == 137,
+      s"first child should die by halt(137), got $rc1 — log: $base/run1.log")
+    val rc2 = runChild(args ++ Seq("-1", mode), s"$base/run2.log")
+    assert(rc2 == 0, s"restart child failed with $rc2 — log: $base/run2.log")
+    spark.read.parquet(s"$base/sink")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+  }
+
+  test("kill -9 mid-batch: winnow stream restores its layered freq deltas") {
+    val base = Files.createTempDirectory("crash9wn").toString
+    // Winnowing (k=16, w=30, minShared=3): identical texts share every
+    // selected fingerprint; the novel texts share no 16-char window.
+    val cT = "the first corpus document carries one hundred and twenty " +
+      "characters of stable text for winnowing fingerprints to select from"
+    val nA = "completely novel arrival text number fifteen streaming into " +
+      "the index with plenty of length to produce many distinct window prints"
+    val nB = "yet another unrelated document thirty whose content overlaps " +
+      "with nothing previously folded into the rolling hash index layers"
+    val nC = "final fresh document forty bringing unique wording that " +
+      "matches neither corpus nor any earlier stream arrival in this run"
+    writeArrivals(base,
+      corpus = Seq((1L, cT)),
+      files = Seq(
+        //  f1: 10 dups the corpus doc, 15 novel            -> kept {15}
+        "f1" -> Seq((10L, cT), (15L, nA)),
+        //  f2: 20 dups batch-0's doc 15, 30 novel          -> kept {30}
+        //      (crash lands here: WAL durable, kept unsunk)
+        "f2" -> Seq((20L, nA), (30L, nB)),
+        //  f3: 40 novel, 45 dups the corpus doc            -> kept {40}
+        "f3" -> Seq((40L, nC), (45L, cT))))
+    assert(crashThenRestart(base, "winnow") == Seq(15L, 30L, 40L))
+  }
+
+  test("kill -9 mid-batch: substring stream restores its window-freq deltas") {
+    val base = Files.createTempDirectory("crash9ss").toString
+    // Substring gate (8-token windows, minOccurrences=2, maxDupRatio=0.5):
+    // an identical 20-token re-post turns every window duplicated (ratio
+    // 1.0 -> dropped); the novel texts share no 8-token window.
+    val cT = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val nA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nB = "red orange yellow green blue indigo violet crimson amber " +
+      "teal navy maroon olive coral salmon ivory beige tan gold silver"
+    val nC = "mercury venus earth mars jupiter saturn uranus neptune pluto " +
+      "ceres eris haumea makemake sedna quaoar orcus varuna ixion salacia vanth"
+    writeArrivals(base,
+      corpus = Seq((1L, cT)),
+      files = Seq(
+        "f1" -> Seq((10L, cT), (15L, nA)),
+        "f2" -> Seq((20L, nA), (30L, nB)),
+        "f3" -> Seq((40L, nC), (45L, cT))))
+    assert(crashThenRestart(base, "substring") == Seq(15L, 30L, 40L))
+  }
+
   test("kill -9 AFTER the sink wrote: idempotent per-batch sink stays exactly-once") {
     import spark.implicits._
     val base = Files.createTempDirectory("crash9post").toString

@@ -17,8 +17,11 @@ import graft.streaming.NearDupStream
   *   - srcDir/stream : arrival files (one micro-batch each via
   *     maxFilesPerTrigger=1, ordered by file modification time)
   *   - killAfter < 0 : run to completion, exit 0.
-  *   - mode: "near" (default, NearDupStream) or "exact" (FpDedupStream) —
-  *     both ride the same DedupLoop, crashed at the same point.
+  *   - mode: "near" (default, NearDupStream), "exact" (FpDedupStream),
+  *     "winnow" (WinnowStream) or "substring" (SubstringStream) — all
+  *     four index families ride the same DedupLoop, crashed at the same
+  *     point; winnow/substring additionally exercise their family's own
+  *     delta append/restore (layered freq tables) across the kill.
   *   - killPoint: "pre" (default — die before the Nth sink write: WAL
   *     durable, output unsunk) or "post" (die AFTER the Nth sink write,
   *     before offsets commit — the replay re-runs a sink that already
@@ -69,6 +72,19 @@ object CrashStreamMain {
         val state = graft.streaming.FpDedupStream.resume(
           spark, idxCkpt, corpus, "doc_id", "text")
         graft.streaming.FpDedupStream.runBatches(src, state, "doc_id", "text",
+          compactEvery = 2, checkpointPath = Some(idxCkpt),
+          queryCheckpointLocation = Some(qCkpt))(sink)
+      case "winnow" =>
+        val state = graft.streaming.WinnowStream.resume(
+          spark, idxCkpt, corpus, "doc_id", "text")
+        graft.streaming.WinnowStream.runBatches(src, state, "doc_id", "text",
+          minShared = 3, compactEvery = 2, checkpointPath = Some(idxCkpt),
+          queryCheckpointLocation = Some(qCkpt))(sink)
+      case "substring" =>
+        val state = graft.streaming.SubstringStream.resume(
+          spark, idxCkpt, corpus, "doc_id", "text")
+        graft.streaming.SubstringStream.runBatches(src, state,
+          "doc_id", "text", minOccurrences = 2, maxDupRatio = 0.5,
           compactEvery = 2, checkpointPath = Some(idxCkpt),
           queryCheckpointLocation = Some(qCkpt))(sink)
       case _ =>
