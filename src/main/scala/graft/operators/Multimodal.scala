@@ -104,6 +104,90 @@ object Multimodal {
       }
     }
 
+  /** Deterministic tiny-PNG payload synthesis — the image-side test-data
+    * generator: doc `d`'s pixel (x, y) is pure arithmetic
+    * (`(d*31 + x*7 + y*13) mod 256` for R, analogous G/B), rendered into a
+    * `BufferedImage` and ENCODED to real PNG bytes per row (narrow map, no
+    * shuffle). PNG is lossless, so a real decoder recovers exactly these
+    * values — which is what makes [[decodeImageBatched]]'s output
+    * oracle-checkable: any engine can recompute the pixel stats from the
+    * formula without decoding anything. */
+  def syntheticPngPayloads(docs: DataFrame, idCol: String,
+      w: Int = 8, h: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .map { d =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((d * 31 + x * 7 + y * 13) % 256).toInt
+            val g = ((d * 17 + x * 11 + y * 3) % 256).toInt
+            val b = ((d * 29 + x * 5 + y * 19) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (d, out.toByteArray)
+      }
+      .toDF("doc_id", "content")
+      .withColumn("meta", metaStruct(col("content")))
+  }
+
+  /** REAL image decode in the batched-codec slot — no stub: each payload
+    * batch is decoded with the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF
+    * readers ship with the JRE; no external library), emitting
+    * (width, height, per-channel pixel sums). Same `mapPartitions`
+    * fixed-batch shape as [[decodeBatched]] — a JNI/ONNX codec swaps in
+    * without touching the plan; memory per task is one batch of decoded
+    * images. Undecodable payloads (not an image, truncated) emit the
+    * (-1, -1, 0, 0, 0) sentinel rather than failing the task — at corpus
+    * scale a poisoned payload must cost one row, not the job. */
+  def decodeImageBatched(payloads: DataFrame, batchSize: Int = 64)
+      : DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+            if (img == null) (id, -1, -1, 0L, 0L, 0L)
+            else {
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff
+                  sg += (rgb >> 8) & 0xff
+                  sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              (id, img.getWidth, img.getHeight, sr, sg, sb)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
   /** Frame sampling: split the payload into fixed-size "frames" (chunks) and
     * explode one row per frame — the plan shape of video frame-sampling.
     * Chunk fingerprints are real (md5 over the slice). */

@@ -1007,6 +1007,24 @@ object Pipeline {
           Multimodal.withPayload(docs.union(twins), "doc_id", "text"))(
           Multimodal.perceptualNearDups(_, maxHamming = 6))
         .orderBy("id")
+    },
+    // REAL image decode — no stub anywhere in this path: per doc a tiny
+    // PNG is synthesized (pixel values are pure arithmetic of doc_id/x/y),
+    // ENCODED to real PNG bytes, then decoded back through the JDK's
+    // javax.imageio in the batched-codec slot, emitting width/height and
+    // per-channel pixel sums. PNG is lossless, so the oracle recomputes
+    // the same stats from the formula without any decoder — the actual
+    // encode→decode round trip is what's under test.
+    df("m10_image_decode",
+      Some("select d.doc_id, 8 as width, 8 as height, " +
+        "cast(sum((d.doc_id*31 + t1.x*7 + t2.y*13) % 256) as bigint) as sum_r, " +
+        "cast(sum((d.doc_id*17 + t1.x*11 + t2.y*3) % 256) as bigint) as sum_g, " +
+        "cast(sum((d.doc_id*29 + t1.x*5 + t2.y*19) % 256) as bigint) as sum_b " +
+        "from documents d, unnest(range(0, 8)) t1(x), unnest(range(0, 8)) t2(y) " +
+        "group by d.doc_id order by d.doc_id")) { (s, dir) =>
+      Multimodal.decodeImageBatched(
+          Multimodal.syntheticPngPayloads(s.table("documents"), "doc_id"))
+        .orderBy("doc_id")
     }
   )
 

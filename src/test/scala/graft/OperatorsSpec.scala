@@ -707,6 +707,25 @@ class OperatorsSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("decodeImageBatched: real PNG round-trip, poisoned payload costs one row") {
+    import spark.implicits._
+    // Two real synthesized PNGs plus one payload that is NOT an image —
+    // the poisoned row must emit the sentinel, not fail the task.
+    val pngs = Multimodal.syntheticPngPayloads(
+      Seq(7L, 8L).toDF("doc_id"), "doc_id", w = 4, h = 2)
+    val poison = Seq((99L, "not a png at all".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val out = Multimodal.decodeImageBatched(
+        pngs.select("doc_id", "content").unionByName(poison), batchSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    def sumR(d: Long) = (for (y <- 0 until 2; x <- 0 until 4)
+      yield (d * 31 + x * 7 + y * 13) % 256).sum
+    assert(out(7L) == ((4, 2, sumR(7L))))
+    assert(out(8L) == ((4, 2, sumR(8L))))
+    assert(out(99L) == ((-1, -1, 0L)), "undecodable payload must emit the sentinel")
+  }
+
   test("multimodal: payload meta + frame sampling shapes") {
     val p = Multimodal.withPayload(docs, "doc_id", "text")
     val meta = p.where(col("doc_id") === 1).select("meta.n_bytes").head().getLong(0)
