@@ -90,4 +90,40 @@ object Quantiles {
     }
     grouped.select((g ++ outs): _*)
   }
+
+  /** Group percentiles with the cliff-free AUTO-ROUTE (the
+    * `Ranks.globalRank` pattern): at or below `maxBufferedRows` input rows
+    * the group-buffering built-in `percentile()` runs (cheapest plan —
+    * one aggregate, no window); above it every value column routes through
+    * [[exactGroupQuantiles]], which is bit-identical (QuantilesSpec) and
+    * never materializes a group. The proxy is total input rows, like
+    * Ranks: the true hazard is the largest GROUP's row count, but that
+    * costs a pre-aggregation to learn, and a total under the cutoff
+    * bounds every group under it too. Default 2M — comfortably past the
+    * built-in's small-input speed win, far under the buffer cliff.
+    *
+    * `specs` maps each value column to its (fractions, output names);
+    * multi-column requests join per-column results on the group key
+    * (broadcast-sized: one row per group). `knownCount` skips the count
+    * scan when the caller already knows the size. */
+  def groupPercentiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      specs: Seq[(String, Seq[Double], Seq[String])],
+      maxBufferedRows: Long = 2000000L,
+      knownCount: Long = -1L): DataFrame = {
+    require(specs.nonEmpty, "at least one value-column spec required")
+    val rows = if (knownCount >= 0) knownCount else df.count()
+    if (maxBufferedRows > 0 && rows <= maxBufferedRows) {
+      val aggs = specs.flatMap { case (v, probs, outs) =>
+        probs.zip(outs).map { case (p, o) => expr(s"percentile($v, $p)").as(o) }
+      }
+      df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    } else {
+      specs.map { case (v, probs, outs) =>
+        exactGroupQuantiles(df.select((groupCols :+ v).map(col): _*),
+          groupCols, v, probs, outs)
+      }.reduce(_.join(_, groupCols))
+    }
+  }
 }

@@ -291,16 +291,25 @@ object Relational {
         "from lineitem group by grouping sets ((l_returnflag), (l_linestatus)) " +
         "order by rf, ls"),
     // Beyond-reference: exact interpolated percentiles (Spark percentile ≡
-    // DuckDB quantile_cont: both linear-interpolate on the sorted values).
-    sql("a17_percentile",
-      "select l_returnflag, round(percentile(l_quantity, 0.5), 4) as p50, " +
-        "round(percentile(l_quantity, 0.9), 4) as p90, " +
-        "round(percentile(l_extendedprice, 0.99), 2) as p99_price " +
-        "from lineitem group by l_returnflag order by l_returnflag",
-      "select l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) as p50, " +
+    // DuckDB quantile_cont: both linear-interpolate on the sorted values)
+    // through the AUTO-ROUTED operator: the group-buffering built-in at
+    // gate scale, the distributed distinct-value-rank shape (a17b's,
+    // bit-identical) above Quantiles.groupPercentiles' cutoff — so the
+    // query a user writes never hits the one-giant-group buffer cliff.
+    df("a17_percentile",
+      Some("select l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) as p50, " +
         "round(quantile_cont(l_quantity, 0.9), 4) as p90, " +
         "round(quantile_cont(l_extendedprice, 0.99), 2) as p99_price " +
-        "from lineitem group by l_returnflag order by l_returnflag"),
+        "from lineitem group by l_returnflag order by l_returnflag")) { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, round}
+      graft.operators.Quantiles.groupPercentiles(
+          s.table("lineitem"), Seq("l_returnflag"),
+          Seq(("l_quantity", Seq(0.5, 0.9), Seq("q50", "q90")),
+            ("l_extendedprice", Seq(0.99), Seq("q99"))))
+        .select(col("l_returnflag"), round(col("q50"), 4).as("p50"),
+          round(col("q90"), 4).as("p90"), round(col("q99"), 2).as("p99_price"))
+        .orderBy("l_returnflag")
+    },
     // The same exact percentiles computed DISTRIBUTED with bounded memory
     // (operators/Quantiles): the built-in percentile() behind a17 buffers
     // every group value in its aggregation buffer, a cliff when one group

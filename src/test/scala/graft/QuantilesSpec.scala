@@ -34,6 +34,29 @@ class QuantilesSpec extends SparkSpecBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("groupPercentiles auto-route: both sides of the cutoff agree, big side has no group buffer") {
+    val li = spark.table("lineitem")
+    val specs = Seq(
+      ("l_quantity", Seq(0.5, 0.9), Seq("p50", "p90")),
+      ("l_extendedprice", Seq(0.99), Seq("p99")))
+    val small = Quantiles.groupPercentiles(li, Seq("l_returnflag"), specs,
+      maxBufferedRows = Long.MaxValue) // force built-in route
+    val big = Quantiles.groupPercentiles(li, Seq("l_returnflag"), specs,
+      maxBufferedRows = 1) // force distributed route
+    assert(small.exceptAll(big).isEmpty && big.exceptAll(small).isEmpty,
+      "routes must be bit-identical")
+    // The distributed route must not plan the group-buffering built-in
+    // (ObjectHashAggregate with percentile): only hash aggregates, windows
+    // and joins.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = big.queryExecution.executedPlan.toString
+      assert(!plan.contains("percentile("),
+        s"distributed route still plans percentile():\n$plan")
+      assert(plan.contains("Window"), "distinct-value window shape expected")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("edge shapes: single-row group, all-equal group, nulls excluded") {
     import spark.implicits._
     val df = Seq(
