@@ -939,8 +939,11 @@ object Dedup {
     val (kept, psets, ppref) =
       probeParts(index, batch, idCol, textCol, collapseFloor)
     psets.count(); ppref.count()
-    (kept, psets, ppref, NearDupIndex(index.docsets.union(psets),
-      index.prefixes.union(ppref), index.freq, index.shingleN,
+    // unionByName: belt for the dense path's re-normalized column order —
+    // a positional union would bind silently if a future probe variant
+    // reordered again.
+    (kept, psets, ppref, NearDupIndex(index.docsets.unionByName(psets),
+      index.prefixes.unionByName(ppref), index.freq, index.shingleN,
       index.threshold, layers = index.layers ++ Seq(psets, ppref)))
   }
 
@@ -986,8 +989,15 @@ object Dedup {
         val twins = reps
           .join(index.docsets.select(col("hs")), Seq("hs"), "left_semi")
           .select(col("id").as("doc_id"))
+        // Column order re-normalized after the USING join: Spark moves the
+        // join key ("hs") to the front, and the extension path unions these
+        // docsets with the index's (id, hs, n) POSITIONALLY — without the
+        // select, the first dense batch would corrupt the index frame
+        // (caught by the 40× stream probe; dense-path extension is also
+        // spec-pinned).
         val survivors = persistSketch(reps
-          .join(index.docsets.select(col("hs")), Seq("hs"), "left_anti"))
+          .join(index.docsets.select(col("hs")), Seq("hs"), "left_anti")
+          .select(col("id"), col("hs"), col("n")))
         (survivors, Some(nonReps.union(twins)))
       }
     val bpref = persistSketch(prefixKeys(bsets, index.freq, t))

@@ -83,6 +83,35 @@ class IncrementalDedupSpec extends SparkSpecBase {
     assert(dense == plain)
     assert(dense.nonEmpty && dense.size < batch.count(),
       "fixture should both keep and drop batch docs")
+
+    // The dense path's EXTENSION must stay usable: the USING join in the
+    // collapse pre-pass moves "hs" to the front, and un-normalized that
+    // corrupted the positional docsets union — invisible to one-shot
+    // probes (the extended frame is lazy and discarded) but fatal on the
+    // stream's NEXT batch, which analyzes it. Probe twice through the
+    // extension, dense mode both times, and act on every frame.
+    val idx = Dedup.buildNearDupIndex(corpus, "doc_id", "text",
+      collapseFloor = 0)
+    val (kept1, _, _, ext1) = Dedup.probeAndExtendParts(idx, batch,
+      "doc_id", "text", collapseFloor = 0)
+    assert(kept1.collect().map(_.getLong(0)).toSet == plain)
+    assert(ext1.docsets.columns.toSeq == Seq("id", "hs", "n"),
+      s"extended docsets column order: ${ext1.docsets.columns.toSeq}")
+    // Novel content (hash-derived tokens — shares no shingles with any
+    // corpus doc) so the second probe keeps rows and grows the index.
+    val batch2 = docs.where(col("doc_id") % 5 === 2)
+      .select((col("doc_id") + 8000000L).as("doc_id"),
+        concat_ws(" ", md5(col("text")), md5(concat(col("text"), lit("a"))),
+          md5(concat(col("text"), lit("b")))).as("text"))
+    val (kept2, _, _, ext2) = Dedup.probeAndExtendParts(ext1, batch2,
+      "doc_id", "text", collapseFloor = 0)
+    assert(kept2.count() > 0 && ext2.docsets.count() > ext1.docsets.count(),
+      "second dense probe must extend the already-extended index")
+    // Re-probing batch2 against its own fold drops every doc: each
+    // content now has an identical indexed twin.
+    assert(Dedup.probeNearDups(ext2, batch2, "doc_id", "text",
+      collapseFloor = 0).isEmpty)
+    Dedup.releaseSketchCaches()
   }
 
   test("saved + reloaded index probes identically (the restart path)") {

@@ -191,6 +191,18 @@ object ScaleProbe {
     time("m6_phash_neardup (hamming buckets)") {
       graft.SparkEntry.queries("m6_phash_neardup")(spark, sfDir)
     }
+    // The composed kept-set queries: identical-content collapse bounds the
+    // pair search at DISTINCT-content size, so these should sit near d15's
+    // numbers where the raw m6/m7 pair lists went quadratic.
+    time("m8_payload_dedup (collapse + frame pairs + components)") {
+      graft.SparkEntry.queries("m8_payload_dedup")(spark, sfDir)
+    }
+    time("m9_phash_dedup (collapse + hamming pairs + components)") {
+      graft.SparkEntry.queries("m9_phash_dedup")(spark, sfDir)
+    }
+    time("m10_image_decode (png encode + imageio decode)") {
+      graft.SparkEntry.queries("m10_image_decode")(spark, sfDir)
+    }
     if (wanted("strip")) {
       time("stripDupSpans (interval merge + token cut)") {
         graft.operators.Dedup.stripDupSpans(docs, "doc_id", "text",
@@ -253,6 +265,81 @@ object ScaleProbe {
       time("components distributed (star contraction)") {
         graft.operators.Dedup.components(pairs, "a_id", "b_id",
           localEdgeCap = 0)
+      }
+    }
+    // Arrival-stream throughput at 40× density: each of the four index
+    // families bootstraps its index from the full replicated corpus, then
+    // processes four 40×-dup-dense micro-batches (half exact re-posts of
+    // corpus content under fresh ids, half novel) with compactEvery=2 —
+    // so two of the four batch timings INCLUDE a compaction + generational
+    // save cycle. Timings are per micro-batch wall clock including the
+    // WAL delta write and the counted sink.
+    // Section filter "stream" (or a specific "stream_<family>") selects
+    // these; each family's runTimed re-checks its own name so one family
+    // can be probed alone.
+    if (only.isEmpty || only.exists(f => f.startsWith("stream"))) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.StreamingQuery
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val base = spark.table("documents").select(col("doc_id"), col("text"))
+      def part(m: Int): Seq[(Long, String)] =
+        base.where(pmod(col("doc_id"), lit(40)) === m)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val batches: Seq[Seq[graft.NdDoc]] = (0 until 4).map { i =>
+        val dups = part(i).map { case (id, t) =>
+          graft.NdDoc(id + 10000000L * (i + 1), t) }
+        val novel = part(10 + i).map { case (id, t) =>
+          graft.NdDoc(id + 20000000L * (i + 1), t + s" novel arrival $i") }
+        dups ++ novel
+      }
+      println(s"[scale] stream batches: ${batches.map(_.size).mkString(",")} docs")
+
+      def runTimed(name: String)(
+          start: (MemoryStream[graft.NdDoc], String) => StreamingQuery): Unit
+          = if (wanted(name)) {
+        val dir = java.nio.file.Files.createTempDirectory(s"sp_$name").toString
+        val t0 = System.nanoTime()
+        val in = MemoryStream[graft.NdDoc]
+        val q = start(in, dir)
+        println(f"[scale] $name bootstrap (200k corpus index) " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val t1 = System.nanoTime()
+          in.addData(b: _*)
+          q.processAllAvailable()
+          println(f"[scale] $name batch$i (${b.size} docs" +
+            (if (i % 2 == 1) ", compaction cycle" else "") +
+            f") ${(System.nanoTime() - t1) / 1e9}%.2f s")
+          System.out.flush()
+        }
+        q.stop()
+        graft.operators.Dedup.releaseSketchCaches()
+      }
+
+      runTimed("stream_neardup") { (in, dir) =>
+        val st = graft.streaming.NearDupStream.resume(
+          spark, dir, base, "doc_id", "text")
+        graft.streaming.NearDupStream.run(in.toDF(), st, "doc_id", "text",
+          compactEvery = 2, checkpointPath = Some(dir))(k => { k.count(); () })
+      }
+      runTimed("stream_fpdedup") { (in, dir) =>
+        val st = graft.streaming.FpDedupStream.resume(
+          spark, dir, base, "doc_id", "text")
+        graft.streaming.FpDedupStream.run(in.toDF(), st, "doc_id", "text",
+          compactEvery = 2, checkpointPath = Some(dir))(k => { k.count(); () })
+      }
+      runTimed("stream_winnow") { (in, dir) =>
+        val st = graft.streaming.WinnowStream.resume(
+          spark, dir, base, "doc_id", "text")
+        graft.streaming.WinnowStream.run(in.toDF(), st, "doc_id", "text",
+          compactEvery = 2, checkpointPath = Some(dir))(k => { k.count(); () })
+      }
+      runTimed("stream_substring") { (in, dir) =>
+        val st = graft.streaming.SubstringStream.resume(
+          spark, dir, base, "doc_id", "text")
+        graft.streaming.SubstringStream.run(in.toDF(), st, "doc_id", "text",
+          compactEvery = 2, checkpointPath = Some(dir))(k => { k.count(); () })
       }
     }
     spark.stop()
