@@ -119,7 +119,8 @@ object Bench {
       "x6_quality_quantile_filter",
       "t11_vocab_tokenize", "t13_tfidf_search", "t14_repetition_signals",
       "e4_asof_join", "e5_range_join",
-      "m2_frame_sample", "s4_hybrid_search", "x2_sequence_packing")
+      "m2_frame_sample", "m8_payload_dedup", "m10_image_decode",
+      "s4_hybrid_search", "x2_sequence_packing")
     val headlineJson = jsonFor(results.filter(r => headline.contains(r._1)))
     val fullJson = jsonFor(results)
     // File targets: $SPARK_GRAFT_OUT/bench.json when set, else bench.json in

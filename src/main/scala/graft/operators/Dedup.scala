@@ -2021,8 +2021,14 @@ object Dedup {
           TextOps.fingerprint(col(textCol))))
         val might = graft.functions.GraftFunctions.bloomMightContain(
           col("__graft_fp"), bf)
-        bfp.where(!might).unionByName(
-          bfp.where(might).join(indexFps, Seq("__graft_fp"), "left_anti"))
+        // NULL fingerprints (null text) route to the definitely-novel
+        // branch: the membership test is null-intolerant (evaluates to
+        // NULL, failing BOTH where branches), while the plain anti join
+        // KEEPS null-key rows — coalesce preserves the
+        // same-output-set contract across the flag.
+        bfp.where(coalesce(!might, lit(true))).unionByName(
+          bfp.where(coalesce(might, lit(false)))
+            .join(indexFps, Seq("__graft_fp"), "left_anti"))
       case _ =>
         batch.withColumn("__graft_fp", TextOps.fingerprint(col(textCol)))
           .join(indexFps, Seq("__graft_fp"), "left_anti")

@@ -125,9 +125,11 @@ object Multimodal {
         while (y < h) {
           var x = 0
           while (x < w) {
-            val r = ((d * 31 + x * 7 + y * 13) % 256).toInt
-            val g = ((d * 17 + x * 11 + y * 3) % 256).toInt
-            val b = ((d * 29 + x * 5 + y * 19) % 256).toInt
+            // floorMod: Scala % keeps the dividend's sign, and a negative
+            // doc_id would pack sign-extended bits across channels.
+            val r = Math.floorMod(d * 31 + x * 7 + y * 13, 256L).toInt
+            val g = Math.floorMod(d * 17 + x * 11 + y * 3, 256L).toInt
+            val b = Math.floorMod(d * 29 + x * 5 + y * 19, 256L).toInt
             img.setRGB(x, y, (r << 16) | (g << 8) | b)
             x += 1
           }
@@ -161,10 +163,15 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
+            // NonFatal, not just IOException: the JDK readers throw
+            // unchecked exceptions (ArrayIndexOutOfBounds,
+            // NegativeArraySize, IllegalArgument) on truncated or hostile
+            // payloads, and a poisoned payload must cost one sentinel
+            // row, not the job.
             val img =
               try javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(bytes))
-              catch { case _: java.io.IOException => null }
+              catch { case scala.util.control.NonFatal(_) => null }
             if (img == null) (id, -1, -1, 0L, 0L, 0L)
             else {
               var (sr, sg, sb) = (0L, 0L, 0L)

@@ -62,9 +62,14 @@ object Quantiles {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = cnts.withColumn("__cum", sum(col("__cnt")).over(w))
 
-    // (3) per-group totals — one row per group, broadcast.
+    // (3) per-group totals — one row per group, broadcast. Null-safe key
+    // equality: a NULL group key is a real group (the built-in keeps it),
+    // and a plain equi-join would silently drop it.
     val totals = vals.groupBy(g: _*).agg(count(lit(1)).as("__n"))
-    val joined = ranked.join(broadcast(totals), groupCols)
+      .select(groupCols.map(c => col(c).as(s"__gqt_$c")) :+ col("__n"): _*)
+    val joined = ranked.join(broadcast(totals),
+        groupCols.map(c => ranked(c) <=> totals(s"__gqt_$c")).reduce(_ && _))
+      .drop(groupCols.map(c => s"__gqt_$c"): _*)
 
     // (4) conditional-min picks the two bracketing values per prob.
     def pos(p: Double) = (col("__n") - 1) * lit(p)
@@ -120,10 +125,25 @@ object Quantiles {
       }
       df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     } else {
-      specs.map { case (v, probs, outs) =>
-        exactGroupQuantiles(df.select((groupCols :+ v).map(col): _*),
-          groupCols, v, probs, outs)
-      }.reduce(_.join(_, groupCols))
+      // Route parity around NULLs (both routes must return the same
+      // rows, not just the same numbers): exactGroupQuantiles drops a
+      // group whose values are ALL NULL (the built-in returns the group
+      // with NULL percentiles), and a plain USING join would drop NULL
+      // group keys (equi-join null semantics). Anchor on the full
+      // distinct key set and left-join each column's result with
+      // null-safe key equality.
+      val base = df.select(groupCols.map(col): _*).distinct()
+      specs.foldLeft(base) { case (acc, (v, probs, outs)) =>
+        val r = exactGroupQuantiles(
+            df.select((groupCols :+ v).map(col): _*),
+            groupCols, v, probs, outs)
+          .select(groupCols.map(c => col(c).as(s"__gq_$c")) ++
+            outs.map(col): _*)
+        val cond = groupCols.map(c => acc(c) <=> r(s"__gq_$c"))
+          .reduce(_ && _)
+        acc.join(r, cond, "left")
+          .drop(groupCols.map(c => s"__gq_$c"): _*)
+      }
     }
   }
 }

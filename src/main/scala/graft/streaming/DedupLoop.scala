@@ -160,7 +160,14 @@ object DedupLoop {
           }
           case None =>
           {
-          if (idOffset < 0 && batchId <= state.lastIndexedBatch) {
+          // Guard on the EFFECTIVE id, not on idOffset being unset: after
+          // adopting a prior run's rebase offset, a subsequent
+          // non-matching batch can still land at-or-below the high-water
+          // mark (the prior run rebased MORE batches than this run
+          // replays identically) — folding there would overwrite a
+          // committed delta and the sink output it keys. Re-rebase above
+          // the mark instead.
+          if (batchId + math.max(0L, idOffset) <= state.lastIndexedBatch) {
             idOffset = state.lastIndexedBatch + 1 - batchId
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"DedupLoop: batch $batchId reuses an already-folded id " +

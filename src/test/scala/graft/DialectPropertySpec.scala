@@ -68,6 +68,35 @@ class DialectPropertySpec extends SparkSpecBase {
     }
   }
 
+  test("adversarial quoting: literals keep dialect text verbatim at every position") {
+    // Generated mixed queries: dialect constructs that MUST rewrite,
+    // interleaved at random positions with string literals whose content
+    // is exactly the dialect surface (including escaped-quote forms) and
+    // MUST NOT. Each segment pairs with its expected rewrite, so the
+    // whole-query expectation is exact, not just "unchanged somewhere".
+    val segment: Gen[(String, String)] = Gen.oneOf(
+      Gen.const("cast(a as int64)" -> "cast(a as bigint)"),
+      Gen.const("today()" -> "current_date()"),
+      Gen.const("'today()'" -> "'today()'"),
+      Gen.const("'cast(x as int64)'" -> "'cast(x as int64)'"),
+      Gen.const("'it''s today()'" -> "'it''s today()'"),
+      Gen.const("''" -> "''"),
+      Gen.const("'int64 '' cast('" -> "'int64 '' cast('"),
+      Gen.const("'limit 5'" -> "'limit 5'"),
+      for { c <- ident } yield c -> c)
+    val mixed: Gen[(String, String)] = for {
+      n <- Gen.choose(2, 6)
+      segs <- Gen.listOfN(n, segment)
+    } yield (s"select ${segs.map(_._1).mkString(", ")} from t",
+      s"select ${segs.map(_._2).mkString(", ")} from t")
+    samples(mixed, 120).foreach { case (q, want) =>
+      val got = Dialect.rewrite(q, finalSetOpBranchLocal = false)
+      assert(got == want, s"\nquery: $q\n want: $want\n  got: $got")
+      assert(Dialect.rewrite(got, finalSetOpBranchLocal = false) == got,
+        s"not idempotent after quoting mix: $q")
+    }
+  }
+
   test("fingerprint is invariant under internal-space runs and case") {
     import spark.implicits._
     val words = Gen.listOfN(5, Gen.oneOf("Data", "ROW", "x", "Yz", "q7"))

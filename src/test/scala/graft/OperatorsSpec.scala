@@ -707,6 +707,21 @@ class OperatorsSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("decodeBatched: batch size never changes the output (memory = one batch)") {
+    import spark.implicits._
+    val payloads = Multimodal.withPayload(
+      spark.table("documents").select("doc_id", "text"), "doc_id", "text")
+    def run(bs: Int) = Multimodal.decodeBatched(payloads, batchSize = bs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3))).toSet
+    val ref = run(64)
+    // 1 = degenerate per-row batches; 7 = batches straddle partition
+    // boundaries unevenly; 100000 = one batch per partition. The codec
+    // contract (rows come back 1:1 per batch) makes all equivalent — the
+    // knob trades per-call overhead against peak memory, never output.
+    assert(run(1) == ref && run(7) == ref && run(100000) == ref)
+  }
+
   test("decodeImageBatched: real PNG round-trip, poisoned payload costs one row") {
     import spark.implicits._
     // Two real synthesized PNGs plus one payload that is NOT an image —

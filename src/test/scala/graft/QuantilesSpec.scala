@@ -57,6 +57,27 @@ class QuantilesSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("groupPercentiles routes agree on NULL group keys and all-NULL-value groups") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), Some(1.0), Some(10.0)),
+      (Some("a"), Some(3.0), None),
+      (Some("allnull"), None, Some(5.0)), // v1 all NULL in this group
+      (None, Some(7.0), Some(8.0)),       // NULL group key
+      (None, Some(9.0), None)
+    ).toDF("g", "v1", "v2")
+    val specs = Seq(
+      ("v1", Seq(0.5), Seq("m1")), ("v2", Seq(0.5), Seq("m2")))
+    val small = Quantiles.groupPercentiles(df, Seq("g"), specs,
+      maxBufferedRows = Long.MaxValue)
+    val big = Quantiles.groupPercentiles(df, Seq("g"), specs,
+      maxBufferedRows = 1)
+    assert(small.count() == 3 && big.count() == 3,
+      "all three groups (incl. NULL key and all-NULL-value) must survive both routes")
+    assert(small.exceptAll(big).isEmpty && big.exceptAll(small).isEmpty,
+      s"routes diverge:\nsmall=${small.collect().toSeq}\nbig=${big.collect().toSeq}")
+  }
+
   test("edge shapes: single-row group, all-equal group, nulls excluded") {
     import spark.implicits._
     val df = Seq(

@@ -462,6 +462,24 @@ class StreamingSpec extends SparkSpecBase {
       s"changed content at a replayed id must fold as new data: $got4")
     assert(s4.index.docsets.count() == 6,
       "changed-content batch must fold into the index")
+
+    // Run 5 — the adopted-offset COLLISION corner: the engine restarts
+    // checkpoint-less again, replays the rebased batch identically (raw
+    // id 0 → adopts offset +2), then delivers a NON-matching batch at raw
+    // id 1 whose effective id 3 still sits at-or-below the high-water
+    // mark (4). Folding there would overwrite committed delta b3; the
+    // loop must re-rebase above the mark instead (walId 5) and leave b3's
+    // record intact.
+    val s5 = NearDupStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "text")
+    assert(s5.lastIndexedBatch == 4L)
+    val got5 = runOnce(s5, Seq(Seq(NdDoc(30, "p q r s t2")),
+      Seq(NdDoc(20, "gg hh ii jj kk"))))
+    assert(got5 == Seq((2L, 30L), (5L, 20L)),
+      s"post-adoption non-matching batch must re-rebase past the mark: $got5")
+    assert(spark.read.parquet(s"$dir/delta/b3/kept")
+        .select("doc_id").as[Long].collect().toSeq == Seq(40L),
+      "committed delta b3 must survive the colliding batch")
     Dedup.releaseSketchCaches()
   }
 
