@@ -111,6 +111,12 @@ object ScaleProbe {
       time("h8_market_share (7-way join)") {
         graft.SparkEntry.queries("h8_market_share")(spark, sfDir)
       }
+      // 24M lineitem rows sit ABOVE groupPercentiles' 2M-row cutoff, so
+      // this exercises the auto-routed distributed percentile path (the
+      // gate at sf0.01 stays on the built-in route).
+      time("a17_percentile (auto-routed distributed at 24M rows)") {
+        graft.SparkEntry.queries("a17_percentile")(spark, sfDir)
+      }
     }
     // Round-5/6 operators: PQ ANN (inline vs persisted-index probe), BM25,
     // chunk explode, epoch shuffle — all on rep× replicated inputs.
