@@ -62,7 +62,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    Tables.ensure(spark, sfDir)
+    // Registration failure must still produce a parseable one-line JSON for
+    // the driver's ~2KB log tail — r7's unwrapped call died rc=1 with only a
+    // stack-trace tail, leaving the round's bench record undiagnosable.
+    try Tables.ensure(spark, sfDir)
+    catch { case e: Throwable =>
+      val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(600)
+      spark.stop()
+      println(s"""{"metric":"total","value":-1,"unit":"sec","queries":{},"sf":"$sfDir","error":"table registration failed: $msg"}""")
+      System.out.flush()
+      sys.exit(1)
+    }
     // Warmup: pay JVM/codegen/first-stage costs outside the measurement.
     // The set-op pair covers the INTERSECT ALL / EXCEPT ALL replication
     // shapes, whose first-use codegen (~0.3-0.7s) otherwise lands on

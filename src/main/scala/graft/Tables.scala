@@ -21,21 +21,29 @@ object Tables {
       if (registered.get(spark) != dir) {
         // Session-level extensions: graft's native SQL functions.
         graft.functions.GraftFunctions.register(spark)
-        // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-        // default; read it as a long and truncate ns → µs. DuckDB's native
-        // timestamp is also µs (it truncates NANOS on read), so the two
-        // engines see identical values.
+        // events.ts layout varies across testdata generations: older drivers
+        // wrote parquet TIMESTAMP(NANOS) (which Spark 4 rejects by default —
+        // nanosAsLong surfaces it as int64 ns), newer ones write timestamp[us]
+        // (Spark reads it as TIMESTAMP_NTZ). Branch on the ACTUAL read schema
+        // instead of assuming a layout: int64 → truncate ns → µs; any
+        // timestamp flavor → cast to the session (UTC) timestamp, same
+        // instant. DuckDB's native timestamp is µs in both cases, so the two
+        // engines see identical values either way.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         all.foreach { t =>
           val p = s"$dir/$t.parquet"
           if (new java.io.File(p).exists()) {
             val raw = spark.read.parquet(p)
             val df =
-              if (t == "events")
-                raw.withColumn("ts",
-                  org.apache.spark.sql.functions.timestamp_micros(
-                    org.apache.spark.sql.functions.expr("ts div 1000")))
-              else raw
+              if (t == "events") {
+                import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+                raw.schema("ts").dataType match {
+                  case org.apache.spark.sql.types.LongType =>
+                    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+                  case org.apache.spark.sql.types.TimestampType => raw
+                  case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+                }
+              } else raw
             Engine.registerTempTable(df, t)
           }
         }

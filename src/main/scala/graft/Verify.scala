@@ -19,15 +19,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,9 +31,37 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json is written BEFORE the query loop: a mid-loop crash (or
+    // an all-queries-fail round, as in r7) must still leave the driver a
+    // machine-readable record of what was supposed to run.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    var ok = 0
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        ok += 1
+      } catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        errs(name) = msg.take(500)
+      }
+    }
+    // Per-query error manifest: total failure is machine-visible, not an
+    // indistinguishable-from-empty run (r7's silent-zero failure mode).
+    val errJson = errs.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    System.err.println(s"[verify] dumped $ok queries, ${errs.size} failed")
     spark.stop()
+    // Zero successful dumps with at least one attempt means the harness
+    // itself is broken (e.g. table registration failed) — exit nonzero so
+    // the driver records a loud rc instead of an empty-but-clean run.
+    if (ok == 0 && errs.nonEmpty) sys.exit(1)
   }
 }
