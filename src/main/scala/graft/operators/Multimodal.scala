@@ -143,15 +143,67 @@ object Multimodal {
       .withColumn("meta", metaStruct(col("content")))
   }
 
+  /** Partition-lifetime image decoder: `ImageIO.read(stream)` re-scans the
+    * whole SPI reader registry per call (measured as a real fraction of the
+    * 200k-image decode cost), so each PARTITION instead keeps the readers
+    * it has already matched and probes them first — the registry is
+    * consulted only the first time a new format appears in the partition.
+    * The stream wrapper is a direct `MemoryCacheImageInputStream` (the
+    * `ImageIO.createImageInputStream` convenience is another per-call SPI
+    * scan). Not thread-safe; one instance per `mapPartitions` task. */
+  private final class PartitionImageDecoder {
+    private val readers =
+      scala.collection.mutable.ArrayBuffer.empty[javax.imageio.ImageReader]
+
+    /** Decoded image, or null for an undecodable payload. */
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        var reader: javax.imageio.ImageReader = null
+        val cached = readers.iterator
+        while (reader == null && cached.hasNext) {
+          val cand = cached.next()
+          iis.seek(0)
+          // canDecodeInput restores the stream position per the SPI
+          // contract; the seek(0) guards against a non-conforming plugin.
+          if (cand.getOriginatingProvider.canDecodeInput(iis)) reader = cand
+        }
+        if (reader == null) {
+          iis.seek(0)
+          val fresh = javax.imageio.ImageIO.getImageReaders(iis)
+          if (fresh.hasNext) { reader = fresh.next(); readers += reader }
+        }
+        if (reader == null) null
+        else {
+          iis.seek(0)
+          reader.setInput(iis, true, true)
+          try reader.read(0)
+          // Detach the consumed stream so the cached reader is clean for
+          // its next payload.
+          finally reader.setInput(null)
+        }
+      } catch {
+        // NonFatal, not just IOException: the JDK readers throw unchecked
+        // exceptions (ArrayIndexOutOfBounds, NegativeArraySize,
+        // IllegalArgument) on truncated or hostile payloads, and a
+        // poisoned payload must cost one sentinel row, not the job.
+        case scala.util.control.NonFatal(_) => null
+      } finally iis.close()
+    }
+  }
+
   /** REAL image decode in the batched-codec slot — no stub: each payload
     * batch is decoded with the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF
     * readers ship with the JRE; no external library), emitting
     * (width, height, per-channel pixel sums). Same `mapPartitions`
     * fixed-batch shape as [[decodeBatched]] — a JNI/ONNX codec swaps in
     * without touching the plan; memory per task is one batch of decoded
-    * images. Undecodable payloads (not an image, truncated) emit the
-    * (-1, -1, 0, 0, 0) sentinel rather than failing the task — at corpus
-    * scale a poisoned payload must cost one row, not the job. */
+    * images, and reader acquisition is hoisted per partition
+    * ([[PartitionImageDecoder]]). Undecodable payloads (not an image,
+    * truncated) emit the (-1, -1, 0, 0, 0) sentinel rather than failing
+    * the task — at corpus scale a poisoned payload must cost one row, not
+    * the job. */
   def decodeImageBatched(payloads: DataFrame, batchSize: Int = 64)
       : DataFrame = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
@@ -161,17 +213,10 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val decoder = new PartitionImageDecoder
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
-            // NonFatal, not just IOException: the JDK readers throw
-            // unchecked exceptions (ArrayIndexOutOfBounds,
-            // NegativeArraySize, IllegalArgument) on truncated or hostile
-            // payloads, and a poisoned payload must cost one sentinel
-            // row, not the job.
-            val img =
-              try javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bytes))
-              catch { case scala.util.control.NonFatal(_) => null }
+            val img = decoder.decode(bytes)
             if (img == null) (id, -1, -1, 0L, 0L, 0L)
             else {
               var (sr, sg, sb) = (0L, 0L, 0L)
@@ -193,6 +238,155 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** REAL decode → feature-extract — the production body of the
+    * [[decodeFeaturesStub]] slot: decode each payload image
+    * (partition-hoisted readers, same as [[decodeImageBatched]]) and emit
+    * an 8-dim integer feature vector
+    * (width, height, sum_r, sum_g, sum_b, max_r, max_g, max_b).
+    * Integer features keep the vector oracle-recomputable from the
+    * [[syntheticPngPayloads]] pixel formula with no float-formatting
+    * hazard; a model-embedding codec (ONNX) swaps into the same slot with
+    * a float vector. Undecodable payloads emit an 8×(-1) sentinel. */
+  def decodeImageFeatures(payloads: DataFrame, batchSize: Int = 64)
+      : DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decoder = new PartitionImageDecoder
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val img = decoder.decode(bytes)
+            if (img == null) (id, Array.fill(8)(-1L))
+            else {
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var (mr, mg, mb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  val r = (rgb >> 16) & 0xff
+                  val g = (rgb >> 8) & 0xff
+                  val b = rgb & 0xff
+                  sr += r; sg += g; sb += b
+                  if (r > mr) mr = r
+                  if (g > mg) mg = g
+                  if (b > mb) mb = b
+                  x += 1
+                }
+                y += 1
+              }
+              (id, Array(img.getWidth.toLong, img.getHeight.toLong,
+                sr, sg, sb, mr, mg, mb))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "features")
+  }
+
+  /** Deterministic WAV payload synthesis — the audio-side twin of
+    * [[syntheticPngPayloads]]: doc `d`'s sample `i` is pure arithmetic
+    * (`((d*31 + i*7) mod 4096) - 2048`, well inside 16-bit PCM range),
+    * encoded to a REAL RIFF/WAVE file (16-bit signed little-endian PCM,
+    * mono) through `javax.sound.sampled` — narrow map, no shuffle. PCM is
+    * lossless, so a real parser recovers exactly these values, which is
+    * what makes [[decodeAudioBatched]] oracle-checkable: any engine can
+    * recompute the sample stats from the formula without parsing
+    * anything. */
+  def syntheticWavPayloads(docs: DataFrame, idCol: String,
+      nSamples: Int = 256, sampleRate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .map { d =>
+        val pcm = new Array[Byte](nSamples * 2)
+        var i = 0
+        while (i < nSamples) {
+          val s = (Math.floorMod(d * 31 + i * 7, 4096L) - 2048L).toShort
+          pcm(2 * i) = (s & 0xff).toByte         // little-endian
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat,
+          /* bigEndian = */ false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        (d, out.toByteArray)
+      }
+      .toDF("doc_id", "content")
+      .withColumn("meta", metaStruct(col("content")))
+  }
+
+  /** REAL audio decode in the batched-codec slot — the audio twin of
+    * [[decodeImageBatched]], proving the slot is codec-agnostic: each
+    * payload's RIFF/WAVE header + PCM frames are parsed with the JDK's
+    * `javax.sound.sampled` (WAV/AU/AIFF readers ship with the JRE; no
+    * external library), emitting (sample_rate, n_channels, n_samples,
+    * sum_amp, max_amp) over the decoded 16-bit samples. Same
+    * `mapPartitions` fixed-batch shape — a resampling or fingerprinting
+    * codec (the audio analog of pHash) swaps in without touching the
+    * plan. Unparseable payloads emit the (-1, -1, -1, 0, 0) sentinel:
+    * one poisoned row, never a failed job. */
+  def decodeAudioBatched(payloads: DataFrame, batchSize: Int = 64)
+      : DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val fmt = ais.getFormat
+                if (fmt.getSampleSizeInBits != 16)
+                  (id, -1, -1, 0L, 0L, 0L)
+                else {
+                  val data = ais.readAllBytes()
+                  val le = !fmt.isBigEndian
+                  var (sum, maxA) = (0L, Long.MinValue)
+                  var n = 0L
+                  var i = 0
+                  while (i + 1 < data.length) {
+                    val lo = data(if (le) i else i + 1) & 0xff
+                    val hi = data(if (le) i + 1 else i)
+                    val s = ((hi << 8) | lo).toLong
+                    sum += s
+                    if (s > maxA) maxA = s
+                    n += 1
+                    i += 2
+                  }
+                  (id, fmt.getSampleRate.toInt, fmt.getChannels, n, sum,
+                    if (n == 0) 0L else maxA)
+                }
+              } finally ais.close()
+            } catch {
+              // UnsupportedAudioFileException + the unchecked surprises a
+              // hostile header can trigger — sentinel, not a failed job.
+              case scala.util.control.NonFatal(_) => (id, -1, -1, 0L, 0L, 0L)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_channels", "n_samples", "sum_amp",
+        "max_amp")
   }
 
   /** Frame sampling: split the payload into fixed-size "frames" (chunks) and

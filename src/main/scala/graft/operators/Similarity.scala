@@ -463,9 +463,88 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // ───────────── saved-index layout: compaction generations ───────────────
+  // A saved index's bulk artifact ("lists" for IVF, "codes" for PQ) starts
+  // life in `$path/<base>` and, once appends have fragmented it, can be
+  // rewritten by compactIvfIndex/compactPqIndex into `$path/<base>_g<N>`.
+  // Readers resolve the NEWEST COMMITTED generation (Spark's _SUCCESS is
+  // the commit marker — a crashed compaction's partial directory is
+  // invisible) and fall back to the original dir; each compaction keeps
+  // the directory it read from for one more cycle (in-flight reader
+  // grace, the DedupLoop layer-release discipline applied to files) and
+  // prunes everything older.
+
+  private def hfs(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed compaction generations of `base` under `path`, newest
+    * first. */
+  private def committedArtifactGens(spark: org.apache.spark.sql.SparkSession,
+      path: String, base: String): Seq[Int] = {
+    val fs = hfs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.matches(base + "_g\\d+") =>
+        n.drop(base.length + 2).toInt }
+      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/${base}_g$g/_SUCCESS")))
+      .sorted(Ordering[Int].reverse)
+  }
+
+  /** The directory `base` currently lives in. */
+  private def currentArtifactDir(spark: org.apache.spark.sql.SparkSession,
+      path: String, base: String): String =
+    committedArtifactGens(spark, path, base).headOption
+      .map(g => s"$path/${base}_g$g").getOrElse(s"$path/$base")
+
+  /** Delete every `base` directory (original and generations, committed or
+    * partial) except `keep` — the post-commit prune step. */
+  private def pruneArtifactDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String, base: String, keep: Set[String]): Unit = {
+    val fs = hfs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => n == base || n.matches(base + "_g\\d+"))
+        .filterNot(keep)
+        .foreach(n => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$path/$n"), true))
+  }
+
+  /** Rewrite `base`'s current directory into the next committed generation
+    * via `rewrite(sourceDir, targetDir)`, keep the source for one cycle of
+    * reader grace, prune everything older, and hand back the new current
+    * dir. */
+  private def compactArtifact(spark: org.apache.spark.sql.SparkSession,
+      path: String, base: String)(
+      rewrite: (String, String) => Unit): String = {
+    val cur = currentArtifactDir(spark, path, base)
+    val next = committedArtifactGens(spark, path, base).headOption
+      .map(_ + 1).getOrElse(0)
+    val target = s"$path/${base}_g$next"
+    val fs = hfs(spark, path)
+    // A crashed earlier attempt may have left a partial, uncommitted target.
+    if (fs.exists(new org.apache.hadoop.fs.Path(target)))
+      fs.delete(new org.apache.hadoop.fs.Path(target), true)
+    rewrite(cur, target)
+    pruneArtifactDirs(spark, path, base,
+      keep = Set(cur, target).map(_.substring(path.length + 1)))
+    target
+  }
+
   /** Persist an [[IvfIndex]]: centroids as a small frame, the inverted
     * lists hive-partitioned BY LIST — the directory layout that turns
-    * [[ivfProbe]]'s probe-list filter into partition pruning on reload. */
+    * [[ivfProbe]]'s probe-list filter into partition pruning on reload.
+    * A fresh save RESETS the artifact: any compaction generations a prior
+    * index at this path accumulated are cleared once the new lists are
+    * down (overwrite-grade durability, same as the write itself). */
   def saveIvfIndex(index: IvfIndex, path: String): Unit = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
@@ -473,15 +552,39 @@ object Similarity {
       .toDF("i", "v").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     graft.sources.Sink.partitioned(index.assigned, s"$path/lists", "list")
+    pruneArtifactDirs(spark, path, "lists", keep = Set("lists"))
   }
 
-  /** Load an [[IvfIndex]] written by [[saveIvfIndex]]. No retraining, no
-    * re-assignment: probing resumes against the partitioned lists. */
+  /** Load an [[IvfIndex]] written by [[saveIvfIndex]] (and possibly
+    * compacted since). No retraining, no re-assignment: probing resumes
+    * against the newest committed partitioned-lists generation. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfIndex = {
     val cents = spark.read.parquet(s"$path/centroids").orderBy("i")
       .select("v").collect().map(_.getSeq[Double](0)).toSeq
-    IvfIndex(cents, spark.read.parquet(s"$path/lists"))
+    IvfIndex(cents,
+      spark.read.parquet(currentArtifactDir(spark, path, "lists")))
+  }
+
+  /** Generation-merge a saved IVF index's lists: [[appendIvfIndex]] grows
+    * part-files inside the list directories without bound (every appended
+    * micro-batch adds one file per touched list; after 10k batches a probe
+    * opens 10k files per pruned partition — file-open cost, not data,
+    * becomes the probe bottleneck). Compaction rewrites the current lists
+    * into a fresh committed generation with ONE file per list (the
+    * `repartition(list)` shuffle routes each list to a single writer
+    * task), keeps the source directory for one cycle of in-flight reader
+    * grace, and prunes older generations. Probe results are identical —
+    * same rows, same hive layout, same partition pruning — and appends
+    * keep landing in the new generation. Returns the reloaded index. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndex = {
+    compactArtifact(spark, path, "lists") { (cur, target) =>
+      spark.read.parquet(cur)
+        .repartition(col("list"))
+        .write.partitionBy("list").parquet(target)
+    }
+    loadIvfIndex(spark, path)
   }
 
   /** The shared (cid, cv, cn) corpus projection every index build and
@@ -521,9 +624,10 @@ object Similarity {
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newVecs: DataFrame, idCol: String, vecCol: String): IvfIndex = {
     val idx = loadIvfIndex(spark, path)
+    val listsDir = currentArtifactDir(spark, path, "lists")
     assignToLists(newVecs, idCol, vecCol, idx.centroids)
-      .write.mode("append").partitionBy("list").parquet(s"$path/lists")
-    idx.copy(assigned = spark.read.parquet(s"$path/lists"))
+      .write.mode("append").partitionBy("list").parquet(listsDir)
+    idx.copy(assigned = spark.read.parquet(listsDir))
   }
 
   /** Approximate embedding near-dup PAIRS at corpus scale — the production
@@ -744,17 +848,44 @@ object Similarity {
     }.toDF("j", "c", "v").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebooks")
     index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    // A fresh save resets the artifact (saveIvfIndex contract).
+    pruneArtifactDirs(spark, path, "codes", keep = Set("codes"))
   }
 
-  /** Load a [[PqIndex]] written by [[savePqIndex]]: no retraining, no
-    * re-encoding — query batches probe the stored codes directly. */
+  /** Load a [[PqIndex]] written by [[savePqIndex]] (and possibly compacted
+    * since): no retraining, no re-encoding — query batches probe the
+    * newest committed codes generation directly. */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): PqIndex = {
     val cbs = spark.read.parquet(s"$path/codebooks")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
-    PqIndex(cbs, spark.read.parquet(s"$path/codes"))
+    PqIndex(cbs,
+      spark.read.parquet(currentArtifactDir(spark, path, "codes")))
+  }
+
+  /** Generation-merge a saved PQ index's codes — [[compactIvfIndex]] for
+    * the flat codes table: appends accumulate one part-file per batch, and
+    * the ADC scan's cost at steady state becomes file opens rather than
+    * code bytes. Rewrites the current codes into the next committed
+    * generation sized by bytes (~128 MB per output file, minimum one),
+    * keeps the source for one reader-grace cycle, prunes older
+    * generations, and returns the reloaded index. Probe results are
+    * identical — the rewrite only re-buckets rows across files. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetPartitions: Int = 0): PqIndex = {
+    compactArtifact(spark, path, "codes") { (cur, target) =>
+      val parts =
+        if (targetPartitions > 0) targetPartitions
+        else {
+          val bytes = hfs(spark, path).getContentSummary(
+            new org.apache.hadoop.fs.Path(cur)).getLength
+          math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+        }
+      spark.read.parquet(cur).repartition(parts).write.parquet(target)
+    }
+    loadPqIndex(spark, path)
   }
 
   /** [[corpusShape]] + frozen-codebook encoding. */
@@ -779,9 +910,10 @@ object Similarity {
   def appendPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newVecs: DataFrame, idCol: String, vecCol: String): PqIndex = {
     val idx = loadPqIndex(spark, path)
+    val codesDir = currentArtifactDir(spark, path, "codes")
     encodeWith(newVecs, idCol, vecCol, idx.codebooks)
-      .write.mode("append").parquet(s"$path/codes")
-    idx.copy(codes = spark.read.parquet(s"$path/codes"))
+      .write.mode("append").parquet(codesDir)
+    idx.copy(codes = spark.read.parquet(codesDir))
   }
 
   /** Approximate cosine top-k: candidates = corpus rows sharing ≥1 subcode

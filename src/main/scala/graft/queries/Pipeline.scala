@@ -864,13 +864,25 @@ object Pipeline {
         Multimodal.withPayload(s.table("documents"), "doc_id", "text"), 32)
         .orderBy("doc_id", "frame_idx")
     },
-    // Decode-stub features: schema/batch plumbing for multimodal decode;
-    // stubbed codec → rows-only.
-    // The feature vector is serialized to a comma-joined string: the
-    // driver's pandas comparator cannot sort/hash raw array cells.
-    df("m3_decode_features", None) { (s, dir) =>
-      Multimodal.decodeFeaturesStub(
-        Multimodal.withPayload(s.table("documents"), "doc_id", "text"))
+    // REAL decode → feature-extract — the stub that used to sit here is
+    // retired: per doc a synthetic PNG is decoded through javax.imageio
+    // (partition-hoisted readers) and an 8-dim integer feature vector
+    // (width, height, per-channel sums and maxes) comes back. Integer
+    // features make the whole vector oracle-recomputable from the pixel
+    // formula; it is serialized to a comma-joined string because the
+    // driver's comparator cannot sort/hash raw array cells.
+    df("m3_decode_features",
+      Some("with px as (select d.doc_id, " +
+        "(d.doc_id*31 + t1.x*7 + t2.y*13) % 256 as r, " +
+        "(d.doc_id*17 + t1.x*11 + t2.y*3) % 256 as g, " +
+        "(d.doc_id*29 + t1.x*5 + t2.y*19) % 256 as b " +
+        "from documents d, unnest(range(0, 8)) t1(x), unnest(range(0, 8)) t2(y)) " +
+        "select doc_id, concat_ws(',', 8, 8, " +
+        "cast(sum(r) as bigint), cast(sum(g) as bigint), cast(sum(b) as bigint), " +
+        "cast(max(r) as bigint), cast(max(g) as bigint), cast(max(b) as bigint)) as features " +
+        "from px group by doc_id order by doc_id")) { (s, dir) =>
+      Multimodal.decodeImageFeatures(
+          Multimodal.syntheticPngPayloads(s.table("documents"), "doc_id"))
         .select(col("doc_id"),
           expr("array_join(transform(features, x -> cast(x as string)), ',')")
             .as("features"))
@@ -1024,6 +1036,27 @@ object Pipeline {
         "group by d.doc_id order by d.doc_id")) { (s, dir) =>
       Multimodal.decodeImageBatched(
           Multimodal.syntheticPngPayloads(s.table("documents"), "doc_id"))
+        .orderBy("doc_id")
+    },
+    // REAL audio decode — the m10 pattern on the audio modality, proving
+    // the batched-codec slot is codec-agnostic with zero new dependencies:
+    // per doc a 256-sample 16-bit PCM WAV is synthesized (sample values
+    // are pure arithmetic of doc_id and sample index), encoded to a real
+    // RIFF/WAVE file, then parsed back through javax.sound.sampled,
+    // emitting format fields and sample stats. PCM is lossless, so the
+    // oracle recomputes the stats from the formula without any parser —
+    // the actual encode→parse round trip is what's under test.
+    df("m11_audio_decode",
+      Some("with smp as (select d.doc_id, " +
+        "((d.doc_id*31 + t.i*7) % 4096) - 2048 as s " +
+        "from documents d, unnest(range(0, 256)) t(i)) " +
+        "select doc_id, 8000 as sample_rate, 1 as n_channels, " +
+        "cast(count(*) as bigint) as n_samples, " +
+        "cast(sum(s) as bigint) as sum_amp, " +
+        "cast(max(s) as bigint) as max_amp " +
+        "from smp group by doc_id order by doc_id")) { (s, dir) =>
+      Multimodal.decodeAudioBatched(
+          Multimodal.syntheticWavPayloads(s.table("documents"), "doc_id"))
         .orderBy("doc_id")
     }
   )

@@ -741,6 +741,126 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out(99L) == ((-1, -1, 0L)), "undecodable payload must emit the sentinel")
   }
 
+  test("decodeImageFeatures: real decode fills the retired stub's slot") {
+    import spark.implicits._
+    val pngs = Multimodal.syntheticPngPayloads(
+      Seq(3L).toDF("doc_id"), "doc_id", w = 4, h = 2)
+    val poison = Seq((99L, "junk".getBytes("UTF-8"))).toDF("doc_id", "content")
+    val out = Multimodal.decodeImageFeatures(
+        pngs.select("doc_id", "content").unionByName(poison))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val px = for (y <- 0 until 2; x <- 0 until 4)
+      yield ((3L * 31 + x * 7 + y * 13) % 256, (3L * 17 + x * 11 + y * 3) % 256,
+        (3L * 29 + x * 5 + y * 19) % 256)
+    assert(out(3L) == Seq(4L, 2L, px.map(_._1).sum, px.map(_._2).sum,
+      px.map(_._3).sum, px.map(_._1).max, px.map(_._2).max, px.map(_._3).max))
+    assert(out(99L) == Seq.fill(8)(-1L), "undecodable payload → 8×(-1) sentinel")
+  }
+
+  test("decodeAudioBatched: real WAV round-trip, poisoned payload costs one row") {
+    import spark.implicits._
+    val wavs = Multimodal.syntheticWavPayloads(
+      Seq(5L, 6L).toDF("doc_id"), "doc_id", nSamples = 32, sampleRate = 4000)
+    // The WAV payload really is a RIFF container, not raw PCM.
+    val head = wavs.select("content").head().getAs[Array[Byte]](0)
+    assert(new String(head.take(4), "US-ASCII") == "RIFF" &&
+      new String(head.slice(8, 12), "US-ASCII") == "WAVE")
+    val poison = Seq((99L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val out = Multimodal.decodeAudioBatched(
+        wavs.select("doc_id", "content").unionByName(poison), batchSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    def stats(d: Long) = {
+      val s = (0 until 32).map(i => Math.floorMod(d * 31 + i * 7, 4096L) - 2048L)
+      (4000, 1, 32L, s.sum, s.max)
+    }
+    assert(out(5L) == stats(5L))
+    assert(out(6L) == stats(6L))
+    assert(out(99L) == ((-1, -1, 0L, 0L, 0L)),
+      "unparseable payload must emit the sentinel")
+  }
+
+  test("IVF compaction: one file per list, probe identical, appends continue") {
+    val emb = spark.table("embeddings")
+    val queries = emb.where(col("vec_id") < 5)
+    val corpus = emb.where(col("vec_id") >= 10 && col("vec_id") < 300)
+    val dir = java.nio.file.Files.createTempDirectory("ivfcomp").toString
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding"), dir)
+    // Three appended micro-batches fragment the list directories.
+    for (lo <- Seq(300, 350, 400)) {
+      Similarity.appendIvfIndex(spark, dir,
+        emb.where(col("vec_id") >= lo && col("vec_id") < lo + 50)
+          .select((col("vec_id") + 5000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+    }
+    def probe() = Similarity
+      .ivfProbe(Similarity.loadIvfIndex(spark, dir), queries,
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    def partFiles(d: String) = {
+      val root = new java.io.File(d)
+      root.listFiles().filter(_.isDirectory).map(ld =>
+        ld.getName -> ld.listFiles().count(_.getName.endsWith(".parquet")))
+    }
+    val before = probe()
+    assert(partFiles(s"$dir/lists").exists(_._2 > 1),
+      "appends should have fragmented at least one list")
+    val compacted = Similarity.compactIvfIndex(spark, dir)
+    assert(new java.io.File(s"$dir/lists_g0/_SUCCESS").exists())
+    assert(partFiles(s"$dir/lists_g0").forall(_._2 == 1),
+      "compaction must leave exactly one file per list")
+    // Reader grace: the source directory survives this compaction.
+    assert(new java.io.File(s"$dir/lists").exists())
+    assert(probe() == before, "compaction must not change probe results")
+    assert(compacted.assigned.count() == corpus.count() + 150)
+    // Appends land in the new generation; a second compaction folds them
+    // and prunes the original directory (grace expired).
+    Similarity.appendIvfIndex(spark, dir,
+      emb.where(col("vec_id") >= 450 && col("vec_id") < 460)
+        .select((col("vec_id") + 9000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    val afterAppend = probe()
+    Similarity.compactIvfIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/lists").exists(),
+      "second compaction prunes the two-generations-old directory")
+    assert(Similarity.loadIvfIndex(spark, dir).assigned.count() ==
+      corpus.count() + 160)
+    assert(probe() == afterAppend)
+  }
+
+  test("PQ compaction: file count bounded, probe identical") {
+    val emb = spark.table("embeddings")
+    val queries = emb.where(col("vec_id") < 5)
+    val corpus = emb.where(col("vec_id") >= 10 && col("vec_id") < 300)
+    val all = emb.where(col("vec_id") >= 10 && col("vec_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("pqcomp").toString
+    Similarity.savePqIndex(
+      Similarity.buildPqIndex(corpus, "vec_id", "embedding"), dir)
+    for (lo <- Seq(300, 350)) {
+      Similarity.appendPqIndex(spark, dir,
+        emb.where(col("vec_id") >= lo && col("vec_id") < lo + 50),
+        "vec_id", "embedding")
+    }
+    def probe() = Similarity
+      .pqProbe(Similarity.loadPqIndex(spark, dir), queries, all,
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    def files(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = probe()
+    val fragmented = files(s"$dir/codes")
+    val compacted = Similarity.compactPqIndex(spark, dir)
+    assert(files(s"$dir/codes_g0") < fragmented &&
+      files(s"$dir/codes_g0") >= 1,
+      "compaction must shrink the part-file count")
+    assert(probe() == before, "compaction must not change probe results")
+    assert(compacted.codes.count() == all.count())
+  }
+
   test("multimodal: payload meta + frame sampling shapes") {
     val p = Multimodal.withPayload(docs, "doc_id", "text")
     val meta = p.where(col("doc_id") === 1).select("meta.n_bytes").head().getLong(0)
