@@ -1491,6 +1491,207 @@ object Dedup {
     }
   }
 
+  // ───────────── streaming semantic (embedding) dedup index ──────────────
+
+  /** Incremental [[semantic]] (SemDeDup) state — the embedding family's
+    * answer to [[NearDupIndex]]/[[FingerprintIndex]]: FROZEN spherical-
+    * k-means centroids (faiss `add()` semantics — arrivals assign through
+    * the trained quantizer, which never moves; sustained drift deserves a
+    * rebuild) plus every vector that has flowed through (corpus +
+    * arrivals, kept and dropped alike — the near-dup contract: an arrival
+    * that twins an already-DROPPED doc is still a duplicate), each
+    * multi-assigned to its `nprobe` nearest inverted lists as
+    * (id, cv, cn, list). `eps` is the dedup threshold. `layers` follow
+    * the sketch-cache release contract shared by the other index
+    * families. */
+  final case class SemIndex private[graft] (
+      centroids: Seq[Seq[Double]],
+      assigned: DataFrame,
+      eps: Double,
+      nprobe: Int,
+      private[graft] val layers: Seq[DataFrame] = Nil)
+
+  /** The (id, cv, cn) vector projection shared by every SemIndex path. */
+  private def semShape(vecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    vecs.select(col(idCol).cast("long").as("id"),
+        Similarity.toDoubleVec(col(vecCol)).as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv")))
+
+  /** Multi-assign nonzero-norm vectors to their `nprobe` nearest lists —
+    * the fused codegen'd top-nprobe kernel, one narrow projection. Zero-
+    * norm vectors have no direction (cosine undefined): they are never
+    * candidates, so they never enter the index. */
+  private def semAssign(vecs: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]], nprobe: Int): DataFrame =
+    semShape(vecs, idCol, vecCol)
+      .where(col("cn") > 0)
+      .withColumn("list", explode(
+        graft.functions.GraftFunctions.nearestCentroids(col("cv"), cents,
+          nprobe)))
+
+  /** Train the quantizer on `corpus` and index its vectors — the
+    * bootstrap half of the semantic arrival stream
+    * ([[graft.streaming.SemDedupStream]]). `nlist = 0` derives the faiss
+    * √n rule; training samples are bounded by `trainCap` (driver-side,
+    * scale-independent). */
+  def buildSemIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      eps: Double, nlist: Int = 0, nprobe: Int = 4, maxIter: Int = 8,
+      trainCap: Int = 20000): SemIndex = {
+    val cents = Similarity.trainQuantizer(semShape(corpus, idCol, vecCol),
+      nlist, maxIter, trainCap)
+    val assigned = persistSketch(
+      semAssign(corpus, idCol, vecCol, cents, nprobe))
+    assigned.count()
+    SemIndex(cents, assigned, eps, nprobe, layers = Seq(assigned))
+  }
+
+  /** The streaming probe step ([[probeAndExtendFpParts]] contract for the
+    * embedding family): kept batch rows, the batch's assigned-vector layer
+    * (persisted and MATERIALIZED — micro-batch frames cannot recompute
+    * once the batch ends), and the extended index.
+    *
+    * Kept = zero-norm arrivals (cosine undefined — never duplicates)
+    * plus arrivals with NO indexed ≥ eps neighbor in their probed lists,
+    * minus within-batch twins collapsed to the min-id representative
+    * ([[keepRepresentatives]] over same-list exact-cosine pairs). The
+    * index extends with the FULL nonzero batch — kept and dropped alike —
+    * so a later arrival twinning an already-dropped doc still drops.
+    * Precision is exact (every drop is a verified cosine ≥ eps); recall
+    * is quantizer-defined, with the standard nprobe multi-assignment
+    * mitigation — identical vectors rank their lists identically, so
+    * exact copies are ALWAYS caught. */
+  private[graft] def probeAndExtendSemParts(index: SemIndex,
+      batch: DataFrame, idCol: String, vecCol: String)
+      : (DataFrame, DataFrame, SemIndex) = {
+    val shaped = semShape(batch, idCol, vecCol)
+    val ba = persistSketch(
+      semAssign(batch, idCol, vecCol, index.centroids, index.nprobe))
+    ba.count()
+    val zeroKept = shaped.where(col("cn").isNull || !(col("cn") > 0))
+      .select(col("id"))
+    // Probe-list ids are collected (bounded by batch × nprobe distinct
+    // lists) and pushed as an index-side filter BEFORE the join — on a
+    // restored index reading the list-partitioned generation layout this
+    // is partition PRUNING, so per-batch probe cost scales with the
+    // probed lists, never the accumulated corpus.
+    val probeLists = ba.select("list").distinct().collect().map(_.getInt(0))
+    val eps = index.eps
+    val dupIds =
+      if (probeLists.isEmpty) ba.select("id").limit(0)
+      else index.assigned
+        .where(col("list").isin(probeLists.map(Int.box): _*))
+        .select(col("cv").as("xv"), col("cn").as("xn"), col("list"))
+        .join(broadcast(ba), Seq("list"))
+        .where(try_divide(Similarity.dot(col("xv"), col("cv")),
+          col("xn") * col("cn")) >= eps)
+        .select("id").distinct()
+    val novel = ba.join(dupIds, Seq("id"), "left_anti")
+    val pairs = novel.as("a").join(novel.as("b"),
+        col("a.list") === col("b.list") && col("a.id") < col("b.id"))
+      .where(try_divide(Similarity.dot(col("a.cv"), col("b.cv")),
+        col("a.cn") * col("b.cn")) >= eps)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
+    val keptNz = keepRepresentatives(
+      novel.select("id").distinct(), "id", pairs, "a_id", "b_id")
+      .select("id")
+    val keptIds = keptNz.unionByName(zeroKept)
+      .select(col("id").as("doc_id"))
+    (keptIds, ba,
+      SemIndex(index.centroids, index.assigned.unionByName(ba), eps,
+        index.nprobe, index.layers :+ ba))
+  }
+
+  /** Write one micro-batch's semantic fold to the write-ahead delta log
+    * (`$path/delta/b<id>/{vecs,ids,kept}`, kept LAST as the commit
+    * marker — the shared layout, so the replay helpers work unchanged). */
+  private[graft] def appendSemDelta(path: String, batchId: Long,
+      vecs: DataFrame, ids: DataFrame, kept: DataFrame): Unit = {
+    val d = s"$path/delta/b$batchId"
+    vecs.write.mode("overwrite").parquet(s"$d/vecs")
+    ids.write.mode("overwrite").parquet(s"$d/ids")
+    kept.select(col("doc_id").cast("long").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$d/kept")
+  }
+
+  /** Persist a [[SemIndex]] generation ([[saveIndex]] crash-safety
+    * contract: params LAST as the commit marker, one prior generation
+    * retained). The assigned vectors are written hive-partitioned BY LIST,
+    * so a restored stream's probe-list filter partition-prunes — the
+    * [[Similarity.saveIvfIndex]] layout inside the generational
+    * checkpoint. */
+  def saveSemIndex(index: SemIndex, path: String, batchId: Long = -1L,
+      kept: Option[DataFrame] = None): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    saveGenerational(spark, path,
+      params = Seq((index.eps, index.nprobe, batchId))
+        .toDF("eps", "nprobe", "batch_id"),
+      dropTables = _ => Nil) { (gdir, _) =>
+      index.centroids.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("i", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$gdir/centroids")
+      graft.sources.Sink.partitioned(index.assigned, s"$gdir/vecs", "list")
+      kept.foreach(_.select(col("doc_id").cast("long").as("doc_id"))
+        .write.mode("overwrite").parquet(s"$gdir/kept"))
+    }
+  }
+
+  /** Load the newest committed [[SemIndex]] generation. The assigned frame
+    * deliberately reads through the list-partitioned files (not cached):
+    * probe-list filters become partition pruning. */
+  def loadSemIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): SemIndex =
+    loadLatestSemGen(spark, path).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed semantic index at $path"))
+
+  private def loadLatestSemGen(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(SemIndex, Long)] =
+    completeGens(spark, path).headOption.map { g =>
+      val gdir = s"$path/g$g"
+      val p = spark.read.parquet(s"$gdir/params").head()
+      val cents = spark.read.parquet(s"$gdir/centroids").orderBy("i")
+        .select("v").collect().map(_.getSeq[Double](0)).toSeq
+      (SemIndex(cents, spark.read.parquet(s"$gdir/vecs"),
+        p.getAs[Double]("eps"), p.getAs[Int]("nprobe")),
+        p.getAs[Long]("batch_id"))
+    }
+
+  /** Restore the full semantic-index state: newest generation + every
+    * newer write-ahead delta, returning (index, last durably folded batch
+    * id) — the [[loadIndexWithDeltas]] of the semantic stream. */
+  private[graft] def loadSemIndexWithDeltas(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(SemIndex, Long)] =
+    loadLatestSemGen(spark, path).map { case (gen, genBatch) =>
+      val deltas = indexDeltaBatches(spark, path).filter(_ > genBatch)
+      val idx = deltas.foldLeft(gen) { (acc, b) =>
+        val vecs = persistSketch(
+          spark.read.parquet(s"$path/delta/b$b/vecs"))
+        // Materialize NOW: a later WAL append must never race a lazy read.
+        vecs.count()
+        acc.copy(assigned = acc.assigned.unionByName(vecs),
+          layers = acc.layers :+ vecs)
+      }
+      (idx, deltas.lastOption.getOrElse(genBatch))
+    }
+
+  /** Flatten a [[SemIndex]]'s accumulated union lineage into one resident
+    * frame ([[compactIndex]] contract: `releaseOld = false` leaves the
+    * superseded layers for the caller's grace period). */
+  def compactSemIndex(index: SemIndex,
+      releaseOld: Boolean = true): SemIndex = {
+    val a = index.assigned.localCheckpoint(true)
+    if (releaseOld) index.layers.foreach(_.unpersist(false))
+    index.copy(assigned = a, layers = Nil)
+  }
+
+  /** Unpersist exactly the layers `index` references ([[releaseFpIndex]]
+    * contract for the semantic family). */
+  def releaseSemIndex(index: SemIndex): Unit =
+    index.layers.foreach(_.unpersist(false))
+
   // ───────────────────── exact-substring dedup ───────────────────────────
 
   /** Per-doc token-window frame shared by the substring-dedup family:

@@ -403,7 +403,7 @@ object Similarity {
     * the list count (the faiss √n rule when `nlist <= 0`, clamped so the
     * quantizer stays trainable from the capped sample) and train on the
     * bounded seeded sample. `c` must carry the vectors as `cv`. */
-  private def trainQuantizer(c: DataFrame, nlist: Int, maxIter: Int,
+  private[operators] def trainQuantizer(c: DataFrame, nlist: Int, maxIter: Int,
       trainCap: Int): Seq[Seq[Double]] = {
     val total = c.count()
     val lists =

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+import graft.operators.Dedup.SemIndex
+
+/** Streaming incremental SEMANTIC (embedding) dedup — the arrival-time
+  * twin of the batch `d15_dedup_semantic` / SemDeDup path, and the sixth
+  * index family on the shared [[DedupLoop]]: an embedding stream is probed
+  * micro-batch by micro-batch against a [[SemIndex]] (frozen spherical-
+  * k-means quantizer + list-assigned vectors) that starts from the
+  * bootstrapped corpus and absorbs each arriving batch, so later arrivals
+  * dedup against everything that came before — corpus AND stream history —
+  * without ever re-embedding or re-assigning an indexed vector.
+  *
+  * Semantics are the incremental SemDeDup contract: an arrival is DROPPED
+  * iff it has a verified cosine ≥ eps neighbor among the indexed vectors
+  * sharing one of its `nprobe` lists, or it loses the min-id within-batch
+  * twin collapse; kept OR dropped, its vector folds into the index
+  * (first-arrival-wins — a twin of an already-dropped doc is still a
+  * duplicate). Precision is exact (every drop re-verifies the cosine);
+  * recall is quantizer-defined with nprobe multi-assignment, and exact
+  * copies are ALWAYS caught (identical vectors rank their lists
+  * identically). The quantizer is FROZEN (faiss `add()` semantics):
+  * sustained distribution drift deserves a rebuild from fresh data, which
+  * is why centroids deliberately never move here.
+  *
+  * State discipline at 100 TB follows [[NearDupStream]]: the index lives
+  * in executor storage / list-partitioned parquet generations, NOT the
+  * streaming state store; per-batch probe cost scales with the batch's
+  * probed lists (partition-pruned on a restored index), never the
+  * accumulated corpus. The micro-batch loop — WAL-before-side-effects,
+  * engine-replay recognition (ids + xxhash64 vector fingerprints),
+  * batch-id rebase, compaction cadence, layer-release grace — is
+  * [[DedupLoop]], shared with the other four streams; only the
+  * SemIndex-specific operations live here. */
+object SemDedupStream {
+
+  /** See [[DedupLoop.IndexState]] for the handle/visibility contract. */
+  type IndexState = DedupLoop.IndexState[SemIndex]
+
+  /** Load-or-bootstrap ([[NearDupStream.resume]] contract): restore the
+    * newest committed generation plus every newer write-ahead delta, or
+    * train + build from `corpus`, checkpoint, and reload through the
+    * saved artifact so first run and restart probe the identical
+    * list-partitioned layout. */
+  def resume(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eps: Double = 0.4,
+      nlist: Int = 0,
+      nprobe: Int = 4): IndexState =
+    Dedup.loadSemIndexWithDeltas(spark, path) match {
+      case Some((idx, lastBatch)) =>
+        new DedupLoop.IndexState(idx, lastBatch)
+      case None =>
+        val built = Dedup.buildSemIndex(corpus, idCol, vecCol, eps,
+          nlist, nprobe)
+        Dedup.saveSemIndex(built, path)
+        // The bootstrap copy is superseded by the reloaded artifact:
+        // release it so the long-lived stream holds ONE resident index.
+        Dedup.releaseSemIndex(built)
+        new DedupLoop.IndexState(Dedup.loadSemIndex(spark, path))
+    }
+
+  private final class SemOps(val idCol: String, val textCol: String)
+      extends DedupLoop.Ops[SemIndex] {
+    def probeAndLog(idx: SemIndex, batch: DataFrame,
+        checkpoint: Option[String], walId: Long): (DataFrame, SemIndex) = {
+      val (keptIds, vecsLayer, extended) =
+        Dedup.probeAndExtendSemParts(idx, batch, idCol, textCol)
+      checkpoint.foreach(p => Dedup.appendSemDelta(p, walId, vecsLayer,
+        replayIds(batch), keptIds))
+      (keptIds, extended)
+    }
+    def layers(idx: SemIndex): Seq[DataFrame] = idx.layers
+    def compact(idx: SemIndex): SemIndex =
+      Dedup.compactSemIndex(idx, releaseOld = false)
+    def save(idx: SemIndex, path: String, walId: Long,
+        kept: DataFrame): Unit =
+      Dedup.saveSemIndex(idx, path, batchId = walId, kept = Some(kept))
+  }
+
+  /** Start the semantic-dedup stream: kept (semantically novel) rows go to
+    * `sink`; the FULL batch's vectors fold into the index. Durability when
+    * `checkpointPath` is set follows [[NearDupStream.run]]: per-batch
+    * write-ahead delta before any side effect, periodic compaction +
+    * generational save (list-partitioned vectors), exactly-once replay of
+    * recorded kept-sets — the contract the kill -9 test pins for the
+    * shared loop. The replay identity fingerprints the VECTOR column
+    * (xxhash64 over the array), so a restarted source re-delivering the
+    * same ids with different embeddings folds as new data. */
+  def run(
+      docs: DataFrame,
+      state: IndexState,
+      idCol: String,
+      vecCol: String,
+      compactEvery: Long = 100,
+      checkpointPath: Option[String] = None,
+      queryCheckpointLocation: Option[String] = None)(
+      sink: DataFrame => Unit): StreamingQuery =
+    runBatches(docs, state, idCol, vecCol, compactEvery, checkpointPath,
+      queryCheckpointLocation)((kept, _) => sink(kept))
+
+  /** [[run]] with the ENGINE batch id passed to the sink
+    * ([[NearDupStream.runBatches]] contract — pair with
+    * `sources.Sink.idempotentBatch` for exactly-once landed output across
+    * post-sink crashes). */
+  def runBatches(
+      docs: DataFrame,
+      state: IndexState,
+      idCol: String,
+      vecCol: String,
+      compactEvery: Long = 100,
+      checkpointPath: Option[String] = None,
+      queryCheckpointLocation: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    DedupLoop.run(docs, state, idCol, new SemOps(idCol, vecCol),
+      compactEvery, checkpointPath, queryCheckpointLocation)(sink)
+}

@@ -200,6 +200,42 @@ class CrashRestartSpec extends SparkSpecBase {
     assert(crashThenRestart(base, "substring") == Seq(15L, 30L, 40L))
   }
 
+  test("kill -9 mid-batch: semantic stream restores its vector deltas") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("crash9sem").toString
+    val srcDir = s"$base/src"
+    // eps = 0.9 (CrashStreamMain's semantic mode): only near-parallel
+    // vectors dedup. Orthogonal corpus directions, arrivals as in the
+    // other families: f1 corpus-dup + novel, f2 cross-batch dup + novel
+    // (crash lands here), f3 novel + corpus-dup.
+    Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("doc_id", "embedding").write.parquet(s"$srcDir/corpus")
+    val files = Seq(
+      "f1" -> Seq((10L, Seq(1.0, 0.1, 0.0, 0.0)),
+        (15L, Seq(0.0, 0.0, 1.0, 0.0))),
+      "f2" -> Seq((20L, Seq(0.0, 0.0, 1.0, 0.1)),
+        (30L, Seq(0.0, 0.0, 0.0, 1.0))),
+      "f3" -> Seq((40L, Seq(0.5, -0.5, 0.5, -0.5)),
+        (45L, Seq(1.0, 0.05, 0.0, 0.0))))
+    files.zipWithIndex.foreach { case ((name, rows), i) =>
+      val dir = s"$srcDir/stream/$name"
+      rows.toDF("doc_id", "embedding").coalesce(1).write.parquet(dir)
+      val t0 = System.currentTimeMillis() - 100000
+      Files.walk(Paths.get(dir)).forEach(p =>
+        p.toFile.setLastModified(t0 + i * 2000L))
+    }
+    val args = Seq(s"$base/idx", s"$base/eng", srcDir, s"$base/sink")
+    val rc1 = runChild(args ++ Seq("1", "semantic"), s"$base/run1.log")
+    assert(rc1 == 137,
+      s"first child should die by halt(137), got $rc1 — log: $base/run1.log")
+    val rc2 = runChild(args ++ Seq("-1", "semantic"), s"$base/run2.log")
+    assert(rc2 == 0, s"restart child failed with $rc2 — log: $base/run2.log")
+    val ids = spark.read.parquet(s"$base/sink")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(15L, 30L, 40L),
+      s"kept output after crash-restart: $ids")
+  }
+
   test("kill -9 AFTER the sink wrote: idempotent per-batch sink stays exactly-once") {
     import spark.implicits._
     val base = Files.createTempDirectory("crash9post").toString

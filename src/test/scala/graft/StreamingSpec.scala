@@ -12,6 +12,9 @@ import graft.streaming.Sessionize.Event
   * a TypeTag-backed encoder). */
 case class NdDoc(doc_id: Long, text: String)
 
+/** Embedding fixture for the semantic-dedup stream. */
+case class SemDoc(doc_id: Long, embedding: Seq[Double])
+
 /** Streaming sessionization through a real micro-batch run (MemoryStream →
   * watermark/state → memory sink). */
 class StreamingSpec extends SparkSpecBase {
@@ -633,6 +636,140 @@ class StreamingSpec extends SparkSpecBase {
     assert(got3.toSet == Set(40L),
       "new data at a colliding batch id must be kept, not swallowed")
     assert(s3.index.fps.count() == 6, "new data must fold into the index")
+    Dedup.releaseSketchCaches()
+  }
+
+  test("semantic stream: corpus/cross-batch/chain dups drop, WAL restores, replay re-emits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.SemDedupStream
+
+    // Orthogonal corpus directions; eps = 0.9 so only near-parallel
+    // vectors dedup. The 2-vector corpus trains 2 unit centroids, and
+    // nprobe clamps to the list count, so every vector is a candidate —
+    // the fixture tests the cosine CONTRACT, not quantizer recall.
+    val corpus = Seq(SemDoc(1, Seq(1, 0, 0, 0)), SemDoc(2, Seq(0, 1, 0, 0)))
+      .toDF("doc_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("semwal").toString
+    val s1 = SemDedupStream.resume(spark, dir, corpus, "doc_id", "embedding",
+      eps = 0.9)
+    assert(s1.lastIndexedBatch == -1L)
+
+    val in1 = MemoryStream[SemDoc]
+    val got1 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q1 = SemDedupStream.run(in1.toDF(), s1, "doc_id", "embedding",
+        compactEvery = 1000, checkpointPath = Some(dir)) { kept =>
+      got1 ++= kept.select("doc_id").as[Long].collect()
+    }
+    // batch 0: 10 near-parallels corpus doc 1 (cos ≈ .995); 15 orthogonal.
+    in1.addData(SemDoc(10, Seq(1, 0.1, 0, 0)), SemDoc(15, Seq(0, 0, 1, 0)))
+    q1.processAllAvailable()
+    // batch 1: 20 dups the PREVIOUS batch's kept 15; 25 exactly copies the
+    // DROPPED 10 (still a dup — dropped vectors fold too); 31/32 are
+    // in-batch twins (min id 31 wins); 40 is zero-norm (cosine undefined,
+    // always kept, never indexed).
+    in1.addData(SemDoc(20, Seq(0, 0, 1, 0.1)), SemDoc(25, Seq(1, 0.1, 0, 0)),
+      SemDoc(32, Seq(0, 0, 0, 1)), SemDoc(31, Seq(0, 0, 0, 1)),
+      SemDoc(40, Seq(0, 0, 0, 0)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(got1.toSet == Set(15L, 31L, 40L))
+
+    // Restart from generation + WAL deltas: all folds restored.
+    val s2 = SemDedupStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "embedding", eps = 0.9)
+    assert(s2.lastIndexedBatch == 1L)
+    // 2 corpus + 10,15,20,25,31,32 — the zero-norm 40 never indexes.
+    assert(s2.index.assigned.select("id").distinct().count() == 8)
+    assert(s2.index.eps == 0.9)
+
+    // Fresh query renumbering from 0 = engine replay shape: recorded
+    // kept-sets re-emit, nothing re-folds.
+    val in2 = MemoryStream[SemDoc]
+    val got2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = SemDedupStream.run(in2.toDF(), s2, "doc_id", "embedding",
+        compactEvery = 1000, checkpointPath = Some(dir)) { kept =>
+      got2 ++= kept.select("doc_id").as[Long].collect()
+    }
+    in2.addData(SemDoc(10, Seq(1, 0.1, 0, 0)), SemDoc(15, Seq(0, 0, 1, 0)))
+    q2.processAllAvailable()
+    in2.addData(SemDoc(20, Seq(0, 0, 1, 0.1)), SemDoc(25, Seq(1, 0.1, 0, 0)),
+      SemDoc(32, Seq(0, 0, 0, 1)), SemDoc(31, Seq(0, 0, 0, 1)),
+      SemDoc(40, Seq(0, 0, 0, 0)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.toSet == Set(15L, 31L, 40L),
+      "replayed batches must re-emit their recorded kept rows")
+    assert(s2.index.assigned.select("id").distinct().count() == 8,
+      "replay must not re-fold vectors")
+
+    // Batch-id collision with NEW data folds normally (rebase path): a
+    // direction far from everything indexed is kept.
+    val s3 = SemDedupStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "embedding", eps = 0.9)
+    val in3 = MemoryStream[SemDoc]
+    val got3 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q3 = SemDedupStream.run(in3.toDF(), s3, "doc_id", "embedding",
+        compactEvery = 1000, checkpointPath = Some(dir)) { kept =>
+      got3 ++= kept.select("doc_id").as[Long].collect()
+    }
+    in3.addData(SemDoc(50, Seq(0.5, -0.5, 0.5, -0.5)))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(got3.toSet == Set(50L),
+      "new data at a colliding batch id must be kept, not swallowed")
+    assert(s3.index.assigned.select("id").distinct().count() == 9,
+      "new data must fold into the index")
+    Dedup.releaseSketchCaches()
+  }
+
+  test("semantic stream: compaction saves a generation the restart loads pruned") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.SemDedupStream
+
+    val corpus = Seq(SemDoc(1, Seq(1, 0, 0, 0)), SemDoc(2, Seq(0, 1, 0, 0)))
+      .toDF("doc_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("semgen").toString
+    val s1 = SemDedupStream.resume(spark, dir, corpus, "doc_id", "embedding",
+      eps = 0.9)
+    val in1 = MemoryStream[SemDoc]
+    val got1 = scala.collection.mutable.ArrayBuffer[Long]()
+    // compactEvery = 1: every batch compacts then saves a generation over
+    // the same path — extension on top of a compacted index at every
+    // batch after the first.
+    val q1 = SemDedupStream.run(in1.toDF(), s1, "doc_id", "embedding",
+        compactEvery = 1, checkpointPath = Some(dir)) { kept =>
+      got1 ++= kept.select("doc_id").as[Long].collect()
+    }
+    in1.addData(SemDoc(10, Seq(1, 0.1, 0, 0)), SemDoc(15, Seq(0, 0, 1, 0)))
+    q1.processAllAvailable()
+    in1.addData(SemDoc(20, Seq(0, 0, 1, 0.05)), SemDoc(30, Seq(0, 0, 0, 1)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(got1.toSet == Set(15L, 30L))
+
+    // Restart loads the newest generation (no outstanding deltas — every
+    // batch compacted); the restored index reads the list-partitioned
+    // layout, probes correctly, and continues.
+    val s2 = SemDedupStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "embedding", eps = 0.9)
+    assert(s2.lastIndexedBatch == 1L)
+    assert(s2.index.assigned.select("id").distinct().count() == 6)
+    val in2 = MemoryStream[SemDoc]
+    val got2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = SemDedupStream.run(in2.toDF(), s2, "doc_id", "embedding",
+        compactEvery = 1, checkpointPath = Some(dir)) { kept =>
+      got2 ++= kept.select("doc_id").as[Long].collect()
+    }
+    // 60 dups the restored stream history (doc 30); 61 is novel.
+    in2.addData(SemDoc(60, Seq(0, 0, 0.05, 1)), SemDoc(61, Seq(1, -1, 1, 1)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.toSet == Set(61L),
+      s"restored index must drop dups of pre-restart arrivals, got $got2")
     Dedup.releaseSketchCaches()
   }
 

@@ -18,10 +18,11 @@ import graft.streaming.NearDupStream
   *     maxFilesPerTrigger=1, ordered by file modification time)
   *   - killAfter < 0 : run to completion, exit 0.
   *   - mode: "near" (default, NearDupStream), "exact" (FpDedupStream),
-  *     "winnow" (WinnowStream) or "substring" (SubstringStream) — all
-  *     four index families ride the same DedupLoop, crashed at the same
-  *     point; winnow/substring additionally exercise their family's own
-  *     delta append/restore (layered freq tables) across the kill.
+  *     "winnow" (WinnowStream), "substring" (SubstringStream) or
+  *     "semantic" (SemDedupStream, embedding source) — all five index
+  *     families ride the same DedupLoop, crashed at the same point;
+  *     winnow/substring additionally exercise their family's own delta
+  *     append/restore (layered freq tables) across the kill.
   *   - killPoint: "pre" (default — die before the Nth sink write: WAL
   *     durable, output unsunk) or "post" (die AFTER the Nth sink write,
   *     before offsets commit — the replay re-runs a sink that already
@@ -47,7 +48,11 @@ object CrashStreamMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val corpus = spark.read.parquet(s"$srcDir/corpus")
-    val src = spark.readStream.schema("doc_id long, text string")
+    // The semantic family streams embeddings, not text.
+    val srcSchema =
+      if (mode == "semantic") "doc_id long, embedding array<double>"
+      else "doc_id long, text string"
+    val src = spark.readStream.schema(srcSchema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
       .parquet(s"$srcDir/stream")
@@ -86,6 +91,13 @@ object CrashStreamMain {
         graft.streaming.SubstringStream.runBatches(src, state,
           "doc_id", "text", minOccurrences = 2, maxDupRatio = 0.5,
           compactEvery = 2, checkpointPath = Some(idxCkpt),
+          queryCheckpointLocation = Some(qCkpt))(sink)
+      case "semantic" =>
+        val state = graft.streaming.SemDedupStream.resume(
+          spark, idxCkpt, corpus, "doc_id", "embedding", eps = 0.9)
+        graft.streaming.SemDedupStream.runBatches(src, state,
+          "doc_id", "embedding", compactEvery = 2,
+          checkpointPath = Some(idxCkpt),
           queryCheckpointLocation = Some(qCkpt))(sink)
       case _ =>
         val state = NearDupStream.resume(

@@ -347,6 +347,61 @@ object ScaleProbe {
         graft.streaming.SubstringStream.run(in.toDF(), st, "doc_id", "text",
           compactEvery = 2, checkpointPath = Some(dir))(k => { k.count(); () })
       }
+      // Fifth family — the embedding/semantic stream: same protocol over
+      // the embeddings table (per batch: half exact re-posts of corpus
+      // vectors under fresh ids — always-caught cosine-1 dups — and half
+      // negated vectors, cosine −1 to their source, standing in for novel
+      // arrivals).
+      if (wanted("stream_semantic")) {
+        // Replicate from the original parquet (not the session view, which
+        // an earlier section may already have replaced with a replicated
+        // copy — replicating that again would square the factor).
+        val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val nEmb = baseEmb.count()
+        val ecorpus = baseEmb
+          .crossJoin(spark.range(rep).select(col("id").as("__r")))
+          .select((col("vec_id") + col("__r") * lit(nEmb * 10)).as("doc_id"),
+            col("embedding"))
+          .cache()
+        println(s"[scale] embeddings x$rep = ${ecorpus.count()} vectors")
+        def epart(m: Int): Seq[(Long, Seq[Double])] =
+          ecorpus.where(pmod(col("doc_id"), lit(40)) === m)
+            .select(col("doc_id"),
+              graft.operators.Similarity.toDoubleVec(col("embedding"))
+                .as("v"))
+            .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+        val ebatches: Seq[Seq[graft.SemDoc]] = (0 until 4).map { i =>
+          val dups = epart(i).map { case (id, v) =>
+            graft.SemDoc(id + 10000000L * (i + 1), v) }
+          val novel = epart(10 + i).map { case (id, v) =>
+            graft.SemDoc(id + 20000000L * (i + 1), v.map(x => -x)) }
+          dups ++ novel
+        }
+        println(s"[scale] semantic stream batches: " +
+          ebatches.map(_.size).mkString(",") + " vectors")
+        val dir = java.nio.file.Files
+          .createTempDirectory("sp_stream_semantic").toString
+        val t0 = System.nanoTime()
+        val in = MemoryStream[graft.SemDoc]
+        val st = graft.streaming.SemDedupStream.resume(
+          spark, dir, ecorpus, "doc_id", "embedding", eps = 0.4)
+        val q = graft.streaming.SemDedupStream.run(in.toDF(), st,
+          "doc_id", "embedding", compactEvery = 2,
+          checkpointPath = Some(dir))(k => { k.count(); () })
+        println(f"[scale] stream_semantic bootstrap (corpus IVF index) " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        ebatches.zipWithIndex.foreach { case (b, i) =>
+          val t1 = System.nanoTime()
+          in.addData(b: _*)
+          q.processAllAvailable()
+          println(f"[scale] stream_semantic batch$i (${b.size} vectors" +
+            (if (i % 2 == 1) ", compaction cycle" else "") +
+            f") ${(System.nanoTime() - t1) / 1e9}%.2f s")
+          System.out.flush()
+        }
+        q.stop()
+        graft.operators.Dedup.releaseSketchCaches()
+      }
     }
     spark.stop()
   }
