@@ -209,6 +209,12 @@ object ScaleProbe {
     time("m10_image_decode (png encode + imageio decode)") {
       graft.SparkEntry.queries("m10_image_decode")(spark, sfDir)
     }
+    time("m3_decode_features (png encode + imageio feature extract)") {
+      graft.SparkEntry.queries("m3_decode_features")(spark, sfDir)
+    }
+    time("m11_audio_decode (wav encode + javax.sound parse)") {
+      graft.SparkEntry.queries("m11_audio_decode")(spark, sfDir)
+    }
     if (wanted("strip")) {
       time("stripDupSpans (interval merge + token cut)") {
         graft.operators.Dedup.stripDupSpans(docs, "doc_id", "text",
