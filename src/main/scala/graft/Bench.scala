@@ -131,6 +131,7 @@ object Bench {
       "t11_vocab_tokenize", "t13_tfidf_search", "t14_repetition_signals",
       "e4_asof_join", "e5_range_join",
       "m2_frame_sample", "m8_payload_dedup", "m10_image_decode",
+      "m11_audio_decode", "m12_audio_overlap",
       "s4_hybrid_search", "x2_sequence_packing")
     val headlineJson = jsonFor(results.filter(r => headline.contains(r._1)))
     val fullJson = jsonFor(results)

@@ -1580,7 +1580,7 @@ object Dedup {
     val dupIds =
       if (probeLists.isEmpty) ba.select("id").limit(0)
       else index.assigned
-        .where(col("list").isin(probeLists.map(Int.box): _*))
+        .where(col("list").isin(probeLists.toIndexedSeq.map(Int.box): _*))
         .select(col("cv").as("xv"), col("cn").as("xn"), col("list"))
         .join(broadcast(ba), Seq("list"))
         .where(try_divide(Similarity.dot(col("xv"), col("cv")),

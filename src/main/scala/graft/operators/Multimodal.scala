@@ -301,16 +301,22 @@ object Multimodal {
     * recompute the sample stats from the formula without parsing
     * anything. */
   def syntheticWavPayloads(docs: DataFrame, idCol: String,
-      nSamples: Int = 256, sampleRate: Int = 8000): DataFrame = {
+      nSamples: Int = 256, sampleRate: Int = 8000,
+      seedCol: String = ""): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id"))
-      .as[Long]
-      .map { d =>
+    // seedCol decouples the sample formula from the row id: a twin row can
+    // carry its ORIGINAL's seed (same leading samples, longer tail) under
+    // a fresh id — the fixture shape audio overlap dedup needs.
+    val seed = if (seedCol.isEmpty) col(idCol) else col(seedCol)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        seed.cast("long").as("seed"))
+      .as[(Long, Long)]
+      .map { case (d, sd) =>
         val pcm = new Array[Byte](nSamples * 2)
         var i = 0
         while (i < nSamples) {
-          val s = (Math.floorMod(d * 31 + i * 7, 4096L) - 2048L).toShort
+          val s = (Math.floorMod(sd * 31 + i * 7, 4096L) - 2048L).toShort
           pcm(2 * i) = (s & 0xff).toByte         // little-endian
           pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
           i += 1
@@ -387,6 +393,75 @@ object Multimodal {
       }
       .toDF("doc_id", "sample_rate", "n_channels", "n_samples", "sum_amp",
         "max_amp")
+  }
+
+  /** REAL audio decode emitting the SAMPLE ARRAY (16-bit values as ints) —
+    * the feed for downstream audio analysis (frame fingerprints, VAD,
+    * resampling). Same parse as [[decodeAudioBatched]]; unparseable or
+    * non-16-bit payloads emit an empty array (one poisoned row, never a
+    * failed job). */
+  def decodeAudioSamples(payloads: DataFrame, batchSize: Int = 64)
+      : DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val fmt = ais.getFormat
+                if (fmt.getSampleSizeInBits != 16) (id, Array.empty[Int])
+                else {
+                  val data = ais.readAllBytes()
+                  val le = !fmt.isBigEndian
+                  val out = new Array[Int](data.length / 2)
+                  var i = 0
+                  while (i + 1 < data.length) {
+                    val lo = data(if (le) i else i + 1) & 0xff
+                    val hi = data(if (le) i + 1 else i)
+                    out(i / 2) = (hi << 8) | lo
+                    i += 2
+                  }
+                  (id, out)
+                }
+              } finally ais.close()
+            } catch {
+              case scala.util.control.NonFatal(_) => (id, Array.empty[Int])
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "samples")
+  }
+
+  /** Audio near-dup by SHARED PCM-FRAME fingerprints — [[frameOverlap]]'s
+    * shape on the DECODED sample stream instead of container bytes (two
+    * WAVs with identical leading audio but different headers or tails
+    * still pair — re-posted clips, shared intros, partial copies). Frames
+    * are `frameSamples`-sample chunks fingerprinted as md5 over the
+    * canonical comma-joined sample string, so the chain stays fully
+    * oracle-replayable from synthetic sample formulas; the pair search is
+    * the winnowing shape (per-doc distinct fps, `maxFreq` boilerplate
+    * cap, one fp-equi self-join, count ≥ `minShared`). Returns
+    * (a_id, b_id, n_shared), a_id < b_id. */
+  def audioFrameOverlap(samples: DataFrame, frameSamples: Int,
+      minShared: Int = 2, maxFreq: Int = 200): DataFrame = {
+    require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
+    Dedup.sharedKeyPairs(
+      samples.where(size(col("samples")) >= frameSamples)
+        .select(col("doc_id").as("id"), explode(expr(
+          s"transform(sequence(0, size(samples) div $frameSamples - 1), " +
+            s"i -> md5(concat_ws(',', transform(" +
+            s"slice(samples, i * $frameSamples + 1, $frameSamples), " +
+            s"x -> cast(x as string)))))")).as("fp"))
+        .distinct(),
+      maxFreq, minShared)
   }
 
   /** Frame sampling: split the payload into fixed-size "frames" (chunks) and

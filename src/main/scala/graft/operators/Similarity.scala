@@ -455,7 +455,7 @@ object Similarity {
         GraftFunctions.nearestCentroids(col("qv"), index.centroids, nprobe)))
     val probeLists = q.select("list").distinct().collect().map(_.getInt(0))
     val scored = index.assigned
-      .where(col("list").isin(probeLists.map(Int.box): _*))
+      .where(col("list").isin(probeLists.toIndexedSeq.map(Int.box): _*))
       .join(broadcast(q), Seq("list"))
       .select(col("qid"), col("cid"),
         try_divide(dot(col("qv"), col("cv")),

@@ -1058,6 +1058,41 @@ object Pipeline {
       Multimodal.decodeAudioBatched(
           Multimodal.syntheticWavPayloads(s.table("documents"), "doc_id"))
         .orderBy("doc_id")
+    },
+    // Audio near-dup by shared PCM-frame fingerprints — the m7 video shape
+    // on the DECODED sample stream, with the REAL codec in the loop: each
+    // doc gets a 256-sample WAV, its twin (doc_id + 1e6) carries the SAME
+    // leading samples plus a 64-sample continuation under a fresh id; both
+    // are round-tripped through javax.sound.sampled, framed 32 samples at
+    // a time, fingerprinted over the canonical comma-joined sample string,
+    // and paired via the capped fp-equi join. Sample values are pure
+    // arithmetic of (seed, index), so the oracle replays the whole chain —
+    // frames, cap, count — without any parser; the engines can only agree
+    // if the WAV encode→parse round trip is lossless.
+    df("m12_audio_overlap",
+      Some("with docs2 as (select doc_id, doc_id as seed, 256 as n from documents " +
+        "union all select doc_id + 1000000, doc_id, 320 from documents), " +
+        "frames as (select distinct doc_id, md5(array_to_string(" +
+        "list_transform(range(f*32, f*32 + 32), " +
+        "i -> ((seed*31 + i*7) % 4096) - 2048), ',')) as fp " +
+        "from docs2, unnest(range(0, n // 32)) t(f)), " +
+        "rare as (select * from frames where fp in " +
+        "(select fp from frames group by fp having count(*) <= 200)) " +
+        "select a.doc_id as a_id, b.doc_id as b_id, count(*) as n_shared " +
+        "from rare a join rare b on a.fp = b.fp and a.doc_id < b.doc_id " +
+        "group by 1, 2 having count(*) >= 4 order by a_id, b_id")) { (s, dir) =>
+      val docs = s.table("documents").select(col("doc_id"))
+      val origs = Multimodal.syntheticWavPayloads(docs, "doc_id")
+      val twins = Multimodal.syntheticWavPayloads(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("doc_id").as("seed")),
+        "doc_id", nSamples = 320, seedCol = "seed")
+      Multimodal.audioFrameOverlap(
+          Multimodal.decodeAudioSamples(
+            origs.select("doc_id", "content")
+              .unionByName(twins.select("doc_id", "content"))),
+          frameSamples = 32, minShared = 4, maxFreq = 200)
+        .orderBy("a_id", "b_id")
     }
   )
 

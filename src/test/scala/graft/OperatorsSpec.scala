@@ -782,6 +782,35 @@ class OperatorsSpec extends SparkSpecBase {
       "unparseable payload must emit the sentinel")
   }
 
+  test("audio samples + frame overlap: twins pair through the real codec") {
+    import spark.implicits._
+    val docs = Seq(5L, 6L).toDF("doc_id")
+    val origs = Multimodal.syntheticWavPayloads(docs, "doc_id",
+      nSamples = 128)
+    val twins = Multimodal.syntheticWavPayloads(
+      docs.select((col("doc_id") + 100L).as("doc_id"),
+        col("doc_id").as("seed")),
+      "doc_id", nSamples = 192, seedCol = "seed")
+    val payloads = origs.select("doc_id", "content")
+      .unionByName(twins.select("doc_id", "content"))
+    // Decoded samples match the synthesis formula exactly (lossless PCM).
+    val samples = Multimodal.decodeAudioSamples(payloads)
+    val s5 = samples.where(col("doc_id") === 5L)
+      .head().getSeq[Int](1)
+    assert(s5 == (0 until 128).map(i =>
+      (Math.floorMod(5L * 31 + i * 7, 4096L) - 2048L).toInt))
+    // A twin shares its original's 128 leading samples: all 4 of the
+    // original's 32-sample frames coincide; cross-seed docs share none.
+    val pairs = Multimodal.audioFrameOverlap(samples, frameSamples = 32,
+        minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((5L, 105L, 4L), (6L, 106L, 4L)))
+    // Unparseable payload → empty array, one row, job alive.
+    val junk = Seq((9L, "junk".getBytes("UTF-8"))).toDF("doc_id", "content")
+    assert(Multimodal.decodeAudioSamples(junk).head().getSeq[Int](1).isEmpty)
+    graft.operators.Dedup.releaseSketchCaches()
+  }
+
   test("IVF compaction: one file per list, probe identical, appends continue") {
     val emb = spark.table("embeddings")
     val queries = emb.where(col("vec_id") < 5)

@@ -215,6 +215,9 @@ object ScaleProbe {
     time("m11_audio_decode (wav encode + javax.sound parse)") {
       graft.SparkEntry.queries("m11_audio_decode")(spark, sfDir)
     }
+    time("m12_audio_overlap (decode + frame fp + capped pair join)") {
+      graft.SparkEntry.queries("m12_audio_overlap")(spark, sfDir)
+    }
     if (wanted("strip")) {
       time("stripDupSpans (interval merge + token cut)") {
         graft.operators.Dedup.stripDupSpans(docs, "doc_id", "text",
