@@ -770,6 +770,22 @@ class StreamingSpec extends SparkSpecBase {
     q2.stop()
     assert(got2.toSet == Set(61L),
       s"restored index must drop dups of pre-restart arrivals, got $got2")
+
+    // The restored index reads the list-partitioned generation layout, so
+    // the stream's probe-list filter is partition PRUNING on the vecs
+    // scan — probe cost scales with the probed lists, not history.
+    val restored = Dedup.loadSemIndex(spark, dir)
+    val probeShaped = restored.assigned
+      .where(org.apache.spark.sql.functions.col("list").isin(0))
+    val scans = probeShaped.queryExecution.executedPlan.collectLeaves()
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("vecs"))
+          => f
+      }
+    assert(scans.nonEmpty, "restored probe lost the partitioned vecs scan")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "probe-list filter did not reach the partitioned scan")
     Dedup.releaseSketchCaches()
   }
 
