@@ -104,6 +104,28 @@ object Pipeline {
       Similarity.loadIvfIndex(s, path)
     }
 
+  /** s8's resident index: the full serving-index MAINTENANCE cycle —
+    * build + save over the base corpus, append an arrival slice
+    * (fragmenting the list directories), generation-merge compact
+    * (one file per list, committed generation, reader grace), reload
+    * through the compacted layout. */
+  private val ivfCompIndexes = scala.collection.concurrent.TrieMap.empty[
+    String, (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
+      Similarity.IvfIndex)]
+  private def ivfCompactedFor(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      emb: org.apache.spark.sql.DataFrame): Similarity.IvfIndex =
+    cachedIdx(ivfCompIndexes, s, dir) {
+      val path = tempIndexDir("graft_ivfc_idx")
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(emb.where(col("vec_id") >= 20),
+          "vec_id", "embedding"), path)
+      Similarity.appendIvfIndex(s, path,
+        emb.where(col("vec_id") >= 10 && col("vec_id") < 20),
+        "vec_id", "embedding")
+      Similarity.compactIvfIndex(s, path)
+    }
+
   /** Resident persisted-index state for the incremental dedup gate queries
     * ([[cachedIdx]] doc applies): built + saved + reloaded once per
     * (session, sf dir), so repeat calls measure the PROBE — the recurring
@@ -774,6 +796,22 @@ object Pipeline {
     df("s7_ann_ivf_index", None) { (s, dir) =>
       val emb = s.table("embeddings")
       val idx = ivfIndexFor(s, dir, emb.where(col("vec_id") >= 10))
+      Similarity.ivfProbe(idx, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+        .orderBy("qid", "rnk")
+    },
+    // s7 through the full serving-index MAINTENANCE cycle: build + save,
+    // append an arrival slice straight onto the saved list layout
+    // (fragmenting the list directories with per-batch part-files),
+    // generation-merge COMPACT (one file per list in a fresh committed
+    // generation, one-cycle reader grace), reload, probe. Probe-identity
+    // across compaction and one-file-per-list are spec-asserted
+    // (OperatorsSpec); this row keeps the maintenance path on the
+    // driver's per-round correctness record. Quantizer-defined top-k →
+    // rows-only, like s3/s7.
+    df("s8_ann_ivf_compacted", None) { (s, dir) =>
+      val emb = s.table("embeddings")
+      val idx = ivfCompactedFor(s, dir, emb)
       Similarity.ivfProbe(idx, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nprobe = 4)
         .orderBy("qid", "rnk")
