@@ -234,6 +234,31 @@ class CrashRestartSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSeq
     assert(ids.sorted == Seq(15L, 30L, 40L),
       s"kept output after crash-restart: $ids")
+
+    // Same fixture, post-sink crash point: the idempotent per-batch sink
+    // must keep landed rows exactly-once when the replay re-runs a sink
+    // that already wrote (the shared-loop contract, proven per-family).
+    val base2 = Files.createTempDirectory("crash9semP").toString
+    val src2 = s"$base2/src"
+    spark.read.parquet(s"$srcDir/corpus").write.parquet(s"$src2/corpus")
+    files.zipWithIndex.foreach { case ((name, rows), i) =>
+      val d = s"$src2/stream/$name"
+      rows.toDF("doc_id", "embedding").coalesce(1).write.parquet(d)
+      val t0 = System.currentTimeMillis() - 100000
+      Files.walk(Paths.get(d)).forEach(p =>
+        p.toFile.setLastModified(t0 + i * 2000L))
+    }
+    val args2 = Seq(s"$base2/idx", s"$base2/eng", src2, s"$base2/sink")
+    val rcp1 = runChild(args2 ++ Seq("1", "semantic", "post"),
+      s"$base2/run1.log")
+    assert(rcp1 == 137, s"post-mode child should die by halt(137), got $rcp1")
+    val rcp2 = runChild(args2 ++ Seq("-1", "semantic", "post"),
+      s"$base2/run2.log")
+    assert(rcp2 == 0, s"restart child failed with $rcp2 — log: $base2/run2.log")
+    val idsPost = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base2/sink").select("doc_id").as[Long].collect().toSeq
+    assert(idsPost.sorted == Seq(15L, 30L, 40L),
+      s"kept output after post-sink crash-restart: $idsPost")
   }
 
   test("kill -9 AFTER the sink wrote: idempotent per-batch sink stays exactly-once") {
