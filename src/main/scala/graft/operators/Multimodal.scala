@@ -155,25 +155,34 @@ object Multimodal {
     private val readers =
       scala.collection.mutable.ArrayBuffer.empty[javax.imageio.ImageReader]
 
+    /** Cached-first reader acquisition: probe the partition's already-
+      * matched readers, consult the SPI registry only for a format this
+      * partition hasn't seen. Returns null when nothing can decode. */
+    private def acquire(iis: javax.imageio.stream.ImageInputStream)
+        : javax.imageio.ImageReader = {
+      var reader: javax.imageio.ImageReader = null
+      val cached = readers.iterator
+      while (reader == null && cached.hasNext) {
+        val cand = cached.next()
+        iis.seek(0)
+        // canDecodeInput restores the stream position per the SPI
+        // contract; the seek(0) guards against a non-conforming plugin.
+        if (cand.getOriginatingProvider.canDecodeInput(iis)) reader = cand
+      }
+      if (reader == null) {
+        iis.seek(0)
+        val fresh = javax.imageio.ImageIO.getImageReaders(iis)
+        if (fresh.hasNext) { reader = fresh.next(); readers += reader }
+      }
+      reader
+    }
+
     /** Decoded image, or null for an undecodable payload. */
     def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
-        var reader: javax.imageio.ImageReader = null
-        val cached = readers.iterator
-        while (reader == null && cached.hasNext) {
-          val cand = cached.next()
-          iis.seek(0)
-          // canDecodeInput restores the stream position per the SPI
-          // contract; the seek(0) guards against a non-conforming plugin.
-          if (cand.getOriginatingProvider.canDecodeInput(iis)) reader = cand
-        }
-        if (reader == null) {
-          iis.seek(0)
-          val fresh = javax.imageio.ImageIO.getImageReaders(iis)
-          if (fresh.hasNext) { reader = fresh.next(); readers += reader }
-        }
+        val reader = acquire(iis)
         if (reader == null) null
         else {
           iis.seek(0)
@@ -188,6 +197,27 @@ object Multimodal {
         // exceptions (ArrayIndexOutOfBounds, NegativeArraySize,
         // IllegalArgument) on truncated or hostile payloads, and a
         // poisoned payload must cost one sentinel row, not the job.
+        case scala.util.control.NonFatal(_) => null
+      } finally iis.close()
+    }
+
+    /** ALL frames of a multi-frame container (multi-page TIFF, animated
+      * GIF), or null for an undecodable payload. `seekForwardOnly` must be
+      * false here: getNumImages(true) walks the whole directory chain
+      * before the frames are read back. */
+    def decodeFrames(bytes: Array[Byte]): Array[java.awt.image.BufferedImage] = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val reader = acquire(iis)
+        if (reader == null) null
+        else {
+          iis.seek(0)
+          reader.setInput(iis, false, true)
+          try Array.tabulate(reader.getNumImages(true))(reader.read)
+          finally reader.setInput(null)
+        }
+      } catch {
         case scala.util.control.NonFatal(_) => null
       } finally iis.close()
     }
@@ -463,6 +493,192 @@ object Multimodal {
         .distinct(),
       maxFreq, minShared)
   }
+
+  /** Per-frame pixel fill for the synthetic video formula: frame `f` of
+    * seed `sd` has pixel (x, y) = pure arithmetic of (sd, f, x, y) — the
+    * video twin of [[syntheticPngPayloads]]'s still formula, with the
+    * frame index mixed into every channel so consecutive frames differ.
+    * The `sd div 256` term (per-channel constants) de-aliases seeds that
+    * coincide mod 256 — a pure mod-256 formula would give seeds 256 apart
+    * IDENTICAL frames, and at corpus scale those phantom twins would blow
+    * each fingerprint's frequency past the near-dup cap; with the mixing
+    * term, full-frame collisions need seeds equal mod 65536. */
+  private def fillVideoFrame(img: java.awt.image.BufferedImage,
+      sd: Long, f: Int): Unit = {
+    val hi = sd >> 8
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val r = Math.floorMod(sd * 31 + hi * 97 + f * 41 + x * 7 + y * 13, 256L).toInt
+        val g = Math.floorMod(sd * 17 + hi * 59 + f * 23 + x * 11 + y * 3, 256L).toInt
+        val b = Math.floorMod(sd * 29 + hi * 83 + f * 37 + x * 5 + y * 19, 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Deterministic multi-frame VIDEO payload synthesis — the moving-picture
+    * side of the synthetic codec fixtures: doc `d` becomes a real
+    * multi-page TIFF container (the JDK's TIFF plugin ships with the JRE
+    * and is the one bundled format whose writer does lossless RGB
+    * SEQUENCES — GIF quantizes to a palette) holding `nFrames` frames
+    * whose pixels follow [[fillVideoFrame]]'s formula. Lossless container,
+    * so a real parser recovers exactly these values — which is what makes
+    * [[decodeVideoBatched]] / [[videoFrameFps]] oracle-checkable with no
+    * decoder on the oracle side. Writer acquisition is hoisted per
+    * partition (the SPI scan cost the image decode path already measured);
+    * narrow map, no shuffle. `seedCol` decouples the pixel formula from
+    * the row id so a twin can share its original's leading frames under a
+    * fresh id — the near-dup fixture shape. */
+  def syntheticTiffPayloads(docs: DataFrame, idCol: String,
+      nFrames: Int = 4, w: Int = 8, h: Int = 8,
+      seedCol: String = ""): DataFrame = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val seed = if (seedCol.isEmpty) col(idCol) else col(seedCol)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        seed.cast("long").as("seed"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("tiff").next()
+        it.map { case (d, sd) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            fillVideoFrame(img, sd, f)
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+              null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          (d, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "content")
+      .withColumn("meta", metaStruct(col("content")))
+  }
+
+  /** REAL video-container decode in the batched-codec slot — the
+    * multi-frame completion of the modality trio (m10 image, m11 audio):
+    * each payload's container directory is walked with the JDK's
+    * `javax.imageio` TIFF reader (multi-page via getNumImages/read(i) —
+    * the same call shape an MP4 demuxer's frame iterator plugs into),
+    * emitting ONE ROW PER DECODED FRAME with (width, height, per-channel
+    * pixel sums). Same `mapPartitions` fixed-batch shape, reader
+    * acquisition hoisted per partition; the explode happens inside the
+    * narrow map, so frame fan-out never shuffles. Undecodable payloads
+    * emit a single (-1) sentinel frame row: one poisoned row, never a
+    * failed job. */
+  def decodeVideoBatched(payloads: DataFrame, batchSize: Int = 64)
+      : DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decoder = new PartitionImageDecoder
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            val frames = decoder.decodeFrames(bytes)
+            if (frames == null) Iterator.single((id, -1L, -1, -1, 0L, 0L, 0L))
+            else frames.iterator.zipWithIndex.map { case (img, f) =>
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff
+                  sg += (rgb >> 8) & 0xff
+                  sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              (id, f.toLong, img.getWidth, img.getHeight, sr, sg, sb)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "sum_r", "sum_g",
+        "sum_b")
+  }
+
+  /** REAL video decode emitting per-frame content FINGERPRINTS — the feed
+    * for video near-dup: each decoded frame is canonicalized to the
+    * comma-joined r,g,b sequence in row-major (y outer, x inner) order and
+    * md5'd, so the fingerprint chain is replayable by any engine that
+    * knows the pixel values (the m12 audio contract on the visual
+    * modality). Undecodable payloads emit no frames: one silent poison,
+    * never a failed job. */
+  def videoFrameFps(payloads: DataFrame, batchSize: Int = 64): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decoder = new PartitionImageDecoder
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            val frames = decoder.decodeFrames(bytes)
+            if (frames == null) Iterator.empty
+            else frames.iterator.zipWithIndex.map { case (img, f) =>
+              val sb = new java.lang.StringBuilder(img.getWidth * img.getHeight * 12)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  if (sb.length > 0) sb.append(',')
+                  sb.append((rgb >> 16) & 0xff).append(',')
+                    .append((rgb >> 8) & 0xff).append(',')
+                    .append(rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              md.reset()
+              val dig = md.digest(
+                sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val hex = new java.lang.StringBuilder(32)
+              dig.foreach(b => hex.append(f"${b & 0xff}%02x"))
+              (id, f.toLong, hex.toString)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "fp")
+  }
+
+  /** Video near-dup by shared DECODED-FRAME fingerprints — [[frameOverlap]]
+    * with the real container codec in the loop instead of byte slices: two
+    * videos are related when ≥ `minShared` of their decoded frames'
+    * canonical-pixel fingerprints coincide (re-posted clips, shared
+    * intros, partial copies survive container-level byte differences).
+    * The pair search is the winnowing shape ([[Dedup.sharedKeyPairs]]:
+    * per-doc distinct fps, `maxFreq` boilerplate cap, one fp-equi
+    * self-join). Returns (a_id, b_id, n_shared), a_id < b_id. */
+  def videoFrameOverlap(frameFps: DataFrame, minShared: Int = 2,
+      maxFreq: Int = 200): DataFrame =
+    Dedup.sharedKeyPairs(
+      frameFps.select(col("doc_id").as("id"), col("fp")).distinct(),
+      maxFreq, minShared)
 
   /** Frame sampling: split the payload into fixed-size "frames" (chunks) and
     * explode one row per frame — the plan shape of video frame-sampling.

@@ -1131,6 +1131,66 @@ object Pipeline {
               .unionByName(twins.select("doc_id", "content"))),
           frameSamples = 32, minShared = 4, maxFreq = 200)
         .orderBy("a_id", "b_id")
+    },
+    // REAL video-container decode — the multi-frame completion of the
+    // modality trio: per doc a 4-frame 8x8 multi-page TIFF is synthesized
+    // (frame pixels are pure arithmetic of doc_id/frame/x/y; TIFF is the
+    // JRE-bundled container whose writer does lossless RGB sequences),
+    // then the container directory is walked back through javax.imageio's
+    // TIFF reader in the batched-codec slot, emitting one row per decoded
+    // frame with per-channel pixel sums. Lossless container, so the
+    // oracle recomputes the per-frame stats from the formula with no
+    // decoder — the multi-page encode→demux round trip is what the green
+    // hash-match verifies.
+    df("m13_video_decode",
+      Some("select d.doc_id, cast(t0.f as bigint) as frame_idx, " +
+        "8 as width, 8 as height, " +
+        "cast(sum((d.doc_id*31 + (d.doc_id//256)*97 + t0.f*41 + t1.x*7 + t2.y*13) % 256) as bigint) as sum_r, " +
+        "cast(sum((d.doc_id*17 + (d.doc_id//256)*59 + t0.f*23 + t1.x*11 + t2.y*3) % 256) as bigint) as sum_g, " +
+        "cast(sum((d.doc_id*29 + (d.doc_id//256)*83 + t0.f*37 + t1.x*5 + t2.y*19) % 256) as bigint) as sum_b " +
+        "from documents d, unnest(range(0, 4)) t0(f), " +
+        "unnest(range(0, 8)) t1(x), unnest(range(0, 8)) t2(y) " +
+        "group by d.doc_id, t0.f order by d.doc_id, frame_idx")) { (s, dir) =>
+      Multimodal.decodeVideoBatched(
+          Multimodal.syntheticTiffPayloads(s.table("documents"), "doc_id"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    // Video near-dup by shared DECODED-FRAME fingerprints — the m12 audio
+    // shape on the visual modality with the real container codec in the
+    // loop: each doc gets a 4-frame TIFF, its twin (doc_id + 1e6) carries
+    // the SAME leading 4 frames plus 2 continuation frames under a fresh
+    // id; both containers are demuxed through javax.imageio, each decoded
+    // frame canonicalized to its comma-joined r,g,b pixel string and
+    // md5'd, then paired via the capped fp-equi join. Pixels are pure
+    // (seed, frame, x, y) arithmetic, so the oracle replays frames, cap,
+    // and count with NO parser — the engines can only hash-match if the
+    // TIFF encode→demux round trip is lossless frame by frame.
+    df("m14_video_overlap",
+      Some("with docs2 as (select doc_id, doc_id as seed, 4 as nf from documents " +
+        "union all select doc_id + 1000000, doc_id, 6 from documents), " +
+        "frames as (select distinct doc_id, md5(array_to_string(flatten(" +
+        "list_transform(range(0, 64), p -> " +
+        "[(seed*31 + (seed//256)*97 + f*41 + (p%8)*7 + (p//8)*13) % 256, " +
+        "(seed*17 + (seed//256)*59 + f*23 + (p%8)*11 + (p//8)*3) % 256, " +
+        "(seed*29 + (seed//256)*83 + f*37 + (p%8)*5 + (p//8)*19) % 256])), ',')) as fp " +
+        "from docs2, unnest(range(0, nf)) t(f)), " +
+        "rare as (select * from frames where fp in " +
+        "(select fp from frames group by fp having count(*) <= 200)) " +
+        "select a.doc_id as a_id, b.doc_id as b_id, count(*) as n_shared " +
+        "from rare a join rare b on a.fp = b.fp and a.doc_id < b.doc_id " +
+        "group by 1, 2 having count(*) >= 3 order by a_id, b_id")) { (s, dir) =>
+      val docs = s.table("documents").select(col("doc_id"))
+      val origs = Multimodal.syntheticTiffPayloads(docs, "doc_id")
+      val twins = Multimodal.syntheticTiffPayloads(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("doc_id").as("seed")),
+        "doc_id", nFrames = 6, seedCol = "seed")
+      Multimodal.videoFrameOverlap(
+          Multimodal.videoFrameFps(
+            origs.select("doc_id", "content")
+              .unionByName(twins.select("doc_id", "content"))),
+          minShared = 3, maxFreq = 200)
+        .orderBy("a_id", "b_id")
     }
   )
 

@@ -811,6 +811,65 @@ class OperatorsSpec extends SparkSpecBase {
     graft.operators.Dedup.releaseSketchCaches()
   }
 
+  test("decodeVideoBatched: real multi-page TIFF demux, poisoned payload costs one row") {
+    import spark.implicits._
+    val vids = Multimodal.syntheticTiffPayloads(
+      Seq(7L, 8L).toDF("doc_id"), "doc_id", nFrames = 3, w = 4, h = 2)
+    // The payload really is a TIFF container (little- or big-endian magic).
+    val head = vids.select("content").head().getAs[Array[Byte]](0).take(4)
+    assert(head.sameElements(Array[Byte]('I', 'I', 42, 0)) ||
+      head.sameElements(Array[Byte]('M', 'M', 0, 42)))
+    val poison = Seq((99L, "not a tiff".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val out = Multimodal.decodeVideoBatched(
+        vids.select("doc_id", "content").unionByName(poison), batchSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    def sums(d: Long, f: Int) = {
+      val px = for (y <- 0 until 2; x <- 0 until 4)
+        yield ((d * 31 + f * 41 + x * 7 + y * 13) % 256,
+          (d * 17 + f * 23 + x * 11 + y * 3) % 256,
+          (d * 29 + f * 37 + x * 5 + y * 19) % 256)
+      (4, 2, px.map(_._1).sum, px.map(_._2).sum, px.map(_._3).sum)
+    }
+    // One row per (doc, frame): 2 docs × 3 frames + 1 sentinel.
+    assert(out.size == 7)
+    for (d <- Seq(7L, 8L); f <- 0 until 3)
+      assert(out((d, f.toLong)) == sums(d, f), s"frame ($d, $f)")
+    assert(out((99L, -1L)) == ((-1, -1, 0L, 0L, 0L)),
+      "undecodable payload must emit one sentinel frame row")
+  }
+
+  test("video frame fps + overlap: twins pair through the real container codec") {
+    import spark.implicits._
+    val docs = Seq(5L, 6L).toDF("doc_id")
+    val origs = Multimodal.syntheticTiffPayloads(docs, "doc_id", nFrames = 4)
+    val twins = Multimodal.syntheticTiffPayloads(
+      docs.select((col("doc_id") + 100L).as("doc_id"),
+        col("doc_id").as("seed")),
+      "doc_id", nFrames = 6, seedCol = "seed")
+    val fps = Multimodal.videoFrameFps(origs.select("doc_id", "content")
+      .unionByName(twins.select("doc_id", "content")))
+    // Decoded-frame fingerprints match the formula exactly (lossless TIFF):
+    // recompute frame 2 of doc 5's canonical pixel string driver-side.
+    val want = {
+      val s = (for (y <- 0 until 8; x <- 0 until 8) yield Seq(
+        (5L * 31 + 2 * 41 + x * 7 + y * 13) % 256,
+        (5L * 17 + 2 * 23 + x * 11 + y * 3) % 256,
+        (5L * 29 + 2 * 37 + x * 5 + y * 19) % 256)).flatten.mkString(",")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    assert(fps.where(col("doc_id") === 5L && col("frame_idx") === 2L)
+      .head().getString(2) == want)
+    // A twin shares its original's 4 leading frames; cross-seed docs none.
+    val pairs = Multimodal.videoFrameOverlap(fps, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((5L, 105L, 4L), (6L, 106L, 4L)))
+    graft.operators.Dedup.releaseSketchCaches()
+  }
+
   test("IVF compaction: one file per list, probe identical, appends continue") {
     val emb = spark.table("embeddings")
     val queries = emb.where(col("vec_id") < 5)

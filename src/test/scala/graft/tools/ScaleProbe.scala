@@ -218,6 +218,12 @@ object ScaleProbe {
     time("m12_audio_overlap (decode + frame fp + capped pair join)") {
       graft.SparkEntry.queries("m12_audio_overlap")(spark, sfDir)
     }
+    time("m13_video_decode (tiff encode + imageio demux)") {
+      graft.SparkEntry.queries("m13_video_decode")(spark, sfDir)
+    }
+    time("m14_video_overlap (demux + frame fp + capped pair join)") {
+      graft.SparkEntry.queries("m14_video_overlap")(spark, sfDir)
+    }
     if (wanted("strip")) {
       time("stripDupSpans (interval merge + token cut)") {
         graft.operators.Dedup.stripDupSpans(docs, "doc_id", "text",
