@@ -539,6 +539,118 @@ object Similarity {
     target
   }
 
+  // ───────────── saved-index deletes: tombstones ──────────────────────────
+  // Takedown/contamination removal from a SERVING index without rewriting
+  // it: a delete appends a small parquet delta of ids to `$path/tombstones`
+  // (append-grade, like the index appends themselves), every load anti-joins
+  // the live tombstones over the bulk artifact (AQE turns the takedown-sized
+  // right side into a broadcast at runtime — no hint, so a pathological
+  // mass-delete degrades to a shuffle join instead of an OOM), and the next
+  // compaction applies them PHYSICALLY while it rewrites the artifact
+  // anyway. Applied tombstone files then live one more compaction cycle —
+  // the same in-flight-reader grace the directories get, because a reader
+  // that loaded the pre-compaction generation holds lazy references to the
+  // tombstone files it masked with — and the cycle after that retires them.
+  // Consequence (documented contract): a tombstone masks its id INCLUDING a
+  // re-appended copy until it is physically retired; re-adding a deleted id
+  // is a two-compactions-later event, not a fast path.
+
+  private def tombstoneDir(path: String): String = s"$path/tombstones"
+
+  /** Live tombstone data files (committed parquet parts; manifests and
+    * markers are `_`-prefixed and excluded, matching Spark's own hidden-file
+    * convention). */
+  private def tombstoneFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val fs = hfs(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(tombstoneDir(path))
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+  }
+
+  /** Anti-join `df` (keyed `cid`) against the given tombstone files. */
+  private def maskByFiles(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, files: Seq[String]): DataFrame =
+    if (files.isEmpty) df
+    else df.join(spark.read.parquet(files: _*).select("cid").distinct(),
+      Seq("cid"), "left_anti")
+
+  /** [[maskByFiles]] over whatever tombstones are live right now — the
+    * load-time view of a saved index. */
+  private def applyTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame): DataFrame =
+    maskByFiles(spark, df, tombstoneFiles(spark, path))
+
+  private def writeTombstones(path: String, ids: DataFrame,
+      idCol: String): Unit =
+    ids.select(col(idCol).as("cid")).distinct()
+      .write.mode("append").parquet(tombstoneDir(path))
+
+  /** Post-compaction tombstone bookkeeping: retire the files the PREVIOUS
+    * compaction applied (their one-cycle reader grace has expired), then
+    * record `applied` — the snapshot this compaction just folded into the
+    * new generation — in the `_applied` manifest for the next cycle. A crash
+    * anywhere in here only delays retirement: tombstones re-apply
+    * idempotently (the anti join of an absent id is a no-op). */
+  private def retireAppliedTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      applied: Seq[String]): Unit = {
+    val fs = hfs(spark, path)
+    val manifest = new org.apache.hadoop.fs.Path(
+      s"${tombstoneDir(path)}/_applied")
+    var retired = Set.empty[String]
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val prev = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      retired = prev.filter(_.nonEmpty).toSet
+      retired.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      fs.delete(manifest, false)
+    }
+    // A file this compaction applied may ALSO be the one it just retired
+    // (applied a cycle ago, still live in the snapshot): record only files
+    // that still exist, so the manifest never points at dead paths.
+    val stillLive = applied.filterNot(retired)
+    if (stillLive.nonEmpty) {
+      val out = fs.create(manifest, true)
+      try out.write((stillLive.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Clear every tombstone (data files and manifest) — the fresh-save reset:
+    * a new index at this path starts with nothing masked. */
+  private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = hfs(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(tombstoneDir(path))
+    if (fs.exists(dir)) fs.delete(dir, true): Unit
+  }
+
+  /** Tombstone-delete ids from a saved IVF index: appends a delete delta and
+    * returns the reloaded index with the ids masked. The lists on disk are
+    * untouched — the next [[compactIvfIndex]] applies the delete physically.
+    * Probe partition pruning survives the mask (the list filter pushes
+    * through the anti join's left side; plan-asserted in OperatorsSpec). */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String): IvfIndex = {
+    writeTombstones(path, ids, idCol)
+    loadIvfIndex(spark, path)
+  }
+
+  /** [[deleteFromIvfIndex]] for a saved PQ index: the delete delta masks
+    * codes at load; the next [[compactPqIndex]] drops them physically. */
+  def deleteFromPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String): PqIndex = {
+    writeTombstones(path, ids, idCol)
+    loadPqIndex(spark, path)
+  }
+
   /** Persist an [[IvfIndex]]: centroids as a small frame, the inverted
     * lists hive-partitioned BY LIST — the directory layout that turns
     * [[ivfProbe]]'s probe-list filter into partition pruning on reload.
@@ -553,6 +665,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
     graft.sources.Sink.partitioned(index.assigned, s"$path/lists", "list")
     pruneArtifactDirs(spark, path, "lists", keep = Set("lists"))
+    clearTombstones(spark, path)
   }
 
   /** Load an [[IvfIndex]] written by [[saveIvfIndex]] (and possibly
@@ -562,8 +675,8 @@ object Similarity {
       path: String): IvfIndex = {
     val cents = spark.read.parquet(s"$path/centroids").orderBy("i")
       .select("v").collect().map(_.getSeq[Double](0)).toSeq
-    IvfIndex(cents,
-      spark.read.parquet(currentArtifactDir(spark, path, "lists")))
+    IvfIndex(cents, applyTombstones(spark, path,
+      spark.read.parquet(currentArtifactDir(spark, path, "lists"))))
   }
 
   /** Generation-merge a saved IVF index's lists: [[appendIvfIndex]] grows
@@ -579,11 +692,17 @@ object Similarity {
     * keep landing in the new generation. Returns the reloaded index. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfIndex = {
+    // Snapshot the live tombstones up front: the rewrite folds exactly this
+    // set into the new generation, and retirement bookkeeping records
+    // exactly this set — deletes appended DURING the rewrite stay live for
+    // the next cycle.
+    val tombs = tombstoneFiles(spark, path)
     compactArtifact(spark, path, "lists") { (cur, target) =>
-      spark.read.parquet(cur)
+      maskByFiles(spark, spark.read.parquet(cur), tombs)
         .repartition(col("list"))
         .write.partitionBy("list").parquet(target)
     }
+    retireAppliedTombstones(spark, path, tombs)
     loadIvfIndex(spark, path)
   }
 
@@ -627,7 +746,8 @@ object Similarity {
     val listsDir = currentArtifactDir(spark, path, "lists")
     assignToLists(newVecs, idCol, vecCol, idx.centroids)
       .write.mode("append").partitionBy("list").parquet(listsDir)
-    idx.copy(assigned = spark.read.parquet(listsDir))
+    idx.copy(assigned = applyTombstones(spark, path,
+      spark.read.parquet(listsDir)))
   }
 
   /** Approximate embedding near-dup PAIRS at corpus scale — the production
@@ -850,6 +970,7 @@ object Similarity {
     index.codes.write.mode("overwrite").parquet(s"$path/codes")
     // A fresh save resets the artifact (saveIvfIndex contract).
     pruneArtifactDirs(spark, path, "codes", keep = Set("codes"))
+    clearTombstones(spark, path)
   }
 
   /** Load a [[PqIndex]] written by [[savePqIndex]] (and possibly compacted
@@ -861,8 +982,8 @@ object Similarity {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
-    PqIndex(cbs,
-      spark.read.parquet(currentArtifactDir(spark, path, "codes")))
+    PqIndex(cbs, applyTombstones(spark, path,
+      spark.read.parquet(currentArtifactDir(spark, path, "codes"))))
   }
 
   /** Generation-merge a saved PQ index's codes — [[compactIvfIndex]] for
@@ -875,6 +996,7 @@ object Similarity {
     * identical — the rewrite only re-buckets rows across files. */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetPartitions: Int = 0): PqIndex = {
+    val tombs = tombstoneFiles(spark, path)
     compactArtifact(spark, path, "codes") { (cur, target) =>
       val parts =
         if (targetPartitions > 0) targetPartitions
@@ -883,8 +1005,10 @@ object Similarity {
             new org.apache.hadoop.fs.Path(cur)).getLength
           math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
         }
-      spark.read.parquet(cur).repartition(parts).write.parquet(target)
+      maskByFiles(spark, spark.read.parquet(cur), tombs)
+        .repartition(parts).write.parquet(target)
     }
+    retireAppliedTombstones(spark, path, tombs)
     loadPqIndex(spark, path)
   }
 
@@ -913,7 +1037,8 @@ object Similarity {
     val codesDir = currentArtifactDir(spark, path, "codes")
     encodeWith(newVecs, idCol, vecCol, idx.codebooks)
       .write.mode("append").parquet(codesDir)
-    idx.copy(codes = spark.read.parquet(codesDir))
+    idx.copy(codes = applyTombstones(spark, path,
+      spark.read.parquet(codesDir)))
   }
 
   /** Approximate cosine top-k: candidates = corpus rows sharing ≥1 subcode

@@ -949,6 +949,108 @@ class OperatorsSpec extends SparkSpecBase {
     assert(compacted.codes.count() == all.count())
   }
 
+  test("IVF tombstone delete: masked at load, applied at compaction, " +
+      "retired one cycle later") {
+    val emb = spark.table("embeddings")
+    val queries = emb.where(col("vec_id") < 5)
+    val corpus = emb.where(col("vec_id") >= 10 && col("vec_id") < 300)
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding"), dir)
+    val doomed = Seq(20L, 40L, 60L, 80L, 111L)
+    val full = Similarity.loadIvfIndex(spark, dir)
+
+    def assignedIds(idx: Similarity.IvfIndex): Set[Long] =
+      idx.assigned.select("cid").collect().map(_.getLong(0)).toSet
+    def probe(idx: Similarity.IvfIndex) = Similarity
+      .ivfProbe(idx, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    def tombFiles() = {
+      val d = new java.io.File(s"$dir/tombstones")
+      if (!d.exists()) Array.empty[String]
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    }
+
+    // Delete = an appended tombstone delta; the lists on disk are untouched
+    // but the reloaded index masks the ids.
+    val masked = Similarity.deleteFromIvfIndex(spark, dir,
+      emb.where(col("vec_id").isin(doomed.map(Long.box): _*))
+        .select("vec_id"), "vec_id")
+    assert(assignedIds(masked) == assignedIds(full) -- doomed)
+    val expected = probe(masked)
+    assert(expected.nonEmpty && !expected.exists(t => doomed.contains(t._2)))
+    assert(tombFiles().nonEmpty, "delete must write a tombstone delta")
+
+    // Partition pruning survives the tombstone anti join: the probe-list
+    // filter still reaches the partitioned scan below it.
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = Similarity
+        .ivfProbe(masked, queries, "vec_id", "embedding", 5)
+        .queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths
+                .exists(_.toString.contains("lists")) => f
+        }
+      assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+        "probe-list pruning must survive the tombstone mask")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+
+    // Compaction applies the delete PHYSICALLY into the new generation —
+    // the doomed rows are gone from the files, not just masked — while the
+    // applied tombstone files stay one cycle for in-flight reader grace.
+    val compacted = Similarity.compactIvfIndex(spark, dir)
+    assert(compacted.assigned.count() == corpus.count() - doomed.size)
+    assert(spark.read.parquet(s"$dir/lists_g0")
+      .where(col("cid").isin(doomed.map(Long.box): _*)).count() == 0,
+      "compaction must drop tombstoned rows from the rewritten lists")
+    assert(tombFiles().nonEmpty,
+      "applied tombstones get one cycle of reader grace")
+    assert(new java.io.File(s"$dir/tombstones/_applied").exists())
+    assert(probe(compacted) == expected)
+
+    // A cycle later the applied tombstones are physically retired.
+    Similarity.compactIvfIndex(spark, dir)
+    assert(tombFiles().isEmpty, "second compaction retires applied tombstones")
+    assert(probe(Similarity.loadIvfIndex(spark, dir)) == expected)
+
+    // Contract: a re-appended deleted id only sticks once its tombstone is
+    // retired — appended now (post-retirement) it resurfaces.
+    Similarity.appendIvfIndex(spark, dir,
+      emb.where(col("vec_id") === 20L), "vec_id", "embedding")
+    assert(assignedIds(Similarity.loadIvfIndex(spark, dir)).contains(20L))
+  }
+
+  test("PQ tombstone delete: masked at load, applied at compaction") {
+    val emb = spark.table("embeddings")
+    val queries = emb.where(col("vec_id") < 5)
+    val corpus = emb.where(col("vec_id") >= 10 && col("vec_id") < 300)
+    val dir = java.nio.file.Files.createTempDirectory("pqdel").toString
+    Similarity.savePqIndex(
+      Similarity.buildPqIndex(corpus, "vec_id", "embedding"), dir)
+    val doomed = Seq(25L, 50L, 75L)
+    def probe(idx: Similarity.PqIndex) = Similarity
+      .pqProbe(idx, queries, corpus, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+
+    val masked = Similarity.deleteFromPqIndex(spark, dir,
+      emb.where(col("vec_id").isin(doomed.map(Long.box): _*))
+        .select("vec_id"), "vec_id")
+    assert(masked.codes.count() == corpus.count() - doomed.size)
+    val expected = probe(masked)
+    assert(expected.nonEmpty && !expected.exists(t => doomed.contains(t._2)))
+
+    val compacted = Similarity.compactPqIndex(spark, dir)
+    assert(compacted.codes.count() == corpus.count() - doomed.size)
+    assert(spark.read.parquet(s"$dir/codes_g0")
+      .where(col("cid").isin(doomed.map(Long.box): _*)).count() == 0)
+    assert(probe(compacted) == expected)
+    Similarity.compactPqIndex(spark, dir)
+    assert(probe(Similarity.loadPqIndex(spark, dir)) == expected)
+  }
+
   test("multimodal: payload meta + frame sampling shapes") {
     val p = Multimodal.withPayload(docs, "doc_id", "text")
     val meta = p.where(col("doc_id") === 1).select("meta.n_bytes").head().getLong(0)
