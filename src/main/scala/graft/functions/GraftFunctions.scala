@@ -93,4 +93,16 @@ object GraftFunctions {
   def pqScore(codes: Column, lut: Column): Column =
     GraftBridge.column(org.apache.spark.sql.graft.PqScore(
       GraftBridge.expression(codes), GraftBridge.expression(lut)))
+
+  /** One greedy left-to-right BPE merge of (a, b) over an array<string>
+    * symbol column — the training round's map step. */
+  def bpeMergePair(syms: Column, a: String, b: String): Column =
+    GraftBridge.column(org.apache.spark.sql.graft.BpeMergePair(
+      GraftBridge.expression(syms), a, b))
+
+  /** Full BPE encode of an array<string> word column under a baked merge
+    * table (rank order = seq order). */
+  def bpeEncodeWords(words: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(org.apache.spark.sql.graft.BpeEncodeWords(
+      GraftBridge.expression(words), merges))
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding MERGE TRAINING — the tokenizer-learning
+  * step of a training-data pipeline (reference scope: the pipeline ops the
+  * survey's north-star section adds beyond zbrookle/dataframe_sql, which has
+  * no tokenizer surface; semantics follow the published BPE recipe of
+  * Sennrich et al. 2016, the algorithm GPT-2/RoBERTa-family tokenizers use).
+  *
+  * Scale shape — the part that matters at 100 TB:
+  *   - The corpus is touched ONCE: one tokenize→histogram pass reduces it to
+  *     the distinct-word dictionary (~10⁷–10⁸ rows at web scale, corpus-size
+  *     independent), weighted by occurrence count. This is the only
+  *     corpus-wide shuffle in the whole trainer.
+  *   - Every merge round runs over the DICTIONARY, not the corpus: adjacent
+  *     symbol pairs explode map-side (weighted partial aggregation), one
+  *     small shuffle keyed by pair, and only the single argmax row reaches
+  *     the driver (the union-find convergence-probe discipline: collect a
+  *     scalar, never a table).
+  *   - Applying a merge is a NARROW map (a codegen-era higher-order fold —
+  *     no UDF); rounds compose as nested expressions, and the dictionary is
+  *     `localCheckpoint`ed every few rounds so neither lineage depth nor
+  *     re-evaluation cost grows with the merge count.
+  *
+  * Determinism: ties on pair count break lexicographically on (left, right),
+  * so the learned merge table is a pure function of the histogram — the spec
+  * replays training with an obviously-correct local reference and demands
+  * the identical table.
+  */
+object Bpe {
+
+  /** End-of-word sentinel (Sennrich's `</w>`): keeps "low" the word distinct
+    * from "low" the prefix of "lower", so merges learned at word ends don't
+    * leak into word interiors. */
+  val EndOfWord = "</w>"
+
+  /** The one corpus-wide pass: lowercase alnum tokenize (t1/t11's shared
+    * convention) → weighted distinct-word dictionary. */
+  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        t => length(t) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** A word's initial symbol sequence: characters plus the end marker. */
+  def initSymbols(word: Column): Column =
+    concat(filter(split(word, ""), c => length(c) > 0),
+      array(lit(EndOfWord)))
+
+  /** One greedy left-to-right merge of the pair (a, b) over a symbol array —
+    * the inner kernel of both training and encoding: seeing b right after an
+    * unmerged a emits the fused symbol, so overlaps resolve leftmost-first
+    * ("aaa" + (a,a) → ["aa","a"], spec-pinned). A codegen'd native
+    * expression (BpeExpressions.scala) — the higher-order-function fold this
+    * started as evaluated interpreted, per-element Catalyst dispatch that
+    * measured 72 s for the 24-merge encode of 5k docs; the kernel runs the
+    * same semantics as one tight JVM loop inside the projection. */
+  def mergeStep(syms: Column, a: String, b: String): Column =
+    graft.functions.GraftFunctions.bpeMergePair(syms, a, b)
+
+  /** One learned merge: at `rank`, fuse adjacent (`left`, `right`). */
+  final case class Merge(rank: Int, left: String, right: String) {
+    def fused: String = left + right
+  }
+
+  /** Learn up to `nMerges` merges from a word histogram (`word`, `cnt`).
+    * Stops early when no adjacent pair reaches `minPairCount` — merging
+    * singletons memorizes the corpus instead of learning structure.
+    *
+    * Each round: weighted adjacent-pair counts over the dictionary (map-side
+    * partial agg, one dictionary-sized shuffle), deterministic argmax to the
+    * driver (one row), then the merge applied as a narrow map. The
+    * dictionary re-checkpoints every `checkpointEvery` rounds, bounding
+    * re-evaluation depth and plan size over arbitrarily long trainings. */
+  def train(
+      hist: DataFrame,
+      nMerges: Int,
+      minPairCount: Long = 2L,
+      checkpointEvery: Int = 8): Seq[Merge] = {
+    var dict = hist
+      .select(initSymbols(col("word")).as("syms"), col("cnt").cast("long"))
+      .localCheckpoint()
+    val learned = ArrayBuffer.empty[Merge]
+    var exhausted = false
+    while (learned.size < nMerges && !exhausted) {
+      val n = size(col("syms"))
+      val top = dict
+        .where(n >= 2)
+        .select(explode(zip_with(
+            slice(col("syms"), lit(1), n - 1),
+            slice(col("syms"), lit(2), n - 1),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("pc"))
+        .where(col("pc") >= minPairCount)
+        .orderBy(desc("pc"), asc("a"), asc("b"))
+        .limit(1)
+        .collect()
+      top.headOption match {
+        case None => exhausted = true
+        case Some(Row(a: String, b: String, _)) =>
+          learned += Merge(learned.size, a, b)
+          val merged = dict.select(
+            mergeStep(col("syms"), a, b).as("syms"), col("cnt"))
+          dict =
+            if (learned.size % checkpointEvery == 0) merged.localCheckpoint()
+            else merged
+        case Some(other) =>
+          sys.error(s"unexpected pair-count row shape: $other")
+      }
+    }
+    learned.toSeq
+  }
+
+  /** The learned merge table as a frame — `(rank, left, right, merged)` in
+    * learning order, the artifact a tokenizer ships. */
+  def mergesFrame(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right, m.fused))
+      .toDF("rank", "left", "right", "merged")
+  }
+
+  /** Apply a learned merge table to text: tokenize with the training
+    * convention, then every merge in rank order over each word's symbols —
+    * rank order is load-bearing (later merges consume earlier merges'
+    * outputs, the BPE contract). The whole encode is ONE codegen'd native
+    * expression with the merge table baked in as a reference object (it is
+    * the model, small by construction): a narrow map-side projection, zero
+    * shuffle, linear in executors — and ~100× the throughput of the nested
+    * interpreted higher-order folds it replaced (72 s → sub-second for 5k
+    * docs × 24 merges at sf0.1). */
+  def encode(text: Column, merges: Seq[Merge]): Column =
+    graft.functions.GraftFunctions.bpeEncodeWords(
+      filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0),
+      merges.map(m => (m.left, m.right)))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryDef
 import graft.QueryDef.{df, sql}
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Bpe, Dedup, Multimodal, Similarity, TextOps}
 
 /** Training-data-pipeline operators over the `documents` / `embeddings`
   * tables: deduplication (exact, MinHash-LSH, SimHash, exact n-gram Jaccard,
@@ -124,6 +124,44 @@ object Pipeline {
         emb.where(col("vec_id") >= 10 && col("vec_id") < 20),
         "vec_id", "embedding")
       Similarity.compactIvfIndex(s, path)
+    }
+
+  /** s9's resident index: the DELETION arm of the serving-index lifecycle —
+    * build + save, tombstone-delete a deterministic takedown slice (every
+    * 17th id), compact so the delete is applied PHYSICALLY into the fresh
+    * committed generation. The probe runs against the post-compaction
+    * layout; mask-at-probe, apply-at-compaction, and one-cycle tombstone
+    * retirement are spec-asserted in OperatorsSpec. */
+  private val ivfDelIndexes = scala.collection.concurrent.TrieMap.empty[
+    String, (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
+      Similarity.IvfIndex)]
+  private def ivfDeletedFor(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      emb: org.apache.spark.sql.DataFrame): Similarity.IvfIndex =
+    cachedIdx(ivfDelIndexes, s, dir) {
+      val path = tempIndexDir("graft_ivfdel_idx")
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(emb.where(col("vec_id") >= 10),
+          "vec_id", "embedding"), path)
+      Similarity.deleteFromIvfIndex(s, path,
+        emb.where(col("vec_id") >= 10 && col("vec_id") % 17 === 0)
+          .select("vec_id"),
+        "vec_id")
+      Similarity.compactIvfIndex(s, path)
+    }
+
+  /** The learned BPE merge table, trained once per (session, sf dir) — the
+    * tokenizer model t18 reports and t19 applies ([[cachedIdx]] doc
+    * applies). 24 merges keeps the bench honest about the iterative
+    * trainer's per-round cost without turning the query into a vocab
+    * build. */
+  private val bpeMerges = scala.collection.concurrent.TrieMap.empty[String,
+    (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
+      Seq[Bpe.Merge])]
+  private def bpeMergesFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Bpe.Merge] =
+    cachedIdx(bpeMerges, s, dir) {
+      Bpe.train(Bpe.wordHistogram(s.table("documents"), "text"), nMerges = 24)
     }
 
   /** Resident persisted-index state for the incremental dedup gate queries
@@ -598,6 +636,27 @@ object Pipeline {
         "from (select doc_id, string_split(text, ' ') as toks from documents), " +
         "unnest(range(1, len(toks) + 1, 40)) as u(s) " +
         "order by doc_id, start_tok"),
+    // BPE merge TRAINING (Sennrich et al. 2016) — the tokenizer-learning
+    // op: one corpus pass reduces documents to the weighted distinct-word
+    // dictionary, then every merge round runs dictionary-sized
+    // pair-count aggregations with only the argmax row reaching the
+    // driver. Deterministic (lexicographic tie-break) but iterative →
+    // not SQL-expressible; OperatorsSpec replays training with a local
+    // reference implementation and demands the identical merge table.
+    df("t18_bpe_train", None) { (s, dir) =>
+      Bpe.mergesFrame(s, bpeMergesFor(s, dir)).orderBy("rank")
+    },
+    // Apply the learned merges: per-word nested merge folds compiled into
+    // the plan (the merge table IS the model — small by construction), so
+    // encoding is one narrow expression over documents, zero shuffle,
+    // linear in executors. Spec: engine output == local reference encode.
+    df("t19_bpe_encode", None) { (s, dir) =>
+      s.table("documents")
+        .select(col("doc_id"),
+          concat_ws(" ", Bpe.encode(col("text"), bpeMergesFor(s, dir)))
+            .as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
     // BM25 retrieval (k1 = 1.2, b = 0.75) — the standard lexical ranking
     // the TF-IDF query (t13) approximates. Same scale shape: token
     // explode → per-doc/term tf (partial-aggregated), tiny df/stats
@@ -812,6 +871,22 @@ object Pipeline {
     df("s8_ann_ivf_compacted", None) { (s, dir) =>
       val emb = s.table("embeddings")
       val idx = ivfCompactedFor(s, dir, emb)
+      Similarity.ivfProbe(idx, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+        .orderBy("qid", "rnk")
+    },
+    // The DELETION arm of the serving-index lifecycle — the takedown /
+    // contamination-removal path a 100 TB corpus needs without an index
+    // rebuild: tombstone-delete a deterministic id slice from the saved
+    // IVF layout (an appended parquet delta, nothing rewritten), then
+    // compact so the delete lands physically in the fresh committed
+    // generation the probe reads. Deleted ids absent, probe-parity with a
+    // never-indexed corpus, pruning survival, and tombstone retirement are
+    // all spec-asserted (OperatorsSpec); quantizer-defined top-k →
+    // rows-only, like s7/s8.
+    df("s9_ann_ivf_deleted", None) { (s, dir) =>
+      val emb = s.table("embeddings")
+      val idx = ivfDeletedFor(s, dir, emb)
       Similarity.ivfProbe(idx, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nprobe = 4)
         .orderBy("qid", "rnk")

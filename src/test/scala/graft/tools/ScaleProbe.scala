@@ -418,6 +418,64 @@ object ScaleProbe {
         graft.operators.Dedup.releaseSketchCaches()
       }
     }
+    // Round-8: BPE trainer at rep× corpus. Replication grows the corpus
+    // pass 40× but NOT the distinct-word dictionary — exactly the regime
+    // the design targets (merge rounds are dictionary-sized, corpus-size
+    // independent), so train time should be dominated by the one
+    // histogram pass and encode by narrow per-doc CPU.
+    if (wanted("bpe")) {
+      import graft.operators.Bpe
+      time(s"t18_bpe_train (${rep}x docs, 24 merges)") {
+        Bpe.mergesFrame(spark,
+          Bpe.train(Bpe.wordHistogram(docs, "text"), nMerges = 24))
+      }
+      val merges = Bpe.train(
+        Bpe.wordHistogram(
+          spark.read.parquet(s"$sfDir/documents.parquet"), "text"),
+        nMerges = 24)
+      time(s"t19_bpe_encode (${rep}x docs, 24 merges in-plan)") {
+        docs.select(col("doc_id"),
+          concat_ws(" ", Bpe.encode(col("text"), merges)).as("toks"))
+      }
+    }
+    // Round-8: serving-index deletion lifecycle at rep× vectors — delete a
+    // takedown slice from the saved IVF layout, probe through the mask,
+    // compact (applies the tombstones physically), probe again.
+    if (wanted("ivfdelete")) {
+      import graft.operators.Similarity
+      val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nEmb = baseEmb.count()
+      val ecorpus = baseEmb
+        .crossJoin(spark.range(rep).select(col("id").as("__r")))
+        .select((col("vec_id") + col("__r") * lit(nEmb * 10)).as("vec_id"),
+          col("embedding"))
+        .cache()
+      println(s"[scale] embeddings x$rep = ${ecorpus.count()} vectors")
+      val queries = baseEmb.where(col("vec_id") < 10)
+      val dir = java.nio.file.Files.createTempDirectory("sp_ivfdel").toString
+      time("s9 build+save IVF index") {
+        Similarity.saveIvfIndex(
+          Similarity.buildIvfIndex(ecorpus, "vec_id", "embedding"), dir)
+        spark.emptyDataFrame
+      }
+      time("s9 tombstone delete (1/17 of corpus)") {
+        Similarity.deleteFromIvfIndex(spark, dir,
+          ecorpus.where(col("vec_id") % 17 === 0).select("vec_id"), "vec_id")
+        spark.emptyDataFrame
+      }
+      time("s9 probe through the tombstone mask") {
+        Similarity.ivfProbe(Similarity.loadIvfIndex(spark, dir), queries,
+          "vec_id", "embedding", 5)
+      }
+      time("s9 compact (applies deletes physically)") {
+        Similarity.compactIvfIndex(spark, dir)
+        spark.emptyDataFrame
+      }
+      time("s9 probe post-compaction") {
+        Similarity.ivfProbe(Similarity.loadIvfIndex(spark, dir), queries,
+          "vec_id", "embedding", 5)
+      }
+    }
     spark.stop()
   }
 }
