@@ -143,6 +143,56 @@ object Multimodal {
       .withColumn("meta", metaStruct(col("content")))
   }
 
+  /** Partition-lifetime audio opener — the [[PartitionImageDecoder]]
+    * discipline for `javax.sound.sampled`: `AudioSystem
+    * .getAudioInputStream(stream)` walks the whole `AudioFileReader` SPI
+    * provider list per call (each provider parses the header and throws on
+    * mismatch), so each PARTITION keeps the providers that have already
+    * matched and probes them first; the full `ServiceLoader` list is
+    * consulted only the first time a new container format appears in the
+    * partition. Every probe gets a fresh `ByteArrayInputStream` (the reader
+    * contract needs mark/reset; a fresh wrapper is cheaper than reset
+    * bookkeeping over a shared one). Not thread-safe; one instance per
+    * `mapPartitions` task. */
+  private final class PartitionAudioDecoder {
+    private val matched = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileReader]
+    private lazy val providers: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toSeq
+    }
+
+    /** Opened stream, or null when no provider recognizes the payload. */
+    def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      var i = 0
+      while (i < matched.length) {
+        try return matched(i).getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+          case _: java.io.IOException => ()
+        }
+        i += 1
+      }
+      providers.foreach { p =>
+        if (!matched.contains(p)) {
+          try {
+            val ais = p.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            matched += p
+            return ais
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+            case _: java.io.IOException => ()
+          }
+        }
+      }
+      null
+    }
+  }
+
   /** Partition-lifetime image decoder: `ImageIO.read(stream)` re-scans the
     * whole SPI reader registry per call (measured as a real fraction of the
     * 200k-image decode cost), so each PARTITION instead keeps the readers
@@ -385,12 +435,13 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val dec = new PartitionAudioDecoder
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
             try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              try {
+              val ais = dec.open(bytes)
+              if (ais == null) (id, -1, -1, 0L, 0L, 0L)
+              else try {
                 val fmt = ais.getFormat
                 if (fmt.getSampleSizeInBits != 16)
                   (id, -1, -1, 0L, 0L, 0L)
@@ -439,12 +490,13 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val dec = new PartitionAudioDecoder
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
             try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              try {
+              val ais = dec.open(bytes)
+              if (ais == null) (id, Array.empty[Int])
+              else try {
                 val fmt = ais.getFormat
                 if (fmt.getSampleSizeInBits != 16) (id, Array.empty[Int])
                 else {

@@ -453,25 +453,25 @@ object ScaleProbe {
       println(s"[scale] embeddings x$rep = ${ecorpus.count()} vectors")
       val queries = baseEmb.where(col("vec_id") < 10)
       val dir = java.nio.file.Files.createTempDirectory("sp_ivfdel").toString
-      time("s9 build+save IVF index") {
+      time("ivfdelete s9 build+save IVF index") {
         Similarity.saveIvfIndex(
           Similarity.buildIvfIndex(ecorpus, "vec_id", "embedding"), dir)
         spark.emptyDataFrame
       }
-      time("s9 tombstone delete (1/17 of corpus)") {
+      time("ivfdelete s9 tombstone delete (1/17 of corpus)") {
         Similarity.deleteFromIvfIndex(spark, dir,
           ecorpus.where(col("vec_id") % 17 === 0).select("vec_id"), "vec_id")
         spark.emptyDataFrame
       }
-      time("s9 probe through the tombstone mask") {
+      time("ivfdelete s9 probe through the tombstone mask") {
         Similarity.ivfProbe(Similarity.loadIvfIndex(spark, dir), queries,
           "vec_id", "embedding", 5)
       }
-      time("s9 compact (applies deletes physically)") {
+      time("ivfdelete s9 compact (applies deletes physically)") {
         Similarity.compactIvfIndex(spark, dir)
         spark.emptyDataFrame
       }
-      time("s9 probe post-compaction") {
+      time("ivfdelete s9 probe post-compaction") {
         Similarity.ivfProbe(Similarity.loadIvfIndex(spark, dir), queries,
           "vec_id", "embedding", 5)
       }
