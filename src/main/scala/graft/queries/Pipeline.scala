@@ -1465,6 +1465,54 @@ object Pipeline {
             col("nt") <= thr.getAs[Double]("hi") && col("dr") >= 0.3)
           .select(col("doc_id"), col("nt").cast("bigint").as("n_tokens"))
           .orderBy("doc_id")
+    },
+    // The tokenized-dataset EXPORT — the literal pretraining data product,
+    // end to end: learn a BPE tokenizer (t18's cached merges), encode every
+    // document (t19's codegen'd kernel), map subwords to ids through the
+    // vocab the merges define (base symbols + one per merge → ~100 rows,
+    // broadcast by construction), then pack the per-shard token streams
+    // into fixed 1024-token context windows (x2's cumulative-offset shape
+    // on REAL subword tokens) and emit one row per packed window with its
+    // ordered id sequence. Scale shape: the window runs per shard (shard
+    // count grows with the corpus, x2's formula), the pack assembly is one
+    // groupBy(shard, pack) whose groups are 1024 tokens by construction —
+    // no group ever exceeds the window size, so the collect_list buffer is
+    // bounded. Iterative BPE → not SQL-expressible; the spec replays the
+    // whole export (encode → vocab → offsets → packs) with the local
+    // reference implementation and demands identical pack rows, and
+    // drives Sink.sharded over the result for the on-disk export leg.
+    df("x7_tokenized_export", None) { (s, dir) =>
+      val merges = bpeMergesFor(s, dir)
+      val nShards =
+        math.max(8L, graft.Tables.rowCount(s, dir, "documents") / 1000000L)
+      val toks = s.table("documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(nShards)).cast("long").as("shard"),
+          Bpe.encode(col("text"), merges).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+      val vocab = toks.select(explode(col("toks")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .select(col("token"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(desc("cnt"), asc("token"))) - 1)
+            .cast("long").as("tid"))
+      val positioned = toks
+        .withColumn("start_tok",
+          sum("n_tokens").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("shard").orderBy("doc_id")) -
+            col("n_tokens"))
+        .select(col("shard"), col("start_tok"),
+          posexplode(col("toks")).as(Seq("i", "token")))
+        .withColumn("pos", col("start_tok") + col("i"))
+        .join(broadcast(vocab), Seq("token"))
+      positioned
+        .groupBy(col("shard"), expr("pos div 1024").as("pack_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(
+              pmod(col("pos"), lit(1024)).as("p"), col("tid").as("t")))),
+            x => x.getField("t").cast("string"))).as("token_ids"))
+        .orderBy("shard", "pack_id")
     }
   )
 

@@ -116,6 +116,49 @@ class BpeSpec extends SparkSpecBase {
     assert(got.values.exists(toks => toks.exists(_.length > 2)))
   }
 
+  test("x7 tokenized export: packs match the full local-reference replay") {
+    val out = SparkEntry.queries("x7_tokenized_export")(spark, sfDir)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+    // Full reference replay: train → encode → vocab → offsets → packs.
+    val docsRows = spark.table("documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val hist = docsRows.flatMap(d => refTokens(d._2))
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }.toSeq
+    val merges = refTrain(hist, 24)
+    val encoded = docsRows.map { case (id, t) => (id, refEncode(t, merges)) }
+    val vocab = encoded.flatMap(_._2)
+      .groupBy(identity).map { case (t, ts) => (t, ts.length.toLong) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }
+      .zipWithIndex.map { case ((t, _), i) => t -> i.toLong }.toMap
+    val packs = mutable.Map.empty[(Long, Long),
+      mutable.ArrayBuffer[(Long, Long)]]
+    for (shard <- 0L until 8L) {
+      var pos = 0L
+      for ((id, toks) <- encoded if id % 8 == shard; t <- toks) {
+        packs.getOrElseUpdate((shard, pos / 1024),
+          mutable.ArrayBuffer.empty) += ((pos % 1024, vocab(t)))
+        pos += 1
+      }
+    }
+    val want = packs.toSeq.map { case ((s, p), xs) =>
+      (s, p, xs.size.toLong, xs.sortBy(_._1).map(_._2).mkString(","))
+    }.toSet
+    assert(got.nonEmpty && got.toSet == want)
+    // Every pack except each shard's last is exactly the context window.
+    val lastPerShard = got.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    assert(got.filter(r => r._2 != lastPerShard(r._1)).forall(_._3 == 1024))
+
+    // Export leg: the sharded sink lands the packs as bounded files.
+    val dir = java.nio.file.Files.createTempDirectory("x7exp").toString
+    graft.sources.Sink.sharded(out, dir, rowsPerFile = 16)
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files > 1, "export should shard into multiple files")
+    assert(spark.read.parquet(dir).count() == got.length)
+  }
+
   test("training stops early when no pair reaches minPairCount") {
     import spark.implicits._
     // Every word distinct chars, each word once → all pair counts are 1.
