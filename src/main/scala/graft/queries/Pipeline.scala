@@ -501,8 +501,23 @@ object Pipeline {
         "len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) as distinct_ratio, " +
         "(length(text) - len(string_split(text, ' ')) + 1) * 1.0 / len(string_split(text, ' ')) as avg_token_len " +
         "from documents order by doc_id"),
-    // Language-ID heuristic — model-defined output, rows-only.
-    df("t3_langid", None) { (s, dir) =>
+    // Language-ID heuristic, ON the oracle record (upgraded from rows-only
+    // in round 8): the classifier is pure set arithmetic — distinct tokens
+    // ∩ per-language stopword profiles, argmax by (score, lang) — so the
+    // DuckDB oracle replays it exactly with a struct list_sort (both
+    // engines compare structs lexicographically; the hash-match pins the
+    // profiles, the intersection semantics, and the tie-break).
+    df("t3_langid",
+      Some("with toks as (select doc_id, lang, " +
+        "list_distinct(string_split(lower(text), ' ')) as t from documents) " +
+        "select doc_id, list_sort([" +
+        "struct_pack(score := len(list_intersect(t, ['der','die','das','und','zu','den','von','ist'])), lang := 'de'), " +
+        "struct_pack(score := len(list_intersect(t, ['the','a','of','and','to','in','is','it'])), lang := 'en'), " +
+        "struct_pack(score := len(list_intersect(t, ['el','la','de','y','que','en','un','es'])), lang := 'es'), " +
+        "struct_pack(score := len(list_intersect(t, ['le','la','de','et','les','des','un','est'])), lang := 'fr'), " +
+        "struct_pack(score := len(list_intersect(t, ['de','le','he','shi','zai','wo','you','ni'])), lang := 'zh')" +
+        "])[-1].lang as lang_pred, lang as lang_declared " +
+        "from toks order by doc_id")) { (s, dir) =>
       s.table("documents")
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"),
           col("lang").as("lang_declared"))
@@ -776,7 +791,99 @@ object Pipeline {
         "agg as (select doc_id, list(logp order by pos) as lps " +
         "from toks join probs using (tok) group by doc_id) " +
         "select doc_id, round(list_reduce(lps, (a, x) -> a + x) " +
-        "/ len(lps), 4) as mean_logprob from agg order by doc_id")
+        "/ len(lps), 4) as mean_logprob from agg order by doc_id"),
+    // Interpolated BIGRAM LM scoring — t15's escalation and the shape of
+    // the CCNet/Gopher-style LM quality filter: per-position
+    // ln(0.8·P(w|prev) + 0.2·P(w)) with corpus-MLE probabilities, averaged
+    // per doc. Scale: token/bigram count tables are corpus-keyed
+    // aggregations (map-side partials), the per-doc mean is t15's
+    // order-pinned fold so engine-side float addition order can't move the
+    // hash. Single-token docs have no bigram and drop out on both engines.
+    sql("t20_bigram_logprob",
+      "with toks as (select doc_id, posexplode(filter(split(lower(text), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0)) as (pos, tok) from documents), " +
+        "big as (select doc_id, pos, tok, " +
+        "lag(tok) over (partition by doc_id order by pos) as prev from toks), " +
+        "n as (select count(*) as total from toks), " +
+        "uni as (select tok, count(*) as cnt from toks group by tok), " +
+        "ctx as (select prev, count(*) as cnt from big where prev is not null group by prev), " +
+        "bg as (select prev, tok, count(*) as cnt from big where prev is not null group by prev, tok), " +
+        "scored as (select b.doc_id, b.pos, " +
+        "ln(0.8 * bg.cnt / ctx.cnt + 0.2 * uni.cnt / (select total from n)) as lp " +
+        "from big b join uni on b.tok = uni.tok " +
+        "join ctx on b.prev = ctx.prev " +
+        "join bg on b.prev = bg.prev and b.tok = bg.tok), " +
+        "agg as (select doc_id, transform(array_sort(collect_list(struct(pos, lp))), " +
+        "s -> s.lp) as lps from scored group by doc_id) " +
+        "select doc_id, round(aggregate(lps, cast(0 as double), (a, x) -> a + x) " +
+        "/ size(lps), 4) as mean_bigram_logprob from agg order by doc_id",
+      "with toksarr as (select doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0) as ts from documents), " +
+        "toks as (select doc_id, unnest(ts) as tok, unnest(range(len(ts))) as pos from toksarr), " +
+        "big as (select doc_id, pos, tok, " +
+        "lag(tok) over (partition by doc_id order by pos) as prev from toks), " +
+        "n as (select count(*) as total from toks), " +
+        "uni as (select tok, count(*) as cnt from toks group by tok), " +
+        "ctx as (select prev, count(*) as cnt from big where prev is not null group by prev), " +
+        "bg as (select prev, tok, count(*) as cnt from big where prev is not null group by prev, tok), " +
+        "scored as (select b.doc_id, b.pos, " +
+        "ln(0.8 * bg.cnt / ctx.cnt + 0.2 * uni.cnt / (select total from n)) as lp " +
+        "from big b join uni on b.tok = uni.tok " +
+        "join ctx on b.prev = ctx.prev " +
+        "join bg on b.prev = bg.prev and b.tok = bg.tok), " +
+        "agg as (select doc_id, list(lp order by pos) as lps from scored group by doc_id) " +
+        "select doc_id, round(list_reduce(lps, (a, x) -> a + x) " +
+        "/ len(lps), 4) as mean_bigram_logprob from agg order by doc_id"),
+    // PII scrub on the oracle record: the corpus is digit-free, so each doc
+    // gets a deterministic doc_id-derived PII suffix (email, IPv4, card
+    // number, phone — the m10 synthesize-then-process pattern), then
+    // TextOps.redactPii's four-pass replacement chain and the sequential
+    // match count run over it. The DuckDB oracle replays the identical
+    // chain with RE2 (these patterns avoid lookarounds and other
+    // PCRE-only syntax precisely so both engines match the same spans);
+    // the hash-match verifies pattern order, per-pass counting, and the
+    // redacted strings byte-for-byte. Pure narrow per-row maps — the
+    // scrub fuses into any ingest projection at any scale.
+    df("t21_pii_redact",
+      Some("with base as (select doc_id, text || ' contact user' || cast(doc_id as varchar) || " +
+        "'@mail' || cast(doc_id % 7 as varchar) || '.com from ' || " +
+        "cast(10 + doc_id % 90 as varchar) || '.' || cast(doc_id % 256 as varchar) || " +
+        "'.0.' || cast(1 + doc_id % 254 as varchar) || ' card ' || " +
+        "cast(4111111111111000 + doc_id % 1000 as varchar) || ' call +1 (' || " +
+        "cast(200 + doc_id % 700 as varchar) || ') ' || cast(100 + doc_id % 900 as varchar) || " +
+        "'-' || cast(1000 + doc_id % 9000 as varchar) as t from documents), " +
+        "s1 as (select doc_id, regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') as t, " +
+        "len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as c1 from base), " +
+        "s2 as (select doc_id, regexp_replace(t, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') as t, c1, " +
+        "len(regexp_extract_all(t, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) as c2 from s1), " +
+        "s3 as (select doc_id, regexp_replace(t, '\\b[0-9]{13,19}\\b', '<NUMBER>', 'g') as t, c1, c2, " +
+        "len(regexp_extract_all(t, '\\b[0-9]{13,19}\\b')) as c3 from s2), " +
+        "s4 as (select doc_id, regexp_replace(t, '(?:\\+[0-9][0-9()\\- ]{7,}[0-9]" +
+        "|\\(?[0-9]{2,4}\\)[\\- ]?[0-9]{2,4}[\\- ]?[0-9]{2,6}" +
+        "|[0-9]{2,4}(?:-[0-9]{2,6}){2,3})', '<PHONE>', 'g') as t, c1, c2, c3, " +
+        "len(regexp_extract_all(t, '(?:\\+[0-9][0-9()\\- ]{7,}[0-9]" +
+        "|\\(?[0-9]{2,4}\\)[\\- ]?[0-9]{2,4}[\\- ]?[0-9]{2,6}" +
+        "|[0-9]{2,4}(?:-[0-9]{2,6}){2,3})')) as c4 from s3) " +
+        "select doc_id, t as redacted, cast(c1 + c2 + c3 + c4 as bigint) as pii_matches " +
+        "from s4 order by doc_id")) { (s, dir) =>
+      val enriched = s.table("documents").select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"),
+        lit(".com from "), (lit(10) + col("doc_id") % 90).cast("string"),
+        lit("."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (lit(1) + col("doc_id") % 254).cast("string"),
+        lit(" card "),
+        (lit(4111111111111000L) + col("doc_id") % 1000).cast("string"),
+        lit(" call +1 ("), (lit(200) + col("doc_id") % 700).cast("string"),
+        lit(") "), (lit(100) + col("doc_id") % 900).cast("string"),
+        lit("-"), (lit(1000) + col("doc_id") % 9000).cast("string"))
+        .as("text"))
+      enriched.select(col("doc_id"),
+        TextOps.redactPii(col("text")).as("redacted"),
+        TextOps.piiMatchCount(col("text")).as("pii_matches"))
+        .orderBy("doc_id")
+    }
   )
 
   private val similarity = Seq(
