@@ -1592,33 +1592,55 @@ object Pipeline {
       val merges = bpeMergesFor(s, dir)
       val nShards =
         math.max(8L, graft.Tables.rowCount(s, dir, "documents") / 1000000L)
-      val toks = s.table("documents")
+      val enc = s.table("documents")
         .select(col("doc_id"),
           pmod(col("doc_id"), lit(nShards)).cast("long").as("shard"),
           Bpe.encode(col("text"), merges).as("toks"))
-        .withColumn("n_tokens", size(col("toks")).cast("long"))
-      val vocab = toks.select(explode(col("toks")).as("token"))
+      // The BPE vocab is bounded by the MODEL, not the corpus — every
+      // emitted subword is a base symbol, the end marker, or one of the
+      // merge outputs (≤ alphabet + nMerges + 1 entries) — so it follows
+      // the centroids discipline: one tiny aggregate to the driver,
+      // compiled into the plan as a map literal. Token→id mapping then
+      // happens INSIDE each doc's array (a narrow transform), and no
+      // token-level row ever reaches an exchange.
+      val vocabToks = enc.select(explode(col("toks")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
-        .select(col("token"),
-          (row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(desc("cnt"), asc("token"))) - 1)
-            .cast("long").as("tid"))
-      val positioned = toks
-        .withColumn("start_tok",
-          sum("n_tokens").over(org.apache.spark.sql.expressions.Window
-            .partitionBy("shard").orderBy("doc_id")) -
-            col("n_tokens"))
-        .select(col("shard"), col("start_tok"),
-          posexplode(col("toks")).as(Seq("i", "token")))
-        .withColumn("pos", col("start_tok") + col("i"))
-        .join(broadcast(vocab), Seq("token"))
-      positioned
-        .groupBy(col("shard"), expr("pos div 1024").as("pack_id"))
-        .agg(count(lit(1)).as("n_tokens"),
+        .orderBy(desc("cnt"), asc("token"))
+        .collect().map(_.getString(0))
+      val vmap = typedlit(
+        vocabToks.zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap)
+      val ids = enc
+        .select(col("doc_id"), col("shard"),
+          transform(col("toks"), t => element_at(vmap, t)).as("tids"))
+        .withColumn("n_tokens", size(col("tids")).cast("long"))
+        .where(col("n_tokens") > 0)
+      // Cumulative per-shard offsets over DOC rows, then one exploded row
+      // per (doc, pack it overlaps) — shuffle volume is docs + packs, never
+      // tokens: each row carries its token-id SLICE as an array payload.
+      val offs = ids.withColumn("start_tok",
+        sum("n_tokens").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")) - col("n_tokens"))
+      val slices = offs
+        .select(col("shard"), col("tids"), col("n_tokens"), col("start_tok"),
+          explode(sequence(expr("start_tok div 1024"),
+            expr("(start_tok + n_tokens - 1) div 1024"))).as("pack_id"))
+        .withColumn("lo", greatest(
+          col("pack_id") * 1024 - col("start_tok"), lit(0L)))
+        .withColumn("hi", least(
+          (col("pack_id") + 1) * 1024 - col("start_tok"), col("n_tokens")))
+        .select(col("shard"), col("pack_id"),
+          (col("start_tok") + col("lo") - col("pack_id") * 1024).as("off"),
+          slice(col("tids"), (col("lo") + 1).cast("int"),
+            (col("hi") - col("lo")).cast("int")).as("seg"))
+      slices
+        .groupBy("shard", "pack_id")
+        .agg(sum(size(col("seg"))).cast("long").as("n_tokens"),
           concat_ws(",", transform(
-            array_sort(collect_list(struct(
-              pmod(col("pos"), lit(1024)).as("p"), col("tid").as("t")))),
-            x => x.getField("t").cast("string"))).as("token_ids"))
+            flatten(transform(
+              array_sort(collect_list(struct(
+                col("off").as("o"), col("seg").as("seg")))),
+              x => x.getField("seg"))),
+            t => t.cast("string"))).as("token_ids"))
         .orderBy("shard", "pack_id")
     }
   )

@@ -102,6 +102,25 @@ class PlanSpec extends SparkSpecBase {
     assert(exchanges <= 1, s"expected only the output sort exchange:\n$p")
   }
 
+  test("pii scrub is a narrow map: no shuffle except the output sort") {
+    val p = planOf("t21_pii_redact")
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 1, s"expected only the output sort exchange:\n$p")
+  }
+
+  test("tokenized export shuffles docs and packs, never token rows") {
+    val p = planOf("x7_tokenized_export")
+    // Doc-level shard window + pack groupBy + presentation sort — three
+    // exchanges, all carrying doc/pack rows with the token ids INSIDE
+    // array payloads (the explode fans out one row per overlapped pack,
+    // not per token).
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 3, s"token-level rows leaked into a shuffle:\n$p")
+    // The vocab is a model-bounded map LITERAL compiled into the
+    // projection — the whole export plans without any join.
+    assert(!p.contains("Join"), s"vocab mapping should not be a join:\n$p")
+  }
+
   test("contamination check plans a left-semi gram join, no pair blowup") {
     val p = planOf("d9_contamination")
     assert(p.contains("LeftSemi"),

@@ -438,6 +438,21 @@ object ScaleProbe {
           concat_ws(" ", Bpe.encode(col("text"), merges)).as("toks"))
       }
     }
+    // Round-8 text additions at rep× docs: t20's corpus-keyed
+    // unigram/bigram/context tables grow with the corpus (the real cost
+    // driver); t21 and x7's encode are narrow maps; x7's pack window runs
+    // per shard.
+    if (wanted("text8")) {
+      time("text8 t20_bigram_logprob") {
+        graft.SparkEntry.queries("t20_bigram_logprob")(spark, sfDir)
+      }
+      time("text8 t21_pii_redact") {
+        graft.SparkEntry.queries("t21_pii_redact")(spark, sfDir)
+      }
+      time("text8 x7_tokenized_export") {
+        graft.SparkEntry.queries("x7_tokenized_export")(spark, sfDir)
+      }
+    }
     // Round-8: serving-index deletion lifecycle at rep× vectors — delete a
     // takedown slice from the saved IVF layout, probe through the mask,
     // compact (applies the tombstones physically), probe again.
