@@ -800,14 +800,23 @@ object Pipeline {
     // order-pinned fold so engine-side float addition order can't move the
     // hash. Single-token docs have no bigram and drop out on both engines.
     sql("t20_bigram_logprob",
-      "with toks as (select doc_id, posexplode(filter(split(lower(text), '[^a-z0-9]+'), " +
-        "t -> length(t) > 0)) as (pos, tok) from documents), " +
-        "big as (select doc_id, pos, tok, " +
-        "lag(tok) over (partition by doc_id order by pos) as prev from toks), " +
+      // Spark side derives bigrams map-side from each doc's token ARRAY (a
+      // zip of adjacent slices) instead of a lag window — the window form
+      // shuffles every token by doc_id before anything aggregates, one
+      // full-corpus exchange the narrow zip simply never needs. The DuckDB
+      // oracle keeps the window formulation (equivalence is all the oracle
+      // owes); identical rows either way.
+      "with toksarr as (select doc_id, filter(split(lower(text), '[^a-z0-9]+'), " +
+        "t -> length(t) > 0) as ts from documents), " +
+        "toks as (select doc_id, explode(ts) as tok from toksarr), " +
+        "big as (select doc_id, i + 1 as pos, p.a as prev, p.b as tok from " +
+        "(select doc_id, posexplode(zip_with(slice(ts, 1, size(ts) - 1), " +
+        "slice(ts, 2, size(ts) - 1), (x, y) -> struct(x as a, y as b))) as (i, p) " +
+        "from toksarr where size(ts) >= 2)), " +
         "n as (select count(*) as total from toks), " +
         "uni as (select tok, count(*) as cnt from toks group by tok), " +
-        "ctx as (select prev, count(*) as cnt from big where prev is not null group by prev), " +
-        "bg as (select prev, tok, count(*) as cnt from big where prev is not null group by prev, tok), " +
+        "ctx as (select prev, count(*) as cnt from big group by prev), " +
+        "bg as (select prev, tok, count(*) as cnt from big group by prev, tok), " +
         "scored as (select b.doc_id, b.pos, " +
         "ln(0.8 * bg.cnt / ctx.cnt + 0.2 * uni.cnt / (select total from n)) as lp " +
         "from big b join uni on b.tok = uni.tok " +
