@@ -105,4 +105,10 @@ object GraftFunctions {
   def bpeEncodeWords(words: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(org.apache.spark.sql.graft.BpeEncodeWords(
       GraftBridge.expression(words), merges))
+
+  /** Sequential regex replace-and-count chain in one kernel pass per
+    * pattern: struct(redacted string, matches bigint). */
+  def regexScrub(text: Column, patterns: Seq[(String, String)]): Column =
+    GraftBridge.column(org.apache.spark.sql.graft.RegexScrub(
+      GraftBridge.expression(text), patterns))
 }

@@ -146,4 +146,13 @@ object TextOps {
       (regexp_replace(c, re, tag),
         n + size(regexp_extract_all(c, lit(re), lit(0))))
     }._2.cast("bigint")
+
+  /** [[redactPii]] + [[piiMatchCount]] fused into ONE native kernel pass
+    * per pattern: struct(redacted, matches). The composed form walks the
+    * text with eight regex passes (four replaces + four counting
+    * re-scans); the kernel replaces and counts in a single Matcher loop
+    * per pattern — half the regex CPU, byte-identical output
+    * (spec-pinned against the composed columns). */
+  def piiScrub(text: Column): Column =
+    graft.functions.GraftFunctions.regexScrub(text, piiPatterns)
 }

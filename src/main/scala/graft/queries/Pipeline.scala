@@ -888,9 +888,10 @@ object Pipeline {
         lit(") "), (lit(100) + col("doc_id") % 900).cast("string"),
         lit("-"), (lit(1000) + col("doc_id") % 9000).cast("string"))
         .as("text"))
-      enriched.select(col("doc_id"),
-        TextOps.redactPii(col("text")).as("redacted"),
-        TextOps.piiMatchCount(col("text")).as("pii_matches"))
+      enriched
+        .select(col("doc_id"), TextOps.piiScrub(col("text")).as("s"))
+        .select(col("doc_id"), col("s.redacted").as("redacted"),
+          col("s.matches").as("pii_matches"))
         .orderBy("doc_id")
     }
   )

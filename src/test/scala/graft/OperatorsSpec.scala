@@ -535,6 +535,25 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out(6L) == ("dial <PHONE> today", 1L))
     assert(out(7L) == ("the 2020-21 season, pp. 1234-56, all prose", 0L))
     assert(out(8L) == ("call <PHONE> or card <PHONE>", 2L))
+    // The fused single-pass kernel (piiScrub) is byte-identical to the
+    // composed redact + count columns — on the fixtures AND on real
+    // corpus text with the t21 synthetic PII suffix.
+    val fused = docs.select($"id", TextOps.piiScrub($"text").as("s"))
+      .select($"id", $"s.redacted", $"s.matches")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(fused == out)
+    val corpus = spark.table("documents").select(col("doc_id"),
+      concat(col("text"), lit(" mail a@b.io ip 1.2.3.4 card "),
+        (lit(4111111111111000L) + col("doc_id") % 1000).cast("string"))
+        .as("text"))
+    val composed = corpus.select(col("doc_id"),
+        TextOps.redactPii(col("text")).as("r"),
+        TextOps.piiMatchCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val kernel = corpus.select(col("doc_id"), TextOps.piiScrub(col("text")).as("s"))
+      .select(col("doc_id"), col("s.redacted"), col("s.matches"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(kernel == composed && kernel.nonEmpty)
   }
 
   test("salted and hot-split joins match the plain join exactly") {
