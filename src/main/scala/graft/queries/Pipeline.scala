@@ -1627,30 +1627,12 @@ object Pipeline {
       // Cumulative per-shard offsets over DOC rows, then one exploded row
       // per (doc, pack it overlaps) — shuffle volume is docs + packs, never
       // tokens: each row carries its token-id SLICE as an array payload.
-      val offs = ids.withColumn("start_tok",
-        sum("n_tokens").over(org.apache.spark.sql.expressions.Window
-          .partitionBy("shard").orderBy("doc_id")) - col("n_tokens"))
-      val slices = offs
-        .select(col("shard"), col("tids"), col("n_tokens"), col("start_tok"),
-          explode(sequence(expr("start_tok div 1024"),
-            expr("(start_tok + n_tokens - 1) div 1024"))).as("pack_id"))
-        .withColumn("lo", greatest(
-          col("pack_id") * 1024 - col("start_tok"), lit(0L)))
-        .withColumn("hi", least(
-          (col("pack_id") + 1) * 1024 - col("start_tok"), col("n_tokens")))
-        .select(col("shard"), col("pack_id"),
-          (col("start_tok") + col("lo") - col("pack_id") * 1024).as("off"),
-          slice(col("tids"), (col("lo") + 1).cast("int"),
-            (col("hi") - col("lo")).cast("int")).as("seg"))
-      slices
-        .groupBy("shard", "pack_id")
-        .agg(sum(size(col("seg"))).cast("long").as("n_tokens"),
-          concat_ws(",", transform(
-            flatten(transform(
-              array_sort(collect_list(struct(
-                col("off").as("o"), col("seg").as("seg")))),
-              x => x.getField("seg"))),
-            t => t.cast("string"))).as("token_ids"))
+      // The packing core is operators.Packing.packWindows, shared with the
+      // streaming arrival twin (PackStream).
+      graft.operators.Packing.packWindows(ids, window = 1024)
+        .select(col("shard"), col("pack_id"), col("n_tokens"),
+          concat_ws(",", transform(col("tids"), t => t.cast("string")))
+            .as("token_ids"))
         .orderBy("shard", "pack_id")
     }
   )

@@ -296,4 +296,67 @@ class CrashRestartSpec extends SparkSpecBase {
     assert(ids.sorted == Seq(15L, 30L, 40L),
       s"kept output after post-sink crash-restart: $ids")
   }
+
+  test("kill -9 between pack sink and state commit: replay recomputes " +
+      "bit-identical packs, exactly-once") {
+    import spark.implicits._
+    // Docs sized so every batch closes at least one 32-token window per
+    // shard (ids split by parity across nShards = 2).
+    def doc(id: Long, seed: String): (Long, String) =
+      (id, (0 until 20).map(k => s"$seed$k").mkString(" "))
+    val corpusRows = Seq(doc(1L, "alpha"), doc(2L, "beta"))
+    val files = Seq(
+      "f1" -> Seq(doc(10L, "alpha"), doc(11L, "beta")),
+      "f2" -> Seq(doc(20L, "gamma"), doc(21L, "alpha")),
+      "f3" -> Seq(doc(30L, "beta"), doc(31L, "gamma")))
+
+    def writeSrc(srcDir: String): Unit = {
+      corpusRows.toDF("doc_id", "text").write.parquet(s"$srcDir/corpus")
+      files.zipWithIndex.foreach { case ((name, rows), i) =>
+        val d = s"$srcDir/stream/$name"
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(d)
+        val t0 = System.currentTimeMillis() - 100000
+        Files.walk(Paths.get(d)).forEach(p =>
+          p.toFile.setLastModified(t0 + i * 2000L))
+      }
+    }
+    def packsOf(sinkDir: String): Set[(Long, Long, String)] =
+      spark.read.option("recursiveFileLookup", "true").parquet(sinkDir)
+        .select("shard", "pack_id", "token_ids")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+
+    // Crashed run: die during f2, AFTER its packs landed in the sink but
+    // BEFORE the successor state generation committed — the restart
+    // replays f2 from the RETAINED base generation; determinism makes the
+    // recompute bit-identical, and the per-batch overwrite keeps the
+    // landed packs exactly-once.
+    val base = Files.createTempDirectory("crash9pack").toString
+    writeSrc(s"$base/src")
+    val args = Seq(s"$base/idx", s"$base/eng", s"$base/src", s"$base/sink")
+    val rc1 = runChild(args ++ Seq("1", "pack", "mid"), s"$base/run1.log")
+    assert(rc1 == 137, s"child should die by halt(137), got $rc1 — " +
+      s"log: $base/run1.log")
+    val rc2 = runChild(args ++ Seq("-1", "pack", "mid"), s"$base/run2.log")
+    assert(rc2 == 0, s"restart child failed with $rc2 — log: $base/run2.log")
+
+    // Clean reference run over the same source, fresh dirs, no kill.
+    val ref = Files.createTempDirectory("crash9packref").toString
+    writeSrc(s"$ref/src")
+    val refArgs = Seq(s"$ref/idx", s"$ref/eng", s"$ref/src", s"$ref/sink")
+    assert(runChild(refArgs ++ Seq("-1", "pack", "mid"),
+      s"$ref/run.log") == 0)
+
+    val crashed = packsOf(s"$base/sink")
+    val clean = packsOf(s"$ref/sink")
+    assert(crashed.nonEmpty && crashed == clean,
+      s"packs across the crash must equal the uncrashed run\n" +
+        s" crashed=$crashed\n clean=$clean")
+    // Exactly-once at the pack level: no (shard, pack_id) appears twice.
+    val keys = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/sink").select("shard", "pack_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(keys.distinct.size == keys.size,
+      s"duplicate packs after crash-restart: $keys")
+  }
 }

@@ -939,4 +939,111 @@ class StreamingSpec extends SparkSpecBase {
       "cross-run dup must drop; novel doc must survive the restart")
     Dedup.releaseSketchCaches()
   }
+
+  test("pack stream: arrival packing equals batch packing, carries " +
+      "partials across batches AND restarts, rebases id reuse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Bpe, Packing}
+    import graft.streaming.PackStream
+
+    val corpus = spark.table("documents")
+    val dir = java.nio.file.Files.createTempDirectory("packstream").toString
+    val out = java.nio.file.Files.createTempDirectory("packout").toString
+    val h = PackStream.resume(spark, dir, corpus, "doc_id", "text",
+      nShards = 4L, nMerges = 12, window = 256)
+
+    val arrivals = corpus.where(col("doc_id") < 60)
+      .select(col("doc_id").cast("long"), col("text"))
+      .orderBy("doc_id").as[NdDoc].collect()
+    val (b1, rest) = arrivals.splitAt(20)
+    val (b2, b3) = rest.splitAt(20)
+
+    val in1 = MemoryStream[NdDoc]
+    val q1 = PackStream.run(in1.toDF(), h, "doc_id", "text", out)
+    in1.addData(b1: _*); q1.processAllAvailable()
+    in1.addData(b2: _*); q1.processAllAvailable()
+    q1.stop()
+
+    // Restart: the frozen model reloads identically and the carried
+    // partial packs + pack numbering continue. The fresh MemoryStream
+    // restarts engine batch ids at 0 — the recorded replay fingerprints
+    // must catch the id reuse and rebase instead of overwriting batch 0's
+    // landed packs.
+    val h2 = PackStream.resume(spark, dir, corpus.limit(0), "doc_id", "text")
+    assert(h2.model.merges == h.model.merges &&
+      h2.model.vocab == h.model.vocab && h2.model.window == 256)
+    val in2 = MemoryStream[NdDoc]
+    val q2 = PackStream.run(in2.toDF(), h2, "doc_id", "text", out)
+    in2.addData(b3: _*); q2.processAllAvailable()
+    q2.stop()
+
+    // Expected: batch packing over the full arrival sequence (arrival
+    // order == doc_id order here), same frozen model, full windows only.
+    val vmap = typedlit(h.model.vocab)
+    val allIds = corpus.where(col("doc_id") < 60)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        pmod(col("doc_id").cast("long"), lit(4L)).as("shard"),
+        transform(Bpe.encode(col("text"), h.model.merges),
+          t => coalesce(element_at(vmap, t), lit(-1L))).as("tids"))
+    val expected = Packing.packWindows(allIds, 256)
+      .where(col("n_tokens") === 256)
+      .select(col("shard"), col("pack_id"),
+        concat_ws(",", transform(col("tids"), t => t.cast("string")))
+          .as("token_ids"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val got = spark.read.parquet(s"$out/b0", s"$out/b1", s"$out/b2")
+      .select("shard", "pack_id", "token_ids")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == expected && got.nonEmpty,
+      "streamed packs must equal the batch packing of the arrival sequence")
+  }
+
+  test("pack stream: a replayed batch recomputes identical packs and the " +
+      "idempotent sink stays exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.PackStream
+
+    val corpus = spark.table("documents")
+    val dir = java.nio.file.Files.createTempDirectory("packcrash").toString
+    val out = java.nio.file.Files.createTempDirectory("packcrashout").toString
+    val h = PackStream.resume(spark, dir, corpus, "doc_id", "text",
+      nShards = 2L, nMerges = 8, window = 64)
+    val batch1 = corpus.where(col("doc_id") < 10)
+      .select(col("doc_id"), col("text"))
+    val batch2 = corpus.where(col("doc_id") >= 10 && col("doc_id") < 20)
+      .select(col("doc_id"), col("text"))
+
+    def packsAt(b: Long) = spark.read.parquet(s"$out/b$b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .toSet
+    assert(PackStream.processBatch(h, batch1, 0L, "doc_id", "text", out) == 0L)
+    val first = packsAt(0L)
+    assert(first.nonEmpty)
+    // Crash between sink and offsets commit → the engine re-delivers the
+    // same batch under the same id: the recompute from the retained base
+    // generation is bit-identical and the sink overwrites, not appends.
+    assert(PackStream.processBatch(h, batch1, 0L, "doc_id", "text", out) == 0L)
+    assert(packsAt(0L) == first)
+    // The stream continues past the replay with the state the replay
+    // rewrote — and every landed pack is exactly the window size.
+    assert(PackStream.processBatch(h, batch2, 1L, "doc_id", "text", out) == 1L)
+    val all = spark.read.parquet(s"$out/b0", s"$out/b1")
+    assert(all.where(col("n_tokens") =!= 64).count() == 0)
+    // Conservation: landed tokens + carried tokens == ingested tokens.
+    val vmap = typedlit(h.model.vocab)
+    val ingested = corpus.where(col("doc_id") < 20)
+      .select(size(graft.operators.Bpe.encode(col("text"),
+        h.model.merges)).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val landed = all.agg(sum("n_tokens")).head().getLong(0)
+    val carried = spark.read.parquet(s"$dir/state/g2/pending")
+      .select(size(col("pending")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(landed + carried == ingested)
+  }
 }

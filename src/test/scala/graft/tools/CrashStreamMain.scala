@@ -22,7 +22,9 @@ import graft.streaming.NearDupStream
   *     "semantic" (SemDedupStream, embedding source) — all five index
   *     families ride the same DedupLoop, crashed at the same point;
   *     winnow/substring additionally exercise their family's own delta
-  *     append/restore (layered freq tables) across the kill.
+  *     append/restore (layered freq tables) across the kill. "pack"
+  *     crashes the PackStream tokenize-and-pack export instead (its own
+  *     kill points — see the mode's comment below).
   *   - killPoint: "pre" (default — die before the Nth sink write: WAL
   *     durable, output unsunk) or "post" (die AFTER the Nth sink write,
   *     before offsets commit — the replay re-runs a sink that already
@@ -99,6 +101,29 @@ object CrashStreamMain {
           "doc_id", "embedding", compactEvery = 2,
           checkpointPath = Some(idxCkpt),
           queryCheckpointLocation = Some(qCkpt))(sink)
+      case "pack" =>
+        // The packing stream sinks INSIDE processBatch (batch-id-keyed
+        // idempotent pack output), so its kill points differ: "mid" dies
+        // between the pack sink and the state-generation commit (the
+        // window the deterministic-recompute contract covers), "post"
+        // dies after the whole batch, before the engine commits offsets.
+        val h = graft.streaming.PackStream.resume(
+          spark, idxCkpt, corpus, "doc_id", "text",
+          nShards = 2L, nMerges = 8, window = 32)
+        src.writeStream.option("checkpointLocation", qCkpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            val afterSink: () => Unit = () =>
+              if (killPoint == "mid" && killAfter >= 0 &&
+                  sunk.get() >= killAfter)
+                Runtime.getRuntime.halt(137)
+            graft.streaming.PackStream.processBatch(
+              h, batch, id, "doc_id", "text", sinkDir, afterSink)
+            if (killPoint == "post" && killAfter >= 0 &&
+                sunk.get() >= killAfter)
+              Runtime.getRuntime.halt(137)
+            sunk.incrementAndGet(): Unit
+          }
+          .start()
       case _ =>
         val state = NearDupStream.resume(
           spark, idxCkpt, corpus, "doc_id", "text")

@@ -453,6 +453,38 @@ object ScaleProbe {
         graft.SparkEntry.queries("x7_tokenized_export")(spark, sfDir)
       }
     }
+    // Round-8: the streaming tokenize-and-pack export at rep× — tokenizer
+    // trained on the replicated corpus at bootstrap, then arrival batches
+    // of ~rep×125 docs pack through the carried per-shard state.
+    if (wanted("stream_pack")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val dir = java.nio.file.Files
+        .createTempDirectory("sp_stream_pack").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("sp_stream_pack_out").toString
+      val t0 = System.nanoTime()
+      val h = graft.streaming.PackStream.resume(
+        spark, dir, docs, "doc_id", "text", nShards = 32L)
+      println(f"[scale] stream_pack bootstrap (train tokenizer on " +
+        f"${rep}x corpus) ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      import spark.implicits._
+      val in = MemoryStream[graft.NdDoc]
+      val q = graft.streaming.PackStream.run(
+        in.toDF(), h, "doc_id", "text", out)
+      (0 until 4).foreach { i =>
+        val b = docs.where(pmod(col("doc_id"), lit(40)) === i)
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[graft.NdDoc].collect()
+        val t1 = System.nanoTime()
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        println(f"[scale] stream_pack batch$i (${b.length} docs) " +
+          f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+        System.out.flush()
+      }
+      q.stop()
+    }
     // Round-8: serving-index deletion lifecycle at rep× vectors — delete a
     // takedown slice from the saved IVF layout, probe through the mask,
     // compact (applies the tombstones physically), probe again.
