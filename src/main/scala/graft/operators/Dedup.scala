@@ -2124,13 +2124,31 @@ object Dedup {
       path: String): Option[(FingerprintIndex, Long)] =
     loadLatestFpGen(spark, path).map { case (gen, genBatch) =>
       val deltas = indexDeltaBatches(spark, path).filter(_ > genBatch)
-      val idx = deltas.foldLeft(gen) { (acc, b) =>
+      // Content tombstones replay INTERLEAVED with the WAL at their
+      // recorded position: one tagged afterBatch=b applies after delta b
+      // folds and before delta b+1 — so content a later batch legitimately
+      // RE-ADMITTED is not wrongly deleted by an earlier takedown on
+      // restore (ordering spec-pinned in IncrementalDedupSpec).
+      var tombs = fpTombstones(spark, path)
+      def applyDue(idx: FingerprintIndex, before: Long): FingerprintIndex = {
+        val (due, rest) = tombs.partition(_._2 < before)
+        tombs = rest
+        due.foldLeft(idx) { (acc, t) =>
+          val tfps = persistSketch(spark.read.parquet(t._3))
+          tfps.count()
+          FingerprintIndex(acc.fps.join(tfps, Seq("fp"), "left_anti"),
+            acc.layers :+ tfps, acc.bloom)
+        }
+      }
+      val folded = deltas.foldLeft(gen) { (acc, b) =>
+        val withTombs = applyDue(acc, b)
         val fps = persistSketch(
           spark.read.parquet(s"$path/delta/b$b/fps"))
         // Materialize NOW: a later WAL append must never race a lazy read.
         fps.count()
-        FingerprintIndex(acc.fps.union(fps), acc.layers :+ fps)
+        FingerprintIndex(withTombs.fps.union(fps), withTombs.layers :+ fps)
       }
+      val idx = applyDue(folded, Long.MaxValue)
       (idx, deltas.lastOption.getOrElse(genBatch))
     }
 
@@ -2180,6 +2198,85 @@ object Dedup {
     * releases without evicting other live indexes). */
   def releaseFpIndex(index: FingerprintIndex): Unit =
     index.layers.foreach(_.unpersist(false))
+
+  /** Remove `docs`' content fingerprints from the index — the TAKEDOWN
+    * path for exact-dedup state (the serving-index tombstone arm of
+    * [[graft.operators.Similarity]]'s `deleteFromIvfIndex`, applied to the
+    * dedup family): after a corpus doc is withdrawn, a fresh arrival with
+    * the same content must be ADMITTED again, so its fingerprint has to
+    * leave the "seen ever" set. Functional — returns a new index, the
+    * input (and any cached resident copy) is untouched; the tombstone set
+    * is one anti join over the fp-partitioned index, takedown-sized. The
+    * bloom sidecar stays: deletes only shrink the set, so bloom-false
+    * still guarantees absence, and a deleted fp tests "maybe" and falls
+    * through to the anti join — which now admits it. */
+  def deleteFpContent(index: FingerprintIndex, docs: DataFrame,
+      textCol: String): FingerprintIndex =
+    deleteFpContentLogged(index, docs, textCol, None, -1L)
+
+  /** [[deleteFpContent]] plus the durable leg for streaming checkpoints:
+    * when `checkpoint` is set, the tombstone fingerprints land in the
+    * checkpoint's tombstone log BEFORE the in-memory index shrinks
+    * (WAL-before-side-effects, the house rule), tagged with `afterBatch` —
+    * the newest batch folded before the delete — so a restart replays the
+    * delete at exactly its position in the batch sequence. */
+  private[graft] def deleteFpContentLogged(index: FingerprintIndex,
+      docs: DataFrame, textCol: String,
+      checkpoint: Option[String], afterBatch: Long): FingerprintIndex = {
+    val tomb = persistSketch(
+      docs.select(TextOps.fingerprint(col(textCol)).as("fp")).distinct())
+    tomb.count()
+    checkpoint.foreach(p => appendFpTombstone(p, tomb, afterBatch))
+    FingerprintIndex(index.fps.join(tomb, Seq("fp"), "left_anti"),
+      index.layers :+ tomb, index.bloom)
+  }
+
+  /** Durably append a content tombstone at `path`: directory
+    * `tomb/t<seq>_b<afterBatch>` (position encoded in the NAME so listing
+    * never reads file contents), the fps parquet's `_SUCCESS` as the
+    * commit marker. Returns the sequence number. */
+  private[graft] def appendFpTombstone(path: String, fps: DataFrame,
+      afterBatch: Long): Long = {
+    val spark = fps.sparkSession
+    val seq = fpTombstones(spark, path).map(_._1).maxOption.getOrElse(-1L) + 1
+    fps.select(col("fp")).coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$path/tomb/t${seq}_b$afterBatch/fps")
+    seq
+  }
+
+  /** Live (committed) tombstones at `path`: (seq, afterBatch, fps path),
+    * sequence order. */
+  private[graft] def fpTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Long, String)] = {
+    val fs = fsFor(spark, path)
+    val base = new org.apache.hadoop.fs.Path(s"$path/tomb")
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("t\\d+_b-?\\d+") =>
+        val parts = n.drop(1).split("_b")
+        (parts(0).toLong, parts(1).toLong, s"$path/tomb/$n/fps")
+      }
+      .filter(t => fs.exists(
+        new org.apache.hadoop.fs.Path(s"${t._3}/_SUCCESS")))
+      .sortBy(_._1)
+  }
+
+  /** Drop tombstones with afterBatch ≤ `upTo` — called after a generation
+    * save at that batch: the saved fps were snapshotted from the in-memory
+    * index, which already reflects every delete up to there, so a restore
+    * from that generation must NOT re-apply them (a later batch may have
+    * legitimately re-admitted the content). */
+  private[graft] def clearFpTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      upTo: Long): Unit = {
+    val fs = fsFor(spark, path)
+    fpTombstones(spark, path).filter(_._2 <= upTo).foreach { case (_, _, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p).getParent, true)
+    }
+  }
 
   /** Batch rows kept by incremental exact dedup against the index:
     * fingerprint absent from the index (anti join) AND first — minimum

@@ -421,6 +421,40 @@ object Pipeline {
           "doc_id", "text")
         .select("doc_id").orderBy("doc_id")
     },
+    // d12 plus the TAKEDOWN arm: a slice of the corpus is withdrawn
+    // (deleteFpContent — content tombstones anti-joined off the reloaded
+    // index, the dedup-family twin of s9's serving-index deletes), then a
+    // probe batch containing ECHOES of corpus docs under fresh ids (the
+    // fixture has no cross-doc exact dups, so the m10 synthesize-then-
+    // process pattern manufactures them) probes the LIVE set. Echoes of
+    // withdrawn docs are ADMITTED again — the takedown's observable
+    // effect — while echoes of surviving docs still drop. Deterministic,
+    // so fully oracle-checked.
+    df("d17_dedup_fp_takedown",
+      Some("with fp0 as (select doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) as fp " +
+        "from documents), " +
+        "corpus as (select * from fp0 where doc_id % 5 != 0), " +
+        "takedown as (select fp from corpus where doc_id % 7 = 3), " +
+        "live as (select fp from corpus e where not exists " +
+        "(select 1 from takedown t where t.fp = e.fp)), " +
+        "incoming as (select doc_id, fp from fp0 where doc_id % 5 = 0 " +
+        "union all select doc_id + 1000000, fp from corpus) " +
+        "select doc_id from incoming i " +
+        "where not exists (select 1 from live e where e.fp = i.fp) " +
+        "and doc_id = (select min(doc_id) from incoming j where j.fp = i.fp) " +
+        "order by doc_id")) { (s, dir) =>
+      val docs = s.table("documents")
+      val corpus = docs.where(col("doc_id") % 5 =!= 0)
+      val incoming = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(corpus.select(
+          (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val idx = fpIndexFor(s, dir, corpus)
+      val live = Dedup.deleteFpContent(idx,
+        corpus.where(col("doc_id") % 7 === 3), "text")
+      Dedup.probeNovelExact(live, incoming, "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    },
     // d6 through its PERSISTED index: corpus winnowing postings reloaded
     // from the bucketed checkpoint, batch winnowed once and joined. Pairs
     // are hash-family-defined (same as d6) → rows-only; the probe ≡

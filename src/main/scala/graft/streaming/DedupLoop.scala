@@ -29,9 +29,17 @@ object DedupLoop {
   final class IndexState[I](initial: I,
       private[streaming] val restoredBatch: Long = -1L) {
     @volatile private var current: I = initial
+    @volatile private var folded: Long = restoredBatch
     def index: I = current
     def lastIndexedBatch: Long = restoredBatch
-    private[streaming] def adopt(next: I): Unit = current = next
+    /** Newest batch folded into [[index]] — `lastIndexedBatch` until this
+      * run's first fold, then the running WAL id. Takedown tombstones
+      * record it as their position in the batch sequence. */
+    def lastFoldedBatch: Long = folded
+    private[streaming] def adopt(next: I, walId: Long = -1L): Unit = {
+      current = next
+      if (walId > folded) folded = walId
+    }
   }
 
   /** Index-specific operations the loop composes. The checkpoint-layout
@@ -200,7 +208,7 @@ object DedupLoop {
               toRelease.foreach(_.unpersist(false))
               compacted
             } else extended
-          state.adopt(next)
+          state.adopt(next, walId)
           }
         }
       }

@@ -67,7 +67,7 @@ object FpDedupStream {
     def compact(idx: FingerprintIndex): FingerprintIndex =
       Dedup.compactFpIndex(idx, releaseOld = false)
     def save(idx: FingerprintIndex, path: String, walId: Long,
-        kept: DataFrame): Unit =
+        kept: DataFrame): Unit = {
       // maxBloomItems = 0: the stream's probe never opts into the bloom
       // split (its in-memory index drops the filter on the next extend
       // anyway), so building a sidecar every compaction would be two
@@ -76,7 +76,28 @@ object FpDedupStream {
       // saveFingerprintIndex directly.
       Dedup.saveFingerprintIndex(idx, path, batchId = walId,
         kept = Some(kept), maxBloomItems = 0L)
+      // The snapshot just saved already reflects every delete up to this
+      // batch — prune the applied tombstones so a restore from it cannot
+      // re-delete content a later batch re-admits.
+      Dedup.clearFpTombstones(idx.fps.sparkSession, path, upTo = walId)
+    }
   }
+
+  /** TAKEDOWN: remove `docs`' content fingerprints from the stream's
+    * index, so future identical arrivals are ADMITTED again (already-sunk
+    * rows are downstream's to retract — this deletes the index's claim,
+    * not history). Durable-first: with `checkpointPath` set the tombstone
+    * lands in the checkpoint BEFORE the in-memory index shrinks, tagged
+    * with its position in the batch sequence so a restart replays it in
+    * order (content a LATER batch re-admitted stays admitted). Applied
+    * tombstones are pruned at the next compaction's generation save. Call
+    * between batches or while the stream is stopped — mutating the handle
+    * concurrently with an in-flight fold is out of contract
+    * ([[DedupLoop.IndexState]]). */
+  def delete(state: IndexState, checkpointPath: Option[String],
+      docs: DataFrame, textCol: String): Unit =
+    state.adopt(Dedup.deleteFpContentLogged(state.index, docs, textCol,
+      checkpointPath, state.lastFoldedBatch))
 
   /** Start the exact-dedup stream: kept (novel-content, first-in-batch)
     * rows go to `sink`; kept FINGERPRINTS fold into the index (sufficient:

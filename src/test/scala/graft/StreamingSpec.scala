@@ -1046,4 +1046,109 @@ class StreamingSpec extends SparkSpecBase {
       .agg(sum("n")).head().getLong(0)
     assert(landed + carried == ingested)
   }
+
+  test("export pipeline: gate → exact dedup → pack end to end; streamed " +
+      "packs equal the one-batch run across a restart; bootstrap curates " +
+      "the corpus before indexing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.ExportPipeline
+
+    def good(id: Long, seed: String): NdDoc =
+      NdDoc(id, (0 until 16).map(k => s"$seed$k").mkString(" "))
+    val spam = Seq.fill(16)("spam").mkString(" ")
+    // Corpus: two good docs, a low-quality doc (must be gated OUT of the
+    // bootstrap index), and an exact dup of doc 1 (bootstrap dedup).
+    val corpus = Seq(good(1, "alpha"), good(2, "beta"), NdDoc(3L, spam),
+      NdDoc(4L, good(1, "alpha").text)).toDF("doc_id", "text")
+
+    // Arrivals, ids ascending so arrival order == doc_id order (the
+    // one-batch reference run then packs the identical sequence). Docs 10
+    // and 22 share shard 0 (id % 2), so batch 1's packs continue batch 0's
+    // carried partial window ACROSS the restart below.
+    val b1 = Seq(good(10, "gamma"),              // novel → kept
+      NdDoc(11, good(1, "alpha").text),          // corpus dup → dropped
+      NdDoc(12, spam))                           // low quality → gated
+    val b2 = Seq(NdDoc(20, good(10, "gamma").text), // stream-history dup
+      good(22, "delta"))                         // novel → kept
+
+    val root = java.nio.file.Files.createTempDirectory("xpipe").toString
+    val out = java.nio.file.Files.createTempDirectory("xpipeout").toString
+    val kept = scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])]()
+    def keptTap(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      kept.synchronized {
+        kept += id -> batch.select(col("doc_id").cast("long"))
+          .as[Long].collect().sorted.toSeq
+      }
+
+    val h = ExportPipeline.resume(spark, root, corpus, "doc_id", "text",
+      nShards = 2L, nMerges = 8, window = 32)
+    val in1 = MemoryStream[NdDoc]
+    val q1 = ExportPipeline.run(in1.toDF(), h, "doc_id", "text", out,
+      keptSink = keptTap)
+    in1.addData(b1: _*); q1.processAllAvailable()
+    q1.stop()
+
+    // Restart: both stages restore from their checkpoints (the corpus
+    // frame is empty — bootstrap must not rerun), the frozen tokenizer
+    // reloads identically, and the fresh MemoryStream's id reuse rebases.
+    val h2 = ExportPipeline.resume(spark, root, corpus.limit(0),
+      "doc_id", "text")
+    assert(h2.pack.model == h.pack.model,
+      "restart must reload the identical frozen tokenizer")
+    val in2 = MemoryStream[NdDoc]
+    val q2 = ExportPipeline.run(in2.toDF(), h2, "doc_id", "text", out,
+      keptSink = keptTap)
+    in2.addData(b2: _*); q2.processAllAvailable()
+    q2.stop()
+
+    // Gate and dedup verdicts, batch by batch: only the novel good docs
+    // survive — the corpus dup (vs the CURATED bootstrap index), the
+    // low-quality arrival, and the stream-history dup all drop.
+    assert(kept.toSeq == Seq(0L -> Seq(10L), 1L -> Seq(22L)),
+      s"kept log: $kept")
+
+    // Reference: the same arrivals through a fresh pipeline in ONE batch.
+    // Same curated corpus → deterministic BPE → the same frozen model, so
+    // per-shard token streams (and hence full-window packs) must be
+    // IDENTICAL to the two-batch restarted run.
+    val refRoot = java.nio.file.Files.createTempDirectory("xpiperef").toString
+    val refOut = java.nio.file.Files.createTempDirectory("xpiperefo").toString
+    val hr = ExportPipeline.resume(spark, refRoot, corpus, "doc_id", "text",
+      nShards = 2L, nMerges = 8, window = 32)
+    assert(hr.pack.model == h.pack.model)
+    val inr = MemoryStream[NdDoc]
+    val qr = ExportPipeline.run(inr.toDF(), hr, "doc_id", "text", refOut)
+    inr.addData((b1 ++ b2): _*); qr.processAllAvailable()
+    qr.stop()
+
+    def packsOf(dir: String): Set[(Long, Long, String)] =
+      spark.read.option("recursiveFileLookup", "true").parquet(dir)
+        .select("shard", "pack_id", "token_ids")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+    val streamed = packsOf(out)
+    assert(streamed.nonEmpty && streamed == packsOf(refOut),
+      "restarted two-batch packs must equal the one-batch reference")
+
+    // Conservation through the whole pipeline: landed + carried tokens ==
+    // the encoded tokens of exactly the surviving docs.
+    val vmap = typedlit(h.pack.model.vocab)
+    val survivors = Seq(good(10, "gamma"), good(22, "delta"))
+      .toDF("doc_id", "text")
+    val ingested = survivors.select(
+        size(graft.operators.Bpe.encode(col("text"), h.pack.model.merges))
+          .cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val landed = spark.read.option("recursiveFileLookup", "true").parquet(out)
+      .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+    val lastGen = new java.io.File(s"$root/pack/state").listFiles()
+      .map(_.getName).filter(_.matches("g\\d+")).map(_.drop(1).toLong).max
+    val carried = spark.read.parquet(s"$root/pack/state/g$lastGen/pending")
+      .select(size(col("pending")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(landed + carried == ingested,
+      s"landed=$landed carried=$carried ingested=$ingested")
+  }
 }
