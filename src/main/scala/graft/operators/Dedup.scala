@@ -2129,7 +2129,17 @@ object Dedup {
       // folds and before delta b+1 — so content a later batch legitimately
       // RE-ADMITTED is not wrongly deleted by an earlier takedown on
       // restore (ordering spec-pinned in IncrementalDedupSpec).
-      var tombs = fpTombstones(spark, path)
+      // Tombstones tagged STRICTLY BEFORE the snapshot batch are skipped:
+      // a delete tagged afterBatch=b happens between batches b and b+1, so
+      // any generation saved at batch ≥ b+1 was snapshotted from an index
+      // that already reflects it. The post-save prune (clearFpTombstones)
+      // normally removes them, but a crash between the generation commit
+      // and the prune leaves them behind — replaying those AFTER the
+      // snapshot would re-delete content a batch in (b, genBatch]
+      // legitimately re-admitted. Ones tagged == genBatch are kept: they
+      // can only have been created after that batch's fold (and save)
+      // completed, so the snapshot predates them.
+      var tombs = fpTombstones(spark, path).filter(_._2 >= genBatch)
       def applyDue(idx: FingerprintIndex, before: Long): FingerprintIndex = {
         val (due, rest) = tombs.partition(_._2 < before)
         tombs = rest

@@ -17,19 +17,35 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** Pack `ids` — (doc_id long, shard long, tids array<long>) — into
-    * windows of `window` tokens per shard, docs ordered by doc_id within
-    * their shard. Returns (shard, pack_id, n_tokens, tids) with pack ids
-    * relative to position 0 of each shard's stream; every pack except
-    * each shard's last is exactly `window` tokens. */
-  def packWindows(ids: DataFrame, window: Int = 1024): DataFrame = {
+    * windows of `window` tokens per shard, docs ordered by `orderCols`
+    * (doc_id by default) within their shard. Returns (shard, pack_id,
+    * n_tokens, tids) with pack ids relative to position 0 of each shard's
+    * stream; every pack except each shard's last is exactly `window`
+    * tokens.
+    *
+    * The cumulative-offset window runs with an explicit ROWS frame and a
+    * content-hash tiebreak appended to `orderCols`: with the default RANGE
+    * frame, two rows tying on the sort key would both receive the full
+    * tie-group sum and their slices would overlap (silently duplicating
+    * and dropping tokens) — and a ROWS frame alone would order ties
+    * nondeterministically, breaking the bit-identical-replay contract.
+    * With the tiebreak, ties are either distinct-content (hash-ordered,
+    * deterministic) or identical rows (interchangeable, so any order packs
+    * the same bytes). */
+  def packWindows(ids: DataFrame, window: Int = 1024,
+      orderCols: Seq[String] = Seq("doc_id")): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     val withN = ids
-      .select(col("doc_id"), col("shard"), col("tids"))
+      .select((orderCols.filterNot(_ == "doc_id").map(col) ++
+        Seq(col("doc_id"), col("shard"), col("tids"))): _*)
       .withColumn("n_tokens", size(col("tids")).cast("long"))
       .where(col("n_tokens") > 0)
+    val ord = orderCols.map(col) :+ xxhash64(col("tids"))
     val offs = withN.withColumn("start_tok",
       sum("n_tokens").over(
-        Window.partitionBy("shard").orderBy("doc_id")) - col("n_tokens"))
+        Window.partitionBy("shard").orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("n_tokens"))
     val slices = offs
       .select(col("shard"), col("tids"), col("n_tokens"), col("start_tok"),
         explode(sequence(expr(s"start_tok div $window"),

@@ -178,14 +178,18 @@ object PackStream {
 
     val vmap = typedlit(m.vocab)
     val ids = batch.select(
+      lit(1).as("pack_ord"),
       col(idCol).cast("long").as("doc_id"),
       pmod(col(idCol).cast("long"), lit(m.nShards)).as("shard"),
       transform(Bpe.encode(col(textCol), m.merges),
         t => coalesce(element_at(vmap, t), lit(-1L))).as("tids"))
-    // Carried tokens ride as a pseudo-doc that sorts before any real id.
-    val pend = state.select(lit(Long.MinValue).as("doc_id"), col("shard"),
-      col("pending").as("tids"))
-    val packed = Packing.packWindows(pend.unionByName(ids), m.window)
+    // Carried tokens ride under an explicit ordering rank that sorts
+    // before every real arrival — not a sentinel doc_id, which a real
+    // arrival could collide with and corrupt that shard's pack bytes.
+    val pend = state.select(lit(0).as("pack_ord"), lit(-1L).as("doc_id"),
+      col("shard"), col("pending").as("tids"))
+    val packed = Packing.packWindows(pend.unionByName(ids), m.window,
+        orderCols = Seq("pack_ord", "doc_id"))
       .join(state.select(col("shard"), col("next_pack")), Seq("shard"))
 
     val full = packed.where(col("n_tokens") === m.window)

@@ -1151,4 +1151,168 @@ class StreamingSpec extends SparkSpecBase {
     assert(landed + carried == ingested,
       s"landed=$landed carried=$carried ingested=$ingested")
   }
+
+  test("packWindows: duplicate sort keys conserve tokens and pack " +
+      "deterministically (explicit ROWS frame + content-hash tiebreak)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Packing
+
+    // Three rows TIE on doc_id within shard 0 — under the default RANGE
+    // frame all three would receive the full tie-group cumulative sum,
+    // overlapping their slices (duplicating some tokens, dropping others).
+    // Two of the tied rows are byte-identical (interchangeable), one is
+    // distinct content (hash-ordered).
+    val ids = Seq(
+      (7L, 0L, (0L until 5L).toArray),
+      (7L, 0L, (100L until 108L).toArray),
+      (7L, 0L, (100L until 108L).toArray),
+      (9L, 0L, (200L until 210L).toArray),
+      (1L, 1L, (300L until 303L).toArray))
+      .toDF("doc_id", "shard", "tids")
+    val total = 5L + 8L + 8L + 10L + 3L
+
+    def run() = Packing.packWindows(ids, window = 8)
+      .select(col("shard"), col("pack_id"),
+        concat_ws(",", transform(col("tids"), t => t.cast("string")))
+          .as("s"), col("n_tokens"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(p => (p._1, p._2))
+    val a = run()
+    // Conservation: every input token lands in exactly one pack — the
+    // landed MULTISET equals the input multiset (the identical twin rows
+    // both pack), so a RANGE-frame overlap (duplicating some tokens while
+    // dropping others) cannot hide behind a matching count.
+    assert(a.map(_._4).sum == total, s"packs must conserve tokens: $a")
+    val flat = a.flatMap(_._3.split(",").map(_.toLong)).sorted.toSeq
+    val want = ((0L until 5L) ++ (100L until 108L) ++ (100L until 108L) ++
+      (200L until 210L) ++ (300L until 303L)).sorted
+    assert(flat == want, "landed tokens must equal the input multiset")
+    // Determinism: identical input packs identical bytes on every run.
+    assert(run().toSeq == a.toSeq)
+  }
+
+  test("pack stream: a real arrival with doc_id Long.MinValue cannot " +
+      "collide with the carried-state ordering") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.PackStream
+
+    val corpus = spark.table("documents")
+    val dir = java.nio.file.Files.createTempDirectory("packminid").toString
+    val out = java.nio.file.Files.createTempDirectory("packminout").toString
+    val h = PackStream.resume(spark, dir, corpus, "doc_id", "text",
+      nShards = 2L, nMerges = 8, window = 64)
+
+    // Batch 0 leaves a carried partial on shard 0 (even ids → shard 0).
+    val b0 = corpus.where(col("doc_id").isin(2L, 4L, 6L))
+      .select(col("doc_id"), col("text"))
+    PackStream.processBatch(h, b0, 0L, "doc_id", "text", out)
+    val carried0 = spark.read.parquet(s"$dir/state/g1/pending")
+      .where(col("shard") === 0L)
+      .select(size(col("pending")).cast("long").as("n"))
+      .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+    assert(carried0 > 0, "fixture must carry a partial window on shard 0")
+
+    // Batch 1 contains a doc whose id IS Long.MinValue — it maps to
+    // shard 0 (pmod) and, with the old sentinel encoding, would tie with
+    // the carried-state pseudo-doc and corrupt that shard's pack bytes.
+    // The carried tokens must still pack strictly BEFORE it.
+    val minDoc = Seq((Long.MinValue,
+      corpus.where(col("doc_id") === 8L).select("text")
+        .head().getString(0))).toDF("doc_id", "text")
+    val b1 = minDoc.unionByName(
+      corpus.where(col("doc_id").isin(10L, 12L))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text")))
+    PackStream.processBatch(h, b1, 1L, "doc_id", "text", out)
+
+    // Conservation across both batches: landed + carried == ingested.
+    val ingested = b0.unionByName(
+        minDoc.unionByName(corpus.where(col("doc_id").isin(10L, 12L))
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))))
+      .select(size(graft.operators.Bpe.encode(col("text"),
+        h.model.merges)).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val landed = spark.read.option("recursiveFileLookup", "true").parquet(out)
+      .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+    val carried = spark.read.parquet(s"$dir/state/g2/pending")
+      .select(size(col("pending")).cast("long").as("n"))
+      .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+    assert(landed + carried == ingested,
+      s"landed=$landed carried=$carried ingested=$ingested")
+
+    // Ordering: shard 0's first landed pack must OPEN with the batch-0
+    // carry (tokens of doc 2's tail), not with the MinValue doc's tokens —
+    // the carry sorts first by pack_ord, never by a sentinel id tie.
+    val vmap = typedlit(h.model.vocab)
+    val carryHead = spark.read.parquet(s"$dir/state/g1/pending")
+      .where(col("shard") === 0L).select(col("pending"))
+      .head().getSeq[Long](0)
+    val shard0Packs = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).where(col("shard") === 0L)
+      .orderBy("pack_id").select("token_ids").collect().map(_.getString(0))
+    val batch1Shard0 = shard0Packs.drop(
+      spark.read.parquet(s"$out/b0").where(col("shard") === 0L).count().toInt)
+    assert(batch1Shard0.nonEmpty &&
+      batch1Shard0.head.startsWith(carryHead.mkString(",")),
+      "batch 1's first shard-0 pack must begin with the carried tokens")
+  }
+
+  test("fp takedown tombstones: a crash between the generation save and " +
+      "the tombstone prune must not re-delete re-admitted content on " +
+      "restore") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.FpDedupStream
+
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("fptombcrash").toString
+    val s1 = FpDedupStream.resume(spark, dir, corpus, "doc_id", "text")
+
+    val in1 = MemoryStream[NdDoc]
+    val q1 = FpDedupStream.run(in1.toDF(), s1, "doc_id", "text",
+        compactEvery = 1000, checkpointPath = Some(dir)) { _ => () }
+    // batch 0: a novel doc folds.
+    in1.addData(NdDoc(10, "epsilon zeta")); q1.processAllAvailable()
+    // Takedown between batches: content "alpha beta" leaves the seen set
+    // (tombstone tagged afterBatch=0).
+    FpDedupStream.delete(s1, Some(dir),
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "text")
+    // batch 1: the withdrawn content is re-admitted under a fresh id.
+    in1.addData(NdDoc(20, "alpha beta")); q1.processAllAvailable()
+    q1.stop()
+
+    // Simulate the crash window inside FpOps.save: the generation commits
+    // at batch 1 (snapshotting an index that ALREADY reflects the delete
+    // and the re-admission), but the process dies before
+    // clearFpTombstones — the applied tombstone survives on disk.
+    Dedup.saveFingerprintIndex(s1.index, dir, batchId = 1L,
+      kept = Some(Seq(20L).toDF("doc_id")), maxBloomItems = 0L)
+
+    // Restore: the stale tombstone (afterBatch=0 < snapshot batch 1) must
+    // be SKIPPED — replaying it after the snapshot would delete the
+    // re-admitted fingerprint and wrongly admit future identical arrivals.
+    val s2 = FpDedupStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "text")
+    assert(s2.lastIndexedBatch == 1L)
+    val probe = Dedup.probeNovelExact(s2.index,
+      Seq((99L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(probe.count() == 0,
+      "re-admitted content must stay recognized after a save/prune crash")
+
+    // A tombstone tagged AT the snapshot batch was created after that
+    // batch's save completed — it must still replay on restore.
+    FpDedupStream.delete(s2, Some(dir),
+      Seq((2L, "gamma delta")).toDF("doc_id", "text"), "text")
+    val s3 = FpDedupStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "text")
+    val probe2 = Dedup.probeNovelExact(s3.index,
+      Seq((100L, "gamma delta")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(probe2.count() == 1,
+      "a takedown issued after the snapshot must replay on restore")
+    Dedup.releaseSketchCaches()
+  }
 }
