@@ -1,0 +1,74 @@
+package graft
+
+/** Shared plumbing for the driver-facing mains ([[Bench]], [[Verify]]):
+  * their stdout/stderr tail is the round's machine-readable record, so
+  * known-benign warning spam must never be able to crowd the one parseable
+  * line out of the driver's ~2 KB log-tail window. */
+object Harness {
+
+  /** Route known-noisy, by-design warning sources to ERROR. The big one:
+    * WindowExec's "No Partition Defined for Window operation" — global
+    * ranks BELOW the measured single-task cutoff route to a plain window
+    * deliberately (operators.Ranks, spec-asserted), and at ~20 repeats per
+    * run the warnings once left the bench JSON line with almost no tail
+    * headroom (round 8). Level is set via log4j2's Configurator, same
+    * backend sparkContext.setLogLevel drives. */
+  def quietNoisyLoggers(): Unit = {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.config.Configurator
+    Configurator.setLevel("org.apache.spark.sql.execution.window", Level.ERROR)
+    // Structured-streaming state/commit chatter — irrelevant to batch
+    // harness output but WARN-level under checkpoint contention.
+    Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming", Level.ERROR)
+    // "Asked to cache already cached data": the resident-index pattern
+    // re-persists deterministic per-(session, dir) sketches by design.
+    Configurator.setLevel(
+      "org.apache.spark.sql.execution.CacheManager", Level.ERROR)
+  }
+
+  /** 1-min system load average (ambient stamp — take it BEFORE the session
+    * spins up; our own executor threads dominate afterwards). */
+  def loadAverage: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
+  /** Live java processes on the box — idle is ≈2 (the sbt launcher + this
+    * forked main); more means a co-resident build/probe JVM. */
+  def javaProcessCount: Int =
+    try {
+      import scala.jdk.CollectionConverters._
+      val procs = java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
+      try procs.iterator().asScala
+        .filter(_.getFileName.toString.forall(_.isDigit))
+        .count { p =>
+          try new String(java.nio.file.Files.readAllBytes(
+            p.resolve("cmdline"))).contains("java")
+          catch { case _: Throwable => false }
+        }
+      finally procs.close()
+    } catch { case _: Throwable => -1 }
+
+  /** Idle-bench protocol: wait (bounded) for ambient load to drop below
+    * `threshold` before measuring — a co-resident JVM inflates single-pass
+    * wall clock up to ~1.6× and manufactured three phantom per-query
+    * regressions in the round-8 snapshot (judge-confirmed code-untouched).
+    * Returns the final load stamp and whether the box was still loaded
+    * when the wait budget ran out — callers mark the output LOADED so a
+    * driver comparing raw JSONs can discount it. Wait budget is
+    * deliberately small (default ≤90 s) so a busy box delays the round,
+    * never stalls it. */
+  def awaitQuietBox(threshold: Double = 1.0, maxWaitMs: Long = 90000L,
+      pollMs: Long = 15000L): (Double, Boolean) = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var load = loadAverage
+    while (load > threshold && System.currentTimeMillis() < deadline) {
+      System.err.println(
+        f"[bench] load_avg $load%.2f > $threshold%.1f - waiting for a " +
+          "quiet box (idle-bench protocol)")
+      Thread.sleep(pollMs)
+      load = loadAverage
+    }
+    (load, load > threshold)
+  }
+}

@@ -18,6 +18,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The driver reads this run's log tail too — keep by-design warning
+    // spam (WindowExec sub-cutoff ranks) out of it ([[Harness]] doc).
+    Harness.quietNoisyLoggers()
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
