@@ -4,14 +4,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
-  * `binary` columns with a typed metadata struct alongside. The Spark-side
-  * shape — schema, per-row batch decode, frame sampling into exploded rows —
-  * is real and tested; the codec itself is STUBBED (this container has no
-  * image/audio libraries), clearly marked below. In production the stub body
-  * is replaced by a native/library decode inside the same expression slot
-  * (or an `mapPartitions` batch stage for vectorized codecs); nothing about
-  * the plan shape changes — decode stays a narrow map, frame-sampling stays
-  * an explode, and partitioning/pushdown are untouched.
+  * `binary` columns with a typed metadata struct alongside. Every codec in
+  * this file is REAL and JRE-native — `javax.imageio` (PNG/TIFF/GIF/BMP)
+  * for stills, video containers, resize; `javax.sound.sampled` (WAV/AU/
+  * AIFF) for audio — no external library, no stubs. A heavier codec (JNI
+  * JPEG2000, ONNX embedding model, MP4 demuxer) swaps into the same
+  * `mapPartitions` fixed-batch slots without touching the plan shape:
+  * decode stays a narrow map, frame-sampling stays an in-map fan-out, and
+  * partitioning/pushdown are untouched.
   */
 object Multimodal {
 
@@ -31,28 +31,102 @@ object Multimodal {
       col(textCol).cast("binary").as("content"),
       metaStruct(col(textCol).cast("binary")).as("meta"))
 
-  /** ======= STUB: deterministic fake "decode / feature-extract". =======
-    * A real implementation decodes the payload (JPEG/WAV/MP4) and emits
-    * features; this stand-in derives an 8-dim pseudo-feature vector from
-    * content hashes so the schema, batch shape, and downstream plumbing are
-    * exercised end-to-end with deterministic values. */
-  def decodeFeaturesStub(payloads: DataFrame): DataFrame =
-    payloads.withColumn("features",
-      expr("transform(sequence(0, 7), " +
-        "i -> pmod(xxhash64(content, i), 1000) / cast(1000 as double))"))
-
-  /** ======= STUB: "resize" — payload shrunk by `factor`. =======
-    * A real implementation decodes, resamples (image scale / audio rate
-    * conversion), and re-encodes; this stand-in truncates to the leading
-    * 1/factor of the bytes so the plan shape — narrow map, binary in →
-    * smaller binary out, metadata recomputed alongside — is exercised with
-    * deterministic output. */
-  def resizeStub(payloads: DataFrame, factor: Int = 4): DataFrame = {
+  /** REAL resize in the codec slot — the stub codec is retired: decode
+    * (partition-hoisted readers, [[PartitionImageDecoder]]), downsample by
+    * integer BLOCK AVERAGING — each target pixel is the floor-mean of its
+    * `factor`×`factor` source block per channel — re-encode to PNG, and
+    * decode the RE-ENCODED bytes for the emitted stats, so the output
+    * attests the full resize→encode→decode round trip, not just the
+    * arithmetic.
+    *
+    * Block averaging instead of `Graphics2D`/`AffineTransform`: a
+    * factor-k box filter on a k-divisible image IS the area-averaging
+    * resample (what a quality downscale does), but with deterministic
+    * integer rounding — any engine can recompute the scaled pixels from
+    * the source values, where Java2D's interpolation rounding is
+    * implementation-defined and would demote this query to rows-only.
+    * Trailing rows/columns of a non-divisible image are cropped
+    * (floor(w/k)×floor(h/k) output). Returns one row per payload:
+    * (doc_id, width, height, sum_r, sum_g, sum_b, n_bytes) with the
+    * resized dimensions, per-channel pixel sums of the re-decoded output,
+    * and the re-encoded PNG's size; undecodable or sub-`factor` payloads
+    * emit the (-1, -1, 0, 0, 0, -1) sentinel — one poisoned row, never a
+    * failed job. Narrow map; no shuffle. */
+  def resizeImageBatched(payloads: DataFrame, factor: Int = 4,
+      batchSize: Int = 64): DataFrame = {
     require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val spark = payloads.sparkSession
+    import spark.implicits._
     payloads
-      .withColumn("resized",
-        expr(s"substring(content, 1, int(ceil(length(content) / $factor)))"))
-      .withColumn("resized_meta", metaStruct(col("resized")))
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decoder = new PartitionImageDecoder
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val img = decoder.decode(bytes)
+            val w2 = if (img == null) 0 else img.getWidth / factor
+            val h2 = if (img == null) 0 else img.getHeight / factor
+            if (w2 == 0 || h2 == 0) (id, -1, -1, 0L, 0L, 0L, -1L)
+            else {
+              val small = new java.awt.image.BufferedImage(w2, h2,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val area = factor * factor
+              var yy = 0
+              while (yy < h2) {
+                var xx = 0
+                while (xx < w2) {
+                  var (ar, ag, ab) = (0, 0, 0)
+                  var dy = 0
+                  while (dy < factor) {
+                    var dx = 0
+                    while (dx < factor) {
+                      val rgb = img.getRGB(xx * factor + dx, yy * factor + dy)
+                      ar += (rgb >> 16) & 0xff
+                      ag += (rgb >> 8) & 0xff
+                      ab += rgb & 0xff
+                      dx += 1
+                    }
+                    dy += 1
+                  }
+                  small.setRGB(xx, yy,
+                    ((ar / area) << 16) | ((ag / area) << 8) | (ab / area))
+                  xx += 1
+                }
+                yy += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(small, "png", out)
+              val png = out.toByteArray
+              // Stats come from RE-DECODING the re-encoded bytes: PNG is
+              // lossless, so any mismatch with the block-average
+              // arithmetic means the round trip itself broke.
+              val back = decoder.decode(png)
+              if (back == null) (id, -1, -1, 0L, 0L, 0L, -1L)
+              else {
+                var (sr, sg, sb) = (0L, 0L, 0L)
+                var y = 0
+                while (y < back.getHeight) {
+                  var x = 0
+                  while (x < back.getWidth) {
+                    val rgb = back.getRGB(x, y)
+                    sr += (rgb >> 16) & 0xff
+                    sg += (rgb >> 8) & 0xff
+                    sb += rgb & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                (id, back.getWidth, back.getHeight, sr, sg, sb,
+                  png.length.toLong)
+              }
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "n_bytes")
   }
 
   /** Batched decode — the `mapPartitions` integration point a VECTORIZED

@@ -1183,15 +1183,31 @@ object Pipeline {
           Multimodal.withPayload(s.table("documents"), "doc_id", "text"))
         .orderBy("doc_id")
     },
-    // Resize plumbing (stubbed codec): output bytes + recomputed metadata
-    // are deterministic → full oracle via substring on the same payload.
+    // REAL resize — no stub anywhere in this path: per doc the m10
+    // synthetic PNG (pixels pure arithmetic of doc_id/x/y) is decoded,
+    // block-average downsampled 8×8 → 2×2 (each target pixel = floor-mean
+    // of its 4×4 source block — deterministic integer arithmetic),
+    // re-encoded PNG, and the RE-ENCODED bytes decoded again for the
+    // emitted stats. Lossless at every hop, so the oracle recomputes the
+    // scaled pixel sums from the formula with no decoder: group source
+    // pixels into blocks, floor-divide block sums by 16, sum.
     df("m4_resize",
-      Some("select doc_id, cast(ceil(octet_length(cast(text as blob)) / 4.0) " +
-        "as bigint) as n_resized from documents order by doc_id")) { (s, dir) =>
-      Multimodal.resizeStub(
-          Multimodal.withPayload(s.table("documents"), "doc_id", "text"))
-        .select(col("doc_id"),
-          col("resized_meta.n_bytes").as("n_resized"))
+      Some("with px as (select d.doc_id, t1.x, t2.y, " +
+        "(d.doc_id*31 + t1.x*7 + t2.y*13) % 256 as r, " +
+        "(d.doc_id*17 + t1.x*11 + t2.y*3) % 256 as g, " +
+        "(d.doc_id*29 + t1.x*5 + t2.y*19) % 256 as b " +
+        "from documents d, unnest(range(0, 8)) t1(x), unnest(range(0, 8)) t2(y)), " +
+        "blocks as (select doc_id, x // 4 as bx, y // 4 as by, " +
+        "sum(r) // 16 as r2, sum(g) // 16 as g2, sum(b) // 16 as b2 " +
+        "from px group by doc_id, x // 4, y // 4) " +
+        "select doc_id, 2 as width, 2 as height, " +
+        "cast(sum(r2) as bigint) as sum_r, cast(sum(g2) as bigint) as sum_g, " +
+        "cast(sum(b2) as bigint) as sum_b " +
+        "from blocks group by doc_id order by doc_id")) { (s, dir) =>
+      Multimodal.resizeImageBatched(
+          Multimodal.syntheticPngPayloads(s.table("documents"), "doc_id"),
+          factor = 4)
+        .select("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
         .orderBy("doc_id")
     },
     // Perceptual near-dup over binary payloads: codegen'd byte-block

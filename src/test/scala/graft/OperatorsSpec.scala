@@ -1077,9 +1077,43 @@ class OperatorsSpec extends SparkSpecBase {
     val frames = Multimodal.sampleFrames(p, 10)
       .where(col("doc_id") === 1).count()
     assert(frames == math.ceil(43.0 / 10).toLong)
-    val feats = Multimodal.decodeFeaturesStub(p)
-      .select("features").head().getSeq[Double](0)
-    assert(feats.length == 8 && feats.forall(v => v >= 0 && v < 1))
+    // Real feature extractor on a NON-image payload (text bytes): the
+    // poisoned-payload contract — an 8×(-1) sentinel row, not a failed job.
+    val feats = Multimodal.decodeImageFeatures(p)
+      .select("features").head().getSeq[Long](0)
+    assert(feats.length == 8 && feats.forall(_ == -1L))
+  }
+
+  test("resizeImageBatched: block-average downsample survives the " +
+      "encode→decode round trip; non-image payloads emit the sentinel") {
+    import spark.implicits._
+    val src = Multimodal.syntheticPngPayloads(
+      Seq(0L, 1L, 7L, 40L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.resizeImageBatched(src, factor = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // Expected straight from the pixel formula: 2×2 target, each pixel the
+    // floor-mean of its 4×4 source block, per channel.
+    def chan(d: Long, x: Int, y: Int, a: Long, bx: Long, by: Long): Int =
+      Math.floorMod(d * a + x * bx + y * by, 256L).toInt
+    for (d <- Seq(0L, 1L, 7L, 40L)) {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (bx <- 0 until 2; by <- 0 until 2) {
+        var (ar, ag, ab) = (0, 0, 0)
+        for (dx <- 0 until 4; dy <- 0 until 4) {
+          ar += chan(d, bx * 4 + dx, by * 4 + dy, 31, 7, 13)
+          ag += chan(d, bx * 4 + dx, by * 4 + dy, 17, 11, 3)
+          ab += chan(d, bx * 4 + dx, by * 4 + dy, 29, 5, 19)
+        }
+        sr += ar / 16; sg += ag / 16; sb += ab / 16
+      }
+      assert(got(d) == ((2, 2, sr, sg, sb)), s"doc $d")
+    }
+    // Non-image payload → sentinel row, job survives.
+    val bad = Multimodal.resizeImageBatched(
+      Multimodal.withPayload(docs, "doc_id", "text"), factor = 4)
+    assert(bad.where(col("width") === -1).count() == bad.count())
   }
 
   test("winnow: guarantee — shared substring ≥ w+k−1 ⇒ shared fingerprint") {

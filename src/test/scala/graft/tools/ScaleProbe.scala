@@ -209,6 +209,9 @@ object ScaleProbe {
     time("m10_image_decode (png encode + imageio decode)") {
       graft.SparkEntry.queries("m10_image_decode")(spark, sfDir)
     }
+    time("m4_resize (png decode + block-average + re-encode + re-decode)") {
+      graft.SparkEntry.queries("m4_resize")(spark, sfDir)
+    }
     time("m3_decode_features (png encode + imageio feature extract)") {
       graft.SparkEntry.queries("m3_decode_features")(spark, sfDir)
     }
