@@ -124,12 +124,37 @@ object DedupLoop {
       checkpointPath: Option[String],
       queryCheckpointLocation: Option[String])(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    var retired: Seq[DataFrame] = Nil
-    var idOffset = -1L
+    val loop = new BatchLoop(state, ops, compactEvery, checkpointPath)
     val writer = docs.writeStream
     queryCheckpointLocation.fold(writer)(p =>
         writer.option("checkpointLocation", p))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        loop.processBatch(batch, batchId)(sink)
+      }
+      .start()
+  }
+
+  /** The loop body as a BATCH-CALLABLE stage — what lets a dedup family
+    * run MID-PIPELINE instead of only at the head of a writeStream: an
+    * upstream stage's foreachBatch sink calls [[processBatch]] with its
+    * own (batch, id) and this stage probes, WALs, rebases, and recognizes
+    * replays exactly as the stream-headed form does, because it IS the
+    * stream-headed form ([[run]] delegates here). The mutable pieces the
+    * loop carries across batches — retired layers awaiting their grace
+    * release, the adopted rebase offset — live on this object; one
+    * instance per logical stream, called sequentially (the engine runs
+    * foreachBatch callbacks sequentially, and a composed pipeline calls
+    * inside its parent's callback). */
+  final class BatchLoop[I](
+      state: IndexState[I],
+      ops: Ops[I],
+      compactEvery: Long,
+      checkpointPath: Option[String]) {
+    private var retired: Seq[DataFrame] = Nil
+    private var idOffset = -1L
+
+    def processBatch(batch: DataFrame, batchId: Long)(
+        sink: (DataFrame, Long) => Unit): Unit = {
         val spark = batch.sparkSession
         // Scan for the replay's WAL record from the batch's EFFECTIVE id:
         // the raw engine id on a fresh restart (idOffset unset), the
@@ -158,8 +183,8 @@ object DedupLoop {
               // no rebase occurred) keys the sink, so an idempotent
               // per-batch sink overwrites its earlier attempt instead of
               // duplicating it.
-              sink(batch.join(keptIds.withColumnRenamed("doc_id", idCol),
-                Seq(idCol), "left_semi"), recordedId)
+              sink(batch.join(keptIds.withColumnRenamed("doc_id", ops.idCol),
+                Seq(ops.idCol), "left_semi"), recordedId)
             case None =>
               org.slf4j.LoggerFactory.getLogger(getClass).warn(
                 s"DedupLoop: batch $batchId replayed but its kept record " +
@@ -192,8 +217,8 @@ object DedupLoop {
           // that run's output. walId == batchId whenever no rebase
           // occurred, so replay idempotence (which only arises pre-rebase)
           // is unaffected.
-          sink(batch.join(keptIds.withColumnRenamed("doc_id", idCol),
-            Seq(idCol), "left_semi"), walId)
+          sink(batch.join(keptIds.withColumnRenamed("doc_id", ops.idCol),
+            Seq(ops.idCol), "left_semi"), walId)
           val next =
             if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
               val toRelease = retired
@@ -211,7 +236,6 @@ object DedupLoop {
           state.adopt(next, walId)
           }
         }
-      }
-      .start()
+    }
   }
 }

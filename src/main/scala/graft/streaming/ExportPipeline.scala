@@ -8,41 +8,65 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   *   arrivals → stateless quality gate ([[Curate.qualityGate]])
   *            → exact dedup vs corpus + stream history ([[FpDedupStream]])
+  *            → NEAR-dup (fuzzy) dedup vs corpus + stream history
+  *              ([[NearDupStream]] as a mid-pipeline batch loop)
   *            → tokenize-and-pack into context windows ([[PackStream]])
   *            → batch-id-keyed idempotent pack shards on disk.
   *
-  * Nothing new is invented here — the composition IS the design: the dedup
-  * loop's per-batch sink slot takes `PackStream.processBatch` directly, so
-  * the two stages share one batch id and the crash story composes without
-  * new machinery. A replayed batch (crash anywhere between the WAL delta
-  * and the engine's offsets commit) sinks the dedup stage's RECORDED
-  * kept-set under its original id; that kept-set is a pure function of the
-  * recorded ids, so the pack stage's recompute from its retained base
-  * generation is bit-identical and its idempotent per-batch sink overwrites
-  * rather than appends — exactly-once landed packs through a two-stage,
-  * two-checkpoint pipeline. Both stages rebase independently on id reuse
-  * (engine restarted without its checkpoint) and arrive at the same
-  * effective numbering because they see the same batch sequence.
+  * Nothing new is invented here — the composition IS the design: the exact
+  * stage's per-batch sink slot calls the near-dup stage's
+  * [[DedupLoop.BatchLoop.processBatch]], whose sink slot calls
+  * `PackStream.processBatch`, so all three stages share one batch id and
+  * the crash story composes without new machinery. A replayed batch (crash
+  * anywhere between a WAL delta and the engine's offsets commit) sinks
+  * each dedup stage's RECORDED kept-set under its original id; those
+  * kept-sets are pure functions of the recorded ids, so the pack stage's
+  * recompute from its retained base generation is bit-identical and its
+  * idempotent per-batch sink overwrites rather than appends —
+  * exactly-once landed packs through a three-stage, three-checkpoint
+  * pipeline. All stages rebase independently on id reuse (engine
+  * restarted without its checkpoint) and arrive at the same effective
+  * numbering because they see the same batch sequence.
   *
-  * Bootstrap trains/builds BOTH stages from the same curated corpus view —
-  * gate, then content-fingerprint dedup — because the index must represent
-  * "what already entered the export" (a low-quality corpus doc never
-  * exported should NOT suppress a clean arrival twin), and the tokenizer
-  * must be trained on the distribution the stream will actually pack.
+  * Why fuzzy dedup is IN the flagship path: exact fingerprints only stop
+  * byte-identical re-posts — a re-posted doc with one edited sentence
+  * sails through an exact gate into the training export, which is exactly
+  * the contamination near-dup dedup exists for (the C4/RefinedWeb
+  * curation shape: gate → exact → fuzzy → pack). Exact runs FIRST because
+  * its probe is one fingerprint-equi join (cheap) and every doc it drops
+  * is one the near-dup stage neither probes nor sketches.
   *
-  * Scale: the gate is a narrow filter; the dedup probe is one
-  * fingerprint-equi join against a content-sized index; packing shuffles
-  * docs + packs, never tokens. State across an unbounded stream is the
-  * fingerprint set (32 B / distinct doc, compacted generationally) plus
-  * window−1 carried token ids per shard. */
+  * Bootstrap trains/builds ALL stages from the same curated corpus view —
+  * gate, then content-fingerprint dedup — because the indexes must
+  * represent "what already entered the export" (a low-quality corpus doc
+  * never exported should NOT suppress a clean arrival twin), and the
+  * tokenizer must be trained on the distribution the stream will actually
+  * pack. The gate thresholds are PERSISTED at bootstrap and re-adopted on
+  * every resume: the stream's gate can never silently diverge from the
+  * bar the corpus was curated with.
+  *
+  * Scale: the gate is a narrow filter; the exact probe is one
+  * fingerprint-equi join against a content-sized index; the near-dup
+  * probe is the prefix-filtered candidate join over exact-novel docs
+  * only; packing shuffles docs + packs, never tokens. State across an
+  * unbounded stream is the fingerprint set (32 B / distinct doc) plus the
+  * near-dup sketch layers (~1 KB / distinct doc), both compacted
+  * generationally, plus window−1 carried token ids per shard. */
 object ExportPipeline {
 
-  /** Both stages' restored state under one root: the fingerprint index at
-    * `$path/fp`, the frozen tokenizer + packing state at `$path/pack`. */
+  /** All stages' restored state under one root: the fingerprint index at
+    * `$path/fp`, the near-dup index at `$path/nd`, the frozen tokenizer +
+    * packing state at `$path/pack`, and the bootstrap gate thresholds
+    * (persisted at `$path/gate`, carried here so [[run]] uses exactly the
+    * values the corpus was curated with). */
   final class Handles(
       val dedup: FpDedupStream.IndexState,
+      val near: NearDupStream.IndexState,
       val pack: PackStream.Handle,
-      val fpCheckpoint: String)
+      val fpCheckpoint: String,
+      val ndCheckpoint: String,
+      val minTokens: Int,
+      val minDistinctRatio: Double)
 
   /** The curated view of a batch frame: the arrival gate plus (batch-mode)
     * content-fingerprint dedup — what the BOOTSTRAP corpus must pass
@@ -55,11 +79,16 @@ object ExportPipeline {
       .select(col(idCol), col(textCol))
   }
 
-  /** Load-or-bootstrap both stages ([[FpDedupStream.resume]] contract each):
-    * on first run the corpus is gated + deduped ONCE and feeds both the
-    * fingerprint-index build and the tokenizer training; on restart both
-    * stages restore their newest committed generation (plus the dedup
-    * stage's outstanding WAL deltas) and the corpus frame is not read. */
+  /** Load-or-bootstrap every stage ([[FpDedupStream.resume]] contract
+    * each): on first run the corpus is gated + deduped ONCE and feeds the
+    * fingerprint-index build, the near-dup index build, and the tokenizer
+    * training, and the gate thresholds are committed to
+    * `$path/gate/params`; on restart every stage restores its newest
+    * committed generation (plus the dedup stages' outstanding WAL deltas),
+    * the corpus frame is not read, and the PERSISTED gate thresholds are
+    * adopted — caller-passed values that disagree with them are rejected
+    * loudly rather than silently re-gating the stream at a different bar
+    * than the index contents were curated with. */
   def resume(
       spark: SparkSession,
       path: String,
@@ -70,37 +99,62 @@ object ExportPipeline {
       nMerges: Int = 24,
       window: Int = 1024,
       minTokens: Int = 10,
-      minDistinctRatio: Double = 0.3): Handles = {
-    // Materialize the curated corpus once if EITHER stage needs to
-    // bootstrap — both consume it, and recomputing the gate + dedup per
-    // stage would double the corpus scan.
+      minDistinctRatio: Double = 0.3,
+      shingleN: Int = 2,
+      threshold: Double = 0.6): Handles = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gateDir = s"$path/gate/params"
+    val gateCommitted = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$gateDir/_SUCCESS"))
+    // Adopt-or-verify the persisted gate thresholds FIRST — every
+    // bootstrap-vs-restart decision below must use the effective values.
+    val (gMinTokens, gMinDistinct) =
+      if (gateCommitted) {
+        val p = spark.read.parquet(gateDir).head()
+        val stored = (p.getAs[Int]("min_tokens"),
+          p.getAs[Double]("min_distinct_ratio"))
+        require(stored == ((minTokens, minDistinctRatio)),
+          s"ExportPipeline.resume: caller gate params ($minTokens, " +
+            s"$minDistinctRatio) disagree with the thresholds this export " +
+            s"was bootstrapped with $stored at $gateDir — pass the stored " +
+            "values (or the defaults they equal) rather than silently " +
+            "re-gating the stream at a different bar.")
+        stored
+      } else (minTokens, minDistinctRatio)
+    // Materialize the curated corpus once if ANY stage needs to
+    // bootstrap — all consume it, and recomputing the gate + dedup per
+    // stage would multiply the corpus scan.
     lazy val curated = {
-      val c = curatedCorpus(corpus, idCol, textCol, minTokens,
-        minDistinctRatio)
+      val c = curatedCorpus(corpus, idCol, textCol, gMinTokens, gMinDistinct)
       c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     var usedCurated = false
-    // Existence probe only — FpDedupStream.resume does the actual load, and
-    // loadFpIndexWithDeltas persists index layers, so calling IT twice
-    // would leave a duplicate resident copy.
-    val fpBootstrapped = {
-      val root = new org.apache.hadoop.fs.Path(s"$path/fp")
-      val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      f.exists(root) && f.listStatus(root).exists(st => st.isDirectory &&
+    def hasGen(sub: String): Boolean = {
+      val root = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      fs.exists(root) && fs.listStatus(root).exists(st => st.isDirectory &&
         st.getPath.getName.matches("g\\d+") &&
-        f.exists(new org.apache.hadoop.fs.Path(
-          s"$path/fp/${st.getPath.getName}/params/_SUCCESS")))
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/$sub/${st.getPath.getName}/params/_SUCCESS")))
     }
+    // Existence probes only — each stage's resume does the actual load,
+    // and the loaders persist index layers, so calling THEM twice would
+    // leave duplicate resident copies.
     val dedup =
-      if (!fpBootstrapped) {
+      if (!hasGen("fp")) {
         usedCurated = true
         FpDedupStream.resume(spark, s"$path/fp", curated, idCol, textCol)
       } else FpDedupStream.resume(spark, s"$path/fp", corpus.limit(0),
         idCol, textCol)
-    val packBootstrapped = {
-      val f = new org.apache.hadoop.fs.Path(s"$path/pack/model/params/_SUCCESS")
-      f.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(f)
-    }
+    val near =
+      if (!hasGen("nd")) {
+        usedCurated = true
+        NearDupStream.resume(spark, s"$path/nd", curated, idCol, textCol,
+          shingleN, threshold)
+      } else NearDupStream.resume(spark, s"$path/nd", corpus.limit(0),
+        idCol, textCol, shingleN, threshold)
+    val packBootstrapped = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/pack/model/params/_SUCCESS"))
     val pack =
       if (!packBootstrapped) {
         usedCurated = true
@@ -108,14 +162,27 @@ object ExportPipeline {
           nShards, nMerges, window)
       } else PackStream.resume(spark, s"$path/pack", corpus.limit(0),
         idCol, textCol)
+    // Gate params commit LAST: a bootstrap that dies mid-way re-runs
+    // whole (each stage's own marker governs its reuse), and once this
+    // marker exists every future resume adopts exactly these values.
+    if (!gateCommitted) {
+      import spark.implicits._
+      Seq((gMinTokens, gMinDistinct))
+        .toDF("min_tokens", "min_distinct_ratio")
+        .coalesce(1).write.mode("overwrite").parquet(gateDir)
+    }
     if (usedCurated) curated.unpersist(false)
-    new Handles(dedup, pack, s"$path/fp")
+    new Handles(dedup, near, pack, s"$path/fp", s"$path/nd",
+      gMinTokens, gMinDistinct)
   }
 
-  /** Start the pipeline: gated novel-content docs pack into
+  /** Start the pipeline: gated, exact-novel, NEAR-novel docs pack into
     * `outPath/b<id>/` shards; everything else drops. `keptSink`, when
-    * given, additionally receives each batch's kept DOC rows (the audit
-    * tap — what entered the export and under which batch id). */
+    * given, additionally receives each batch's surviving DOC rows after
+    * ALL dedup stages (the audit tap — what entered the export and under
+    * which batch id). The gate runs with the thresholds persisted at
+    * bootstrap ([[Handles.minTokens]]/[[Handles.minDistinctRatio]]) — not
+    * caller-supplied, so it cannot diverge from the corpus curation. */
   def run(
       docs: DataFrame,
       handles: Handles,
@@ -124,21 +191,21 @@ object ExportPipeline {
       outPath: String,
       compactEvery: Long = 100,
       queryCheckpointLocation: Option[String] = None,
-      // Must match the values resume() curated the corpus with — the gate
-      // is stateless, so the contract is the caller's to keep (the same
-      // way the watermark is on Curate's stream).
-      minTokens: Int = 10,
-      minDistinctRatio: Double = 0.3,
-      keptSink: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+      keptSink: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val nd = NearDupStream.batchLoop(handles.near, idCol, textCol,
+      compactEvery, checkpointPath = Some(handles.ndCheckpoint))
     FpDedupStream.runBatches(
-      Curate.qualityGate(docs, minTokens, minDistinctRatio)
+      Curate.qualityGate(docs, handles.minTokens, handles.minDistinctRatio)
         .select(docs.columns.map(org.apache.spark.sql.functions.col)
           .toIndexedSeq: _*),
       handles.dedup, idCol, textCol, compactEvery,
       checkpointPath = Some(handles.fpCheckpoint),
       queryCheckpointLocation = queryCheckpointLocation) { (kept, walId) =>
-      PackStream.processBatch(handles.pack, kept, walId, idCol, textCol,
-        outPath)
-      keptSink(kept, walId)
+      nd.processBatch(kept, walId) { (ndKept, ndId) =>
+        PackStream.processBatch(handles.pack, ndKept, ndId, idCol, textCol,
+          outPath)
+        keptSink(ndKept, ndId)
+      }
     }
+  }
 }

@@ -150,6 +150,22 @@ object NearDupStream {
     runBatches(docs, state, idCol, textCol, compactEvery, checkpointPath,
       queryCheckpointLocation)((kept, _) => sink(kept))
 
+  /** The near-dup stage as a MID-PIPELINE batch loop
+    * ([[DedupLoop.BatchLoop]] contract): an upstream stage's per-batch
+    * sink calls `processBatch(batch, id)(sink)` and this stage probes,
+    * WALs, and replay-recognizes under the SAME id — how
+    * [[ExportPipeline]] threads fuzzy dedup between its exact-dedup gate
+    * and the pack stage without a second writeStream. */
+  def batchLoop(
+      state: IndexState,
+      idCol: String,
+      textCol: String,
+      compactEvery: Long = 100,
+      checkpointPath: Option[String] = None)
+      : DedupLoop.BatchLoop[NearDupIndex] =
+    new DedupLoop.BatchLoop(state, new NdOps(idCol, textCol), compactEvery,
+      checkpointPath)
+
   /** [[run]] with the ENGINE batch id passed to the sink — the id is
     * stable across a post-sink-crash replay, so writing through
     * `sources.Sink.idempotentBatch(kept, out, batchId)` makes the landed

@@ -297,6 +297,85 @@ class CrashRestartSpec extends SparkSpecBase {
       s"kept output after post-sink crash-restart: $ids")
   }
 
+  test("kill -9 after a batch landed: the three-stage export pipeline " +
+      "(gate → exact → near-dup → pack) replays exactly-once") {
+    import spark.implicits._
+    // 20-word docs: pass the gate, close 32-token windows per batch. The
+    // near variants edit ONE word — different exact fingerprint (sails
+    // through the fp stage), shingle-Jaccard 0.9 (drops at the fuzzy
+    // stage) — the re-posted-with-one-edit contamination the composed
+    // pipeline exists to stop.
+    def doc(id: Long, seed: String): (Long, String) =
+      (id, (0 until 20).map(k => s"$seed$k").mkString(" "))
+    def nearVariant(id: Long, of: (Long, String)): (Long, String) =
+      (id, of._2.split(" ").dropRight(1).mkString(" ") + " edited")
+    val corpusRows = Seq(doc(1L, "alpha"), doc(2L, "beta"))
+    val files = Seq(
+      //  f1: novel kept; exact corpus dup dropped; corpus NEAR-dup
+      //      fuzzy-dropped                                  -> kept {10}
+      "f1" -> Seq(doc(10L, "gamma"), (11L, doc(1L, "alpha")._2),
+        nearVariant(12L, doc(1L, "alpha"))),
+      //  f2: exact stream-history dup dropped; stream NEAR-dup (of
+      //      batch-0's kept doc 10) fuzzy-dropped; novel kept -> kept {22}
+      //      (crash lands here: everything sunk, offsets uncommitted)
+      "f2" -> Seq((20L, doc(10L, "gamma")._2),
+        nearVariant(21L, doc(10L, "gamma")), doc(22L, "delta")),
+      //  f3: novel kept; stream NEAR-dup of doc 22 dropped  -> kept {30}
+      "f3" -> Seq(doc(30L, "epsilon"), nearVariant(31L, doc(22L, "delta"))))
+
+    def writeSrc(srcDir: String): Unit = {
+      corpusRows.toDF("doc_id", "text").write.parquet(s"$srcDir/corpus")
+      files.zipWithIndex.foreach { case ((name, rows), i) =>
+        val d = s"$srcDir/stream/$name"
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(d)
+        val t0 = System.currentTimeMillis() - 100000
+        Files.walk(Paths.get(d)).forEach(p =>
+          p.toFile.setLastModified(t0 + i * 2000L))
+      }
+    }
+    def packsOf(dir: String): Set[(Long, Long, String)] =
+      spark.read.option("recursiveFileLookup", "true").parquet(dir)
+        .select("shard", "pack_id", "token_ids")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+
+    val base = Files.createTempDirectory("crash9xp").toString
+    writeSrc(s"$base/src")
+    val args = Seq(s"$base/idx", s"$base/eng", s"$base/src", s"$base/sink")
+    val rc1 = runChild(args ++ Seq("1", "export"), s"$base/run1.log")
+    assert(rc1 == 137, s"child should die by halt(137), got $rc1 — " +
+      s"log: $base/run1.log")
+    // Crash point check: f1 + f2 landed (kept {10, 22}), f3 not yet.
+    val midKept = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/sink/kept").select("doc_id").as[Long].collect().toSeq
+    assert(midKept.sorted == Seq(10L, 22L),
+      s"crash point wrong: kept after crash = $midKept")
+    val rc2 = runChild(args ++ Seq("-1", "export"), s"$base/run2.log")
+    assert(rc2 == 0, s"restart child failed with $rc2 — log: $base/run2.log")
+
+    // Clean reference run over the same source, fresh dirs, no kill.
+    val ref = Files.createTempDirectory("crash9xpref").toString
+    writeSrc(s"$ref/src")
+    assert(runChild(Seq(s"$ref/idx", s"$ref/eng", s"$ref/src", s"$ref/sink")
+      ++ Seq("-1", "export"), s"$ref/run.log") == 0)
+
+    // Kept audit log: the fuzzy drops (12, 21, 31) never entered, the
+    // replayed batch re-sank its recorded survivors once.
+    val kept = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/sink/kept").select("doc_id").as[Long].collect().toSeq
+    assert(kept.sorted == Seq(10L, 22L, 30L),
+      s"kept after crash-restart: $kept")
+    // Landed packs: bit-identical to the uncrashed run, no duplicates.
+    val crashed = packsOf(s"$base/sink/packs")
+    assert(crashed.nonEmpty && crashed == packsOf(s"$ref/sink/packs"),
+      "packs across the crash must equal the uncrashed run")
+    val keys = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/sink/packs").select("shard", "pack_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(keys.distinct.size == keys.size,
+      s"duplicate packs after crash-restart: $keys")
+  }
+
   test("kill -9 between pack sink and state commit: replay recomputes " +
       "bit-identical packs, exactly-once") {
     import spark.implicits._

@@ -1047,9 +1047,9 @@ class StreamingSpec extends SparkSpecBase {
     assert(landed + carried == ingested)
   }
 
-  test("export pipeline: gate → exact dedup → pack end to end; streamed " +
-      "packs equal the one-batch run across a restart; bootstrap curates " +
-      "the corpus before indexing") {
+  test("export pipeline: gate → exact dedup → NEAR-dup → pack end to " +
+      "end; streamed packs equal the one-batch run across a restart; " +
+      "bootstrap curates the corpus before indexing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
@@ -1067,10 +1067,18 @@ class StreamingSpec extends SparkSpecBase {
     // one-batch reference run then packs the identical sequence). Docs 10
     // and 22 share shard 0 (id % 2), so batch 1's packs continue batch 0's
     // carried partial window ACROSS the restart below.
+    // Doc 13: NEAR-dup of corpus doc 2 (one word edited — different exact
+    // fingerprint, shingle-Jaccard ≈ 0.88) — sails through the exact
+    // stage, must drop at the FUZZY stage. Doc 21: the same shape against
+    // STREAM history (near-dup of batch-0's kept doc 10).
+    def nearVariant(id: Long, of: NdDoc): NdDoc =
+      NdDoc(id, of.text.split(" ").dropRight(1).mkString(" ") + " edited")
     val b1 = Seq(good(10, "gamma"),              // novel → kept
       NdDoc(11, good(1, "alpha").text),          // corpus dup → dropped
-      NdDoc(12, spam))                           // low quality → gated
+      NdDoc(12, spam),                           // low quality → gated
+      nearVariant(13, good(2, "beta")))          // corpus NEAR-dup → fuzzy-dropped
     val b2 = Seq(NdDoc(20, good(10, "gamma").text), // stream-history dup
+      nearVariant(21, good(10, "gamma")),        // stream NEAR-dup → fuzzy-dropped
       good(22, "delta"))                         // novel → kept
 
     val root = java.nio.file.Files.createTempDirectory("xpipe").toString
@@ -1150,6 +1158,37 @@ class StreamingSpec extends SparkSpecBase {
       .agg(sum("n")).head().getLong(0)
     assert(landed + carried == ingested,
       s"landed=$landed carried=$carried ingested=$ingested")
+  }
+
+  test("export pipeline: gate thresholds persist at bootstrap; a resume " +
+      "with different caller params fails loudly instead of silently " +
+      "re-gating") {
+    import spark.implicits._
+    def good(id: Long, seed: String): NdDoc =
+      NdDoc(id, (0 until 16).map(k => s"$seed$k").mkString(" "))
+    val corpus = Seq(good(1, "alpha"), good(2, "beta"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("xgate").toString
+
+    val h = graft.streaming.ExportPipeline.resume(spark, root, corpus,
+      "doc_id", "text", nShards = 2L, nMerges = 8, window = 32,
+      minTokens = 12, minDistinctRatio = 0.4)
+    assert(h.minTokens == 12 && h.minDistinctRatio == 0.4)
+
+    // Restart re-passing the bootstrap values: adopted.
+    val h2 = graft.streaming.ExportPipeline.resume(spark, root,
+      corpus.limit(0), "doc_id", "text", minTokens = 12,
+      minDistinctRatio = 0.4)
+    assert(h2.minTokens == 12 && h2.minDistinctRatio == 0.4)
+
+    // Restart with DIFFERENT values (here: the defaults): rejected before
+    // any stage loads — the stream must never run at a different bar than
+    // the indexes were curated with.
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.ExportPipeline.resume(spark, root, corpus.limit(0),
+        "doc_id", "text")
+    }
+    assert(e.getMessage.contains("bootstrapped with"))
   }
 
   test("packWindows: duplicate sort keys conserve tokens and pack " +

@@ -24,7 +24,9 @@ import graft.streaming.NearDupStream
   *     winnow/substring additionally exercise their family's own delta
   *     append/restore (layered freq tables) across the kill. "pack"
   *     crashes the PackStream tokenize-and-pack export instead (its own
-  *     kill points — see the mode's comment below).
+  *     kill points — see the mode's comment below). "export" crashes the
+  *     full three-stage ExportPipeline (gate → exact → near-dup → pack)
+  *     after a batch fully landed, before offsets commit.
   *   - killPoint: "pre" (default — die before the Nth sink write: WAL
   *     durable, output unsunk) or "post" (die AFTER the Nth sink write,
   *     before offsets commit — the replay re-runs a sink that already
@@ -101,6 +103,27 @@ object CrashStreamMain {
           "doc_id", "embedding", compactEvery = 2,
           checkpointPath = Some(idxCkpt),
           queryCheckpointLocation = Some(qCkpt))(sink)
+      case "export" =>
+        // The full three-stage pipeline (gate → exact fp → NEAR-dup →
+        // pack). Kill point: AFTER the batch fully landed (packs via the
+        // pack stage's own idempotent sink, kept audit log written here),
+        // BEFORE the engine commits offsets — the restart replays the
+        // batch through all three stages: both dedup stages must
+        // recognize it from their WALs and re-sink recorded kept-sets,
+        // and the pack recompute must overwrite bit-identically.
+        val h = graft.streaming.ExportPipeline.resume(
+          spark, idxCkpt, corpus, "doc_id", "text",
+          nShards = 2L, nMerges = 8, window = 32)
+        graft.streaming.ExportPipeline.run(src, h, "doc_id", "text",
+          s"$sinkDir/packs", compactEvery = 2,
+          queryCheckpointLocation = Some(qCkpt),
+          keptSink = { (kept, id) =>
+            graft.sources.Sink.idempotentBatch(
+              kept.select("doc_id"), s"$sinkDir/kept", id)
+            if (killAfter >= 0 && sunk.get() >= killAfter)
+              Runtime.getRuntime.halt(137)
+            sunk.incrementAndGet(): Unit
+          })
       case "pack" =>
         // The packing stream sinks INSIDE processBatch (batch-id-keyed
         // idempotent pack output), so its kill points differ: "mid" dies
