@@ -2247,13 +2247,28 @@ object Dedup {
     * commit marker. Returns the sequence number. */
   private[graft] def appendFpTombstone(path: String, fps: DataFrame,
       afterBatch: Long): Long = {
-    val spark = fps.sparkSession
-    val seq = fpTombstones(spark, path).map(_._1).maxOption.getOrElse(-1L) + 1
+    val seq = nextFpTombstoneSeq(fps.sparkSession, path)
+    writeFpTombstoneAt(path, fps, seq, afterBatch)
+    seq
+  }
+
+  /** Next free tombstone sequence number at `path`. */
+  private[graft] def nextFpTombstoneSeq(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    fpTombstones(spark, path).map(_._1).maxOption.getOrElse(-1L) + 1
+
+  /** Land a content tombstone at a PRE-ASSIGNED (seq, afterBatch)
+    * position via overwrite — the idempotent takedown leg
+    * ([[graft.streaming.TakedownStream]] records the assignment in its
+    * WAL before writing, so a crash-window replay rewrites the SAME
+    * tombstone at the same logical position instead of appending a
+    * duplicate at a later one, which could delete content a batch in
+    * between legitimately re-admitted). */
+  private[graft] def writeFpTombstoneAt(path: String, fps: DataFrame,
+      seq: Long, afterBatch: Long): Unit =
     fps.select(col("fp")).coalesce(1)
       .write.mode("overwrite")
       .parquet(s"$path/tomb/t${seq}_b$afterBatch/fps")
-    seq
-  }
 
   /** Live (committed) tombstones at `path`: (seq, afterBatch, fps path),
     * sequence order. */

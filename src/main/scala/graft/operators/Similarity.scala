@@ -557,20 +557,42 @@ object Similarity {
 
   private def tombstoneDir(path: String): String = s"$path/tombstones"
 
-  /** Live tombstone data files (committed parquet parts; manifests and
-    * markers are `_`-prefixed and excluded, matching Spark's own hidden-file
-    * convention). */
+  /** Live tombstone data files: committed parquet parts written by the
+    * append-mode batch path (top-level files; manifests and markers are
+    * `_`-prefixed and excluded, matching Spark's own hidden-file
+    * convention), plus the parts inside committed KEYED tombstone
+    * directories (`e_<key>/`, `_SUCCESS`-marked) that
+    * [[writeKeyedTombstone]] lays down for exactly-once streaming
+    * takedowns. */
   private def tombstoneFiles(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[String] = {
     val fs = hfs(spark, path)
     val dir = new org.apache.hadoop.fs.Path(tombstoneDir(path))
+    def parts(d: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(d).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getPath.toString)
     if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
-        !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .map(_.getPath.toString)
+    else parts(dir) ++ fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("e_") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"${s.getPath}/_SUCCESS")))
+      .flatMap(s => parts(s.getPath))
   }
+
+  /** Keyed tombstone write — the IDEMPOTENT takedown leg for streaming
+    * deletes ([[graft.streaming.TakedownStream]]): the delete lands in a
+    * deterministic `e_<key>` directory via overwrite, so a crash-window
+    * replay of the same takedown batch rewrites the SAME tombstone
+    * instead of appending a second one at a later logical position —
+    * which could re-delete an id legitimately re-appended between the
+    * first attempt and the replay. Same mask/compaction/retirement
+    * lifecycle as the batch append path ([[tombstoneFiles]] lists both). */
+  private[graft] def writeKeyedTombstone(path: String, ids: DataFrame,
+      idCol: String, key: String): Unit =
+    ids.select(col(idCol).as("cid")).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(s"${tombstoneDir(path)}/e_$key")
 
   /** Anti-join `df` (keyed `cid`) against the given tombstone files. */
   private def maskByFiles(spark: org.apache.spark.sql.SparkSession,

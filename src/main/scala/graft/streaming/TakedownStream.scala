@@ -1,0 +1,227 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Dedup, Similarity}
+
+/** Arrival-time TAKEDOWN — the seventh stream family: a continuous feed of
+  * deletion events (content withdrawals, GDPR erasure requests) applied
+  * across the engine's persisted index families as they arrive, instead of
+  * as operator-driven batch calls (s9/d17's shape). Each event names the
+  * FAMILY it targets:
+  *
+  *   - `fp`   — content fingerprint leaves the exact-dedup "seen ever" set
+  *              (future identical arrivals are ADMITTED again); the event
+  *              carries the content text.
+  *   - `ivf`  — the id is tombstoned out of every registered IVF serving
+  *              index (masked at load, applied physically at the next
+  *              compaction).
+  *   - `pq`   — same for the registered PQ indexes.
+  *
+  * Durability is the house WAL-before-side-effects rule with one twist the
+  * batch paths don't need: REPLAYED takedowns must not re-append. A
+  * tombstone's position in the batch sequence is semantic (content deleted
+  * then re-admitted stays admitted; an id deleted, compacted away, then
+  * re-appended stays re-appended), so a crash-window replay that appended
+  * a SECOND tombstone would land the delete at a later logical position
+  * than it actually happened. The stream therefore assigns each batch its
+  * tombstone positions ONCE, records them in its WAL (`params` written
+  * last as the commit marker), and applies them via keyed OVERWRITE writes
+  * ([[Dedup.writeFpTombstoneAt]], [[Similarity.writeKeyedTombstone]]) —
+  * the replay rewrites the same tombstones at the same positions,
+  * byte-identical, and the `applied` marker makes the whole batch
+  * skippable once it is down. Kill -9 anywhere between the WAL commit and
+  * the applied marker is recovered by re-running the idempotent applies;
+  * after the applied marker, by skipping.
+  *
+  * Scale: every write is takedown-sized (one small parquet per batch per
+  * family); the indexes themselves are untouched until their own
+  * compaction folds the masks in. State is the WAL of recent batches —
+  * applied batches older than the engine's replay window are prunable
+  * (retained here for one [[compactEvery]]-style cycle via
+  * [[pruneApplied]]). */
+object TakedownStream {
+
+  /** Where the takedowns land: the exact-dedup stream's live state + its
+    * checkpoint (content tombstones), and the saved IVF/PQ index paths
+    * (id tombstones). Any of them may be empty — a takedown feed can
+    * serve one family alone. */
+  final case class Targets(
+      fp: Option[(FpDedupStream.IndexState, String)] = None,
+      ivf: Seq[String] = Nil,
+      pq: Seq[String] = Nil)
+
+  final class Handle(val path: String)
+
+  /** Event-batch WAL layout: `$path/b<id>/events` (the batch's rows),
+    * `$path/b<id>/params` (replay fingerprint + assigned fp tombstone
+    * position; the WAL commit marker), `$path/b<id>/applied` (the
+    * all-side-effects-landed marker). */
+  private def bDir(path: String, b: Long) = s"$path/b$b"
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committedBatches(spark: SparkSession,
+      path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("b\\d+") => n.drop(1).toLong }
+      .filter(b => f.exists(new org.apache.hadoop.fs.Path(
+        s"${bDir(path, b)}/params/_SUCCESS")))
+      .sorted
+  }
+
+  /** Load-or-bootstrap: nothing to build — the handle is the WAL root. */
+  def resume(spark: SparkSession, path: String): Handle = {
+    fs(spark, path).mkdirs(new org.apache.hadoop.fs.Path(path))
+    new Handle(path)
+  }
+
+  /** Order-independent replay fingerprint over (family, cid, text). */
+  private def fingerprint(batch: DataFrame): (Long, Long) = {
+    val r = batch.select(xxhash64(col("family"),
+        col("cid").cast("string"), coalesce(col("text"), lit(""))).as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)), count(lit(1))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** One takedown micro-batch, runnable standalone for backfill and
+    * specs. `batch` columns: family string ("fp"/"ivf"/"pq"), cid long
+    * (the id, ignored for fp), text string (the content, fp only).
+    * Returns the effective batch id. `afterApply` is the test seam inside
+    * the crash window (tombstones landed, applied marker not yet). */
+  def processBatch(
+      handle: Handle,
+      targets: Targets,
+      batch: DataFrame,
+      engineBatchId: Long,
+      afterApply: () => Unit = () => ()): Long = {
+    val spark = batch.sparkSession
+    val f = fs(spark, handle.path)
+    val events = batch.select(col("family").cast("string").as("family"),
+      col("cid").cast("long").as("cid"), col("text").cast("string").as("text"))
+    val fp = fingerprint(events)
+    val committed = committedBatches(spark, handle.path)
+    val hwm = committed.maxOption.getOrElse(-1L)
+    def isReplay(b: Long): Boolean = committed.contains(b) && {
+      val p = spark.read.parquet(s"${bDir(handle.path, b)}/params").head()
+      (p.getLong(0), p.getLong(1)) == fp
+    }
+    val effectiveId =
+      if (engineBatchId > hwm) engineBatchId
+      else if (isReplay(engineBatchId)) engineBatchId
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"TakedownStream: batch $engineBatchId reuses a committed id " +
+            "with different events — rebasing above the high-water mark " +
+            "(pass queryCheckpointLocation to avoid this).")
+        hwm + 1
+      }
+    val dir = bDir(handle.path, effectiveId)
+    val appliedMarker = new org.apache.hadoop.fs.Path(
+      s"$dir/applied/_SUCCESS")
+    if (committed.contains(effectiveId) && f.exists(appliedMarker)) {
+      // Full replay of a fully-applied batch: every tombstone is already
+      // down at its recorded position (and, for fp, the live state was
+      // restored THROUGH those tombstones by FpDedupStream.resume) — skip.
+      return effectiveId
+    }
+    val replaying = committed.contains(effectiveId)
+    // WAL leg (first attempt only): events first, then params — the
+    // assigned fp tombstone position rides in params so the commit marker
+    // covers it. A replay reuses the recorded assignment.
+    val (fpSeq, fpAfter) =
+      if (replaying) {
+        val p = spark.read.parquet(s"$dir/params").head()
+        (p.getLong(2), p.getLong(3))
+      } else {
+        val seq = targets.fp.map(t =>
+          Dedup.nextFpTombstoneSeq(spark, t._2)).getOrElse(-1L)
+        val after = targets.fp.map(_._1.lastFoldedBatch).getOrElse(-1L)
+        events.coalesce(1).write.mode("overwrite").parquet(s"$dir/events")
+        locally {
+          import spark.implicits._
+          Seq((fp._1, fp._2, seq, after))
+            .toDF("batch_fp", "batch_n", "fp_seq", "fp_after")
+            .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+        }
+        (seq, after)
+      }
+    // Side effects — each an idempotent keyed overwrite, so this block
+    // re-runs safely after a crash anywhere inside it.
+    val recorded = spark.read.parquet(s"$dir/events")
+    targets.fp.foreach { case (state, ckpt) =>
+      val docs = recorded.where(col("family") === "fp")
+        .select(col("cid").as("doc_id"), col("text"))
+      if (!docs.isEmpty) {
+        val tomb = docs
+          .select(graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+          .distinct()
+        // If the tombstone already committed (crash landed between it and
+        // the applied marker, then restart), the live state was restored
+        // THROUGH it at its recorded position — re-shrinking NOW would
+        // apply the delete at a later position than it happened and could
+        // drop a fingerprint an interleaved batch re-admitted.
+        val alreadyDown = fs(spark, ckpt).exists(
+          new org.apache.hadoop.fs.Path(
+            s"$ckpt/tomb/t${fpSeq}_b$fpAfter/fps/_SUCCESS"))
+        Dedup.writeFpTombstoneAt(ckpt, tomb, fpSeq, fpAfter)
+        if (!alreadyDown)
+          // In-memory shrink of the live stream state (no second append —
+          // the keyed write above is the durable leg).
+          FpDedupStream.delete(state, None, docs, "text")
+      }
+    }
+    val ivfIds = recorded.where(col("family") === "ivf").select("cid")
+    if (!ivfIds.isEmpty) targets.ivf.foreach(p =>
+      Similarity.writeKeyedTombstone(p, ivfIds, "cid", s"td_b$effectiveId"))
+    val pqIds = recorded.where(col("family") === "pq").select("cid")
+    if (!pqIds.isEmpty) targets.pq.foreach(p =>
+      Similarity.writeKeyedTombstone(p, pqIds, "cid", s"td_b$effectiveId"))
+    afterApply()
+    locally {
+      import spark.implicits._
+      Seq(Tuple1(effectiveId)).toDF("batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/applied")
+    }
+    effectiveId
+  }
+
+  /** Drop fully-applied WAL batches older than the newest `keep` — the
+    * takedown analog of the dedup families' delta pruning; call on the
+    * operator's compaction cadence. Batches inside the engine's replay
+    * window must be kept (the default one-cycle retention mirrors
+    * [[PackStream]]'s generation policy). */
+  def pruneApplied(spark: SparkSession, handle: Handle,
+      keep: Int = 2): Unit = {
+    val f = fs(spark, handle.path)
+    val applied = committedBatches(spark, handle.path).filter(b =>
+      f.exists(new org.apache.hadoop.fs.Path(
+        s"${bDir(handle.path, b)}/applied/_SUCCESS")))
+    applied.dropRight(keep).foreach(b =>
+      f.delete(new org.apache.hadoop.fs.Path(bDir(handle.path, b)), true))
+  }
+
+  /** Start the takedown stream over an event feed with columns
+    * (family, cid, text). */
+  def run(
+      events: DataFrame,
+      handle: Handle,
+      targets: Targets,
+      queryCheckpointLocation: Option[String] = None): StreamingQuery = {
+    val writer = events.writeStream
+    queryCheckpointLocation.fold(writer)(p =>
+        writer.option("checkpointLocation", p))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(handle, targets, batch, batchId): Unit
+      }
+      .start()
+  }
+}

@@ -297,6 +297,63 @@ class CrashRestartSpec extends SparkSpecBase {
       s"kept output after post-sink crash-restart: $ids")
   }
 
+  test("kill -9 inside the takedown crash window: re-applied tombstones " +
+      "land at their recorded positions, no duplicates") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("crash9td").toString
+    val srcDir = s"$base/src"
+    Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "iota kappa"))
+      .toDF("doc_id", "text").write.parquet(s"$srcDir/corpus")
+    //  f1: withdraw content "alpha beta" + ivf id 20
+    //  f2: withdraw content "gamma delta" + ivf id 40
+    //      (crash lands here: WAL + tombstones down, applied marker not)
+    //  f3: ivf id 60
+    val files = Seq(
+      "f1" -> Seq(("fp", 1L, "alpha beta"), ("ivf", 20L, null)),
+      "f2" -> Seq(("fp", 2L, "gamma delta"), ("ivf", 40L, null)),
+      "f3" -> Seq(("ivf", 60L, null: String)))
+    files.zipWithIndex.foreach { case ((name, rows), i) =>
+      val dir = s"$srcDir/stream/$name"
+      rows.toDF("family", "cid", "text").coalesce(1).write.parquet(dir)
+      val t0 = System.currentTimeMillis() - 100000
+      Files.walk(Paths.get(dir)).forEach(p =>
+        p.toFile.setLastModified(t0 + i * 2000L))
+    }
+    val args = Seq(s"$base/idx", s"$base/eng", srcDir, s"$base/sink")
+    val rc1 = runChild(args ++ Seq("1", "takedown"), s"$base/run1.log")
+    assert(rc1 == 137, s"child should die by halt(137), got $rc1 — " +
+      s"log: $base/run1.log")
+    val rc2 = runChild(args ++ Seq("-1", "takedown"), s"$base/run2.log")
+    assert(rc2 == 0, s"restart child failed with $rc2 — log: $base/run2.log")
+
+    // Exactly-once tombstones: TWO fp tombstones (one per withdrawn
+    // content — the replayed f2 REWROTE its recorded one instead of
+    // appending), three keyed IVF tombstones (one per event batch).
+    val fpTombs = graft.operators.Dedup.fpTombstones(spark, s"$base/idx/fp")
+    assert(fpTombs.size == 2, s"fp tombstones after crash-restart: $fpTombs")
+    val ivfTombs = new java.io.File(s"$base/idx/ivf/tombstones")
+      .listFiles().map(_.getName).filter(_.startsWith("e_")).sorted
+    assert(ivfTombs.toSeq == Seq("e_td_b0", "e_td_b1", "e_td_b2"),
+      s"keyed ivf tombstones: ${ivfTombs.toSeq}")
+
+    // Effects hold on restore: withdrawn contents re-admit, untouched
+    // content stays recognized, deleted ids are masked out of the probe.
+    val st = graft.streaming.FpDedupStream.resume(spark, s"$base/idx/fp",
+      spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+        lit("").as("text")).limit(0), "doc_id", "text")
+    def admits(text: String): Boolean = graft.operators.Dedup
+      .probeNovelExact(st.index, Seq((99L, text)).toDF("doc_id", "text"),
+        "doc_id", "text").count() == 1
+    assert(admits("alpha beta") && admits("gamma delta") &&
+      !admits("iota kappa"))
+    val idx = graft.operators.Similarity.loadIvfIndex(spark, s"$base/idx/ivf")
+    val masked = idx.assigned.select("cid")
+      .collect().map(_.getLong(0)).toSet
+    assert(!masked.exists(Set(20L, 40L, 60L)) && masked.nonEmpty,
+      "deleted ids must stay masked after crash-restart")
+    graft.operators.Dedup.releaseSketchCaches()
+  }
+
   test("kill -9 after a batch landed: the three-stage export pipeline " +
       "(gate → exact → near-dup → pack) replays exactly-once") {
     import spark.implicits._

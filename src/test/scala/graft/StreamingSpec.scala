@@ -1298,6 +1298,119 @@ class StreamingSpec extends SparkSpecBase {
       "batch 1's first shard-0 pack must begin with the carried tokens")
   }
 
+  test("takedown stream: fp content + ivf/pq id deletes, exactly-once " +
+      "across replay, ordering preserved across a crash-window re-apply") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Dedup, Similarity}
+    import graft.streaming.{FpDedupStream, TakedownStream}
+
+    // Live fp stream with two corpus contents.
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val fpDir = java.nio.file.Files.createTempDirectory("tdfp").toString
+    val st = FpDedupStream.resume(spark, fpDir, corpus, "doc_id", "text")
+    val in = MemoryStream[NdDoc]
+    val q = FpDedupStream.run(in.toDF(), st, "doc_id", "text",
+      compactEvery = 1000, checkpointPath = Some(fpDir)) { _ => () }
+    in.addData(NdDoc(10, "epsilon zeta")); q.processAllAvailable()
+
+    // Saved serving indexes the id-deletes target.
+    val emb = spark.table("embeddings")
+    val ivfDir = java.nio.file.Files.createTempDirectory("tdivf").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("tdpq").toString
+    Similarity.saveIvfIndex(Similarity.buildIvfIndex(
+      emb.where(col("vec_id") >= 10), "vec_id", "embedding"), ivfDir)
+    Similarity.savePqIndex(Similarity.buildPqIndex(
+      emb.where(col("vec_id") >= 10), "vec_id", "embedding"), pqDir)
+
+    val tdDir = java.nio.file.Files.createTempDirectory("tdwal").toString
+    val td = TakedownStream.resume(spark, tdDir)
+    val targets = TakedownStream.Targets(
+      fp = Some((st, fpDir)), ivf = Seq(ivfDir), pq = Seq(pqDir))
+
+    // Event batch 0: withdraw content "alpha beta"; delete ids 20/40 from
+    // the serving indexes.
+    val ev0 = Seq(("fp", 1L, "alpha beta"), ("ivf", 20L, null),
+      ("ivf", 40L, null), ("pq", 20L, null))
+      .toDF("family", "cid", "text")
+    assert(TakedownStream.processBatch(td, targets, ev0, 0L) == 0L)
+
+    // fp effect: an identical fresh arrival is ADMITTED again.
+    def admits(text: String): Boolean = Dedup.probeNovelExact(st.index,
+      Seq((99L, text)).toDF("doc_id", "text"), "doc_id", "text").count() == 1
+    assert(admits("alpha beta"), "withdrawn content must re-admit")
+    assert(!admits("gamma delta"), "untouched content stays recognized")
+    // Serving-index effect: masked at load.
+    val queries = emb.where(col("vec_id") < 5)
+    def ivfTop(): Set[Long] = Similarity.ivfProbe(
+      Similarity.loadIvfIndex(spark, ivfDir), queries,
+      "vec_id", "embedding", 5).select("cid")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ivfTop().exists(Set(20L, 40L)), "deleted ids must be masked")
+    val nTombs = Dedup.fpTombstones(spark, fpDir).size
+
+    // Engine replay of the fully-applied batch: a SKIP — no second
+    // tombstone at a later position, same admit verdicts.
+    assert(TakedownStream.processBatch(td, targets, ev0, 0L) == 0L)
+    assert(Dedup.fpTombstones(spark, fpDir).size == nTombs,
+      "replay must not append a duplicate tombstone")
+
+    // Ordering across a crash-window re-apply: the withdrawn content is
+    // RE-ADMITTED by a later stream batch; replaying the takedown with its
+    // applied marker lost must keep the re-admission (the keyed overwrite
+    // lands at the RECORDED position, before the re-admitting batch).
+    in.addData(NdDoc(20, "alpha beta")); q.processAllAvailable()
+    q.stop()
+    assert(!admits("alpha beta"), "re-admitted content is recognized again")
+    val marker = new org.apache.hadoop.fs.Path(s"$tdDir/b0/applied")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, true)
+    assert(TakedownStream.processBatch(td, targets, ev0, 0L) == 0L)
+    assert(Dedup.fpTombstones(spark, fpDir).size == nTombs,
+      "crash-window re-apply rewrites the same tombstone, not a new one")
+    assert(!admits("alpha beta"),
+      "re-apply must not delete content a later batch re-admitted")
+    // The durable story agrees: a fresh restore replays the tombstone at
+    // its recorded position (before the re-admitting delta).
+    val st2 = FpDedupStream.resume(spark, fpDir, corpus.limit(0),
+      "doc_id", "text")
+    assert(Dedup.probeNovelExact(st2.index,
+      Seq((99L, "alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+
+    // Id reuse with DIFFERENT events rebases above the high-water mark.
+    val ev1 = Seq(("ivf", 60L, null: String)).toDF("family", "cid", "text")
+    assert(TakedownStream.processBatch(td, targets, ev1, 0L) == 1L)
+    assert(!ivfTop().exists(Set(20L, 40L, 60L)))
+
+    // Compaction applies the masks physically; probe-list partition
+    // pruning survives on the RESTORED (masked) index.
+    val compacted = Similarity.compactIvfIndex(spark, ivfDir)
+    assert(compacted.assigned.where(
+      col("cid").isin(20L, 40L, 60L)).count() == 0)
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = Similarity.ivfProbe(Similarity.loadIvfIndex(spark, ivfDir),
+        queries, "vec_id", "embedding", 5)
+        .queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths
+                .exists(_.toString.contains("lists")) => f
+        }
+      assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+        "probe-list pruning must survive takedown masks on a restored index")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+
+    // Applied-batch pruning keeps the newest `keep` WAL entries.
+    TakedownStream.pruneApplied(spark, td, keep = 1)
+    assert(!new java.io.File(s"$tdDir/b0").exists() &&
+      new java.io.File(s"$tdDir/b1").exists())
+    Dedup.releaseSketchCaches()
+  }
+
   test("fp takedown tombstones: a crash between the generation save and " +
       "the tombstone prune must not re-delete re-admitted content on " +
       "restore") {

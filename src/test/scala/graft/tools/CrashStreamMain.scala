@@ -124,6 +124,45 @@ object CrashStreamMain {
               Runtime.getRuntime.halt(137)
             sunk.incrementAndGet(): Unit
           })
+      case "takedown" =>
+        // Seventh family: the takedown stream. Events (family, cid, text)
+        // delete content from the fp index and ids from a saved IVF
+        // index. Kill point: inside the crash window — the batch's WAL
+        // committed and its keyed tombstones are down, the applied marker
+        // is not — so the restart must RE-APPLY idempotently (same
+        // tombstones at the same recorded positions, no duplicates).
+        import org.apache.spark.sql.functions.{col, expr}
+        val fpState = graft.streaming.FpDedupStream.resume(
+          spark, s"$idxCkpt/fp", corpus, "doc_id", "text")
+        val ivfDir = s"$idxCkpt/ivf"
+        if (!new java.io.File(s"$ivfDir/centroids/_SUCCESS").exists()) {
+          // Deterministic synthetic embeddings; built ONCE (a rebuild on
+          // restart would reset the tombstones the crash left behind).
+          val emb = spark.range(10, 300).select(col("id").as("vec_id"),
+            expr("array(cast(id % 7 as double), cast((id div 7) % 5 " +
+              "as double), cast(id % 3 as double), 1.0d)").as("embedding"))
+          graft.operators.Similarity.saveIvfIndex(
+            graft.operators.Similarity.buildIvfIndex(
+              emb, "vec_id", "embedding"), ivfDir)
+        }
+        val td = graft.streaming.TakedownStream.resume(spark, s"$idxCkpt/td")
+        val targets = graft.streaming.TakedownStream.Targets(
+          fp = Some((fpState, s"$idxCkpt/fp")), ivf = Seq(ivfDir))
+        val evSrc = spark.readStream
+          .schema("family string, cid long, text string")
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(s"$srcDir/stream")
+        evSrc.writeStream.option("checkpointLocation", qCkpt)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            val afterApply: () => Unit = () =>
+              if (killAfter >= 0 && sunk.get() >= killAfter)
+                Runtime.getRuntime.halt(137)
+            graft.streaming.TakedownStream.processBatch(
+              td, targets, batch, id, afterApply)
+            sunk.incrementAndGet(): Unit
+          }
+          .start()
       case "pack" =>
         // The packing stream sinks INSIDE processBatch (batch-id-keyed
         // idempotent pack output), so its kill points differ: "mid" dies
