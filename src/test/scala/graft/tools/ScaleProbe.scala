@@ -488,6 +488,49 @@ object ScaleProbe {
       }
       q.stop()
     }
+    // Round-9: the full THREE-stage export pipeline (gate → exact fp →
+    // near-dup → pack) at rep× — bootstrap curates the replicated corpus
+    // (collapses to its DISTINCT contents, so the index builds and
+    // tokenizer training are content-sized), then arrival batches of
+    // rep×125 docs flow through all three dedup/pack stages. Arrival
+    // texts are token-suffixed per batch (novel vs corpus and vs other
+    // batches at both exact and shingle level), so the exact stage does
+    // the within-batch rep-fold collapse and the near-dup + pack stages
+    // carry the distinct survivors — the worst-case dup-density mix.
+    // compactEvery=2 puts TWO compactions inside the 6-batch run: the
+    // cadence cost (fp + nd index compact + generation save) lands on
+    // batches 1/3/5 and is measured per batch.
+    if (wanted("xpipe")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("sp_xpipe").toString
+      val out = java.nio.file.Files.createTempDirectory("sp_xpipe_out").toString
+      val t0 = System.nanoTime()
+      val h = graft.streaming.ExportPipeline.resume(
+        spark, root, docs, "doc_id", "text", nShards = 32L)
+      println(f"[scale] xpipe bootstrap (curate ${rep}x corpus + fp/nd " +
+        f"index + tokenizer) ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      import spark.implicits._
+      val in = MemoryStream[graft.NdDoc]
+      val q = graft.streaming.ExportPipeline.run(
+        in.toDF(), h, "doc_id", "text", out, compactEvery = 2)
+      (0 until 6).foreach { i =>
+        val b = docs.where(pmod(col("doc_id"), lit(40)) === i)
+          .select(col("doc_id").cast("long"),
+            concat_ws(" ", expr(
+              s"transform(split(text, ' '), x -> concat(x, '_$i'))"))
+              .as("text"))
+          .as[graft.NdDoc].collect()
+        val t1 = System.nanoTime()
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        println(f"[scale] xpipe batch$i (${b.length} docs" +
+          f"${if (i % 2 == 1) ", compaction" else ""}) " +
+          f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+        System.out.flush()
+      }
+      q.stop()
+    }
     // Round-8: serving-index deletion lifecycle at rep× vectors — delete a
     // takedown slice from the saved IVF layout, probe through the mask,
     // compact (applies the tombstones physically), probe again.
