@@ -759,13 +759,32 @@ object Dedup {
   }
 
   /** Restore the full index state: newest generation + every newer delta,
-    * returning (index, last durably folded batch id). */
+    * returning (index, last durably folded batch id). Takedown tombstones
+    * replay INTERLEAVED at their recorded positions under the same rules
+    * as the fingerprint family ([[loadFpIndexWithDeltas]]): one tagged
+    * afterBatch=b applies after delta b folds and before delta b+1, and
+    * tombstones tagged STRICTLY BEFORE the snapshot batch are skipped —
+    * the saved generation already reflects them even when the post-save
+    * prune was lost to a crash. */
   private[graft] def loadIndexWithDeltas(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Option[(NearDupIndex, Long)] =
     loadLatestGen(spark, path).map { case (gen, _, genBatch) =>
       val deltas = indexDeltaBatches(spark, path).filter(_ > genBatch)
-      val idx = deltas.foldLeft(gen) { (acc, b) =>
+      var tombs = ndTombstones(spark, path).filter(_._2 >= genBatch)
+      def applyDue(idx: NearDupIndex, before: Long): NearDupIndex = {
+        val (due, rest) = tombs.partition(_._2 < before)
+        tombs = rest
+        due.foldLeft(idx) { (acc, t) =>
+          val ids = persistSketch(spark.read.parquet(t._3))
+          ids.count()
+          NearDupIndex(acc.docsets.join(ids, Seq("id"), "left_anti"),
+            acc.prefixes.join(ids, Seq("id"), "left_anti"),
+            acc.freq, acc.shingleN, acc.threshold, acc.layers :+ ids)
+        }
+      }
+      val folded = deltas.foldLeft(gen) { (acc, b) =>
+        val withTombs = applyDue(acc, b)
         val sets = persistSketch(
           spark.read.parquet(s"$path/delta/b$b/sets"))
         val prefs = persistSketch(
@@ -773,12 +792,89 @@ object Dedup {
         // Materialize NOW: a later WAL append must never race a lazy read
         // of these files.
         sets.count(); prefs.count()
-        NearDupIndex(acc.docsets.union(sets), acc.prefixes.union(prefs),
-          acc.freq, acc.shingleN, acc.threshold,
-          layers = acc.layers ++ Seq(sets, prefs))
+        NearDupIndex(withTombs.docsets.union(sets),
+          withTombs.prefixes.union(prefs),
+          withTombs.freq, withTombs.shingleN, withTombs.threshold,
+          layers = withTombs.layers ++ Seq(sets, prefs))
       }
-      (idx, deltas.lastOption.getOrElse(genBatch))
+      (applyDue(folded, Long.MaxValue),
+        deltas.lastOption.getOrElse(genBatch))
     }
+
+  /** Remove `docs`' CONTENT from a near-dup index — the takedown path for
+    * the FUZZY family: after a doc is withdrawn, future arrivals that
+    * near-duplicate it must be ADMITTED again, so its shingle sketch has
+    * to leave the candidate index. Content-addressed: an index doc is
+    * removed iff its shingle hash SET equals a withdrawn doc's — the same
+    * identity the dup-collapse pre-pass uses, so withdrawing a content
+    * also lifts the suppression its collapsed copies shared. The `freq`
+    * table is deliberately untouched: probe and index prefixes must rank
+    * shingles under the SAME global order, and rarity drift is the
+    * documented rebuild trigger, not a per-delete adjustment. Functional —
+    * returns (new index, removed-ids frame (`id`), already materialized);
+    * the removed-ids frame is what the durable tombstone leg persists
+    * (ids are stable across restores, content sets are not cheap). */
+  def deleteNearDupContent(index: NearDupIndex, docs: DataFrame,
+      idCol: String, textCol: String): (NearDupIndex, DataFrame) = {
+    val wd = persistSketch(
+      docHashSets(docs, idCol, textCol, index.shingleN)
+        .select(col("hs")).distinct())
+    wd.count()
+    val doomed = persistSketch(
+      index.docsets.join(wd, Seq("hs"), "left_semi").select(col("id")))
+    doomed.count()
+    (removeNearDupIds(index, doomed, materialized = true), doomed)
+  }
+
+  /** Remove already-RESOLVED ids from a near-dup index — the replay leg
+    * of [[deleteNearDupContent]]: a crash-window re-apply must shrink by
+    * the ids recorded at first attempt, not re-resolve by content (which
+    * would also match docs re-admitted since). */
+  private[graft] def removeNearDupIds(index: NearDupIndex, ids: DataFrame,
+      materialized: Boolean = false): NearDupIndex = {
+    val doomed =
+      if (materialized) ids
+      else {
+        val d = persistSketch(ids.select(col("id").cast("long").as("id")))
+        d.count()
+        d
+      }
+    NearDupIndex(index.docsets.join(doomed, Seq("id"), "left_anti"),
+      index.prefixes.join(doomed, Seq("id"), "left_anti"),
+      index.freq, index.shingleN, index.threshold,
+      index.layers :+ doomed)
+  }
+
+  private[graft] def ndTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Long, String)] =
+    tombEntries(spark, path, "ids")
+
+  private[graft] def nextNdTombstoneSeq(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    ndTombstones(spark, path).map(_._1).maxOption.getOrElse(-1L) + 1
+
+  /** Land a near-dup id tombstone at a PRE-ASSIGNED (seq, afterBatch)
+    * position via overwrite ([[writeFpTombstoneAt]] contract for the
+    * fuzzy family — the takedown stream records the assignment AND the
+    * resolved ids in its WAL, so a crash-window replay rewrites the same
+    * tombstone at the same logical position). */
+  private[graft] def writeNdTombstoneAt(path: String, ids: DataFrame,
+      seq: Long, afterBatch: Long): Unit =
+    ids.select(col("id").cast("long").as("id")).coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$path/tomb/t${seq}_b$afterBatch/ids")
+
+  /** Drop nd tombstones with afterBatch ≤ `upTo` — called after a
+    * generation save at that batch ([[clearFpTombstones]] contract). */
+  private[graft] def clearNdTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      upTo: Long): Unit = {
+    val fs = fsFor(spark, path)
+    ndTombstones(spark, path).filter(_._2 <= upTo).foreach { case (_, _, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p).getParent, true)
+    }
+  }
 
   /** The kept-set recorded for `batchId`, if the checkpoint still has it
     * (its delta, or the generation saved at exactly that batch). */
@@ -2270,11 +2366,13 @@ object Dedup {
       .write.mode("overwrite")
       .parquet(s"$path/tomb/t${seq}_b$afterBatch/fps")
 
-  /** Live (committed) tombstones at `path`: (seq, afterBatch, fps path),
-    * sequence order. */
-  private[graft] def fpTombstones(
+  /** Live (committed) tombstones at `path`: (seq, afterBatch, payload
+    * path), sequence order. `leaf` names the payload parquet — "fps" for
+    * the fingerprint family (content fingerprints), "ids" for the
+    * near-dup family (resolved doc ids). */
+  private def tombEntries(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[(Long, Long, String)] = {
+      path: String, leaf: String): Seq[(Long, Long, String)] = {
     val fs = fsFor(spark, path)
     val base = new org.apache.hadoop.fs.Path(s"$path/tomb")
     if (!fs.exists(base)) Nil
@@ -2282,12 +2380,17 @@ object Dedup {
       .map(_.getPath.getName)
       .collect { case n if n.matches("t\\d+_b-?\\d+") =>
         val parts = n.drop(1).split("_b")
-        (parts(0).toLong, parts(1).toLong, s"$path/tomb/$n/fps")
+        (parts(0).toLong, parts(1).toLong, s"$path/tomb/$n/$leaf")
       }
       .filter(t => fs.exists(
         new org.apache.hadoop.fs.Path(s"${t._3}/_SUCCESS")))
       .sortBy(_._1)
   }
+
+  private[graft] def fpTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Long, String)] =
+    tombEntries(spark, path, "fps")
 
   /** Drop tombstones with afterBatch ≤ `upTo` — called after a generation
     * save at that batch: the saved fps were snapshotted from the in-memory

@@ -114,8 +114,34 @@ object NearDupStream {
     def compact(idx: NearDupIndex): NearDupIndex =
       Dedup.compactIndex(idx, releaseOld = false)
     def save(idx: NearDupIndex, path: String, walId: Long,
-        kept: DataFrame): Unit =
+        kept: DataFrame): Unit = {
       Dedup.saveIndex(idx, path, batchId = walId, kept = Some(kept))
+      // The snapshot just saved already reflects every takedown up to
+      // this batch — prune the applied tombstones ([[FpDedupStream]]'s
+      // FpOps.save contract; restore additionally skips stale ones if a
+      // crash lands between the save and this prune).
+      Dedup.clearNdTombstones(idx.docsets.sparkSession, path, upTo = walId)
+    }
+  }
+
+  /** TAKEDOWN: remove `docs`' content sketches from the stream's index,
+    * so future arrivals near-duplicating them are ADMITTED again
+    * ([[FpDedupStream.delete]] contract on the fuzzy family — this
+    * deletes the index's claim, not sunk history). Durable-first when
+    * `checkpointPath` is set: the resolved-id tombstone lands in the
+    * checkpoint BEFORE the in-memory index shrinks, tagged with its
+    * position in the batch sequence so a restart replays it in order.
+    * Call between batches or while the stream is stopped. */
+  def delete(state: IndexState, checkpointPath: Option[String],
+      docs: DataFrame, idCol: String, textCol: String): Unit = {
+    val (next, doomed) =
+      Dedup.deleteNearDupContent(state.index, docs, idCol, textCol)
+    checkpointPath.foreach { p =>
+      val spark = docs.sparkSession
+      Dedup.writeNdTombstoneAt(p, doomed,
+        Dedup.nextNdTombstoneSeq(spark, p), state.lastFoldedBatch)
+    }
+    state.adopt(next)
   }
 
   /** Start the dedup stream: each micro-batch is probed against the

@@ -15,6 +15,10 @@ import graft.operators.{Dedup, Similarity}
   *   - `fp`   — content fingerprint leaves the exact-dedup "seen ever" set
   *              (future identical arrivals are ADMITTED again); the event
   *              carries the content text.
+  *   - `nd`   — the content's shingle sketch leaves the NEAR-dup index
+  *              (future arrivals near-duplicating it are admitted again);
+  *              content-addressed via the text, resolved to index ids at
+  *              WAL time so the replayed tombstone is byte-stable.
   *   - `ivf`  — the id is tombstoned out of every registered IVF serving
   *              index (masked at load, applied physically at the next
   *              compaction).
@@ -50,6 +54,7 @@ object TakedownStream {
     * serve one family alone. */
   final case class Targets(
       fp: Option[(FpDedupStream.IndexState, String)] = None,
+      nd: Option[(NearDupStream.IndexState, String)] = None,
       ivf: Seq[String] = Nil,
       pq: Seq[String] = Nil)
 
@@ -137,22 +142,41 @@ object TakedownStream {
     // WAL leg (first attempt only): events first, then params — the
     // assigned fp tombstone position rides in params so the commit marker
     // covers it. A replay reuses the recorded assignment.
-    val (fpSeq, fpAfter) =
+    val (fpSeq, fpAfter, ndSeq, ndAfter) =
       if (replaying) {
         val p = spark.read.parquet(s"$dir/params").head()
-        (p.getLong(2), p.getLong(3))
+        (p.getAs[Long]("fp_seq"), p.getAs[Long]("fp_after"),
+          p.getAs[Long]("nd_seq"), p.getAs[Long]("nd_after"))
       } else {
         val seq = targets.fp.map(t =>
           Dedup.nextFpTombstoneSeq(spark, t._2)).getOrElse(-1L)
         val after = targets.fp.map(_._1.lastFoldedBatch).getOrElse(-1L)
+        val nseq = targets.nd.map(t =>
+          Dedup.nextNdTombstoneSeq(spark, t._2)).getOrElse(-1L)
+        val nafter = targets.nd.map(_._1.lastFoldedBatch).getOrElse(-1L)
         events.coalesce(1).write.mode("overwrite").parquet(s"$dir/events")
+        // nd takedowns are content-addressed but their tombstone payload
+        // is the RESOLVED index ids — resolved once, here, against the
+        // live index, and recorded so a crash-window replay rewrites
+        // byte-identical tombstones even after the index moved on.
+        targets.nd.foreach { case (state, _) =>
+          val docs = events.where(col("family") === "nd")
+            .select(col("cid").as("doc_id"), col("text"))
+          if (!docs.isEmpty) {
+            val (_, doomed) = Dedup.deleteNearDupContent(
+              state.index, docs, "doc_id", "text")
+            doomed.coalesce(1).write.mode("overwrite")
+              .parquet(s"$dir/nd_ids")
+          }
+        }
         locally {
           import spark.implicits._
-          Seq((fp._1, fp._2, seq, after))
-            .toDF("batch_fp", "batch_n", "fp_seq", "fp_after")
+          Seq((fp._1, fp._2, seq, after, nseq, nafter))
+            .toDF("batch_fp", "batch_n", "fp_seq", "fp_after",
+              "nd_seq", "nd_after")
             .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
         }
-        (seq, after)
+        (seq, after, nseq, nafter)
       }
     // Side effects — each an idempotent keyed overwrite, so this block
     // re-runs safely after a crash anywhere inside it.
@@ -177,6 +201,23 @@ object TakedownStream {
           // In-memory shrink of the live stream state (no second append —
           // the keyed write above is the durable leg).
           FpDedupStream.delete(state, None, docs, "text")
+      }
+    }
+    targets.nd.foreach { case (state, ckpt) =>
+      val docs = recorded.where(col("family") === "nd")
+        .select(col("cid").as("doc_id"), col("text"))
+      if (!docs.isEmpty) {
+        val alreadyDown = fs(spark, ckpt).exists(
+          new org.apache.hadoop.fs.Path(
+            s"$ckpt/tomb/t${ndSeq}_b$ndAfter/ids/_SUCCESS"))
+        Dedup.writeNdTombstoneAt(ckpt,
+          spark.read.parquet(s"$dir/nd_ids"), ndSeq, ndAfter)
+        if (!alreadyDown)
+          // In-memory shrink by the RECORDED ids (not content
+          // re-resolution, which would also match docs re-admitted since
+          // the first attempt); the keyed write above is the durable leg.
+          state.adopt(Dedup.removeNearDupIds(state.index,
+            spark.read.parquet(s"$dir/nd_ids")))
       }
     }
     val ivfIds = recorded.where(col("family") === "ivf").select("cid")

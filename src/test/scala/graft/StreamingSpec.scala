@@ -1411,6 +1411,86 @@ class StreamingSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("takedown stream: near-dup family — withdrawn content stops " +
+      "suppressing variants, replay-stable, restore-parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import graft.streaming.{NearDupStream, TakedownStream}
+
+    def good(id: Long, seed: String): NdDoc =
+      NdDoc(id, (0 until 16).map(k => s"$seed$k").mkString(" "))
+    def variant(id: Long, of: NdDoc): NdDoc =
+      NdDoc(id, of.text.split(" ").dropRight(1).mkString(" ") + " edited")
+    val corpus = Seq(good(1, "alpha"), good(2, "beta"))
+      .toDF("doc_id", "text")
+    val ndDir = java.nio.file.Files.createTempDirectory("tdnd").toString
+    val st = NearDupStream.resume(spark, ndDir, corpus, "doc_id", "text")
+    // Fold one arrival batch so the stream has history + a WAL delta.
+    val in = MemoryStream[NdDoc]
+    val q = NearDupStream.run(in.toDF(), st, "doc_id", "text",
+      compactEvery = 1000, checkpointPath = Some(ndDir)) { _ => () }
+    in.addData(good(10, "gamma")); q.processAllAvailable()
+    q.stop()
+
+    def admits(state: NearDupStream.IndexState, d: NdDoc): Boolean =
+      Dedup.probeNearDups(state.index,
+        Seq(d).toDF("doc_id", "text"), "doc_id", "text").count() == 1
+    // Variants are suppressed by their originals pre-takedown.
+    assert(!admits(st, variant(90, good(1, "alpha"))))
+    assert(!admits(st, variant(91, good(10, "gamma"))))
+
+    val tdDir = java.nio.file.Files.createTempDirectory("tdndwal").toString
+    val td = TakedownStream.resume(spark, tdDir)
+    val targets = TakedownStream.Targets(nd = Some((st, ndDir)))
+    // Withdraw corpus content 1 AND the stream-folded content 10.
+    val ev = Seq(("nd", 1L, good(1, "alpha").text),
+      ("nd", 10L, good(10, "gamma").text)).toDF("family", "cid", "text")
+    assert(TakedownStream.processBatch(td, targets, ev, 0L) == 0L)
+
+    // Their variants are ADMITTED now; unrelated suppression holds.
+    assert(admits(st, variant(90, good(1, "alpha"))))
+    assert(admits(st, variant(91, good(10, "gamma"))))
+    assert(!admits(st, variant(92, good(2, "beta"))))
+
+    // Replay of the applied batch: skip, no duplicate tombstone.
+    val n = Dedup.ndTombstones(spark, ndDir).size
+    assert(TakedownStream.processBatch(td, targets, ev, 0L) == 0L)
+    assert(Dedup.ndTombstones(spark, ndDir).size == n)
+
+    // Restore parity: a fresh resume replays the tombstone at its
+    // recorded position — same verdicts as the live state.
+    val st2 = NearDupStream.resume(spark, ndDir, corpus.limit(0),
+      "doc_id", "text")
+    assert(admits(st2, variant(90, good(1, "alpha"))))
+    assert(admits(st2, variant(91, good(10, "gamma"))))
+    assert(!admits(st2, variant(92, good(2, "beta"))))
+
+    // Crash-window re-apply (applied marker lost): the keyed overwrite
+    // rewrites the SAME tombstone; a later batch that re-admits similar
+    // content is unaffected.
+    val in2 = MemoryStream[NdDoc]
+    val q2 = NearDupStream.run(in2.toDF(), st2, "doc_id", "text",
+      compactEvery = 1000, checkpointPath = Some(ndDir)) { _ => () }
+    in2.addData(good(20, "alpha")); q2.processAllAvailable()
+    q2.stop()
+    assert(!admits(st2, variant(93, good(20, "alpha"))),
+      "re-admitted content suppresses again")
+    val marker = new org.apache.hadoop.fs.Path(s"$tdDir/b0/applied")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, true)
+    val targets2 = TakedownStream.Targets(nd = Some((st2, ndDir)))
+    assert(TakedownStream.processBatch(td, targets2, ev, 0L) == 0L)
+    assert(Dedup.ndTombstones(spark, ndDir).size == n,
+      "re-apply rewrites the same tombstone, not a new one")
+    assert(!admits(st2, variant(93, good(20, "alpha"))),
+      "re-apply must not delete content a later batch re-admitted")
+    // Compaction save prunes the applied tombstone; the saved generation
+    // already reflects it.
+    Dedup.releaseSketchCaches()
+  }
+
   test("fp takedown tombstones: a crash between the generation save and " +
       "the tombstone prune must not re-delete re-admitted content on " +
       "restore") {
