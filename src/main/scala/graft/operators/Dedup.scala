@@ -1762,16 +1762,62 @@ object Dedup {
       path: String): Option[(SemIndex, Long)] =
     loadLatestSemGen(spark, path).map { case (gen, genBatch) =>
       val deltas = indexDeltaBatches(spark, path).filter(_ > genBatch)
+      // Id takedown tombstones replay interleaved at recorded positions,
+      // stale ones (before the snapshot) skipped — the
+      // [[loadFpIndexWithDeltas]] rules on the embedding family.
+      var tombs = semTombstones(spark, path).filter(_._2 >= genBatch)
+      def applyDue(idx: SemIndex, before: Long): SemIndex = {
+        val (due, rest) = tombs.partition(_._2 < before)
+        tombs = rest
+        due.foldLeft(idx) { (acc, t) =>
+          val ids = persistSketch(spark.read.parquet(t._3))
+          ids.count()
+          acc.copy(assigned = acc.assigned.join(ids, Seq("id"), "left_anti"),
+            layers = acc.layers :+ ids)
+        }
+      }
       val idx = deltas.foldLeft(gen) { (acc, b) =>
+        val withTombs = applyDue(acc, b)
         val vecs = persistSketch(
           spark.read.parquet(s"$path/delta/b$b/vecs"))
         // Materialize NOW: a later WAL append must never race a lazy read.
         vecs.count()
-        acc.copy(assigned = acc.assigned.unionByName(vecs),
-          layers = acc.layers :+ vecs)
+        withTombs.copy(
+          assigned = withTombs.assigned.unionByName(vecs),
+          layers = withTombs.layers :+ vecs)
       }
-      (idx, deltas.lastOption.getOrElse(genBatch))
+      (applyDue(idx, Long.MaxValue), deltas.lastOption.getOrElse(genBatch))
     }
+
+  /** Remove already-resolved ids from a semantic index — the embedding
+    * family's takedown ([[removeNearDupIds]] contract): the withdrawn
+    * vectors leave the candidate lists, so future arrivals semantically
+    * duplicating them are ADMITTED again. The frozen quantizer is
+    * untouched (faiss remove_ids semantics — deletes shrink lists, never
+    * retrain). */
+  private[graft] def removeSemIds(index: SemIndex, ids: DataFrame): SemIndex = {
+    val doomed = persistSketch(ids.select(col("id").cast("long").as("id")))
+    doomed.count()
+    index.copy(assigned = index.assigned.join(doomed, Seq("id"), "left_anti"),
+      layers = index.layers :+ doomed)
+  }
+
+  // The semantic family's id tombstones share the nd family's layout and
+  // payload (a one-column `id` parquet under tomb/t<seq>_b<after>/ids) —
+  // different checkpoint roots keep them apart; these aliases keep call
+  // sites self-describing.
+  private[graft] def semTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Long, String)] = ndTombstones(spark, path)
+  private[graft] def nextSemTombstoneSeq(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    nextNdTombstoneSeq(spark, path)
+  private[graft] def writeSemTombstoneAt(path: String, ids: DataFrame,
+      seq: Long, afterBatch: Long): Unit =
+    writeNdTombstoneAt(path, ids, seq, afterBatch)
+  private[graft] def clearSemTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      upTo: Long): Unit = clearNdTombstones(spark, path, upTo)
 
   /** Flatten a [[SemIndex]]'s accumulated union lineage into one resident
     * frame ([[compactIndex]] contract: `releaseOld = false` leaves the

@@ -183,6 +183,16 @@ object ExportPipeline {
     * which batch id). The gate runs with the thresholds persisted at
     * bootstrap ([[Handles.minTokens]]/[[Handles.minDistinctRatio]]) — not
     * caller-supplied, so it cannot diverge from the corpus curation. */
+  /** The pipeline's own dedup indexes as [[TakedownStream.Targets]] — the
+    * GDPR composition: a takedown feed pointed here withdraws content
+    * from BOTH the exact and the fuzzy gate, so a future re-post of
+    * withdrawn content (or a near-variant of it) re-enters the export.
+    * Apply between batches ([[FpDedupStream.delete]] contract). */
+  def takedownTargets(handles: Handles): TakedownStream.Targets =
+    TakedownStream.Targets(
+      fp = Some((handles.dedup, handles.fpCheckpoint)),
+      nd = Some((handles.near, handles.ndCheckpoint)))
+
   def run(
       docs: DataFrame,
       handles: Handles,

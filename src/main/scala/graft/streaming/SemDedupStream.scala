@@ -82,8 +82,35 @@ object SemDedupStream {
     def compact(idx: SemIndex): SemIndex =
       Dedup.compactSemIndex(idx, releaseOld = false)
     def save(idx: SemIndex, path: String, walId: Long,
-        kept: DataFrame): Unit =
+        kept: DataFrame): Unit = {
       Dedup.saveSemIndex(idx, path, batchId = walId, kept = Some(kept))
+      // Snapshot reflects every takedown up to this batch; prune applied
+      // tombstones ([[FpDedupStream]]'s FpOps.save contract — restore
+      // additionally skips stale ones if a crash lands between the save
+      // and this prune).
+      Dedup.clearSemTombstones(idx.assigned.sparkSession, path,
+        upTo = walId)
+    }
+  }
+
+  /** TAKEDOWN: remove ids' vectors from the stream's index, so future
+    * arrivals semantically duplicating them are ADMITTED again
+    * ([[FpDedupStream.delete]] contract on the embedding family — the
+    * frozen quantizer is untouched, faiss remove_ids semantics).
+    * Durable-first when `checkpointPath` is set: the id tombstone lands
+    * in the checkpoint BEFORE the in-memory index shrinks, tagged with
+    * its position in the batch sequence. Call between batches or while
+    * the stream is stopped. */
+  def delete(state: IndexState, checkpointPath: Option[String],
+      ids: DataFrame, idCol: String): Unit = {
+    val doomed = ids.select(
+      org.apache.spark.sql.functions.col(idCol).cast("long").as("id"))
+    checkpointPath.foreach { p =>
+      val spark = ids.sparkSession
+      Dedup.writeSemTombstoneAt(p, doomed,
+        Dedup.nextSemTombstoneSeq(spark, p), state.lastFoldedBatch)
+    }
+    state.adopt(Dedup.removeSemIds(state.index, doomed))
   }
 
   /** Start the semantic-dedup stream: kept (semantically novel) rows go to

@@ -19,6 +19,9 @@ import graft.operators.{Dedup, Similarity}
   *              (future arrivals near-duplicating it are admitted again);
   *              content-addressed via the text, resolved to index ids at
   *              WAL time so the replayed tombstone is byte-stable.
+  *   - `sem`  — the id's vector leaves the semantic-dedup index (future
+  *              arrivals semantically duplicating it are admitted again;
+  *              the frozen quantizer is untouched).
   *   - `ivf`  — the id is tombstoned out of every registered IVF serving
   *              index (masked at load, applied physically at the next
   *              compaction).
@@ -55,6 +58,7 @@ object TakedownStream {
   final case class Targets(
       fp: Option[(FpDedupStream.IndexState, String)] = None,
       nd: Option[(NearDupStream.IndexState, String)] = None,
+      sem: Option[(SemDedupStream.IndexState, String)] = None,
       ivf: Seq[String] = Nil,
       pq: Seq[String] = Nil)
 
@@ -98,8 +102,11 @@ object TakedownStream {
   }
 
   /** One takedown micro-batch, runnable standalone for backfill and
-    * specs. `batch` columns: family string ("fp"/"ivf"/"pq"), cid long
-    * (the id, ignored for fp), text string (the content, fp only).
+    * specs. `batch` columns: family string ("fp"/"nd"/"sem"/"ivf"/"pq"),
+    * cid long (the id; resolved from content for fp/nd), text string
+    * (the content; fp/nd only). Events for a family with no registered target
+    * are warned about and skipped — they do NOT fail the batch (the feed
+    * may fan out to several takedown streams, each owning a subset).
     * Returns the effective batch id. `afterApply` is the test seam inside
     * the crash window (tombstones landed, applied marker not yet). */
   def processBatch(
@@ -142,11 +149,12 @@ object TakedownStream {
     // WAL leg (first attempt only): events first, then params — the
     // assigned fp tombstone position rides in params so the commit marker
     // covers it. A replay reuses the recorded assignment.
-    val (fpSeq, fpAfter, ndSeq, ndAfter) =
+    val (fpSeq, fpAfter, ndSeq, ndAfter, semSeq, semAfter) =
       if (replaying) {
         val p = spark.read.parquet(s"$dir/params").head()
         (p.getAs[Long]("fp_seq"), p.getAs[Long]("fp_after"),
-          p.getAs[Long]("nd_seq"), p.getAs[Long]("nd_after"))
+          p.getAs[Long]("nd_seq"), p.getAs[Long]("nd_after"),
+          p.getAs[Long]("sem_seq"), p.getAs[Long]("sem_after"))
       } else {
         val seq = targets.fp.map(t =>
           Dedup.nextFpTombstoneSeq(spark, t._2)).getOrElse(-1L)
@@ -154,6 +162,9 @@ object TakedownStream {
         val nseq = targets.nd.map(t =>
           Dedup.nextNdTombstoneSeq(spark, t._2)).getOrElse(-1L)
         val nafter = targets.nd.map(_._1.lastFoldedBatch).getOrElse(-1L)
+        val sseq = targets.sem.map(t =>
+          Dedup.nextSemTombstoneSeq(spark, t._2)).getOrElse(-1L)
+        val safter = targets.sem.map(_._1.lastFoldedBatch).getOrElse(-1L)
         events.coalesce(1).write.mode("overwrite").parquet(s"$dir/events")
         // nd takedowns are content-addressed but their tombstone payload
         // is the RESOLVED index ids — resolved once, here, against the
@@ -171,16 +182,31 @@ object TakedownStream {
         }
         locally {
           import spark.implicits._
-          Seq((fp._1, fp._2, seq, after, nseq, nafter))
+          Seq((fp._1, fp._2, seq, after, nseq, nafter, sseq, safter))
             .toDF("batch_fp", "batch_n", "fp_seq", "fp_after",
-              "nd_seq", "nd_after")
+              "nd_seq", "nd_after", "sem_seq", "sem_after")
             .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
         }
-        (seq, after, nseq, nafter)
+        (seq, after, nseq, nafter, sseq, safter)
       }
     // Side effects — each an idempotent keyed overwrite, so this block
     // re-runs safely after a crash anywhere inside it.
     val recorded = spark.read.parquet(s"$dir/events")
+    locally {
+      val unrouted = Seq(
+        "fp" -> targets.fp.isEmpty, "nd" -> targets.nd.isEmpty,
+        "sem" -> targets.sem.isEmpty,
+        "ivf" -> targets.ivf.isEmpty, "pq" -> targets.pq.isEmpty)
+        .collect { case (fam, true) => fam }
+      if (unrouted.nonEmpty) {
+        val present = recorded.where(col("family").isin(unrouted: _*))
+          .groupBy("family").count().collect()
+        present.foreach(r => org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"TakedownStream: batch $effectiveId has ${r.getLong(1)} " +
+            s"'${r.getString(0)}' events but no ${r.getString(0)} target " +
+            "is registered — skipped (another stream may own that family)."))
+      }
+    }
     targets.fp.foreach { case (state, ckpt) =>
       val docs = recorded.where(col("family") === "fp")
         .select(col("cid").as("doc_id"), col("text"))
@@ -218,6 +244,18 @@ object TakedownStream {
           // the first attempt); the keyed write above is the durable leg.
           state.adopt(Dedup.removeNearDupIds(state.index,
             spark.read.parquet(s"$dir/nd_ids")))
+      }
+    }
+    targets.sem.foreach { case (state, ckpt) =>
+      val ids = recorded.where(col("family") === "sem")
+        .select(col("cid").as("id"))
+      if (!ids.isEmpty) {
+        val alreadyDown = fs(spark, ckpt).exists(
+          new org.apache.hadoop.fs.Path(
+            s"$ckpt/tomb/t${semSeq}_b$semAfter/ids/_SUCCESS"))
+        Dedup.writeSemTombstoneAt(ckpt, ids, semSeq, semAfter)
+        if (!alreadyDown)
+          state.adopt(Dedup.removeSemIds(state.index, ids))
       }
     }
     val ivfIds = recorded.where(col("family") === "ivf").select("cid")

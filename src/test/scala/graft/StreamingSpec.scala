@@ -1491,6 +1491,78 @@ class StreamingSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("takedown stream: semantic family — withdrawn vectors stop " +
+      "suppressing, replay-stable, restore-parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.{SemDedupStream, TakedownStream}
+
+    // Orthogonal corpus directions, eps 0.9 (the SemDedupStream fixture
+    // contract: only near-parallel vectors dedup).
+    val corpus = Seq(SemDoc(1, Seq(1, 0, 0, 0)), SemDoc(2, Seq(0, 1, 0, 0)))
+      .toDF("doc_id", "embedding")
+    val semDir = java.nio.file.Files.createTempDirectory("tdsem").toString
+    val st = SemDedupStream.resume(spark, semDir, corpus, "doc_id",
+      "embedding", eps = 0.9)
+    val in = MemoryStream[SemDoc]
+    val q = SemDedupStream.run(in.toDF(), st, "doc_id", "embedding",
+      compactEvery = 1000, checkpointPath = Some(semDir)) { _ => () }
+    in.addData(SemDoc(10, Seq(0, 0, 1, 0))); q.processAllAvailable()
+    q.stop()
+
+    def admits(state: SemDedupStream.IndexState, d: SemDoc): Boolean =
+      Dedup.probeAndExtendSemParts(state.index,
+        Seq(d).toDF("doc_id", "embedding"), "doc_id", "embedding")
+        ._1.count() == 1
+    // Near-parallel probes are suppressed pre-takedown.
+    assert(!admits(st, SemDoc(90, Seq(1, 0.1, 0, 0))))   // ~ corpus 1
+    assert(!admits(st, SemDoc(91, Seq(0, 0, 1, 0.1))))   // ~ folded 10
+
+    val tdDir = java.nio.file.Files.createTempDirectory("tdsemwal").toString
+    val td = TakedownStream.resume(spark, tdDir)
+    val targets = TakedownStream.Targets(sem = Some((st, semDir)))
+    val ev = Seq(("sem", 1L, null: String), ("sem", 10L, null: String))
+      .toDF("family", "cid", "text")
+    assert(TakedownStream.processBatch(td, targets, ev, 0L) == 0L)
+
+    // Withdrawn directions admit again; unrelated suppression holds.
+    assert(admits(st, SemDoc(90, Seq(1, 0.1, 0, 0))))
+    assert(admits(st, SemDoc(91, Seq(0, 0, 1, 0.1))))
+    assert(!admits(st, SemDoc(92, Seq(0, 1, 0.1, 0))))   // ~ corpus 2
+
+    // Replay of the applied batch: skip, no duplicate tombstone.
+    val n = Dedup.semTombstones(spark, semDir).size
+    assert(TakedownStream.processBatch(td, targets, ev, 0L) == 0L)
+    assert(Dedup.semTombstones(spark, semDir).size == n)
+
+    // Restore parity: the tombstone replays at its recorded position.
+    val st2 = SemDedupStream.resume(spark, semDir, corpus.limit(0),
+      "doc_id", "embedding")
+    assert(admits(st2, SemDoc(90, Seq(1, 0.1, 0, 0))))
+    assert(!admits(st2, SemDoc(92, Seq(0, 1, 0.1, 0))))
+
+    // Crash-window re-apply after the direction was RE-ADMITTED by a
+    // later batch: the recorded-id tombstone cannot touch the new vector.
+    val in2 = MemoryStream[SemDoc]
+    val q2 = SemDedupStream.run(in2.toDF(), st2, "doc_id", "embedding",
+      compactEvery = 1000, checkpointPath = Some(semDir)) { _ => () }
+    in2.addData(SemDoc(20, Seq(1, 0.05, 0, 0))); q2.processAllAvailable()
+    q2.stop()
+    assert(!admits(st2, SemDoc(93, Seq(1, 0.1, 0, 0))),
+      "re-admitted direction suppresses again")
+    val marker = new org.apache.hadoop.fs.Path(s"$tdDir/b0/applied")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, true)
+    assert(TakedownStream.processBatch(td,
+      TakedownStream.Targets(sem = Some((st2, semDir))), ev, 0L) == 0L)
+    assert(Dedup.semTombstones(spark, semDir).size == n,
+      "re-apply rewrites the same tombstone, not a new one")
+    assert(!admits(st2, SemDoc(93, Seq(1, 0.1, 0, 0))),
+      "re-apply must not delete a vector a later batch re-admitted")
+    Dedup.releaseSketchCaches()
+  }
+
   test("fp takedown tombstones: a crash between the generation save and " +
       "the tombstone prune must not re-delete re-admitted content on " +
       "restore") {
