@@ -531,6 +531,48 @@ object ScaleProbe {
       }
       q.stop()
     }
+    // Round-9: arrival-time takedown at rep× — fp + nd indexes bootstrap
+    // from the replicated corpus (content-sized after collapse), then one
+    // takedown batch withdraws 100 contents across BOTH families. The
+    // interesting costs: the nd content→id resolution (an hs-equality
+    // semi join against the docsets) and the keyed tombstone writes —
+    // both takedown-sized, never index-rewrites.
+    if (wanted("takedown")) {
+      import graft.streaming.{FpDedupStream, NearDupStream, TakedownStream}
+      val root = java.nio.file.Files.createTempDirectory("sp_td").toString
+      var t0 = System.nanoTime()
+      val fpState = FpDedupStream.resume(spark, s"$root/fp", docs,
+        "doc_id", "text")
+      println(f"[scale] takedown fp bootstrap (${rep}x corpus) " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+      val ndState = NearDupStream.resume(spark, s"$root/nd", docs,
+        "doc_id", "text")
+      println(f"[scale] takedown nd bootstrap (${rep}x corpus) " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val td = TakedownStream.resume(spark, s"$root/td")
+      val targets = TakedownStream.Targets(
+        fp = Some((fpState, s"$root/fp")), nd = Some((ndState, s"$root/nd")))
+      val doomed = docs.where(col("doc_id") < 100)
+      val ev = doomed.select(lit("fp").as("family"),
+          col("doc_id").as("cid"), col("text"))
+        .unionByName(doomed.select(lit("nd").as("family"),
+          col("doc_id").as("cid"), col("text")))
+      t0 = System.nanoTime()
+      TakedownStream.processBatch(td, targets, ev, 0L)
+      println(f"[scale] takedown batch (100 contents x 2 families) " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // Post-takedown probe cost is unchanged (masks are index-side
+      // anti joins of takedown-sized frames).
+      t0 = System.nanoTime()
+      graft.operators.Dedup.probeNovelExact(fpState.index,
+          docs.where(col("doc_id") >= 100 && col("doc_id") < 5100)
+            .select((col("doc_id") + 900000000L).as("doc_id"), col("text")),
+          "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+      println(f"[scale] takedown post-delete fp probe (5k echoes) " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     // Round-8: serving-index deletion lifecycle at rep× vectors — delete a
     // takedown slice from the saved IVF layout, probe through the mask,
     // compact (applies the tombstones physically), probe again.
