@@ -845,6 +845,18 @@ object Dedup {
       index.layers :+ doomed)
   }
 
+  /** Resolve `docs`' contents to near-dup index ids — the WAL-time leg of
+    * a streaming takedown ([[deleteNearDupContent]]'s matching rule,
+    * WITHOUT the persisted sketch layers: the caller writes the result
+    * straight to its log and forgets it, so persisting here would leak one
+    * cached frame per takedown batch over the stream's lifetime). */
+  private[graft] def resolveNearDupIds(index: NearDupIndex, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    index.docsets.join(
+      docHashSets(docs, idCol, textCol, index.shingleN)
+        .select(col("hs")).distinct(),
+      Seq("hs"), "left_semi").select(col("id"))
+
   private[graft] def ndTombstones(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[(Long, Long, String)] =

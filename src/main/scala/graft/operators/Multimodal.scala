@@ -72,12 +72,15 @@ object Multimodal {
             else {
               val small = new java.awt.image.BufferedImage(w2, h2,
                 java.awt.image.BufferedImage.TYPE_INT_RGB)
-              val area = factor * factor
+              // Long accumulators: 255 * factor^2 overflows Int past
+              // factor ~2900, and a wrapped sum would emit plausible
+              // garbage pixels rather than fail.
+              val area = factor.toLong * factor
               var yy = 0
               while (yy < h2) {
                 var xx = 0
                 while (xx < w2) {
-                  var (ar, ag, ab) = (0, 0, 0)
+                  var (ar, ag, ab) = (0L, 0L, 0L)
                   var dy = 0
                   while (dy < factor) {
                     var dx = 0
@@ -91,7 +94,8 @@ object Multimodal {
                     dy += 1
                   }
                   small.setRGB(xx, yy,
-                    ((ar / area) << 16) | ((ag / area) << 8) | (ab / area))
+                    (((ar / area) << 16) | ((ag / area) << 8) |
+                      (ab / area)).toInt)
                   xx += 1
                 }
                 yy += 1
@@ -394,8 +398,7 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
-  /** REAL decode → feature-extract — the production body of the
-    * [[decodeFeaturesStub]] slot: decode each payload image
+  /** REAL decode → feature-extract: decode each payload image
     * (partition-hoisted readers, same as [[decodeImageBatched]]) and emit
     * an 8-dim integer feature vector
     * (width, height, sum_r, sum_g, sum_b, max_r, max_g, max_b).

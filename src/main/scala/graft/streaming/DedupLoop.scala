@@ -40,6 +40,14 @@ object DedupLoop {
       current = next
       if (walId > folded) folded = walId
     }
+    /** Serialize a read-compute-adopt section against every other writer
+      * of this state. The dedup loop holds it across a whole batch fold;
+      * a concurrent TAKEDOWN (an independent [[TakedownStream]] query
+      * mutating the same live state) holds it across its shrink —
+      * without it, fold and shrink race adopt() and one mutation is
+      * silently discarded. Reentrant (a takedown's delete inside its own
+      * section is fine); readers of [[index]] stay lock-free. */
+    private[streaming] def withExclusive[T](f: => T): T = synchronized(f)
   }
 
   /** Index-specific operations the loop composes. The checkpoint-layout
@@ -118,7 +126,6 @@ object DedupLoop {
   def run[I](
       docs: DataFrame,
       state: IndexState[I],
-      idCol: String,
       ops: Ops[I],
       compactEvery: Long,
       checkpointPath: Option[String],
@@ -154,7 +161,11 @@ object DedupLoop {
     private var idOffset = -1L
 
     def processBatch(batch: DataFrame, batchId: Long)(
-        sink: (DataFrame, Long) => Unit): Unit = {
+        sink: (DataFrame, Long) => Unit): Unit =
+      // The whole fold is one read-compute-adopt section: a concurrent
+      // takedown on the same live state must not interleave between the
+      // index read and the adopt ([[IndexState.withExclusive]]).
+      state.withExclusive {
         val spark = batch.sparkSession
         // Scan for the replay's WAL record from the batch's EFFECTIVE id:
         // the raw engine id on a fresh restart (idOffset unset), the

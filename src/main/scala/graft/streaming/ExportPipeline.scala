@@ -121,7 +121,21 @@ object ExportPipeline {
             "values (or the defaults they equal) rather than silently " +
             "re-gating the stream at a different bar.")
         stored
-      } else (minTokens, minDistinctRatio)
+      } else {
+        // Gate params commit FIRST, before any stage bootstraps: a crash
+        // after a stage's generation committed but before the thresholds
+        // were recorded would let a restart with different caller values
+        // silently curate the remaining stages at a different bar than
+        // the committed one — the exact divergence this persistence
+        // exists to reject. Committed-params-but-no-stages after a crash
+        // here just means the next resume adopts (or explicitly rejects)
+        // these values before building anything.
+        import spark.implicits._
+        Seq((minTokens, minDistinctRatio))
+          .toDF("min_tokens", "min_distinct_ratio")
+          .coalesce(1).write.mode("overwrite").parquet(gateDir)
+        (minTokens, minDistinctRatio)
+      }
     // Materialize the curated corpus once if ANY stage needs to
     // bootstrap — all consume it, and recomputing the gate + dedup per
     // stage would multiply the corpus scan.
@@ -162,19 +176,22 @@ object ExportPipeline {
           nShards, nMerges, window)
       } else PackStream.resume(spark, s"$path/pack", corpus.limit(0),
         idCol, textCol)
-    // Gate params commit LAST: a bootstrap that dies mid-way re-runs
-    // whole (each stage's own marker governs its reuse), and once this
-    // marker exists every future resume adopts exactly these values.
-    if (!gateCommitted) {
-      import spark.implicits._
-      Seq((gMinTokens, gMinDistinct))
-        .toDF("min_tokens", "min_distinct_ratio")
-        .coalesce(1).write.mode("overwrite").parquet(gateDir)
-    }
     if (usedCurated) curated.unpersist(false)
     new Handles(dedup, near, pack, s"$path/fp", s"$path/nd",
       gMinTokens, gMinDistinct)
   }
+
+  /** The pipeline's own dedup indexes as [[TakedownStream.Targets]] — the
+    * GDPR composition: a takedown feed pointed here withdraws content
+    * from BOTH the exact and the fuzzy gate, so a future re-post of
+    * withdrawn content (or a near-variant of it) re-enters the export.
+    * Safe alongside the RUNNING pipeline: every per-batch mutation of an
+    * index state is serialized through the state's own exclusive section
+    * ([[DedupLoop.IndexState.withExclusive]]). */
+  def takedownTargets(handles: Handles): TakedownStream.Targets =
+    TakedownStream.Targets(
+      fp = Some((handles.dedup, handles.fpCheckpoint)),
+      nd = Some((handles.near, handles.ndCheckpoint)))
 
   /** Start the pipeline: gated, exact-novel, NEAR-novel docs pack into
     * `outPath/b<id>/` shards; everything else drops. `keptSink`, when
@@ -183,16 +200,6 @@ object ExportPipeline {
     * which batch id). The gate runs with the thresholds persisted at
     * bootstrap ([[Handles.minTokens]]/[[Handles.minDistinctRatio]]) — not
     * caller-supplied, so it cannot diverge from the corpus curation. */
-  /** The pipeline's own dedup indexes as [[TakedownStream.Targets]] — the
-    * GDPR composition: a takedown feed pointed here withdraws content
-    * from BOTH the exact and the fuzzy gate, so a future re-post of
-    * withdrawn content (or a near-variant of it) re-enters the export.
-    * Apply between batches ([[FpDedupStream.delete]] contract). */
-  def takedownTargets(handles: Handles): TakedownStream.Targets =
-    TakedownStream.Targets(
-      fp = Some((handles.dedup, handles.fpCheckpoint)),
-      nd = Some((handles.near, handles.ndCheckpoint)))
-
   def run(
       docs: DataFrame,
       handles: Handles,

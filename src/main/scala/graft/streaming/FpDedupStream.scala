@@ -96,8 +96,10 @@ object FpDedupStream {
     * ([[DedupLoop.IndexState]]). */
   def delete(state: IndexState, checkpointPath: Option[String],
       docs: DataFrame, textCol: String): Unit =
-    state.adopt(Dedup.deleteFpContentLogged(state.index, docs, textCol,
-      checkpointPath, state.lastFoldedBatch))
+    state.withExclusive {
+      state.adopt(Dedup.deleteFpContentLogged(state.index, docs, textCol,
+        checkpointPath, state.lastFoldedBatch))
+    }
 
   /** Start the exact-dedup stream: kept (novel-content, first-in-batch)
     * rows go to `sink`; kept FINGERPRINTS fold into the index (sufficient:
@@ -132,6 +134,6 @@ object FpDedupStream {
       checkpointPath: Option[String] = None,
       queryCheckpointLocation: Option[String] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
-    DedupLoop.run(docs, state, idCol, new FpOps(idCol, textCol),
+    DedupLoop.run(docs, state, new FpOps(idCol, textCol),
       compactEvery, checkpointPath, queryCheckpointLocation)(sink)
 }

@@ -133,16 +133,17 @@ object NearDupStream {
     * position in the batch sequence so a restart replays it in order.
     * Call between batches or while the stream is stopped. */
   def delete(state: IndexState, checkpointPath: Option[String],
-      docs: DataFrame, idCol: String, textCol: String): Unit = {
-    val (next, doomed) =
-      Dedup.deleteNearDupContent(state.index, docs, idCol, textCol)
-    checkpointPath.foreach { p =>
-      val spark = docs.sparkSession
-      Dedup.writeNdTombstoneAt(p, doomed,
-        Dedup.nextNdTombstoneSeq(spark, p), state.lastFoldedBatch)
+      docs: DataFrame, idCol: String, textCol: String): Unit =
+    state.withExclusive {
+      val (next, doomed) =
+        Dedup.deleteNearDupContent(state.index, docs, idCol, textCol)
+      checkpointPath.foreach { p =>
+        val spark = docs.sparkSession
+        Dedup.writeNdTombstoneAt(p, doomed,
+          Dedup.nextNdTombstoneSeq(spark, p), state.lastFoldedBatch)
+      }
+      state.adopt(next)
     }
-    state.adopt(next)
-  }
 
   /** Start the dedup stream: each micro-batch is probed against the
     * current index, the kept (novel) rows are handed to `sink`, and the
@@ -205,6 +206,6 @@ object NearDupStream {
       checkpointPath: Option[String] = None,
       queryCheckpointLocation: Option[String] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
-    DedupLoop.run(docs, state, idCol, new NdOps(idCol, textCol),
+    DedupLoop.run(docs, state, new NdOps(idCol, textCol),
       compactEvery, checkpointPath, queryCheckpointLocation)(sink)
 }

@@ -102,16 +102,17 @@ object SemDedupStream {
     * its position in the batch sequence. Call between batches or while
     * the stream is stopped. */
   def delete(state: IndexState, checkpointPath: Option[String],
-      ids: DataFrame, idCol: String): Unit = {
-    val doomed = ids.select(
-      org.apache.spark.sql.functions.col(idCol).cast("long").as("id"))
-    checkpointPath.foreach { p =>
-      val spark = ids.sparkSession
-      Dedup.writeSemTombstoneAt(p, doomed,
-        Dedup.nextSemTombstoneSeq(spark, p), state.lastFoldedBatch)
+      ids: DataFrame, idCol: String): Unit =
+    state.withExclusive {
+      val doomed = ids.select(
+        org.apache.spark.sql.functions.col(idCol).cast("long").as("id"))
+      checkpointPath.foreach { p =>
+        val spark = ids.sparkSession
+        Dedup.writeSemTombstoneAt(p, doomed,
+          Dedup.nextSemTombstoneSeq(spark, p), state.lastFoldedBatch)
+      }
+      state.adopt(Dedup.removeSemIds(state.index, doomed))
     }
-    state.adopt(Dedup.removeSemIds(state.index, doomed))
-  }
 
   /** Start the semantic-dedup stream: kept (semantically novel) rows go to
     * `sink`; the FULL batch's vectors fold into the index. Durability when
@@ -147,6 +148,6 @@ object SemDedupStream {
       checkpointPath: Option[String] = None,
       queryCheckpointLocation: Option[String] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
-    DedupLoop.run(docs, state, idCol, new SemOps(idCol, vecCol),
+    DedupLoop.run(docs, state, new SemOps(idCol, vecCol),
       compactEvery, checkpointPath, queryCheckpointLocation)(sink)
 }

@@ -99,7 +99,7 @@ object SubstringStream {
       checkpointPath: Option[String] = None,
       queryCheckpointLocation: Option[String] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
-    DedupLoop.run(docs, state, idCol,
+    DedupLoop.run(docs, state,
       new SsOps(idCol, textCol, minOccurrences, maxDupRatio),
       compactEvery, checkpointPath, queryCheckpointLocation)(sink)
 }

@@ -93,12 +93,27 @@ object TakedownStream {
     new Handle(path)
   }
 
-  /** Order-independent replay fingerprint over (family, cid, text). */
+  /** Order-independent replay fingerprint over (family, cid, text) —
+    * the cheap pre-filter; [[sameEvents]] is the exact check. */
   private def fingerprint(batch: DataFrame): (Long, Long) = {
     val r = batch.select(xxhash64(col("family"),
         col("cid").cast("string"), coalesce(col("text"), lit(""))).as("h"))
       .agg(coalesce(expr("bit_xor(h)"), lit(0L)), count(lit(1))).head()
     (r.getLong(0), r.getLong(1))
+  }
+
+  /** Exact multiset equality of two event frames. The XOR fingerprint
+    * alone can collide (a repeated event XORs itself away, so
+    * {X,X,Y} and {Y,Z,Z} share (h(Y), 3) — and takedown feeds naturally
+    * carry duplicate reports); a misclassified "replay" here silently
+    * DROPS deletions, so the replay decision uses the recorded events
+    * themselves, counted. */
+  private def sameEvents(a: DataFrame, b: DataFrame): Boolean = {
+    def canon(df: DataFrame): DataFrame =
+      df.groupBy("family", "cid", "text").agg(count(lit(1)).as("cnt"))
+    val ca = canon(a)
+    val cb = canon(b)
+    ca.count() == cb.count() && ca.except(cb).limit(1).collect().isEmpty
   }
 
   /** One takedown micro-batch, runnable standalone for backfill and
@@ -124,17 +139,26 @@ object TakedownStream {
     val hwm = committed.maxOption.getOrElse(-1L)
     def isReplay(b: Long): Boolean = committed.contains(b) && {
       val p = spark.read.parquet(s"${bDir(handle.path, b)}/params").head()
-      (p.getLong(0), p.getLong(1)) == fp
+      // Fingerprint pre-filter, then the exact recorded-event comparison.
+      (p.getLong(0), p.getLong(1)) == fp &&
+        sameEvents(events,
+          spark.read.parquet(s"${bDir(handle.path, b)}/events"))
     }
+    // Replay recognition scans committed batches UPWARD from the raw
+    // engine id (the DedupLoop.findMatchingDelta rule): a batch a prior
+    // run REBASED is recorded under a higher id, and re-applying it at
+    // yet another position would land the same deletions twice — the
+    // double-apply this stream exists to prevent.
     val effectiveId =
       if (engineBatchId > hwm) engineBatchId
-      else if (isReplay(engineBatchId)) engineBatchId
-      else {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"TakedownStream: batch $engineBatchId reuses a committed id " +
-            "with different events — rebasing above the high-water mark " +
-            "(pass queryCheckpointLocation to avoid this).")
-        hwm + 1
+      else committed.filter(_ >= engineBatchId).find(isReplay) match {
+        case Some(b) => b
+        case None =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"TakedownStream: batch $engineBatchId reuses a committed id " +
+              "with different events — rebasing above the high-water mark " +
+              "(pass queryCheckpointLocation to avoid this).")
+          hwm + 1
       }
     val dir = bDir(handle.path, effectiveId)
     val appliedMarker = new org.apache.hadoop.fs.Path(
@@ -173,12 +197,14 @@ object TakedownStream {
         targets.nd.foreach { case (state, _) =>
           val docs = events.where(col("family") === "nd")
             .select(col("cid").as("doc_id"), col("text"))
-          if (!docs.isEmpty) {
-            val (_, doomed) = Dedup.deleteNearDupContent(
-              state.index, docs, "doc_id", "text")
-            doomed.coalesce(1).write.mode("overwrite")
+          if (!docs.isEmpty)
+            // resolveNearDupIds, not deleteNearDupContent: the resolved
+            // frame is written once and forgotten — the delete op's
+            // persisted sketch layers would leak one pair per batch over
+            // the stream's lifetime.
+            Dedup.resolveNearDupIds(state.index, docs, "doc_id", "text")
+              .coalesce(1).write.mode("overwrite")
               .parquet(s"$dir/nd_ids")
-          }
         }
         locally {
           import spark.implicits._
@@ -210,7 +236,7 @@ object TakedownStream {
     targets.fp.foreach { case (state, ckpt) =>
       val docs = recorded.where(col("family") === "fp")
         .select(col("cid").as("doc_id"), col("text"))
-      if (!docs.isEmpty) {
+      if (!docs.isEmpty) state.withExclusive {
         val tomb = docs
           .select(graft.operators.TextOps.fingerprint(col("text")).as("fp"))
           .distinct()
@@ -232,7 +258,7 @@ object TakedownStream {
     targets.nd.foreach { case (state, ckpt) =>
       val docs = recorded.where(col("family") === "nd")
         .select(col("cid").as("doc_id"), col("text"))
-      if (!docs.isEmpty) {
+      if (!docs.isEmpty) state.withExclusive {
         val alreadyDown = fs(spark, ckpt).exists(
           new org.apache.hadoop.fs.Path(
             s"$ckpt/tomb/t${ndSeq}_b$ndAfter/ids/_SUCCESS"))
@@ -249,7 +275,7 @@ object TakedownStream {
     targets.sem.foreach { case (state, ckpt) =>
       val ids = recorded.where(col("family") === "sem")
         .select(col("cid").as("id"))
-      if (!ids.isEmpty) {
+      if (!ids.isEmpty) state.withExclusive {
         val alreadyDown = fs(spark, ckpt).exists(
           new org.apache.hadoop.fs.Path(
             s"$ckpt/tomb/t${semSeq}_b$semAfter/ids/_SUCCESS"))
@@ -258,12 +284,20 @@ object TakedownStream {
           state.adopt(Dedup.removeSemIds(state.index, ids))
       }
     }
+    // The key carries the WAL identity and the batch's event fingerprint:
+    // a second takedown WAL (or a recreated one) targeting the same index
+    // gets its own keys instead of overwriting earlier tombstones, while
+    // a genuine replay (same WAL, same events) rewrites the same key.
+    val tdKey = "td_" +
+      java.lang.Long.toHexString(java.lang.Integer.toUnsignedLong(
+        handle.path.hashCode)) +
+      s"_b${effectiveId}_" + java.lang.Long.toHexString(fp._1)
     val ivfIds = recorded.where(col("family") === "ivf").select("cid")
     if (!ivfIds.isEmpty) targets.ivf.foreach(p =>
-      Similarity.writeKeyedTombstone(p, ivfIds, "cid", s"td_b$effectiveId"))
+      Similarity.writeKeyedTombstone(p, ivfIds, "cid", tdKey))
     val pqIds = recorded.where(col("family") === "pq").select("cid")
     if (!pqIds.isEmpty) targets.pq.foreach(p =>
-      Similarity.writeKeyedTombstone(p, pqIds, "cid", s"td_b$effectiveId"))
+      Similarity.writeKeyedTombstone(p, pqIds, "cid", tdKey))
     afterApply()
     locally {
       import spark.implicits._

@@ -90,7 +90,7 @@ object WinnowStream {
       checkpointPath: Option[String] = None,
       queryCheckpointLocation: Option[String] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
-    DedupLoop.run(docs, state, idCol,
+    DedupLoop.run(docs, state,
       new WnOps(idCol, textCol, minShared),
       compactEvery, checkpointPath, queryCheckpointLocation)(sink)
 }

@@ -1411,6 +1411,50 @@ class StreamingSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("takedown stream: fingerprint collisions don't skip fresh batches; " +
+      "a rebased batch's redelivery is recognized, not re-applied") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import graft.streaming.TakedownStream
+
+    val emb = spark.table("embeddings")
+    val ivfDir = java.nio.file.Files.createTempDirectory("tdcoll").toString
+    Similarity.saveIvfIndex(Similarity.buildIvfIndex(
+      emb.where(col("vec_id") >= 10), "vec_id", "embedding"), ivfDir)
+    val tdDir = java.nio.file.Files.createTempDirectory("tdcollwal").toString
+    val td = TakedownStream.resume(spark, tdDir)
+    val targets = TakedownStream.Targets(ivf = Seq(ivfDir))
+
+    // Batch A = {20, 20, 40}: XOR fingerprint h(20)^h(20)^h(40) = h(40),
+    // count 3. Batch B = {40, 60, 60} has the SAME (h(40), 3) — the
+    // duplicate-event cancellation a takedown feed naturally produces.
+    val evA = Seq(("ivf", 20L, null: String), ("ivf", 20L, null: String),
+      ("ivf", 40L, null: String)).toDF("family", "cid", "text")
+    val evB = Seq(("ivf", 40L, null: String), ("ivf", 60L, null: String),
+      ("ivf", 60L, null: String)).toDF("family", "cid", "text")
+    assert(TakedownStream.processBatch(td, targets, evA, 0L) == 0L)
+    // B arrives under a reused id (engine restarted without checkpoint):
+    // the fingerprints collide, but the exact event comparison must see
+    // a DIFFERENT batch and rebase — skipping would silently lose the
+    // deletion of id 60.
+    assert(TakedownStream.processBatch(td, targets, evB, 0L) == 1L)
+    def masked(): Set[Long] = Similarity.loadIvfIndex(spark, ivfDir)
+      .assigned.select("cid").collect().map(_.getLong(0)).toSet
+    assert(!masked().exists(Set(20L, 40L, 60L)),
+      "both batches' deletions must apply")
+    def tombs(): Seq[String] = new java.io.File(s"$ivfDir/tombstones")
+      .listFiles().map(_.getName).filter(_.startsWith("e_")).sorted.toSeq
+    assert(tombs().size == 2)
+
+    // Redelivery of B at its RAW id after the rebase (the crash-replay
+    // shape): recognition must scan committed batches upward, find its
+    // record at the rebased id 1, and skip — a third application at yet
+    // another position is the double-apply hazard.
+    assert(TakedownStream.processBatch(td, targets, evB, 0L) == 1L)
+    assert(tombs().size == 2, "redelivered rebased batch must not re-apply")
+  }
+
   test("takedown stream: near-dup family — withdrawn content stops " +
       "suppressing variants, replay-stable, restore-parity") {
     import spark.implicits._
