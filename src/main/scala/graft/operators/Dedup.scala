@@ -2039,12 +2039,26 @@ object Dedup {
       path: String): Option[(SubstringIndex, Long)] =
     loadLatestSsGen(spark, path).map { case (gen, genBatch) =>
       val deltas = indexDeltaBatches(spark, path).filter(_ > genBatch)
-      val idx = deltas.foldLeft(gen) { (acc, b) =>
+      // Takedown neg-layers interleave at recorded positions with the
+      // stale-skip rule ([[loadFpIndexWithDeltas]]); position matters
+      // less for pure counts than for sets, but keeping the one rule
+      // keeps every family's restore reasoning identical.
+      var tombs = ssTombstones(spark, path).filter(_._2 >= genBatch)
+      def applyDue(idx: SubstringIndex, before: Long): SubstringIndex = {
+        val (due, rest) = tombs.partition(_._2 < before)
+        tombs = rest
+        due.foldLeft(idx) { (acc, t) =>
+          applySubstringNeg(acc, spark.read.parquet(t._3))
+        }
+      }
+      val folded = deltas.foldLeft(gen) { (acc0, b) =>
+        val acc = applyDue(acc0, b)
         val f = persistSketch(spark.read.parquet(s"$path/delta/b$b/freq"))
         f.count() // materialize before any later WAL append
         acc.copy(freq = acc.freq.union(f), layers = acc.layers :+ f)
       }
-      (idx, deltas.lastOption.getOrElse(genBatch))
+      (applyDue(folded, Long.MaxValue),
+        deltas.lastOption.getOrElse(genBatch))
     }
 
   /** Write one micro-batch's window-frequency fold to the write-ahead
@@ -2090,6 +2104,53 @@ object Dedup {
     (keptIds, bfreq,
       index.copy(freq = index.freq.union(bfreq),
         layers = index.layers :+ bwins :+ bfreq))
+  }
+
+  /** The NEGATIVE window-frequency layer of `docs` — the takedown payload
+    * for the substring family: the index holds only (hash, count), so a
+    * withdrawal subtracts the withdrawn content's window counts as one
+    * more layer (the probe sums layers, [[compactSsIndex]] merges them —
+    * negative rows ride the existing machinery). Computed from the event
+    * TEXT, so a crash-window replay recomputes identical bytes.
+    * Contract: one withdrawal per admission — the dedup gates admit a
+    * content once, so a feed that withdraws it once keeps counts exact;
+    * double-withdrawal would undercount shared windows (documented, like
+    * every decrement design). */
+  private[graft] def substringNegFreq(docs: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int): DataFrame =
+    tokenWindows(docs, idCol, textCol, windowTokens)
+      .groupBy("h").agg((-count(lit(1))).as("occ"))
+
+  /** Apply a negative (or any extra) frequency layer to a substring
+    * index — functional, layered ([[removeWinnowIds]] contract for the
+    * count-shaped family). */
+  private[graft] def applySubstringNeg(index: SubstringIndex,
+      neg: DataFrame): SubstringIndex = {
+    val n = persistSketch(neg.select(col("h"), col("occ")))
+    n.count()
+    index.copy(freq = index.freq.select("h", "occ").union(n),
+      layers = index.layers :+ n)
+  }
+
+  private[graft] def ssTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Long, String)] =
+    tombEntries(spark, path, "neg")
+  private[graft] def nextSsTombstoneSeq(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    ssTombstones(spark, path).map(_._1).maxOption.getOrElse(-1L) + 1
+  private[graft] def writeSsTombstoneAt(path: String, neg: DataFrame,
+      seq: Long, afterBatch: Long): Unit =
+    neg.select(col("h"), col("occ")).coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$path/tomb/t${seq}_b$afterBatch/neg")
+  private[graft] def clearSsTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      upTo: Long): Unit = {
+    val fs = fsFor(spark, path)
+    ssTombstones(spark, path).filter(_._2 <= upTo).foreach { case (_, _, p) =>
+      fs.delete(new org.apache.hadoop.fs.Path(p).getParent, true)
+    }
   }
 
   /** Flatten a layered [[SubstringIndex]] into one merged resident frame
@@ -2788,15 +2849,71 @@ object Dedup {
       path: String): Option[(WinnowIndex, Long)] =
     loadLatestWnGen(spark, path).map { case (idx0, genBatch) =>
       val deltas = indexDeltaBatches(spark, path).filter(_ > genBatch)
-      val idx = deltas.foldLeft(idx0) { (acc, b) =>
+      // Takedown tombstones interleave at recorded positions with the
+      // stale-skip rule ([[loadFpIndexWithDeltas]]). The negative freq
+      // layer is recomputed from the index AS OF the tombstone's position
+      // (the same postings [[removeWinnowIds]] counted live), so the
+      // subtraction replays exactly.
+      var tombs = wnTombstones(spark, path).filter(_._2 >= genBatch)
+      def applyDue(idx: WinnowIndex, before: Long): WinnowIndex = {
+        val (due, rest) = tombs.partition(_._2 < before)
+        tombs = rest
+        due.foldLeft(idx) { (acc, t) =>
+          removeWinnowIds(acc, spark.read.parquet(t._3))
+        }
+      }
+      val folded = deltas.foldLeft(idx0) { (acc0, b) =>
+        val acc = applyDue(acc0, b)
         val fl = persistSketch(spark.read.parquet(s"$path/delta/b$b/fps"))
         val fr = persistSketch(spark.read.parquet(s"$path/delta/b$b/freq"))
         fl.count(); fr.count() // materialize before any later WAL append
         acc.copy(fps = acc.fps.union(fl), freq = acc.freq.union(fr),
           freqLayered = true, layers = acc.layers ++ Seq(fl, fr))
       }
-      (idx, deltas.lastOption.getOrElse(genBatch))
+      (applyDue(folded, Long.MaxValue),
+        deltas.lastOption.getOrElse(genBatch))
     }
+
+  /** Remove ids' postings from a winnow index — the takedown path for the
+    * winnowing family: the withdrawn docs' fingerprints leave the posting
+    * list (future arrivals sharing passages with them are ADMITTED again)
+    * and a NEGATIVE frequency layer subtracts their contribution to the
+    * `maxFreq` boilerplate cap — the winnow freq is a maintained count
+    * (extendWinnowIndex merges batch counts in), so unlike the nd
+    * family's frozen rarity order it must shrink with deletes or
+    * long-withdrawn boilerplate would keep capping live fingerprints.
+    * The probe's sum-then-filter cap and [[compactWnIndex]]'s merge both
+    * handle negative rows by construction (they sum layers). Id-addressed
+    * ([[removeSemIds]] contract): postings are id-keyed, removing an
+    * absent id is a natural no-op. */
+  private[graft] def removeWinnowIds(index: WinnowIndex,
+      ids: DataFrame): WinnowIndex = {
+    val doomed = persistSketch(ids.select(col("id").cast("long").as("id")))
+    doomed.count()
+    // One posting row per (doc, distinct fp) — exactly what
+    // extendWinnowIndex counted in, so the negation cancels it.
+    val neg = persistSketch(
+      index.fps.join(doomed, Seq("id"), "left_semi")
+        .groupBy("fp").agg((-count(lit(1))).as("f")))
+    neg.count()
+    index.copy(fps = index.fps.join(doomed, Seq("id"), "left_anti"),
+      freq = index.freq.select("fp", "f").union(neg),
+      freqLayered = true,
+      layers = index.layers ++ Seq(doomed, neg))
+  }
+
+  private[graft] def wnTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Long, String)] = ndTombstones(spark, path)
+  private[graft] def nextWnTombstoneSeq(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    nextNdTombstoneSeq(spark, path)
+  private[graft] def writeWnTombstoneAt(path: String, ids: DataFrame,
+      seq: Long, afterBatch: Long): Unit =
+    writeNdTombstoneAt(path, ids, seq, afterBatch)
+  private[graft] def clearWnTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      upTo: Long): Unit = clearNdTombstones(spark, path, upTo)
 
   /** Flatten a layered [[WinnowIndex]]: postings localCheckpoint, freq
     * merged ([[compactIndex]] contract for `releaseOld`). */

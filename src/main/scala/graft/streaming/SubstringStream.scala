@@ -62,10 +62,35 @@ object SubstringStream {
     def compact(idx: SubstringIndex): SubstringIndex =
       Dedup.compactSsIndex(idx, releaseOld = false)
     def save(idx: SubstringIndex, path: String, walId: Long,
-        kept: DataFrame): Unit =
+        kept: DataFrame): Unit = {
       Dedup.saveSubstringIndex(idx, path, batchId = walId,
         kept = Some(kept))
+      // Snapshot reflects every takedown up to this batch; prune applied
+      // tombstones ([[FpDedupStream]]'s FpOps.save contract).
+      Dedup.clearSsTombstones(idx.freq.sparkSession, path, upTo = walId)
+    }
   }
+
+  /** TAKEDOWN: subtract `docs`' window counts from the stream's index —
+    * the count-shaped family's withdrawal: the index holds only
+    * (hash, count), so the delete is a NEGATIVE frequency layer computed
+    * from the withdrawn content ([[FpDedupStream.delete]] contract).
+    * One withdrawal per admission (the dedup gates admit a content once);
+    * double-withdrawal undercounts shared windows. Durable-first when
+    * `checkpointPath` is set. Call between batches or while the stream
+    * is stopped. */
+  def delete(state: IndexState, checkpointPath: Option[String],
+      docs: DataFrame, idCol: String, textCol: String): Unit =
+    state.withExclusive {
+      val neg = Dedup.substringNegFreq(docs, idCol, textCol,
+        state.index.windowTokens)
+      checkpointPath.foreach { p =>
+        val spark = docs.sparkSession
+        Dedup.writeSsTombstoneAt(p, neg,
+          Dedup.nextSsTombstoneSeq(spark, p), state.lastFoldedBatch)
+      }
+      state.adopt(Dedup.applySubstringNeg(state.index, neg))
+    }
 
   /** Start the substring gate stream: docs at or below `maxDupRatio`
     * duplicated-window fraction (and docs too short to carry a window) go

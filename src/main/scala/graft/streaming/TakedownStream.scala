@@ -22,6 +22,13 @@ import graft.operators.{Dedup, Similarity}
   *   - `sem`  — the id's vector leaves the semantic-dedup index (future
   *              arrivals semantically duplicating it are admitted again;
   *              the frozen quantizer is untouched).
+  *   - `wn`   — the id's winnow postings leave the posting list and their
+  *              frequency contribution is subtracted (future arrivals
+  *              sharing passages with it are admitted again).
+  *   - `ss`   — the content's window counts are subtracted from the
+  *              substring gate's frequency table (a negative layer,
+  *              computed from the event text — one withdrawal per
+  *              admission, the dedup-gate contract).
   *   - `ivf`  — the id is tombstoned out of every registered IVF serving
   *              index (masked at load, applied physically at the next
   *              compaction).
@@ -59,6 +66,8 @@ object TakedownStream {
       fp: Option[(FpDedupStream.IndexState, String)] = None,
       nd: Option[(NearDupStream.IndexState, String)] = None,
       sem: Option[(SemDedupStream.IndexState, String)] = None,
+      wn: Option[(WinnowStream.IndexState, String)] = None,
+      ss: Option[(SubstringStream.IndexState, String)] = None,
       ivf: Seq[String] = Nil,
       pq: Seq[String] = Nil)
 
@@ -173,12 +182,15 @@ object TakedownStream {
     // WAL leg (first attempt only): events first, then params — the
     // assigned fp tombstone position rides in params so the commit marker
     // covers it. A replay reuses the recorded assignment.
-    val (fpSeq, fpAfter, ndSeq, ndAfter, semSeq, semAfter) =
+    val (fpSeq, fpAfter, ndSeq, ndAfter, semSeq, semAfter,
+        wnSeq, wnAfter, ssSeq, ssAfter) =
       if (replaying) {
         val p = spark.read.parquet(s"$dir/params").head()
         (p.getAs[Long]("fp_seq"), p.getAs[Long]("fp_after"),
           p.getAs[Long]("nd_seq"), p.getAs[Long]("nd_after"),
-          p.getAs[Long]("sem_seq"), p.getAs[Long]("sem_after"))
+          p.getAs[Long]("sem_seq"), p.getAs[Long]("sem_after"),
+          p.getAs[Long]("wn_seq"), p.getAs[Long]("wn_after"),
+          p.getAs[Long]("ss_seq"), p.getAs[Long]("ss_after"))
       } else {
         val seq = targets.fp.map(t =>
           Dedup.nextFpTombstoneSeq(spark, t._2)).getOrElse(-1L)
@@ -189,6 +201,12 @@ object TakedownStream {
         val sseq = targets.sem.map(t =>
           Dedup.nextSemTombstoneSeq(spark, t._2)).getOrElse(-1L)
         val safter = targets.sem.map(_._1.lastFoldedBatch).getOrElse(-1L)
+        val wseq = targets.wn.map(t =>
+          Dedup.nextWnTombstoneSeq(spark, t._2)).getOrElse(-1L)
+        val wafter = targets.wn.map(_._1.lastFoldedBatch).getOrElse(-1L)
+        val xseq = targets.ss.map(t =>
+          Dedup.nextSsTombstoneSeq(spark, t._2)).getOrElse(-1L)
+        val xafter = targets.ss.map(_._1.lastFoldedBatch).getOrElse(-1L)
         events.coalesce(1).write.mode("overwrite").parquet(s"$dir/events")
         // nd takedowns are content-addressed but their tombstone payload
         // is the RESOLVED index ids — resolved once, here, against the
@@ -208,12 +226,14 @@ object TakedownStream {
         }
         locally {
           import spark.implicits._
-          Seq((fp._1, fp._2, seq, after, nseq, nafter, sseq, safter))
+          Seq((fp._1, fp._2, seq, after, nseq, nafter, sseq, safter,
+              wseq, wafter, xseq, xafter))
             .toDF("batch_fp", "batch_n", "fp_seq", "fp_after",
-              "nd_seq", "nd_after", "sem_seq", "sem_after")
+              "nd_seq", "nd_after", "sem_seq", "sem_after",
+              "wn_seq", "wn_after", "ss_seq", "ss_after")
             .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
         }
-        (seq, after, nseq, nafter, sseq, safter)
+        (seq, after, nseq, nafter, sseq, safter, wseq, wafter, xseq, xafter)
       }
     // Side effects — each an idempotent keyed overwrite, so this block
     // re-runs safely after a crash anywhere inside it.
@@ -221,7 +241,8 @@ object TakedownStream {
     locally {
       val unrouted = Seq(
         "fp" -> targets.fp.isEmpty, "nd" -> targets.nd.isEmpty,
-        "sem" -> targets.sem.isEmpty,
+        "sem" -> targets.sem.isEmpty, "wn" -> targets.wn.isEmpty,
+        "ss" -> targets.ss.isEmpty,
         "ivf" -> targets.ivf.isEmpty, "pq" -> targets.pq.isEmpty)
         .collect { case (fam, true) => fam }
       if (unrouted.nonEmpty) {
@@ -282,6 +303,32 @@ object TakedownStream {
         Dedup.writeSemTombstoneAt(ckpt, ids, semSeq, semAfter)
         if (!alreadyDown)
           state.adopt(Dedup.removeSemIds(state.index, ids))
+      }
+    }
+    targets.wn.foreach { case (state, ckpt) =>
+      val ids = recorded.where(col("family") === "wn")
+        .select(col("cid").as("id"))
+      if (!ids.isEmpty) state.withExclusive {
+        val alreadyDown = fs(spark, ckpt).exists(
+          new org.apache.hadoop.fs.Path(
+            s"$ckpt/tomb/t${wnSeq}_b$wnAfter/ids/_SUCCESS"))
+        Dedup.writeWnTombstoneAt(ckpt, ids, wnSeq, wnAfter)
+        if (!alreadyDown)
+          state.adopt(Dedup.removeWinnowIds(state.index, ids))
+      }
+    }
+    targets.ss.foreach { case (state, ckpt) =>
+      val docs = recorded.where(col("family") === "ss")
+        .select(col("cid").as("doc_id"), col("text"))
+      if (!docs.isEmpty) state.withExclusive {
+        val neg = Dedup.substringNegFreq(docs, "doc_id", "text",
+          state.index.windowTokens)
+        val alreadyDown = fs(spark, ckpt).exists(
+          new org.apache.hadoop.fs.Path(
+            s"$ckpt/tomb/t${ssSeq}_b$ssAfter/neg/_SUCCESS"))
+        Dedup.writeSsTombstoneAt(ckpt, neg, ssSeq, ssAfter)
+        if (!alreadyDown)
+          state.adopt(Dedup.applySubstringNeg(state.index, neg))
       }
     }
     // The key carries the WAL identity and the batch's event fingerprint:

@@ -58,9 +58,33 @@ object WinnowStream {
     def compact(idx: WinnowIndex): WinnowIndex =
       Dedup.compactWnIndex(idx, releaseOld = false)
     def save(idx: WinnowIndex, path: String, walId: Long,
-        kept: DataFrame): Unit =
+        kept: DataFrame): Unit = {
       Dedup.saveWinnowIndex(idx, path, batchId = walId, kept = Some(kept))
+      // Snapshot reflects every takedown up to this batch; prune applied
+      // tombstones ([[FpDedupStream]]'s FpOps.save contract).
+      Dedup.clearWnTombstones(idx.fps.sparkSession, path, upTo = walId)
+    }
   }
+
+  /** TAKEDOWN: remove ids' postings from the stream's index and subtract
+    * their frequency contribution, so future arrivals sharing passages
+    * with the withdrawn docs are ADMITTED again
+    * ([[FpDedupStream.delete]] contract on the winnowing family;
+    * id-addressed — postings are id-keyed). Durable-first when
+    * `checkpointPath` is set. Call between batches or while the stream
+    * is stopped. */
+  def delete(state: IndexState, checkpointPath: Option[String],
+      ids: DataFrame, idCol: String): Unit =
+    state.withExclusive {
+      val doomed = ids.select(
+        org.apache.spark.sql.functions.col(idCol).cast("long").as("id"))
+      checkpointPath.foreach { p =>
+        val spark = ids.sparkSession
+        Dedup.writeWnTombstoneAt(p, doomed,
+          Dedup.nextWnTombstoneSeq(spark, p), state.lastFoldedBatch)
+      }
+      state.adopt(Dedup.removeWinnowIds(state.index, doomed))
+    }
 
   /** Start the winnow dedup stream: kept (first-arrival) rows go to
     * `sink`; the full batch's postings fold in. Durability contract:

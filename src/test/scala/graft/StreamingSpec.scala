@@ -1607,6 +1607,79 @@ class StreamingSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("takedown stream: winnow + substring families — withdrawn content " +
+      "stops gating re-posts, restore-parity, replay-stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import graft.streaming.{SubstringStream, TakedownStream, WinnowStream}
+
+    // Long stable texts (the CrashRestartSpec winnow fixture shape: with
+    // k=16/w=30 identical texts share every selected fingerprint).
+    val cT = "the first corpus document carries one hundred and twenty " +
+      "characters of stable text for winnowing fingerprints to select from"
+    val oT = "a completely different second document whose words overlap " +
+      "with nothing in the first one at any rolling hash window position"
+    val corpus = Seq((1L, cT), (2L, oT)).toDF("doc_id", "text")
+
+    val wnDir = java.nio.file.Files.createTempDirectory("tdwn").toString
+    val wn = WinnowStream.resume(spark, wnDir, corpus, "doc_id", "text")
+    def wnAdmits(text: String): Boolean =
+      Dedup.probeAndExtendWnParts(wn.index,
+        Seq((99L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        minShared = 3)._1.count() == 1
+    assert(!wnAdmits(cT) && !wnAdmits(oT), "re-posts gate pre-takedown")
+
+    val ssDir = java.nio.file.Files.createTempDirectory("tdss").toString
+    val ssCorpus = Seq((1L, "one two three four five six seven eight nine " +
+      "ten eleven twelve thirteen fourteen fifteen sixteen"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi")).toDF("doc_id", "text")
+    val ss = SubstringStream.resume(spark, ssDir, ssCorpus, "doc_id", "text")
+    def ssAdmits(text: String): Boolean =
+      Dedup.probeAndExtendSsParts(ss.index,
+        Seq((99L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        minOccurrences = 2, maxDupRatio = 0.5)._1.count() == 1
+    val ssT = ssCorpus.where(col("doc_id") === 1).head().getString(1)
+    assert(!ssAdmits(ssT), "an identical re-post gates pre-takedown")
+
+    val tdDir = java.nio.file.Files.createTempDirectory("tdwnsswal").toString
+    val td = TakedownStream.resume(spark, tdDir)
+    val targets = TakedownStream.Targets(
+      wn = Some((wn, wnDir)), ss = Some((ss, ssDir)))
+    // Withdraw winnow doc 1 (by id) and substring content 1 (by text).
+    val ev = Seq(("wn", 1L, null: String), ("ss", 1L, ssT))
+      .toDF("family", "cid", "text")
+    assert(TakedownStream.processBatch(td, targets, ev, 0L) == 0L)
+
+    // Withdrawn content re-admits; the untouched docs still gate.
+    assert(wnAdmits(cT) && !wnAdmits(oT))
+    assert(ssAdmits(ssT))
+    assert(!ssAdmits(ssCorpus.where(col("doc_id") === 2)
+      .head().getString(1)))
+
+    // Replay: skip, no duplicate tombstones.
+    val nw = Dedup.wnTombstones(spark, wnDir).size
+    val ns = Dedup.ssTombstones(spark, ssDir).size
+    assert(TakedownStream.processBatch(td, targets, ev, 0L) == 0L)
+    assert(Dedup.wnTombstones(spark, wnDir).size == nw &&
+      Dedup.ssTombstones(spark, ssDir).size == ns)
+
+    // Restore parity: tombstones replay at recorded positions.
+    val wn2 = WinnowStream.resume(spark, wnDir, corpus.limit(0),
+      "doc_id", "text")
+    assert(Dedup.probeAndExtendWnParts(wn2.index,
+      Seq((99L, cT)).toDF("doc_id", "text"), "doc_id", "text",
+      minShared = 3)._1.count() == 1)
+    val ss2 = SubstringStream.resume(spark, ssDir, ssCorpus.limit(0),
+      "doc_id", "text")
+    assert(Dedup.probeAndExtendSsParts(ss2.index,
+      Seq((99L, ssT)).toDF("doc_id", "text"), "doc_id", "text",
+      minOccurrences = 2, maxDupRatio = 0.5)._1.count() == 1)
+    Dedup.releaseSketchCaches()
+  }
+
   test("fp takedown tombstones: a crash between the generation save and " +
       "the tombstone prune must not re-delete re-admitted content on " +
       "restore") {
