@@ -331,9 +331,12 @@ class CrashRestartSpec extends SparkSpecBase {
     // appending), three keyed IVF tombstones (one per event batch).
     val fpTombs = graft.operators.Dedup.fpTombstones(spark, s"$base/idx/fp")
     assert(fpTombs.size == 2, s"fp tombstones after crash-restart: $fpTombs")
+    // Keys carry WAL identity + batch fingerprint (collision hardening);
+    // exactly one per event batch — the replayed f2 REWROTE its key.
     val ivfTombs = new java.io.File(s"$base/idx/ivf/tombstones")
       .listFiles().map(_.getName).filter(_.startsWith("e_")).sorted
-    assert(ivfTombs.toSeq == Seq("e_td_b0", "e_td_b1", "e_td_b2"),
+    assert(ivfTombs.length == 3 &&
+      Seq("_b0_", "_b1_", "_b2_").forall(b => ivfTombs.count(_.contains(b)) == 1),
       s"keyed ivf tombstones: ${ivfTombs.toSeq}")
 
     // Effects hold on restore: withdrawn contents re-admit, untouched
