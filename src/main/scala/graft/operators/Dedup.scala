@@ -2158,7 +2158,9 @@ object Dedup {
     * layers for the caller's grace period). */
   def compactSsIndex(index: SubstringIndex,
       releaseOld: Boolean = true): SubstringIndex = {
+    // Net-zero rows dropped — [[compactWnIndex]] rationale.
     val f = index.freq.groupBy("h").agg(sum(col("occ")).as("occ"))
+      .where(col("occ") =!= 0L)
       .localCheckpoint(true)
     if (releaseOld) index.layers.foreach(_.unpersist(false))
     SubstringIndex(f, index.windowTokens, layers = Nil)
@@ -2212,7 +2214,8 @@ object Dedup {
     val bfreq = tokenWindows(batch, idCol, textCol, index.windowTokens)
       .groupBy("h").agg(count(lit(1)).as("occ"))
     index.copy(freq = index.freq.select("h", "occ").union(bfreq)
-      .groupBy("h").agg(sum(col("occ")).as("occ")))
+      .groupBy("h").agg(sum(col("occ")).as("occ"))
+      .where(col("occ") =!= 0L))
   }
 
   // ─────────────────────── exact-fingerprint index ───────────────────────
@@ -2902,6 +2905,37 @@ object Dedup {
       layers = index.layers ++ Seq(doomed, neg))
   }
 
+  /** Resolve withdrawn CONTENTS to winnow index ids — every id whose
+    * posting fingerprint-set equals a withdrawn doc's winnow set. Content
+    * addressing matters here exactly as in the nd family: the stream
+    * folds the FULL batch (kept and dropped alike), so a dropped re-post
+    * of the withdrawn content holds postings under its own id, and an
+    * id-only delete would leave those gating future re-posts. Cost is
+    * takedown-scaled: candidates come from the withdrawn fingerprints'
+    * posting lists (semi join), and only candidates are set-compared
+    * (match count == withdrawn set size == candidate's total postings). */
+  private[graft] def resolveWinnowIds(index: WinnowIndex, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val wd = Balance(docs)
+      .select(col(idCol).cast("long").as("wid"),
+        graft.functions.GraftFunctions
+          .winnow(col(textCol), index.k, index.w).as("wfps"))
+      .where(size(col("wfps")) > 0)
+      .select(col("wid"), explode(col("wfps")).as("fp"),
+        size(col("wfps")).cast("bigint").as("wn"))
+    val candRows = index.fps
+      .join(wd.select("fp").distinct(), Seq("fp"), "left_semi")
+    val matched = candRows.join(wd, "fp")
+      .groupBy(col("wid"), col("id"), col("wn"))
+      .agg(count(lit(1)).as("m"))
+      .where(col("m") === col("wn"))
+    val totals = index.fps
+      .join(matched.select("id").distinct(), Seq("id"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("tot"))
+    matched.join(totals, "id").where(col("tot") === col("wn"))
+      .select("id").distinct()
+  }
+
   private[graft] def wnTombstones(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[(Long, Long, String)] = ndTombstones(spark, path)
@@ -2920,7 +2954,12 @@ object Dedup {
   def compactWnIndex(index: WinnowIndex,
       releaseOld: Boolean = true): WinnowIndex = {
     val fl = index.fps.localCheckpoint(true)
+    // Net-zero rows (a takedown's negative layer fully cancelling a
+    // fingerprint) are dropped: the probe's sum-then-filter treats
+    // absent and zero identically, and without the filter every
+    // withdrawal would permanently grow the compacted table.
     val fr = index.freq.groupBy("fp").agg(sum(col("f")).as("f"))
+      .where(col("f") =!= 0L)
       .localCheckpoint(true)
     if (releaseOld) index.layers.foreach(_.unpersist(false))
     WinnowIndex(fl, fr, index.k, index.w, index.maxFreq, layers = Nil)

@@ -75,10 +75,17 @@ object SubstringStream {
     * the count-shaped family's withdrawal: the index holds only
     * (hash, count), so the delete is a NEGATIVE frequency layer computed
     * from the withdrawn content ([[FpDedupStream.delete]] contract).
-    * One withdrawal per admission (the dedup gates admit a content once);
-    * double-withdrawal undercounts shared windows. Durable-first when
-    * `checkpointPath` is set. Call between batches or while the stream
-    * is stopped. */
+    *
+    * Count calibration — the honest contract: this stream folds EVERY
+    * arrival's counts (kept and dropped alike — the one-shot statistic
+    * counts them), so one withdrawal subtracts ONE arrival's worth. A
+    * content that arrived k times needs k withdrawals to stop gating
+    * re-posts; a deploy that wants one-withdrawal-per-content semantics
+    * fronts this gate with [[FpDedupStream]] (the ExportPipeline shape),
+    * whose exact dedup makes each content fold here at most once.
+    * Conversely over-withdrawal undercounts shared windows. Durable-first
+    * when `checkpointPath` is set. Call between batches or while the
+    * stream is stopped. */
   def delete(state: IndexState, checkpointPath: Option[String],
       docs: DataFrame, idCol: String, textCol: String): Unit =
     state.withExclusive {

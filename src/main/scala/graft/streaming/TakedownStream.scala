@@ -22,13 +22,18 @@ import graft.operators.{Dedup, Similarity}
   *   - `sem`  — the id's vector leaves the semantic-dedup index (future
   *              arrivals semantically duplicating it are admitted again;
   *              the frozen quantizer is untouched).
-  *   - `wn`   — the id's winnow postings leave the posting list and their
-  *              frequency contribution is subtracted (future arrivals
-  *              sharing passages with it are admitted again).
+  *   - `wn`   — the content's winnow postings leave the posting list
+  *              (content-addressed via winnow-set identity, resolved to
+  *              index ids at WAL time: a dropped re-post folded postings
+  *              under its OWN id, so an id-only delete would leave those
+  *              gating) and their frequency contribution is subtracted.
   *   - `ss`   — the content's window counts are subtracted from the
   *              substring gate's frequency table (a negative layer,
-  *              computed from the event text — one withdrawal per
-  *              admission, the dedup-gate contract).
+  *              computed from the event text). Count calibration: the ss
+  *              stream folds every ARRIVAL, so one event subtracts one
+  *              arrival's counts — exact when the gate sits behind exact
+  *              dedup (the ExportPipeline shape); k folded re-posts need
+  *              k events ([[SubstringStream.delete]] contract).
   *   - `ivf`  — the id is tombstoned out of every registered IVF serving
   *              index (masked at load, applied physically at the next
   *              compaction).
@@ -179,6 +184,22 @@ object TakedownStream {
       return effectiveId
     }
     val replaying = committed.contains(effectiveId)
+    // Every present target's lock is held for the WHOLE batch — WAL leg
+    // through applied marker, fixed fp→nd→sem→wn→ss order (the same
+    // nesting the composed export loop uses, so no cycle). The recorded
+    // tombstone positions (lastFoldedBatch at WAL time) must stay the
+    // LIVE positions until the tombstones land: without the locks a
+    // concurrent fold + compaction could commit a generation AHEAD of a
+    // tombstone tagged behind it, which a post-crash restore would then
+    // skip as stale — a silently lost takedown.
+    def lockAll[A](g: => A): A = {
+      def w[B](st: Option[DedupLoop.IndexState[_]])(h: => B): B =
+        st.fold(h)(x => x.withExclusive(h))
+      w(targets.fp.map(_._1))(w(targets.nd.map(_._1))(
+        w(targets.sem.map(_._1))(w(targets.wn.map(_._1))(
+          w(targets.ss.map(_._1))(g)))))
+    }
+    lockAll {
     // WAL leg (first attempt only): events first, then params — the
     // assigned fp tombstone position rides in params so the commit marker
     // covers it. A replay reuses the recorded assignment.
@@ -186,11 +207,15 @@ object TakedownStream {
         wnSeq, wnAfter, ssSeq, ssAfter) =
       if (replaying) {
         val p = spark.read.parquet(s"$dir/params").head()
-        (p.getAs[Long]("fp_seq"), p.getAs[Long]("fp_after"),
-          p.getAs[Long]("nd_seq"), p.getAs[Long]("nd_after"),
-          p.getAs[Long]("sem_seq"), p.getAs[Long]("sem_after"),
-          p.getAs[Long]("wn_seq"), p.getAs[Long]("wn_after"),
-          p.getAs[Long]("ss_seq"), p.getAs[Long]("ss_after"))
+        // Schema-presence guard: a WAL batch recorded before a family
+        // existed replays with that family disabled (-1) instead of
+        // wedging the stream on a missing column.
+        def g(name: String): Long =
+          if (p.schema.fieldNames.contains(name)) p.getAs[Long](name)
+          else -1L
+        (g("fp_seq"), g("fp_after"), g("nd_seq"), g("nd_after"),
+          g("sem_seq"), g("sem_after"), g("wn_seq"), g("wn_after"),
+          g("ss_seq"), g("ss_after"))
       } else {
         val seq = targets.fp.map(t =>
           Dedup.nextFpTombstoneSeq(spark, t._2)).getOrElse(-1L)
@@ -223,6 +248,14 @@ object TakedownStream {
             Dedup.resolveNearDupIds(state.index, docs, "doc_id", "text")
               .coalesce(1).write.mode("overwrite")
               .parquet(s"$dir/nd_ids")
+        }
+        targets.wn.foreach { case (state, _) =>
+          val docs = events.where(col("family") === "wn")
+            .select(col("cid").as("doc_id"), col("text"))
+          if (!docs.isEmpty)
+            Dedup.resolveWinnowIds(state.index, docs, "doc_id", "text")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$dir/wn_ids")
         }
         locally {
           import spark.implicits._
@@ -306,9 +339,9 @@ object TakedownStream {
       }
     }
     targets.wn.foreach { case (state, ckpt) =>
-      val ids = recorded.where(col("family") === "wn")
-        .select(col("cid").as("id"))
-      if (!ids.isEmpty) state.withExclusive {
+      val any = recorded.where(col("family") === "wn")
+      if (!any.isEmpty) state.withExclusive {
+        val ids = spark.read.parquet(s"$dir/wn_ids")
         val alreadyDown = fs(spark, ckpt).exists(
           new org.apache.hadoop.fs.Path(
             s"$ckpt/tomb/t${wnSeq}_b$wnAfter/ids/_SUCCESS"))
@@ -350,6 +383,7 @@ object TakedownStream {
       import spark.implicits._
       Seq(Tuple1(effectiveId)).toDF("batch_id")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/applied")
+    }
     }
     effectiveId
   }

@@ -1625,6 +1625,16 @@ class StreamingSpec extends SparkSpecBase {
 
     val wnDir = java.nio.file.Files.createTempDirectory("tdwn").toString
     val wn = WinnowStream.resume(spark, wnDir, corpus, "doc_id", "text")
+    // Fold a DROPPED re-post of cT: the stream folds the full batch, so
+    // id 50's postings enter the index even though 50 is gated — the case
+    // that makes wn takedown content-addressed (an id-only delete of doc
+    // 1 would leave 50's postings gating future re-posts).
+    val in = MemoryStream[NdDoc]
+    val q = WinnowStream.run(in.toDF(), wn, "doc_id", "text",
+      minShared = 3, compactEvery = 1000, checkpointPath = Some(wnDir)) {
+      _ => () }
+    in.addData(NdDoc(50, cT)); q.processAllAvailable()
+    q.stop()
     def wnAdmits(text: String): Boolean =
       Dedup.probeAndExtendWnParts(wn.index,
         Seq((99L, text)).toDF("doc_id", "text"), "doc_id", "text",
@@ -1648,12 +1658,15 @@ class StreamingSpec extends SparkSpecBase {
     val td = TakedownStream.resume(spark, tdDir)
     val targets = TakedownStream.Targets(
       wn = Some((wn, wnDir)), ss = Some((ss, ssDir)))
-    // Withdraw winnow doc 1 (by id) and substring content 1 (by text).
-    val ev = Seq(("wn", 1L, null: String), ("ss", 1L, ssT))
+    // Withdraw winnow content cT (content-addressed — must strip BOTH
+    // doc 1's and the dropped re-post 50's postings) and substring
+    // content 1 (by text).
+    val ev = Seq(("wn", 1L, cT), ("ss", 1L, ssT))
       .toDF("family", "cid", "text")
     assert(TakedownStream.processBatch(td, targets, ev, 0L) == 0L)
 
-    // Withdrawn content re-admits; the untouched docs still gate.
+    // Withdrawn content re-admits (including past the dropped re-post's
+    // postings); the untouched docs still gate.
     assert(wnAdmits(cT) && !wnAdmits(oT))
     assert(ssAdmits(ssT))
     assert(!ssAdmits(ssCorpus.where(col("doc_id") === 2)
