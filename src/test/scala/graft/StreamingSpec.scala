@@ -1411,6 +1411,81 @@ class StreamingSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("export pipeline + takedown: withdrawn content re-enters the " +
+      "export on re-post, through both dedup gates, across a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{ExportPipeline, TakedownStream}
+
+    def good(id: Long, seed: String): NdDoc =
+      NdDoc(id, (0 until 16).map(k => s"$seed$k").mkString(" "))
+    def nearVariant(id: Long, of: NdDoc): NdDoc =
+      NdDoc(id, of.text.split(" ").dropRight(1).mkString(" ") + " edited")
+    val corpus = Seq(good(1, "alpha"), good(2, "beta"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("xtd").toString
+    val out = java.nio.file.Files.createTempDirectory("xtdout").toString
+    val kept = scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])]()
+    def tap(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      kept.synchronized {
+        kept += id -> b.select(col("doc_id").cast("long"))
+          .as[Long].collect().sorted.toSeq
+      }
+
+    val h = ExportPipeline.resume(spark, root, corpus, "doc_id", "text",
+      nShards = 2L, nMerges = 8, window = 32)
+    val in1 = MemoryStream[NdDoc]
+    val q1 = ExportPipeline.run(in1.toDF(), h, "doc_id", "text", out,
+      keptSink = tap)
+    // Batch 0: exact re-post of corpus doc 1 — gated (the corpus content
+    // is live) but its SKETCH still folds into the nd index under id 10
+    // (full-batch fold); a novel doc is kept. No near-variant here: a
+    // variant's own sketch would legitimately keep suppressing re-posts
+    // of itself after the original's withdrawal (it was never withdrawn).
+    in1.addData(NdDoc(10, good(1, "alpha").text), good(12, "gamma"))
+    q1.processAllAvailable()
+
+    // GDPR event between batches: withdraw corpus content 1 from BOTH the
+    // pipeline's gates via its own takedown targets.
+    val tdDir = java.nio.file.Files.createTempDirectory("xtdwal").toString
+    val td = TakedownStream.resume(spark, tdDir)
+    val targets = ExportPipeline.takedownTargets(h)
+    val ev = Seq(("fp", 1L, good(1, "alpha").text),
+      ("nd", 1L, good(1, "alpha").text)).toDF("family", "cid", "text")
+    assert(TakedownStream.processBatch(td, targets, ev, 0L) == 0L)
+
+    // Batch 1: the re-post now passes BOTH dedup gates and enters the
+    // export — the fp takedown removed the content fingerprint, and the
+    // content-addressed nd takedown stripped BOTH the corpus sketch and
+    // the dropped batch-0 re-post's folded sketch (id 10). Its
+    // near-variant 21 drops within-batch against 20 (first-wins), and a
+    // near-variant of the untouched corpus doc 2 still drops at the
+    // fuzzy stage. kept = {20}.
+    in1.addData(NdDoc(20, good(1, "alpha").text),
+      nearVariant(21, good(1, "alpha")), nearVariant(22, good(2, "beta")))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(kept.toSeq == Seq(0L -> Seq(12L), 1L -> Seq(20L)),
+      s"kept log: $kept")
+
+    // Restart: the takedown survives in both checkpoints — a fresh
+    // re-post of the withdrawn content is a DUP again only because batch
+    // 1 re-admitted it (not because the takedown was lost), and the
+    // never-withdrawn corpus doc 2 still gates.
+    val h2 = ExportPipeline.resume(spark, root, corpus.limit(0),
+      "doc_id", "text")
+    val in2 = MemoryStream[NdDoc]
+    val q2 = ExportPipeline.run(in2.toDF(), h2, "doc_id", "text", out,
+      keptSink = tap)
+    in2.addData(NdDoc(30, good(2, "beta").text), good(31, "delta"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(kept.toSeq.last == 2L -> Seq(31L),
+      s"corpus doc 2 must still gate after restart: $kept")
+    graft.operators.Dedup.releaseSketchCaches()
+  }
+
   test("takedown stream: fingerprint collisions don't skip fresh batches; " +
       "a rebased batch's redelivery is recognized, not re-applied") {
     import spark.implicits._
