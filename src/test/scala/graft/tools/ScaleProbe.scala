@@ -550,18 +550,26 @@ object ScaleProbe {
         "doc_id", "text")
       println(f"[scale] takedown nd bootstrap (${rep}x corpus) " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+      val wnState = graft.streaming.WinnowStream.resume(spark, s"$root/wn",
+        docs, "doc_id", "text")
+      println(f"[scale] takedown wn bootstrap (${rep}x corpus) " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       val td = TakedownStream.resume(spark, s"$root/td")
       val targets = TakedownStream.Targets(
-        fp = Some((fpState, s"$root/fp")), nd = Some((ndState, s"$root/nd")))
+        fp = Some((fpState, s"$root/fp")), nd = Some((ndState, s"$root/nd")),
+        wn = Some((wnState, s"$root/wn")))
       val doomed = docs.where(col("doc_id") < 100)
       val ev = doomed.select(lit("fp").as("family"),
           col("doc_id").as("cid"), col("text"))
         .unionByName(doomed.select(lit("nd").as("family"),
           col("doc_id").as("cid"), col("text")))
+        .unionByName(doomed.select(lit("wn").as("family"),
+          col("doc_id").as("cid"), col("text")))
       t0 = System.nanoTime()
       TakedownStream.processBatch(td, targets, ev, 0L)
-      println(f"[scale] takedown batch (100 contents x 2 families) " +
-        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[scale] takedown batch (100 contents x 3 families incl " +
+        f"wn set-identity resolution) ${(System.nanoTime() - t0) / 1e9}%.2f s")
       // Post-takedown probe cost is unchanged (masks are index-side
       // anti joins of takedown-sized frames).
       t0 = System.nanoTime()
