@@ -630,8 +630,22 @@ object Similarity {
       val prev = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toList finally in.close()
       retired = prev.filter(_.nonEmpty).toSet
-      retired.foreach(f =>
-        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      retired.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        fs.delete(p, false)
+        // Keyed tombstones live one-part-per-`e_<key>` directory; once the
+        // last part is retired, drop the directory too — otherwise empty
+        // `_SUCCESS`-marked dirs accumulate for the takedown stream's
+        // lifetime and are re-listed on every index load and compaction.
+        val parent = p.getParent
+        if (parent != null && parent.getName.startsWith("e_") &&
+            fs.exists(parent) &&
+            !fs.listStatus(parent).exists(s => s.isFile &&
+              s.getPath.getName.endsWith(".parquet") &&
+              !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith(".")))
+          fs.delete(parent, true): Unit
+      }
       fs.delete(manifest, false)
     }
     // A file this compaction applied may ALSO be the one it just retired

@@ -137,7 +137,14 @@ object TakedownStream {
     * are warned about and skipped — they do NOT fail the batch (the feed
     * may fan out to several takedown streams, each owning a subset).
     * Returns the effective batch id. `afterApply` is the test seam inside
-    * the crash window (tombstones landed, applied marker not yet). */
+    * the crash window (tombstones landed, applied marker not yet).
+    *
+    * Duplicate-batch hazard: when `engineBatchId` reuses a committed id
+    * (checkpoint lost / standalone calls), a batch whose events exactly
+    * equal that committed batch's is classified as a REPLAY and skipped —
+    * see [[run]] for why callers must keep ids monotone (streaming:
+    * `queryCheckpointLocation`; standalone: pass fresh, increasing ids)
+    * if identical re-deletion requests must re-apply. */
   def processBatch(
       handle: Handle,
       targets: Targets,
@@ -287,10 +294,28 @@ object TakedownStream {
             "is registered — skipped (another stream may own that family)."))
       }
     }
+    // Replay-disabled-family guard: a WAL batch that recorded -1 for a
+    // family (no target registered at WAL time, or params written by an
+    // older schema) must NOT run that family's apply leg even if a target
+    // is registered NOW — the nd/wn legs would read resolved-id files the
+    // WAL leg never wrote (wedging the stream), and the fp/sem/ss legs
+    // would write a `t-1_b…` tombstone that the restore-time `t\d+` scan
+    // silently ignores: applied in memory, invisible on disk, lost on the
+    // next restart. Skipping (loudly) matches the documented "replays with
+    // that family disabled" contract.
+    def familyEnabled(fam: String, seq: Long): Boolean = {
+      val ok = seq >= 0L
+      if (!ok) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"TakedownStream: batch $effectiveId replays with family '$fam' " +
+          "disabled (no target was registered when its WAL committed) — " +
+          "events for that family are skipped; re-submit them as a new " +
+          "batch to apply against the now-registered target.")
+      ok
+    }
     targets.fp.foreach { case (state, ckpt) =>
       val docs = recorded.where(col("family") === "fp")
         .select(col("cid").as("doc_id"), col("text"))
-      if (!docs.isEmpty) state.withExclusive {
+      if (!docs.isEmpty && familyEnabled("fp", fpSeq)) state.withExclusive {
         val tomb = docs
           .select(graft.operators.TextOps.fingerprint(col("text")).as("fp"))
           .distinct()
@@ -298,80 +323,94 @@ object TakedownStream {
         // the applied marker, then restart), the live state was restored
         // THROUGH it at its recorded position — re-shrinking NOW would
         // apply the delete at a later position than it happened and could
-        // drop a fingerprint an interleaved batch re-admitted.
+        // drop a fingerprint an interleaved batch re-admitted. Nor is the
+        // tombstone rewritten: it is byte-identical by design, and the
+        // overwrite's delete-then-write window would let a second crash
+        // strip `_SUCCESS` from an already-committed tombstone — the
+        // restore would then skip it and the withdrawal would be lost.
         val alreadyDown = fs(spark, ckpt).exists(
           new org.apache.hadoop.fs.Path(
             s"$ckpt/tomb/t${fpSeq}_b$fpAfter/fps/_SUCCESS"))
-        Dedup.writeFpTombstoneAt(ckpt, tomb, fpSeq, fpAfter)
-        if (!alreadyDown)
+        if (!alreadyDown) {
+          Dedup.writeFpTombstoneAt(ckpt, tomb, fpSeq, fpAfter)
           // In-memory shrink of the live stream state (no second append —
           // the keyed write above is the durable leg).
           FpDedupStream.delete(state, None, docs, "text")
+        }
       }
     }
     targets.nd.foreach { case (state, ckpt) =>
       val docs = recorded.where(col("family") === "nd")
         .select(col("cid").as("doc_id"), col("text"))
-      if (!docs.isEmpty) state.withExclusive {
+      if (!docs.isEmpty && familyEnabled("nd", ndSeq)) state.withExclusive {
         val alreadyDown = fs(spark, ckpt).exists(
           new org.apache.hadoop.fs.Path(
             s"$ckpt/tomb/t${ndSeq}_b$ndAfter/ids/_SUCCESS"))
-        Dedup.writeNdTombstoneAt(ckpt,
-          spark.read.parquet(s"$dir/nd_ids"), ndSeq, ndAfter)
-        if (!alreadyDown)
+        if (!alreadyDown) {
+          Dedup.writeNdTombstoneAt(ckpt,
+            spark.read.parquet(s"$dir/nd_ids"), ndSeq, ndAfter)
           // In-memory shrink by the RECORDED ids (not content
           // re-resolution, which would also match docs re-admitted since
           // the first attempt); the keyed write above is the durable leg.
           state.adopt(Dedup.removeNearDupIds(state.index,
             spark.read.parquet(s"$dir/nd_ids")))
+        }
       }
     }
     targets.sem.foreach { case (state, ckpt) =>
       val ids = recorded.where(col("family") === "sem")
         .select(col("cid").as("id"))
-      if (!ids.isEmpty) state.withExclusive {
+      if (!ids.isEmpty && familyEnabled("sem", semSeq)) state.withExclusive {
         val alreadyDown = fs(spark, ckpt).exists(
           new org.apache.hadoop.fs.Path(
             s"$ckpt/tomb/t${semSeq}_b$semAfter/ids/_SUCCESS"))
-        Dedup.writeSemTombstoneAt(ckpt, ids, semSeq, semAfter)
-        if (!alreadyDown)
+        if (!alreadyDown) {
+          Dedup.writeSemTombstoneAt(ckpt, ids, semSeq, semAfter)
           state.adopt(Dedup.removeSemIds(state.index, ids))
+        }
       }
     }
     targets.wn.foreach { case (state, ckpt) =>
       val any = recorded.where(col("family") === "wn")
-      if (!any.isEmpty) state.withExclusive {
+      if (!any.isEmpty && familyEnabled("wn", wnSeq)) state.withExclusive {
         val ids = spark.read.parquet(s"$dir/wn_ids")
         val alreadyDown = fs(spark, ckpt).exists(
           new org.apache.hadoop.fs.Path(
             s"$ckpt/tomb/t${wnSeq}_b$wnAfter/ids/_SUCCESS"))
-        Dedup.writeWnTombstoneAt(ckpt, ids, wnSeq, wnAfter)
-        if (!alreadyDown)
+        if (!alreadyDown) {
+          Dedup.writeWnTombstoneAt(ckpt, ids, wnSeq, wnAfter)
           state.adopt(Dedup.removeWinnowIds(state.index, ids))
+        }
       }
     }
     targets.ss.foreach { case (state, ckpt) =>
       val docs = recorded.where(col("family") === "ss")
         .select(col("cid").as("doc_id"), col("text"))
-      if (!docs.isEmpty) state.withExclusive {
+      if (!docs.isEmpty && familyEnabled("ss", ssSeq)) state.withExclusive {
         val neg = Dedup.substringNegFreq(docs, "doc_id", "text",
           state.index.windowTokens)
         val alreadyDown = fs(spark, ckpt).exists(
           new org.apache.hadoop.fs.Path(
             s"$ckpt/tomb/t${ssSeq}_b$ssAfter/neg/_SUCCESS"))
-        Dedup.writeSsTombstoneAt(ckpt, neg, ssSeq, ssAfter)
-        if (!alreadyDown)
+        if (!alreadyDown) {
+          Dedup.writeSsTombstoneAt(ckpt, neg, ssSeq, ssAfter)
           state.adopt(Dedup.applySubstringNeg(state.index, neg))
+        }
       }
     }
     // The key carries the WAL identity and the batch's event fingerprint:
     // a second takedown WAL (or a recreated one) targeting the same index
     // gets its own keys instead of overwriting earlier tombstones, while
-    // a genuine replay (same WAL, same events) rewrites the same key.
-    val tdKey = "td_" +
-      java.lang.Long.toHexString(java.lang.Integer.toUnsignedLong(
-        handle.path.hashCode)) +
-      s"_b${effectiveId}_" + java.lang.Long.toHexString(fp._1)
+    // a genuine replay (same WAL, same events) rewrites the same key. The
+    // WAL identity is a truncated SHA-1 of the path — String.hashCode is
+    // 32-bit and trivially collidable, and two colliding WALs sharing an
+    // effectiveId + event fingerprint would overwrite each other's keyed
+    // tombstone, dropping one feed's deletions from the mask.
+    val walDigest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(handle.path.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+    val tdKey = s"td_${walDigest}_b${effectiveId}_" +
+      java.lang.Long.toHexString(fp._1)
     val ivfIds = recorded.where(col("family") === "ivf").select("cid")
     if (!ivfIds.isEmpty) targets.ivf.foreach(p =>
       Similarity.writeKeyedTombstone(p, ivfIds, "cid", tdKey))
@@ -404,7 +443,20 @@ object TakedownStream {
   }
 
   /** Start the takedown stream over an event feed with columns
-    * (family, cid, text). */
+    * (family, cid, text).
+    *
+    * ALWAYS pass `queryCheckpointLocation` in production. Without it the
+    * engine restarts batch ids from 0, and replay recognition falls back
+    * to comparing recorded events: a genuinely NEW batch whose events are
+    * byte-identical to an already-applied committed batch (a deliberate
+    * re-deletion of re-admitted content — takedown feeds naturally carry
+    * duplicate reports) is then indistinguishable from a replay and is
+    * skipped instead of applied at its later logical position. With the
+    * checkpoint, engine batch ids are monotone and the ambiguity never
+    * arises. If the checkpoint is ever lost, make re-submitted deletions
+    * distinguishable (e.g. vary the event set, or include a request
+    * timestamp in `text` for fp/nd/wn families it doesn't fingerprint
+    * into content resolution… simplest: a fresh WAL path). */
   def run(
       events: DataFrame,
       handle: Handle,

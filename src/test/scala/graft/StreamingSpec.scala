@@ -1824,4 +1824,64 @@ class StreamingSpec extends SparkSpecBase {
       "a takedown issued after the snapshot must replay on restore")
     Dedup.releaseSketchCaches()
   }
+
+  test("takedown replay with a family recorded as disabled skips that " +
+      "family's leg; retired keyed tombstone dirs are fully removed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Dedup, Similarity}
+    import graft.streaming.{FpDedupStream, TakedownStream}
+
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val fpDir = java.nio.file.Files.createTempDirectory("tdgfp").toString
+    val st = FpDedupStream.resume(spark, fpDir, corpus, "doc_id", "text")
+
+    val emb = spark.table("embeddings")
+    val ivfDir = java.nio.file.Files.createTempDirectory("tdgivf").toString
+    Similarity.saveIvfIndex(Similarity.buildIvfIndex(
+      emb.where(col("vec_id") >= 10), "vec_id", "embedding"), ivfDir)
+
+    val tdDir = java.nio.file.Files.createTempDirectory("tdgwal").toString
+    val td = TakedownStream.resume(spark, tdDir)
+
+    // Batch 0 arrives while only the ivf target is registered: the fp
+    // event is unrouted and the WAL records fp_seq = -1 for the batch.
+    val ev = Seq(("fp", 1L, "alpha beta"), ("ivf", 20L, null))
+      .toDF("family", "cid", "text")
+    assert(TakedownStream.processBatch(td,
+      TakedownStream.Targets(ivf = Seq(ivfDir)), ev, 0L) == 0L)
+
+    // Crash window (applied marker lost), then the batch replays AFTER an
+    // fp target has been registered: the fp leg must stay disabled — the
+    // alternative is an invisible `t-1` tombstone (applied in memory,
+    // skipped by the restore-time t\d+ scan, silently lost on restart).
+    val marker = new org.apache.hadoop.fs.Path(s"$tdDir/b0/applied")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, true)
+    assert(TakedownStream.processBatch(td,
+      TakedownStream.Targets(fp = Some((st, fpDir)), ivf = Seq(ivfDir)),
+      ev, 0L) == 0L)
+    assert(!new java.io.File(s"$fpDir/tomb/t-1_b-1").exists(),
+      "a disabled-family replay must not write an invisible t-1 tombstone")
+    assert(Dedup.probeNovelExact(st.index,
+      Seq((99L, "alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0,
+      "the fp event must be skipped, not applied, on a disabled-family " +
+        "replay")
+
+    // Keyed-tombstone retirement: once the one-cycle reader grace expires
+    // (second compaction), the whole e_<key> directory is deleted — not
+    // just its part file, which would leave empty `_SUCCESS`-marked dirs
+    // accumulating over the takedown stream's lifetime.
+    val tombRoot = new java.io.File(s"$ivfDir/tombstones")
+    def eDirs() = Option(tombRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("e_"))
+    assert(eDirs().nonEmpty, "the ivf takedown lands as a keyed tombstone")
+    Similarity.compactIvfIndex(spark, ivfDir) // applies, records _applied
+    Similarity.compactIvfIndex(spark, ivfDir) // retires file AND directory
+    assert(eDirs().isEmpty,
+      "retired keyed tombstone dirs must be deleted, not left empty")
+    Dedup.releaseSketchCaches()
+  }
 }
