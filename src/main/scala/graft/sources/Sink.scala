@@ -68,6 +68,26 @@ object Sink {
   def idempotentBatch(df: DataFrame, path: String, batchId: Long): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/b$batchId")
 
+  /** [[idempotentBatch]] with a physical per-key directory split INSIDE
+    * the batch directory (`$path/b<id>/sh=<key>/…`), rows sorted by
+    * `sortCol` within files. The split is addressable maintenance
+    * granularity: a later selective rewrite (retraction, compaction)
+    * overwrites `b<id>/sh=<k>` alone instead of the whole batch — at
+    * export scale the difference between a key-sized and a batch-sized
+    * rewrite. `keyCol` is DUPLICATED into the directory column (`sh`)
+    * rather than moved, so readers that list files recursively (and
+    * therefore never see hive partition columns) still get every data
+    * column. The batch directory as a whole keeps [[idempotentBatch]]'s
+    * overwrite-on-replay semantics. */
+  def idempotentBatchSharded(df: DataFrame, path: String, batchId: Long,
+      keyCol: String, sortCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("sh", col(keyCol))
+      .sortWithinPartitions(col("sh"), col(sortCol))
+      .write.mode(SaveMode.Overwrite).partitionBy("sh")
+      .parquet(s"$path/b$batchId")
+  }
+
   /** [[bucketed]] with the files at an explicit `path` (external table):
     * the bucketing metadata lives in the catalog entry, the data lives
     * where the caller says — the layout an index checkpoint needs, where

@@ -187,11 +187,21 @@ object ExportPipeline {
     * withdrawn content (or a near-variant of it) re-enters the export.
     * Safe alongside the RUNNING pipeline: every per-batch mutation of an
     * index state is serialized through the state's own exclusive section
-    * ([[DedupLoop.IndexState.withExclusive]]). */
-  def takedownTargets(handles: Handles): TakedownStream.Targets =
+    * ([[DedupLoop.IndexState.withExclusive]]).
+    *
+    * Pass `exportOut` (the same `outPath` given to [[run]]) to ALSO
+    * register the landed packs: a `family=export` event then erases the
+    * doc's tokens from the already-written shards — full erasure is the
+    * PAIR of events (fp/nd withdraw the gates so re-posts re-enter,
+    * export erases what already left). The takedown batch holds the
+    * exact-dedup stage's state lock for its whole application, so the
+    * retraction never interleaves with an in-flight pipeline fold. */
+  def takedownTargets(handles: Handles,
+      exportOut: Option[String] = None): TakedownStream.Targets =
     TakedownStream.Targets(
       fp = Some((handles.dedup, handles.fpCheckpoint)),
-      nd = Some((handles.near, handles.ndCheckpoint)))
+      nd = Some((handles.near, handles.ndCheckpoint)),
+      export = exportOut.map(p => (handles.pack, p)))
 
   /** Start the pipeline: gated, exact-novel, NEAR-novel docs pack into
     * `outPath/b<id>/` shards; everything else drops. `keptSink`, when

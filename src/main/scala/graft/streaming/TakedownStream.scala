@@ -38,6 +38,10 @@ import graft.operators.{Dedup, Similarity}
   *              index (masked at load, applied physically at the next
   *              compaction).
   *   - `pq`   — same for the registered PQ indexes.
+  *   - `export` — the doc's TOKENS are physically erased from the landed
+  *              pack shards ([[PackStream.retract]]): the one leg that
+  *              reaches the exported data product itself, not just the
+  *              gates that admit future arrivals.
   *
   * Durability is the house WAL-before-side-effects rule with one twist the
   * batch paths don't need: REPLAYED takedowns must not re-append. A
@@ -74,7 +78,15 @@ object TakedownStream {
       wn: Option[(WinnowStream.IndexState, String)] = None,
       ss: Option[(SubstringStream.IndexState, String)] = None,
       ivf: Seq[String] = Nil,
-      pq: Seq[String] = Nil)
+      pq: Seq[String] = Nil,
+      /** The LANDED export itself: the pack stream's handle plus its
+        * output root. A `family=export` event (cid = doc id) erases the
+        * doc's tokens from the already-written pack shards via
+        * [[PackStream.retract]] — the GDPR leg that reaches the data
+        * product, not just the gates. Register it alongside `fp` when the
+        * export pipeline is live: the exact-dedup stage's state lock then
+        * serializes the retraction against in-flight folds. */
+      export: Option[(PackStream.Handle, String)] = None)
 
   final class Handle(val path: String)
 
@@ -211,7 +223,7 @@ object TakedownStream {
     // assigned fp tombstone position rides in params so the commit marker
     // covers it. A replay reuses the recorded assignment.
     val (fpSeq, fpAfter, ndSeq, ndAfter, semSeq, semAfter,
-        wnSeq, wnAfter, ssSeq, ssAfter) =
+        wnSeq, wnAfter, ssSeq, ssAfter, exOn) =
       if (replaying) {
         val p = spark.read.parquet(s"$dir/params").head()
         // Schema-presence guard: a WAL batch recorded before a family
@@ -222,7 +234,7 @@ object TakedownStream {
           else -1L
         (g("fp_seq"), g("fp_after"), g("nd_seq"), g("nd_after"),
           g("sem_seq"), g("sem_after"), g("wn_seq"), g("wn_after"),
-          g("ss_seq"), g("ss_after"))
+          g("ss_seq"), g("ss_after"), g("ex_on"))
       } else {
         val seq = targets.fp.map(t =>
           Dedup.nextFpTombstoneSeq(spark, t._2)).getOrElse(-1L)
@@ -239,6 +251,10 @@ object TakedownStream {
         val xseq = targets.ss.map(t =>
           Dedup.nextSsTombstoneSeq(spark, t._2)).getOrElse(-1L)
         val xafter = targets.ss.map(_._1.lastFoldedBatch).getOrElse(-1L)
+        // The export leg carries no position (retraction is
+        // content-addressed through the lineage manifest), only the
+        // was-a-target-registered flag the replay guard needs.
+        val exon = if (targets.export.isDefined) 0L else -1L
         events.coalesce(1).write.mode("overwrite").parquet(s"$dir/events")
         // nd takedowns are content-addressed but their tombstone payload
         // is the RESOLVED index ids — resolved once, here, against the
@@ -267,13 +283,14 @@ object TakedownStream {
         locally {
           import spark.implicits._
           Seq((fp._1, fp._2, seq, after, nseq, nafter, sseq, safter,
-              wseq, wafter, xseq, xafter))
+              wseq, wafter, xseq, xafter, exon))
             .toDF("batch_fp", "batch_n", "fp_seq", "fp_after",
               "nd_seq", "nd_after", "sem_seq", "sem_after",
-              "wn_seq", "wn_after", "ss_seq", "ss_after")
+              "wn_seq", "wn_after", "ss_seq", "ss_after", "ex_on")
             .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
         }
-        (seq, after, nseq, nafter, sseq, safter, wseq, wafter, xseq, xafter)
+        (seq, after, nseq, nafter, sseq, safter, wseq, wafter, xseq,
+          xafter, exon)
       }
     // Side effects — each an idempotent keyed overwrite, so this block
     // re-runs safely after a crash anywhere inside it.
@@ -283,7 +300,8 @@ object TakedownStream {
         "fp" -> targets.fp.isEmpty, "nd" -> targets.nd.isEmpty,
         "sem" -> targets.sem.isEmpty, "wn" -> targets.wn.isEmpty,
         "ss" -> targets.ss.isEmpty,
-        "ivf" -> targets.ivf.isEmpty, "pq" -> targets.pq.isEmpty)
+        "ivf" -> targets.ivf.isEmpty, "pq" -> targets.pq.isEmpty,
+        "export" -> targets.export.isEmpty)
         .collect { case (fam, true) => fam }
       if (unrouted.nonEmpty) {
         val present = recorded.where(col("family").isin(unrouted: _*))
@@ -417,6 +435,17 @@ object TakedownStream {
     val pqIds = recorded.where(col("family") === "pq").select("cid")
     if (!pqIds.isEmpty) targets.pq.foreach(p =>
       Similarity.writeKeyedTombstone(p, pqIds, "cid", tdKey))
+    // Export erasure: reaches the landed pack shards through
+    // [[PackStream.retract]]'s own keyed WAL — tdKey makes a replay of
+    // this batch re-enter the same retraction (skipped once applied,
+    // re-run idempotently from its WAL if the crash hit mid-apply).
+    targets.export.foreach { case (ph, packOut) =>
+      val exIds = recorded.where(col("family") === "export")
+        .select(col("cid").as("doc_id"))
+      if (!exIds.isEmpty && familyEnabled("export", exOn))
+        PackStream.retract(spark, ph, packOut, exIds,
+          requestKey = Some(tdKey)): Unit
+    }
     afterApply()
     locally {
       import spark.implicits._

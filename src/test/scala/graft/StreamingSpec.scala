@@ -994,8 +994,10 @@ class StreamingSpec extends SparkSpecBase {
           .as("token_ids"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       .toSet
-    val got = spark.read.parquet(s"$out/b0", s"$out/b1", s"$out/b2")
-      .select("shard", "pack_id", "token_ids")
+    val got = Seq("b0", "b1", "b2")
+      .map(b => spark.read.parquet(s"$out/$b")
+        .select("shard", "pack_id", "token_ids"))
+      .reduce(_ unionByName _)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       .toSet
     assert(got == expected && got.nonEmpty,
@@ -1032,7 +1034,10 @@ class StreamingSpec extends SparkSpecBase {
     // The stream continues past the replay with the state the replay
     // rewrote — and every landed pack is exactly the window size.
     assert(PackStream.processBatch(h, batch2, 1L, "doc_id", "text", out) == 1L)
-    val all = spark.read.parquet(s"$out/b0", s"$out/b1")
+    val all = spark.read.parquet(s"$out/b0")
+      .select("shard", "pack_id", "n_tokens", "token_ids")
+      .unionByName(spark.read.parquet(s"$out/b1")
+        .select("shard", "pack_id", "n_tokens", "token_ids"))
     assert(all.where(col("n_tokens") =!= 64).count() == 0)
     // Conservation: landed tokens + carried tokens == ingested tokens.
     val vmap = typedlit(h.model.vocab)
@@ -1045,6 +1050,128 @@ class StreamingSpec extends SparkSpecBase {
       .select(size(col("pending")).cast("long").as("n"))
       .agg(sum("n")).head().getLong(0)
     assert(landed + carried == ingested)
+  }
+
+  test("pack retraction: erasing docs from the landed export reproduces, " +
+      "pack for pack, the from-scratch export of the surviving docs — " +
+      "idempotently, touching only the affected shards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.PackStream
+
+    val corpus = spark.table("documents")
+    val pSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "shard long, pack_id long, n_tokens long, token_ids string")
+    // (batch, shard, pack_id, token_ids) of every landed pack — explicit
+    // schema so a batch with zero full packs (empty dir) reads as empty.
+    def export(out: String, batches: Seq[Long]): Set[(Long, Long, Long, String)] =
+      batches.flatMap { b =>
+        spark.read.schema(pSchema).parquet(s"$out/b$b")
+          .select(lit(b).as("b"), col("shard"), col("pack_id"),
+            col("token_ids"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3)))
+      }.toSet
+    def newestState(dir: String): Set[(Long, Long, Seq[Long])] = {
+      val root = new java.io.File(s"$dir/state")
+      val GenName = "g(\\d+)(?:r(\\d+))?".r
+      val newest = root.listFiles().map(_.getName)
+        .collect { case n @ GenName(g, r) =>
+          (g.toLong, Option(r).map(_.toLong).getOrElse(0L), n) }
+        .sorted.last._3
+      spark.read.parquet(s"$dir/state/$newest/pending")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Long](2))).toSet
+    }
+    def manifestRows(dir: String): Set[(Long, Long, Long, Long, Long)] =
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/manifest")
+        .collect().map(r => (r.getAs[Long]("batch_id"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("tie"))).toSet
+
+    def runExport(drop: Set[Long]): (String, String, PackStream.Handle) = {
+      val dir = java.nio.file.Files.createTempDirectory("rtrstate").toString
+      val out = java.nio.file.Files.createTempDirectory("rtrout").toString
+      val h = PackStream.resume(spark, dir, corpus, "doc_id", "text",
+        nShards = 4L, nMerges = 12, window = 64)
+      Seq(0L until 20L, 20L until 40L, 40L until 60L)
+        .zipWithIndex.foreach { case (idsR, b) =>
+          val batch = corpus
+            .where(col("doc_id").isin(idsR.filterNot(drop): _*))
+            .select(col("doc_id"), col("text"))
+          PackStream.processBatch(h, batch, b.toLong, "doc_id", "text", out)
+        }
+      (dir, out, h)
+    }
+
+    // Withdraw an early doc (most of its shard's stream reflows), two
+    // from one shard, and one near the end (likely still in pending).
+    val withdrawn = Set(4L, 25L, 57L)
+    val (dir, out, h) = runExport(drop = Set.empty)
+    val (refDir, refOut, refH) = runExport(drop = withdrawn)
+    assert(refH.model == h.model, "same corpus → same frozen tokenizer")
+
+    // Untouched shards' files must not be rewritten: record mtimes.
+    val affShards = withdrawn.map(_ % 4)
+    def untouchedFiles(root: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root))
+        .filter(_.getName.endsWith(".parquet"))
+        .filterNot(f => affShards.exists(s => f.getPath.contains(s"sh=$s/")))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val untouchedBefore = untouchedFiles(out)
+
+    val stats = PackStream.retract(spark, h, out,
+      (withdrawn + 999L).toSeq.toDF("doc_id"), requestKey = Some("gdpr1"))
+    assert(!stats.alreadyApplied && stats.docsRemoved == 3 &&
+      stats.tokensRemoved > 0 && stats.affectedShards == affShards.size &&
+      stats.packsRewritten > 0,
+      s"stats: $stats")
+
+    // THE equivalence: retracted export == from-scratch export of the
+    // surviving docs — packs (with their batch placement), carried
+    // state, and lineage manifests all identical.
+    val batches = Seq(0L, 1L, 2L)
+    locally {
+      val got = export(out, batches)
+      val exp = export(refOut, batches)
+      val onlyGot = (got -- exp).toSeq.sortBy(t => (t._1, t._2, t._3))
+      val onlyExp = (exp -- got).toSeq.sortBy(t => (t._1, t._2, t._3))
+      assert(onlyGot.isEmpty && onlyExp.isEmpty,
+        s"retracted packs must equal the from-scratch packs:\n" +
+          s"got=${got.size} exp=${exp.size}\n" +
+          s"onlyGot=${onlyGot.take(4).map(t => (t._1, t._2, t._3))}\n" +
+          s"onlyExp=${onlyExp.take(4).map(t => (t._1, t._2, t._3))}")
+    }
+    assert(newestState(dir) == newestState(refDir),
+      "retracted carried state must equal the from-scratch state")
+    assert(manifestRows(dir) == manifestRows(refDir),
+      "retracted lineage must equal the from-scratch lineage")
+
+    // Shard-sized touch: no file outside the affected shards rewritten.
+    val untouchedAfter = untouchedFiles(out)
+    assert(untouchedBefore.forall { case (p, m) =>
+      untouchedAfter.get(p).contains(m) },
+      "files of unaffected shards must not be rewritten")
+
+    // Idempotence: same key replays as a no-op; a fresh key with the
+    // same (now absent) docs erases nothing and changes nothing.
+    val again = PackStream.retract(spark, h, out,
+      (withdrawn + 999L).toSeq.toDF("doc_id"), requestKey = Some("gdpr1"))
+    assert(again.alreadyApplied && again.docsRemoved == 3)
+    val fresh = PackStream.retract(spark, h, out,
+      withdrawn.toSeq.toDF("doc_id"), requestKey = Some("gdpr2"))
+    assert(!fresh.alreadyApplied && fresh.docsRemoved == 0)
+    assert(export(out, batches) == export(refOut, batches))
+
+    // A reused key with different ids must fail loudly.
+    intercept[IllegalArgumentException] {
+      PackStream.retract(spark, h, out, Seq(11L).toDF("doc_id"),
+        requestKey = Some("gdpr1"))
+    }
   }
 
   test("export pipeline: gate → exact dedup → NEAR-dup → pack end to " +
