@@ -939,6 +939,62 @@ object Dedup {
   def releaseIndex(index: NearDupIndex): Unit =
     index.layers.foreach(_.unpersist(false))
 
+  /** Default [[ndRarityDrift]] bar: above it, schedule a rebuild at the
+    * next maintenance window. A tenth of sampled docs carrying stale
+    * prefixes measurably widens candidate sets without yet dominating
+    * probe cost — the table-statistics-refresh calibration. */
+  val NdRarityDriftRebuildThreshold = 0.1
+
+  /** RARITY-DRIFT probe for the near-dup index's FROZEN shingle order —
+    * the rebuild signal the freeze contract was missing: the index ranks
+    * shingles by document frequencies frozen at build time so corpus
+    * prefixes stay valid forever, but every [[extendIndex]] fold shifts
+    * the TRUE frequencies, and stale rarity estimates select stale
+    * prefixes — wider candidate sets, never wrong answers (recall stays
+    * total because probe and index rank under the same frozen order;
+    * drift costs efficiency, not accuracy).
+    *
+    * Returns the fraction of SAMPLED docs (deterministic id-hash sample,
+    * ~1/`sampleMod`) whose prefix-filter key set, re-derived under the
+    * LIVE document frequencies of the current docsets (corpus plus every
+    * extension), differs from the frozen-order prefixes the index
+    * actually serves. 0.0 on a fresh index by construction; rebuild when
+    * it exceeds [[NdRarityDriftRebuildThreshold]].
+    *
+    * Cost: one narrow explode of the sketch layer plus an aggregation
+    * restricted to the sampled docs' shingles — sketch-layer-sized, the
+    * same order as the compaction cadence that hosts it
+    * (streaming/NearDupStream computes it at every compaction and logs
+    * the value). */
+  def ndRarityDrift(index: NearDupIndex, sampleMod: Long = 16L): Double = {
+    val sets = index.docsets
+    val sampled = sets
+      .where(pmod(xxhash64(col("id")), lit(sampleMod)) === 0)
+      .select(col("id"), col("n"), col("hs"))
+    val total = sampled.count()
+    if (total == 0L) return 0.0
+    val sh = sampled.select(col("id"), col("n"), explode(col("hs")).as("h"))
+    // Live document frequency of exactly the sampled docs' shingles —
+    // counted over ALL current docsets (that is what "live" means), but
+    // aggregated only for the ~1/sampleMod of shingles the sample needs.
+    val live = sets.select(explode(col("hs")).as("h"))
+      .join(sh.select("h").distinct(), Seq("h"), "left_semi")
+      .groupBy("h").agg(count(lit(1)).as("f"))
+    val livePref = sh.join(live, Seq("h"), "left")
+      .withColumn("f", coalesce(col("f"), lit(0L)))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("id").orderBy(col("f"), col("h"))))
+      .where(col("r") <= col("n") - ceil(col("n") * index.threshold) + 1)
+      .select(col("id"), col("h"))
+    val frozenPref = index.prefixes
+      .join(sampled.select("id"), Seq("id"), "left_semi")
+      .select(col("id"), col("h"))
+    val changed = livePref.exceptAll(frozenPref)
+      .unionAll(frozenPref.exceptAll(livePref))
+      .select("id").distinct().count()
+    changed.toDouble / total
+  }
+
   /** Extend a [[NearDupIndex]] with newly arrived documents (typically the
     * batch a [[probeNearDups]] call just classified) WITHOUT touching the
     * corpus: the new docs are sketched once, their prefix keys computed

@@ -111,10 +111,15 @@ object Pipeline {
     * through the compacted layout. */
   private val ivfCompIndexes = scala.collection.concurrent.TrieMap.empty[
     String, (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
-      Similarity.IvfIndex)]
+      (Similarity.IvfIndex, Similarity.IvfIndex))]
+  /** s8's resident pair: the index loaded BEFORE compaction (fragmented
+    * append layout) and AFTER (one file per list, fresh generation). The
+    * pre-compaction handle stays probe-safe through one compaction by the
+    * reader-grace contract — exactly what lets s8 attest probe-identity
+    * across the maintenance cycle as an oracle-checked invariant. */
   private def ivfCompactedFor(s: org.apache.spark.sql.SparkSession,
-      dir: String,
-      emb: org.apache.spark.sql.DataFrame): Similarity.IvfIndex =
+      dir: String, emb: org.apache.spark.sql.DataFrame)
+      : (Similarity.IvfIndex, Similarity.IvfIndex) =
     cachedIdx(ivfCompIndexes, s, dir) {
       val path = tempIndexDir("graft_ivfc_idx")
       Similarity.saveIvfIndex(
@@ -123,7 +128,8 @@ object Pipeline {
       Similarity.appendIvfIndex(s, path,
         emb.where(col("vec_id") >= 10 && col("vec_id") < 20),
         "vec_id", "embedding")
-      Similarity.compactIvfIndex(s, path)
+      val pre = Similarity.loadIvfIndex(s, path)
+      (pre, Similarity.compactIvfIndex(s, path))
     }
 
   /** s9's resident index: the DELETION arm of the serving-index lifecycle —
@@ -207,6 +213,24 @@ object Pipeline {
       Dedup.saveWinnowIndex(
         Dedup.buildWinnowIndex(corpus, "doc_id", "text",
           k = 16, w = 30, maxFreq = 100), path)
+      Dedup.loadWinnowIndex(s, path)
+    }
+
+  /** d13's parity index: same save/load path as [[wnIndexFor]] but with a
+    * cap that never binds — probe ≡ one-shot holds exactly only then (the
+    * incremental path caps on CORPUS frequency, the one-shot on all-docs
+    * frequency; a binding cap makes them legitimately diverge). */
+  private val wnParityIndexes = scala.collection.concurrent.TrieMap.empty[
+    String, (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
+      Dedup.WinnowIndex)]
+  private def wnParityIndexFor(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      corpus: => org.apache.spark.sql.DataFrame): Dedup.WinnowIndex =
+    cachedIdx(wnParityIndexes, s, dir) {
+      val path = tempIndexDir("graft_wnp_idx")
+      Dedup.saveWinnowIndex(
+        Dedup.buildWinnowIndex(corpus, "doc_id", "text",
+          k = 16, w = 30, maxFreq = 1000000), path)
       Dedup.loadWinnowIndex(s, path)
     }
 
@@ -410,13 +434,29 @@ object Pipeline {
     },
     // IVF-bucketed embedding near-dup — d5's corpus-scale escalation:
     // candidates restricted to vectors sharing an IVF list (multi-assigned
-    // to nprobe=2 lists), verified by the exact cosine. Precision is exact
-    // (spec asserts the output ⊆ d5's pairs); recall is quantizer-defined
-    // → rows-only.
-    df("d11_dedup_embedding_ivf", None) { (s, dir) =>
-      Similarity.ivfCosinePairs(s.table("embeddings"),
-        "vec_id", "embedding", threshold = 0.4)
-        .orderBy("a_id", "b_id")
+    // to nprobe lists), verified by the exact cosine. The result ROWS are
+    // quantizer-defined, so instead of a rows-only record the query emits
+    // its two invariants AS the result, with a constant-0 oracle (the
+    // round-10 upgrade pattern): false_pairs — IVF pairs absent from the
+    // exact grid (must be 0: every candidate is verified by the same
+    // exact cosine) — and recall_floor_violations — found-pair count
+    // below 80% of the exact grid's (the operator's documented floor).
+    // The official record now attests what previously only the spec did.
+    df("d11_dedup_embedding_ivf",
+      Some("select cast(0 as bigint) as false_pairs, " +
+        "cast(0 as bigint) as recall_floor_violations")) { (s, dir) =>
+      val emb = s.table("embeddings")
+      val ivf = Similarity.ivfCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.4).select("a_id", "b_id")
+      val exact = Dedup.embedding(emb, "vec_id", "embedding", 0.4)
+        .select("a_id", "b_id")
+      val fp = ivf.join(exact, Seq("a_id", "b_id"), "left_anti")
+        .agg(count(lit(1)).as("false_pairs"))
+      val rec = ivf.agg(count(lit(1)).as("np"))
+        .crossJoin(exact.agg(count(lit(1)).as("ne")))
+        .select(when(col("np").cast("double") >= col("ne") * 0.8, 0L)
+          .otherwise(1L).as("recall_floor_violations"))
+      fp.crossJoin(rec)
     },
     // d8 through its PERSISTED index: the corpus fingerprint set is built,
     // checkpointed, and reloaded once per session (resident-index pattern,
@@ -473,14 +513,35 @@ object Pipeline {
     },
     // d6 through its PERSISTED index: corpus winnowing postings reloaded
     // from the bucketed checkpoint, batch winnowed once and joined. Pairs
-    // are hash-family-defined (same as d6) → rows-only; the probe ≡
-    // one-shot equivalence is spec-asserted (IncrementalDedupSpec).
-    df("d13_dedup_winnow_index", None) { (s, dir) =>
+    // are hash-family-defined, so the query emits its EQUIVALENCE
+    // invariant as the result (round-10 upgrade pattern): the persisted-
+    // index probe must equal the one-shot winnowing over all docs,
+    // restricted to cross (corpus × batch) pairs and oriented the same
+    // way — symmetric-difference count 0, attested by a constant oracle.
+    // The cap is set high enough never to bind (the one place the
+    // incremental corpus-frequency and one-shot all-docs-frequency
+    // semantics could legitimately differ); the capped production path
+    // keeps its own plan + crash coverage in IncrementalDedupSpec.
+    df("d13_dedup_winnow_index",
+      Some("select cast(0 as bigint) as parity_violations")) { (s, dir) =>
       val docs = s.table("documents")
-      val idx = wnIndexFor(s, dir, docs.where(col("doc_id") % 5 =!= 0))
-      Dedup.probeWinnow(idx, docs.where(col("doc_id") % 5 === 0),
-          "doc_id", "text", minShared = 3)
-        .orderBy("a_id", "b_id")
+      val idx = wnParityIndexFor(s, dir, docs.where(col("doc_id") % 5 =!= 0))
+      val probed = Dedup.probeWinnow(idx,
+          docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
+          minShared = 3)
+        .select("a_id", "b_id", "n_shared")
+      val oneShot = Dedup.winnowing(docs, "doc_id", "text",
+          k = 16, w = 30, minShared = 3, maxFreq = 1000000)
+        .where((col("a_id") % 5 === 0) =!= (col("b_id") % 5 === 0))
+        .select(
+          when(col("a_id") % 5 === 0, col("b_id")).otherwise(col("a_id"))
+            .as("ca"),
+          when(col("a_id") % 5 === 0, col("a_id")).otherwise(col("b_id"))
+            .as("cb"),
+          col("n_shared"))
+        .select(col("ca").as("a_id"), col("cb").as("b_id"), col("n_shared"))
+      probed.exceptAll(oneShot).unionAll(oneShot.exceptAll(probed))
+        .agg(count(lit(1)).as("parity_violations"))
     },
     // ExactSubstr-style duplicated-substring stats: windows of 8 tokens
     // occurring >= 2 times corpus-wide (within-doc repeats count). The
@@ -1006,14 +1067,24 @@ object Pipeline {
     // pays the compressed probe + bounded exact re-rank (s5 pays training
     // + encoding per call; this is the same operator with the one-off cost
     // factored out, exactly how a recurring query batch runs at 100 TB).
-    // Spec asserts the probe returns exactly s5's inline top-k.
-    df("s6_ann_pq_index", None) { (s, dir) =>
+    // Round-10 upgrade: the query emits the save/load ROUND-TRIP
+    // invariant as its result — the persisted-index probe must return
+    // exactly the inline s5 top-k (same deterministic training on the
+    // same corpus) — so the official record attests what previously only
+    // the spec did. Compared on (qid, rnk, cid): ids and ranking, not
+    // float text formatting.
+    df("s6_ann_pq_index",
+      Some("select cast(0 as bigint) as parity_violations")) { (s, dir) =>
       val emb = s.table("embeddings")
       val idx = pqIndexFor(s, dir, emb.where(col("vec_id") >= 10))
-      Similarity.pqProbe(idx,
+      val probed = Similarity.pqProbe(idx,
         emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
-        "vec_id", "embedding", k = 5)
-        .orderBy("qid", "rnk")
+        "vec_id", "embedding", k = 5).select("qid", "rnk", "cid")
+      val inline = Similarity.pqTopK(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5).select("qid", "rnk", "cid")
+      probed.exceptAll(inline).unionAll(inline.exceptAll(probed))
+        .agg(count(lit(1)).as("parity_violations"))
     },
     // IVF ANN probing a PERSISTED index (s6's IVF twin): inverted lists
     // reloaded from their hive-partitioned layout, so the probe reads only
@@ -1035,12 +1106,22 @@ object Pipeline {
     // (OperatorsSpec); this row keeps the maintenance path on the
     // driver's per-round correctness record. Quantizer-defined top-k →
     // rows-only, like s3/s7.
-    df("s8_ann_ivf_compacted", None) { (s, dir) =>
+    // Round-10 upgrade: emits probe-IDENTITY across the compaction as the
+    // result — the same saved index probed through the fragmented
+    // pre-compaction layout and through the compacted generation must
+    // return identical top-k (reader-grace keeps the pre handle valid) —
+    // with a constant-0 oracle on the official record.
+    df("s8_ann_ivf_compacted",
+      Some("select cast(0 as bigint) as parity_violations")) { (s, dir) =>
       val emb = s.table("embeddings")
-      val idx = ivfCompactedFor(s, dir, emb)
-      Similarity.ivfProbe(idx, emb.where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nprobe = 4)
-        .orderBy("qid", "rnk")
+      val (pre, post) = ivfCompactedFor(s, dir, emb)
+      def probe(i: Similarity.IvfIndex) =
+        Similarity.ivfProbe(i, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nprobe = 4)
+          .select("qid", "rnk", "cid")
+      probe(post).exceptAll(probe(pre))
+        .unionAll(probe(pre).exceptAll(probe(post)))
+        .agg(count(lit(1)).as("parity_violations"))
     },
     // The DELETION arm of the serving-index lifecycle — the takedown /
     // contamination-removal path a 100 TB corpus needs without an index
@@ -1051,12 +1132,28 @@ object Pipeline {
     // never-indexed corpus, pruning survival, and tombstone retirement are
     // all spec-asserted (OperatorsSpec); quantizer-defined top-k →
     // rows-only, like s7/s8.
-    df("s9_ann_ivf_deleted", None) { (s, dir) =>
+    // Round-10 upgrade: emits the DELETION invariants as the result — no
+    // withdrawn id may surface from the post-compaction probe, and every
+    // query must still fill its top-k from the surviving corpus — with a
+    // constant-0 oracle on the official record.
+    df("s9_ann_ivf_deleted",
+      Some("select cast(0 as bigint) as deleted_id_hits, " +
+        "cast(0 as bigint) as underfilled_queries")) { (s, dir) =>
       val emb = s.table("embeddings")
       val idx = ivfDeletedFor(s, dir, emb)
-      Similarity.ivfProbe(idx, emb.where(col("vec_id") < 10),
+      val res = Similarity.ivfProbe(idx, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nprobe = 4)
-        .orderBy("qid", "rnk")
+      val deleted = emb
+        .where(col("vec_id") >= 10 && col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("cid"))
+      val hits = res.join(deleted, Seq("cid"), "left_semi")
+        .agg(count(lit(1)).as("deleted_id_hits"))
+      val fill = res.groupBy("qid").agg(count(lit(1)).as("nk"))
+        .agg(sum(when(col("nk") < 5, 1L).otherwise(0L))
+          .as("underfilled_queries"))
+        .select(coalesce(col("underfilled_queries"), lit(0L))
+          .as("underfilled_queries"))
+      hits.crossJoin(fill)
     },
     // Hybrid retrieval — the canonical RAG/corpus-search shape: a lexical
     // TF-IDF prefilter picks 100 candidates (cheap, index-friendly), a

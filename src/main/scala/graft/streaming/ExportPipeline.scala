@@ -10,6 +10,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *            → exact dedup vs corpus + stream history ([[FpDedupStream]])
   *            → NEAR-dup (fuzzy) dedup vs corpus + stream history
   *              ([[NearDupStream]] as a mid-pipeline batch loop)
+  *            → OPTIONAL boilerplate gate: ExactSubstr duplicated-window
+  *              ratio vs corpus + stream history ([[SubstringStream]] as
+  *              a fourth batch-loop stage — the C4/RefinedWeb shape's
+  *              recycled-content strip, enabled at bootstrap)
   *            → tokenize-and-pack into context windows ([[PackStream]])
   *            → batch-id-keyed idempotent pack shards on disk.
   *
@@ -55,10 +59,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object ExportPipeline {
 
   /** All stages' restored state under one root: the fingerprint index at
-    * `$path/fp`, the near-dup index at `$path/nd`, the frozen tokenizer +
-    * packing state at `$path/pack`, and the bootstrap gate thresholds
-    * (persisted at `$path/gate`, carried here so [[run]] uses exactly the
-    * values the corpus was curated with). */
+    * `$path/fp`, the near-dup index at `$path/nd`, the OPTIONAL substring
+    * gate at `$path/ss`, the frozen tokenizer + packing state at
+    * `$path/pack`, and the bootstrap gate thresholds (persisted at
+    * `$path/gate`, carried here so [[run]] uses exactly the values the
+    * corpus was curated with). */
   final class Handles(
       val dedup: FpDedupStream.IndexState,
       val near: NearDupStream.IndexState,
@@ -66,7 +71,12 @@ object ExportPipeline {
       val fpCheckpoint: String,
       val ndCheckpoint: String,
       val minTokens: Int,
-      val minDistinctRatio: Double)
+      val minDistinctRatio: Double,
+      /** Fourth stage when enabled at bootstrap: (state, checkpoint,
+        * minOccurrences, maxDupRatio) of the ExactSubstr boilerplate
+        * gate. */
+      val substr: Option[(SubstringStream.IndexState, String, Int, Double)]
+        = None)
 
   /** The curated view of a batch frame: the arrival gate plus (batch-mode)
     * content-fingerprint dedup — what the BOOTSTRAP corpus must pass
@@ -101,7 +111,16 @@ object ExportPipeline {
       minTokens: Int = 10,
       minDistinctRatio: Double = 0.3,
       shingleN: Int = 2,
-      threshold: Double = 0.6): Handles = {
+      threshold: Double = 0.6,
+      /** Enable the fourth stage (ExactSubstr boilerplate gate) — decided
+        * at BOOTSTRAP and persisted: a resume that disagrees with the
+        * persisted choice fails loudly (an index that missed part of the
+        * stream history can't be enabled retroactively, and silently
+        * dropping a configured gate would un-curate the export). */
+      substringGate: Boolean = false,
+      ssWindowTokens: Int = 8,
+      ssMinOccurrences: Int = 2,
+      ssMaxDupRatio: Double = 0.5): Handles = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gateDir = s"$path/gate/params"
@@ -151,6 +170,41 @@ object ExportPipeline {
         fs.exists(new org.apache.hadoop.fs.Path(
           s"$path/$sub/${st.getPath.getName}/params/_SUCCESS")))
     }
+    // Substring-gate enablement is a BOOTSTRAP decision, persisted like
+    // the quality-gate thresholds: its index must have seen every batch
+    // that ever folded, so it can neither be enabled retroactively nor
+    // silently dropped on a later resume.
+    val ssCfgDir = s"$path/ss/params_cfg"
+    val ssCommitted = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$ssCfgDir/_SUCCESS"))
+    val ssCfg: Option[(Int, Int, Double)] =
+      if (ssCommitted) {
+        require(substringGate,
+          "ExportPipeline.resume: this export was bootstrapped WITH the " +
+            s"substring gate (config at $ssCfgDir) but the caller " +
+            "disabled it — resuming without a configured stage would " +
+            "un-curate the stream.")
+        val p = spark.read.parquet(ssCfgDir).head()
+        val stored = (p.getAs[Int]("window_tokens"),
+          p.getAs[Int]("min_occurrences"), p.getAs[Double]("max_dup_ratio"))
+        require(stored ==
+            ((ssWindowTokens, ssMinOccurrences, ssMaxDupRatio)),
+          s"ExportPipeline.resume: caller substring-gate params " +
+            s"($ssWindowTokens, $ssMinOccurrences, $ssMaxDupRatio) " +
+            s"disagree with the persisted $stored at $ssCfgDir.")
+        Some(stored)
+      } else if (substringGate) {
+        require(!hasGen("fp"),
+          "ExportPipeline.resume: cannot enable the substring gate on an " +
+            "already-bootstrapped export — its index would have missed " +
+            "the stream history the other stages folded. Start a new " +
+            "export root (or replay the corpus through a fresh one).")
+        import spark.implicits._
+        Seq((ssWindowTokens, ssMinOccurrences, ssMaxDupRatio))
+          .toDF("window_tokens", "min_occurrences", "max_dup_ratio")
+          .coalesce(1).write.mode("overwrite").parquet(ssCfgDir)
+        Some((ssWindowTokens, ssMinOccurrences, ssMaxDupRatio))
+      } else None
     // Existence probes only — each stage's resume does the actual load,
     // and the loaders persist index layers, so calling THEM twice would
     // leave duplicate resident copies.
@@ -167,6 +221,16 @@ object ExportPipeline {
           shingleN, threshold)
       } else NearDupStream.resume(spark, s"$path/nd", corpus.limit(0),
         idCol, textCol, shingleN, threshold)
+    val substr = ssCfg.map { case (wt, mo, mr) =>
+      val st =
+        if (!hasGen("ss")) {
+          usedCurated = true
+          SubstringStream.resume(spark, s"$path/ss", curated, idCol,
+            textCol, wt)
+        } else SubstringStream.resume(spark, s"$path/ss", corpus.limit(0),
+          idCol, textCol, wt)
+      (st, s"$path/ss", mo, mr)
+    }
     val packBootstrapped = fs.exists(
       new org.apache.hadoop.fs.Path(s"$path/pack/model/params/_SUCCESS"))
     val pack =
@@ -178,7 +242,7 @@ object ExportPipeline {
         idCol, textCol)
     if (usedCurated) curated.unpersist(false)
     new Handles(dedup, near, pack, s"$path/fp", s"$path/nd",
-      gMinTokens, gMinDistinct)
+      gMinTokens, gMinDistinct, substr)
   }
 
   /** The pipeline's own dedup indexes as [[TakedownStream.Targets]] — the
@@ -201,6 +265,7 @@ object ExportPipeline {
     TakedownStream.Targets(
       fp = Some((handles.dedup, handles.fpCheckpoint)),
       nd = Some((handles.near, handles.ndCheckpoint)),
+      ss = handles.substr.map { case (st, ckpt, _, _) => (st, ckpt) },
       export = exportOut.map(p => (handles.pack, p)))
 
   /** Start the pipeline: gated, exact-novel, NEAR-novel docs pack into
@@ -221,6 +286,21 @@ object ExportPipeline {
       keptSink: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
     val nd = NearDupStream.batchLoop(handles.near, idCol, textCol,
       compactEvery, checkpointPath = Some(handles.ndCheckpoint))
+    // Optional fourth stage: the ExactSubstr boilerplate gate, between
+    // the near-dup stage and packing, on the same shared batch id (its
+    // own WAL/replay/compaction via the common BatchLoop — the crash
+    // story composes unchanged, now across four checkpoints). Runs LAST
+    // of the gates: every doc the cheaper content gates drop is one whose
+    // windows are never counted.
+    val ss = handles.substr.map { case (st, ckpt, minOcc, maxRatio) =>
+      SubstringStream.batchLoop(st, idCol, textCol, minOcc, maxRatio,
+        compactEvery, checkpointPath = Some(ckpt))
+    }
+    def packStage(batch: DataFrame, id: Long): Unit = {
+      PackStream.processBatch(handles.pack, batch, id, idCol, textCol,
+        outPath)
+      keptSink(batch, id)
+    }
     FpDedupStream.runBatches(
       Curate.qualityGate(docs, handles.minTokens, handles.minDistinctRatio)
         .select(docs.columns.map(org.apache.spark.sql.functions.col)
@@ -229,9 +309,13 @@ object ExportPipeline {
       checkpointPath = Some(handles.fpCheckpoint),
       queryCheckpointLocation = queryCheckpointLocation) { (kept, walId) =>
       nd.processBatch(kept, walId) { (ndKept, ndId) =>
-        PackStream.processBatch(handles.pack, ndKept, ndId, idCol, textCol,
-          outPath)
-        keptSink(ndKept, ndId)
+        ss match {
+          case Some(loop) =>
+            loop.processBatch(ndKept, ndId) { (ssKept, ssId) =>
+              packStage(ssKept, ssId)
+            }
+          case None => packStage(ndKept, ndId)
+        }
       }
     }
   }

@@ -111,8 +111,28 @@ object NearDupStream {
       (keptIds, extended)
     }
     def layers(idx: NearDupIndex): Seq[DataFrame] = idx.layers
-    def compact(idx: NearDupIndex): NearDupIndex =
+    def compact(idx: NearDupIndex): NearDupIndex = {
+      // Rarity-drift probe on the compaction cadence — the frozen-order
+      // contract's rebuild signal: the sampled rank-churn between frozen
+      // and live shingle frequencies, logged every compaction so an
+      // operator has a trend, warned past the documented threshold.
+      // Correctness is unaffected by drift (recall stays total under the
+      // frozen order); the cost of ignoring the warning is widening
+      // candidate sets, growing with every fold.
+      val drift = Dedup.ndRarityDrift(idx)
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      if (drift > Dedup.NdRarityDriftRebuildThreshold)
+        log.warn(f"NearDupStream: rarity drift $drift%.3f exceeds " +
+          f"${Dedup.NdRarityDriftRebuildThreshold}%.2f — ${drift * 100}%.1f%% " +
+          "of sampled docs would pick different prefix keys under live " +
+          "frequencies. Schedule an index REBUILD (buildNearDupIndex over " +
+          "the current corpus) at the next maintenance window; until then " +
+          "probes stay correct but candidate sets widen.")
+      else
+        log.info(f"NearDupStream: rarity drift $drift%.3f (rebuild bar " +
+          f"${Dedup.NdRarityDriftRebuildThreshold}%.2f).")
       Dedup.compactIndex(idx, releaseOld = false)
+    }
     def save(idx: NearDupIndex, path: String, walId: Long,
         kept: DataFrame): Unit = {
       Dedup.saveIndex(idx, path, batchId = walId, kept = Some(kept))

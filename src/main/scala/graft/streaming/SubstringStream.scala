@@ -99,6 +99,26 @@ object SubstringStream {
       state.adopt(Dedup.applySubstringNeg(state.index, neg))
     }
 
+  /** The gate as a BATCH-CALLABLE mid-pipeline stage
+    * ([[DedupLoop.BatchLoop]] contract, [[NearDupStream.batchLoop]]'s
+    * twin): an upstream stage's per-batch sink calls
+    * `processBatch(batch, id)(sink)` and this stage probes, WALs, and
+    * replay-recognizes under the SAME id — how [[ExportPipeline]] slots
+    * the boilerplate gate between its near-dup stage and the pack stage
+    * without a second writeStream. */
+  def batchLoop(
+      state: IndexState,
+      idCol: String,
+      textCol: String,
+      minOccurrences: Int = 2,
+      maxDupRatio: Double = 0.5,
+      compactEvery: Long = 100,
+      checkpointPath: Option[String] = None)
+      : DedupLoop.BatchLoop[SubstringIndex] =
+    new DedupLoop.BatchLoop(state,
+      new SsOps(idCol, textCol, minOccurrences, maxDupRatio), compactEvery,
+      checkpointPath)
+
   /** Start the substring gate stream: docs at or below `maxDupRatio`
     * duplicated-window fraction (and docs too short to carry a window) go
     * to `sink`; the full batch's counts fold in. Durability contract:

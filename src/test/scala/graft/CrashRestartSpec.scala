@@ -436,6 +436,66 @@ class CrashRestartSpec extends SparkSpecBase {
       s"duplicate packs after crash-restart: $keys")
   }
 
+  test("kill -9 after a batch landed: the FOUR-stage export pipeline " +
+      "(gate → exact → near-dup → substring → pack) replays exactly-once") {
+    import spark.implicits._
+    def doc(id: Long, seed: String): (Long, String) =
+      (id, (0 until 20).map(k => s"$seed$k").mkString(" "))
+    val alpha = doc(1L, "alpha"); val beta = doc(2L, "beta")
+    // Recycled boilerplate: 10 contiguous words of each corpus doc —
+    // distinct fingerprint, shingle-Jaccard ≈ 0.31 (passes both content
+    // gates), 6 of 13 windows duplicated (ratio 0.46 > the 0.35 bar) →
+    // must drop at the SUBSTRING stage, in every batch it arrives in.
+    def recycled(id: Long): (Long, String) = (id,
+      (alpha._2.split(" ").take(10) ++ beta._2.split(" ").take(10))
+        .mkString(" "))
+    val corpusRows = Seq(alpha, beta)
+    val files = Seq(
+      "f1" -> Seq(doc(10L, "gamma"), recycled(11L)),   // kept {10}
+      "f2" -> Seq(recycled(21L), doc(22L, "delta")),   // kept {22} (crash)
+      "f3" -> Seq(doc(30L, "epsilon")))                // kept {30}
+
+    def writeSrc(srcDir: String): Unit = {
+      corpusRows.toDF("doc_id", "text").write.parquet(s"$srcDir/corpus")
+      files.zipWithIndex.foreach { case ((name, rows), i) =>
+        val d = s"$srcDir/stream/$name"
+        rows.toDF("doc_id", "text").coalesce(1).write.parquet(d)
+        val t0 = System.currentTimeMillis() - 100000
+        Files.walk(Paths.get(d)).forEach(p =>
+          p.toFile.setLastModified(t0 + i * 2000L))
+      }
+    }
+    def packsOf(dir: String): Set[(Long, Long, String)] =
+      spark.read.option("recursiveFileLookup", "true").parquet(dir)
+        .select("shard", "pack_id", "token_ids")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+
+    val base = Files.createTempDirectory("crash9x4").toString
+    writeSrc(s"$base/src")
+    val args = Seq(s"$base/idx", s"$base/eng", s"$base/src", s"$base/sink")
+    val rc1 = runChild(args ++ Seq("1", "export4"), s"$base/run1.log")
+    assert(rc1 == 137, s"child should die by halt(137), got $rc1 — " +
+      s"log: $base/run1.log")
+    val rc2 = runChild(args ++ Seq("-1", "export4"), s"$base/run2.log")
+    assert(rc2 == 0, s"restart child failed with $rc2 — log: $base/run2.log")
+
+    val ref = Files.createTempDirectory("crash9x4ref").toString
+    writeSrc(s"$ref/src")
+    assert(runChild(Seq(s"$ref/idx", s"$ref/eng", s"$ref/src", s"$ref/sink")
+      ++ Seq("-1", "export4"), s"$ref/run.log") == 0)
+
+    // The recycled docs never entered; the replayed batch re-sank its
+    // recorded survivors once, through all four WALs.
+    val kept = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$base/sink/kept").select("doc_id").as[Long].collect().toSeq
+    assert(kept.sorted == Seq(10L, 22L, 30L),
+      s"kept after crash-restart: $kept")
+    val crashed = packsOf(s"$base/sink/packs")
+    assert(crashed.nonEmpty && crashed == packsOf(s"$ref/sink/packs"),
+      "packs across the crash must equal the uncrashed run")
+  }
+
   test("kill -9 between pack sink and state commit: replay recomputes " +
       "bit-identical packs, exactly-once") {
     import spark.implicits._
@@ -497,5 +557,74 @@ class CrashRestartSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(keys.distinct.size == keys.size,
       s"duplicate packs after crash-restart: $keys")
+  }
+
+  test("kill -9 mid-retraction: the export erasure completes exactly-once " +
+      "on restart, from either half of its crash window") {
+    import spark.implicits._
+    // Docs sized to close 32-token windows across 4 shards; withdrawn
+    // docs hit two shards, one early (long reflow) and one late.
+    def doc(id: Long, seed: String): (Long, String) =
+      (id, (0 until 20).map(k => s"$seed$k").mkString(" "))
+    val corpusRows = Seq(doc(1L, "alpha"), doc(2L, "beta"))
+    def batchRows(drop: Set[Long]): Seq[(String, Seq[(Long, String)])] = Seq(
+      "f1" -> Seq(doc(10L, "alpha"), doc(11L, "beta"), doc(12L, "gamma"),
+        doc(13L, "delta")),
+      "f2" -> Seq(doc(20L, "epsilon"), doc(21L, "zeta"), doc(22L, "eta")),
+      "f3" -> Seq(doc(30L, "theta"), doc(31L, "iota"), doc(33L, "kappa")))
+      .map { case (n, rs) => n -> rs.filterNot(r => drop(r._1)) }
+    val withdrawn = Set(12L, 21L, 33L)
+
+    def writeSrc(srcDir: String, drop: Set[Long]): Unit = {
+      corpusRows.toDF("doc_id", "text").write.parquet(s"$srcDir/corpus")
+      batchRows(drop).foreach { case (name, rows) =>
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.parquet(s"$srcDir/stream/$name")
+      }
+      withdrawn.toSeq.toDF("doc_id").write.parquet(s"$srcDir/withdraw")
+    }
+    val pSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "shard long, pack_id long, n_tokens long, token_ids string")
+    def export(out: String): Set[(Long, Long, Long, String)] =
+      Seq(0L, 1L, 2L).flatMap { b =>
+        spark.read.schema(pSchema).parquet(s"$out/b$b")
+          .select(lit(b), col("shard"), col("pack_id"), col("token_ids"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3)))
+      }.toSet
+
+    // Reference: from-scratch export over the SURVIVING docs (no
+    // retraction at all — what erasure must leave behind).
+    val ref = Files.createTempDirectory("crash9rtref").toString
+    writeSrc(s"$ref/src", drop = withdrawn)
+    assert(runChild(Seq(s"$ref/idx", s"$ref/eng", s"$ref/src", s"$ref/sink",
+      "-1", "retract", "none"), s"$ref/run.log") == 0)
+    val expected = export(s"$ref/sink")
+    assert(expected.nonEmpty)
+
+    Seq("plan", "packs").foreach { killPoint =>
+      val base = Files.createTempDirectory(s"crash9rt$killPoint").toString
+      writeSrc(s"$base/src", drop = Set.empty)
+      val args = Seq(s"$base/idx", s"$base/eng", s"$base/src", s"$base/sink")
+      val rc1 = runChild(args ++ Seq("1", "retract", killPoint),
+        s"$base/run1.log")
+      assert(rc1 == 137, s"[$killPoint] child should die by halt(137), " +
+        s"got $rc1 — log: $base/run1.log")
+      // Crash-window invariants: the retraction WAL is committed, the
+      // applied marker is not.
+      assert(new java.io.File(
+        s"$base/idx/retract/crash1/params/_SUCCESS").exists(),
+        s"[$killPoint] retraction WAL must be committed at the crash")
+      assert(!new java.io.File(
+        s"$base/idx/retract/crash1/applied/_SUCCESS").exists(),
+        s"[$killPoint] applied marker must NOT exist at the crash")
+      // Restart: the same retract key resumes from its WAL and completes.
+      val rc2 = runChild(args ++ Seq("-1", "retract", "none"),
+        s"$base/run2.log")
+      assert(rc2 == 0, s"[$killPoint] restart failed — log: $base/run2.log")
+      assert(export(s"$base/sink") == expected,
+        s"[$killPoint] erased export must equal the from-scratch export " +
+          "of the surviving docs")
+    }
   }
 }

@@ -35,6 +35,53 @@ class IncrementalDedupSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("rarity drift: zero on a fresh index, detected after skew-shifting " +
+      "extensions, and a drift-triggered rebuild reproduces the same " +
+      "kept decisions") {
+    import spark.implicits._
+    // Corpus: three 6-word docs, all bigrams unique (every frequency 1),
+    // so each doc's 3-key prefix is just its hash-smallest bigrams.
+    def doc(id: Long, words: String): (Long, String) = (id, words)
+    val corpusRows = Seq(
+      doc(1L, "p q r s t u"),
+      doc(2L, "a b c d e f"),
+      doc(3L, "k l m n o v"))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val idx0 = Dedup.buildNearDupIndex(corpus, "doc_id", "text")
+    assert(Dedup.ndRarityDrift(idx0, sampleMod = 1L) == 0.0,
+      "a fresh index has zero drift by construction")
+
+    // Extensions: 12 docs all REUSING corpus bigrams ("p q", "a b",
+    // "k l") amid fresh words — live frequencies of those bigrams jump
+    // from 1 to 13 while the frozen order still calls them rarest, so
+    // under live frequencies every corpus doc would pick different
+    // prefix keys: drift → 1.0 for the corpus sample.
+    val ext = (0 until 12).map(i =>
+      doc(100L + i, s"p q x$i y$i a b w$i z$i k l")).toDF("doc_id", "text")
+    val idx1 = Dedup.extendIndex(idx0, ext, "doc_id", "text")
+    val drift = Dedup.ndRarityDrift(idx1, sampleMod = 1L)
+    assert(drift > Dedup.NdRarityDriftRebuildThreshold,
+      s"skew-shifting extensions must register as drift, got $drift")
+
+    // The drift warning's own claim: rebuilding is an EFFICIENCY action,
+    // not a correctness fix — a rebuilt index over the same accumulated
+    // docs makes the same keep/drop decisions on the next batch.
+    val allDocs = corpus.unionByName(ext.toDF("doc_id", "text"))
+    val rebuilt = Dedup.buildNearDupIndex(allDocs, "doc_id", "text")
+    assert(Dedup.ndRarityDrift(rebuilt, sampleMod = 1L) == 0.0,
+      "rebuild resets drift")
+    val batch = Seq(
+      doc(201L, "p q r s t u"),          // corpus dup → dropped
+      doc(202L, "p q x0 y0 a b w0 z0 k l"), // extension dup → dropped
+      doc(203L, "f g h i j zz")).toDF("doc_id", "text") // novel → kept
+    def keptOf(i: Dedup.NearDupIndex): Set[Long] =
+      Dedup.probeNearDups(i, batch, "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+    assert(keptOf(idx1) == Set(203L) && keptOf(rebuilt) == keptOf(idx1),
+      "drifted and rebuilt indexes must agree on keep/drop")
+    Dedup.releaseSketchCaches()
+  }
+
   test("hand math: corpus dup dropped, earlier-batch dup dropped, novel kept") {
     import spark.implicits._
     val corpus = Seq(

@@ -1613,6 +1613,186 @@ class StreamingSpec extends SparkSpecBase {
     graft.operators.Dedup.releaseSketchCaches()
   }
 
+  test("export pipeline, four stages: the substring gate drops recycled " +
+      "boilerplate at arrival; restarted run equals the one-shot run " +
+      "pack for pack; enablement is a persisted bootstrap decision") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.ExportPipeline
+
+    def good(id: Long, seed: String): NdDoc =
+      NdDoc(id, (0 until 16).map(k => s"$seed$k").mkString(" "))
+    val alpha = good(1, "alpha"); val beta = good(2, "beta")
+    val corpus = Seq(alpha, beta).toDF("doc_id", "text")
+    // Recycled-boilerplate shape: 10 contiguous words of alpha + 10 of
+    // beta. Distinct fingerprint (passes exact), shingle-Jaccard vs
+    // either source ≈ 0.36 (passes the 0.6 fuzzy gate) — but 6 of its 13
+    // 8-token windows reproduce corpus windows verbatim → dup ratio 0.46
+    // over the 0.35 bar → must drop at the SUBSTRING stage, the gap this
+    // stage exists to close.
+    def recycled(id: Long): NdDoc = NdDoc(id,
+      (alpha.text.split(" ").take(10) ++ beta.text.split(" ").take(10))
+        .mkString(" "))
+    val b1 = Seq(good(10, "gamma"), recycled(11))
+    val b2 = Seq(good(20, "delta"), recycled(21))
+
+    def runFour(root: String, out: String,
+        batches: Seq[Seq[NdDoc]], restartBetween: Boolean)
+        : Seq[(Long, Seq[Long])] = {
+      val kept = scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])]()
+      def tap(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        kept.synchronized {
+          kept += id -> b.select(col("doc_id").cast("long"))
+            .as[Long].collect().sorted.toSeq
+        }
+      var h = ExportPipeline.resume(spark, root, corpus, "doc_id", "text",
+        nShards = 2L, nMerges = 8, window = 32,
+        substringGate = true, ssMaxDupRatio = 0.35)
+      var in = MemoryStream[NdDoc]
+      var q = ExportPipeline.run(in.toDF(), h, "doc_id", "text", out,
+        keptSink = tap)
+      batches.zipWithIndex.foreach { case (docs, i) =>
+        if (i > 0 && restartBetween) {
+          q.stop()
+          h = ExportPipeline.resume(spark, root, corpus.limit(0),
+            "doc_id", "text", substringGate = true, ssMaxDupRatio = 0.35)
+          in = MemoryStream[NdDoc]
+          q = ExportPipeline.run(in.toDF(), h, "doc_id", "text", out,
+            keptSink = tap)
+        }
+        in.addData(docs: _*); q.processAllAvailable()
+      }
+      q.stop()
+      kept.toSeq
+    }
+
+    val root = java.nio.file.Files.createTempDirectory("x4root").toString
+    val out = java.nio.file.Files.createTempDirectory("x4out").toString
+    val kept = runFour(root, out, Seq(b1, b2), restartBetween = true)
+    // The recycled docs drop at the substring stage in BOTH batches (the
+    // second also proves the gate counts stream history across the
+    // restart: recycled(21)'s windows met the corpus AND recycled(11)'s
+    // batch-0 fold).
+    assert(kept == Seq(0L -> Seq(10L), 1L -> Seq(20L)), s"kept: $kept")
+
+    // One-shot reference: same arrivals, one batch, fresh root — packs
+    // must be identical, pack for pack.
+    val refRoot = java.nio.file.Files.createTempDirectory("x4ref").toString
+    val refOut = java.nio.file.Files.createTempDirectory("x4refo").toString
+    val keptRef = runFour(refRoot, refOut, Seq(b1 ++ b2),
+      restartBetween = false)
+    assert(keptRef == Seq(0L -> Seq(10L, 20L)), s"one-shot kept: $keptRef")
+    def packsOf(dir: String): Set[(Long, Long, String)] =
+      spark.read.option("recursiveFileLookup", "true").parquet(dir)
+        .select("shard", "pack_id", "token_ids")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+    assert(packsOf(out).nonEmpty && packsOf(out) == packsOf(refOut),
+      "four-stage streamed packs must equal the one-shot run")
+
+    // Enablement is persisted: resuming this root WITHOUT the gate (or
+    // with different thresholds) fails loudly instead of un-curating.
+    intercept[IllegalArgumentException] {
+      ExportPipeline.resume(spark, root, corpus.limit(0), "doc_id", "text")
+    }
+    intercept[IllegalArgumentException] {
+      ExportPipeline.resume(spark, root, corpus.limit(0), "doc_id", "text",
+        substringGate = true, ssMaxDupRatio = 0.5)
+    }
+    // And it cannot be bolted onto an export bootstrapped without it.
+    val plainRoot = java.nio.file.Files.createTempDirectory("x4plain")
+      .toString
+    val plainOut = java.nio.file.Files.createTempDirectory("x4plaino")
+      .toString
+    val hPlain = ExportPipeline.resume(spark, plainRoot, corpus,
+      "doc_id", "text", nShards = 2L, nMerges = 8, window = 32)
+    val inP = MemoryStream[NdDoc]
+    val qP = ExportPipeline.run(inP.toDF(), hPlain, "doc_id", "text",
+      plainOut)
+    inP.addData(good(30, "iota")); qP.processAllAvailable(); qP.stop()
+    intercept[IllegalArgumentException] {
+      ExportPipeline.resume(spark, plainRoot, corpus.limit(0),
+        "doc_id", "text", substringGate = true)
+    }
+    graft.operators.Dedup.releaseSketchCaches()
+  }
+
+  test("takedown stream: export family — a withdrawn doc's tokens are " +
+      "physically erased from the landed pack shards, replay-stable, " +
+      "and its lineage rows disappear") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{ExportPipeline, TakedownStream}
+
+    def good(id: Long, seed: String): NdDoc =
+      NdDoc(id, (0 until 16).map(k => s"$seed$k").mkString(" "))
+    val corpus = Seq(good(1, "alpha"), good(2, "beta"))
+      .toDF("doc_id", "text")
+    def packsOf(dir: String): Set[(Long, Long, String)] =
+      spark.read.option("recursiveFileLookup", "true").parquet(dir)
+        .select("shard", "pack_id", "token_ids")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+
+    def runPipeline(arrivals: Seq[NdDoc]): (String, String,
+        ExportPipeline.Handles) = {
+      val root = java.nio.file.Files.createTempDirectory("xte").toString
+      val out = java.nio.file.Files.createTempDirectory("xteout").toString
+      val h = ExportPipeline.resume(spark, root, corpus, "doc_id", "text",
+        nShards = 2L, nMerges = 8, window = 32)
+      val in = MemoryStream[NdDoc]
+      val q = ExportPipeline.run(in.toDF(), h, "doc_id", "text", out)
+      in.addData(arrivals: _*); q.processAllAvailable(); q.stop()
+      (root, out, h)
+    }
+    val (root, out, h) = runPipeline(
+      Seq(good(10, "gamma"), good(11, "delta"), good(12, "epsilon")))
+    val (_, refOut, refH) = runPipeline(
+      Seq(good(11, "delta"), good(12, "epsilon")))
+    assert(refH.pack.model == h.pack.model)
+
+    // One takedown batch: withdraw doc 10 from BOTH gates (content) and
+    // from the landed export (id) — full erasure is the composition.
+    val tdDir = java.nio.file.Files.createTempDirectory("xtewal").toString
+    val td = TakedownStream.resume(spark, tdDir)
+    val targets = ExportPipeline.takedownTargets(h, exportOut = Some(out))
+    val ev = Seq(("fp", 10L, good(10, "gamma").text),
+      ("nd", 10L, good(10, "gamma").text),
+      ("export", 10L, null.asInstanceOf[String]))
+      .toDF("family", "cid", "text")
+    assert(TakedownStream.processBatch(td, targets, ev, 0L) == 0L)
+
+    // The landed shards now equal the from-scratch export that never saw
+    // doc 10 — and the lineage manifest forgets it too.
+    assert(packsOf(out).nonEmpty && packsOf(out) == packsOf(refOut),
+      "erased export must equal the never-saw-it export")
+    val manifestIds = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/pack/manifest").select("doc_id")
+      .as[Long].collect().toSet
+    assert(!manifestIds.contains(10L) && manifestIds.contains(11L),
+      s"lineage after erasure: $manifestIds")
+
+    // Replay of the same engine batch: recognized, skipped, bytes
+    // untouched (the export leg resumes via its applied marker).
+    assert(TakedownStream.processBatch(td, targets, ev, 0L) == 0L)
+    assert(packsOf(out) == packsOf(refOut))
+
+    // And the gates really were withdrawn: a re-post of doc 10's content
+    // re-enters the export and repacks.
+    val in2 = MemoryStream[NdDoc]
+    val q2 = ExportPipeline.run(in2.toDF(), h, "doc_id", "text", out)
+    in2.addData(NdDoc(20, good(10, "gamma").text))
+    q2.processAllAvailable(); q2.stop()
+    val manifestIds2 = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/pack/manifest").select("doc_id")
+      .as[Long].collect().toSet
+    assert(manifestIds2.contains(20L),
+      s"re-posted content must re-enter after erasure: $manifestIds2")
+    graft.operators.Dedup.releaseSketchCaches()
+  }
+
   test("takedown stream: fingerprint collisions don't skip fresh batches; " +
       "a rebased batch's redelivery is recognized, not re-applied") {
     import spark.implicits._

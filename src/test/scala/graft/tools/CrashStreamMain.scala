@@ -52,6 +52,37 @@ object CrashStreamMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val corpus = spark.read.parquet(s"$srcDir/corpus")
+    if (mode == "retract") {
+      // Not a stream: build the export once via standalone batch calls
+      // (skipped when its final state generation is already committed —
+      // rerunning past a pruned replay cover would rebase-and-duplicate),
+      // then RETRACT the ids in srcDir/withdraw with a kill seam inside
+      // the retraction itself. killPoint "plan" dies after the
+      // retraction WAL committed and before any apply leg; "packs" dies
+      // after the pack-shard rewrites, before the deletes / manifest /
+      // state legs — the two halves of the crash window the WAL-then-
+      // idempotent-apply contract covers.
+      val batchDirs = new java.io.File(s"$srcDir/stream")
+        .listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+      val h = graft.streaming.PackStream.resume(spark, idxCkpt, corpus,
+        "doc_id", "text", nShards = 4L, nMerges = 8, window = 32)
+      val stateDir = new java.io.File(s"$idxCkpt/state")
+      val built = stateDir.exists() && stateDir.listFiles()
+        .exists(_.getName.matches(s"g${batchDirs.length}(r\\d+)?"))
+      if (!built) batchDirs.zipWithIndex.foreach { case (name, i) =>
+        graft.streaming.PackStream.processBatch(h,
+          spark.read.parquet(s"$srcDir/stream/$name"), i.toLong,
+          "doc_id", "text", sinkDir): Unit
+      }
+      def seam(p: String): () => Unit = () =>
+        if (killAfter >= 0 && killPoint == p) Runtime.getRuntime.halt(137)
+      graft.streaming.PackStream.retract(spark, h, sinkDir,
+        spark.read.parquet(s"$srcDir/withdraw"),
+        requestKey = Some("crash1"),
+        afterPlan = seam("plan"), afterPacks = seam("packs")): Unit
+      spark.stop()
+      sys.exit(0)
+    }
     // The semantic family streams embeddings, not text.
     val srcSchema =
       if (mode == "semantic") "doc_id long, embedding array<double>"
@@ -103,17 +134,22 @@ object CrashStreamMain {
           "doc_id", "embedding", compactEvery = 2,
           checkpointPath = Some(idxCkpt),
           queryCheckpointLocation = Some(qCkpt))(sink)
-      case "export" =>
-        // The full three-stage pipeline (gate → exact fp → NEAR-dup →
-        // pack). Kill point: AFTER the batch fully landed (packs via the
-        // pack stage's own idempotent sink, kept audit log written here),
-        // BEFORE the engine commits offsets — the restart replays the
-        // batch through all three stages: both dedup stages must
-        // recognize it from their WALs and re-sink recorded kept-sets,
-        // and the pack recompute must overwrite bit-identically.
+      case "export" | "export4" =>
+        // The full pipeline (gate → exact fp → NEAR-dup → [substring
+        // gate, export4 mode] → pack). Kill point: AFTER the batch fully
+        // landed (packs via the pack stage's own idempotent sink, kept
+        // audit log written here), BEFORE the engine commits offsets —
+        // the restart replays the batch through every stage: each dedup
+        // stage must recognize it from its WAL and re-sink its recorded
+        // kept-set, and the pack recompute must overwrite bit-identically.
         val h = graft.streaming.ExportPipeline.resume(
           spark, idxCkpt, corpus, "doc_id", "text",
-          nShards = 2L, nMerges = 8, window = 32)
+          nShards = 2L, nMerges = 8, window = 32,
+          substringGate = mode == "export4",
+          // One recycled 8-token window above the threshold must gate:
+          // with maxDupRatio 0.35, a 20-token doc carrying a 13-token
+          // recycled run (6 duplicated windows of 13 total) is dropped.
+          ssMinOccurrences = 2, ssMaxDupRatio = 0.35)
         graft.streaming.ExportPipeline.run(src, h, "doc_id", "text",
           s"$sinkDir/packs", compactEvery = 2,
           queryCheckpointLocation = Some(qCkpt),

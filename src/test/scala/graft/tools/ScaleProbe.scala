@@ -581,6 +581,89 @@ object ScaleProbe {
       println(f"[scale] takedown post-delete fp probe (5k echoes) " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // Round-10: the FOUR-stage export pipeline (gate → exact fp →
+    // near-dup → SUBSTRING gate → pack) at rep× — the xpipe protocol with
+    // the boilerplate stage enabled, so the delta vs the xpipe numbers IS
+    // the substring stage's additive per-batch cost (its probe + window
+    // fold + WAL + its share of the compaction cadence).
+    if (wanted("xpipe4")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("sp_xp4").toString
+      val out = java.nio.file.Files.createTempDirectory("sp_xp4_out").toString
+      val t0 = System.nanoTime()
+      val h = graft.streaming.ExportPipeline.resume(
+        spark, root, docs, "doc_id", "text", nShards = 32L,
+        substringGate = true)
+      println(f"[scale] xpipe4 bootstrap (curate ${rep}x corpus + " +
+        f"fp/nd/ss index + tokenizer) ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      import spark.implicits._
+      val in = MemoryStream[graft.NdDoc]
+      val q = graft.streaming.ExportPipeline.run(
+        in.toDF(), h, "doc_id", "text", out, compactEvery = 2)
+      (0 until 6).foreach { i =>
+        val b = docs.where(pmod(col("doc_id"), lit(40)) === i)
+          .select(col("doc_id").cast("long"),
+            concat_ws(" ", expr(
+              s"transform(split(text, ' '), x -> concat(x, '_$i'))"))
+              .as("text"))
+          .as[graft.NdDoc].collect()
+        val t1 = System.nanoTime()
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        println(f"[scale] xpipe4 batch$i (${b.length} docs" +
+          f"${if (i % 2 == 1) ", compaction" else ""}) " +
+          f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+        System.out.flush()
+      }
+      q.stop()
+      graft.operators.Dedup.releaseSketchCaches()
+    }
+    // Round-10: export RETRACTION at rep× — build a packed export from
+    // the replicated corpus (4 standalone batches), then erase doc sets
+    // and measure. The cost contract under test: a retraction prices the
+    // AFFECTED SHARDS' suffix (read + reflow + rewrite), never the
+    // export; an early-batch doc costs a longer suffix than a late-batch
+    // doc of the same shard.
+    if (wanted("retract")) {
+      import graft.streaming.PackStream
+      val root = java.nio.file.Files.createTempDirectory("sp_rt").toString
+      val out = java.nio.file.Files.createTempDirectory("sp_rt_out").toString
+      var t0 = System.nanoTime()
+      val h = PackStream.resume(spark, root, docs, "doc_id", "text",
+        nShards = 32L, nMerges = 24, window = 1024)
+      println(f"[scale] retract bootstrap (tokenizer on ${rep}x corpus) " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      (0 until 4).foreach { i =>
+        val b = docs.where(pmod(col("doc_id"), lit(4)) === i)
+          .select(col("doc_id"), col("text"))
+        t0 = System.nanoTime()
+        PackStream.processBatch(h, b, i.toLong, "doc_id", "text", out)
+        println(f"[scale] retract pack batch$i " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        System.out.flush()
+      }
+      def erase(name: String, ids: DataFrame): Unit = {
+        val t1 = System.nanoTime()
+        val stats = PackStream.retract(spark, h, out, ids,
+          requestKey = Some(name))
+        println(f"[scale] retract $name ${(System.nanoTime() - t1) / 1e9}%.2f" +
+          f" s — $stats")
+        System.out.flush()
+      }
+      // 100 docs of ONE shard, landed in the LAST batch (short suffix).
+      erase("late100", docs.where(pmod(col("doc_id"), lit(4)) === 3 &&
+          pmod(col("doc_id"), lit(32)) === 7)
+        .select("doc_id").orderBy(desc("doc_id")).limit(100))
+      // 100 docs of the same shard from the FIRST batch (long suffix —
+      // the worst case for that shard; still 1/32 of the export).
+      erase("early100", docs.where(pmod(col("doc_id"), lit(4)) === 0 &&
+          pmod(col("doc_id"), lit(32)) === 7)
+        .select("doc_id").orderBy("doc_id").limit(100))
+      // 100 docs spread over EVERY shard (breadth instead of depth).
+      erase("spread100", docs.where(pmod(col("doc_id"), lit(4)) === 3)
+        .select("doc_id").orderBy(desc("doc_id")).limit(100))
+    }
     // Round-8: serving-index deletion lifecycle at rep× vectors — delete a
     // takedown slice from the saved IVF layout, probe through the mask,
     // compact (applies the tombstones physically), probe again.
