@@ -69,6 +69,12 @@ object Bench {
     materialize("j1_inner")
     materialize("u4_intersect_all")
     materialize("u6_except_all")
+    // The token-window rolling-hash shape: its first use pays ~1.5s of
+    // codegen/JIT that landed inside d14's measurement in round 9
+    // (0.57→1.24s with zero code changes; probed round 10: cold 2.31s,
+    // warm 0.73s — the documented measurement-order noise class, same as
+    // the round-3 u-series. See BENCH_NOTES.md round 10).
+    materialize("d14_dedup_substring")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Best-of-2 per query: ambient machine load (a co-resident sbt/probe

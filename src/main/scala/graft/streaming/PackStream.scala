@@ -629,9 +629,6 @@ object PackStream {
       // the surviving docs would land them.
       val mSurv = manifests.join(ids, Seq("doc_id"), "left_anti")
       val newRanges = ranges(mSurv)
-      val newTouched = newRanges.filter { case (sh, _, lo, hi) =>
-        hi > math.max(lo, firstPack.getOrElse(sh, Long.MaxValue)) }
-        .map { case (sh, b, _, _) => (b, sh) }
       val rangesDF = newRanges
         .toDF("shard", "dest_batch", "lo", "hi")
       val toPlace = fullNew.unionByName(prefixCarry)
@@ -670,9 +667,18 @@ object PackStream {
           coalesce(col("tids"), typedlit(Array.empty[Long])).as("pending"))
       stNew.coalesce(1).write.mode("overwrite").parquet(s"$rdir/state")
       // Directory worklist: every (batch, shard) dir the apply legs must
-      // overwrite (has_new) or delete (emptied by the erasure).
-      val dirs = (oldTouched ++ newTouched).distinct.map { case (b, sh) =>
-        (b, sh, newTouched.contains((b, sh))) }
+      // overwrite (has_new) or delete (emptied by the erasure). has_new
+      // comes from the PLACED frame itself, not from a range predicate —
+      // a boundary dir whose reflow yields zero new full packs still
+      // holds its carried-through PREFIX packs (a tail erasure turns the
+      // whole remainder into pending), and a worklist that missed that
+      // case would delete them. (Caught by the 40× probe's late-tail
+      // erasure; now also spec-pinned.)
+      val placedTouched = placed.select(col("dest_batch"), col("shard"))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val dirs = (oldTouched ++ placedTouched).distinct.map { case (b, sh) =>
+        (b, sh, placedTouched.contains((b, sh))) }
       dirs.toDF("batch_id", "shard", "has_new")
         .coalesce(1).write.mode("overwrite").parquet(s"$rdir/dirs")
       locally {

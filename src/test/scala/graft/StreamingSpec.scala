@@ -1172,6 +1172,23 @@ class StreamingSpec extends SparkSpecBase {
       PackStream.retract(spark, h, out, Seq(11L).toDF("doc_id"),
         requestKey = Some("gdpr1"))
     }
+
+    // TAIL erasure regression (40× probe catch): withdrawing a shard's
+    // entire tail from mid-stream leaves the boundary dir's reflow with
+    // ZERO new full packs — everything after the boundary becomes
+    // pending — yet the dir still holds carried prefix packs. A
+    // worklist derived from range predicates instead of the placed rows
+    // deleted that dir, losing the prefix packs; the equivalence below
+    // pins the fix.
+    val tail = Set(29L, 33L, 37L, 41L, 45L, 49L, 53L, 57L)
+    val (dir2, out2, h2) = runExport(drop = Set.empty)
+    val (refDir2, refOut2, _) = runExport(drop = tail)
+    val st2 = PackStream.retract(spark, h2, out2, tail.toSeq.toDF("doc_id"),
+      requestKey = Some("tail"))
+    assert(st2.docsRemoved == tail.size)
+    assert(export(out2, batches) == export(refOut2, batches),
+      "tail erasure must preserve the boundary dir's prefix packs")
+    assert(newestState(dir2) == newestState(refDir2))
   }
 
   test("export pipeline: gate → exact dedup → NEAR-dup → pack end to " +

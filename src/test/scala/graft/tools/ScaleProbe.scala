@@ -634,9 +634,12 @@ object ScaleProbe {
         nShards = 32L, nMerges = 24, window = 1024)
       println(f"[scale] retract bootstrap (tokenizer on ${rep}x corpus) " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // Batch split must be independent of the shard split (doc_id % 32),
+      // or one shard's whole stream lands in one batch and the suffix
+      // scenarios collapse into boundary-dir rewrites.
+      val batchOf = pmod(expr("doc_id div 32"), lit(4))
       (0 until 4).foreach { i =>
-        val b = docs.where(pmod(col("doc_id"), lit(4)) === i)
-          .select(col("doc_id"), col("text"))
+        val b = docs.where(batchOf === i).select(col("doc_id"), col("text"))
         t0 = System.nanoTime()
         PackStream.processBatch(h, b, i.toLong, "doc_id", "text", out)
         println(f"[scale] retract pack batch$i " +
@@ -652,17 +655,61 @@ object ScaleProbe {
         System.out.flush()
       }
       // 100 docs of ONE shard, landed in the LAST batch (short suffix).
-      erase("late100", docs.where(pmod(col("doc_id"), lit(4)) === 3 &&
+      erase("late100", docs.where(batchOf === 3 &&
           pmod(col("doc_id"), lit(32)) === 7)
         .select("doc_id").orderBy(desc("doc_id")).limit(100))
       // 100 docs of the same shard from the FIRST batch (long suffix —
       // the worst case for that shard; still 1/32 of the export).
-      erase("early100", docs.where(pmod(col("doc_id"), lit(4)) === 0 &&
+      erase("early100", docs.where(batchOf === 0 &&
           pmod(col("doc_id"), lit(32)) === 7)
         .select("doc_id").orderBy("doc_id").limit(100))
       // 100 docs spread over EVERY shard (breadth instead of depth).
-      erase("spread100", docs.where(pmod(col("doc_id"), lit(4)) === 3)
+      erase("spread100", docs.where(batchOf === 3)
         .select("doc_id").orderBy(desc("doc_id")).limit(100))
+    }
+    // Round-10: the RELATIONAL surface at sf1-equivalent row counts —
+    // h1-h22 + the w/o/u families once over an FK-CONSISTENT rep×
+    // replication of the star schema (per-replica key shifts use each
+    // REFERENCED table's own base so joins stay consistent within a
+    // replica and never match across; region/nation stay fixed like real
+    // TPC-H small dims). No native sf1 exists in this environment;
+    // id-shifted replication scales row counts and key cardinalities
+    // honestly (what scan/join/agg plans feel) while value distributions
+    // repeat — noted where it matters. Run as `ScaleProbe 10 sf1`.
+    if (wanted("sf1")) {
+      def baseOf(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
+      val custN = baseOf("customer").count() * 10
+      val suppN = baseOf("supplier").count() * 10
+      val partN = baseOf("part").count() * 10
+      val ordN = baseOf("orders").count() * 10
+      def repTable(t: String, shifts: Map[String, Long]): DataFrame = {
+        val b = baseOf(t)
+        b.crossJoin(spark.range(rep).select(col("id").as("__r")))
+          .select(b.columns.toIndexedSeq.map { c =>
+            shifts.get(c) match {
+              case Some(base) => (col(c) + col("__r") * lit(base)).as(c)
+              case None => col(c)
+            }
+          }: _*)
+      }
+      repTable("customer", Map("c_custkey" -> custN))
+        .createOrReplaceTempView("customer")
+      repTable("supplier", Map("s_suppkey" -> suppN))
+        .createOrReplaceTempView("supplier")
+      repTable("part", Map("p_partkey" -> partN))
+        .createOrReplaceTempView("part")
+      repTable("orders", Map("o_orderkey" -> ordN, "o_custkey" -> custN))
+        .createOrReplaceTempView("orders")
+      repTable("lineitem", Map("l_orderkey" -> ordN, "l_partkey" -> partN,
+          "l_suppkey" -> suppN))
+        .createOrReplaceTempView("lineitem")
+      println(s"[scale] sf1 lineitem rows = " +
+        spark.table("lineitem").count())
+      val rel = graft.SparkEntry.queries.keys.toSeq.sorted.filter(n =>
+        n.matches("h\\d+.*|w\\d+.*|o\\d+.*|u\\d+.*"))
+      rel.foreach(n => time(s"sf1 $n") {
+        graft.SparkEntry.queries(n)(spark, sfDir)
+      })
     }
     // Round-8: serving-index deletion lifecycle at rep× vectors — delete a
     // takedown slice from the saved IVF layout, probe through the mask,
