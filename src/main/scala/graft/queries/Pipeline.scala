@@ -776,12 +776,23 @@ object Pipeline {
     // the plan (the merge table IS the model — small by construction), so
     // encoding is one narrow expression over documents, zero shuffle,
     // linear in executors. Spec: engine output == local reference encode.
-    df("t19_bpe_encode", None) { (s, dir) =>
+    // Round-10 upgrade: the query emits BPE's ROUND-TRIP invariant as
+    // its result — merges only fuse adjacent symbols, so every doc's
+    // tokens, concatenated with the end-of-word markers stripped, must
+    // reproduce its lowercase-alnum word stream exactly — with a
+    // constant-0 oracle; the token-for-token reference parity stays in
+    // BpeSpec.
+    df("t19_bpe_encode",
+      Some("select cast(0 as bigint) as roundtrip_violations")) { (s, dir) =>
+      val merges = bpeMergesFor(s, dir)
+      val rebuilt = regexp_replace(
+        concat_ws("", Bpe.encode(col("text"), merges)),
+        Bpe.EndOfWord, "")
+      val words = concat_ws("", filter(
+        split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0))
       s.table("documents")
-        .select(col("doc_id"),
-          concat_ws(" ", Bpe.encode(col("text"), bpeMergesFor(s, dir)))
-            .as("bpe_tokens"))
-        .orderBy("doc_id")
+        .select(when(rebuilt === words, 0L).otherwise(1L).as("v"))
+        .agg(coalesce(sum("v"), lit(0L)).as("roundtrip_violations"))
     },
     // BM25 retrieval (k1 = 1.2, b = 0.75) — the standard lexical ranking
     // the TF-IDF query (t13) approximates. Same scale shape: token
@@ -1089,13 +1100,24 @@ object Pipeline {
     // IVF ANN probing a PERSISTED index (s6's IVF twin): inverted lists
     // reloaded from their hive-partitioned layout, so the probe reads only
     // the probed lists' directories (partition pruning, plan-asserted in
-    // OperatorsSpec). Spec: probe returns exactly s3's inline top-k.
-    df("s7_ann_ivf_index", None) { (s, dir) =>
+    // OperatorsSpec). Round-10 upgrade: the query emits the save/load
+    // round-trip invariant — the persisted-index probe equals the inline
+    // same-parameter build+probe (deterministic training on the same
+    // corpus) — as a constant-0-oracle parity count on the official
+    // record. Compared on (qid, rnk, cid).
+    df("s7_ann_ivf_index",
+      Some("select cast(0 as bigint) as parity_violations")) { (s, dir) =>
       val emb = s.table("embeddings")
       val idx = ivfIndexFor(s, dir, emb.where(col("vec_id") >= 10))
-      Similarity.ivfProbe(idx, emb.where(col("vec_id") < 10),
+      val probed = Similarity.ivfProbe(idx, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nprobe = 4)
-        .orderBy("qid", "rnk")
+        .select("qid", "rnk", "cid")
+      val inline = Similarity.ivfTopK(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+        .select("qid", "rnk", "cid")
+      probed.exceptAll(inline).unionAll(inline.exceptAll(probed))
+        .agg(count(lit(1)).as("parity_violations"))
     },
     // s7 through the full serving-index MAINTENANCE cycle: build + save,
     // append an arrival slice straight onto the saved list layout

@@ -272,11 +272,21 @@ object Relational {
       "select l_returnflag, round(stddev_samp(l_quantity), 4) as sd_qty, " +
         "round(var_samp(l_quantity), 4) as var_qty from lineitem " +
         "group by l_returnflag order by l_returnflag"),
+    // HLL sketch estimates are engine-specific, so instead of a rows-only
+    // record the query emits its ERROR-BOUND invariant as the result
+    // (round-10 upgrade pattern): |approx − exact| within 3× the default
+    // 5% rsd — generous vs the sketch's guarantee, deterministic on the
+    // fixed corpus (Spark's HLL is deterministic given data) — with a
+    // constant-0 oracle so the official record attests it.
     QueryDef("a14_approx_distinct",
       (s, dir) => { graft.Tables.ensure(s, dir)
         graft.Engine.query(s,
-          "select approx_count_distinct(l_partkey) as approx_parts from lineitem") },
-      None), // HLL sketch — engine-specific estimate, rows-only check
+          "select cast(case when abs(cast(a.approx_parts as double) - e.n) " +
+            "<= 0.15 * e.n then 0 else 1 end as bigint) as bound_violations " +
+            "from (select approx_count_distinct(l_partkey) as approx_parts " +
+            "from lineitem) a cross join " +
+            "(select count(distinct l_partkey) as n from lineitem) e") },
+      Some("select cast(0 as bigint) as bound_violations")),
     // Beyond-reference: ROLLUP subtotal hierarchy with GROUPING() markers.
     sql("a15_rollup",
       "select coalesce(l_returnflag, 'ALL') as rf, coalesce(l_linestatus, 'ALL') as ls, " +
@@ -338,15 +348,29 @@ object Relational {
     // Beyond-reference: approx percentiles — the 100 TB path. Exact
     // percentile (a17) buffers every group value; approx_percentile's
     // Greenwald-Khanna sketch is bounded-memory and merges map-side.
-    // Sketch estimates are engine-specific → rows-only check; a17 carries
-    // the oracle for the exact variant.
+    // Sketch estimates are engine-specific, so (round-10 upgrade pattern)
+    // the query emits its error-bound invariant — every group's approx
+    // p50/p99 within 5% (or 1.0 absolute) of the exact percentile, a
+    // generous cover for the GK rank guarantee at accuracy 10000,
+    // deterministic on the fixed corpus — with a constant-0 oracle; a17
+    // carries the value-exact oracle for the exact variant.
     QueryDef("a19_approx_percentile",
       (s, dir) => { graft.Tables.ensure(s, dir)
         graft.Engine.query(s,
-          "select l_returnflag, approx_percentile(l_quantity, 0.5, 10000) as p50, " +
-            "approx_percentile(l_extendedprice, 0.99, 10000) as p99_price " +
-            "from lineitem group by l_returnflag order by l_returnflag") },
-      None),
+          "with ap as (select l_returnflag, " +
+            "approx_percentile(l_quantity, 0.5, 10000) as p50, " +
+            "approx_percentile(l_extendedprice, 0.99, 10000) as p99 " +
+            "from lineitem group by l_returnflag), " +
+            "ex as (select l_returnflag, " +
+            "percentile(l_quantity, 0.5) as e50, " +
+            "percentile(l_extendedprice, 0.99) as e99 " +
+            "from lineitem group by l_returnflag) " +
+            "select cast(sum(case when " +
+            "abs(ap.p50 - ex.e50) <= greatest(0.05 * abs(ex.e50), 1.0) and " +
+            "abs(ap.p99 - ex.e99) <= greatest(0.05 * abs(ex.e99), 1.0) " +
+            "then 0 else 1 end) as bigint) as bound_violations " +
+            "from ap join ex on ap.l_returnflag = ex.l_returnflag") },
+      Some("select cast(0 as bigint) as bound_violations")),
     // Beyond-reference: manual pivot via conditional aggregation (the shape
     // Spark's PIVOT clause lowers to; written portably for the oracle).
     sql("a18_pivot",
