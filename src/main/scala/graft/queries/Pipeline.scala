@@ -256,12 +256,28 @@ object Pipeline {
       "select md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) as fp, " +
         "min(doc_id) as keep_id, count(*) as n_copies " +
         "from documents group by 1 order by keep_id"),
-    // MinHash+LSH near-dedup — probabilistic recall → rows-only check. The
-    // exact-Jaccard twin (d3) is the oracle-checked ground truth.
-    df("d2_dedup_minhash", None) { (s, dir) =>
-      Dedup.minhashLsh(s.table("documents"), "doc_id", "text",
+    // MinHash+LSH near-dedup — probabilistic recall for NEAR pairs, but
+    // deterministic total recall for EXACT copies (identical text →
+    // identical shingle set → identical signature → every band bucket
+    // shared → candidate, and the verify scores J=1). Round-10 upgrade:
+    // the query emits that guarantee as its result — identical-text
+    // pairs (among docs with at least one shingle) missing from the LSH
+    // output — with a constant-0 oracle; d3 stays the near-pair ground
+    // truth.
+    df("d2_dedup_minhash",
+      Some("select cast(0 as bigint) as exact_pair_misses")) { (s, dir) =>
+      val docs = s.table("documents")
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
         shingleN = 2, bands = 16, rowsPerBand = 4, threshold = 0.6)
-        .orderBy("a_id", "b_id")
+        .select("a_id", "b_id")
+      val fp = docs.where(size(filter(
+          split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)) >= 2)
+        .select(col("doc_id").cast("long").as("id"), md5(col("text")).as("fp"))
+      val twins = fp.as("x").join(fp.as("y"),
+          col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      twins.join(pairs, Seq("a_id", "b_id"), "left_anti")
+        .agg(count(lit(1)).as("exact_pair_misses"))
     },
     // Exact n-gram (word-bigram) Jaccard near-dup pairs — the ground truth
     // for d2, hash-checked against DuckDB. Adaptive blocked-all-pairs /
@@ -281,11 +297,24 @@ object Pipeline {
           shingleN = 2, threshold = 0.6)
           .orderBy("a_id", "b_id")
     },
-    // SimHash near-dedup — bucketed Hamming; rows-only (hash-family choice
-    // defines the output, no engine-independent oracle).
-    df("d4_dedup_simhash", None) { (s, dir) =>
-      Dedup.simhash(s.table("documents"), "doc_id", "text", maxHamming = 6)
-        .orderBy("a_id", "b_id")
+    // SimHash near-dedup — bucketed Hamming; the hash family defines the
+    // near pairs, but exact copies are a GUARANTEE (identical text →
+    // identical 64-bit signature → hamming 0, all pigeonhole chunks
+    // equal). Round-10 upgrade: emits identical-text pairs missing from
+    // the output as the result, constant-0 oracle.
+    df("d4_dedup_simhash",
+      Some("select cast(0 as bigint) as exact_pair_misses")) { (s, dir) =>
+      val docs = s.table("documents")
+      val pairs = Dedup.simhash(docs, "doc_id", "text", maxHamming = 6)
+        .select("a_id", "b_id")
+      val fp = docs.where(size(filter(
+          split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)) >= 1)
+        .select(col("doc_id").cast("long").as("id"), md5(col("text")).as("fp"))
+      val twins = fp.as("x").join(fp.as("y"),
+          col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      twins.join(pairs, Seq("a_id", "b_id"), "left_anti")
+        .agg(count(lit(1)).as("exact_pair_misses"))
     },
     // Winnowing (rolling-hash) fingerprint near-dedup — fingerprint
     // selection is hash-family-defined, rows-only; the winnowing guarantee
@@ -588,10 +617,22 @@ object Pipeline {
     // Recall is quantizer-defined → rows-only; precision-exactness (kept
     // set ⊇ the exact grid's kept set) and the nlist=1 ≡ exact equivalence
     // are spec-asserted (OperatorsSpec).
-    df("d15_dedup_semantic", None) { (s, dir) =>
-      Dedup.semantic(s.table("embeddings"), "vec_id", "embedding",
-          eps = 0.4)
-        .orderBy("id")
+    // Round-10 upgrade: emits the PRECISION-EXACTNESS invariant as the
+    // result — the quantizer can only under-merge, so every doc the
+    // exact path (nlist=1: all pairs scored) keeps must also be kept by
+    // the quantized path (pairs ⊆ exact pairs → components shrink → the
+    // exact min-id representative of any component stays a min-id
+    // representative of its sub-component) — constant-0 oracle.
+    df("d15_dedup_semantic",
+      Some("select cast(0 as bigint) as exact_kept_missing")) { (s, dir) =>
+      val emb = s.table("embeddings")
+      val approx = Dedup.semantic(emb, "vec_id", "embedding", eps = 0.4)
+        .select("id")
+      val exact = Dedup.semantic(emb, "vec_id", "embedding", eps = 0.4,
+          nlist = 1)
+        .select("id")
+      exact.join(approx, Seq("id"), "left_anti")
+        .agg(count(lit(1)).as("exact_kept_missing"))
     }
   )
 
@@ -1420,20 +1461,31 @@ object Pipeline {
         .orderBy("id")
     },
     // Perceptual payload dedup — the same kept-set composition over the
-    // m6 aHash/Hamming pair primitive. Hash family is engine-defined →
-    // rows-only; the twin-collapse property (every twin folds into its
-    // original's component) is spec-asserted alongside m6's pair recall
+    // m6 aHash/Hamming pair primitive. Hash family defines the NEAR
+    // folds, but the identical-content collapse is a guarantee: no two
+    // kept payloads may share a content fingerprint. Round-10 upgrade:
+    // the query emits that invariant as its result with a constant-0
+    // oracle; the twin-fold recall floor stays spec-asserted
     // (OperatorsSpec).
-    df("m9_phash_dedup", None) { (s, dir) =>
+    df("m9_phash_dedup",
+      Some("select cast(0 as bigint) as duplicate_content_kept")) {
+        (s, dir) =>
       val docs = s.table("documents").where(length(col("text")) >= 64)
         .select("doc_id", "text")
       val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
         expr("concat(substring(text, 1, 28), repeat('#', 8), " +
           "substring(text, 37))").as("text"))
-      Multimodal.payloadDedup(
-          Multimodal.withPayload(docs.union(twins), "doc_id", "text"))(
+      val all = docs.union(twins)
+      val kept = Multimodal.payloadDedup(
+          Multimodal.withPayload(all, "doc_id", "text"))(
           Multimodal.perceptualNearDups(_, maxHamming = 6))
-        .orderBy("id")
+        .select(col("id").cast("long").as("doc_id"))
+      all.select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text")).as("fp"))
+        .join(kept, Seq("doc_id"), "left_semi")
+        .groupBy("fp").agg(count(lit(1)).as("k"))
+        .agg(coalesce(sum(when(col("k") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("duplicate_content_kept"))
     },
     // REAL image decode — no stub anywhere in this path: per doc a tiny
     // PNG is synthesized (pixel values are pure arithmetic of doc_id/x/y),

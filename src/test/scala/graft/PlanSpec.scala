@@ -30,7 +30,11 @@ class PlanSpec extends SparkSpecBase {
     // fixed query batch scored against every corpus row (the operator's
     // exactness contract).
     val scalarBroadcast = Set("q4_scalar_subquery", "h6_forecast_revenue",
-      "t13_tfidf_search", "s1_ann_brute", "s5_ann_pq", "s6_ann_pq_index")
+      "t13_tfidf_search", "s1_ann_brute", "s5_ann_pq", "s6_ann_pq_index",
+      // Round-10 oracle-invariant queries: their result frame is a cross
+      // of SINGLE-ROW aggregates (violation counters) — a 1×1 product,
+      // not a row blowup.
+      "a14_approx_distinct", "d11_dedup_embedding_ivf", "s9_ann_ivf_deleted")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intentional)
       .flatMap { name =>
