@@ -356,20 +356,28 @@ object Relational {
     // carries the value-exact oracle for the exact variant.
     QueryDef("a19_approx_percentile",
       (s, dir) => { graft.Tables.ensure(s, dir)
-        graft.Engine.query(s,
-          "with ap as (select l_returnflag, " +
+        import org.apache.spark.sql.functions.{abs => fabs, _}
+        val ap = graft.Engine.query(s,
+          "select l_returnflag, " +
             "approx_percentile(l_quantity, 0.5, 10000) as p50, " +
             "approx_percentile(l_extendedprice, 0.99, 10000) as p99 " +
-            "from lineitem group by l_returnflag), " +
-            "ex as (select l_returnflag, " +
-            "percentile(l_quantity, 0.5) as e50, " +
-            "percentile(l_extendedprice, 0.99) as e99 " +
-            "from lineitem group by l_returnflag) " +
-            "select cast(sum(case when " +
-            "abs(ap.p50 - ex.e50) <= greatest(0.05 * abs(ex.e50), 1.0) and " +
-            "abs(ap.p99 - ex.e99) <= greatest(0.05 * abs(ex.e99), 1.0) " +
-            "then 0 else 1 end) as bigint) as bound_violations " +
-            "from ap join ex on ap.l_returnflag = ex.l_returnflag") },
+            "from lineitem group by l_returnflag")
+        // The EXACT reference side runs through the auto-routed quantile
+        // operator (a17's path), not the group-buffering built-in — the
+        // invariant check itself must not be the scale hazard it exists
+        // to police.
+        val ex = graft.operators.Quantiles.groupPercentiles(
+          s.table("lineitem"), Seq("l_returnflag"),
+          Seq(("l_quantity", Seq(0.5), Seq("e50")),
+            ("l_extendedprice", Seq(0.99), Seq("e99"))))
+        ap.join(ex, Seq("l_returnflag"))
+          .select(when(
+            fabs(col("p50") - col("e50")) <=
+              greatest(lit(0.05) * fabs(col("e50")), lit(1.0)) &&
+            fabs(col("p99") - col("e99")) <=
+              greatest(lit(0.05) * fabs(col("e99")), lit(1.0)), 0L)
+            .otherwise(1L).as("v"))
+          .agg(coalesce(sum("v"), lit(0L)).as("bound_violations")) },
       Some("select cast(0 as bigint) as bound_violations")),
     // Beyond-reference: manual pivot via conditional aggregation (the shape
     // Spark's PIVOT clause lowers to; written portably for the oracle).
