@@ -406,8 +406,16 @@ object PackStream {
     def marker(sub: String) = f.exists(
       new org.apache.hadoop.fs.Path(s"$rdir/$sub/_SUCCESS"))
     def checkSameRequest(): Unit = {
+      // Fingerprint prefilter, then the exact recorded-id comparison
+      // (the TakedownStream.sameEvents discipline: a silent skip on a
+      // fingerprint collision would silently drop an erasure).
       val p = spark.read.parquet(s"$rdir/params").head()
-      require((p.getLong(0), p.getLong(1)) == wf,
+      val same = (p.getLong(0), p.getLong(1)) == wf && {
+        val rec = spark.read.parquet(s"$rdir/events")
+        ids.except(rec).limit(1).isEmpty &&
+          rec.except(ids).limit(1).isEmpty
+      }
+      require(same,
         s"PackStream.retract: key '$key' was already used by a retraction " +
           "with DIFFERENT doc ids — each erasure request needs its own key.")
     }

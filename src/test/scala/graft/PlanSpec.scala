@@ -34,7 +34,8 @@ class PlanSpec extends SparkSpecBase {
       // Round-10 oracle-invariant queries: their result frame is a cross
       // of SINGLE-ROW aggregates (violation counters) — a 1×1 product,
       // not a row blowup.
-      "a14_approx_distinct", "d11_dedup_embedding_ivf", "s9_ann_ivf_deleted")
+      "a14_approx_distinct", "d11_dedup_embedding_ivf", "s9_ann_ivf_deleted",
+      "s2_ann_lsh", "s3_ann_ivf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intentional)
       .flatMap { name =>

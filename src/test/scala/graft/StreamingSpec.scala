@@ -1189,6 +1189,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(export(out2, batches) == export(refOut2, batches),
       "tail erasure must preserve the boundary dir's prefix packs")
     assert(newestState(dir2) == newestState(refDir2))
+
+    // Sequential erasures COMPOSE: a second retraction runs over the
+    // already-rewritten export (revision-of-revision state g<n>r2,
+    // manifests already shrunk once) and must land exactly where a
+    // from-scratch export minus the UNION would.
+    val setA = Set(4L, 25L); val setB = Set(57L, 13L)
+    val (dir3, out3, h3) = runExport(drop = Set.empty)
+    val (refDir3, refOut3, _) = runExport(drop = setA ++ setB)
+    PackStream.retract(spark, h3, out3, setA.toSeq.toDF("doc_id"),
+      requestKey = Some("seq1"))
+    PackStream.retract(spark, h3, out3, setB.toSeq.toDF("doc_id"),
+      requestKey = Some("seq2"))
+    assert(export(out3, batches) == export(refOut3, batches),
+      "sequential erasures must equal the from-scratch union erasure")
+    assert(newestState(dir3) == newestState(refDir3))
+    assert(manifestRows(dir3) == manifestRows(refDir3))
   }
 
   test("export pipeline: gate → exact dedup → NEAR-dup → pack end to " +
