@@ -1444,16 +1444,30 @@ object Pipeline {
     // the decode+resize step of a real pHash, i.e. the codec slot). Hash
     // family is engine-defined → rows-only; recall-on-twins / no-cross-
     // pairs properties are spec-asserted (OperatorsSpec).
-    df("m6_phash_neardup", None) { (s, dir) =>
+    // Round-10 upgrade (the d4 pattern on the payload modality): the
+    // near pairs are hash-family-defined, but identical payloads are a
+    // GUARANTEE — same bytes → same aHash → hamming 0, every pigeonhole
+    // chunk equal — emitted as the missing-identical-pair count with a
+    // constant-0 oracle; the local-edit-near / unrelated-far properties
+    // stay spec-asserted (OperatorsSpec).
+    df("m6_phash_neardup",
+      Some("select cast(0 as bigint) as exact_pair_misses")) { (s, dir) =>
       val docs = s.table("documents").where(length(col("text")) >= 64)
         .select("doc_id", "text")
       val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
         expr("concat(substring(text, 1, 28), repeat('#', 8), " +
           "substring(text, 37))").as("text"))
-      Multimodal.perceptualNearDups(
-          Multimodal.withPayload(docs.union(twins), "doc_id", "text"),
-          maxHamming = 6)
-        .orderBy("a_id", "b_id")
+      val all = docs.union(twins)
+      val pairs = Multimodal.perceptualNearDups(
+          Multimodal.withPayload(all, "doc_id", "text"), maxHamming = 6)
+        .select("a_id", "b_id")
+      val fp = all.select(col("doc_id").cast("long").as("id"),
+        md5(col("text")).as("fp"))
+      val idPairs = fp.as("x").join(fp.as("y"),
+          col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      idPairs.join(pairs, Seq("a_id", "b_id"), "left_anti")
+        .agg(count(lit(1)).as("exact_pair_misses"))
     },
     // Payload near-dup by shared frame fingerprints — the video-dedup
     // shape. Frames are md5 slices (deterministic), so unlike m6 this is
