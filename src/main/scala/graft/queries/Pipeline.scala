@@ -368,6 +368,29 @@ object Pipeline {
         k = 16, w = 30, minShared = 3, maxFreq = 100)
         .orderBy("a_id", "b_id")
     },
+    // d6's COMPANION attestation (the production d6 keeps its binding
+    // boilerplate cap and stays rows-only): under a never-binding cap,
+    // identical documents share their ENTIRE winnow fingerprint set, so
+    // every identical-text pair whose set carries at least minShared
+    // fingerprints MUST appear — emitted as the missing-pair count with
+    // a constant-0 oracle.
+    df("d6b_winnow_exact_pairs",
+      Some("select cast(0 as bigint) as exact_pair_misses")) { (s, dir) =>
+      val docs = s.table("documents")
+      val pairs = Dedup.winnowing(docs, "doc_id", "text",
+          k = 16, w = 30, minShared = 3, maxFreq = 1000000)
+        .select("a_id", "b_id")
+      val eligible = docs.select(col("doc_id").cast("long").as("id"),
+          md5(col("text")).as("fp"),
+          size(graft.functions.GraftFunctions.winnow(col("text"), 16, 30))
+            .as("nfp"))
+        .where(col("nfp") >= 3)
+      val twins = eligible.as("x").join(eligible.as("y"),
+          col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      twins.join(pairs, Seq("a_id", "b_id"), "left_anti")
+        .agg(count(lit(1)).as("exact_pair_misses"))
+    },
     // Cluster resolution: near-dup pairs → connected components → one
     // representative per cluster + all singletons. Pairs are the exact
     // word-bigram-Jaccard pairs of d3 (engine-independent), so the
@@ -1915,43 +1938,80 @@ object Pipeline {
     // reference implementation and demands identical pack rows, and
     // drives Sink.sharded over the result for the on-disk export leg.
     df("x7_tokenized_export", None) { (s, dir) =>
-      val merges = bpeMergesFor(s, dir)
-      val nShards =
-        math.max(8L, graft.Tables.rowCount(s, dir, "documents") / 1000000L)
-      val enc = s.table("documents")
-        .select(col("doc_id"),
-          pmod(col("doc_id"), lit(nShards)).cast("long").as("shard"),
-          Bpe.encode(col("text"), merges).as("toks"))
-      // The BPE vocab is bounded by the MODEL, not the corpus — every
-      // emitted subword is a base symbol, the end marker, or one of the
-      // merge outputs (≤ alphabet + nMerges + 1 entries) — so it follows
-      // the centroids discipline: one tiny aggregate to the driver,
-      // compiled into the plan as a map literal. Token→id mapping then
-      // happens INSIDE each doc's array (a narrow transform), and no
-      // token-level row ever reaches an exchange.
-      val vocabToks = enc.select(explode(col("toks")).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("cnt"))
-        .orderBy(desc("cnt"), asc("token"))
-        .collect().map(_.getString(0))
-      val vmap = typedlit(
-        vocabToks.zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap)
-      val ids = enc
-        .select(col("doc_id"), col("shard"),
-          transform(col("toks"), t => element_at(vmap, t)).as("tids"))
-        .withColumn("n_tokens", size(col("tids")).cast("long"))
-        .where(col("n_tokens") > 0)
-      // Cumulative per-shard offsets over DOC rows, then one exploded row
-      // per (doc, pack it overlaps) — shuffle volume is docs + packs, never
-      // tokens: each row carries its token-id SLICE as an array payload.
-      // The packing core is operators.Packing.packWindows, shared with the
-      // streaming arrival twin (PackStream).
-      graft.operators.Packing.packWindows(ids, window = 1024)
+      val (_, packs) = exportIdsAndPacks(s, dir)
+      packs
         .select(col("shard"), col("pack_id"), col("n_tokens"),
           concat_ws(",", transform(col("tids"), t => t.cast("string")))
             .as("token_ids"))
         .orderBy("shard", "pack_id")
+    },
+    // x7's rows stay the product (load-bearing for the plan + replay
+    // specs); this COMPANION query puts the export's invariants on the
+    // oracle record — every pack except each shard's last is exactly the
+    // context window, none exceeds it, and landed tokens equal encoded
+    // tokens (nothing duplicated, nothing dropped) — as constant-0
+    // violation counters.
+    df("x7b_export_invariants",
+      Some("select cast(0 as bigint) as non_full_non_last, " +
+        "cast(0 as bigint) as oversized, " +
+        "cast(0 as bigint) as conservation_violations")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val (ids, packs) = exportIdsAndPacks(s, dir)
+      val withLast = packs.withColumn("last",
+        max("pack_id").over(Window.partitionBy("shard")))
+      val shape = withLast.agg(
+        coalesce(sum(when(col("n_tokens") =!= 1024 &&
+          col("pack_id") =!= col("last"), 1L).otherwise(0L)), lit(0L))
+          .as("non_full_non_last"),
+        coalesce(sum(when(col("n_tokens") > 1024, 1L).otherwise(0L)),
+          lit(0L)).as("oversized"),
+        coalesce(sum("n_tokens"), lit(0L)).as("landed"))
+      shape.crossJoin(
+          ids.agg(coalesce(sum("n_tokens"), lit(0L)).as("ingested")))
+        .select(col("non_full_non_last"), col("oversized"),
+          when(col("landed") === col("ingested"), 0L).otherwise(1L)
+            .as("conservation_violations"))
     }
   )
+
+  /** x7's core, shared with its invariant companion: the frozen-model
+    * encode → model-bounded vocab literal → per-shard token streams →
+    * [[graft.operators.Packing.packWindows]]. Returns (per-doc id rows,
+    * packed windows). The BPE vocab is bounded by the MODEL, not the
+    * corpus — every emitted subword is a base symbol, the end marker, or
+    * one of the merge outputs (≤ alphabet + nMerges + 1 entries) — so it
+    * follows the centroids discipline: one tiny aggregate to the driver,
+    * compiled into the plan as a map literal; token→id mapping happens
+    * INSIDE each doc's array (narrow transform) and no token-level row
+    * ever reaches an exchange. */
+  private def exportIdsAndPacks(s: org.apache.spark.sql.SparkSession,
+      dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val merges = bpeMergesFor(s, dir)
+    val nShards =
+      math.max(8L, graft.Tables.rowCount(s, dir, "documents") / 1000000L)
+    val enc = s.table("documents")
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards)).cast("long").as("shard"),
+        Bpe.encode(col("text"), merges).as("toks"))
+    val vocabToks = enc.select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+      .collect().map(_.getString(0))
+    val vmap = typedlit(
+      vocabToks.zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap)
+    val ids = enc
+      .select(col("doc_id"), col("shard"),
+        transform(col("toks"), t => element_at(vmap, t)).as("tids"))
+      .withColumn("n_tokens", size(col("tids")).cast("long"))
+      .where(col("n_tokens") > 0)
+    // Cumulative per-shard offsets over DOC rows, then one exploded row
+    // per (doc, pack it overlaps) — shuffle volume is docs + packs, never
+    // tokens: each row carries its token-id SLICE as an array payload.
+    // The packing core is operators.Packing.packWindows, shared with the
+    // streaming arrival twin (PackStream).
+    (ids, graft.operators.Packing.packWindows(ids, window = 1024))
+  }
 
   val defs: Seq[QueryDef] =
     dedup ++ text ++ repetition ++ lmScore ++ similarity ++ multimodal ++

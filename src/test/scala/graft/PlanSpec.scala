@@ -35,7 +35,7 @@ class PlanSpec extends SparkSpecBase {
       // of SINGLE-ROW aggregates (violation counters) — a 1×1 product,
       // not a row blowup.
       "a14_approx_distinct", "d11_dedup_embedding_ivf", "s9_ann_ivf_deleted",
-      "s2_ann_lsh", "s3_ann_ivf")
+      "s2_ann_lsh", "s3_ann_ivf", "x7b_export_invariants")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intentional)
       .flatMap { name =>
