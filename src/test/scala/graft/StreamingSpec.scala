@@ -1207,6 +1207,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(manifestRows(dir3) == manifestRows(refDir3))
   }
 
+  test("pack retraction property: seeded random withdrawal sets equal " +
+      "the from-scratch export of the survivors (small window, odd " +
+      "shard count — the boundary-arithmetic gauntlet)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.PackStream
+
+    val corpus = spark.table("documents")
+    val pSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "shard long, pack_id long, n_tokens long, token_ids string")
+    def export(out: String): Set[(Long, Long, Long, String)] =
+      Seq(0L, 1L, 2L).flatMap { b =>
+        spark.read.schema(pSchema).parquet(s"$out/b$b")
+          .select(lit(b), col("shard"), col("pack_id"), col("token_ids"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3)))
+      }.toSet
+    def runExport(drop: Set[Long]): (String, PackStream.Handle) = {
+      val dir = java.nio.file.Files.createTempDirectory("rprop").toString
+      val out = java.nio.file.Files.createTempDirectory("rpropo").toString
+      val h = PackStream.resume(spark, dir, corpus, "doc_id", "text",
+        nShards = 3L, nMerges = 10, window = 32)
+      Seq(0L until 20L, 20L until 40L, 40L until 60L)
+        .zipWithIndex.foreach { case (idsR, b) =>
+          PackStream.processBatch(h,
+            corpus.where(col("doc_id").isin(idsR.filterNot(drop): _*))
+              .select(col("doc_id"), col("text")),
+            b.toLong, "doc_id", "text", out)
+        }
+      (out, h)
+    }
+    Seq(7, 21, 1341).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val withdrawn = (0L until 60L).filter(_ => rnd.nextDouble() < 0.2).toSet
+      val (out, h) = runExport(Set.empty)
+      val (refOut, _) = runExport(withdrawn)
+      val stats = PackStream.retract(spark, h, out,
+        withdrawn.toSeq.toDF("doc_id"), requestKey = Some(s"p$seed"))
+      assert(stats.docsRemoved == withdrawn.size, s"seed $seed: $stats")
+      assert(export(out) == export(refOut),
+        s"seed $seed (withdrawn=$withdrawn): retracted export must equal " +
+          "the from-scratch survivors' export")
+    }
+  }
+
   test("export pipeline: gate → exact dedup → NEAR-dup → pack end to " +
       "end; streamed packs equal the one-batch run across a restart; " +
       "bootstrap curates the corpus before indexing") {
