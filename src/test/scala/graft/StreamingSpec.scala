@@ -1871,6 +1871,69 @@ class StreamingSpec extends SparkSpecBase {
     graft.operators.Dedup.releaseSketchCaches()
   }
 
+  test("capstone composition: four-stage pipeline + one takedown batch " +
+      "across fp, nd, ss AND export — gates withdrawn, shards erased, " +
+      "re-post re-enters, all under the composed lock chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{ExportPipeline, TakedownStream}
+
+    def good(id: Long, seed: String): NdDoc =
+      NdDoc(id, (0 until 16).map(k => s"$seed$k").mkString(" "))
+    val corpus = Seq(good(1, "alpha"), good(2, "beta"))
+      .toDF("doc_id", "text")
+    def packsOf(dir: String): Set[(Long, Long, String)] =
+      spark.read.option("recursiveFileLookup", "true").parquet(dir)
+        .select("shard", "pack_id", "token_ids")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+    def runPipeline(arrivals: Seq[NdDoc]): (String, String,
+        ExportPipeline.Handles) = {
+      val root = java.nio.file.Files.createTempDirectory("cap4").toString
+      val out = java.nio.file.Files.createTempDirectory("cap4o").toString
+      val h = ExportPipeline.resume(spark, root, corpus, "doc_id", "text",
+        nShards = 2L, nMerges = 8, window = 32, substringGate = true)
+      val in = MemoryStream[NdDoc]
+      val q = ExportPipeline.run(in.toDF(), h, "doc_id", "text", out)
+      in.addData(arrivals: _*); q.processAllAvailable(); q.stop()
+      (root, out, h)
+    }
+    val (root, out, h) = runPipeline(
+      Seq(good(10, "gamma"), good(11, "delta")))
+    val (_, refOut, refH) = runPipeline(Seq(good(11, "delta")))
+    assert(refH.pack.model == h.pack.model)
+
+    // One event batch, all four registered families: full erasure of
+    // doc 10 — the gates forget it AND its tokens leave the shards.
+    val td = TakedownStream.resume(spark,
+      java.nio.file.Files.createTempDirectory("cap4td").toString)
+    val targets = ExportPipeline.takedownTargets(h, exportOut = Some(out))
+    assert(targets.ss.isDefined, "four-stage handles must expose the ss gate")
+    val ev = Seq(
+      ("fp", 10L, good(10, "gamma").text),
+      ("nd", 10L, good(10, "gamma").text),
+      ("ss", 10L, good(10, "gamma").text),
+      ("export", 10L, null.asInstanceOf[String]))
+      .toDF("family", "cid", "text")
+    assert(TakedownStream.processBatch(td, targets, ev, 0L) == 0L)
+    assert(packsOf(out).nonEmpty && packsOf(out) == packsOf(refOut),
+      "erased export must equal the never-saw-it export")
+
+    // The re-post passes every gate (exact, fuzzy, AND the substring
+    // gate whose counts were decremented) and repacks.
+    val in2 = MemoryStream[NdDoc]
+    val q2 = ExportPipeline.run(in2.toDF(), h, "doc_id", "text", out)
+    in2.addData(NdDoc(20, good(10, "gamma").text))
+    q2.processAllAvailable(); q2.stop()
+    val manifestIds = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/pack/manifest").select("doc_id")
+      .as[Long].collect().toSet
+    assert(manifestIds.contains(20L) && !manifestIds.contains(10L),
+      s"re-post must re-enter after full erasure: $manifestIds")
+    graft.operators.Dedup.releaseSketchCaches()
+  }
+
   test("takedown stream: fingerprint collisions don't skip fresh batches; " +
       "a rebased batch's redelivery is recognized, not re-applied") {
     import spark.implicits._
