@@ -118,7 +118,9 @@ object Quantiles {
       maxBufferedRows: Long = 2000000L,
       knownCount: Long = -1L): DataFrame = {
     require(specs.nonEmpty, "at least one value-column spec required")
-    val rows = if (knownCount >= 0) knownCount else df.count()
+    // Hint trusted only when the plan can't multiply rows beyond its leaf
+    // (InputStats.routeRows) — same cliff-guard as Ranks.globalRank.
+    val rows = InputStats.routeRows(df, knownCount)
     if (maxBufferedRows > 0 && rows <= maxBufferedRows) {
       val aggs = specs.flatMap { case (v, probs, outs) =>
         probs.zip(outs).map { case (p, o) => expr(s"percentile($v, $p)").as(o) }

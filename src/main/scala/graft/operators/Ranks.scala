@@ -67,7 +67,10 @@ object Ranks {
     * joins. Pass `maxSingleTaskRows = 0` to force the distributed path
     * (and skip the stats action). Callers that already know the input
     * cardinality pass it as `knownCount` (>= 0) so no count job runs over a
-    * computed input; -1 means unknown. */
+    * computed input; -1 means unknown. The hint is trusted only when the
+    * optimized plan provably can't multiply rows beyond its single leaf
+    * ([[InputStats.routeRows]]) — a replicating view gets an honest count,
+    * never the single-task cliff. */
   def globalRank(
       df: DataFrame,
       rankCol: String,
@@ -75,7 +78,7 @@ object Ranks {
       maxSingleTaskRows: Long,
       knownCount: Long,
       order: Column*): DataFrame = {
-    def rows = if (knownCount >= 0) knownCount else df.count()
+    def rows = InputStats.routeRows(df, knownCount)
     if (maxSingleTaskRows > 0 && rows <= maxSingleTaskRows) {
       val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
       val r = if (dense) dense_rank() else rank()
@@ -176,7 +179,7 @@ object Ranks {
       maxSingleTaskRows: Long = 100000L,
       knownCount: Long = -1L): DataFrame = {
     require(ntileN > 0, s"ntile bucket count must be positive, got $ntileN")
-    def rows = if (knownCount >= 0) knownCount else df.count()
+    def rows = InputStats.routeRows(df, knownCount)
     if (maxSingleTaskRows > 0 && rows <= maxSingleTaskRows) {
       val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
       return df

@@ -99,6 +99,50 @@ class RanksSpec extends SparkSpecBase {
     assert(small.exceptAll(dist).isEmpty && dist.exceptAll(small).isEmpty)
   }
 
+  test("stale knownCount hint on a replicating view still plans distributed") {
+    // The round-10 sf1 probe scenario: the caller memoized the BASE table's
+    // count, but the actual input is a replicating VIEW (a Union) holding
+    // many times that. The hint must be discarded (InputStats sees the
+    // Union), the honest count must exceed the cutoff, and the plan must be
+    // the distributed shape — no single-task WindowExec anywhere.
+    val o = spark.table("orders").select("o_orderkey", "o_totalprice")
+    val replicated = (1 to 8).map(_ => o).reduce(_ union _)
+    val baseCount = o.count() // the stale hint a caller would pass
+    val out = Ranks.globalRank(replicated, "rnk", dense = false,
+      maxSingleTaskRows = baseCount * 4, // replicated (8x) exceeds; hint doesn't
+      baseCount, col("o_totalprice").desc)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "replicating view with a stale hint must not take the single-task path")
+    assert(out.rdd.getNumPartitions > 1)
+    // And the values are still exactly the built-in window's.
+    val want = replicated.select(col("o_orderkey"),
+      rank().over(Window.orderBy(col("o_totalprice").desc))
+        .cast("long").as("rnk"))
+    val got = out.select(col("o_orderkey"), col("rnk"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("trusted hint on a non-multiplying plan skips the count job") {
+    // A pure project/filter chain over one scan: the hint is a sound upper
+    // bound, so routing must use it (no honest count). Observable contract:
+    // a deliberately-low FAKE hint under the cutoff takes the single-task
+    // window path even though the real count would exceed it — proving the
+    // hint, not a recount, routed the query.
+    val li = spark.table("lineitem").select("l_orderkey", "l_quantity")
+    val out = Ranks.globalRank(li, "rnk", dense = false,
+      maxSingleTaskRows = 10L, 5L, col("l_quantity").desc)
+    assert(out.queryExecution.executedPlan.toString.contains("Window"),
+      "non-multiplying plan must trust the caller's hint")
+    // And the structural classifier agrees on both shapes.
+    import graft.operators.InputStats
+    assert(InputStats.nonMultiplying(li.queryExecution.optimizedPlan))
+    val uni = li.union(li)
+    assert(!InputStats.nonMultiplying(uni.queryExecution.optimizedPlan))
+    val joined = li.join(spark.table("orders"),
+      li("l_orderkey") === col("o_orderkey"))
+    assert(!InputStats.nonMultiplying(joined.queryExecution.optimizedPlan))
+  }
+
   test("adaptive default picks the same values either way") {
     val got = Ranks.globalRank(spark.table("orders"), "rnk", dense = false,
         col("o_totalprice").desc) // small input → built-in window path
