@@ -348,13 +348,23 @@ object Relational {
     // Beyond-reference: approx percentiles — the 100 TB path. Exact
     // percentile (a17) buffers every group value; approx_percentile's
     // Greenwald-Khanna sketch is bounded-memory and merges map-side.
-    // Sketch estimates are engine-specific, so (round-10 upgrade pattern)
-    // the query emits its error-bound invariant — every group's approx
-    // p50/p99 within 5% (or 1.0 absolute) of the exact percentile, a
-    // generous cover for the GK rank guarantee at accuracy 10000,
-    // deterministic on the fixed corpus — with a constant-0 oracle; a17
-    // carries the value-exact oracle for the exact variant.
+    // Sketch estimates are engine-specific → rows-only; the error-bound
+    // invariant is companion a19b (round-11 headline/attestation split —
+    // the headline no longer also runs the exact-quantile reference), and
+    // a17 carries the value-exact oracle for the exact variant.
     QueryDef("a19_approx_percentile",
+      (s, dir) => { graft.Tables.ensure(s, dir)
+        graft.Engine.query(s,
+          "select l_returnflag, " +
+            "approx_percentile(l_quantity, 0.5, 10000) as p50, " +
+            "approx_percentile(l_extendedprice, 0.99, 10000) as p99 " +
+            "from lineitem group by l_returnflag order by l_returnflag") },
+      None),
+    // a19's COMPANION attestation: every group's approx p50/p99 within 5%
+    // (or 1.0 absolute) of the exact percentile — a generous cover for
+    // the GK rank guarantee at accuracy 10000, deterministic on the fixed
+    // corpus — with a constant-0 oracle.
+    QueryDef("a19b_approx_percentile_bounds",
       (s, dir) => { graft.Tables.ensure(s, dir)
         import org.apache.spark.sql.functions.{abs => fabs, _}
         val ap = graft.Engine.query(s,

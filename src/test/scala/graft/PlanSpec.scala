@@ -31,11 +31,14 @@ class PlanSpec extends SparkSpecBase {
     // exactness contract).
     val scalarBroadcast = Set("q4_scalar_subquery", "h6_forecast_revenue",
       "t13_tfidf_search", "s1_ann_brute", "s5_ann_pq", "s6_ann_pq_index",
-      // Round-10 oracle-invariant queries: their result frame is a cross
-      // of SINGLE-ROW aggregates (violation counters) — a 1×1 product,
-      // not a row blowup.
-      "a14_approx_distinct", "d11_dedup_embedding_ivf", "s9_ann_ivf_deleted",
-      "s2_ann_lsh", "s3_ann_ivf", "x7b_export_invariants")
+      // Oracle-invariant attestation queries (round-10 upgrades, split
+      // into *b companions round 11): their result frame is a cross of
+      // SINGLE-ROW aggregates (violation counters) — a 1×1 product, not
+      // a row blowup.
+      "a14_approx_distinct", "s9_ann_ivf_deleted",
+      "s2_ann_lsh", "s3_ann_ivf", "x7b_export_invariants",
+      "s6b_pq_index_parity", "d11b_ivf_pair_invariants",
+      "a19b_approx_percentile_bounds")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intentional)
       .flatMap { name =>
