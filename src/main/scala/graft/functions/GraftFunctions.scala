@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{BitsetIntersectCount, ByteBlockHash, DotProduct, GraftBridge, MinHashSig, ShingleHashSet, SimHash64, SortedIntersectCount, WinnowFingerprints}
+import org.apache.spark.sql.graft.{BitsetIntersectCount, ByteBlockHash, DotProduct, GraftBridge, MinHashSig, RollingHashes, ShingleHashSet, SimHash64, SortedIntersectCount, WinnowFingerprints}
 
 /** Public registration + Column-API access for graft's native Catalyst
   * expressions (see org.apache.spark.sql.graft for the implementations). */
@@ -50,6 +50,11 @@ object GraftFunctions {
     * rightmost-min per w-window) of a string column. */
   def winnow(text: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowFingerprints(GraftBridge.expression(text), k, w))
+
+  /** Per-position rolling k-gram hash sequence — the sequence [[winnow]]
+    * selects from, for in-plan attestation of its coverage guarantee. */
+  def rollingHashes(text: Column, k: Int): Column =
+    GraftBridge.column(RollingHashes(GraftBridge.expression(text), k))
 
   /** 64-bit byte-block average-hash of a binary column — the perceptual-
     * hash voting step, locality-sensitive in the byte domain. */

@@ -790,6 +790,50 @@ object Pipeline {
             .as("fps"))
         .orderBy("doc_id")
     },
+    // t7's COMPANION attestation (the last attestable rows-only query gets
+    // its constant-0-oracle companion, the d6b/x7b pattern). Three
+    // invariants of the winnowing kernel, each emitted as a violation
+    // counter:
+    //   - echo_mismatches: identical text must fingerprint to the
+    //     identical sorted set — checked on synthesized echoes (every doc
+    //     re-sent under a fresh id, the m10 synthesize pattern), so the
+    //     equality crosses rows/partitions rather than comparing an
+    //     expression to itself;
+    //   - coverage_violations: the winnowing guarantee — EVERY w-window of
+    //     the rolling-hash sequence has its minimum among the selected
+    //     fingerprints (short docs: the global min) — recomputed
+    //     independently from the raw hash sequence (rollingHashes, the
+    //     kernel's pre-selection output);
+    //   - malformed_sets: the output contract — fingerprint arrays are
+    //     strictly increasing (sorted, distinct).
+    df("t7b_rolling_fp_invariants",
+      Some("select cast(0 as bigint) as echo_mismatches, " +
+        "cast(0 as bigint) as coverage_violations, " +
+        "cast(0 as bigint) as malformed_sets")) { (s, dir) =>
+      val w = 4
+      val docs = s.table("documents").select(col("doc_id"), col("text"))
+      val fp = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.winnow(col("text"), 8, w).as("fps"),
+        graft.functions.GraftFunctions.rollingHashes(col("text"), 8).as("hs"))
+      val echoes = docs
+        .select((col("doc_id") + 1000000L).as("eid"), col("text"))
+        .select((col("eid") - 1000000L).as("doc_id"),
+          graft.functions.GraftFunctions.winnow(col("text"), 8, w).as("efps"))
+      val em = fp.join(echoes, "doc_id")
+        .agg(coalesce(sum(when(col("fps") =!= col("efps"), 1L)
+          .otherwise(0L)), lit(0L)).as("echo_mismatches"))
+      val cov = fp.where(size(col("hs")) >= 1)
+        .select(when(expr(s"exists(sequence(1, greatest(size(hs) - $w + 1, 1)), " +
+          s"j -> not array_contains(fps, array_min(slice(hs, j, $w))))"), 1L)
+          .otherwise(0L).as("v"))
+        .agg(coalesce(sum("v"), lit(0L)).as("coverage_violations"))
+      val mf = fp
+        .select(when(size(col("fps")) >= 2 &&
+          expr("exists(sequence(1, size(fps) - 1), i -> fps[i] <= fps[i-1])"),
+          1L).otherwise(0L).as("v"))
+        .agg(coalesce(sum("v"), lit(0L)).as("malformed_sets"))
+      em.crossJoin(cov).crossJoin(mf)
+    },
     // Stopword/quality ratios via higher-order filter.
     df("t5_stopword_ratio",
       Some("select doc_id, cast(len(list_filter(string_split(text, ' '), " +

@@ -82,9 +82,40 @@ object SketchKernels {
     * Docs shorter than k bytes fingerprint to the empty set. */
   def winnowFingerprints(text: org.apache.spark.unsafe.types.UTF8String,
       k: Int, w: Int): ArrayData = {
+    val hs = rollingHashArray(text, k)
+    val m = hs.length
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    // Rightmost-min of each w-window via a monotonic (strictly increasing)
+    // index deque — O(m) total.
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val dq = new Array[Int](m)
+    var lo = 0
+    var hi = 0 // deque in dq[lo, hi)
+    var i = 0
+    while (i < m) {
+      while (hi > lo && hs(dq(hi - 1)) >= hs(i)) hi -= 1 // keep rightmost min
+      dq(hi) = i; hi += 1
+      if (dq(lo) <= i - w) lo += 1
+      if (i >= w - 1 || i == m - 1) sel.add(hs(dq(lo)))
+      i += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** The per-position avalanched rolling-hash sequence winnowing selects
+    * from: hash i covers the byte k-gram at offset i. Shared by
+    * [[winnowFingerprints]] and exposed via [[rollingHashes]] so the
+    * winnowing WINDOW-COVERAGE guarantee (every w-window's min is a
+    * selected fingerprint) is independently checkable in-plan. */
+  private def rollingHashArray(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int): Array[Long] = {
     val bytes = text.getBytes
     val m = bytes.length - k + 1
-    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    if (m <= 0) return Array.empty[Long]
     // Rolling base hash: h_i = sum b[i+j] * B^(k-1-j) mod 2^64.
     val B = 1000003L
     var top = 1L // B^(k-1)
@@ -101,26 +132,12 @@ object SketchKernels {
       hs(i) = XXH64.hashLong(h, 42L)
       i += 1
     }
-    // Rightmost-min of each w-window via a monotonic (strictly increasing)
-    // index deque — O(m) total.
-    val sel = new java.util.TreeSet[java.lang.Long]()
-    val dq = new Array[Int](m)
-    var lo = 0
-    var hi = 0 // deque in dq[lo, hi)
-    i = 0
-    while (i < m) {
-      while (hi > lo && hs(dq(hi - 1)) >= hs(i)) hi -= 1 // keep rightmost min
-      dq(hi) = i; hi += 1
-      if (dq(lo) <= i - w) lo += 1
-      if (i >= w - 1 || i == m - 1) sel.add(hs(dq(lo)))
-      i += 1
-    }
-    val out = new Array[Long](sel.size)
-    val it = sel.iterator()
-    i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
+    hs
   }
+
+  def rollingHashes(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int): ArrayData =
+    new GenericArrayData(rollingHashArray(text, k))
 
   /** argmax over centroid dot products; ties break to the lowest index.
     * Vector shorter than the centroid dim scores only its prefix. */
@@ -309,6 +326,30 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.graft.SketchKernels.winnowFingerprints($c, $k, $w)")
+
+  override protected def withNewChildInternal(nc: Expression): Expression =
+    copy(child = nc)
+}
+
+/** string → per-position avalanched rolling-hash sequence (array<bigint>),
+  * the sequence [[WinnowFingerprints]] selects from — the attestation-side
+  * kernel for checking winnowing's window-coverage guarantee in-plan. */
+case class RollingHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"rolling_hashes(k=$k): k must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_rolling_hashes"
+
+  override protected def nullSafeEval(t: Any): Any =
+    SketchKernels.rollingHashes(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.SketchKernels.rollingHashes($c, $k)")
 
   override protected def withNewChildInternal(nc: Expression): Expression =
     copy(child = nc)

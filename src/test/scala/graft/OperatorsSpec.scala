@@ -1142,6 +1142,35 @@ class OperatorsSpec extends SparkSpecBase {
     assert(short.isEmpty)
   }
 
+  test("rollingHashes is winnow's pre-selection sequence: coverage holds") {
+    import spark.implicits._
+    val k = 8; val w = 4
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "aaaaaaaaaaaaaaaaaaaaaaaa", // degenerate: all k-grams identical
+      "short", // < k bytes → both empty
+      "exactly8") // == k bytes → one hash, one fingerprint
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), length(col("text")).as("len"),
+        graft.functions.GraftFunctions.winnow(col("text"), k, w).as("fps"),
+        graft.functions.GraftFunctions.rollingHashes(col("text"), k).as("hs"))
+      .collect()
+    rows.foreach { r =>
+      val len = r.getInt(1)
+      val fps = r.getSeq[Long](2).toSet
+      val hs = r.getSeq[Long](3)
+      assert(hs.length == math.max(0, len - k + 1))
+      // Selected fingerprints come from the sequence, and every w-window's
+      // min is selected (short non-empty docs: the global min).
+      assert(fps.subsetOf(hs.toSet))
+      if (hs.nonEmpty) {
+        if (hs.length < w) assert(fps.contains(hs.min))
+        else hs.sliding(w).foreach(win => assert(fps.contains(win.min)))
+      } else assert(fps.isEmpty)
+    }
+  }
+
   test("winnowing dedup pairs docs sharing a passage, not distinct docs") {
     import spark.implicits._
     val shared = "this exact passage is copied in both documents verbatim"
