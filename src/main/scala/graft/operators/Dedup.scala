@@ -2154,28 +2154,92 @@ object Dedup {
       .where(col("n_windows").isNull ||
         col("n_dup_windows") <= col("n_windows") * maxDupRatio)
       .select("doc_id")
+    // Window counts PLUS the per-content identity rows ([[ssIdentityRows]]
+    // — the fold-multiplicity record content-addressed takedown resolves
+    // against). Identity hashes live in a salted domain, so the probe's
+    // window-hash join never sees them.
     val bfreq = persistSketch(
-      bwins.groupBy("h").agg(count(lit(1)).as("occ")))
+      bwins.groupBy("h").agg(count(lit(1)).as("occ"))
+        .unionByName(ssIdentityRows(batch, textCol)))
     bfreq.count()
     (keptIds, bfreq,
       index.copy(freq = index.freq.union(bfreq),
         layers = index.layers :+ bwins :+ bfreq))
   }
 
-  /** The NEGATIVE window-frequency layer of `docs` — the takedown payload
-    * for the substring family: the index holds only (hash, count), so a
-    * withdrawal subtracts the withdrawn content's window counts as one
-    * more layer (the probe sums layers, [[compactSsIndex]] merges them —
-    * negative rows ride the existing machinery). Computed from the event
-    * TEXT, so a crash-window replay recomputes identical bytes.
-    * Contract: one withdrawal per admission — the dedup gates admit a
-    * content once, so a feed that withdraws it once keeps counts exact;
-    * double-withdrawal would undercount shared windows (documented, like
-    * every decrement design). */
+  /** The NEGATIVE window-frequency layer of `docs` — the PER-ARRIVAL
+    * takedown payload for the substring family: the index holds only
+    * (hash, count), so a withdrawal subtracts the withdrawn content's
+    * window counts as one more layer (the probe sums layers,
+    * [[compactSsIndex]] merges them — negative rows ride the existing
+    * machinery). Computed from the event TEXT, so a crash-window replay
+    * recomputes identical bytes.
+    * Contract: one withdrawal per admission — exact when the gate sits
+    * behind exact dedup (each content folds once); k folded re-posts
+    * need k events, and double-withdrawal undercounts shared windows.
+    * [[resolveSsNeg]] is the CONTENT-ADDRESSED alternative (one event
+    * subtracts every fold) for indexes that carry identity rows. */
   private[graft] def substringNegFreq(docs: DataFrame, idCol: String,
       textCol: String, windowTokens: Int): DataFrame =
     tokenWindows(docs, idCol, textCol, windowTokens)
       .groupBy("h").agg((-count(lit(1))).as("occ"))
+
+  /** Domain-separation salt for the substring stream's per-content
+    * IDENTITY rows: each arrival also folds one count under
+    * `xxhash64(salt, text)` — a hash of the WHOLE text in a salted
+    * domain, so the summed count of a content's identity hash IS its
+    * fold multiplicity. That makes the count-shaped family
+    * content-addressable (wn resolves withdrawal targets from posting
+    * SETS; ss has no per-doc rows, so the multiplicity is folded in as
+    * data) at the cost of one extra (hash, count) row per DISTINCT
+    * content — the same content-sized budget as the window counts.
+    * Collision risk with a window hash is the family's accepted 2⁻⁶⁴
+    * class. */
+  private[graft] val ssIdentitySalt = "graft-ss-content-identity-v1"
+
+  /** One identity-count row per distinct content of `docs` (occ = number
+    * of arrivals in the frame) — folded alongside every batch's window
+    * counts by the streaming gate. */
+  private[graft] def ssIdentityRows(docs: DataFrame,
+      textCol: String): DataFrame =
+    Balance(docs)
+      .select(xxhash64(lit(ssIdentitySalt), col(textCol)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("occ"))
+
+  /** CONTENT-ADDRESSED withdrawal layer: resolve each withdrawn
+    * content's fold multiplicity k from its identity-hash count in the
+    * index (duplicate events for one content dedupe — re-withdrawing an
+    * already-withdrawn content resolves k = 0 and subtracts nothing),
+    * then emit −k × its window counts plus −k on the identity hash —
+    * one event erases EVERY folded arrival of that content, exactly.
+    * Cost is takedown-scaled: the only index touch is an `h`-semi-join
+    * of the withdrawn identity hashes before a takedown-sized agg.
+    * Sound only against indexes that folded identity rows
+    * ([[ssIdentityRows]] — the SubstringStream/ExportPipeline path);
+    * contents never identity-folded resolve k = 0 (logged by callers),
+    * for which [[substringNegFreq]] stays the per-arrival fallback. */
+  private[graft] def resolveSsNeg(index: SubstringIndex, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val contents = Balance(docs)
+      .select(xxhash64(lit(ssIdentitySalt), col(textCol)).as("ch"),
+        col(textCol).as("t"))
+      .distinct()
+    val kByCh = index.freq
+      .join(contents.select(col("ch").as("h")), Seq("h"), "left_semi")
+      .groupBy("h").agg(sum(col("occ")).as("k"))
+      .select(col("h").as("ch"), col("k"))
+    val withK = contents.join(kByCh, Seq("ch"), "left")
+      .select(col("ch"), col("t"), coalesce(col("k"), lit(0L)).as("k"))
+      .where(col("k") > 0)
+    val winNeg = tokenWindows(
+        withK.select(col("ch").as("doc_id"), col("t").as("text")),
+        "doc_id", "text", index.windowTokens)
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      .join(withK.select(col("ch").as("doc_id"), col("k")), Seq("doc_id"))
+      .select(col("h"), (-col("c") * col("k")).as("occ"))
+    val idNeg = withK.select(col("ch").as("h"), (-col("k")).as("occ"))
+    winNeg.unionByName(idNeg).groupBy("h").agg(sum(col("occ")).as("occ"))
+  }
 
   /** Apply a negative (or any extra) frequency layer to a substring
     * index — functional, layered ([[removeWinnowIds]] contract for the

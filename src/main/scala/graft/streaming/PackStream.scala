@@ -204,6 +204,28 @@ object PackStream {
       else if (isReplay(engineBatchId + 1)) {
         // Genuine replay (crash after commit, before offsets): recompute
         // from the same base — bit-identical packs overwrite the sink.
+        // UNLESS a retraction ran inside the crash window: retract()
+        // prunes every generation except its revision of the newest one,
+        // so the replay's base is gone — BY DESIGN, a stale base could
+        // resurrect withdrawn tokens. The batch's (post-erasure) output
+        // is already landed and its manifest already scrubbed; the only
+        // correct move is to SKIP the replay entirely — rebasing would
+        // re-fold every surviving doc of the batch as new data and
+        // silently duplicate it in the export. Detectable exactly: the
+        // covering generation is a retraction revision (`retract_key` in
+        // its params) and no generation at or below the replayed id
+        // survives.
+        if (!gens.exists(_ <= engineBatchId) &&
+            spark.read
+              .parquet(
+                s"${genDir(spark, handle.path, engineBatchId + 1)}/params")
+              .schema.fieldNames.contains("retract_key")) {
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"PackStream: batch $engineBatchId is a replay whose base " +
+              "generation was pruned by a retraction — its post-erasure " +
+              "output is already landed; skipping the replay.")
+          return engineBatchId
+        }
         engineBatchId
       } else {
         // Id reuse with different docs: engine restarted without its
@@ -215,8 +237,9 @@ object PackStream {
         hwm
       }
     // A replay whose base generation was already pruned (only possible
-    // after an exotic multi-rebase) has nothing to recompute from — fold
-    // as new data from the newest state instead of failing the stream.
+    // after an exotic multi-rebase — the retraction case returns above)
+    // has nothing to recompute from — fold as new data from the newest
+    // state instead of failing the stream.
     val effectiveId: Long =
       if (gens.exists(_ <= candidate)) candidate else hwm
     val baseGen = gens.filter(_ <= effectiveId).max
@@ -336,14 +359,22 @@ object PackStream {
       packsRewritten: Long,
       dirsRewritten: Long,
       dirsDeleted: Long,
-      alreadyApplied: Boolean)
+      alreadyApplied: Boolean,
+      // Driver-held range-worklist rows stage 1 collected — suffix-sized
+      // by construction (the scale probe asserts it stays flat while the
+      // export grows).
+      rangesCollected: Long = -1L)
 
   private def statsRow(spark: SparkSession, dir: String): RetractStats = {
     val p = spark.read.parquet(s"$dir/params").head()
     RetractStats(p.getAs[Long]("docs_removed"),
       p.getAs[Long]("tokens_removed"), p.getAs[Long]("aff_shards"),
       p.getAs[Long]("packs_rewritten"), p.getAs[Long]("dirs_rewritten"),
-      p.getAs[Long]("dirs_deleted"), alreadyApplied = true)
+      p.getAs[Long]("dirs_deleted"), alreadyApplied = true,
+      rangesCollected =
+        if (p.schema.fieldNames.contains("ranges_collected"))
+          p.getAs[Long]("ranges_collected")
+        else -1L)
   }
 
   /** ERASE withdrawn documents from the LANDED export — the takedown
@@ -373,10 +404,16 @@ object PackStream {
     * Concurrency: call between batches or with the stream stopped —
     * mutating pack state concurrently with an in-flight fold is out of
     * contract (the composed [[TakedownStream]] route serializes against
-    * the pipeline through the exact-dedup stage's state lock). And do not
-    * replay PRE-retraction engine batches afterwards: retraction prunes
-    * the replay-cover generation precisely so such a replay folds as new
-    * data instead of resurrecting withdrawn tokens from a stale base. */
+    * the pipeline through the exact-dedup stage's state lock). The export
+    * must also be fully LANDED before retracting: a crash that wrote a
+    * batch's manifest but not its pack sink leaves phantom lineage rows,
+    * so stage 1 requires every manifest batch to have a landed directory
+    * and directs the operator to restart the stream (the engine replay
+    * lands the batch) first. Replays of PRE-retraction engine batches
+    * afterwards are safe: retraction prunes the replay-cover generation,
+    * and [[processBatch]] detects the retraction revision and SKIPS such
+    * a replay (its post-erasure output is already landed) instead of
+    * re-folding it as new data. */
   def retract(
       spark: SparkSession,
       handle: Handle,
@@ -434,6 +471,19 @@ object PackStream {
         s"PackStream.retract: landed batches ${oBatches.diff(mBatches)} " +
           "have no lineage manifest — this export predates the retraction " +
           "manifest; erasure cannot locate their token spans.")
+      // The mirror direction guards the crashed-mid-batch export: the
+      // manifest is written BEFORE the pack sink, so a kill between them
+      // leaves phantom lineage rows with no landed packs. Retracting
+      // through them would either trip the reflow-conservation require
+      // (withdrawn docs in the phantom batch) or throw on the missing
+      // `b<id>/sh=` suffix read — loud but baffling. Fail with the
+      // remedy instead: a restart replays the batch (bit-identical
+      // recompute) and lands it, after which the erasure can proceed.
+      require(mBatches.toSet.subsetOf(oBatches.toSet),
+        s"PackStream.retract: manifest batches ${mBatches.diff(oBatches)} " +
+          "have no landed pack directory — the export crashed mid-batch. " +
+          "Restart the stream so the engine replay lands the batch, then " +
+          "retract.")
       val manifests =
         if (mBatches.isEmpty)
           spark.createDataFrame(spark.sparkContext
@@ -482,11 +532,16 @@ object PackStream {
       val firstPack: Map[Long, Long] =
         spansByShard.map { case (sh, (st, _, _)) => sh -> st.min / win }
 
-      // Old per-(shard, batch) pack ranges from the pristine manifest
-      // cumsum: batch b holds pack ids [cumPrev/win, cum/win). Rows =
-      // batches × affected shards — metadata-sized, driver-held (it IS
-      // the apply-time directory list).
-      def ranges(m: DataFrame): Seq[(Long, Long, Long, Long)] =
+      // Per-(shard, batch) pack ranges from a manifest cumsum: batch b
+      // holds pack ids [cumPrev/win, cum/win). The cumsum runs over each
+      // affected shard's FULL stream (offsets are absolute), but only
+      // ranges reaching the shard's affected suffix (`hi` past its
+      // `minHi` boundary pack) are COLLECTED — on a years-long stream
+      // the driver-held worklist is suffix-sized, matching the IO story,
+      // not batches × shards for the whole export.
+      def ranges(m: DataFrame, minHi: Map[Long, Long])
+          : Seq[(Long, Long, Long, Long)] = {
+        val minHiLit = typedlit(minHi)
         m.where(col("shard").isin(spanShards: _*))
           .groupBy("shard", "batch_id")
           .agg(sum("n_tokens").as("n"))
@@ -499,12 +554,21 @@ object PackStream {
           .select(col("shard"), col("batch_id"),
             expr(s"(cum - n) div $win").as("lo"),
             expr(s"cum div $win").as("hi"))
+          .where(col("hi") >
+            coalesce(element_at(minHiLit, col("shard")), lit(Long.MaxValue)))
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
             r.getLong(3))).toSeq
-      val oldRanges = ranges(manifests)
-      val oldTouched = oldRanges.filter { case (sh, _, lo, hi) =>
-        hi > math.max(lo, firstPack.getOrElse(sh, Long.MaxValue)) }
+      }
+      val oldRanges = ranges(manifests, firstPack)
+      val oldTouched = oldRanges.filter { case (sh, _, lo, hi) => hi > lo }
         .map { case (sh, b, _, _) => (b, sh) }
+      // Each shard's boundary-batch `lo`: rewritten packs (reflow output
+      // AND carried prefix packs of the boundary dir) all have ids >= it,
+      // and the token stream below it is untouched by the erasure — so
+      // the SURVIVING manifest's ranges are collected past the same
+      // boundary and still cover every placed pack.
+      val boundaryLo: Map[Long, Long] = oldRanges.groupBy(_._1)
+        .map { case (sh, rs) => sh -> rs.map(_._3).min }
 
       // The affected suffix: landed packs >= each shard's first affected
       // boundary (read by explicit `b<id>/sh=<s>` paths — only affected
@@ -636,7 +700,7 @@ object PackStream {
       // manifest's ranges — identical to where a from-scratch run over
       // the surviving docs would land them.
       val mSurv = manifests.join(ids, Seq("doc_id"), "left_anti")
-      val newRanges = ranges(mSurv)
+      val newRanges = ranges(mSurv, boundaryLo)
       val rangesDF = newRanges
         .toDF("shard", "dest_batch", "lo", "hi")
       val toPlace = fullNew.unionByName(prefixCarry)
@@ -694,10 +758,10 @@ object PackStream {
         val dirsDeleted = dirs.count(!_._3).toLong
         Seq((wf._1, wf._2, docsRemoved, tokensRemoved,
             spanShards.size.toLong, packsRewritten, dirsRewritten,
-            dirsDeleted))
+            dirsDeleted, (oldRanges.size + newRanges.size).toLong))
           .toDF("batch_fp", "batch_n", "docs_removed", "tokens_removed",
             "aff_shards", "packs_rewritten", "dirs_rewritten",
-            "dirs_deleted")
+            "dirs_deleted", "ranges_collected")
           .coalesce(1).write.mode("overwrite").parquet(s"$rdir/params")
       }
       wrows.unpersist(false); state.unpersist(false)

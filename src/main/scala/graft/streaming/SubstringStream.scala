@@ -39,8 +39,13 @@ object SubstringStream {
       case Some((idx, lastBatch)) =>
         new DedupLoop.IndexState(idx, lastBatch)
       case None =>
-        val built =
-          Dedup.buildSubstringIndex(corpus, idCol, textCol, windowTokens)
+        // Corpus window counts PLUS its per-content identity rows, so
+        // bootstrap-admitted content is content-addressable by takedown
+        // exactly like streamed arrivals (applySubstringNeg applies any
+        // extra layer; saveSubstringIndex merges layers on write).
+        val built = Dedup.applySubstringNeg(
+          Dedup.buildSubstringIndex(corpus, idCol, textCol, windowTokens),
+          Dedup.ssIdentityRows(corpus, textCol))
         Dedup.saveSubstringIndex(built, path)
         Dedup.releaseSsIndex(built)
         new DedupLoop.IndexState(Dedup.loadSubstringIndex(spark, path))
@@ -71,26 +76,48 @@ object SubstringStream {
     }
   }
 
-  /** TAKEDOWN: subtract `docs`' window counts from the stream's index —
-    * the count-shaped family's withdrawal: the index holds only
-    * (hash, count), so the delete is a NEGATIVE frequency layer computed
-    * from the withdrawn content ([[FpDedupStream.delete]] contract).
+  /** TAKEDOWN: subtract the withdrawn contents' counts from the stream's
+    * index — the count-shaped family's withdrawal: the index holds only
+    * (hash, count), so the delete is a NEGATIVE frequency layer
+    * ([[FpDedupStream.delete]] contract).
     *
-    * Count calibration — the honest contract: this stream folds EVERY
-    * arrival's counts (kept and dropped alike — the one-shot statistic
-    * counts them), so one withdrawal subtracts ONE arrival's worth. A
-    * content that arrived k times needs k withdrawals to stop gating
-    * re-posts; a deploy that wants one-withdrawal-per-content semantics
-    * fronts this gate with [[FpDedupStream]] (the ExportPipeline shape),
-    * whose exact dedup makes each content fold here at most once.
-    * Conversely over-withdrawal undercounts shared windows. Durable-first
-    * when `checkpointPath` is set. Call between batches or while the
-    * stream is stopped. */
+    * Default (`contentAddressed = true`): CONTENT-ADDRESSED — every fold
+    * also recorded a per-content identity row ([[Dedup.ssIdentityRows]];
+    * both the bootstrap corpus and every streamed batch), so one event
+    * resolves the content's fold multiplicity k from the index and
+    * subtracts ALL k folded arrivals at once — k folded re-posts erased
+    * by one withdrawal, and a re-withdrawal of already-erased content
+    * resolves k = 0 and subtracts nothing (idempotent per content).
+    * Contents the index never identity-folded (k = 0) are logged and
+    * left untouched.
+    *
+    * `contentAddressed = false` is the PER-ARRIVAL fallback for indexes
+    * built without identity rows (a bare [[Dedup.buildSubstringIndex]]
+    * checkpoint from before the upgrade): one withdrawal subtracts ONE
+    * arrival's counts — a content that arrived k times needs k
+    * withdrawals, and over-withdrawal undercounts shared windows.
+    * Durable-first when `checkpointPath` is set. Call between batches or
+    * while the stream is stopped. */
   def delete(state: IndexState, checkpointPath: Option[String],
-      docs: DataFrame, idCol: String, textCol: String): Unit =
+      docs: DataFrame, idCol: String, textCol: String,
+      contentAddressed: Boolean = true): Unit =
     state.withExclusive {
-      val neg = Dedup.substringNegFreq(docs, idCol, textCol,
-        state.index.windowTokens)
+      val neg =
+        if (contentAddressed) {
+          val n = Dedup.resolveSsNeg(state.index, docs, idCol, textCol)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // Resolution snapshot: the tombstone below and the in-memory
+          // apply must see the SAME bytes even though both re-read the
+          // lazy frame (the index is untouched in between, but pinning
+          // is cheaper than re-proving it).
+          if (n.isEmpty)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              "SubstringStream.delete: no withdrawn content resolved to a " +
+                "recorded fold (never admitted, or already withdrawn) — " +
+                "nothing subtracted.")
+          n
+        } else Dedup.substringNegFreq(docs, idCol, textCol,
+          state.index.windowTokens)
       checkpointPath.foreach { p =>
         val spark = docs.sparkSession
         Dedup.writeSsTombstoneAt(p, neg,

@@ -27,13 +27,13 @@ import graft.operators.{Dedup, Similarity}
   *              index ids at WAL time: a dropped re-post folded postings
   *              under its OWN id, so an id-only delete would leave those
   *              gating) and their frequency contribution is subtracted.
-  *   - `ss`   — the content's window counts are subtracted from the
-  *              substring gate's frequency table (a negative layer,
-  *              computed from the event text). Count calibration: the ss
-  *              stream folds every ARRIVAL, so one event subtracts one
-  *              arrival's counts — exact when the gate sits behind exact
-  *              dedup (the ExportPipeline shape); k folded re-posts need
-  *              k events ([[SubstringStream.delete]] contract).
+  *   - `ss`   — the content's counts leave the substring gate's frequency
+  *              table (a negative layer). Content-addressed like nd/wn:
+  *              the fold multiplicity k is resolved from the index's
+  *              per-content identity rows at WAL time, so ONE event
+  *              subtracts ALL k folded arrivals of that content, and a
+  *              re-withdrawal resolves k = 0
+  *              ([[SubstringStream.delete]] contract).
   *   - `ivf`  — the id is tombstoned out of every registered IVF serving
   *              index (masked at load, applied physically at the next
   *              compaction).
@@ -280,6 +280,19 @@ object TakedownStream {
               .coalesce(1).write.mode("overwrite")
               .parquet(s"$dir/wn_ids")
         }
+        // ss takedowns are content-addressed like nd/wn: the negative
+        // layer (fold multiplicity k × window counts + identity rows,
+        // resolveSsNeg) is resolved ONCE against the live index and
+        // recorded, so a crash-window replay rewrites byte-identical
+        // bytes even after the index moved on.
+        targets.ss.foreach { case (state, _) =>
+          val docs = events.where(col("family") === "ss")
+            .select(col("cid").as("doc_id"), col("text"))
+          if (!docs.isEmpty)
+            Dedup.resolveSsNeg(state.index, docs, "doc_id", "text")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$dir/ss_neg")
+        }
         locally {
           import spark.implicits._
           Seq((fp._1, fp._2, seq, after, nseq, nafter, sseq, safter,
@@ -405,8 +418,16 @@ object TakedownStream {
       val docs = recorded.where(col("family") === "ss")
         .select(col("cid").as("doc_id"), col("text"))
       if (!docs.isEmpty && familyEnabled("ss", ssSeq)) state.withExclusive {
-        val neg = Dedup.substringNegFreq(docs, "doc_id", "text",
-          state.index.windowTokens)
+        // The RECORDED content-addressed layer (resolved at WAL time,
+        // like nd_ids/wn_ids). A WAL batch recorded before the upgrade
+        // has no ss_neg file; its original apply was per-arrival, so the
+        // byte-stable replay is the same per-arrival recompute.
+        val neg =
+          if (fs(spark, handle.path).exists(new org.apache.hadoop.fs.Path(
+              s"$dir/ss_neg")))
+            spark.read.parquet(s"$dir/ss_neg")
+          else Dedup.substringNegFreq(docs, "doc_id", "text",
+            state.index.windowTokens)
         val alreadyDown = fs(spark, ckpt).exists(
           new org.apache.hadoop.fs.Path(
             s"$ckpt/tomb/t${ssSeq}_b$ssAfter/neg/_SUCCESS"))

@@ -1207,6 +1207,89 @@ class StreamingSpec extends SparkSpecBase {
     assert(manifestRows(dir3) == manifestRows(refDir3))
   }
 
+  test("pack retraction edge contracts: pruned-replay-cover skip, " +
+      "phantom-manifest guard, suffix-sized range worklist") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.PackStream
+
+    val corpus = spark.table("documents")
+    val pSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "shard long, pack_id long, n_tokens long, token_ids string")
+    def export(out: String): Set[(Long, Long, Long, String)] =
+      new java.io.File(out).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+        .flatMap { bd =>
+          val b = bd.getName.drop(1).toLong
+          spark.read.schema(pSchema).parquet(bd.getPath)
+            .collect().map(r => (b, r.getLong(0), r.getLong(1),
+              r.getString(3)))
+        }.toSet
+    def runExport(drop: Set[Long]): (String, String, PackStream.Handle) = {
+      val dir = java.nio.file.Files.createTempDirectory("rtestate").toString
+      val out = java.nio.file.Files.createTempDirectory("rteout").toString
+      val h = PackStream.resume(spark, dir, corpus, "doc_id", "text",
+        nShards = 4L, nMerges = 12, window = 64)
+      Seq(0L until 20L, 20L until 40L, 40L until 60L)
+        .zipWithIndex.foreach { case (idsR, b) =>
+          val batch = corpus
+            .where(col("doc_id").isin(idsR.filterNot(drop): _*))
+            .select(col("doc_id"), col("text"))
+          PackStream.processBatch(h, batch, b.toLong, "doc_id", "text", out)
+        }
+      (dir, out, h)
+    }
+
+    val withdrawn = Set(4L, 25L, 57L)
+    val (dir, out, h) = runExport(drop = Set.empty)
+    val (_, refOut, _) = runExport(drop = withdrawn)
+    val stats = PackStream.retract(spark, h, out,
+      withdrawn.toSeq.toDF("doc_id"), requestKey = Some("edge1"))
+    assert(stats.docsRemoved == 3)
+    // The collected range worklist exists and is bounded by batches ×
+    // affected shards (the suffix bound's ceiling on this tiny export;
+    // flatness under growth is the 400× probe's assertion).
+    assert(stats.rangesCollected > 0 &&
+      stats.rangesCollected <= 2L * 3L * stats.affectedShards,
+      s"rangesCollected=${stats.rangesCollected}")
+
+    // ADVICE-medium window: the engine replays the LAST pre-retraction
+    // batch (crash after its state committed, before engine offsets;
+    // retraction applied before restart). The replay cover g3 was pruned
+    // to the revision g3r1 — processBatch must SKIP (output already
+    // landed, post-erasure), not rebase-and-refold, which would duplicate
+    // every surviving doc of the batch in the export.
+    val exportAfterRetract = export(out)
+    val replay = corpus.where(col("doc_id").isin(40L until 60L: _*))
+      .select(col("doc_id"), col("text"))
+    val eff = PackStream.processBatch(h, replay, 2L, "doc_id", "text", out)
+    assert(eff == 2L)
+    assert(!new java.io.File(s"$out/b3").exists(),
+      "a skipped replay must not land a rebased batch directory")
+    assert(export(out) == exportAfterRetract,
+      "a replay of a retraction-pruned batch must leave the export " +
+        "byte-identical (no silent duplication)")
+    assert(export(out) == export(refOut),
+      "post-skip export still equals the from-scratch survivors' export")
+    // The stream keeps moving: the NEXT batch (id 3) folds normally.
+    val next = corpus.where(col("doc_id").isin(60L until 70L: _*))
+      .select(col("doc_id"), col("text"))
+    assert(PackStream.processBatch(h, next, 3L, "doc_id", "text", out) == 3L)
+
+    // Phantom-manifest guard: a manifest dir with no landed pack dir
+    // (crash between manifest write and pack sink) must fail loudly with
+    // the restart remedy, before any mutation.
+    val phantomSrc = new java.io.File(s"$dir/manifest/b2")
+    val phantom = new java.io.File(s"$dir/manifest/b9")
+    org.apache.commons.io.FileUtils.copyDirectory(phantomSrc, phantom)
+    val ex = intercept[IllegalArgumentException] {
+      PackStream.retract(spark, h, out, Seq(5L).toDF("doc_id"),
+        requestKey = Some("edge2"))
+    }
+    assert(ex.getMessage.contains("no landed pack directory"))
+    org.apache.commons.io.FileUtils.deleteDirectory(phantom)
+  }
+
   test("pack retraction property: seeded random withdrawal sets equal " +
       "the from-scratch export of the survivors (small window, odd " +
       "shard count — the boundary-arithmetic gauntlet)") {
@@ -2212,6 +2295,184 @@ class StreamingSpec extends SparkSpecBase {
       "doc_id", "text")
     assert(Dedup.probeAndExtendSsParts(ss2.index,
       Seq((99L, ssT)).toDF("doc_id", "text"), "doc_id", "text",
+      minOccurrences = 2, maxDupRatio = 0.5)._1.count() == 1)
+    Dedup.releaseSketchCaches()
+  }
+
+  test("export retraction racing a mid-flight pipeline batch: the exact " +
+      "stage's lock serializes them; result equals the serial order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{Curate, ExportPipeline, FpDedupStream,
+      NearDupStream, PackStream, TakedownStream}
+
+    def good(id: Long, seed: String): NdDoc =
+      NdDoc(id, (0 until 16).map(k => s"$seed$k").mkString(" "))
+    val corpus = Seq(good(1, "alpha"), good(2, "beta"))
+      .toDF("doc_id", "text")
+    val b0 = Seq(good(10, "gamma"), good(11, "delta"))
+    val b1 = Seq(good(20, "epsilon"), good(21, "zeta"))
+
+    // The ExportPipeline.run chain with one extra seam: a latch BEFORE
+    // the pack sink, so the takedown can be fired while the batch is
+    // mid-flight with its packs NOT yet landed — inside the window the
+    // lock contract has to cover.
+    def startChain(h: ExportPipeline.Handles, out: String,
+        in: org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[NdDoc],
+        prePack: Long => Unit) = {
+      val nd = NearDupStream.batchLoop(h.near, "doc_id", "text",
+        compactEvery = 100, checkpointPath = Some(h.ndCheckpoint))
+      FpDedupStream.runBatches(
+        Curate.qualityGate(in.toDF(), h.minTokens, h.minDistinctRatio)
+          .select(col("doc_id"), col("text")),
+        h.dedup, "doc_id", "text", compactEvery = 100,
+        checkpointPath = Some(h.fpCheckpoint)) { (kept, walId) =>
+        nd.processBatch(kept, walId) { (ndKept, ndId) =>
+          prePack(ndId)
+          PackStream.processBatch(h.pack, ndKept, ndId, "doc_id", "text",
+            out): Unit
+        }
+      }
+    }
+    val ev = Seq(("export", 10L, null.asInstanceOf[String]))
+      .toDF("family", "cid", "text")
+
+    // RACE run: batch 0 lands normally; batch 1 pauses before its pack
+    // sink while a family=export takedown of batch-0 doc 10 fires from
+    // another thread.
+    val root = java.nio.file.Files.createTempDirectory("raceroot").toString
+    val out = java.nio.file.Files.createTempDirectory("raceout").toString
+    val h = ExportPipeline.resume(spark, root, corpus, "doc_id", "text",
+      nShards = 2L, nMerges = 8, window = 32)
+    val midFlight = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val in = MemoryStream[NdDoc]
+    val q = startChain(h, out, in, id => if (id == 1L) {
+      midFlight.countDown()
+      assert(release.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    })
+    in.addData(b0: _*); q.processAllAvailable()
+    val tdDir = java.nio.file.Files.createTempDirectory("racetd").toString
+    val td = TakedownStream.resume(spark, tdDir)
+    val targets = ExportPipeline.takedownTargets(h, exportOut = Some(out))
+    in.addData(b1: _*)
+    assert(midFlight.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    // Batch 1 is mid-flight (pre-pack, fp lock held). Fire the takedown.
+    val tdDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      TakedownStream.processBatch(td, targets, ev, 0L)
+      tdDone.set(true)
+    })
+    t.start()
+    Thread.sleep(700)
+    assert(!tdDone.get,
+      "the takedown must BLOCK on the exact stage's lock while the " +
+        "pipeline batch is mid-flight — not interleave with it")
+    release.countDown()
+    q.processAllAvailable(); q.stop()
+    t.join(120000)
+    assert(tdDone.get, "the takedown must complete once the batch commits")
+
+    // REFERENCE serial run: same batches fully landed, THEN the same
+    // takedown — the serial order the lock forces (batch first: it held
+    // the lock when the takedown arrived).
+    val root2 = java.nio.file.Files.createTempDirectory("raceref").toString
+    val out2 = java.nio.file.Files.createTempDirectory("racerefo").toString
+    val h2 = ExportPipeline.resume(spark, root2, corpus, "doc_id", "text",
+      nShards = 2L, nMerges = 8, window = 32)
+    val in2 = MemoryStream[NdDoc]
+    val q2 = startChain(h2, out2, in2, _ => ())
+    in2.addData(b0: _*); q2.processAllAvailable()
+    in2.addData(b1: _*); q2.processAllAvailable()
+    q2.stop()
+    val td2 = TakedownStream.resume(spark,
+      java.nio.file.Files.createTempDirectory("racetd2").toString)
+    TakedownStream.processBatch(td2,
+      ExportPipeline.takedownTargets(h2, exportOut = Some(out2)), ev, 0L)
+
+    val pSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "shard long, pack_id long, n_tokens long, token_ids string")
+    def export(o: String): Set[(Long, Long, Long, String)] =
+      new java.io.File(o).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+        .flatMap { bd =>
+          spark.read.schema(pSchema).parquet(bd.getPath)
+            .collect().map(r => (bd.getName.drop(1).toLong, r.getLong(0),
+              r.getLong(1), r.getString(3)))
+        }.toSet
+    assert(export(out) == export(out2),
+      "the raced run must land exactly the serial batch-then-retract export")
+    graft.operators.Dedup.releaseSketchCaches()
+  }
+
+  test("ss takedown is content-addressed: one event erases k folded " +
+      "re-posts; re-withdrawal is a no-op; restore-parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import graft.streaming.{SubstringStream, TakedownStream}
+
+    val xT = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val yT = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi"
+    val corpus = Seq((1L, xT), (2L, yT)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sscontaddr").toString
+    val ss = SubstringStream.resume(spark, dir, corpus, "doc_id", "text")
+    def admits(text: String): Boolean =
+      Dedup.probeAndExtendSsParts(ss.index,
+        Seq((99L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        minOccurrences = 2, maxDupRatio = 0.5)._1.count() == 1
+
+    // Fold k = 3 DROPPED re-posts of xT (the stream folds every arrival's
+    // counts, kept or not) — with the corpus copy, 4 folds total. The
+    // round-9/10 honest contract needed 4 events to stop xT gating; the
+    // content-addressed takedown needs ONE.
+    val in = MemoryStream[NdDoc]
+    val q = SubstringStream.run(in.toDF(), ss, "doc_id", "text",
+      compactEvery = 1000, checkpointPath = Some(dir)) { _ => () }
+    (0 until 3).foreach { i =>
+      in.addData(NdDoc(50 + i, xT)); q.processAllAvailable()
+    }
+    q.stop()
+    assert(!admits(xT) && !admits(yT), "re-posts gate pre-takedown")
+
+    val tdDir = java.nio.file.Files.createTempDirectory("sscawal").toString
+    val td = TakedownStream.resume(spark, tdDir)
+    val targets = TakedownStream.Targets(ss = Some((ss, dir)))
+    val ev = Seq(("ss", 1L, xT)).toDF("family", "cid", "text")
+    assert(TakedownStream.processBatch(td, targets, ev, 0L) == 0L)
+    assert(admits(xT), "one event must erase all 4 folded arrivals")
+    assert(!admits(yT), "the untouched content still gates")
+
+    // Re-withdrawal (a NEW batch, same content): resolves k = 0, applies
+    // an empty layer — counts cannot go negative, and the index still
+    // admits xT while gating yT.
+    assert(TakedownStream.processBatch(td, targets,
+      Seq(("ss", 1L, xT)).toDF("family", "cid", "text"), 1L) == 1L)
+    assert(admits(xT) && !admits(yT))
+
+    // Restore parity: a fresh resume replays the recorded tombstones and
+    // reaches the same post-erasure counts.
+    val ss2 = SubstringStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "text")
+    assert(Dedup.probeAndExtendSsParts(ss2.index,
+      Seq((99L, xT)).toDF("doc_id", "text"), "doc_id", "text",
+      minOccurrences = 2, maxDupRatio = 0.5)._1.count() == 1)
+    assert(Dedup.probeAndExtendSsParts(ss2.index,
+      Seq((99L, yT)).toDF("doc_id", "text"), "doc_id", "text",
+      minOccurrences = 2, maxDupRatio = 0.5)._1.count() == 0)
+
+    // The documented per-arrival fallback still works: withdraw ONE of
+    // yT's (single) folds explicitly — yT re-admits.
+    SubstringStream.delete(ss2, Some(dir),
+      Seq((2L, yT)).toDF("doc_id", "text"), "doc_id", "text",
+      contentAddressed = false)
+    assert(Dedup.probeAndExtendSsParts(ss2.index,
+      Seq((99L, yT)).toDF("doc_id", "text"), "doc_id", "text",
       minOccurrences = 2, maxDupRatio = 0.5)._1.count() == 1)
     Dedup.releaseSketchCaches()
   }

@@ -711,6 +711,91 @@ object ScaleProbe {
         graft.SparkEntry.queries(n)(spark, sfDir)
       })
     }
+    // Round-11: ENDURANCE — long-horizon stream footprint. 50 batches of
+    // novel content through the fp family at compactEvery=5 (10 full
+    // compaction + generational-save cycles), measuring after each batch:
+    // committed generation dirs on disk (must stay ≤ 2 — the live one
+    // plus one replay-grace), WAL delta dirs (must prune back after each
+    // generation save instead of accumulating), bytes on disk (must grow
+    // with CONTENT, not with batch count), and per-batch wall clock
+    // (must stay flat). Run as `ScaleProbe 1 endurance`.
+    if (wanted("endurance")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val nB = 50
+      val dir = java.nio.file.Files.createTempDirectory("sp_endur").toString
+      var t0 = System.nanoTime()
+      val st = graft.streaming.FpDedupStream.resume(spark, dir,
+        base.where(pmod(col("doc_id"), lit(nB + 1)) === lit(nB)),
+        "doc_id", "text")
+      println(f"[scale] endurance bootstrap " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val in = MemoryStream[graft.NdDoc]
+      val q = graft.streaming.FpDedupStream.run(in.toDF(), st,
+        "doc_id", "text", compactEvery = 5,
+        checkpointPath = Some(dir))(k => { k.count(); () })
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+      def dirStats(): (Int, Int, Long) = {
+        val root = new java.io.File(dir)
+        val gens = Option(root.listFiles()).getOrElse(Array.empty)
+          .count(f => f.isDirectory && f.getName.matches("g\\d+"))
+        val deltas = Option(new java.io.File(s"$dir/delta").listFiles())
+          .map(_.count(_.getName.matches("b\\d+"))).getOrElse(0)
+        (gens, deltas, du(root))
+      }
+      var maxGens = 0
+      var maxDeltas = 0
+      val times = Array.ofDim[Double](nB)
+      (0 until nB).foreach { i =>
+        // Every batch is NOVEL content (per-batch token suffix) — the
+        // worst case for footprint: the index grows every batch.
+        val b = base.where(pmod(col("doc_id"), lit(nB + 1)) === lit(i))
+          .select(col("doc_id").cast("long").as("doc_id"),
+            concat_ws(" ", expr(
+              s"transform(split(text, ' '), x -> concat(x, '_e$i'))"))
+              .as("text"))
+          .as[graft.NdDoc].collect()
+        val t1 = System.nanoTime()
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        times(i) = (System.nanoTime() - t1) / 1e9
+        val (g, d, bytes) = dirStats()
+        maxGens = math.max(maxGens, g); maxDeltas = math.max(maxDeltas, d)
+        println(f"[scale] endurance batch$i ${b.length} docs " +
+          f"${times(i)}%.2f s gens=$g deltas=$d " +
+          f"disk=${bytes / 1024.0 / 1024.0}%.1f MiB")
+        System.out.flush()
+      }
+      q.stop()
+      // The bounded-footprint assertions the round-11 punch list asks for.
+      val firstTen = times.slice(2, 12).sum / 10
+      val lastTen = times.takeRight(10).sum / 10
+      println(f"[scale] endurance summary: maxGens=$maxGens (bound 2) " +
+        f"maxDeltas=$maxDeltas (bound compactEvery+1) " +
+        f"steady-early=$firstTen%.2f s steady-late=$lastTen%.2f s " +
+        f"(flat if late/early <= ~1.5)")
+      assert(maxGens <= 2, s"generation dirs leaked: $maxGens")
+      assert(maxDeltas <= 6, s"WAL deltas not pruning: $maxDeltas")
+      graft.operators.Dedup.releaseSketchCaches()
+    }
+    // Round-11: the relational surface on NATIVE-cardinality data (SfGen
+    // output — no replication caveat: value distributions are native, not
+    // repeated). Point SPARK_GRAFT_SF_DIR at a generated dir and run
+    //   sbt "Test/runMain graft.tools.SfGen 1.0 /tmp/graft_sf1"
+    //   SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 sbt "Test/runMain \
+    //     graft.tools.ScaleProbe 1 relnative"
+    if (wanted("relnative")) {
+      val rel = graft.SparkEntry.queries.keys.toSeq.sorted.filter(n =>
+        n.matches("h\\d+.*|w\\d+.*|o\\d+.*|u\\d+.*"))
+      rel.foreach(n => time(s"relnative $n") {
+        graft.SparkEntry.queries(n)(spark, sfDir)
+      })
+    }
     // Round-8: serving-index deletion lifecycle at rep× vectors — delete a
     // takedown slice from the saved IVF layout, probe through the mask,
     // compact (applies the tombstones physically), probe again.
