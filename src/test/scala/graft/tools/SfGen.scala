@@ -117,24 +117,25 @@ object SfGen {
     // 7-slot grid and keep slot l when l < nlines(order) — a narrow
     // filter, never a per-order explode.
     write("lineitem", spark.range(nOrd * 7)
-      .select((col("id") / 7).cast("long").as("o"),
+      .select(col("id").as("gid"), (col("id") / 7).cast("long").as("o"),
         (col("id") % 7).as("l"))
       .where(col("l") < ui("nl", col("o"), 7) + 1)
       .select(
         col("o").as("l_orderkey"),
-        ui("lpart", col("id"), nPart).as("l_partkey"),
-        ui("lsupp", col("id"), nSupp).as("l_suppkey"),
+        ui("lpart", col("gid"), nPart).as("l_partkey"),
+        ui("lsupp", col("gid"), nSupp).as("l_suppkey"),
         (col("l") + 1).cast("int").as("l_linenumber"),
-        (ui("lqty", col("id"), 50) + 1).cast("double").as("l_quantity"),
-        round((ui("lqty", col("id"), 50) + 1).cast("double") *
-          (lit(900.0) + u("lunit", col("id")) * 1200.0), 2)
+        (ui("lqty", col("gid"), 50) + 1).cast("double").as("l_quantity"),
+        round((ui("lqty", col("gid"), 50) + 1).cast("double") *
+          (lit(900.0) + u("lunit", col("gid")) * 1200.0), 2)
           .as("l_extendedprice"),
-        (ui("ldisc", col("id"), 11).cast("double") / 100.0).as("l_discount"),
-        (ui("ltax", col("id"), 9).cast("double") / 100.0).as("l_tax"),
-        pick("lret", col("id"), Seq("A", "N", "R")).as("l_returnflag"),
-        pick("lls", col("id"), Seq("F", "O")).as("l_linestatus"),
+        (ui("ldisc", col("gid"), 11).cast("double") / 100.0)
+          .as("l_discount"),
+        (ui("ltax", col("gid"), 9).cast("double") / 100.0).as("l_tax"),
+        pick("lret", col("gid"), Seq("A", "N", "R")).as("l_returnflag"),
+        pick("lls", col("gid"), Seq("F", "O")).as("l_linestatus"),
         date_add(to_date(lit("1995-01-01")),
-          (ui("odate", col("o"), 2404) + ui("lship", col("id"), 120) + 1)
+          (ui("odate", col("o"), 2404) + ui("lship", col("gid"), 120) + 1)
             .cast("int"))
           .cast("timestamp").as("l_shipdate")))
 
