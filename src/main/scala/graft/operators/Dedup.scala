@@ -931,6 +931,39 @@ object Dedup {
     NearDupIndex(d, p, f, index.shingleN, index.threshold, layers = Nil)
   }
 
+  /** REBUILD the frozen rarity order from the index's OWN docsets — the
+    * ACTION [[ndRarityDrift]]'s signal calls for, without re-reading or
+    * re-sketching a single corpus document (the docsets layer retains
+    * every accumulated shingle set, so live document frequencies and fresh
+    * prefix keys derive from the index alone).
+    *
+    * Semantics: kept/drop decisions are INVARIANT — the prefix lemma holds
+    * under ANY consistent global shingle order, probes rank their keys by
+    * this index's `freq`, and verification is exact Jaccard on candidates,
+    * so re-ranking changes candidate-set width (drift's cost), never the
+    * answer (IncrementalDedupSpec pins rebuilt ≡ drifted kept-sets, and
+    * in-place-rebuilt prefixes ≡ a from-scratch build's). Drift returns to
+    * 0.0 by construction.
+    *
+    * Cost: one docsets flatten (localCheckpoint, as [[compactIndex]]) +
+    * the build-time freq aggregation + prefix re-rank — the same shape and
+    * order as the compaction that hosts it; content-sized, like rebuilding
+    * table statistics. Like compaction, the pre-rebuild handle is
+    * superseded: with `releaseOld` the old layers unpersist; the streaming
+    * caller passes false and lets the loop's one-cycle reader grace retire
+    * them (streaming/NearDupStream auto-rebuilds here when drift crosses
+    * [[NdRarityDriftRebuildThreshold]] at a compaction point). */
+  def rebuildIndex(index: NearDupIndex,
+      releaseOld: Boolean = true): NearDupIndex = {
+    val d = index.docsets.localCheckpoint(true)
+    val f = persistSketch(d.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("f")))
+    val p = persistSketch(prefixKeys(d, f, index.threshold))
+    f.count(); p.count()
+    if (releaseOld) index.layers.foreach(_.unpersist(false))
+    NearDupIndex(d, p, f, index.shingleN, index.threshold, layers = Seq(f, p))
+  }
+
   /** Unpersist exactly the layers `index` references — for retiring an
     * index that has been superseded (a bootstrap copy after its saved
     * artifact is reloaded, a pre-compaction handle after adoption) without

@@ -99,7 +99,8 @@ object NearDupStream {
         new DedupLoop.IndexState(Dedup.loadIndex(spark, path))
     }
 
-  private final class NdOps(val idCol: String, val textCol: String)
+  private final class NdOps(val idCol: String, val textCol: String,
+      val driftSampleMod: Long = 16L)
       extends DedupLoop.Ops[NearDupIndex] {
     def probeAndLog(idx: NearDupIndex, batch: DataFrame,
         checkpoint: Option[String], walId: Long): (DataFrame, NearDupIndex) = {
@@ -119,19 +120,32 @@ object NearDupStream {
       // Correctness is unaffected by drift (recall stays total under the
       // frozen order); the cost of ignoring the warning is widening
       // candidate sets, growing with every fold.
-      val drift = Dedup.ndRarityDrift(idx)
+      val drift = Dedup.ndRarityDrift(idx, driftSampleMod)
       val log = org.slf4j.LoggerFactory.getLogger(getClass)
-      if (drift > Dedup.NdRarityDriftRebuildThreshold)
+      if (drift > Dedup.NdRarityDriftRebuildThreshold) {
+        // The signal's ACTION (round 11): re-rank the frozen rarity order
+        // from the index's own docsets, right here at the compaction
+        // point the signal rides on — no corpus re-read, no maintenance
+        // window. Safe mid-stream because kept/drop decisions are
+        // invariant under the re-rank (Dedup.rebuildIndex contract) and
+        // the rebuilt state only becomes durable through the SAME
+        // generation save as a plain compaction: a crash before the save
+        // restores the pre-rebuild generation + deltas, whose frozen
+        // order is internally consistent, and replay re-emits recorded
+        // kept-sets regardless. Old layers retire through the loop's
+        // one-cycle reader grace, exactly like a compaction's.
         log.warn(f"NearDupStream: rarity drift $drift%.3f exceeds " +
           f"${Dedup.NdRarityDriftRebuildThreshold}%.2f — ${drift * 100}%.1f%% " +
           "of sampled docs would pick different prefix keys under live " +
-          "frequencies. Schedule an index REBUILD (buildNearDupIndex over " +
-          "the current corpus) at the next maintenance window; until then " +
-          "probes stay correct but candidate sets widen.")
-      else
+          "frequencies. REBUILDING the rarity order in-place at this " +
+          "compaction point (kept/drop decisions unchanged; candidate " +
+          "sets narrow back to fresh-index width).")
+        Dedup.rebuildIndex(idx, releaseOld = false)
+      } else {
         log.info(f"NearDupStream: rarity drift $drift%.3f (rebuild bar " +
           f"${Dedup.NdRarityDriftRebuildThreshold}%.2f).")
-      Dedup.compactIndex(idx, releaseOld = false)
+        Dedup.compactIndex(idx, releaseOld = false)
+      }
     }
     def save(idx: NearDupIndex, path: String, walId: Long,
         kept: DataFrame): Unit = {
@@ -192,10 +206,11 @@ object NearDupStream {
       textCol: String,
       compactEvery: Long = 100,
       checkpointPath: Option[String] = None,
-      queryCheckpointLocation: Option[String] = None)(
+      queryCheckpointLocation: Option[String] = None,
+      driftSampleMod: Long = 16L)(
       sink: DataFrame => Unit): StreamingQuery =
     runBatches(docs, state, idCol, textCol, compactEvery, checkpointPath,
-      queryCheckpointLocation)((kept, _) => sink(kept))
+      queryCheckpointLocation, driftSampleMod)((kept, _) => sink(kept))
 
   /** The near-dup stage as a MID-PIPELINE batch loop
     * ([[DedupLoop.BatchLoop]] contract): an upstream stage's per-batch
@@ -208,9 +223,11 @@ object NearDupStream {
       idCol: String,
       textCol: String,
       compactEvery: Long = 100,
-      checkpointPath: Option[String] = None)
+      checkpointPath: Option[String] = None,
+      driftSampleMod: Long = 16L)
       : DedupLoop.BatchLoop[NearDupIndex] =
-    new DedupLoop.BatchLoop(state, new NdOps(idCol, textCol), compactEvery,
+    new DedupLoop.BatchLoop(state,
+      new NdOps(idCol, textCol, driftSampleMod), compactEvery,
       checkpointPath)
 
   /** [[run]] with the ENGINE batch id passed to the sink — the id is
@@ -224,8 +241,9 @@ object NearDupStream {
       textCol: String,
       compactEvery: Long = 100,
       checkpointPath: Option[String] = None,
-      queryCheckpointLocation: Option[String] = None)(
+      queryCheckpointLocation: Option[String] = None,
+      driftSampleMod: Long = 16L)(
       sink: (DataFrame, Long) => Unit): StreamingQuery =
-    DedupLoop.run(docs, state, new NdOps(idCol, textCol),
+    DedupLoop.run(docs, state, new NdOps(idCol, textCol, driftSampleMod),
       compactEvery, checkpointPath, queryCheckpointLocation)(sink)
 }

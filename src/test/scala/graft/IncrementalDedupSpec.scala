@@ -79,6 +79,23 @@ class IncrementalDedupSpec extends SparkSpecBase {
         .collect().map(_.getLong(0)).toSet
     assert(keptOf(idx1) == Set(203L) && keptOf(rebuilt) == keptOf(idx1),
       "drifted and rebuilt indexes must agree on keep/drop")
+
+    // The round-11 ACTION: Dedup.rebuildIndex re-ranks from the index's
+    // OWN docsets — no corpus re-read — and must land exactly where the
+    // from-scratch build does: drift back to zero, identical prefix keys
+    // (same docsets → same live frequencies → same order), and the same
+    // kept-set on the probe batch.
+    val inPlace = Dedup.rebuildIndex(idx1, releaseOld = false)
+    assert(Dedup.ndRarityDrift(inPlace, sampleMod = 1L) == 0.0,
+      "in-place rebuild resets drift")
+    def prefSet(i: Dedup.NearDupIndex): Set[(Long, Long)] =
+      i.prefixes.select("id", "h").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefSet(inPlace) == prefSet(rebuilt),
+      "in-place rebuild must derive the same prefix keys as a " +
+        "from-scratch build over the accumulated docs")
+    assert(keptOf(inPlace) == keptOf(idx1),
+      "in-place rebuild must not change keep/drop decisions")
     Dedup.releaseSketchCaches()
   }
 

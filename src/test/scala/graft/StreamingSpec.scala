@@ -406,6 +406,67 @@ class StreamingSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("drifted compaction point auto-rebuilds the rarity order; " +
+      "decisions and restart unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.streaming.NearDupStream
+
+    // The unit drift fixture (IncrementalDedupSpec), streamed: corpus
+    // bigrams all frequency 1, arrivals re-use three of them amid fresh
+    // words — live frequencies of "p q"/"a b"/"k l" jump while the frozen
+    // order still ranks them rarest, so by the compaction at batch 1 the
+    // sampled rank-churn is far past the 0.1 bar and NdOps.compact must
+    // take the REBUILD branch instead of a plain compaction.
+    val corpus = Seq((1L, "p q r s t u"), (2L, "a b c d e f"),
+      (3L, "k l m n o v")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ndrebuild").toString
+    val state = NearDupStream.resume(spark, dir, corpus, "doc_id", "text")
+    val input = MemoryStream[NdDoc]
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = NearDupStream.run(input.toDF(), state, "doc_id", "text",
+        compactEvery = 2, checkpointPath = Some(dir),
+        driftSampleMod = 1L) { kept =>
+      got ++= kept.select("doc_id").as[Long].collect()
+    }
+    def skew(i: Int) = NdDoc(100L + i, s"p q x$i y$i a b w$i z$i k l")
+    input.addData((0 until 6).map(skew): _*)  // batch 0
+    q.processAllAvailable()
+    input.addData((6 until 12).map(skew): _*) // batch 1 → compaction
+    q.processAllAvailable()
+    // Pairwise the skew docs share only the 3 reused bigrams of their 9
+    // (J ≈ 0.2 < 0.6): all kept.
+    assert(got.toSet == (100L until 112L).toSet)
+    // The compaction rebuilt: live state's drift is zero again (a plain
+    // compaction would have left the frozen bootstrap order, drift 1.0
+    // for the corpus sample).
+    assert(Dedup.ndRarityDrift(state.index, sampleMod = 1L) == 0.0,
+      "compaction past the drift bar must rebuild the rarity order")
+
+    // Post-rebuild decisions: a re-post of an indexed arrival drops, a
+    // novel doc keeps — the rebuilt order changes candidate width only.
+    input.addData(NdDoc(300L, "p q x0 y0 a b w0 z0 k l"),
+      NdDoc(301L, "fresh words never seen before here"))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == (100L until 112L).toSet + 301L,
+      "re-post must drop and novel must keep through the rebuilt index")
+
+    // Restart: the rebuilt generation (+ the batch-2 delta) restores and
+    // makes the same decisions.
+    val s2 = NearDupStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "text")
+    assert(s2.index.docsets.count() == state.index.docsets.count())
+    val probe = Seq((400L, "p q x3 y3 a b w3 z3 k l"),
+      (401L, "another novel never indexed document")).toDF("doc_id", "text")
+    val keptIds = Dedup.probeNearDups(s2.index, probe, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds == Set(401L),
+      "restored rebuilt index must drop re-posts and keep novels")
+    Dedup.releaseSketchCaches()
+  }
+
   test("rebased-batch replay recognized; same ids with changed content fold as new") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
