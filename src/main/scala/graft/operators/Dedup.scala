@@ -978,6 +978,41 @@ object Dedup {
     * probe cost — the table-statistics-refresh calibration. */
   val NdRarityDriftRebuildThreshold = 0.1
 
+  /** [[ndPrefixSaturation]] warn bar: estimated candidate rows PER PROBE
+    * DOCUMENT above which the exact prefix-filter join's enumeration cost
+    * dominates the batch (the sf1 fixture probe measured ~24k/doc → 151×
+    * wall for 10× data; healthy growing-vocabulary corpora sit orders of
+    * magnitude lower because posting lists stay sublinear in the corpus). */
+  val NdPrefixSaturationWarnThreshold = 10000.0
+
+  /** PREFIX-SATURATION probe — the regime detector for the exact
+    * prefix-filter join ([[probeNearDups]]/[[exactJaccard]]'s candidate
+    * generator). Candidate enumeration costs Σ_h c_h² rows over the prefix
+    * posting lists c_h; on real text the shingle universe grows with the
+    * corpus (Heaps' law) and posting lists stay sublinear, but a
+    * vocabulary-SATURATED corpus (bounded shingle universe — template/
+    * boilerplate-only content, tiny-vocab fixtures) grows every posting
+    * list linearly with the corpus and the join goes quadratic, with the
+    * length/positional filters cutting constants, not the exponent.
+    *
+    * Returns Σ_h c_h² / |docs| — the expected corpus-candidate rows ONE
+    * corpus-shaped probe document generates before pruning (per-key mass-
+    * weighted posting length × keys per doc). Content-sized (one groupBy
+    * over the prefix layer); warn past
+    * [[NdPrefixSaturationWarnThreshold]] and prefer the banded/capped
+    * approximate families (MinHash d2, SimHash d4, winnow d6) whose
+    * frequency caps bound exactly this blowup — the trade is their
+    * documented hash-family recall. streaming/NearDupStream logs this at
+    * every compaction alongside [[ndRarityDrift]]. */
+  def ndPrefixSaturation(index: NearDupIndex): Double = {
+    val docs = index.docsets.count()
+    if (docs == 0L) return 0.0
+    val r = index.prefixes.groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("s2"))
+      .head()
+    r.getLong(0).toDouble / docs
+  }
+
   /** RARITY-DRIFT probe for the near-dup index's FROZEN shingle order —
     * the rebuild signal the freeze contract was missing: the index ranks
     * shingles by document frequencies frozen at build time so corpus
@@ -1094,7 +1129,14 @@ object Dedup {
     * contributes ONLY its persisted index frames — no corpus document is
     * read, so probe cost scales with the batch, not the corpus
     * (IncrementalDedupSpec asserts the probe plan contains no corpus
-    * scan). Ids must be long-castable and disjoint from corpus ids. */
+    * scan). Ids must be long-castable and disjoint from corpus ids.
+    *
+    * Cost model caveat: "scales with the batch" carries a per-doc factor
+    * of the index's PREFIX SATURATION (expected posting-list mass behind a
+    * probe key, [[ndPrefixSaturation]]) — ~O(1) on growing-vocabulary
+    * text, linear in the corpus when the shingle universe saturates, where
+    * the exact join is inherently quadratic and the capped approximate
+    * families are the tool (measured: BENCH_NOTES round 11). */
   def probeNearDups(
       index: NearDupIndex,
       batch: DataFrame,

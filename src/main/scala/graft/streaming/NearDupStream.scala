@@ -122,6 +122,22 @@ object NearDupStream {
       // candidate sets, growing with every fold.
       val drift = Dedup.ndRarityDrift(idx, driftSampleMod)
       val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      // Regime detector, same cadence: candidate fan-out per probe doc.
+      // Unlike drift this has NO in-place fix — a saturated shingle
+      // universe is a property of the content, so the remedy is the
+      // capped approximate families, and the operator needs to hear it.
+      val sat = Dedup.ndPrefixSaturation(idx)
+      if (sat > Dedup.NdPrefixSaturationWarnThreshold)
+        log.warn(f"NearDupStream: prefix saturation $sat%.0f candidate " +
+          f"rows per probe doc (bar ${Dedup.NdPrefixSaturationWarnThreshold}%.0f) " +
+          "— the shingle universe is saturating and the exact " +
+          "prefix-filter join is going quadratic in the corpus. Prefer " +
+          "the capped approximate families (MinHash/SimHash/winnow) for " +
+          "this content; exact probes stay correct but batch cost grows " +
+          "with corpus size.")
+      else
+        log.info(f"NearDupStream: prefix saturation $sat%.0f candidate " +
+          "rows per probe doc.")
       if (drift > Dedup.NdRarityDriftRebuildThreshold) {
         // The signal's ACTION (round 11): re-rank the frozen rarity order
         // from the index's own docsets, right here at the compaction

@@ -99,6 +99,27 @@ class IncrementalDedupSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("prefix saturation: 1 candidate/doc on a diverse corpus, " +
+      "(k² + k)/k on a shared-prefix-key corpus") {
+    import spark.implicits._
+    // Diverse: every doc's single prefix key (n=2 bigrams → 1-key prefix
+    // at t=0.6) is unique → Σ c_h² = k → saturation 1.0.
+    val diverse = (0 until 8).map(i => (i.toLong, s"p q$i r$i"))
+      .toDF("doc_id", "text")
+    val dIdx = Dedup.buildNearDupIndex(diverse, "doc_id", "text")
+    assert(Dedup.ndPrefixSaturation(dIdx) == 1.0)
+    // Hot: docs "a b c d w_i" (n=4 → 2-key prefix): key 1 is the unique
+    // dw_i (f=1), key 2 is the SAME hash-smallest member of {ab,bc,cd}
+    // (f=k) for every doc → Σ c_h² = k·1 + k² → saturation k + 1.
+    val k = 4
+    val hot = (0 until k).map(i => (100L + i, s"a b c d w$i"))
+      .toDF("doc_id", "text")
+    val hIdx = Dedup.buildNearDupIndex(hot, "doc_id", "text")
+    assert(Dedup.ndPrefixSaturation(hIdx) == (k + 1).toDouble,
+      "shared prefix key must register as k+1 expected candidates/doc")
+    Dedup.releaseSketchCaches()
+  }
+
   test("hand math: corpus dup dropped, earlier-batch dup dropped, novel kept") {
     import spark.implicits._
     val corpus = Seq(

@@ -783,6 +783,88 @@ object ScaleProbe {
       assert(maxDeltas <= 6, s"WAL deltas not pruning: $maxDeltas")
       graft.operators.Dedup.releaseSketchCaches()
     }
+    // Round-11: ND endurance with DRIFT — the fp arm's footprint series on
+    // the near-dup family, with arrivals engineered to shift live shingle
+    // frequencies (each batch's docs echo bootstrap-corpus word prefixes
+    // before their novel suffix), so the rarity-drift probe climbs across
+    // compactions and the auto-REBUILD branch fires mid-run. Prints the
+    // per-batch drift series (sawtooth: climbs with folds, drops to ~0 at
+    // each rebuilt compaction) alongside gens/deltas/disk/wall. Run as
+    // `ScaleProbe 1 ndendure`.
+    if (wanted("ndendure")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val nB = 50
+      val dir = java.nio.file.Files.createTempDirectory("sp_ndendur").toString
+      val corpus = base.where(pmod(col("doc_id"), lit(nB + 1)) === lit(nB))
+      var t0 = System.nanoTime()
+      val st = graft.streaming.NearDupStream.resume(spark, dir, corpus,
+        "doc_id", "text")
+      println(f"[scale] ndendure bootstrap " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // The drift fuel: every arrival reuses a bootstrap doc's leading
+      // words (cycling over the corpus), so those shingles' live document
+      // frequency multiplies while the frozen order still ranks them at
+      // bootstrap rarity.
+      val prefixes = corpus.select(
+          expr("concat_ws(' ', slice(split(text, ' '), 1, 8))").as("p"))
+        .collect().map(_.getString(0))
+      val in = MemoryStream[graft.NdDoc]
+      val q = graft.streaming.NearDupStream.run(in.toDF(), st,
+        "doc_id", "text", compactEvery = 5,
+        checkpointPath = Some(dir))(k => { k.count(); () })
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+      def dirStats(): (Int, Int, Long) = {
+        val root = new java.io.File(dir)
+        val gens = Option(root.listFiles()).getOrElse(Array.empty)
+          .count(f => f.isDirectory && f.getName.matches("g\\d+"))
+        val deltas = Option(new java.io.File(s"$dir/delta").listFiles())
+          .map(_.count(_.getName.matches("b\\d+"))).getOrElse(0)
+        (gens, deltas, du(root))
+      }
+      var maxGens = 0
+      var maxDeltas = 0
+      var rebuilds = 0
+      var lastDrift = 0.0
+      (0 until nB).foreach { i =>
+        val b = base.where(pmod(col("doc_id"), lit(nB + 1)) === lit(i))
+          .select(col("doc_id").cast("long").as("doc_id"),
+            concat_ws(" ", expr(
+              s"transform(split(text, ' '), x -> concat(x, '_n$i'))"))
+              .as("text"))
+          .as[graft.NdDoc].collect()
+          .zipWithIndex.map { case (d, j) =>
+            graft.NdDoc(d.doc_id,
+              prefixes(j % prefixes.length) + " " + d.text)
+          }
+        val t1 = System.nanoTime()
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        val wall = (System.nanoTime() - t1) / 1e9
+        val drift = graft.operators.Dedup.ndRarityDrift(st.index)
+        if ((i + 1) % 5 == 0 && drift < lastDrift - 0.05) rebuilds += 1
+        lastDrift = drift
+        val (g, d, bytes) = dirStats()
+        maxGens = math.max(maxGens, g); maxDeltas = math.max(maxDeltas, d)
+        println(f"[scale] ndendure batch$i ${b.length} docs $wall%.2f s " +
+          f"drift=$drift%.3f gens=$g deltas=$d " +
+          f"disk=${bytes / 1024.0 / 1024.0}%.1f MiB")
+        System.out.flush()
+      }
+      q.stop()
+      println(f"[scale] ndendure summary: maxGens=$maxGens (bound 2) " +
+        f"maxDeltas=$maxDeltas (bound compactEvery+1) rebuilds=$rebuilds " +
+        f"(>=1 expected) finalDrift=$lastDrift%.3f")
+      assert(maxGens <= 2, s"generation dirs leaked: $maxGens")
+      assert(maxDeltas <= 6, s"WAL deltas not pruning: $maxDeltas")
+      assert(rebuilds >= 1, "drift never triggered the rebuild branch")
+      graft.operators.Dedup.releaseSketchCaches()
+    }
     // Round-11: the relational surface on NATIVE-cardinality data (SfGen
     // output — no replication caveat: value distributions are native, not
     // repeated). Point SPARK_GRAFT_SF_DIR at a generated dir and run
