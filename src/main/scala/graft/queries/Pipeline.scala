@@ -706,14 +706,26 @@ object Pipeline {
     // collapsing cosine >= 0.4 within-cluster twins to one representative.
     // Recall is quantizer-defined → rows-only; precision-exactness (kept
     // set ⊇ the exact grid's kept set) and the nlist=1 ≡ exact equivalence
-    // are spec-asserted (OperatorsSpec).
-    // Round-10 upgrade: emits the PRECISION-EXACTNESS invariant as the
-    // result — the quantizer can only under-merge, so every doc the
-    // exact path (nlist=1: all pairs scored) keeps must also be kept by
-    // the quantized path (pairs ⊆ exact pairs → components shrink → the
-    // exact min-id representative of any component stays a min-id
-    // representative of its sub-component) — constant-0 oracle.
-    df("d15_dedup_semantic",
+    // are spec-asserted (OperatorsSpec). Round 11: the headline prices the
+    // PRODUCTION quantized path only (√n lists → n^1.5 pair work; the
+    // round-10 shape also ran the nlist=1 exact n² grid per call, which
+    // the native-sf1 probe measured at 123× wall for 10× data — the exact
+    // inline-attestation cost the round-11 split exists to remove), and
+    // the precision-exactness invariant lives in COMPANION
+    // d15b_semantic_invariants with its constant-0 oracle.
+    df("d15_dedup_semantic", None) { (s, dir) =>
+      Dedup.semantic(s.table("embeddings"), "vec_id", "embedding",
+          eps = 0.4)
+        .select("id").orderBy("id")
+    },
+    // d15's COMPANION attestation — the quantizer can only under-merge,
+    // so every doc the exact path (nlist=1: all pairs scored) keeps must
+    // also be kept by the quantized path (pairs ⊆ exact pairs →
+    // components shrink → the exact min-id representative of any
+    // component stays a min-id representative of its sub-component) —
+    // constant-0 oracle. Prices the exact n²/2 reference grid by
+    // definition; the headline no longer does.
+    df("d15b_semantic_invariants",
       Some("select cast(0 as bigint) as exact_kept_missing")) { (s, dir) =>
       val emb = s.table("embeddings")
       val approx = Dedup.semantic(emb, "vec_id", "embedding", eps = 0.4)
