@@ -865,6 +865,18 @@ object ScaleProbe {
       assert(rebuilds >= 1, "drift never triggered the rebuild branch")
       graft.operators.Dedup.releaseSketchCaches()
     }
+    // Round-11: prefix-saturation reading for the documents table at this
+    // SF_DIR — validates the detector against the measured d10 wall-clock
+    // blowup (saturation ∝ corpus on this fixture → quadratic join). Run
+    // as `SPARK_GRAFT_SF_DIR=... ScaleProbe 1 saturation`.
+    if (wanted("saturation")) {
+      val docsT = spark.read.parquet(s"$sfDir/documents.parquet")
+      val idx = graft.operators.Dedup.buildNearDupIndex(
+        docsT, "doc_id", "text")
+      println(f"[scale] saturation sfDir=$sfDir docs=${docsT.count()} " +
+        f"candidatesPerProbeDoc=${graft.operators.Dedup.ndPrefixSaturation(idx)}%.0f")
+      graft.operators.Dedup.releaseSketchCaches()
+    }
     // Round-11: the relational surface on NATIVE-cardinality data (SfGen
     // output — no replication caveat: value distributions are native, not
     // repeated). Point SPARK_GRAFT_SF_DIR at a generated dir and run
