@@ -980,7 +980,7 @@ object Dedup {
 
   /** [[ndPrefixSaturation]] warn bar: estimated candidate rows PER PROBE
     * DOCUMENT above which the exact prefix-filter join's enumeration cost
-    * dominates the batch (the sf1 fixture probe measured ~24k/doc → 151×
+    * dominates the batch (the sf1 fixture probe measured ~49k/doc → 30.6×
     * wall for 10× data; healthy growing-vocabulary corpora sit orders of
     * magnitude lower because posting lists stay sublinear in the corpus). */
   val NdPrefixSaturationWarnThreshold = 10000.0

@@ -709,7 +709,7 @@ object Pipeline {
     // are spec-asserted (OperatorsSpec). Round 11: the headline prices the
     // PRODUCTION quantized path only (√n lists → n^1.5 pair work; the
     // round-10 shape also ran the nlist=1 exact n² grid per call, which
-    // the native-sf1 probe measured at 123× wall for 10× data — the exact
+    // the native-sf1 probe measured at 134× wall for 10× data — the exact
     // inline-attestation cost the round-11 split exists to remove), and
     // the precision-exactness invariant lives in COMPANION
     // d15b_semantic_invariants with its constant-0 oracle.
