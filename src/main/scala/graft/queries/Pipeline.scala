@@ -735,6 +735,65 @@ object Pipeline {
         .select("id")
       exact.join(approx, Seq("id"), "left_anti")
         .agg(count(lit(1)).as("exact_kept_missing"))
+    },
+    // d4's GATE SHAPE (round 11) — the kept-set composition over the
+    // simhash/Hamming pair primitive, completing the pattern that m8
+    // (frames), m9 (perceptual) and d15 (embeddings) already follow: the
+    // native-sf1 probe measured d4's raw pair list at 50× for 10× data
+    // because on a dup-dense/saturated corpus the TRUE Hamming≤6 pair
+    // list is ~all-pairs — the production query keeps ONE doc per fold
+    // cluster instead of emitting the quadratic pair list. Identical-TEXT
+    // collapse runs first (exact copies always fold, independent of the
+    // hash family), simhash pairs are searched among representatives
+    // only, copies rejoin through explicit edges, components resolve
+    // min-id representatives. Hash-family-defined near folds → rows-only;
+    // the collapse guarantee is companion d18b's constant-0 oracle.
+    df("d18_dedup_simhash_fold", None) { (s, dir) =>
+      val base = s.table("documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      // Re-post every doc verbatim under a shifted id (the m9
+      // synthesize-then-process pattern) so the identical-text collapse
+      // carries real load: every text arrives at least twice.
+      val docs = base.unionByName(base.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val reps = docs.groupBy("text").agg(min(col("doc_id")).as("rid"))
+      val copyEdges = docs.join(reps, "text")
+        .where(col("doc_id") =!= col("rid"))
+        .select(col("rid").as("a_id"), col("doc_id").as("b_id"))
+      val pairs = Dedup.simhash(
+          reps.select(col("rid").as("doc_id"), col("text")),
+          "doc_id", "text", maxHamming = 6)
+        .select("a_id", "b_id")
+      Dedup.keepRepresentatives(docs, "doc_id",
+          pairs.unionByName(copyEdges), "a_id", "b_id")
+        .orderBy("id")
+    },
+    // d18's COMPANION attestation — identical text hashes to the identical
+    // signature at Hamming 0, and the collapse routes every copy into its
+    // representative's component, so no two KEPT docs may share identical
+    // text (the m9 invariant on the text family) — constant-0 oracle.
+    df("d18b_simhash_fold_invariants",
+      Some("select cast(0 as bigint) as duplicate_text_kept")) { (s, dir) =>
+      val base = s.table("documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val docs = base.unionByName(base.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val reps = docs.groupBy("text").agg(min(col("doc_id")).as("rid"))
+      val copyEdges = docs.join(reps, "text")
+        .where(col("doc_id") =!= col("rid"))
+        .select(col("rid").as("a_id"), col("doc_id").as("b_id"))
+      val pairs = Dedup.simhash(
+          reps.select(col("rid").as("doc_id"), col("text")),
+          "doc_id", "text", maxHamming = 6)
+        .select("a_id", "b_id")
+      val kept = Dedup.keepRepresentatives(docs, "doc_id",
+          pairs.unionByName(copyEdges), "a_id", "b_id")
+        .select(col("id").as("doc_id"))
+      docs.select(col("doc_id"), md5(col("text")).as("fp"))
+        .join(kept, Seq("doc_id"), "left_semi")
+        .groupBy("fp").agg(count(lit(1)).as("k"))
+        .agg(coalesce(sum(when(col("k") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("duplicate_text_kept"))
     }
   )
 

@@ -99,6 +99,38 @@ class IncrementalDedupSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("simhash fold composition: exact copies always fold to the min-id " +
+      "representative, unrelated docs survive") {
+    import spark.implicits._
+    // Exact copies are a hash-family-independent guarantee (identical
+    // text → identical signature → Hamming 0); unrelated short docs with
+    // disjoint token sets must keep independently.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact copy of 1
+      (3L, "zeta eta theta iota kappa"),
+      (4L, "zeta eta theta iota kappa"),      // exact copy of 3
+      (5L, "completely different words here entirely")
+    ).toDF("doc_id", "text")
+    val reps = docs.groupBy("text")
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("rid"))
+    val copyEdges = docs.join(reps, "text")
+      .where(col("doc_id") =!= col("rid"))
+      .select(col("rid").as("a_id"), col("doc_id").as("b_id"))
+    val pairs = Dedup.simhash(
+        reps.select(col("rid").as("doc_id"), col("text")),
+        "doc_id", "text", maxHamming = 6)
+      .select("a_id", "b_id")
+    val kept = Dedup.keepRepresentatives(docs, "doc_id",
+        pairs.unionByName(copyEdges), "a_id", "b_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(2L) && !kept.contains(4L),
+      "exact copies must fold")
+    assert(kept.contains(5L), "unrelated doc must survive")
+    assert(kept.subsetOf(Set(1L, 3L, 5L)))
+    Dedup.releaseSketchCaches()
+  }
+
   test("prefix saturation: 1 candidate/doc on a diverse corpus, " +
       "(k² + k)/k on a shared-prefix-key corpus") {
     import spark.implicits._
