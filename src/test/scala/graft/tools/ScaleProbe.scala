@@ -865,6 +865,19 @@ object ScaleProbe {
       assert(rebuilds >= 1, "drift never triggered the rebuild branch")
       graft.operators.Dedup.releaseSketchCaches()
     }
+    // Round-11: d18 (simhash kept-set fold) vs d4 (raw pair list) on the
+    // DUP-DENSE fixture the composition exists for — rep× replicated docs
+    // give every content rep copies, so d4's output carries C(rep,2) pairs
+    // per cluster while d18 collapses to distinct-content size before the
+    // pair search. Run as `ScaleProbe 10 simfold`.
+    if (wanted("simfold")) {
+      time("simfold d4 raw pairs (dup-dense)") {
+        graft.SparkEntry.queries("d4_dedup_simhash")(spark, sfDir)
+      }
+      time("simfold d18 kept-set fold (dup-dense)") {
+        graft.SparkEntry.queries("d18_dedup_simhash_fold")(spark, sfDir)
+      }
+    }
     // Round-11: prefix-saturation reading for the documents table at this
     // SF_DIR — validates the detector against the measured d10 wall-clock
     // blowup (saturation ∝ corpus on this fixture → quadratic join). Run
