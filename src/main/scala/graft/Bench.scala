@@ -31,6 +31,14 @@ object Bench {
       // inject multi-second recompile noise (BENCH_NOTES.md).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
+      // Saturation-guard policy passthrough for scale lanes: the native-sf1
+      // fixture is vocabulary-saturated, where the exact-pair family now
+      // FAILS FAST by default (operators/Dedup.routeOnSaturation). The sf1
+      // recipe sets route so the full map runs on the capped shapes instead
+      // of being excluded (SPARK_GRAFT_SKIP, the round-11 workaround). The
+      // official sf0.1 bench leaves this unset (healthy corpus, guard silent).
+      .config("spark.graft.dedup.saturation.mode",
+        sys.env.getOrElse("SPARK_GRAFT_SATURATION_MODE", "fail"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Known-benign warning spam (WindowExec sub-cutoff global ranks) once
@@ -76,13 +84,41 @@ object Bench {
     // the round-3 u-series. See BENCH_NOTES.md round 10).
     materialize("d14_dedup_substring")
 
+    // CALIBRATION BLOCK (round-12, VERDICT item 3): five fixed pure-Catalyst
+    // queries measured in their own best-of-2 block right after warmup.
+    // Their plans never change round-over-round, so their wall-clock is a
+    // box-speed probe: BENCH_NOTES keeps the same-box history, and the JSON
+    // carries both the raw total and norm_total = total × (calibRef /
+    // calib_sec), separating box drift (uniform inflation — the +22% the
+    // round-11 forensics had to explain manually) from per-plan regressions
+    // (which move queries the calibration does NOT move).
+    val calibNames = Seq("h1_pricing_summary", "h2_min_cost_supplier",
+      "h7_preagg_join", "j1_inner", "w2_rank_multi")
+    // Same-box quiet-run reference for the calibration block's summed
+    // seconds, pinned at round 12 (BENCH_NOTES r12; measured 5.33 at
+    // load 0.93 on the round-12 box); norm_total is meaningful from r12
+    // onward. Override per-box via env.
+    val calibRef = sys.env.getOrElse("SPARK_GRAFT_CALIB_REF", "5.3").toDouble
+    val calibSec = {
+      val a = calibNames.map(materialize)
+      val b = calibNames.map(materialize)
+      a.zip(b).map { case (x, y) =>
+        if (x < 0) y else if (y < 0) x else math.min(x, y)
+      }.filter(_ >= 0).sum
+    }
+
     // SPARK_GRAFT_SKIP: comma-separated query names to exclude — for
-    // scale probes on saturated fixtures where the all-pairs exact-Jaccard
-    // family (d3/d7/x5) is quadratic by contract and would spill past the
-    // probe box's disk (BENCH_NOTES round 11). The driver never sets it;
-    // the official bench always runs the full map.
+    // scale probes on saturated fixtures. Round 12: the saturation guard's
+    // route mode (SPARK_GRAFT_SATURATION_MODE above) replaces the round-11
+    // exclusions; SKIP remains as a debugging escape hatch only, and a
+    // non-empty set is LOGGED and recorded in the JSON so a truncated run
+    // is self-describing (ADVICE r11).
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    if (skip.nonEmpty)
+      System.err.println(s"SPARK_GRAFT_SKIP active: ${skip.size} queries " +
+        s"excluded from this run's map: ${skip.toSeq.sorted.mkString(",")}")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip.contains)
     // Best-of-2 per query: ambient machine load (a co-resident sbt/probe
     // JVM) inflates single-pass wall clock by up to ~1.6× and cannot be
@@ -104,7 +140,11 @@ object Bench {
       val qs = sel.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
+      val normTotal = if (calibSec > 0) total * (calibRef / calibSec) else -1.0
+      val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""calib_sec":${fmt(calibSec)},"calib_ref":${fmt(calibRef)},""" +
+        s""""norm_total":${fmt(normTotal)},"skipped":$skipped,""" +
         s""""load_avg":${fmt(math.max(0.0, ambientLoad))},""" +
         s""""n_jvms":$ambientJvms,"loaded":$stillLoaded,"sf":"$sfDir"}"""
     }

@@ -121,15 +121,27 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.6,
       maxBucket: Int = 10000): DataFrame = {
-    val numHashes = bands * rowsPerBand
     // Persisted for the same reason as exactJaccard's collapsed table: the
     // hash-set frame feeds the bucket derivation AND both verification
     // joins — uncached, the corpus is scanned and re-shingled four times
     // per action. Sketch-sized (~1 KB/doc), LRU-evicted; released by
     // [[withSketchCache]] / [[releaseSketchCaches]].
     val ds = persistSketch(docHashSets(docs, idCol, textCol, shingleN))
+    jaccardVerify(bandedCandidates(ds, bands, rowsPerBand, maxBucket), ds)
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
 
-    // (id, band, bucket) — only this 3-column form is shuffled.
+  /** Banded-minhash candidate pairs over an (id, hs, n) docset frame: the
+    * capped LSH candidate generator [[minhashLsh]] and the saturation
+    * ROUTE of [[exactJaccard]] share. Only the (id, band, bucket) 3-column
+    * form is shuffled; `maxBucket` drops degenerate buckets before the
+    * quadratic self-join — the cap that bounds cost on vocabulary-saturated
+    * corpora where exact posting lists grow linearly with the corpus.
+    * Returns distinct (a_id, b_id), a_id < b_id. */
+  private def bandedCandidates(ds: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
     val buckets = ds
       .select(col("id"),
         graft.functions.GraftFunctions.minhashSig(col("hs"), numHashes).as("sig"))
@@ -139,25 +151,26 @@ object Dedup {
             hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)
               .as("bucket")))).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-
-    // Skew guard: drop degenerate buckets before the quadratic self-join.
     val sized = buckets
       .withColumn("bsize",
         count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .where(col("bsize") <= maxBucket)
       .drop("bsize")
-
-    val candidates = sized.as("x")
+    sized.as("x")
       .join(sized.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
+  }
 
-    // Verify candidates with exact Jaccard over the sorted hash sets
-    // (codegen'd merge kernel — no string arrays move through the join).
-    candidates
+  /** Exact-Jaccard verification of candidate pairs over the sorted hash
+    * sets (codegen'd merge kernel — no string arrays move through the
+    * join). Returns (a_id, b_id, jaccard), unrounded and UNthresholded —
+    * callers filter. */
+  private def jaccardVerify(cands: DataFrame, ds: DataFrame): DataFrame =
+    cands
       .join(ds.select(col("id").as("a_id"), col("hs").as("a_hs"),
         col("n").as("na")), "a_id")
       .join(ds.select(col("id").as("b_id"), col("hs").as("b_hs"),
@@ -166,9 +179,7 @@ object Dedup {
         .sortedCommon(col("a_hs"), col("b_hs")))
       .withColumn("jaccard",
         col("common") / (col("na") + col("nb") - col("common")))
-      .where(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
-  }
+      .select(col("a_id"), col("b_id"), col("jaccard"))
 
   /** Per-doc state for set-similarity kernels: id, ascending-sorted distinct
     * 64-bit shingle hashes, set size. */
@@ -261,9 +272,10 @@ object Dedup {
     // squarely blocked-grid territory). The count also materializes the
     // persisted groups cache, so it costs one pass that every later
     // consumer reuses rather than an extra corpus scan.
+    val nGroups = groups.count()
     val scored =
-      if (groups.count() <= maxAllPairsDocs) blockedGridPairs(docsets, threshold)
-      else prefixFilterPairs(docsets, threshold)
+      if (nGroups <= maxAllPairsDocs) blockedGridPairs(docsets, threshold)
+      else prefixFilterPairs(docsets, threshold, nGroups)
 
     // Expand representatives back to members: cross-group pairs inherit
     // their representatives' score (identical sets ⇒ identical jaccard);
@@ -340,30 +352,31 @@ object Dedup {
     * is indexed/joined; candidates verify via the codegen'd sorted-merge
     * kernel. Emits (a_id, b_id, jaccard), NOT thresholded (the caller
     * filters after expansion). */
-  private def prefixFilterPairs(docsets: DataFrame, threshold: Double): DataFrame = {
-    // Global rarest-first order on shingle hashes: (frequency, hash).
-    val flat = docsets.select(col("id"), explode(col("hs")).as("h"))
-    val freq = flat.groupBy("h").agg(count(lit(1)).as("f"))
-    val prefix = flat.join(freq, "h")
-      .withColumn("r", row_number().over(
-        Window.partitionBy("id").orderBy(col("f"), col("h"))))
-      .join(docsets.select(col("id"), col("n")), "id")
-      .where(col("r") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("id"), col("h"))
-    val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
-    cands
-      .join(docsets.select(col("id").as("a_id"), col("hs").as("a_hs"),
-        col("n").as("na")), "a_id")
-      .join(docsets.select(col("id").as("b_id"), col("hs").as("b_hs"),
-        col("n").as("nb")), "b_id")
-      .withColumn("common", graft.functions.GraftFunctions
-        .sortedCommon(col("a_hs"), col("b_hs")))
-      .withColumn("jaccard",
-        col("common") / (col("na") + col("nb") - col("common")))
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+  private def prefixFilterPairs(docsets: DataFrame, threshold: Double,
+      nDocs: Long): DataFrame = {
+    // Global rarest-first order on shingle hashes: (frequency, hash) —
+    // the same [[prefixKeys]] ranking the persisted index uses.
+    val freq = docsets.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("f"))
+    val prefix = prefixKeys(docsets, freq, threshold).select(col("id"), col("h"))
+    // PRE-FLIGHT saturation guard (the batch twin of the warning
+    // streaming/NearDupStream logs at every compaction): on a vocabulary-
+    // saturated corpus the posting lists grow linearly with the corpus and
+    // this candidate join goes quadratic — at native sf1 the unguarded
+    // join spilled past a 77 GB box. One content-sized aggregation decides
+    // BEFORE the join runs: fail fast (default), route to banded-minhash
+    // candidates with exact verification (capped cost, LSH recall), or
+    // run anyway ([[SaturationModeKey]] = off).
+    if (routeOnSaturation(prefix, nDocs, "Dedup.exactJaccard"))
+      jaccardVerify(bandedCandidates(docsets, bands = 16, rowsPerBand = 4,
+        maxBucket = saturationMaxBucket(docsets.sparkSession)), docsets)
+    else {
+      val cands = prefix.as("a").join(prefix.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+        .distinct()
+      jaccardVerify(cands, docsets)
+    }
   }
 
   /** Persisted corpus-side state for INCREMENTAL near-dup dedup — the
@@ -441,8 +454,23 @@ object Dedup {
     val freq = persistSketch(sets.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("f")))
     val prefixes = persistSketch(prefixKeys(sets, freq, threshold))
-    NearDupIndex(sets, prefixes, freq, shingleN, threshold,
-      layers = Seq(sets, freq, prefixes))
+    // PRE-FLIGHT saturation guard, the index-build twin of exactJaccard's:
+    // a saturated corpus makes every future probe's candidate join
+    // quadratic, so the regime decision belongs at build time (one
+    // content-sized aggregation over the already-persisted prefix layer —
+    // the probe would materialize it anyway). `route` keeps the index but
+    // drops prefix keys with posting lists past the cap: a probe pair is
+    // lost only when every shared prefix key is that ubiquitous.
+    if (routeOnSaturation(prefixes, sets.count(), "Dedup.buildNearDupIndex")) {
+      val maxPostings = corpus.sparkSession.conf
+        .get(SaturationMaxPostingsKey, "200").toInt
+      val capped = persistSketch(prefixes.join(
+        freq.where(col("f") <= maxPostings).select("h"), Seq("h"), "left_semi"))
+      NearDupIndex(sets, capped, freq, shingleN, threshold,
+        layers = Seq(sets, freq, prefixes, capped))
+    } else
+      NearDupIndex(sets, prefixes, freq, shingleN, threshold,
+        layers = Seq(sets, freq, prefixes))
   }
 
   /** Persist a [[NearDupIndex]] to parquet under `path` (three frames:
@@ -1007,10 +1035,84 @@ object Dedup {
   def ndPrefixSaturation(index: NearDupIndex): Double = {
     val docs = index.docsets.count()
     if (docs == 0L) return 0.0
-    val r = index.prefixes.groupBy("h").agg(count(lit(1)).as("c"))
+    prefixSaturationOf(index.prefixes, docs)
+  }
+
+  /** Σ_h c_h² / docs over any (…, h, …) prefix frame — the metric body
+    * [[ndPrefixSaturation]] and the batch pre-flight guard share. */
+  private def prefixSaturationOf(prefix: DataFrame, docs: Long): Double = {
+    val r = prefix.groupBy("h").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("s2"))
       .head()
     r.getLong(0).toDouble / docs
+  }
+
+  /** Thrown by the batch exact-pair entry points ([[exactJaccard]],
+    * [[buildNearDupIndex]]) when the corpus reads past the prefix-
+    * saturation bar and [[SaturationModeKey]] is `fail` (the default).
+    * Failing BEFORE the candidate join runs converts a cluster outage
+    * (the quadratic join spilled past 77 GB at native sf1) into an
+    * immediate, named decision for the caller. */
+  final class SaturatedCorpusException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Pre-flight policy for the batch exact-pair family on corpora past the
+    * saturation bar: `fail` (default — throw [[SaturatedCorpusException]]
+    * naming the capped alternatives), `route` (auto-route to the capped
+    * shape: banded-minhash candidates for [[exactJaccard]], posting-capped
+    * prefixes for [[buildNearDupIndex]] — bounded cost, documented partial
+    * recall), `off` (skip the check and run the exact join regardless). */
+  val SaturationModeKey = "spark.graft.dedup.saturation.mode"
+
+  /** Override of [[NdPrefixSaturationWarnThreshold]] for the pre-flight
+    * guard (estimated candidate rows per probe document). */
+  val SaturationBarKey = "spark.graft.dedup.saturation.bar"
+
+  /** `route` mode, [[buildNearDupIndex]]: drop prefix keys whose corpus
+    * posting list exceeds this many docs (default 200 — winnowing's
+    * `maxFreq` calibration). A pair is lost only when EVERY shared prefix
+    * key is that ubiquitous — boilerplate-grade content. */
+  val SaturationMaxPostingsKey = "spark.graft.dedup.saturation.maxPostings"
+
+  /** `route` mode, [[exactJaccard]]: the banded-candidate bucket cap
+    * (default 10000 — [[minhashLsh]]'s default). */
+  val SaturationMaxBucketKey = "spark.graft.dedup.saturation.maxBucket"
+
+  private def saturationMaxBucket(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get(SaturationMaxBucketKey, "10000").toInt
+
+  /** Evaluate the pre-flight guard over a derived prefix frame: false when
+    * the mode is `off` or the corpus is healthy (run the exact join), true
+    * when the corpus is saturated and the caller opted into `route`;
+    * throws [[SaturatedCorpusException]] on saturation under the default
+    * `fail`. One content-sized aggregation — the same detector streaming
+    * compactions already log ([[ndPrefixSaturation]]). */
+  private def routeOnSaturation(prefix: DataFrame, nDocs: Long,
+      op: String): Boolean = {
+    val spark = prefix.sparkSession
+    val mode = spark.conf.get(SaturationModeKey, "fail")
+    if (mode == "off" || nDocs == 0L) return false
+    val bar = spark.conf.get(SaturationBarKey,
+      NdPrefixSaturationWarnThreshold.toString).toDouble
+    val sat = prefixSaturationOf(prefix, nDocs)
+    if (sat <= bar) return false
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    if (mode == "route") {
+      log.warn(s"$op: corpus reads prefix-saturated " +
+        f"($sat%.0f estimated candidate rows per probe document, bar $bar%.0f) " +
+        s"— routing to the capped shape ($SaturationModeKey=route): bounded " +
+        "cost, recall drops from exact to capped-family for " +
+        "boilerplate-saturated content.")
+      true
+    } else throw new SaturatedCorpusException(
+      f"$op: corpus reads prefix-saturated ($sat%.0f estimated candidate " +
+        f"rows per probe document, bar $bar%.0f) — the exact prefix-filter " +
+        "join is quadratic in this regime (bounded shingle vocabulary: " +
+        "posting lists grow linearly with the corpus). Use a capped " +
+        "approximate family (Dedup.minhashLsh / Dedup.simhash / " +
+        s"Dedup.winnowing), set $SaturationModeKey=route to auto-route " +
+        "this call to its capped shape, or =off to force the exact join " +
+        s"(bar tunable via $SaturationBarKey).")
   }
 
   /** RARITY-DRIFT probe for the near-dup index's FROZEN shingle order —
@@ -1328,17 +1430,29 @@ object Dedup {
     * Returns (a_id, b_id, hamming), a_id < b_id. The signature frame
     * persists while the join runs ([[withSketchCache]] /
     * [[releaseSketchCaches]] contract). */
-  def hammingPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
+  def hammingPairs(sig: DataFrame, maxHamming: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     // 16 bytes/doc; feeds both sides of the chunk-bucket self-join — see
     // the persist rationale on minhashLsh.
     val sim = persistSketch(sig.select(col("id"), col("sim")))
 
-    val chunks = sim.select(col("id"), col("sim"),
+    val raw = sim.select(col("id"), col("sim"),
       explode(expr(
         "transform(sequence(0, 3), c -> named_struct(" +
           "'c', c, 'chunk', shiftright(sim, c * 16) & 65535))")).as("cc"))
       .select(col("id"), col("sim"),
         col("cc.c").as("c"), col("cc.chunk").as("chunk"))
+
+    // Skew guard (opt-in; [[simhashFold]] engages it on saturation): drop
+    // degenerate chunk buckets before the quadratic self-join — the same
+    // cap shape as [[minhashLsh]]'s maxBucket. A dropped bucket loses only
+    // pairs whose every OTHER chunk also differs/is degenerate.
+    val chunks =
+      if (maxBucket == Int.MaxValue) raw
+      else raw.withColumn("bsize",
+          count(lit(1)).over(Window.partitionBy("c", "chunk")))
+        .where(col("bsize") <= maxBucket)
+        .drop("bsize")
 
     chunks.as("x")
       .join(chunks.as("y"),
@@ -1349,6 +1463,92 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming").cast("bigint").as("hamming"))
+  }
+
+  /** CHUNK-BUCKET saturation probe for the simhash/Hamming family — the
+    * [[ndPrefixSaturation]] analogue over [[hammingPairs]]' pigeonhole
+    * join: Σ_{(c,chunk)} n² / docs = expected candidate rows one document
+    * generates. On healthy corpora signatures spread across the 4×65536
+    * buckets and this stays small; saturated/templated content concentrates
+    * chunk values and the true Hamming pair list is ~all-pairs (the native
+    * sf1 probe measured the uncapped list at 50× wall for 10× data).
+    * Cost: one narrow explode + aggregation over 4 rows/doc. `sig` is any
+    * (id, sim: bigint) frame. */
+  def hammingSaturation(sig: DataFrame): Double = {
+    val docs = sig.count()
+    if (docs == 0L) return 0.0
+    val r = sig.select(explode(expr(
+        "transform(sequence(0, 3), c -> named_struct(" +
+          "'c', c, 'chunk', shiftright(sim, c * 16) & 65535))")).as("cc"))
+      .groupBy(col("cc.c"), col("cc.chunk"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * col("n")), lit(0L)).as("s2"))
+      .head()
+    r.getLong(0).toDouble / docs
+  }
+
+  /** KEPT-SET fold over the simhash/Hamming pair primitive — the
+    * production gate shape for the simhash family (one doc kept per fold
+    * cluster instead of the quadratic pair list; the pattern m8/m9/d15
+    * follow on their payload families). Stages:
+    *
+    *   1. identical-TEXT collapse — exact copies always fold, independent
+    *      of the hash family; a dup-dense corpus stops multiplying the
+    *      pair search by the copy count;
+    *   2. simhash pairs among REPRESENTATIVES only, SATURATION-AWARE: one
+    *      [[hammingSaturation]] probe over the rep signatures decides the
+    *      regime, and past the bar ([[SaturationBarKey]], default
+    *      [[NdPrefixSaturationWarnThreshold]]) the chunk-bucket join runs
+    *      CAPPED ([[SaturationMaxBucketKey]]) — on saturated all-distinct
+    *      content the collapse removes nothing and the true Hamming pair
+    *      list is ~all-pairs, so components would resolve a quadratic edge
+    *      set for a kept-set answer that capping approximates at bounded
+    *      cost (the auto-taken route, logged; [[SaturationModeKey]]=off
+    *      pins the uncapped search). Recall was already hash-family-
+    *      defined, so the cap narrows a non-exact contract rather than
+    *      breaking an exact one — unlike [[exactJaccard]], whose guard
+    *      therefore FAILS by default instead of routing;
+    *   3. copies rejoin through explicit edges, connected components
+    *      resolve min-id representatives ([[keepRepresentatives]]).
+    *
+    * The identical-text guarantee (no two KEPT docs share identical text)
+    * holds under ANY cap: collapse precedes the pair search. Returns
+    * (id, component) kept rows, one per cluster, like
+    * [[keepRepresentatives]]. */
+  def simhashFold(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text"))
+    // Collapse identical texts; persisted — feeds the copy edges, the rep
+    // signature projection, and (via keepRepresentatives) nothing else.
+    val reps = persistSketch(base.groupBy("text").agg(min(col("id")).as("rid")))
+    val copyEdges = base.join(reps, "text")
+      .where(col("id") =!= col("rid"))
+      .select(col("rid").as("a_id"), col("id").as("b_id"))
+    val sig = simhashSig(
+      reps.select(col("rid").as("doc_id"), col("text")), "doc_id", "text")
+    val cap =
+      if (spark.conf.get(SaturationModeKey, "fail") == "off") Int.MaxValue
+      else {
+        val bar = spark.conf.get(SaturationBarKey,
+          NdPrefixSaturationWarnThreshold.toString).toDouble
+        val sat = hammingSaturation(sig)
+        if (sat <= bar) Int.MaxValue
+        else {
+          val mb = saturationMaxBucket(spark)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            f"Dedup.simhashFold: representative signatures read chunk-" +
+              f"saturated ($sat%.0f estimated candidates per doc, bar " +
+              f"$bar%.0f) — capping chunk buckets at $mb " +
+              s"($SaturationMaxBucketKey; $SaturationModeKey=off pins the " +
+              "uncapped search).")
+          mb
+        }
+      }
+    val pairs = hammingPairs(sig, maxHamming, cap).select("a_id", "b_id")
+    keepRepresentatives(base, "id", pairs.unionByName(copyEdges),
+      "a_id", "b_id")
   }
 
   /** Winnowing near-dedup (MOSS-style, Schleimer et al. SIGMOD'03): each doc
@@ -1962,6 +2162,42 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       upTo: Long): Unit = clearNdTombstones(spark, path, upTo)
 
+  /** REBUILD the frozen spherical quantizer from the index's OWN assigned
+    * vectors — the list-imbalance signal's ACTION for the semantic family
+    * ([[rebuildIndex]]'s twin on embeddings; round 12): distinct vectors
+    * are recovered from the multi-assigned lists (groupBy id — the lists
+    * store full vectors, so no corpus re-read), the quantizer retrains on
+    * a bounded seeded sample at the CURRENT corpus size (√n lists — an
+    * index that grew 100× gets 10× the lists), and every vector
+    * re-assigns through the new centroids at the index's own nprobe.
+    * In-memory like [[compactSemIndex]]; durability comes from the SAME
+    * generational save the hosting compaction already performs
+    * ([[saveSemIndex]] writes centroids per generation, so the retrained
+    * quantizer restores with its lists). Kept-set semantics are
+    * quantizer-defined (the family's rows-only contract) and
+    * verification stays exact cosine — a rebuild reshapes candidate
+    * recall back to the design point, never correctness. Imbalance
+    * returns to the fresh-build level by construction. */
+  def rebuildSemIndex(index: SemIndex, releaseOld: Boolean = true,
+      nlist: Int = 0, maxIter: Int = 8, trainCap: Int = 20000): SemIndex = {
+    val vecs = index.assigned
+      .groupBy(col("id"))
+      .agg(first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+      .localCheckpoint(true)
+    val cents = Similarity.trainQuantizer(vecs.select(col("id"), col("cv")),
+      nlist, maxIter, trainCap)
+    val assigned = persistSketch(vecs
+      .where(col("cn") > 0)
+      .withColumn("list", explode(
+        graft.functions.GraftFunctions.nearestCentroids(col("cv"), cents,
+          index.nprobe)))
+      .select(col("id"), col("cv"), col("cn"), col("list")))
+    assigned.count()
+    if (releaseOld) index.layers.foreach(_.unpersist(false))
+    SemIndex(cents, assigned, index.eps, index.nprobe,
+      layers = Seq(assigned))
+  }
+
   /** Flatten a [[SemIndex]]'s accumulated union lineage into one resident
     * frame ([[compactIndex]] contract: `releaseOld = false` leaves the
     * superseded layers for the caller's grace period). */
@@ -2095,7 +2331,25 @@ object Dedup {
   final case class SubstringIndex private[operators] (
       freq: DataFrame,
       windowTokens: Int,
-      private[graft] layers: Seq[DataFrame] = Nil)
+      private[graft] layers: Seq[DataFrame] = Nil,
+      /** Whether this index has folded per-content IDENTITY rows
+        * ([[ssIdentityRows]]) for everything it admitted — the capability
+        * content-addressed takedown ([[resolveSsNeg]]) needs. True for
+        * SubstringStream/ExportPipeline-managed indexes (bootstrap + every
+        * batch fold identity rows); false for a bare
+        * [[buildSubstringIndex]] or a checkpoint saved before the
+        * capability existed (params without the `identity_rows` column
+        * load as false), for which [[substringNegFreq]] is the sound
+        * per-arrival withdrawal. Callers key their takedown route off
+        * this instead of assuming — an identity-less index resolves every
+        * content-addressed event to k = 0, a silent no-op (ADVICE r11). */
+      hasIdentityRows: Boolean = false)
+
+  /** Mark an index as carrying identity rows for its whole admitted set —
+    * the bootstrap path calls this right after folding
+    * [[ssIdentityRows]] over its corpus. */
+  private[graft] def markSsIdentityRows(index: SubstringIndex): SubstringIndex =
+    index.copy(hasIdentityRows = true)
 
   /** One corpus scan through the window-hash kernel → frequency table
     * (map-side partial counts; the shuffle carries (hash, count), never
@@ -2122,8 +2376,9 @@ object Dedup {
     val spark = index.freq.sparkSession
     import spark.implicits._
     saveGenerational(spark, path,
-      params = Seq((index.windowTokens, numBuckets, batchId))
-        .toDF("window_tokens", "num_buckets", "batch_id"),
+      params = Seq((index.windowTokens, numBuckets, batchId,
+          index.hasIdentityRows))
+        .toDF("window_tokens", "num_buckets", "batch_id", "identity_rows"),
       dropTables = g => Seq(ssTable(path, g))) { (gdir, gen) =>
       // A layered index (union lineage — `layers` nonempty) merges at save
       // time so the stored generation is one unique-h table; compacted /
@@ -2157,9 +2412,16 @@ object Dedup {
         if (p.schema.fieldNames.contains("batch_id"))
           p.getAs[Long]("batch_id")
         else -1L
+      // Pre-upgrade checkpoints (no `identity_rows` column) load as
+      // NOT content-addressable — the conservative truth: their admitted
+      // set never folded identity rows.
+      val identityRows =
+        p.schema.fieldNames.contains("identity_rows") &&
+          p.getAs[Boolean]("identity_rows")
       (SubstringIndex(reRegisterBucketed(spark, ssTable(path, g),
         "h bigint, occ bigint", "h", p.getAs[Int]("num_buckets"),
-        s"$gdir/freq"), p.getAs[Int]("window_tokens")), batchId)
+        s"$gdir/freq"), p.getAs[Int]("window_tokens"),
+        hasIdentityRows = identityRows), batchId)
     }
 
   /** Restore the full substring-index state: newest generation + every
@@ -2358,7 +2620,8 @@ object Dedup {
       .where(col("occ") =!= 0L)
       .localCheckpoint(true)
     if (releaseOld) index.layers.foreach(_.unpersist(false))
-    SubstringIndex(f, index.windowTokens, layers = Nil)
+    SubstringIndex(f, index.windowTokens, layers = Nil,
+      hasIdentityRows = index.hasIdentityRows)
   }
 
   /** Unpersist exactly the layers `index` references ([[releaseIndex]]

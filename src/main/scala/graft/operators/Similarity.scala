@@ -709,10 +709,82 @@ object Similarity {
     * against the newest committed partitioned-lists generation. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfIndex = {
-    val cents = spark.read.parquet(s"$path/centroids").orderBy("i")
+    val listsDir = currentArtifactDir(spark, path, "lists")
+    // A rebuilt generation carries its own retrained quantizer
+    // ([[rebuildIvfIndex]] — committed atomically with the lists);
+    // pre-rebuild generations fall back to the build-time centroids.
+    val centsDir =
+      if (hfs(spark, path).exists(
+          new org.apache.hadoop.fs.Path(s"$listsDir/_quantizer")))
+        s"$listsDir/_quantizer"
+      else s"$path/centroids"
+    val cents = spark.read.parquet(centsDir).orderBy("i")
       .select("v").collect().map(_.getSeq[Double](0)).toSeq
     IvfIndex(cents, applyTombstones(spark, path,
-      spark.read.parquet(currentArtifactDir(spark, path, "lists"))))
+      spark.read.parquet(listsDir)))
+  }
+
+  /** LIST-IMBALANCE probe for the frozen-quantizer families — the rebuild
+    * signal the freeze contract was missing (the nd family's
+    * [[graft.operators.Dedup.ndRarityDrift]] applied to centroids): every
+    * extend/append assigns arrivals through centroids trained on the
+    * BOOTSTRAP distribution, so sustained drift concentrates new vectors
+    * into few lists — probe cost degrades toward a scan of those lists
+    * (never wrong answers; drift costs efficiency, not correctness).
+    * Returns max/mean list population over an assigned frame (one
+    * nlist-row aggregation — compaction-cadence cheap); 0.0 when empty.
+    * Compare against [[IvfImbalanceRebuildThreshold]] at every
+    * compaction. */
+  def listImbalance(assigned: DataFrame): Double = {
+    val r = assigned.groupBy("list").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).cast("double").as("mx"), avg(col("n")).as("mean"))
+      .head()
+    if (r.isNullAt(0) || r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Default [[listImbalance]] bar: a fresh √n-list build on clustered
+    * real embeddings lands ~2-4× (k-means equalizes mass, not counts);
+    * past 8× the hottest list carries an order of magnitude more probe
+    * work than the design point — the table-statistics-refresh
+    * calibration, like [[Dedup.NdRarityDriftRebuildThreshold]]. */
+  val IvfImbalanceRebuildThreshold = 8.0
+
+  /** REBUILD a saved IVF index's quantizer from its OWN stored lists —
+    * the ACTION [[listImbalance]]'s signal calls for, without re-reading
+    * a single corpus vector from the source table (the lists store full
+    * vectors, so retraining and re-assignment derive from the artifact
+    * alone). Retrains on the masked live rows (√n list count re-derived
+    * from the CURRENT size — an index that grew 100× gets 10× the lists),
+    * re-assigns every row through the new centroids, and commits lists +
+    * quantizer as ONE generation: the retrained centroids live at
+    * `<gen>/_quantizer` (underscore-prefixed — invisible to the lists
+    * reader), written BEFORE the lists land so the generation's _SUCCESS
+    * commits both atomically; a crash anywhere leaves the previous
+    * generation + `$path/centroids` authoritative. Tombstones snapshot-
+    * fold exactly like [[compactIvfIndex]]. Returns the reloaded index. */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, nlist: Int = 0, maxIter: Int = 8,
+      trainCap: Int = 20000): IvfIndex = {
+    import spark.implicits._
+    val tombs = tombstoneFiles(spark, path)
+    val live = maskByFiles(spark,
+      spark.read.parquet(currentArtifactDir(spark, path, "lists")), tombs)
+      .select(col("cid"), col("cv"), col("cn"))
+    val cents = trainQuantizer(live, nlist, maxIter, trainCap)
+    compactArtifact(spark, path, "lists") { (cur, target) =>
+      cents.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("i", "v").coalesce(1)
+        .write.parquet(s"$target/_quantizer")
+      maskByFiles(spark, spark.read.parquet(cur), tombs)
+        .drop("list")
+        .withColumn("list",
+          GraftFunctions.nearestCentroid(col("cv"), cents))
+        .repartition(col("list"))
+        .write.mode("append").partitionBy("list").parquet(target)
+    }
+    retireAppliedTombstones(spark, path, tombs)
+    loadIvfIndex(spark, path)
   }
 
   /** Generation-merge a saved IVF index's lists: [[appendIvfIndex]] grows
@@ -727,16 +799,44 @@ object Similarity {
     * same rows, same hive layout, same partition pruning — and appends
     * keep landing in the new generation. Returns the reloaded index. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): IvfIndex = {
+      path: String, autoRebuild: Boolean = true): IvfIndex = {
+    // DRIFT CHECK at the compaction point (round 12, the nd pattern
+    // applied to the frozen quantizer): list imbalance is measured on the
+    // live masked rows — the same frame the rewrite is about to scan — and
+    // past the bar the compaction ESCALATES to a quantizer rebuild, which
+    // is itself a generation-committed compaction (same durability, same
+    // reader grace), so the signal gets its action at the exact point the
+    // artifact is being rewritten anyway.
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val tombs0 = tombstoneFiles(spark, path)
+    val imb = listImbalance(maskByFiles(spark,
+      spark.read.parquet(currentArtifactDir(spark, path, "lists")), tombs0))
+    if (imb > IvfImbalanceRebuildThreshold && autoRebuild) {
+      log.warn(f"compactIvfIndex: list imbalance $imb%.1f exceeds " +
+        f"$IvfImbalanceRebuildThreshold%.1f — escalating this compaction " +
+        "to a quantizer rebuild (retrain + reassign from the stored " +
+        "lists; rebuildIvfIndex).")
+      return rebuildIvfIndex(spark, path)
+    }
+    log.info(f"compactIvfIndex: list imbalance $imb%.1f " +
+      f"(rebuild bar $IvfImbalanceRebuildThreshold%.1f).")
     // Snapshot the live tombstones up front: the rewrite folds exactly this
     // set into the new generation, and retirement bookkeeping records
     // exactly this set — deletes appended DURING the rewrite stay live for
     // the next cycle.
     val tombs = tombstoneFiles(spark, path)
     compactArtifact(spark, path, "lists") { (cur, target) =>
+      // A rebuilt generation's quantizer travels with its lists: copy it
+      // forward FIRST so the generation's _SUCCESS commits both (a plain
+      // compaction after a rebuild must not resurrect the stale
+      // build-time centroids at $path/centroids).
+      if (hfs(spark, path).exists(
+          new org.apache.hadoop.fs.Path(s"$cur/_quantizer")))
+        spark.read.parquet(s"$cur/_quantizer").coalesce(1)
+          .write.parquet(s"$target/_quantizer")
       maskByFiles(spark, spark.read.parquet(cur), tombs)
         .repartition(col("list"))
-        .write.partitionBy("list").parquet(target)
+        .write.mode("append").partitionBy("list").parquet(target)
     }
     retireAppliedTombstones(spark, path, tombs)
     loadIvfIndex(spark, path)
@@ -1014,12 +1114,20 @@ object Similarity {
     * newest committed codes generation directly. */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): PqIndex = {
-    val cbs = spark.read.parquet(s"$path/codebooks")
+    val codesDir = currentArtifactDir(spark, path, "codes")
+    // A rebuilt generation carries its retrained codebooks
+    // ([[rebuildPqIndex]]); older generations use the build-time ones.
+    val cbDir =
+      if (hfs(spark, path).exists(
+          new org.apache.hadoop.fs.Path(s"$codesDir/_quantizer")))
+        s"$codesDir/_quantizer"
+      else s"$path/codebooks"
+    val cbs = spark.read.parquet(cbDir)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
     PqIndex(cbs, applyTombstones(spark, path,
-      spark.read.parquet(currentArtifactDir(spark, path, "codes"))))
+      spark.read.parquet(codesDir)))
   }
 
   /** Generation-merge a saved PQ index's codes — [[compactIvfIndex]] for
@@ -1030,10 +1138,99 @@ object Similarity {
     * keeps the source for one reader-grace cycle, prunes older
     * generations, and returns the reloaded index. Probe results are
     * identical — the rewrite only re-buckets rows across files. */
+  /** [[listImbalance]] for the PQ family: max/mean CODE population across
+    * all m subspaces of an encoded frame (codes is the m-byte array
+    * column). Sustained drift concentrates arrivals onto few codes per
+    * subspace — ADC contrast collapses (many corpus rows share the hot
+    * codes' distances) and the rerank works harder for the same quality.
+    * One (m·n → m·ksub)-row aggregation; 0.0 when empty. */
+  def pqCodeImbalance(codes: DataFrame): Double = {
+    val r = codes
+      .select(posexplode(col("codes")).as(Seq("j", "c")))
+      .groupBy("j", "c").agg(count(lit(1)).as("n"))
+      .groupBy("j").agg((max(col("n")).cast("double") /
+        avg(col("n"))).as("imb"))
+      .agg(max(col("imb")).as("mx")).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** REBUILD a saved PQ index: retrain the codebooks on the CURRENT
+    * distribution and re-encode — the [[rebuildIvfIndex]] action for the
+    * lossy family. PQ codes cannot be decoded back to vectors, so the
+    * caller supplies the corpus (the same frame [[pqProbe]] reranks
+    * against — PQ serving always has it); ids absent from the stored
+    * live codes (tombstoned, never appended) are NOT resurrected: the
+    * rebuilt code set is exactly the stored live id set. Codebooks commit
+    * with their codes as one generation (`<gen>/_quantizer`,
+    * [[rebuildIvfIndex]]'s atomicity), and [[loadPqIndex]] prefers the
+    * generation's codebooks over the build-time `$path/codebooks`. */
+  def rebuildPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 0, ksub: Int = 0, maxIter: Int = 8,
+      trainCap: Int = 20000): PqIndex = {
+    import spark.implicits._
+    // Default shape = the stored index's own (m, ksub): a rebuild changes
+    // the TRAINING distribution, not the artifact geometry.
+    val curCbs = loadPqIndex(spark, path).codebooks
+    val mEff = if (m > 0) m else curCbs.length
+    val ksubEff = if (ksub > 0) ksub else curCbs.headOption.map(_.length)
+      .getOrElse(256)
+    val tombs = tombstoneFiles(spark, path)
+    val liveIds = maskByFiles(spark,
+      spark.read.parquet(currentArtifactDir(spark, path, "codes")), tombs)
+      .select(col("cid"))
+    val liveVecs = corpusShape(corpus, idCol, vecCol)
+      .join(liveIds, Seq("cid"), "left_semi")
+    val cbs = padCodebooks(trainPqCodebooks(
+      sampleVecs(liveVecs, liveVecs.count(), trainCap), mEff, ksubEff,
+      maxIter))
+    compactArtifact(spark, path, "codes") { (_, target) =>
+      cbs.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (v, c) => (j, c, v) }
+      }.toDF("j", "c", "v").coalesce(1)
+        .write.parquet(s"$target/_quantizer")
+      liveVecs.select(col("cid"), col("cn"),
+          GraftFunctions.pqEncode(col("cv"), cbs).as("codes"))
+        .write.mode("append").parquet(target)
+    }
+    retireAppliedTombstones(spark, path, tombs)
+    loadPqIndex(spark, path)
+  }
+
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, targetPartitions: Int = 0): PqIndex = {
+      path: String, targetPartitions: Int = 0,
+      rebuildFrom: Option[(DataFrame, String, String)] = None): PqIndex = {
+    // DRIFT CHECK at the compaction point ([[compactIvfIndex]] contract
+    // for the lossy family): codes alone cannot retrain, so the rebuild
+    // branch needs the caller to hand the corpus in (`rebuildFrom` =
+    // (corpus, idCol, vecCol)); without it the signal is still LOGGED so
+    // an operator sees the drift even when this call cannot act on it.
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val tombs0 = tombstoneFiles(spark, path)
+    val imb = pqCodeImbalance(maskByFiles(spark,
+      spark.read.parquet(currentArtifactDir(spark, path, "codes")), tombs0))
+    if (imb > IvfImbalanceRebuildThreshold) rebuildFrom match {
+      case Some((corpus, idCol, vecCol)) =>
+        log.warn(f"compactPqIndex: code imbalance $imb%.1f exceeds " +
+          f"$IvfImbalanceRebuildThreshold%.1f — escalating to a codebook " +
+          "rebuild (rebuildPqIndex).")
+        return rebuildPqIndex(spark, path, corpus, idCol, vecCol)
+      case None =>
+        log.warn(f"compactPqIndex: code imbalance $imb%.1f exceeds " +
+          f"$IvfImbalanceRebuildThreshold%.1f but no corpus was supplied " +
+          "(rebuildFrom) — compacting with the FROZEN codebooks; schedule " +
+          "rebuildPqIndex with the corpus to restore ADC contrast.")
+    }
+    else log.info(f"compactPqIndex: code imbalance $imb%.1f " +
+      f"(rebuild bar $IvfImbalanceRebuildThreshold%.1f).")
     val tombs = tombstoneFiles(spark, path)
     compactArtifact(spark, path, "codes") { (cur, target) =>
+      // Carry a rebuilt generation's codebooks forward with its codes
+      // ([[compactIvfIndex]]'s quantizer-travels-with-artifact rule).
+      if (hfs(spark, path).exists(
+          new org.apache.hadoop.fs.Path(s"$cur/_quantizer")))
+        spark.read.parquet(s"$cur/_quantizer").coalesce(1)
+          .write.parquet(s"$target/_quantizer")
       val parts =
         if (targetPartitions > 0) targetPartitions
         else {
@@ -1042,7 +1239,7 @@ object Similarity {
           math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
         }
       maskByFiles(spark, spark.read.parquet(cur), tombs)
-        .repartition(parts).write.parquet(target)
+        .repartition(parts).write.mode("append").parquet(target)
     }
     retireAppliedTombstones(spark, path, tombs)
     loadPqIndex(spark, path)

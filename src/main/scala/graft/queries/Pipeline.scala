@@ -170,6 +170,30 @@ object Pipeline {
       Bpe.train(Bpe.wordHistogram(s.table("documents"), "text"), nMerges = 24)
     }
 
+  /** Resident MATERIALIZED export frames (ids, packs) for x7's invariant
+    * companion ([[cachedIdx]] doc applies): the export is deterministic per
+    * (session, sf dir), so x7b attests invariants over persisted frames
+    * instead of re-running encode → vocab → pack a second time (round-11
+    * bench: the two most expensive non-attestation entries were exactly
+    * this double export). The HEADLINE x7 stays uncached — its plan is
+    * load-bearing (PlanSpec: token rows never shuffle) and its wall-clock
+    * is the honest end-to-end export cost. */
+  private val exportResident = scala.collection.concurrent.TrieMap.empty[
+    String, (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame))]
+  private def exportResidentFor(s: org.apache.spark.sql.SparkSession,
+      dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    cachedIdx(exportResident, s, dir) {
+      val (ids, _) = exportIdsAndPacks(s, dir)
+      val pi = ids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pi.count()
+      val pp = graft.operators.Packing.packWindows(pi, window = 1024)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pp.count()
+      (pi, pp)
+    }
+
   /** Resident persisted-index state for the incremental dedup gate queries
     * ([[cachedIdx]] doc applies): built + saved + reloaded once per
     * (session, sf dir), so repeat calls measure the PROBE — the recurring
@@ -753,19 +777,17 @@ object Pipeline {
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       // Re-post every doc verbatim under a shifted id (the m9
       // synthesize-then-process pattern) so the identical-text collapse
-      // carries real load: every text arrives at least twice.
+      // carries real load: every text arrives at least twice. Shift is
+      // 2^40 — provably disjoint from real doc_ids at every plausible
+      // scale factor (50k·sf rows reaches 2^40 at sf ≈ 2·10⁷), unlike a
+      // corpus-sized constant that sf ≥ 20 would collide with.
       val docs = base.unionByName(base.select(
-        (col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val reps = docs.groupBy("text").agg(min(col("doc_id")).as("rid"))
-      val copyEdges = docs.join(reps, "text")
-        .where(col("doc_id") =!= col("rid"))
-        .select(col("rid").as("a_id"), col("doc_id").as("b_id"))
-      val pairs = Dedup.simhash(
-          reps.select(col("rid").as("doc_id"), col("text")),
-          "doc_id", "text", maxHamming = 6)
-        .select("a_id", "b_id")
-      Dedup.keepRepresentatives(docs, "doc_id",
-          pairs.unionByName(copyEdges), "a_id", "b_id")
+        (col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
+      // Collapse → saturation-aware rep-only pair search → components,
+      // all inside the operator (Dedup.simhashFold): on saturated
+      // all-distinct content the chunk-bucket join runs capped instead of
+      // resolving an ~all-pairs edge set.
+      Dedup.simhashFold(docs, "doc_id", "text", maxHamming = 6)
         .orderBy("id")
     },
     // d18's COMPANION attestation — identical text hashes to the identical
@@ -777,17 +799,8 @@ object Pipeline {
       val base = s.table("documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       val docs = base.unionByName(base.select(
-        (col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val reps = docs.groupBy("text").agg(min(col("doc_id")).as("rid"))
-      val copyEdges = docs.join(reps, "text")
-        .where(col("doc_id") =!= col("rid"))
-        .select(col("rid").as("a_id"), col("doc_id").as("b_id"))
-      val pairs = Dedup.simhash(
-          reps.select(col("rid").as("doc_id"), col("text")),
-          "doc_id", "text", maxHamming = 6)
-        .select("a_id", "b_id")
-      val kept = Dedup.keepRepresentatives(docs, "doc_id",
-          pairs.unionByName(copyEdges), "a_id", "b_id")
+        (col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
+      val kept = Dedup.simhashFold(docs, "doc_id", "text", maxHamming = 6)
         .select(col("id").as("doc_id"))
       docs.select(col("doc_id"), md5(col("text")).as("fp"))
         .join(kept, Seq("doc_id"), "left_semi")
@@ -886,13 +899,21 @@ object Pipeline {
       val fp = docs.select(col("doc_id"),
         graft.functions.GraftFunctions.winnow(col("text"), 8, w).as("fps"),
         graft.functions.GraftFunctions.rollingHashes(col("text"), 8).as("hs"))
-      val echoes = docs
-        .select((col("doc_id") + 1000000L).as("eid"), col("text"))
-        .select((col("eid") - 1000000L).as("doc_id"),
-          graft.functions.GraftFunctions.winnow(col("text"), 8, w).as("efps"))
-      val em = fp.join(echoes, "doc_id")
-        .agg(coalesce(sum(when(col("fps") =!= col("efps"), 1L)
-          .otherwise(0L)), lit(0L)).as("echo_mismatches"))
+      // Echoes as REAL extra rows (union under 2^40-shifted ids, the d18b
+      // pattern), grouped back by origin id: the two evaluations of
+      // winnow(text) live on distinct rows of a union, which Catalyst
+      // cannot collapse into comparing an expression with itself — the
+      // round-11 self-join shape could be common-subexpression-folded and
+      // would then never fire on the nondeterminism bug it exists to catch
+      // (ADVICE r11).
+      val both = docs.unionByName(docs.select(
+        (col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
+      val em = both
+        .select((col("doc_id") % (1L << 40)).as("k"),
+          graft.functions.GraftFunctions.winnow(col("text"), 8, w).as("fps"))
+        .groupBy("k").agg(countDistinct(col("fps")).as("nfp"))
+        .agg(coalesce(sum(when(col("nfp") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("echo_mismatches"))
       val cov = fp.where(size(col("hs")) >= 1)
         .select(when(expr(s"exists(sequence(1, greatest(size(hs) - $w + 1, 1)), " +
           s"j -> not array_contains(fps, array_min(slice(hs, j, $w))))"), 1L)
@@ -1017,6 +1038,59 @@ object Pipeline {
     // reference implementation and demands the identical merge table.
     df("t18_bpe_train", None) { (s, dir) =>
       Bpe.mergesFrame(s, bpeMergesFor(s, dir)).orderBy("rank")
+    },
+    // t18's COMPANION attestation (round 12) — the last rows-only query
+    // gets an on-record oracle: trainer invariants expressible WITHOUT the
+    // iteration. (a) merge-table shape: ranks dense 0..n-1, every merged
+    // symbol the concatenation of its parts; (b) the FIRST merge is the
+    // deterministic argmax ((pc desc, a, b) tie-break) of the ROUND-0
+    // adjacent-pair counts — recomputed here non-iteratively from
+    // documents — and clears minPairCount; (c) a re-train from a fresh
+    // histogram reproduces the identical table (the determinism BpeSpec's
+    // local-reference replay demands, here as a symmetric-difference count
+    // on the official record). All constant-0.
+    df("t18b_bpe_train_invariants",
+      Some("select cast(0 as bigint) as rank_gaps, " +
+        "cast(0 as bigint) as malformed_merges, " +
+        "cast(0 as bigint) as first_merge_violations, " +
+        "cast(0 as bigint) as retrain_mismatches")) { (s, dir) =>
+      val merges = bpeMergesFor(s, dir)
+      val mf = Bpe.mergesFrame(s, merges)
+      val shape = mf
+        .select(col("rank"), col("left"), col("right"), col("merged"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy("rank")) - 1).as("dense"))
+        .agg(
+          coalesce(sum(when(col("rank") =!= col("dense"), 1L)
+            .otherwise(0L)), lit(0L)).as("rank_gaps"),
+          coalesce(sum(when(col("merged") =!=
+              concat(col("left"), col("right")), 1L)
+            .otherwise(0L)), lit(0L)).as("malformed_merges"))
+      val n = size(col("syms"))
+      val top0 = Bpe.wordHistogram(s.table("documents"), "text")
+        .select(Bpe.initSymbols(col("word")).as("syms"),
+          col("cnt").cast("long").as("cnt"))
+        .where(n >= 2)
+        .select(explode(zip_with(
+            slice(col("syms"), lit(1), n - 1),
+            slice(col("syms"), lit(2), n - 1),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("pc"))
+        .orderBy(desc("pc"), asc("a"), asc("b")).limit(1)
+      // Empty cross sides (a trainer that learned nothing on this fixture)
+      // coalesce to a VIOLATION, not a silent pass.
+      val first = mf.where(col("rank") === 0)
+        .crossJoin(top0)
+        .select(when(col("left") === col("a") && col("right") === col("b")
+            && col("pc") >= 2L, 0L).otherwise(1L).as("v"))
+        .agg(coalesce(sum("v"), lit(1L)).as("first_merge_violations"))
+      val mB = Bpe.mergesFrame(s,
+        Bpe.train(Bpe.wordHistogram(s.table("documents"), "text"),
+          nMerges = 24))
+      val retrain = mf.exceptAll(mB).unionAll(mB.exceptAll(mf))
+        .agg(count(lit(1)).as("retrain_mismatches"))
+      shape.crossJoin(first).crossJoin(retrain)
     },
     // Apply the learned merges: per-word nested merge folds compiled into
     // the plan (the merge table IS the model — small by construction), so
@@ -2122,7 +2196,7 @@ object Pipeline {
         "cast(0 as bigint) as oversized, " +
         "cast(0 as bigint) as conservation_violations")) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val (ids, packs) = exportIdsAndPacks(s, dir)
+      val (ids, packs) = exportResidentFor(s, dir)
       val withLast = packs.withColumn("last",
         max("pack_id").over(Window.partitionBy("shard")))
       val shape = withLast.agg(

@@ -79,8 +79,29 @@ object SemDedupStream {
       (keptIds, extended)
     }
     def layers(idx: SemIndex): Seq[DataFrame] = idx.layers
-    def compact(idx: SemIndex): SemIndex =
-      Dedup.compactSemIndex(idx, releaseOld = false)
+    def compact(idx: SemIndex): SemIndex = {
+      // DRIFT CHECK at the compaction point (round 12 — the nd loop's
+      // ndRarityDrift→rebuildIndex pattern on the embedding family):
+      // sustained arrival drift concentrates new vectors into few frozen
+      // lists; past the imbalance bar the compaction escalates to a
+      // quantizer rebuild from the index's own vectors. Durable through
+      // the SAME generational save as a plain compaction (SemOps.save
+      // writes centroids per generation); old layers retire through the
+      // loop's one-cycle reader grace either way.
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      val imb = graft.operators.Similarity.listImbalance(idx.assigned)
+      if (imb > graft.operators.Similarity.IvfImbalanceRebuildThreshold) {
+        log.warn(f"SemDedupStream: list imbalance $imb%.1f exceeds " +
+          f"${graft.operators.Similarity.IvfImbalanceRebuildThreshold}%.1f" +
+          " — rebuilding the quantizer at this compaction " +
+          "(Dedup.rebuildSemIndex).")
+        Dedup.rebuildSemIndex(idx, releaseOld = false)
+      } else {
+        log.info(f"SemDedupStream: list imbalance $imb%.1f (rebuild bar " +
+          f"${graft.operators.Similarity.IvfImbalanceRebuildThreshold}%.1f).")
+        Dedup.compactSemIndex(idx, releaseOld = false)
+      }
+    }
     def save(idx: SemIndex, path: String, walId: Long,
         kept: DataFrame): Unit = {
       Dedup.saveSemIndex(idx, path, batchId = walId, kept = Some(kept))

@@ -43,9 +43,9 @@ object SubstringStream {
         // bootstrap-admitted content is content-addressable by takedown
         // exactly like streamed arrivals (applySubstringNeg applies any
         // extra layer; saveSubstringIndex merges layers on write).
-        val built = Dedup.applySubstringNeg(
+        val built = Dedup.markSsIdentityRows(Dedup.applySubstringNeg(
           Dedup.buildSubstringIndex(corpus, idCol, textCol, windowTokens),
-          Dedup.ssIdentityRows(corpus, textCol))
+          Dedup.ssIdentityRows(corpus, textCol)))
         Dedup.saveSubstringIndex(built, path)
         Dedup.releaseSsIndex(built)
         new DedupLoop.IndexState(Dedup.loadSubstringIndex(spark, path))
@@ -81,29 +81,39 @@ object SubstringStream {
     * (hash, count), so the delete is a NEGATIVE frequency layer
     * ([[FpDedupStream.delete]] contract).
     *
-    * Default (`contentAddressed = true`): CONTENT-ADDRESSED — every fold
-    * also recorded a per-content identity row ([[Dedup.ssIdentityRows]];
-    * both the bootstrap corpus and every streamed batch), so one event
-    * resolves the content's fold multiplicity k from the index and
-    * subtracts ALL k folded arrivals at once — k folded re-posts erased
-    * by one withdrawal, and a re-withdrawal of already-erased content
-    * resolves k = 0 and subtracts nothing (idempotent per content).
-    * Contents the index never identity-folded (k = 0) are logged and
-    * left untouched.
+    * Route (default `contentAddressed = None`): keyed off the INDEX's own
+    * capability ([[Dedup.SubstringIndex.hasIdentityRows]], persisted in
+    * the checkpoint params — ADVICE r11): an index whose every fold also
+    * recorded a per-content identity row ([[Dedup.ssIdentityRows]]; the
+    * bootstrap corpus and every streamed batch of this stream) withdraws
+    * CONTENT-ADDRESSED — one event resolves the content's fold
+    * multiplicity k from the index and subtracts ALL k folded arrivals at
+    * once, idempotent per content (re-withdrawal resolves k = 0). An
+    * index that never folded identity rows (bare
+    * [[Dedup.buildSubstringIndex]], or a checkpoint saved before the
+    * capability existed) KEEPS its pre-upgrade per-arrival semantics
+    * instead of silently no-oping: one withdrawal subtracts ONE arrival's
+    * counts — a content that arrived k times needs k withdrawals, and
+    * over-withdrawal undercounts shared windows.
     *
-    * `contentAddressed = false` is the PER-ARRIVAL fallback for indexes
-    * built without identity rows (a bare [[Dedup.buildSubstringIndex]]
-    * checkpoint from before the upgrade): one withdrawal subtracts ONE
-    * arrival's counts — a content that arrived k times needs k
-    * withdrawals, and over-withdrawal undercounts shared windows.
+    * `Some(true)`/`Some(false)` force a route; forcing content-addressed
+    * against an identity-less index resolves nothing (warned loudly).
     * Durable-first when `checkpointPath` is set. Call between batches or
     * while the stream is stopped. */
   def delete(state: IndexState, checkpointPath: Option[String],
       docs: DataFrame, idCol: String, textCol: String,
-      contentAddressed: Boolean = true): Unit =
+      contentAddressed: Option[Boolean] = None): Unit =
     state.withExclusive {
+      val byContent =
+        contentAddressed.getOrElse(state.index.hasIdentityRows)
+      if (byContent && !state.index.hasIdentityRows)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "SubstringStream.delete: contentAddressed forced TRUE against an " +
+            "index that never folded identity rows — every event will " +
+            "resolve k = 0 and subtract nothing. Use the per-arrival route " +
+            "(contentAddressed = Some(false)) for pre-upgrade indexes.")
       val neg =
-        if (contentAddressed) {
+        if (byContent) {
           val n = Dedup.resolveSsNeg(state.index, docs, idCol, textCol)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // Resolution snapshot: the tombstone below and the in-memory

@@ -288,10 +288,39 @@ object TakedownStream {
         targets.ss.foreach { case (state, _) =>
           val docs = events.where(col("family") === "ss")
             .select(col("cid").as("doc_id"), col("text"))
-          if (!docs.isEmpty)
-            Dedup.resolveSsNeg(state.index, docs, "doc_id", "text")
-              .coalesce(1).write.mode("overwrite")
+          if (!docs.isEmpty) {
+            val log = org.slf4j.LoggerFactory.getLogger(getClass)
+            // Capability-routed (ADVICE r11): against an index that never
+            // folded identity rows (pre-upgrade checkpoint, bare
+            // buildSubstringIndex) content-addressed resolution is a
+            // GUARANTEED silent no-op on this compliance-critical path —
+            // fall back to the per-arrival subtraction (the pre-upgrade
+            // semantics: one event erases one arrival) and say so loudly.
+            val neg =
+              if (state.index.hasIdentityRows)
+                Dedup.resolveSsNeg(state.index, docs, "doc_id", "text")
+              else {
+                log.warn("TakedownStream: ss index carries no identity " +
+                  "rows (pre-upgrade checkpoint or bare " +
+                  "buildSubstringIndex) — content-addressed resolution " +
+                  "would erase NOTHING; falling back to per-arrival " +
+                  "subtraction (one event = one arrival; k folded " +
+                  "re-posts need k events).")
+                Dedup.substringNegFreq(docs, "doc_id", "text",
+                  state.index.windowTokens)
+              }
+            neg.coalesce(1).write.mode("overwrite")
               .parquet(s"$dir/ss_neg")
+            // All-zero resolution against a capable index: benign only if
+            // the contents were never admitted / already withdrawn — a
+            // compliance operator must SEE that nothing was subtracted.
+            if (state.index.hasIdentityRows &&
+                spark.read.parquet(s"$dir/ss_neg").isEmpty)
+              log.warn(s"TakedownStream: batch $effectiveId — NO ss event " +
+                "resolved to a recorded fold (k = 0 for every withdrawn " +
+                "content: never admitted, or already withdrawn). The ss " +
+                "takedown leg subtracts nothing this batch.")
+          }
         }
         locally {
           import spark.implicits._

@@ -2531,7 +2531,7 @@ class StreamingSpec extends SparkSpecBase {
     // yT's (single) folds explicitly — yT re-admits.
     SubstringStream.delete(ss2, Some(dir),
       Seq((2L, yT)).toDF("doc_id", "text"), "doc_id", "text",
-      contentAddressed = false)
+      contentAddressed = Some(false))
     assert(Dedup.probeAndExtendSsParts(ss2.index,
       Seq((99L, yT)).toDF("doc_id", "text"), "doc_id", "text",
       minOccurrences = 2, maxDupRatio = 0.5)._1.count() == 1)
