@@ -1078,6 +1078,17 @@ object Dedup {
     * (default 10000 — [[minhashLsh]]'s default). */
   val SaturationMaxBucketKey = "spark.graft.dedup.saturation.maxBucket"
 
+  /** [[simhashFold]]'s auto-route chunk-bucket cap (default 512). Tighter
+    * than the banded-minhash cap because the fold's cost is the COMPONENTS
+    * pass over the candidate edge set, not just the join: per-doc
+    * candidates are bounded by ~4×cap, and on the saturated fixture the
+    * chunk-bucket mass sits in ~2800-doc buckets — a 10k cap barely
+    * drops anything (measured 213 s at native sf1) while 512 excludes the
+    * degenerate mass and keeps only rare-chunk pairs, the capped-family
+    * recall contract. */
+  val SaturationFoldMaxBucketKey =
+    "spark.graft.dedup.saturation.foldMaxBucket"
+
   private def saturationMaxBucket(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.get(SaturationMaxBucketKey, "10000").toInt
 
@@ -1536,13 +1547,13 @@ object Dedup {
         val sat = hammingSaturation(sig)
         if (sat <= bar) Int.MaxValue
         else {
-          val mb = saturationMaxBucket(spark)
+          val mb = spark.conf.get(SaturationFoldMaxBucketKey, "512").toInt
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             f"Dedup.simhashFold: representative signatures read chunk-" +
               f"saturated ($sat%.0f estimated candidates per doc, bar " +
               f"$bar%.0f) — capping chunk buckets at $mb " +
-              s"($SaturationMaxBucketKey; $SaturationModeKey=off pins the " +
-              "uncapped search).")
+              s"($SaturationFoldMaxBucketKey; $SaturationModeKey=off pins " +
+              "the uncapped search).")
           mb
         }
       }

@@ -232,6 +232,32 @@ object Multimodal {
     * contract needs mark/reset; a fresh wrapper is cheaper than reset
     * bookkeeping over a shared one). Not thread-safe; one instance per
     * `mapPartitions` task. */
+  /** Partition-lifetime WAVE encoder — the [[PartitionAudioDecoder]]
+    * discipline on the ENCODE side: `AudioSystem.write` re-walks the
+    * `AudioFileWriter` SPI provider list on EVERY call (measured at
+    * native sf1: the walk, not the codec, was m11's cost — 5.8 s of the
+    * 6.1 s query was the synth leg, and the round-11 "partition grain"
+    * diagnosis was wrong: the input was already 8 balanced partitions
+    * and repartitioning moved nothing). Each partition resolves the
+    * WAVE-capable writer once; the writer itself is stateless across
+    * calls. Not thread-safe; one instance per `mapPartitions` task. */
+  private final class PartitionWavEncoder {
+    private lazy val writer: javax.sound.sampled.spi.AudioFileWriter = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala
+        .find(_.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        .getOrElse(sys.error("no WAVE AudioFileWriter on this JRE"))
+    }
+    def write(ais: javax.sound.sampled.AudioInputStream): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+  }
+
   private final class PartitionAudioDecoder {
     private val matched = scala.collection.mutable.ArrayBuffer
       .empty[javax.sound.sampled.spi.AudioFileReader]
@@ -469,25 +495,28 @@ object Multimodal {
     docs.select(col(idCol).cast("long").as("doc_id"),
         seed.cast("long").as("seed"))
       .as[(Long, Long)]
-      .map { case (d, sd) =>
-        val pcm = new Array[Byte](nSamples * 2)
-        var i = 0
-        while (i < nSamples) {
-          val s = (Math.floorMod(sd * 31 + i * 7, 4096L) - 2048L).toShort
-          pcm(2 * i) = (s & 0xff).toByte         // little-endian
-          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-          i += 1
+      .mapPartitions { it =>
+        // Writer resolved once per partition (PartitionWavEncoder — the
+        // per-row AudioSystem.write SPI walk was m11's actual native-sf1
+        // cost, not partition grain).
+        val enc = new PartitionWavEncoder
+        it.map { case (d, sd) =>
+          val pcm = new Array[Byte](nSamples * 2)
+          var i = 0
+          while (i < nSamples) {
+            val s = (Math.floorMod(sd * 31 + i * 7, 4096L) - 2048L).toShort
+            pcm(2 * i) = (s & 0xff).toByte         // little-endian
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat,
+            /* bigEndian = */ false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+          (d, enc.write(ais))
         }
-        val fmt = new javax.sound.sampled.AudioFormat(
-          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-          sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat,
-          /* bigEndian = */ false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
-        val out = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-        (d, out.toByteArray)
       }
       .toDF("doc_id", "content")
       .withColumn("meta", metaStruct(col("content")))

@@ -623,7 +623,7 @@ object Pipeline {
         "live as (select fp from corpus e where not exists " +
         "(select 1 from takedown t where t.fp = e.fp)), " +
         "incoming as (select doc_id, fp from fp0 where doc_id % 5 = 0 " +
-        "union all select doc_id + 1000000, fp from corpus) " +
+        "union all select doc_id + 1099511627776, fp from corpus) " +
         "select doc_id from incoming i " +
         "where not exists (select 1 from live e where e.fp = i.fp) " +
         "and doc_id = (select min(doc_id) from incoming j where j.fp = i.fp) " +
@@ -633,7 +633,7 @@ object Pipeline {
       val incoming = docs.where(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text"))
         .unionByName(corpus.select(
-          (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          (col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
       val live = fpLiveIndexFor(s, dir, corpus,
         c => c.where(col("doc_id") % 7 === 3))
       Dedup.probeNovelExact(live, incoming, "doc_id", "text")
@@ -1717,7 +1717,7 @@ object Pipeline {
       Some("select cast(0 as bigint) as exact_pair_misses")) { (s, dir) =>
       val docs = s.table("documents").where(length(col("text")) >= 64)
         .select("doc_id", "text")
-      val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      val twins = docs.select((col("doc_id") + (1L << 40)).as("doc_id"),
         expr("concat(substring(text, 1, 28), repeat('#', 8), " +
           "substring(text, 37))").as("text"))
       val all = docs.union(twins)
@@ -1739,7 +1739,7 @@ object Pipeline {
     // identical frame/cap/count pipeline in SQL.
     df("m7_frame_overlap",
       Some("with docs2 as (select doc_id, text from documents where length(text) >= 64 " +
-        "union all select doc_id + 1000000, text || ' frame overlap tail marker' " +
+        "union all select doc_id + 1099511627776, text || ' frame overlap tail marker' " +
         "from documents where length(text) >= 64), " +
         "frames as (select distinct doc_id, md5(text[f*32+1:f*32+32]) as fp " +
         "from docs2, unnest(range(0, (length(text)-1)//32 + 1)) as t(f)), " +
@@ -1750,7 +1750,7 @@ object Pipeline {
         "group by 1, 2 having count(*) >= 2 order by a_id, b_id")) { (s, dir) =>
       val docs = s.table("documents").where(length(col("text")) >= 64)
         .select("doc_id", "text")
-      val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      val twins = docs.select((col("doc_id") + (1L << 40)).as("doc_id"),
         concat(col("text"), lit(" frame overlap tail marker")).as("text"))
       Multimodal.frameOverlap(
           Multimodal.withPayload(docs.union(twins), "doc_id", "text"),
@@ -1768,7 +1768,7 @@ object Pipeline {
     // transitive closure, min-label components.
     df("m8_payload_dedup",
       Some("with recursive docs2 as (select doc_id, text from documents where length(text) >= 64 " +
-        "union all select doc_id + 1000000, text || ' frame overlap tail marker' " +
+        "union all select doc_id + 1099511627776, text || ' frame overlap tail marker' " +
         "from documents where length(text) >= 64), " +
         "reps as (select min(doc_id) as rep_id, text from docs2 group by text), " +
         "copy_edges as (select r.rep_id as src, d.doc_id as dst from docs2 d " +
@@ -1794,7 +1794,7 @@ object Pipeline {
         "where c.component is null or c.component = d.id order by d.id")) { (s, dir) =>
       val docs = s.table("documents").where(length(col("text")) >= 64)
         .select("doc_id", "text")
-      val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      val twins = docs.select((col("doc_id") + (1L << 40)).as("doc_id"),
         concat(col("text"), lit(" frame overlap tail marker")).as("text"))
       Multimodal.payloadDedup(
           Multimodal.withPayload(docs.union(twins), "doc_id", "text"))(
@@ -1814,7 +1814,7 @@ object Pipeline {
         (s, dir) =>
       val docs = s.table("documents").where(length(col("text")) >= 64)
         .select("doc_id", "text")
-      val twins = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      val twins = docs.select((col("doc_id") + (1L << 40)).as("doc_id"),
         expr("concat(substring(text, 1, 28), repeat('#', 8), " +
           "substring(text, 37))").as("text"))
       val all = docs.union(twins)
@@ -1880,7 +1880,7 @@ object Pipeline {
     // if the WAV encode→parse round trip is lossless.
     df("m12_audio_overlap",
       Some("with docs2 as (select doc_id, doc_id as seed, 256 as n from documents " +
-        "union all select doc_id + 1000000, doc_id, 320 from documents), " +
+        "union all select doc_id + 1099511627776, doc_id, 320 from documents), " +
         "frames as (select distinct doc_id, md5(array_to_string(" +
         "list_transform(range(f*32, f*32 + 32), " +
         "i -> ((seed*31 + i*7) % 4096) - 2048), ',')) as fp " +
@@ -1893,7 +1893,7 @@ object Pipeline {
       val docs = s.table("documents").select(col("doc_id"))
       val origs = Multimodal.syntheticWavPayloads(docs, "doc_id")
       val twins = Multimodal.syntheticWavPayloads(
-        docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        docs.select((col("doc_id") + (1L << 40)).as("doc_id"),
           col("doc_id").as("seed")),
         "doc_id", nSamples = 320, seedCol = "seed")
       Multimodal.audioFrameOverlap(
@@ -1938,7 +1938,7 @@ object Pipeline {
     // TIFF encode→demux round trip is lossless frame by frame.
     df("m14_video_overlap",
       Some("with docs2 as (select doc_id, doc_id as seed, 4 as nf from documents " +
-        "union all select doc_id + 1000000, doc_id, 6 from documents), " +
+        "union all select doc_id + 1099511627776, doc_id, 6 from documents), " +
         "frames as (select distinct doc_id, md5(array_to_string(flatten(" +
         "list_transform(range(0, 64), p -> " +
         "[(seed*31 + (seed//256)*97 + f*41 + (p%8)*7 + (p//8)*13) % 256, " +
@@ -1953,7 +1953,7 @@ object Pipeline {
       val docs = s.table("documents").select(col("doc_id"))
       val origs = Multimodal.syntheticTiffPayloads(docs, "doc_id")
       val twins = Multimodal.syntheticTiffPayloads(
-        docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        docs.select((col("doc_id") + (1L << 40)).as("doc_id"),
           col("doc_id").as("seed")),
         "doc_id", nFrames = 6, seedCol = "seed")
       Multimodal.videoFrameOverlap(

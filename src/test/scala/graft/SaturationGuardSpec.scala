@@ -133,7 +133,7 @@ class SaturationGuardSpec extends SparkSpecBase {
     val docs = (base ++ base.map { case (i, t) => (i + (1L << 40), t) })
       .toDF("doc_id", "text")
     val keptCapped = withConf(Dedup.SaturationBarKey -> "2.0",
-        Dedup.SaturationMaxBucketKey -> "8") {
+        Dedup.SaturationFoldMaxBucketKey -> "8") {
       Dedup.simhashFold(docs, "doc_id", "text", maxHamming = 6)
         .collect().map(_.getLong(0)).toSet
     }
@@ -146,7 +146,7 @@ class SaturationGuardSpec extends SparkSpecBase {
     val dupDense = (1 to 90).map(i => (i.toLong, s"text number ${i % 3}"))
       .toDF("doc_id", "text")
     val cappedDense = withConf(Dedup.SaturationBarKey -> "2.0",
-        Dedup.SaturationMaxBucketKey -> "8") {
+        Dedup.SaturationFoldMaxBucketKey -> "8") {
       Dedup.simhashFold(dupDense, "doc_id", "text").collect()
         .map(_.getLong(0)).toSet
     }

@@ -2538,6 +2538,60 @@ class StreamingSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("ss takedown routes on index capability: identity-less indexes " +
+      "fall back to per-arrival subtraction instead of a silent no-op") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.{SubstringStream, TakedownStream}
+
+    val xT = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val corpus = Seq((1L, xT)).toDF("doc_id", "text")
+
+    // A PRE-UPGRADE-STYLE checkpoint: bare buildSubstringIndex, no
+    // identity rows — the capability flag persists false through
+    // save/load (ADVICE r11: this compliance-critical path used to
+    // resolve every event to k = 0 and silently subtract nothing).
+    val dir = java.nio.file.Files.createTempDirectory("ssnoid").toString
+    Dedup.saveSubstringIndex(
+      Dedup.buildSubstringIndex(corpus, "doc_id", "text"), dir)
+    val state = new graft.streaming.DedupLoop.IndexState(
+      Dedup.loadSubstringIndex(spark, dir))
+    assert(!state.index.hasIdentityRows,
+      "bare-built index must load as not content-addressable")
+    def admits(text: String): Boolean =
+      Dedup.probeAndExtendSsParts(state.index,
+        Seq((99L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        minOccurrences = 2, maxDupRatio = 0.5)._1.count() == 1
+    assert(!admits(xT), "corpus fold must gate an echo pre-takedown")
+
+    // The takedown stream detects the missing capability and subtracts
+    // the ONE corpus arrival per-arrival — the withdrawal has an effect.
+    val td = TakedownStream.resume(spark,
+      java.nio.file.Files.createTempDirectory("ssnoidwal").toString)
+    assert(TakedownStream.processBatch(td,
+      TakedownStream.Targets(ss = Some((state, dir))),
+      Seq(("ss", 1L, xT)).toDF("family", "cid", "text"), 0L) == 0L)
+    assert(admits(xT),
+      "identity-less ss takedown must fall back per-arrival, not no-op")
+
+    // delete()'s DEFAULT route keys off the same capability: on this
+    // index it goes per-arrival (here: a second withdrawal of the now
+    // absent content just subtracts into negative-pruned territory and
+    // the content stays admitted — no crash, no resurrection).
+    SubstringStream.delete(state, Some(dir),
+      Seq((1L, xT)).toDF("doc_id", "text"), "doc_id", "text")
+    assert(admits(xT))
+
+    // An upgraded STREAM index advertises the capability after
+    // bootstrap + save/load.
+    val upDir = java.nio.file.Files.createTempDirectory("ssid").toString
+    val up = SubstringStream.resume(spark, upDir, corpus, "doc_id", "text")
+    assert(up.index.hasIdentityRows,
+      "stream-managed index must load as content-addressable")
+    Dedup.releaseSketchCaches()
+  }
+
   test("fp takedown tombstones: a crash between the generation save and " +
       "the tombstone prune must not re-delete re-admitted content on " +
       "restore") {
