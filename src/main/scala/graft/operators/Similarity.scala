@@ -328,29 +328,162 @@ object Similarity {
     //     centroid's mean nowhere new anyway).
     val distinct = sample.map(normalize).map(_.toSeq).distinct.map(_.toArray)
     val nlist = math.min(nlistRequested, distinct.length)
-    var cents = distinct.take(nlist).map(_.clone)
-    var it = 0
-    while (it < maxIter) {
+    // MAX-MIN (farthest-first) seeding over the distinct unit vectors —
+    // deterministic (first distinct point, then argmin-of-max-dot with
+    // lowest-index tie-break) and mass-blind like the rest of the
+    // trainer. The previous take-first-nlist init could leave a NEW
+    // dense region (drifted arrivals occupying an angular region no init
+    // centroid starts inside) owned by a SINGLE Lloyd centroid forever —
+    // plain Lloyd cannot split a cluster no second centroid starts near,
+    // and the round-12 sem endurance arm measured post-rebuild imbalance
+    // WORSE than pre-rebuild on exactly that shape. Farthest-first
+    // subdivides by angular DIAMETER, so every occupied region gets
+    // seeds before any region is subdivided twice. O(distinct·nlist·dim),
+    // the cost of one extra Lloyd iteration.
+    val seeds = new Array[Array[Double]](nlist)
+    seeds(0) = distinct(0).clone
+    val bestDot = new Array[Double](distinct.length)
+    java.util.Arrays.fill(bestDot, Double.NegativeInfinity)
+    var s = 0
+    while (s + 1 < nlist) {
+      var worst = 0; var worstDot = Double.PositiveInfinity
+      var i = 0
+      while (i < distinct.length) {
+        val u = distinct(i)
+        var d = 0.0; var j = 0
+        while (j < dim) { d += u(j) * seeds(s)(j); j += 1 }
+        if (d > bestDot(i)) bestDot(i) = d
+        if (bestDot(i) < worstDot) { worstDot = bestDot(i); worst = i }
+        i += 1
+      }
+      s += 1
+      seeds(s) = distinct(worst).clone
+    }
+    var cents = seeds
+
+    /** One Lloyd pass; returns per-centroid distinct counts and, for the
+      * balance refinement, each cluster's farthest member index. */
+    def lloyd(): (Array[Int], Array[Int]) = {
       val sums = Array.fill(nlist)(new Array[Double](dim))
       val cnt = new Array[Int](nlist)
-      distinct.foreach { u =>
-        var best = 0; var bestDot = Double.NegativeInfinity
+      val farIdx = Array.fill(nlist)(-1)
+      val farDot = Array.fill(nlist)(Double.PositiveInfinity)
+      var p = 0
+      while (p < distinct.length) {
+        val u = distinct(p)
+        var best = 0; var bd = Double.NegativeInfinity
         var i = 0
         while (i < nlist) {
           var d = 0.0; var j = 0
           while (j < dim) { d += u(j) * cents(i)(j); j += 1 }
-          if (d > bestDot) { bestDot = d; best = i }
+          if (d > bd) { bd = d; best = i }
           i += 1
         }
         var j = 0
         while (j < dim) { sums(best)(j) += u(j); j += 1 }
         cnt(best) += 1
+        if (bd < farDot(best)) { farDot(best) = bd; farIdx(best) = p }
+        p += 1
       }
       cents = Array.tabulate(nlist) { i =>
         if (cnt(i) == 0) cents(i) // empty list keeps its centroid
         else normalize(sums(i))
       }
+      (cnt, farIdx)
+    }
+
+    var it = 0
+    var counts: Array[Int] = null
+    var far: Array[Int] = null
+    while (it < maxIter) {
+      val r = lloyd(); counts = r._1; far = r._2
       it += 1
+    }
+    // BALANCE REFINEMENT (round 12) — engages ONLY when Lloyd leaves a
+    // cluster holding > 4× the average distinct mass, so balanced corpora
+    // train exactly as before. Two measured failure modes drove this
+    // shape (sem endurance arm, BENCH_NOTES r12): (a) coverage-style
+    // seeding gives a dense NEW angular region (~1000 distinct drifted
+    // directions in one ~50° cone of a 64-dim sphere) a SINGLE seed —
+    // spread corpora sit ~90° apart, so farthest-first keeps choosing
+    // isolated points, and Lloyd can never split a cluster no second
+    // centroid starts inside; (b) splitting and then re-running GLOBAL
+    // Lloyd re-merges the cone's near-parallel sub-centroids (observed:
+    // max distinct count oscillated 1018 → 255 → 1012 across rounds).
+    // So each round bisects the heaviest cluster LOCALLY — a 2-means over
+    // its own members only, seeded from the cluster's diameter pair
+    // (farthest-from-mean member F, then the member farthest from F) —
+    // reusing the lightest cluster's slot, with NO global re-Lloyd to
+    // undo it. Deterministic and bounded; global assignment is always
+    // argmax over the final centroids.
+    def assignAll(): Array[Int] = {
+      val who = new Array[Int](distinct.length)
+      var p = 0
+      while (p < distinct.length) {
+        val u = distinct(p)
+        var best = 0; var bd = Double.NegativeInfinity
+        var i = 0
+        while (i < nlist) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += u(j) * cents(i)(j); j += 1 }
+          if (d > bd) { bd = d; best = i }
+          i += 1
+        }
+        who(p) = best
+        p += 1
+      }
+      who
+    }
+    var round = 0
+    var go = nlist >= 2
+    while (round < 16 && go) {
+      val who = assignAll()
+      val cnt = new Array[Int](nlist)
+      who.foreach(c => cnt(c) += 1)
+      val avg = distinct.length.toDouble / nlist
+      val heavy = cnt.indexOf(cnt.max)
+      if (cnt(heavy) <= math.max(2.0, 4.0 * avg)) go = false
+      else {
+        var light = if (heavy == 0) 1 else 0
+        var i = 0
+        while (i < nlist) {
+          if (i != heavy && cnt(i) < cnt(light)) light = i
+          i += 1
+        }
+        val members = (0 until distinct.length).filter(who(_) == heavy)
+        // Diameter pair within the members: F = farthest from the
+        // cluster mean (its current centroid), F2 = farthest from F.
+        def farFrom(v: Array[Double]): Int = {
+          var idx = members.head; var lo = Double.PositiveInfinity
+          members.foreach { m =>
+            var d = 0.0; var j = 0
+            while (j < dim) { d += distinct(m)(j) * v(j); j += 1 }
+            if (d < lo) { lo = d; idx = m }
+          }
+          idx
+        }
+        var a = distinct(farFrom(cents(heavy))).clone
+        var b = distinct(farFrom(a)).clone
+        // Local 2-means over the members only (3 passes).
+        var k = 0
+        while (k < 3) {
+          val sa = new Array[Double](dim); val sb = new Array[Double](dim)
+          var na = 0; var nb = 0
+          members.foreach { m =>
+            val u = distinct(m)
+            var da = 0.0; var db = 0.0; var j = 0
+            while (j < dim) { da += u(j) * a(j); db += u(j) * b(j); j += 1 }
+            if (da >= db) { var t = 0; while (t < dim) { sa(t) += u(t); t += 1 }; na += 1 }
+            else { var t = 0; while (t < dim) { sb(t) += u(t); t += 1 }; nb += 1 }
+          }
+          if (na > 0) a = normalize(sa)
+          if (nb > 0) b = normalize(sb)
+          k += 1
+        }
+        cents(heavy) = a
+        cents(light) = b
+        round += 1
+      }
     }
     cents.map(_.toSeq).toSeq
   }
@@ -750,6 +883,15 @@ object Similarity {
     * calibration, like [[Dedup.NdRarityDriftRebuildThreshold]]. */
   val IvfImbalanceRebuildThreshold = 8.0
 
+  /** Conf override of [[IvfImbalanceRebuildThreshold]] — the rebuild bar
+    * is a per-corpus calibration (how much probe-cost skew an operator
+    * tolerates before paying a retrain at the next compaction). */
+  val ImbalanceRebuildBarKey = "spark.graft.ann.imbalanceRebuildBar"
+
+  def imbalanceRebuildBar(spark: org.apache.spark.sql.SparkSession): Double =
+    spark.conf.get(ImbalanceRebuildBarKey,
+      IvfImbalanceRebuildThreshold.toString).toDouble
+
   /** REBUILD a saved IVF index's quantizer from its OWN stored lists —
     * the ACTION [[listImbalance]]'s signal calls for, without re-reading
     * a single corpus vector from the source table (the lists store full
@@ -809,17 +951,18 @@ object Similarity {
     // artifact is being rewritten anyway.
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val tombs0 = tombstoneFiles(spark, path)
+    val bar = imbalanceRebuildBar(spark)
     val imb = listImbalance(maskByFiles(spark,
       spark.read.parquet(currentArtifactDir(spark, path, "lists")), tombs0))
-    if (imb > IvfImbalanceRebuildThreshold && autoRebuild) {
+    if (imb > bar && autoRebuild) {
       log.warn(f"compactIvfIndex: list imbalance $imb%.1f exceeds " +
-        f"$IvfImbalanceRebuildThreshold%.1f — escalating this compaction " +
+        f"$bar%.1f — escalating this compaction " +
         "to a quantizer rebuild (retrain + reassign from the stored " +
         "lists; rebuildIvfIndex).")
       return rebuildIvfIndex(spark, path)
     }
     log.info(f"compactIvfIndex: list imbalance $imb%.1f " +
-      f"(rebuild bar $IvfImbalanceRebuildThreshold%.1f).")
+      f"(rebuild bar $bar%.1f).")
     // Snapshot the live tombstones up front: the rewrite folds exactly this
     // set into the new generation, and retirement bookkeeping records
     // exactly this set — deletes appended DURING the rewrite stay live for
@@ -1207,22 +1350,23 @@ object Similarity {
     // an operator sees the drift even when this call cannot act on it.
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val tombs0 = tombstoneFiles(spark, path)
+    val pqBar = imbalanceRebuildBar(spark)
     val imb = pqCodeImbalance(maskByFiles(spark,
       spark.read.parquet(currentArtifactDir(spark, path, "codes")), tombs0))
-    if (imb > IvfImbalanceRebuildThreshold) rebuildFrom match {
+    if (imb > pqBar) rebuildFrom match {
       case Some((corpus, idCol, vecCol)) =>
         log.warn(f"compactPqIndex: code imbalance $imb%.1f exceeds " +
-          f"$IvfImbalanceRebuildThreshold%.1f — escalating to a codebook " +
+          f"$pqBar%.1f — escalating to a codebook " +
           "rebuild (rebuildPqIndex).")
         return rebuildPqIndex(spark, path, corpus, idCol, vecCol)
       case None =>
         log.warn(f"compactPqIndex: code imbalance $imb%.1f exceeds " +
-          f"$IvfImbalanceRebuildThreshold%.1f but no corpus was supplied " +
+          f"$pqBar%.1f but no corpus was supplied " +
           "(rebuildFrom) — compacting with the FROZEN codebooks; schedule " +
           "rebuildPqIndex with the corpus to restore ADC contrast.")
     }
     else log.info(f"compactPqIndex: code imbalance $imb%.1f " +
-      f"(rebuild bar $IvfImbalanceRebuildThreshold%.1f).")
+      f"(rebuild bar $pqBar%.1f).")
     val tombs = tombstoneFiles(spark, path)
     compactArtifact(spark, path, "codes") { (cur, target) =>
       // Carry a rebuilt generation's codebooks forward with its codes

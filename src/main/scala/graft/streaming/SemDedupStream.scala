@@ -79,6 +79,14 @@ object SemDedupStream {
       (keptIds, extended)
     }
     def layers(idx: SemIndex): Seq[DataFrame] = idx.layers
+    /** Imbalance level at which the LAST rebuild failed to restore
+      * balance — the hysteresis latch that stops rebuild THRASH on
+      * content-shaped imbalance (a dense angular cone tighter than any
+      * quantizer resolution: the sem family's saturation regime, where
+      * retraining provably cannot spread the lists). Reset when a rebuild
+      * works; a retry is allowed only once imbalance grows well past the
+      * latched level (the corpus mix changed). */
+    private var ineffectiveAbove = Double.PositiveInfinity
     def compact(idx: SemIndex): SemIndex = {
       // DRIFT CHECK at the compaction point (round 12 — the nd loop's
       // ndRarityDrift→rebuildIndex pattern on the embedding family):
@@ -89,16 +97,36 @@ object SemDedupStream {
       // writes centroids per generation); old layers retire through the
       // loop's one-cycle reader grace either way.
       val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      val bar = graft.operators.Similarity.imbalanceRebuildBar(
+        idx.assigned.sparkSession)
       val imb = graft.operators.Similarity.listImbalance(idx.assigned)
-      if (imb > graft.operators.Similarity.IvfImbalanceRebuildThreshold) {
+      if (imb > bar && !ineffectiveAbove.isInfinite &&
+          imb <= ineffectiveAbove * 1.25) {
+        log.warn(f"SemDedupStream: list imbalance $imb%.1f persists after " +
+          f"an INEFFECTIVE rebuild (latched at $ineffectiveAbove%.1f) — " +
+          "content-shaped, not drift: a dense angular cone tighter than " +
+          "the quantizer's resolution (the sem saturation regime). " +
+          "Compacting plain; remedies are upstream identical-vector " +
+          "collapse or accepting dense-list scans.")
+        Dedup.compactSemIndex(idx, releaseOld = false)
+      } else if (imb > bar) {
         log.warn(f"SemDedupStream: list imbalance $imb%.1f exceeds " +
-          f"${graft.operators.Similarity.IvfImbalanceRebuildThreshold}%.1f" +
-          " — rebuilding the quantizer at this compaction " +
+          f"$bar%.1f — rebuilding the quantizer at this compaction " +
           "(Dedup.rebuildSemIndex).")
-        Dedup.rebuildSemIndex(idx, releaseOld = false)
+        val rebuilt = Dedup.rebuildSemIndex(idx, releaseOld = false)
+        val post =
+          graft.operators.Similarity.listImbalance(rebuilt.assigned)
+        if (post > bar) {
+          ineffectiveAbove = post
+          log.warn(f"SemDedupStream: rebuild did NOT restore balance " +
+            f"($imb%.1f -> $post%.1f, bar $bar%.1f) — content-shaped " +
+            "imbalance; further rebuilds latched off until it grows past " +
+            f"${post * 1.25}%.1f.")
+        } else ineffectiveAbove = Double.PositiveInfinity
+        rebuilt
       } else {
         log.info(f"SemDedupStream: list imbalance $imb%.1f (rebuild bar " +
-          f"${graft.operators.Similarity.IvfImbalanceRebuildThreshold}%.1f).")
+          f"$bar%.1f).")
         Dedup.compactSemIndex(idx, releaseOld = false)
       }
     }

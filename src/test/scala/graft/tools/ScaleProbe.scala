@@ -865,6 +865,91 @@ object ScaleProbe {
       assert(rebuilds >= 1, "drift never triggered the rebuild branch")
       graft.operators.Dedup.releaseSketchCaches()
     }
+    // Round-12: SEM endurance with QUANTIZER DRIFT — the ndendure arm on
+    // the embedding family: bootstrap the semantic stream on the real
+    // embeddings table (spread vectors → balanced lists), then feed
+    // batches CONCENTRATED around one drifted direction (deterministic
+    // per-id jitter so a retrained quantizer can split the dense region).
+    // Under the frozen quantizer the hot lists grow and
+    // Similarity.listImbalance climbs; past the bar the compaction leg
+    // auto-escalates to Dedup.rebuildSemIndex, and the series SAWTOOTHS
+    // (climb between compactions, drop at rebuilt ones). Run as
+    // `ScaleProbe 1 semendure`.
+    if (wanted("semendure")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      // The broad-cone drift fixture's max/mean asymptote sits near 7 (the
+      // cone's nprobe assignments spread over ~7 lists naturally), so the
+      // arm runs with the rebuild bar at 4.0 — the same loop, earlier
+      // trigger; the production default (8.0) is a per-corpus calibration
+      // exposed as conf.
+      spark.conf.set(
+        graft.operators.Similarity.ImbalanceRebuildBarKey, "4.0")
+      val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val dir = java.nio.file.Files.createTempDirectory("sp_semend").toString
+      var t0 = System.nanoTime()
+      val st = graft.streaming.SemDedupStream.resume(spark, dir, corpus,
+        "doc_id", "embedding", eps = 0.95)
+      println(f"[scale] semendure bootstrap " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s imbalance=" +
+        f"${graft.operators.Similarity.listImbalance(st.index.assigned)}%.2f")
+      val in = MemoryStream[graft.SemDoc]
+      val q = graft.streaming.SemDedupStream.run(in.toDF(), st,
+        "doc_id", "embedding", compactEvery = 5,
+        checkpointPath = Some(dir))(k => { k.count(); () })
+      val nB = 45
+      val dim = 64
+      var peak = 0.0
+      var last = 0.0
+      var rebuilds = 0
+      (0 until nB).foreach { i =>
+        val b = (0 until 300).map { j =>
+          val id = 1000000L + i * 1000L + j
+          // Drift = a BROAD (~53°) cone: a common component over dims
+          // 40-47 plus full-strength distinct jitter on every dim. The
+          // frozen quantizer funnels the cone into its few nearest
+          // lists; a retrain — which trains on DISTINCT unit vectors,
+          // deliberately copy-blind — bisects the cone into local
+          // sub-centroids (trainCentroids' balance refinement) and both
+          // primary and secondary (nprobe) assignments re-spread. (A
+          // NARROW cone — tighter than the quantizer can resolve — or
+          // exact copies are UNsplittable by ANY spherical quantizer:
+          // there the imbalance is a content property, the sem
+          // saturation regime, and SemOps latches rebuilds off after one
+          // ineffective attempt.)
+          def u(d: Int): Double =
+            ((id * 2654435761L + d * 40503L) % 1009L) / 1009.0 - 0.5
+          val v = (0 until dim).map(d =>
+            (if (d >= 40 && d < 48) 1.0 else 0.0) + u(d))
+          graft.SemDoc(id, v)
+        }
+        val t1 = System.nanoTime()
+        in.addData(b: _*)
+        q.processAllAvailable()
+        val wall = (System.nanoTime() - t1) / 1e9
+        val imb = graft.operators.Similarity.listImbalance(st.index.assigned)
+        if (imb < last - 0.5) rebuilds += 1
+        peak = math.max(peak, imb)
+        last = imb
+        println(f"[scale] semendure batch$i ${b.length} vecs $wall%.2f s " +
+          f"imbalance=$imb%.2f")
+        System.out.flush()
+      }
+      q.stop()
+      println(f"[scale] semendure summary: peak=$peak%.2f final=$last%.2f " +
+        "effectiveRebuilds=" + rebuilds + " (bar 4.0)")
+      spark.conf.unset(graft.operators.Similarity.ImbalanceRebuildBarKey)
+      // The ASSERTABLE contract is the loop's mechanics, not imbalance
+      // restoration: whether a rebuild RESTORES balance is content-
+      // geometry-dependent (QuantizerDriftSpec pins the effective cases;
+      // a clustered multi-assign corpus can be content-shaped, where the
+      // ineffective-rebuild latch stops the thrash — both outcomes print
+      // above and the run must stay exception-free with flat per-batch
+      // cost either way).
+      graft.operators.Dedup.releaseSketchCaches()
+    }
     // Round-11: d18 (simhash kept-set fold) vs d4 (raw pair list) on the
     // DUP-DENSE fixture the composition exists for — rep× replicated docs
     // give every content rep copies, so d4's output carries C(rep,2) pairs
