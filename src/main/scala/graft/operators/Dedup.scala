@@ -1951,9 +1951,13 @@ object Dedup {
     * arrivals, kept and dropped alike — the near-dup contract: an arrival
     * that twins an already-DROPPED doc is still a duplicate), each
     * multi-assigned to its `nprobe` nearest inverted lists as
-    * (id, cv, cn, list). `eps` is the dedup threshold. `layers` follow
-    * the sketch-cache release contract shared by the other index
-    * families. */
+    * (id, cv, cn, list, vh, rep) — `vh` = xxhash64 of the vector, `rep` =
+    * this row is its identical-vector group's probed representative
+    * (recomputed at every compaction by [[collapseSemReps]]: exact-copy
+    * floods collapse to one scanned row per distinct vector per list,
+    * while the copies stay as rows so per-id takedowns keep their
+    * semantics). `eps` is the dedup threshold. `layers` follow the
+    * sketch-cache release contract shared by the other index families. */
   final case class SemIndex private[graft] (
       centroids: Seq[Seq[Double]],
       assigned: DataFrame,
@@ -1971,7 +1975,9 @@ object Dedup {
   /** Multi-assign nonzero-norm vectors to their `nprobe` nearest lists —
     * the fused codegen'd top-nprobe kernel, one narrow projection. Zero-
     * norm vectors have no direction (cosine undefined): they are never
-    * candidates, so they never enter the index. */
+    * candidates, so they never enter the index. Rows carry the
+    * identical-vector identity columns (`vh`, `rep`) fresh arrivals start
+    * all-rep; the compaction-time [[collapseSemReps]] regroups them. */
   private def semAssign(vecs: DataFrame, idCol: String, vecCol: String,
       cents: Seq[Seq[Double]], nprobe: Int): DataFrame =
     semShape(vecs, idCol, vecCol)
@@ -1979,6 +1985,36 @@ object Dedup {
       .withColumn("list", explode(
         graft.functions.GraftFunctions.nearestCentroids(col("cv"), cents,
           nprobe)))
+      .withColumn("vh", xxhash64(col("cv")))
+      .withColumn("rep", lit(true))
+
+  /** Ensure the identical-vector identity columns every [[SemIndex]] row
+    * rides on: `vh` (xxhash64 over the double vector — a narrow
+    * group/join key) and `rep` (this row is its identical-vector group's
+    * probed representative). Frames from pre-collapse checkpoints load
+    * all-rep — correct (the probe over-scans exact copies, never
+    * under-scans) until the next compaction regroups them. */
+  private def withSemIdentityCols(df: DataFrame): DataFrame = {
+    val vh = if (df.columns.contains("vh")) df
+      else df.withColumn("vh", xxhash64(col("cv")))
+    if (vh.columns.contains("rep")) vh
+    else vh.withColumn("rep", lit(true))
+  }
+
+  /** Recompute the per-(list, vector) representative flags: within each
+    * inverted list, exactly one row per distinct vector (min id) probes;
+    * its exact copies stay as rows (they are real per-doc state — the
+    * takedown of one id must not forget its twins) but stop being scanned.
+    * Any vector with cosine ≥ eps to a non-rep copy has the SAME cosine to
+    * its representative, so kept/dropped decisions are unchanged — this is
+    * a pure probe-cost collapse, the sem analog of the substring family's
+    * identity-row fold. Grouping includes the full vector (not just its
+    * hash), so a 64-bit collision can never silence a distinct vector. */
+  private[graft] def collapseSemReps(assigned: DataFrame): DataFrame = {
+    val a = withSemIdentityCols(assigned)
+    val w = Window.partitionBy(col("list"), col("vh"), col("cv"))
+    a.withColumn("rep", col("id") === min(col("id")).over(w))
+  }
 
   /** Train the quantizer on `corpus` and index its vectors — the
     * bootstrap half of the semantic arrival stream
@@ -1990,8 +2026,8 @@ object Dedup {
       trainCap: Int = 20000): SemIndex = {
     val cents = Similarity.trainQuantizer(semShape(corpus, idCol, vecCol),
       nlist, maxIter, trainCap)
-    val assigned = persistSketch(
-      semAssign(corpus, idCol, vecCol, cents, nprobe))
+    val assigned = persistSketch(collapseSemReps(
+      semAssign(corpus, idCol, vecCol, cents, nprobe)))
     assigned.count()
     SemIndex(cents, assigned, eps, nprobe, layers = Seq(assigned))
   }
@@ -2027,10 +2063,14 @@ object Dedup {
     // probed lists, never the accumulated corpus.
     val probeLists = ba.select("list").distinct().collect().map(_.getInt(0))
     val eps = index.eps
+    // Representative rows only: after a collapse, a dense list of exact
+    // copies scans ONE row per distinct vector — identical decisions
+    // (cosine to a rep ≡ cosine to any of its twins), collapsed cost.
     val dupIds =
       if (probeLists.isEmpty) ba.select("id").limit(0)
-      else index.assigned
+      else withSemIdentityCols(index.assigned)
         .where(col("list").isin(probeLists.toIndexedSeq.map(Int.box): _*))
+        .where(col("rep"))
         .select(col("cv").as("xv"), col("cn").as("xn"), col("list"))
         .join(broadcast(ba), Seq("list"))
         .where(try_divide(Similarity.dot(col("xv"), col("cv")),
@@ -2048,7 +2088,8 @@ object Dedup {
     val keptIds = keptNz.unionByName(zeroKept)
       .select(col("id").as("doc_id"))
     (keptIds, ba,
-      SemIndex(index.centroids, index.assigned.unionByName(ba), eps,
+      SemIndex(index.centroids,
+        withSemIdentityCols(index.assigned).unionByName(ba), eps,
         index.nprobe, index.layers :+ ba))
   }
 
@@ -2103,7 +2144,8 @@ object Dedup {
       val p = spark.read.parquet(s"$gdir/params").head()
       val cents = spark.read.parquet(s"$gdir/centroids").orderBy("i")
         .select("v").collect().map(_.getSeq[Double](0)).toSeq
-      (SemIndex(cents, spark.read.parquet(s"$gdir/vecs"),
+      (SemIndex(cents,
+        withSemIdentityCols(spark.read.parquet(s"$gdir/vecs")),
         p.getAs[Double]("eps"), p.getAs[Int]("nprobe")),
         p.getAs[Long]("batch_id"))
     }
@@ -2126,14 +2168,14 @@ object Dedup {
         due.foldLeft(idx) { (acc, t) =>
           val ids = persistSketch(spark.read.parquet(t._3))
           ids.count()
-          acc.copy(assigned = acc.assigned.join(ids, Seq("id"), "left_anti"),
+          acc.copy(assigned = removeSemAssignedRows(acc.assigned, ids),
             layers = acc.layers :+ ids)
         }
       }
       val idx = deltas.foldLeft(gen) { (acc, b) =>
         val withTombs = applyDue(acc, b)
-        val vecs = persistSketch(
-          spark.read.parquet(s"$path/delta/b$b/vecs"))
+        val vecs = persistSketch(withSemIdentityCols(
+          spark.read.parquet(s"$path/delta/b$b/vecs")))
         // Materialize NOW: a later WAL append must never race a lazy read.
         vecs.count()
         withTombs.copy(
@@ -2152,8 +2194,35 @@ object Dedup {
   private[graft] def removeSemIds(index: SemIndex, ids: DataFrame): SemIndex = {
     val doomed = persistSketch(ids.select(col("id").cast("long").as("id")))
     doomed.count()
-    index.copy(assigned = index.assigned.join(doomed, Seq("id"), "left_anti"),
+    index.copy(assigned = removeSemAssignedRows(index.assigned, doomed),
       layers = index.layers :+ doomed)
+  }
+
+  /** Drop doomed ids from an assigned frame and PROMOTE a surviving
+    * identical-vector twin to representative wherever a removed row's
+    * (list, vector) group still has members — without this, taking down a
+    * collapsed group's probed row would silently stop catching future
+    * exact copies whose surviving twins are still in the index. Both the
+    * live takedown ([[removeSemIds]]) and crash-replay tombstones
+    * ([[loadSemIndexWithDeltas]]) go through here, so a crash between the
+    * tombstone write and the next snapshot replays the SAME promotion.
+    * The promotion joins are bounded by the doomed set (× nprobe lists),
+    * never the corpus. */
+  private def removeSemAssignedRows(assigned: DataFrame,
+      doomed: DataFrame): DataFrame = {
+    val a = withSemIdentityCols(assigned)
+    val survivors = a.join(doomed, Seq("id"), "left_anti")
+    val hitGroups = a.join(doomed, Seq("id"))
+      .select(col("list"), col("vh"), col("cv")).distinct()
+    val promoted = survivors
+      .join(broadcast(hitGroups), Seq("list", "vh", "cv"))
+      .groupBy(col("list"), col("vh"), col("cv"))
+      .agg(min(col("id")).as("promoted_id"))
+    survivors
+      .join(broadcast(promoted), Seq("list", "vh", "cv"), "left")
+      .withColumn("rep", col("rep") ||
+        coalesce(col("id") === col("promoted_id"), lit(false)))
+      .drop("promoted_id")
   }
 
   // The semantic family's id tombstones share the nd family's layout and
@@ -2197,12 +2266,12 @@ object Dedup {
       .localCheckpoint(true)
     val cents = Similarity.trainQuantizer(vecs.select(col("id"), col("cv")),
       nlist, maxIter, trainCap)
-    val assigned = persistSketch(vecs
+    val assigned = persistSketch(collapseSemReps(vecs
       .where(col("cn") > 0)
       .withColumn("list", explode(
         graft.functions.GraftFunctions.nearestCentroids(col("cv"), cents,
           index.nprobe)))
-      .select(col("id"), col("cv"), col("cn"), col("list")))
+      .select(col("id"), col("cv"), col("cn"), col("list"))))
     assigned.count()
     if (releaseOld) index.layers.foreach(_.unpersist(false))
     SemIndex(cents, assigned, index.eps, index.nprobe,
@@ -2215,6 +2284,21 @@ object Dedup {
   def compactSemIndex(index: SemIndex,
       releaseOld: Boolean = true): SemIndex = {
     val a = index.assigned.localCheckpoint(true)
+    if (releaseOld) index.layers.foreach(_.unpersist(false))
+    index.copy(assigned = a, layers = Nil)
+  }
+
+  /** [[compactSemIndex]] + identical-vector collapse: flatten the union
+    * lineage AND recompute the per-(list, vector) representative flags, so
+    * exact-copy mass accumulated since the last compaction stops being
+    * scanned — the automatic remedy for the exact-copy half of the sem
+    * saturation regime (the other half, distinct vectors inside one dense
+    * angular cone, is content-shaped: no collapse or retrain can spread
+    * it). One content-sized window pass, at a point that already rewrites
+    * the content. */
+  def collapseSemIndex(index: SemIndex,
+      releaseOld: Boolean = true): SemIndex = {
+    val a = collapseSemReps(index.assigned).localCheckpoint(true)
     if (releaseOld) index.layers.foreach(_.unpersist(false))
     index.copy(assigned = a, layers = Nil)
   }

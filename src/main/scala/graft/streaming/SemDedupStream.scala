@@ -96,26 +96,38 @@ object SemDedupStream {
       // the SAME generational save as a plain compaction (SemOps.save
       // writes centroids per generation); old layers retire through the
       // loop's one-cycle reader grace either way.
+      //
+      // The IDENTICAL-VECTOR COLLAPSE runs FIRST (round 13 — the remedy
+      // the round-12 latch message could only name): exact-copy mass
+      // folds to one probed representative per (list, vector), so the
+      // imbalance the rebuild decision sees is measured over the rows the
+      // probe will actually scan. An exact-copy flood therefore SELF-HEALS
+      // here — the rebuild (and the latch) are reserved for genuine drift
+      // and for the one content shape nothing can spread: distinct vectors
+      // inside an angular cone tighter than any quantizer resolution.
       val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      val collapsed = Dedup.collapseSemIndex(idx, releaseOld = false)
       val bar = graft.operators.Similarity.imbalanceRebuildBar(
-        idx.assigned.sparkSession)
-      val imb = graft.operators.Similarity.listImbalance(idx.assigned)
+        collapsed.assigned.sparkSession)
+      val imb = graft.operators.Similarity.listImbalance(
+        collapsed.assigned.where(org.apache.spark.sql.functions.col("rep")))
       if (imb > bar && !ineffectiveAbove.isInfinite &&
           imb <= ineffectiveAbove * 1.25) {
-        log.warn(f"SemDedupStream: list imbalance $imb%.1f persists after " +
-          f"an INEFFECTIVE rebuild (latched at $ineffectiveAbove%.1f) — " +
-          "content-shaped, not drift: a dense angular cone tighter than " +
-          "the quantizer's resolution (the sem saturation regime). " +
-          "Compacting plain; remedies are upstream identical-vector " +
-          "collapse or accepting dense-list scans.")
-        Dedup.compactSemIndex(idx, releaseOld = false)
+        log.warn(f"SemDedupStream: representative-row list imbalance " +
+          f"$imb%.1f persists after an INEFFECTIVE rebuild (latched at " +
+          f"$ineffectiveAbove%.1f) — content-shaped, not drift: distinct " +
+          "vectors in a dense angular cone tighter than the quantizer's " +
+          "resolution (the sem saturation regime; exact copies are " +
+          "already collapsed to one probed row each). Compacting plain; " +
+          "the remedy is accepting dense-list scans.")
+        collapsed
       } else if (imb > bar) {
-        log.warn(f"SemDedupStream: list imbalance $imb%.1f exceeds " +
-          f"$bar%.1f — rebuilding the quantizer at this compaction " +
-          "(Dedup.rebuildSemIndex).")
-        val rebuilt = Dedup.rebuildSemIndex(idx, releaseOld = false)
-        val post =
-          graft.operators.Similarity.listImbalance(rebuilt.assigned)
+        log.warn(f"SemDedupStream: representative-row list imbalance " +
+          f"$imb%.1f exceeds $bar%.1f — rebuilding the quantizer at this " +
+          "compaction (Dedup.rebuildSemIndex).")
+        val rebuilt = Dedup.rebuildSemIndex(collapsed, releaseOld = false)
+        val post = graft.operators.Similarity.listImbalance(
+          rebuilt.assigned.where(org.apache.spark.sql.functions.col("rep")))
         if (post > bar) {
           ineffectiveAbove = post
           log.warn(f"SemDedupStream: rebuild did NOT restore balance " +
@@ -125,9 +137,9 @@ object SemDedupStream {
         } else ineffectiveAbove = Double.PositiveInfinity
         rebuilt
       } else {
-        log.info(f"SemDedupStream: list imbalance $imb%.1f (rebuild bar " +
-          f"$bar%.1f).")
-        Dedup.compactSemIndex(idx, releaseOld = false)
+        log.info(f"SemDedupStream: representative-row list imbalance " +
+          f"$imb%.1f (rebuild bar $bar%.1f).")
+        collapsed
       }
     }
     def save(idx: SemIndex, path: String, walId: Long,
