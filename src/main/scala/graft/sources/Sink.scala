@@ -88,6 +88,123 @@ object Sink {
       .parquet(s"$path/b$batchId")
   }
 
+  /** [[partitioned]] on ORC, for lakes standardized on it — identical
+    * pruning semantics, different columnar container. */
+  def partitionedOrc(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).orc(path)
+
+  /** How a [[compact]] run ended: partition leaves examined/rewritten and
+    * the visible data-file count before/after. */
+  final case class CompactStats(leavesSeen: Int, leavesRewritten: Int,
+      filesBefore: Long, filesAfter: Long)
+
+  private def isVisible(name: String): Boolean =
+    !name.startsWith(".") && !name.startsWith("_")
+
+  private def children(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    try fs.listStatus(dir).toSeq
+    catch { case _: java.io.FileNotFoundException => Nil }
+
+  /** Leaf data directories under `root`: every directory whose visible
+    * children include at least one FILE (hive partition dirs, or the root
+    * itself for an unpartitioned dataset). */
+  private def dataLeaves(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val kids = children(fs, root).filter(s => isVisible(s.getPath.getName))
+    val here = if (kids.exists(_.isFile)) Seq(root) else Nil
+    here ++ kids.filter(_.isDirectory)
+      .flatMap(d => dataLeaves(fs, d.getPath))
+  }
+
+  /** Small-files compaction — rewrite each partition leaf whose visible
+    * data files outnumber `ceil(bytes / targetBytesPerFile)` down to that
+    * count. THE recurring operational job of a streaming lake: per-batch
+    * idempotent sinks and frequent checkpoints land thousands of KB-sized
+    * files per partition, and at 100 TB the resulting listing + open cost
+    * (and parquet footer overhead) dominates scan time long before the
+    * bytes do.
+    *
+    * Mechanics, per leaf (only leaves that NEED rewriting are touched —
+    * an already-compact partition's files and mtimes are left alone):
+    *   1. the compacted copy lands in a dot-prefixed sibling
+    *      (`.cmp_tmp_<leaf>`), which parquet/ORC readers never list;
+    *   2. the old leaf is deleted ONLY once the copy's `_SUCCESS` marker
+    *      exists, then the copy renames into place (two metadata ops).
+    * A crash anywhere leaves either the old leaf, or a complete copy the
+    * next [[compact]] (or [[compactRecover]]) finishes swapping in — data
+    * is never in only-partially-deleted state. Readers racing the swap see
+    * the leaf atomically old or new, modulo the instant between the two
+    * metadata ops; partition VALUES (directory names) are preserved
+    * exactly, so pruning and schema are unchanged.
+    *
+    * NOT for bucketed layouts ([[bucketed]]/[[bucketedExternal]]): bucket
+    * ids live in the file NAMES, which a rewrite regenerates — compact
+    * those by re-bucketing. Leaves rewrite sequentially (each rewrite is
+    * itself a distributed job); drive leaves from several threads if a
+    * backfill produced millions of them. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytesPerFile: Long = 128L << 20,
+      format: String = "parquet"): CompactStats = {
+    require(targetBytesPerFile >= 1,
+      s"targetBytesPerFile must be >= 1, got $targetBytesPerFile")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    compactRecover(spark, path)
+    var seen = 0; var rewritten = 0; var before = 0L; var after = 0L
+    dataLeaves(fs, root).foreach { leaf =>
+      seen += 1
+      val files = children(fs, leaf)
+        .filter(s => s.isFile && isVisible(s.getPath.getName))
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1L,
+        (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+      before += files.size
+      if (files.size > want) {
+        rewritten += 1
+        val tmp = new org.apache.hadoop.fs.Path(leaf.getParent,
+          s".cmp_tmp_${leaf.getName}")
+        spark.read.format(format).load(leaf.toString)
+          .coalesce(want)
+          .write.mode(SaveMode.Overwrite).format(format).save(tmp.toString)
+        require(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")),
+          s"compacted copy at $tmp has no _SUCCESS marker — aborting swap")
+        fs.delete(leaf, true)
+        fs.rename(tmp, leaf)
+        after += children(fs, leaf)
+          .count(s => s.isFile && isVisible(s.getPath.getName))
+      } else after += files.size
+    }
+    CompactStats(seen, rewritten, before, after)
+  }
+
+  /** Finish or roll back [[compact]] swaps a crash interrupted: a complete
+    * copy (`.cmp_tmp_<leaf>/_SUCCESS`) whose leaf is gone renames into
+    * place; every other `.cmp_tmp_` remnant (incomplete copy, or the old
+    * leaf still present) is deleted — the old leaf stays authoritative.
+    * [[compact]] runs this first, so simply re-running compact after a
+    * crash is the recovery procedure. */
+  def compactRecover(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(dir: org.apache.hadoop.fs.Path): Unit = {
+      val kids = children(fs, dir)
+      kids.filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(".cmp_tmp_")).foreach { t =>
+        val leaf = new org.apache.hadoop.fs.Path(dir,
+          t.getPath.getName.stripPrefix(".cmp_tmp_"))
+        val complete =
+          fs.exists(new org.apache.hadoop.fs.Path(t.getPath, "_SUCCESS"))
+        if (complete && !fs.exists(leaf)) fs.rename(t.getPath, leaf)
+        else fs.delete(t.getPath, true)
+      }
+      kids.filter(s => s.isDirectory && isVisible(s.getPath.getName))
+        .foreach(d => walk(d.getPath))
+    }
+    walk(root)
+  }
+
   /** [[bucketed]] with the files at an explicit `path` (external table):
     * the bucketing metadata lives in the catalog entry, the data lives
     * where the caller says — the layout an index checkpoint needs, where

@@ -122,4 +122,122 @@ class SourcesSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).as[Long].collect().toSet ==
       (0L until 1000L).toSet)
   }
+
+  test("orc ingest/sink round-trips with partition pruning") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString + "/t"
+    val df = (1 to 100).map(i => (i.toLong, s"flag${i % 4}", i * 1.5))
+      .toDF("id", "flag", "v")
+    graft.sources.Sink.partitionedOrc(df, dir, "flag")
+    val back = Ingest.orc(spark, dir).where(col("flag") === "flag2")
+    assert(back.count() == 25)
+    val scan = back.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("flag"))
+  }
+
+  test("text ingest: line-per-row and file-per-doc shapes") {
+    val dir = java.nio.file.Files.createTempDirectory("txt").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "a.txt").toPath, "alpha line one\nalpha two\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "b.txt").toPath, "beta solo\n")
+    assert(Ingest.textLines(spark, dir.getPath).count() == 3)
+    val docs = Ingest.textFiles(spark, dir.getPath)
+      .collect().map(r => (r.getString(0).split('/').last, r.getString(1)))
+      .toMap
+    assert(docs.keySet == Set("a.txt", "b.txt"))
+    assert(docs("a.txt").contains("alpha line one\nalpha two"))
+  }
+
+  test("binaryFiles ingest: opaque payloads, glob at listing, size cap") {
+    val dir = java.nio.file.Files.createTempDirectory("bin").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "x.bin").toPath,
+      Array.tabulate[Byte](64)(_.toByte))
+    java.nio.file.Files.write(new java.io.File(dir, "big.bin").toPath,
+      Array.fill[Byte](4096)(7))
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "skip.txt").toPath, "not binary payload")
+    val all = Ingest.binaryFiles(spark, dir.getPath, glob = Some("*.bin"))
+    assert(all.count() == 2)
+    val small = Ingest.binaryFiles(spark, dir.getPath,
+      glob = Some("*.bin"), maxBytes = Some(1024L))
+    val rows = small.collect()
+    assert(rows.length == 1 &&
+      rows(0).getAs[Array[Byte]]("content").length == 64)
+  }
+
+  test("compact: small-file leaves rewrite to the byte-target count, " +
+      "content and pruning preserved, compact leaves untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"
+    // Two partitions of tiny files (20 part-files each) + nothing else.
+    val df = (1 to 400).map(i => (i.toLong, s"p${i % 2}", i * 1.1))
+      .toDF("id", "p", "v")
+    df.repartition(20).write.partitionBy("p").parquet(dir)
+    def leafFiles(leaf: String) =
+      Option(new java.io.File(s"$dir/$leaf").listFiles()).getOrElse(Array())
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+    assert(leafFiles("p=p0").length == 20)
+    val beforeRows = spark.read.parquet(dir).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+
+    val stats = graft.sources.Sink.compact(spark, dir,
+      targetBytesPerFile = 1L << 30)
+    assert(stats.leavesSeen == 2 && stats.leavesRewritten == 2)
+    assert(stats.filesBefore == 40 && stats.filesAfter == 2)
+    assert(leafFiles("p=p0").length == 1 && leafFiles("p=p1").length == 1)
+    assert(spark.read.parquet(dir).orderBy("id")
+      .collect().map(_.toSeq).toSeq == beforeRows,
+      "compaction must not change a single row")
+    // Partition pruning still works on the rewritten layout.
+    val back = spark.read.parquet(dir).where(col("p") === "p0")
+    assert(back.count() == 200)
+    val scan = back.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters"))
+
+    // Idempotent: a second pass finds nothing to rewrite and leaves the
+    // compacted files byte-identical in place.
+    val names = leafFiles("p=p0").map(f => (f.getName, f.lastModified)).toSeq
+    val again = graft.sources.Sink.compact(spark, dir,
+      targetBytesPerFile = 1L << 30)
+    assert(again.leavesRewritten == 0 && again.filesAfter == 2)
+    assert(leafFiles("p=p0").map(f =>
+      (f.getName, f.lastModified)).toSeq == names,
+      "an already-compact leaf must not be touched")
+  }
+
+  test("compact: crash recovery — a complete copy swaps in, an incomplete " +
+      "one rolls back to the old leaf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cmpr").toString + "/t"
+    val df = (1 to 100).map(i => (i.toLong, s"p${i % 2}")).toDF("id", "p")
+    df.repartition(5).write.partitionBy("p").parquet(dir)
+
+    // Crash shape 1: copy complete (_SUCCESS), old leaf already deleted.
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$dir/p=p0").coalesce(1)
+      .write.parquet(s"$dir/.cmp_tmp_p=p0")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/p=p0"), true)
+    // Crash shape 2: copy INCOMPLETE (no _SUCCESS), old leaf intact.
+    spark.read.parquet(s"$dir/p=p1").coalesce(1)
+      .write.parquet(s"$dir/.cmp_tmp_p=p1")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/.cmp_tmp_p=p1/_SUCCESS"), false)
+
+    val stats = graft.sources.Sink.compact(spark, dir,
+      targetBytesPerFile = 1L << 30)
+    // p=p0 was finished by recovery (1 file, nothing to rewrite);
+    // p=p1 rolled back to its 5 small files, then compacted normally.
+    assert(spark.read.parquet(dir).count() == 100)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet ==
+      (1L to 100L).toSet)
+    assert(stats.filesAfter == 2)
+    assert(!new java.io.File(s"$dir/.cmp_tmp_p=p0").exists &&
+      !new java.io.File(s"$dir/.cmp_tmp_p=p1").exists,
+      "no tmp remnants may survive recovery")
+  }
 }
