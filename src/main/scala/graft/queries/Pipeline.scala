@@ -194,6 +194,26 @@ object Pipeline {
       (pi, pp)
     }
 
+  /** Resident materialized INLINE ANN top-k reference frames for the s6b/
+    * s7b parity companions ([[exportResidentFor]] pattern): the inline
+    * build+probe is deterministic per (session, sf dir) — same corpus,
+    * same seeded training — so the companions attest the save/load
+    * round-trip against a once-computed reference instead of paying
+    * train+encode a second time per measurement. The HEADLINE s5 stays
+    * uncached (it is what prices the inline operator end-to-end). */
+  private val annInline = scala.collection.concurrent.TrieMap.empty[String,
+    (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
+      org.apache.spark.sql.DataFrame)]
+  private def annInlineFor(s: org.apache.spark.sql.SparkSession, key: String)(
+      build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cachedIdx(annInline, s, key) {
+      val df = build
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
   /** Resident persisted-index state for the incremental dedup gate queries
     * ([[cachedIdx]] doc applies): built + saved + reloaded once per
     * (session, sf dir), so repeat calls measure the PROBE — the recurring
@@ -1443,9 +1463,11 @@ object Pipeline {
       val probed = Similarity.pqProbe(idx,
         emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
         "vec_id", "embedding", k = 5).select("qid", "rnk", "cid")
-      val inline = Similarity.pqTopK(
-        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
-        "vec_id", "embedding", k = 5).select("qid", "rnk", "cid")
+      val inline = annInlineFor(s, s"$dir#pq") {
+        Similarity.pqTopK(
+          emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+          "vec_id", "embedding", k = 5).select("qid", "rnk", "cid")
+      }
       probed.exceptAll(inline).unionAll(inline.exceptAll(probed))
         .agg(count(lit(1)).as("parity_violations"))
     },
@@ -1473,10 +1495,12 @@ object Pipeline {
       val probed = Similarity.ivfProbe(idx, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nprobe = 4)
         .select("qid", "rnk", "cid")
-      val inline = Similarity.ivfTopK(
-        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
-        "vec_id", "embedding", k = 5, nprobe = 4)
-        .select("qid", "rnk", "cid")
+      val inline = annInlineFor(s, s"$dir#ivf") {
+        Similarity.ivfTopK(
+          emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+          "vec_id", "embedding", k = 5, nprobe = 4)
+          .select("qid", "rnk", "cid")
+      }
       probed.exceptAll(inline).unionAll(inline.exceptAll(probed))
         .agg(count(lit(1)).as("parity_violations"))
     },
