@@ -29,12 +29,12 @@ object SemCollapseProbe {
     // Flood: `copies` exact copies of each of 50 real corpus vectors —
     // the re-post / boilerplate-embedding regime. All fold (kept or
     // dropped) per the stream contract.
-    val seeds = emb.limit(50).collect()
-      .map(r => (r.getLong(0), r.getSeq[Any](1)))
-    val flood = seeds.zipWithIndex.flatMap { case ((_, v), i) =>
+    val seeds: Seq[Seq[Double]] = emb.limit(50).collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val flood = seeds.zipWithIndex.flatMap { case (v, i) =>
       (0 until copies).map(c =>
         ((1L << 41) + i.toLong * copies + c, v))
-    }.toSeq.toDF("doc_id", "embedding")
+    }.toDF("doc_id", "embedding")
     val (_, _, ext) =
       Dedup.probeAndExtendSemParts(base, flood, "doc_id", "embedding")
 
