@@ -138,6 +138,103 @@ object Ranks {
     spark.createDataFrame(ranked, outSchema)
   }
 
+  /** [[groupedRunningSum]] with the default single-task-per-group cutoff
+    * (the [[globalRank]] crossover measured at sf0.1). */
+  def groupedRunningSum(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      sumCol: String,
+      order: Column*): DataFrame =
+    groupedRunningSum(df, group, value, sumCol, 500000L, -1L, order: _*)
+
+  /** Append `sumCol` (bigint) = the EXCLUSIVE running sum of `value` within
+    * each `group` under a global per-group `order` — what budget-fill
+    * sampling and per-domain token accounting need ("take documents in
+    * this order until the domain's token budget is spent").
+    *
+    * `sum(...) over (partition by group order by ...)` is one task PER
+    * GROUP in Spark — fine for thousands of balanced groups, a scale cliff
+    * for the few huge groups a training mixture actually has (a handful of
+    * languages/domains over 100 TB). This keeps every stage distributed
+    * with [[globalRank]]'s two-job shape: range-partition on (group,
+    * order) — one group spans many partitions, sorted — then a stats job
+    * collects per-(partition, group) value totals (bounded by partitions ×
+    * groups-touching-a-boundary, a driver-safe frame precisely when groups
+    * are few and huge, the case this operator exists for), and a second
+    * job over the SAME RDD adds each group's earlier-partition totals to
+    * its local running sum. Null values count as 0; results are identical
+    * to the built-in window. */
+  def groupedRunningSum(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      sumCol: String,
+      maxSingleTaskRows: Long,
+      knownCount: Long,
+      order: Column*): DataFrame = {
+    def rows = InputStats.routeRows(df, knownCount)
+    val safeVal = coalesce(value.cast("long"), lit(0L))
+    if (maxSingleTaskRows > 0 && rows <= maxSingleTaskRows) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(group).orderBy(order: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      return df.withColumn(sumCol,
+        (sum(safeVal).over(w) - safeVal).cast("long"))
+    }
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val prepared = df
+      .withColumn("__graft_grp", group.cast("string"))
+      .withColumn("__graft_val", safeVal)
+      .repartitionByRange(parts, col("__graft_grp") +: order: _*)
+      .sortWithinPartitions(col("__graft_grp") +: order: _*)
+    val grpIdx = prepared.schema.fieldIndex("__graft_grp")
+    val valIdx = prepared.schema.fieldIndex("__graft_val")
+    val rdd = prepared.rdd // one RDD → one set of range boundaries, reused
+
+    // Job 1: per-(partition, group) totals — tiny when groups are few.
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r =>
+        val g = r.getString(grpIdx)
+        m.update(g, m.getOrElse(g, 0L) + r.getLong(valIdx))
+      }
+      m.iterator.map { case (g, s) => (pid, g, s) }
+    }.collect()
+    val offsets: Map[(Int, String), Long] =
+      stats.groupBy(_._2).flatMap { case (g, arr) =>
+        val sorted = arr.sortBy(_._1)
+        sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._3).init)
+          .map { case (pid, off) => (pid, g) -> off }
+      }
+    val bOff = spark.sparkContext.broadcast(offsets)
+
+    // Job 2: local running sum + the group's earlier-partition offset.
+    val summed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val offs = bOff.value
+      var cur: String = null
+      var started = false
+      var run = 0L
+      it.map { r =>
+        val g = r.getString(grpIdx)
+        if (!started || g != cur) {
+          cur = g; started = true
+          run = offs.getOrElse((pid, g), 0L)
+        }
+        val start = run
+        run += r.getLong(valIdx)
+        Row.fromSeq(r.toSeq.patch(valIdx, Nil, 1).patch(grpIdx, Nil, 1)
+          :+ start)
+      }
+    }
+    val outSchema = StructType(
+      prepared.schema.fields.patch(valIdx, Nil, 1).patch(grpIdx, Nil, 1) :+
+        StructField(sumCol, LongType, nullable = false))
+    spark.createDataFrame(summed, outSchema)
+  }
+
   /** Append the distribution analytics — `percent_rank()` (`prCol`, double),
     * `cume_dist()` (`cdCol`, double) and `ntile(ntileN)` (`ntileCol`,
     * bigint) — over a GLOBAL `order` (no PARTITION BY), distributed.

@@ -2235,6 +2235,45 @@ object Pipeline {
         .select(col("non_full_non_last"), col("oversized"),
           when(col("landed") === col("ingested"), 0L).otherwise(1L)
             .as("conservation_violations"))
+    },
+    // Token-budget mixture ("data recipe", round 13): fill each domain's
+    // ABSOLUTE token budget — the way real pretraining mixtures are
+    // specified ("30B tokens of en, 15B of zh…") — by taking documents in
+    // a deterministic content-independent shuffle order (md5 of the doc
+    // id, the x4 discipline: reproducible across engines/layouts, no
+    // rand()) until the domain's budget is spent; the last document may
+    // straddle the boundary (start_tok < budget admits it — the partial-
+    // final-doc convention a downstream packer clips). The running
+    // per-domain token sum is Ranks.groupedRunningSum: a per-lang window
+    // is ONE TASK per domain — the exact skew cliff a handful of huge
+    // language domains hits at 100 TB — so above the routing cutoff every
+    // stage stays distributed (range partition on (lang, order) + per-
+    // (partition, group) totals + broadcast prefix offsets), identical
+    // results by construction. Output is budget-sized regardless of
+    // corpus scale.
+    df("x8_token_budget_mixture",
+      Some("with t as (select doc_id, lang, " +
+        "cast(len(string_split(text, ' ')) as bigint) as n_tokens, " +
+        "md5(concat('mix:', cast(doc_id as varchar))) as h from documents), " +
+        "c as (select doc_id, lang, n_tokens, " +
+        "sum(n_tokens) over (partition by lang order by h, doc_id " +
+        "rows between unbounded preceding and current row) - n_tokens " +
+        "as start_tok from t) " +
+        "select doc_id, lang, n_tokens, cast(start_tok as bigint) as start_tok " +
+        "from c where start_tok < case lang when 'en' then 6000 " +
+        "when 'zh' then 2500 when 'de' then 2500 else 2000 end " +
+        "order by doc_id")) { (s, dir) =>
+      val t = s.table("documents").select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+      graft.operators.Ranks
+        .groupedRunningSum(t, col("lang"), col("n_tokens"), "start_tok",
+          col("h"), col("doc_id"))
+        .where(col("start_tok") <
+          when(col("lang") === "en", 6000L)
+            .when(col("lang").isin("zh", "de"), 2500L).otherwise(2000L))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_tok"))
+        .orderBy("doc_id")
     }
   )
 

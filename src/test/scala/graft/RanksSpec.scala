@@ -152,4 +152,32 @@ class RanksSpec extends SparkSpecBase {
       .select(col("o_orderkey"), col("rnk"))
     assert(got.exceptAll(dist).isEmpty && dist.exceptAll(got).isEmpty)
   }
+
+  test("groupedRunningSum: distributed path matches the per-group window, " +
+      "groups spanning partitions, nulls count 0") {
+    import spark.implicits._
+    // Few huge groups — the skew shape the operator exists for: 3 groups,
+    // each big enough to span several of the 4 shuffle partitions, plus a
+    // null value and a 1-row group.
+    val df = ((1 to 3000).map(i =>
+        (i.toLong, s"g${i % 3}", Option((i % 7).toLong))) :+
+        (9001L, "g0", None: Option[Long]) :+ (9002L, "solo", Option(5L)))
+      .toDF("id", "grp", "v")
+    val win = Ranks.groupedRunningSum(df, col("grp"), col("v"), "s",
+        col("id")) // small input → built-in window path
+      .select(col("id"), col("s"))
+    val dist = Ranks.groupedRunningSum(df, col("grp"), col("v"), "s",
+        0L, -1L, col("id")) // forced distributed
+      .select(col("id"), col("s"))
+    assert(win.exceptAll(dist).isEmpty && dist.exceptAll(win).isEmpty,
+      "distributed per-group running sum must equal the window")
+    // The distributed output really is multi-partition (no one-task stage).
+    assert(Ranks.groupedRunningSum(df, col("grp"), col("v"), "s",
+      0L, -1L, col("id")).rdd.getNumPartitions > 1)
+    // Exclusive semantics: each group's first row (min id per group)
+    // starts at 0.
+    val firsts = win.where(col("id").isin(1L, 2L, 3L, 9002L))
+      .select("s").as[Long].collect()
+    assert(firsts.length == 4 && firsts.forall(_ == 0L))
+  }
 }
