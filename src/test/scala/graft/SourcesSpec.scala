@@ -209,6 +209,41 @@ class SourcesSpec extends SparkSpecBase {
       "an already-compact leaf must not be touched")
   }
 
+  test("compact on the streaming export layout: nested b<id>/sh=<k> " +
+      "leaves compact independently, batch replay semantics intact") {
+    import spark.implicits._
+    // The PackStream/idempotentBatchSharded landing shape: per-batch dirs,
+    // per-shard hive split inside, many small files per shard (the
+    // steady-state small-files problem Sink.compact exists for).
+    val dir = java.nio.file.Files.createTempDirectory("cmpx").toString + "/ex"
+    (0 until 3).foreach { b =>
+      val df = (1 to 120).map(i =>
+          (b * 1000L + i, i % 2L, s"payload $b $i"))
+        .toDF("pack_id", "shard", "body").repartition(10)
+      graft.sources.Sink.idempotentBatchSharded(df, dir, b.toLong,
+        keyCol = "shard", sortCol = "pack_id")
+    }
+    val before = spark.read.option("recursiveFileLookup", "true").parquet(dir).orderBy("pack_id")
+      .collect().map(_.toSeq).toSeq
+    assert(before.size == 360)
+    val stats = graft.sources.Sink.compact(spark, dir,
+      targetBytesPerFile = 1L << 30)
+    assert(stats.leavesSeen == 6, s"3 batches × 2 shards, got $stats")
+    assert(stats.filesAfter == 6, s"one file per shard leaf, got $stats")
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(dir).orderBy("pack_id")
+      .collect().map(_.toSeq).toSeq == before)
+    // Batch replay (idempotent overwrite) still lands cleanly next to
+    // compacted neighbors.
+    val replay = (1 to 120).map(i =>
+        (1000L + i, i % 2L, s"payload 1 $i"))
+      .toDF("pack_id", "shard", "body").repartition(10)
+    graft.sources.Sink.idempotentBatchSharded(replay, dir, 1L,
+      keyCol = "shard", sortCol = "pack_id")
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(dir).orderBy("pack_id")
+      .collect().map(_.toSeq).toSeq == before,
+      "replayed batch must overwrite to the same content")
+  }
+
   test("compact: crash recovery — a complete copy swaps in, an incomplete " +
       "one rolls back to the old leaf") {
     import spark.implicits._
