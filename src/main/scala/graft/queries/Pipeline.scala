@@ -1460,13 +1460,14 @@ object Pipeline {
       Some("select cast(0 as bigint) as parity_violations")) { (s, dir) =>
       val emb = s.table("embeddings")
       val idx = pqIndexFor(s, dir, emb.where(col("vec_id") >= 10))
-      // The symmetric exceptAll reads `probed` twice; materialize the
-      // probe once (localCheckpoint) so the companion prices one probe +
-      // two cheap diff scans, not two probes.
+      // The symmetric exceptAll reads `probed` twice; measured (S6bProbe,
+      // sf0.1): the double scan (~2.7 s warm) still beats both a
+      // localCheckpoint of the probe (~2.9) and a single-scan full-outer
+      // count-diff (~3.9) — at top-k-sized frames the wrapper's JIT/AQE
+      // overhead dominates, so the straightforward shape stays.
       val probed = Similarity.pqProbe(idx,
         emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
         "vec_id", "embedding", k = 5).select("qid", "rnk", "cid")
-        .localCheckpoint(true)
       val inline = annInlineFor(s, s"$dir#pq") {
         Similarity.pqTopK(
           emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),

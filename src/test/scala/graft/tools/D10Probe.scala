@@ -19,6 +19,10 @@ object D10Probe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Saturation-guard passthrough (the Bench builder's setting) so the
+      // probe runs on native-scale fixtures that read saturated.
+      .config("spark.graft.dedup.saturation.mode",
+        sys.env.getOrElse("SPARK_GRAFT_SATURATION_MODE", "fail"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.ensure(spark, sfDir)
