@@ -929,17 +929,28 @@ object ScaleProbe {
         in.addData(b: _*)
         q.processAllAvailable()
         val wall = (System.nanoTime() - t1) / 1e9
+        // Raw rows AND probed representatives (round 13): u(d) depends
+        // only on id mod 1009, so this drift stream turns EXACT-COPY-heavy
+        // after ~4 batches (~1009 distinct cone vectors total) — the
+        // identical-vector collapse absorbs that at every compaction, so
+        // the REP imbalance (what the rebuild decision reads, and what the
+        // probe scans) stays flat while raw rows pile up: the self-heal
+        // signature, with flat per-batch cost and zero retrains. The
+        // distinct-vector drift sawtooth (rebuild fires, imbalance drops,
+        // nlist grows) is SemLoopRebuildProbe + QuantizerDriftSpec.
         val imb = graft.operators.Similarity.listImbalance(st.index.assigned)
-        if (imb < last - 0.5) rebuilds += 1
-        peak = math.max(peak, imb)
-        last = imb
+        val repImb = graft.operators.Similarity.listImbalance(
+          st.index.assigned.where(col("rep")))
+        if (repImb < last - 0.5) rebuilds += 1
+        peak = math.max(peak, repImb)
+        last = repImb
         println(f"[scale] semendure batch$i ${b.length} vecs $wall%.2f s " +
-          f"imbalance=$imb%.2f")
+          f"rawImbalance=$imb%.2f repImbalance=$repImb%.2f")
         System.out.flush()
       }
       q.stop()
-      println(f"[scale] semendure summary: peak=$peak%.2f final=$last%.2f " +
-        "effectiveRebuilds=" + rebuilds + " (bar 4.0)")
+      println(f"[scale] semendure summary: repPeak=$peak%.2f " +
+        f"repFinal=$last%.2f effectiveRebuilds=" + rebuilds + " (bar 4.0)")
       spark.conf.unset(graft.operators.Similarity.ImbalanceRebuildBarKey)
       // The ASSERTABLE contract is the loop's mechanics, not imbalance
       // restoration: whether a rebuild RESTORES balance is content-
