@@ -868,6 +868,18 @@ object Similarity {
     * nlist-row aggregation — compaction-cadence cheap); 0.0 when empty.
     * Compare against [[IvfImbalanceRebuildThreshold]] at every
     * compaction. */
+  /** Max/mean inverted-list population — the probe-cost skew signal the
+    * rebuild loops read at every compaction.
+    *
+    * Deliberately NO identical-vector collapse here (unlike the sem dedup
+    * family's [[graft.operators.Dedup.SemIndex]], round 13): a SERVING
+    * index must return every stored id — exact-copy vectors legitimately
+    * occupy k result slots each — so its lists cannot scan one
+    * representative per distinct vector the way a dedup probe (which only
+    * needs one witness per content) can. Exact-copy mass in a serving
+    * index is real result data; if it skews a list, the remedy is
+    * upstream dedup of the corpus, not a collapse the top-k contract
+    * forbids. */
   def listImbalance(assigned: DataFrame): Double = {
     val r = assigned.groupBy("list").agg(count(lit(1)).as("n"))
       .agg(max(col("n")).cast("double").as("mx"), avg(col("n")).as("mean"))

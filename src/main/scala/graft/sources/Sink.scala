@@ -140,28 +140,35 @@ object Sink {
     *
     * NOT for bucketed layouts ([[bucketed]]/[[bucketedExternal]]): bucket
     * ids live in the file NAMES, which a rewrite regenerates — compact
-    * those by re-bucketing. Leaves rewrite sequentially (each rewrite is
-    * itself a distributed job); drive leaves from several threads if a
-    * backfill produced millions of them. */
+    * those by re-bucketing. Each leaf's rewrite is itself a distributed
+    * job; `parallelism > 1` drives that many leaves concurrently (Spark
+    * schedules concurrent jobs fairly from multiple threads), which is
+    * what turns a million-leaf backfill from a day of sequential
+    * tiny-job latency into a cluster-bound sweep. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytesPerFile: Long = 128L << 20,
-      format: String = "parquet"): CompactStats = {
+      format: String = "parquet",
+      parallelism: Int = 1): CompactStats = {
     require(targetBytesPerFile >= 1,
       s"targetBytesPerFile must be >= 1, got $targetBytesPerFile")
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     compactRecover(spark, path)
-    var seen = 0; var rewritten = 0; var before = 0L; var after = 0L
-    dataLeaves(fs, root).foreach { leaf =>
-      seen += 1
+    val seen = new java.util.concurrent.atomic.AtomicInteger
+    val rewritten = new java.util.concurrent.atomic.AtomicInteger
+    val before = new java.util.concurrent.atomic.AtomicLong
+    val after = new java.util.concurrent.atomic.AtomicLong
+    def oneLeaf(leaf: org.apache.hadoop.fs.Path): Unit = {
+      seen.incrementAndGet()
       val files = children(fs, leaf)
         .filter(s => s.isFile && isVisible(s.getPath.getName))
       val bytes = files.map(_.getLen).sum
       val want = math.max(1L,
         (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
-      before += files.size
+      before.addAndGet(files.size.toLong)
       if (files.size > want) {
-        rewritten += 1
+        rewritten.incrementAndGet()
         val tmp = new org.apache.hadoop.fs.Path(leaf.getParent,
           s".cmp_tmp_${leaf.getName}")
         spark.read.format(format).load(leaf.toString)
@@ -171,11 +178,23 @@ object Sink {
           s"compacted copy at $tmp has no _SUCCESS marker — aborting swap")
         fs.delete(leaf, true)
         fs.rename(tmp, leaf)
-        after += children(fs, leaf)
-          .count(s => s.isFile && isVisible(s.getPath.getName))
-      } else after += files.size
+        after.addAndGet(children(fs, leaf)
+          .count(s => s.isFile && isVisible(s.getPath.getName)).toLong)
+      } else after.addAndGet(files.size.toLong)
     }
-    CompactStats(seen, rewritten, before, after)
+    val leaves = dataLeaves(fs, root)
+    if (parallelism <= 1) leaves.foreach(oneLeaf)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      try {
+        import scala.jdk.CollectionConverters._
+        val futures = pool.invokeAll(leaves.map { l =>
+          new java.util.concurrent.Callable[Unit] { def call(): Unit = oneLeaf(l) }
+        }.asJava)
+        futures.asScala.foreach(_.get()) // surface the first failure
+      } finally pool.shutdown()
+    }
+    CompactStats(seen.get, rewritten.get, before.get, after.get)
   }
 
   /** Finish or roll back [[compact]] swaps a crash interrupted: a complete

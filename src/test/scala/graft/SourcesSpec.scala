@@ -226,8 +226,10 @@ class SourcesSpec extends SparkSpecBase {
     val before = spark.read.option("recursiveFileLookup", "true").parquet(dir).orderBy("pack_id")
       .collect().map(_.toSeq).toSeq
     assert(before.size == 360)
+    // parallelism > 1: concurrent leaf rewrites (Spark schedules the
+    // per-leaf jobs from multiple threads) must produce the same result.
     val stats = graft.sources.Sink.compact(spark, dir,
-      targetBytesPerFile = 1L << 30)
+      targetBytesPerFile = 1L << 30, parallelism = 3)
     assert(stats.leavesSeen == 6, s"3 batches × 2 shards, got $stats")
     assert(stats.filesAfter == 6, s"one file per shard leaf, got $stats")
     assert(spark.read.option("recursiveFileLookup", "true").parquet(dir).orderBy("pack_id")
