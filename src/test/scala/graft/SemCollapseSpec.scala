@@ -127,6 +127,46 @@ class SemCollapseSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("pre-collapse checkpoint compatibility: a legacy generation " +
+      "without vh/rep columns loads all-rep, probes, folds, and the next " +
+      "compaction collapses it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // A legacy-shaped index: build fresh, then strip the round-13 columns
+    // and save — the on-disk shape every pre-upgrade checkpoint has.
+    val corpus = Seq(SemDoc(1, Seq(1, 0, 0, 0)), SemDoc(2, Seq(0, 1, 0, 0)),
+      SemDoc(3, Seq(0, 1, 0, 0))).toDF("doc_id", "embedding")
+    val built = Dedup.buildSemIndex(corpus, "doc_id", "embedding", eps = 0.9)
+    val legacy = built.copy(assigned = built.assigned.drop("vh", "rep"))
+    val dir = java.nio.file.Files.createTempDirectory("semlegacy").toString
+    Dedup.saveSemIndex(legacy, dir, batchId = 0L)
+
+    val st = SemDedupStream.resume(spark, dir, corpus.limit(0),
+      "doc_id", "embedding", eps = 0.9)
+    // Loaded all-rep: every legacy row probes (over-scan, never under).
+    assert(st.index.assigned.where(col("rep")).count() ==
+      st.index.assigned.count())
+    assert(!admits(st, SemDoc(90, Seq(1, 0.05, 0, 0))),
+      "legacy rows must still gate")
+    // A new batch folds (union of legacy-wrapped + fresh columns) and the
+    // compaction collapses the legacy exact copies (docs 2 and 3).
+    val in = MemoryStream[SemDoc]
+    val q = SemDedupStream.run(in.toDF(), st, "doc_id", "embedding",
+        compactEvery = 1, checkpointPath = Some(dir)) { _ => () }
+    in.addData(SemDoc(100, Seq(0, 0, 1, 0)))
+    q.processAllAvailable()
+    q.stop()
+    val a = st.index.assigned
+    assert(a.count() > a.where(col("rep")).count(),
+      "post-compaction, one of the legacy exact copies must stop probing")
+    assert(!admits(st, SemDoc(91, Seq(0, 1, 0.05, 0))),
+      "collapsed legacy content still gates")
+    assert(!admits(st, SemDoc(92, Seq(0, 0, 1, 0.05))),
+      "newly folded content gates")
+    Dedup.releaseSketchCaches()
+  }
+
   test("bootstrap collapse: a corpus with exact-copy mass reads a flat " +
       "representative imbalance where the raw rows read saturated") {
     import spark.implicits._
