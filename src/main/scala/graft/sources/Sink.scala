@@ -93,10 +93,13 @@ object Sink {
   def partitionedOrc(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).orc(path)
 
-  /** How a [[compact]] run ended: partition leaves examined/rewritten and
-    * the visible data-file count before/after. */
+  /** How a [[compact]] run ended: partition leaves examined/rewritten, the
+    * visible data-file count before/after, and how many rewrites were
+    * ABORTED because a concurrent writer changed the leaf between the
+    * snapshot and the swap (their leaves keep the writer's files plus the
+    * originals; the next compact pass retries them). */
   final case class CompactStats(leavesSeen: Int, leavesRewritten: Int,
-      filesBefore: Long, filesAfter: Long)
+      filesBefore: Long, filesAfter: Long, leavesAborted: Int = 0)
 
   private def isVisible(name: String): Boolean =
     !name.startsWith(".") && !name.startsWith("_")
@@ -107,15 +110,33 @@ object Sink {
     catch { case _: java.io.FileNotFoundException => Nil }
 
   /** Leaf data directories under `root`: every directory whose visible
-    * children include at least one FILE (hive partition dirs, or the root
-    * itself for an unpartitioned dataset). */
+    * children include at least one FILE and NO visible subdirectory (hive
+    * partition dirs, or the root itself for an unpartitioned dataset). A
+    * mixed directory — visible files AND visible subdirectories — is never
+    * a rewrite target: rewriting it would read the whole subtree (partition
+    * inference pulls k=v children in) and the delete+rename swap would
+    * flatten the nested dirs, changing layout for readers of the root; and
+    * under parallelism > 1 the parent and child leaves would rewrite
+    * concurrently over the same files. Its files are left alone; recursion
+    * still descends into the subdirectories. */
   private def dataLeaves(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
     val kids = children(fs, root).filter(s => isVisible(s.getPath.getName))
-    val here = if (kids.exists(_.isFile)) Seq(root) else Nil
-    here ++ kids.filter(_.isDirectory)
-      .flatMap(d => dataLeaves(fs, d.getPath))
+    val subdirs = kids.filter(_.isDirectory)
+    val here =
+      if (kids.exists(_.isFile) && subdirs.isEmpty) Seq(root) else Nil
+    here ++ subdirs.flatMap(d => dataLeaves(fs, d.getPath))
   }
+
+  /** Filesystem schemes whose rename is a COPY, not a metadata operation —
+    * [[compact]]'s delete+rename swap is not atomic there and the
+    * reader-visible gap between the two ops stretches from microseconds to
+    * data-sized copy time. Compaction still works (crash states recover),
+    * but the caller should know. */
+  private val nonAtomicRenameSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cos", "swift")
+
+  @volatile private var warnedNonAtomic = false
 
   /** Small-files compaction — rewrite each partition leaf whose visible
     * data files outnumber `ceil(bytes / targetBytesPerFile)` down to that
@@ -127,16 +148,36 @@ object Sink {
     *
     * Mechanics, per leaf (only leaves that NEED rewriting are touched —
     * an already-compact partition's files and mtimes are left alone):
-    *   1. the compacted copy lands in a dot-prefixed sibling
+    *   1. the leaf's visible files are SNAPSHOT by name+length and the
+    *      rewrite reads exactly that file list (not the directory), so a
+    *      file landing mid-rewrite is neither silently folded in nor
+    *      silently dropped;
+    *   2. the compacted copy lands in a dot-prefixed sibling
     *      (`.cmp_tmp_<leaf>`), which parquet/ORC readers never list;
-    *   2. the old leaf is deleted ONLY once the copy's `_SUCCESS` marker
-    *      exists, then the copy renames into place (two metadata ops).
+    *   3. once the copy's `_SUCCESS` marker exists the leaf is RE-LISTED:
+    *      if the visible file set no longer matches the snapshot (a
+    *      concurrent writer landed or removed files), the swap ABORTS —
+    *      the copy is discarded, the leaf keeps everything, and the next
+    *      compact pass retries ([[CompactStats.leavesAborted]] counts it);
+    *   4. otherwise the old leaf is deleted and the copy renames into
+    *      place (two metadata ops, both return-checked — Hadoop
+    *      FileSystems report many failures as `false`, not exceptions).
     * A crash anywhere leaves either the old leaf, or a complete copy the
     * next [[compact]] (or [[compactRecover]]) finishes swapping in — data
     * is never in only-partially-deleted state. Readers racing the swap see
     * the leaf atomically old or new, modulo the instant between the two
     * metadata ops; partition VALUES (directory names) are preserved
     * exactly, so pruning and schema are unchanged.
+    *
+    * Concurrency contract: the re-list-before-delete guard shrinks the
+    * lost-write window from rewrite-job duration to the milliseconds
+    * between the re-list and the delete — it does NOT close it. A writer
+    * that may land files into a leaf at any instant needs the layout's own
+    * lock held around compact (the streaming export loop does exactly
+    * that, see `ExportPipeline`); treat unsynchronized concurrent writers
+    * as unsupported. On object stores whose rename is a copy
+    * (s3a/gs/wasb/…), the swap additionally stops being two metadata ops —
+    * compact warns once and proceeds (crash states still recover).
     *
     * NOT for bucketed layouts ([[bucketed]]/[[bucketedExternal]]): bucket
     * ids live in the file NAMES, which a rewrite regenerates — compact
@@ -148,38 +189,78 @@ object Sink {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytesPerFile: Long = 128L << 20,
       format: String = "parquet",
-      parallelism: Int = 1): CompactStats = {
+      parallelism: Int = 1,
+      // Test seam: runs per rewritten leaf after its copy completes and
+      // before the re-list guard — the window a concurrent writer's file
+      // would otherwise be lost in.
+      afterCopy: org.apache.hadoop.fs.Path => Unit = _ => ()): CompactStats = {
     require(targetBytesPerFile >= 1,
       s"targetBytesPerFile must be >= 1, got $targetBytesPerFile")
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scheme = Option(root.toUri.getScheme).getOrElse(fs.getScheme)
+    if (scheme != null && nonAtomicRenameSchemes(scheme.toLowerCase) &&
+        !warnedNonAtomic) {
+      warnedNonAtomic = true
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Sink.compact on '$scheme': rename is a copy on this store, so " +
+        "the leaf swap is not atomic — readers racing a swap can see a " +
+        "leaf mid-copy. Crash states still recover via compactRecover.")
+    }
     compactRecover(spark, path)
     val seen = new java.util.concurrent.atomic.AtomicInteger
     val rewritten = new java.util.concurrent.atomic.AtomicInteger
+    val abortedN = new java.util.concurrent.atomic.AtomicInteger
     val before = new java.util.concurrent.atomic.AtomicLong
     val after = new java.util.concurrent.atomic.AtomicLong
+    def visibleFiles(dir: org.apache.hadoop.fs.Path) =
+      children(fs, dir).filter(s => s.isFile && isVisible(s.getPath.getName))
     def oneLeaf(leaf: org.apache.hadoop.fs.Path): Unit = {
       seen.incrementAndGet()
-      val files = children(fs, leaf)
-        .filter(s => s.isFile && isVisible(s.getPath.getName))
+      val files = visibleFiles(leaf)
       val bytes = files.map(_.getLen).sum
       val want = math.max(1L,
         (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
       before.addAndGet(files.size.toLong)
       if (files.size > want) {
-        rewritten.incrementAndGet()
+        val snapshot = files.map(s => (s.getPath.getName, s.getLen)).toSet
         val tmp = new org.apache.hadoop.fs.Path(leaf.getParent,
           s".cmp_tmp_${leaf.getName}")
-        spark.read.format(format).load(leaf.toString)
+        // Read the SNAPSHOT file list, not the directory: the rewrite's
+        // content is pinned to what was priced, independent of what lands
+        // in the leaf while the job runs.
+        spark.read.format(format)
+          .load(files.map(_.getPath.toString): _*)
           .coalesce(want)
           .write.mode(SaveMode.Overwrite).format(format).save(tmp.toString)
         require(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")),
           s"compacted copy at $tmp has no _SUCCESS marker — aborting swap")
-        fs.delete(leaf, true)
-        fs.rename(tmp, leaf)
-        after.addAndGet(children(fs, leaf)
-          .count(s => s.isFile && isVisible(s.getPath.getName)).toLong)
+        afterCopy(leaf)
+        // Concurrent-writer guard: a file that landed (or vanished) since
+        // the snapshot would be deleted without having been copied — abort
+        // this leaf's swap and let the next pass retry on the new set.
+        val now = visibleFiles(leaf)
+          .map(s => (s.getPath.getName, s.getLen)).toSet
+        if (now != snapshot) {
+          abortedN.incrementAndGet()
+          require(fs.delete(tmp, true),
+            s"failed to delete aborted compaction copy $tmp")
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"Sink.compact: leaf $leaf changed during rewrite " +
+            s"(${snapshot.size} -> ${now.size} files) — swap aborted, " +
+            "leaf left untouched for the next pass")
+          after.addAndGet(now.size.toLong)
+        } else {
+          rewritten.incrementAndGet()
+          require(fs.delete(leaf, true),
+            s"failed to delete old leaf $leaf (copy intact at $tmp; " +
+            "compactRecover will finish the swap)")
+          require(fs.rename(tmp, leaf),
+            s"failed to rename $tmp into place at $leaf (old leaf already " +
+            "deleted; compactRecover will finish the swap)")
+          after.addAndGet(visibleFiles(leaf).size.toLong)
+        }
       } else after.addAndGet(files.size.toLong)
     }
     val leaves = dataLeaves(fs, root)
@@ -194,7 +275,8 @@ object Sink {
         futures.asScala.foreach(_.get()) // surface the first failure
       } finally pool.shutdown()
     }
-    CompactStats(seen.get, rewritten.get, before.get, after.get)
+    CompactStats(seen.get, rewritten.get, before.get, after.get,
+      abortedN.get)
   }
 
   /** Finish or roll back [[compact]] swaps a crash interrupted: a complete

@@ -274,7 +274,16 @@ object ExportPipeline {
     * ALL dedup stages (the audit tap — what entered the export and under
     * which batch id). The gate runs with the thresholds persisted at
     * bootstrap ([[Handles.minTokens]]/[[Handles.minDistinctRatio]]) — not
-    * caller-supplied, so it cannot diverge from the corpus curation. */
+    * caller-supplied, so it cannot diverge from the corpus curation.
+    *
+    * `compactEvery` drives the INDEX families' generational compaction;
+    * `compactPacksEvery` drives the LANDED pack layout's small-files
+    * compaction ([[PackStream.compactPacks]], 0 disables) — without it a
+    * forever-running export fragments one directory per batch per shard
+    * without bound. The sweep fires inside the pack stage's slot of the
+    * per-batch fold, after the batch's sink and state commit, so it is
+    * serialized against every pack-layout writer the pipeline owns (the
+    * single-writer contract `Sink.compact` requires). */
   def run(
       docs: DataFrame,
       handles: Handles,
@@ -283,7 +292,13 @@ object ExportPipeline {
       outPath: String,
       compactEvery: Long = 100,
       queryCheckpointLocation: Option[String] = None,
-      keptSink: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+      keptSink: (DataFrame, Long) => Unit = (_, _) => (),
+      compactPacksEvery: Long = 100,
+      packTargetBytesPerFile: Long = 128L << 20): StreamingQuery = {
+    // Finish/roll back any leaf swap a mid-compaction crash left behind
+    // BEFORE the stream (and its readers) start.
+    if (compactPacksEvery > 0)
+      graft.sources.Sink.compactRecover(docs.sparkSession, outPath)
     val nd = NearDupStream.batchLoop(handles.near, idCol, textCol,
       compactEvery, checkpointPath = Some(handles.ndCheckpoint))
     // Optional fourth stage: the ExactSubstr boilerplate gate, between
@@ -297,8 +312,11 @@ object ExportPipeline {
         compactEvery, checkpointPath = Some(ckpt))
     }
     def packStage(batch: DataFrame, id: Long): Unit = {
-      PackStream.processBatch(handles.pack, batch, id, idCol, textCol,
-        outPath)
+      val eff = PackStream.processBatch(handles.pack, batch, id, idCol,
+        textCol, outPath)
+      if (compactPacksEvery > 0 && (eff + 1) % compactPacksEvery == 0)
+        PackStream.compactPacks(batch.sparkSession, handles.pack, outPath,
+          upTo = eff, targetBytesPerFile = packTargetBytesPerFile): Unit
       keptSink(batch, id)
     }
     FpDedupStream.runBatches(

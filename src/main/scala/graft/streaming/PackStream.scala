@@ -39,7 +39,16 @@ object PackStream {
   final case class Model(merges: Seq[Bpe.Merge], vocab: Map[String, Long],
       nShards: Long, window: Int)
 
-  final class Handle(val path: String, val model: Model)
+  final class Handle(val path: String, val model: Model) {
+    /** Landed-batch compaction high-water mark for THIS run: batch dirs
+      * `<= compactedThrough` were already swept by [[compactPacks]], so a
+      * cadence fire only lists/rewrites the dirs landed since. In-memory
+      * on purpose — a restart resets it to -1 and the first sweep covers
+      * the whole layout once (idempotent: already-compact leaves are
+      * list-only), which also finishes any swap a mid-compaction crash
+      * left behind. */
+    @volatile private[streaming] var compactedThrough: Long = -1L
+  }
 
   private def modelDir(path: String) = s"$path/model"
   private def stateRoot(path: String) = s"$path/state"
@@ -323,6 +332,54 @@ object PackStream {
       .foreach(g => deleteGen(spark, handle.path, g))
     ids.unpersist(false)
     effectiveId
+  }
+
+  /** Small-files compaction over the LANDED pack layout — the in-loop
+    * maintenance that keeps the data product readable forever: each batch
+    * lands one `b<id>/sh=<k>` directory whose file count reflects the
+    * sink frame's partitioning, so an unattended stream fragments the
+    * export one directory per batch per shard without bound. Every index
+    * family self-compacts on a `compactEvery` cadence; this is the same
+    * cadence for the artifact a training job actually reads.
+    *
+    * Cost stays FLAT as the export grows: one root listing (name-only)
+    * plus leaf listings/rewrites for only the batch dirs landed since the
+    * handle's high-water mark — never a re-walk of years of compacted
+    * history. Safe against the stream's own writers by placement, not
+    * luck: the cadence fires inside the pipeline's per-batch fold (after
+    * the batch's sink and state commit, under the same serialization as
+    * the fold itself), so no pack-layout writer can race the swap; the
+    * leaf-level snapshot/re-list guard in [[graft.sources.Sink.compact]]
+    * backstops anything else. A batch REPLAY after compaction is
+    * unaffected — the idempotent sink overwrites its whole `b<id>`
+    * directory wholesale, compacted or not. */
+  def compactPacks(
+      spark: SparkSession,
+      handle: Handle,
+      outPath: String,
+      upTo: Long,
+      targetBytesPerFile: Long = 128L << 20,
+      parallelism: Int = 1): graft.sources.Sink.CompactStats = {
+    val from = handle.compactedThrough
+    val batches = listBatchDirs(spark, outPath)
+      .filter(b => b > from && b <= upTo)
+    var seen = 0; var rew = 0; var aborted = 0
+    var before = 0L; var after = 0L
+    batches.foreach { b =>
+      val st = graft.sources.Sink.compact(spark, s"$outPath/b$b",
+        targetBytesPerFile, parallelism = parallelism)
+      seen += st.leavesSeen; rew += st.leavesRewritten
+      aborted += st.leavesAborted
+      before += st.filesBefore; after += st.filesAfter
+    }
+    handle.compactedThrough = math.max(from, upTo)
+    val stats = graft.sources.Sink.CompactStats(seen, rew, before, after,
+      aborted)
+    if (rew > 0 || aborted > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"PackStream.compactPacks[$outPath]: batches (${from + 1}..$upTo] " +
+          s"— $stats")
+    stats
   }
 
   // ---------------------------------------------------------------- retract
@@ -887,19 +944,32 @@ object PackStream {
 
   /** Start the packing stream: full context windows land under
     * `outPath/b<batchId>/` (the idempotent per-batch layout), partial
-    * windows carry forward in the committed state. */
+    * windows carry forward in the committed state. Every
+    * `compactPacksEvery` batches the landed layout self-compacts
+    * ([[compactPacks]]); 0 disables. */
   def run(
       docs: DataFrame,
       handle: Handle,
       idCol: String,
       textCol: String,
       outPath: String,
-      queryCheckpointLocation: Option[String] = None): StreamingQuery = {
+      queryCheckpointLocation: Option[String] = None,
+      compactPacksEvery: Long = 100,
+      packTargetBytesPerFile: Long = 128L << 20): StreamingQuery = {
+    // A mid-compaction crash in a PREVIOUS run may have left a leaf swap
+    // half-done (complete copy, old leaf gone); finish or roll it back
+    // before any reader of this run's output races it.
+    if (compactPacksEvery > 0)
+      graft.sources.Sink.compactRecover(docs.sparkSession, outPath)
     val writer = docs.writeStream
     queryCheckpointLocation.fold(writer)(p =>
         writer.option("checkpointLocation", p))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(handle, batch, batchId, idCol, textCol, outPath): Unit
+        val eff = processBatch(handle, batch, batchId, idCol, textCol,
+          outPath)
+        if (compactPacksEvery > 0 && (eff + 1) % compactPacksEvery == 0)
+          compactPacks(batch.sparkSession, handle, outPath, upTo = eff,
+            targetBytesPerFile = packTargetBytesPerFile): Unit
       }
       .start()
   }

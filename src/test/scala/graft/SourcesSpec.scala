@@ -246,6 +246,71 @@ class SourcesSpec extends SparkSpecBase {
       "replayed batch must overwrite to the same content")
   }
 
+  test("compact: a file landing mid-rewrite aborts the swap — nothing " +
+      "lost, the next pass compacts the grown leaf") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cmpw").toString + "/t"
+    (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .repartition(10).write.parquet(dir)
+    // A writer lands one more file in the leaf AFTER the compacted copy
+    // is complete but BEFORE the swap — the window where the old
+    // delete+rename would have destroyed it.
+    val late = (101 to 110).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    val stats = graft.sources.Sink.compact(spark, dir,
+      targetBytesPerFile = 1L << 30,
+      afterCopy = leaf => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("cmpwl").toString + "/one"
+        late.coalesce(1).write.parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(x => x.isFile && x.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(leaf.toString.stripPrefix("file:"),
+            "late-arrival.parquet").toPath)
+      })
+    assert(stats.leavesAborted == 1 && stats.leavesRewritten == 0,
+      s"swap must abort when the leaf changed mid-rewrite, got $stats")
+    // Every row survives: the 100 originals AND the late arrival.
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet ==
+      (1L to 110L).toSet)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".cmp_tmp_")),
+      "aborted copy must be cleaned up")
+    // The next pass (stable file set) compacts originals + late arrival.
+    val again = graft.sources.Sink.compact(spark, dir,
+      targetBytesPerFile = 1L << 30)
+    assert(again.leavesRewritten == 1 && again.filesAfter == 1 &&
+      again.leavesAborted == 0)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet ==
+      (1L to 110L).toSet)
+  }
+
+  test("compact: a mixed directory (files + visible subdirs) is never a " +
+      "rewrite target; pure child leaves still compact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cmpm").toString + "/t"
+    // Root holds loose data files AND a partition-style subdir — the
+    // layout a rewrite would flatten (subtree read + recursive delete).
+    (1 to 50).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .repartition(5).write.parquet(dir)
+    (51 to 100).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .repartition(5).write.parquet(s"$dir/extra")
+    def names(d: String) = Option(new java.io.File(d).listFiles())
+      .getOrElse(Array()).filter(f => f.isFile &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map(_.getName).toSet
+    val rootBefore = names(dir)
+    val stats = graft.sources.Sink.compact(spark, dir,
+      targetBytesPerFile = 1L << 30)
+    // Only the pure child leaf rewrote; the mixed root's files are
+    // byte-for-byte where they were.
+    assert(stats.leavesSeen == 1 && stats.leavesRewritten == 1,
+      s"mixed root must be excluded, got $stats")
+    assert(names(dir) == rootBefore, "mixed-leaf files must be untouched")
+    assert(names(s"$dir/extra").size == 1)
+    assert(spark.read.parquet(s"$dir/extra").count() == 50)
+  }
+
   test("compact: crash recovery — a complete copy swaps in, an incomplete " +
       "one rolls back to the old leaf") {
     import spark.implicits._
