@@ -148,23 +148,6 @@ object Ranks {
       order: Column*): DataFrame =
     groupedRunningSum(df, group, value, sumCol, 500000L, -1L, order: _*)
 
-  /** Append `sumCol` (bigint) = the EXCLUSIVE running sum of `value` within
-    * each `group` under a global per-group `order` — what budget-fill
-    * sampling and per-domain token accounting need ("take documents in
-    * this order until the domain's token budget is spent").
-    *
-    * `sum(...) over (partition by group order by ...)` is one task PER
-    * GROUP in Spark — fine for thousands of balanced groups, a scale cliff
-    * for the few huge groups a training mixture actually has (a handful of
-    * languages/domains over 100 TB). This keeps every stage distributed
-    * with [[globalRank]]'s two-job shape: range-partition on (group,
-    * order) — one group spans many partitions, sorted — then a stats job
-    * collects per-(partition, group) value totals (bounded by partitions ×
-    * groups-touching-a-boundary, a driver-safe frame precisely when groups
-    * are few and huge, the case this operator exists for), and a second
-    * job over the SAME RDD adds each group's earlier-partition totals to
-    * its local running sum. Null values count as 0; results are identical
-    * to the built-in window. */
   def groupedRunningSum(
       df: DataFrame,
       group: Column,
@@ -172,19 +155,78 @@ object Ranks {
       sumCol: String,
       maxSingleTaskRows: Long,
       knownCount: Long,
+      order: Column*): DataFrame =
+    groupedRunningSum(df, group, value, sumCol, maxSingleTaskRows,
+      knownCount, -1L, order: _*)
+
+  /** Append `sumCol` (bigint) = the EXCLUSIVE running sum of `value` within
+    * each `group` under a global per-group `order` — what budget-fill
+    * sampling and per-domain token accounting need ("take documents in
+    * this order until the domain's token budget is spent").
+    *
+    * `sum(...) over (partition by group order by ...)` serializes each
+    * GROUP into one task in Spark — fine for many balanced groups (tasks
+    * are hash buckets of many groups, parallelism = shuffle partitions), a
+    * scale cliff for the few huge groups a training mixture actually has
+    * (a handful of languages/domains over 100 TB). The distributed path
+    * keeps every stage parallel with [[globalRank]]'s two-job shape:
+    * range-partition on (group, order) — one group spans many partitions,
+    * sorted — then a stats job collects per-(partition, group) value
+    * totals (at most groups + partitions − 1 entries: a sorted sequence
+    * cut into `parts` chunks), and a second job over the SAME RDD adds
+    * each group's earlier-partition totals to its local running sum.
+    *
+    * Routing consults BOTH dimensions, because each path's failure mode
+    * is the other's sweet spot: at or below `maxSingleTaskRows` total rows
+    * the built-in window wins outright; above it, an
+    * `approx_count_distinct` probe prices the distributed path's
+    * driver-held stats frame, and when groups exceed `maxDriverGroups`
+    * (≤ 0 = auto: max(8 × shuffle partitions, 65536), a few MB of driver
+    * frame at most) the built-in window is used instead — many-small
+    * groups parallelize fine there, and the stats collect would be
+    * group-cardinality-sized, the driver-OOM shape. Pass
+    * `maxDriverGroups = Long.MaxValue` to pin the distributed path (specs,
+    * probes). Null values count as 0; results are identical to the
+    * built-in window on every route. */
+  def groupedRunningSum(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      sumCol: String,
+      maxSingleTaskRows: Long,
+      knownCount: Long,
+      maxDriverGroups: Long,
       order: Column*): DataFrame = {
     def rows = InputStats.routeRows(df, knownCount)
     val safeVal = coalesce(value.cast("long"), lit(0L))
-    if (maxSingleTaskRows > 0 && rows <= maxSingleTaskRows) {
+    def windowPath: DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(group).orderBy(order: _*)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
-      return df.withColumn(sumCol,
+      df.withColumn(sumCol,
         (sum(safeVal).over(w) - safeVal).cast("long"))
     }
+    if (maxSingleTaskRows > 0 && rows <= maxSingleTaskRows)
+      return windowPath
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    val groupCap =
+      if (maxDriverGroups > 0) maxDriverGroups
+      else math.max(8L * parts, 65536L)
+    if (groupCap != Long.MaxValue) {
+      val approxGroups =
+        df.select(approx_count_distinct(group)).head().getLong(0)
+      if (approxGroups > groupCap) {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"groupedRunningSum: ~$approxGroups distinct groups > cap " +
+            s"$groupCap — routing to the built-in per-group window " +
+            "(many small groups parallelize across hash buckets; the " +
+            "distributed path's stats collect would be " +
+            "group-cardinality-sized on the driver).")
+        return windowPath
+      }
+    }
     val prepared = df
       .withColumn("__graft_grp", group.cast("string"))
       .withColumn("__graft_val", safeVal)

@@ -587,12 +587,28 @@ object Similarity {
       .withColumn("list", explode(
         GraftFunctions.nearestCentroids(col("qv"), index.centroids, nprobe)))
     val probeLists = q.select("list").distinct().collect().map(_.getInt(0))
-    val scored = index.assigned
+    val cand = index.assigned
       .where(col("list").isin(probeLists.toIndexedSeq.map(Int.box): _*))
-      .join(broadcast(q), Seq("list"))
-      .select(col("qid"), col("cid"),
-        try_divide(dot(col("qv"), col("cv")),
-          col("qn") * col("cn")).as("cos"))
+    val scored =
+      if (!cand.columns.contains("repid"))
+        cand.join(broadcast(q), Seq("list"))
+          .select(col("qid"), col("cid"),
+            try_divide(dot(col("qv"), col("cv")),
+              col("qn") * col("cn")).as("cos"))
+      else {
+        // Collapsed artifact: the dim-wide dot runs once per DISTINCT
+        // vector (rep rows), then the score fans out to every twin
+        // through a narrow (list, repid) join — all stored ids still
+        // compete for the top-k, at distinct-size distance cost.
+        val repScores = cand.where(col("cid") === col("repid"))
+          .join(broadcast(q), Seq("list"))
+          .select(col("qid"), col("list"), col("repid"),
+            try_divide(dot(col("qv"), col("cv")),
+              col("qn") * col("cn")).as("cos"))
+        cand.select(col("list"), col("repid"), col("cid"))
+          .join(repScores, Seq("list", "repid"))
+          .select(col("qid"), col("cid"), col("cos"))
+      }
     topKPerQuery(scored, k)
   }
 
@@ -734,16 +750,28 @@ object Similarity {
     else df.join(spark.read.parquet(files: _*).select("cid").distinct(),
       Seq("cid"), "left_anti")
 
-  /** [[maskByFiles]] over whatever tombstones are live right now — the
-    * load-time view of a saved index. */
-  private def applyTombstones(spark: org.apache.spark.sql.SparkSession,
-      path: String, df: DataFrame): DataFrame =
-    maskByFiles(spark, df, tombstoneFiles(spark, path))
-
   private def writeTombstones(path: String, ids: DataFrame,
       idCol: String): Unit =
     ids.select(col(idCol).as("cid")).distinct()
       .write.mode("append").parquet(tombstoneDir(path))
+
+  /** Tombstone files the last compaction already FOLDED into the current
+    * generation (the `_applied` manifest) — retained for reader grace but
+    * no threat to the stored representatives, unlike fresh unapplied
+    * deletes (which may have masked a group's rep). */
+  private def appliedTombstoneFiles(
+      spark: org.apache.spark.sql.SparkSession, path: String): Set[String] = {
+    val fs = hfs(spark, path)
+    val manifest = new org.apache.hadoop.fs.Path(
+      s"${tombstoneDir(path)}/_applied")
+    if (!fs.exists(manifest)) Set.empty
+    else {
+      val in = fs.open(manifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
 
   /** Post-compaction tombstone bookkeeping: retire the files the PREVIOUS
     * compaction applied (their one-cycle reader grace has expired), then
@@ -837,6 +865,82 @@ object Similarity {
     clearTombstones(spark, path)
   }
 
+  // ───────────── identical-vector collapse (serving indexes) ──────────────
+  // A dup-dense serving corpus (re-posted embeddings) stores each copy as
+  // a row, and a probe pays the expensive distance computation per COPY —
+  // distinct-size work inflated by the duplication factor. Compaction
+  // regroups each identical-vector group under a representative (`repid` =
+  // min live cid; for IVF also `vh` = xxhash64(cv), a narrow group key —
+  // grouping always includes the full vector/codes, so a 64-bit collision
+  // can never merge distinct vectors): the probe computes the distance
+  // ONCE per distinct vector (rep rows) and fans the score out to the
+  // twins through a narrow join, so every stored id still reaches the
+  // top-k — the collapse is on SCAN COST, not on the serving result
+  // contract (the sem dedup family's round-13 collapse, re-derived for
+  // top-k semantics: sem only needs one witness per content; serving
+  // expands the score back to all ids before selection).
+  //
+  // Lifecycle (the sem sawtooth): fresh builds and appends land SELF-REP
+  // (repid = cid — the probe over-scans, never under-scans); while
+  // tombstones are LIVE, load resets to self-rep too (a tombstoned
+  // representative must not silence its surviving twins); the next
+  // compaction applies deletes physically and regroups, so the min
+  // SURVIVING id becomes the rep — that regroup IS the takedown
+  // rep-promotion. Dup-free artifacts keep the legacy schema (no
+  // vh/repid) and the probe keeps its legacy single-pass plan — the
+  // collapse costs nothing until duplicates actually exist.
+
+  /** Recompute the per-(list, vector) representatives of an IVF lists
+    * frame: `repid` = min cid of each identical-vector group within its
+    * list. */
+  private[operators] def collapseIvfReps(assigned: DataFrame): DataFrame = {
+    val withVh = assigned.withColumn("vh", xxhash64(col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("list"), col("vh"), col("cv"))
+    withVh.withColumn("repid", min(col("cid")).over(w))
+  }
+
+  /** Recompute the representatives of a PQ codes frame: ADC scores depend
+    * only on (cn, codes), so that pair is the score-identity group — two
+    * rows sharing it are indistinguishable to the approximate stage, and
+    * the exact rerank re-scores per cid afterwards anyway. */
+  private[operators] def collapsePqReps(codes: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cn"), col("codes"))
+    codes.withColumn("repid", min(col("cid")).over(w))
+  }
+
+  /** Does any identical-vector/identical-code group hold more than one
+    * row? Decides whether a compaction writes the collapsed schema at
+    * all — dup-free artifacts stay on the legacy schema and plan. */
+  private def hasDupGroups(df: DataFrame, keys: Seq[String]): Boolean =
+    !df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).limit(1).isEmpty
+
+  /** Self-rep view: every row its own representative (`repid` = cid) —
+    * correct under any tombstone state (over-scan, never under-scan). */
+  private def selfRep(df: DataFrame): DataFrame =
+    if (df.columns.contains("repid")) df.withColumn("repid", col("cid"))
+    else df
+
+  /** Match `rows` to the schema of an artifact `like` so an append/extend
+    * never mixes schemas inside one generation: collapsed target → fresh
+    * rows land self-rep; legacy target → rows stay legacy. */
+  private def matchRepSchema(rows: DataFrame, like: DataFrame): DataFrame =
+    if (!like.columns.contains("repid")) rows
+    else {
+      val vh = if (like.columns.contains("vh"))
+        rows.withColumn("vh", xxhash64(col("cv"))) else rows
+      vh.withColumn("repid", col("cid"))
+    }
+
+  /** Rep rows of a possibly-collapsed frame — what a probe scores and
+    * what the imbalance signals read (the probed cost, not the stored
+    * row count). */
+  private def repRows(df: DataFrame): DataFrame =
+    if (df.columns.contains("repid")) df.where(col("cid") === col("repid"))
+    else df
+
   /** Load an [[IvfIndex]] written by [[saveIvfIndex]] (and possibly
     * compacted since). No retraining, no re-assignment: probing resumes
     * against the newest committed partitioned-lists generation. */
@@ -853,8 +957,14 @@ object Similarity {
       else s"$path/centroids"
     val cents = spark.read.parquet(centsDir).orderBy("i")
       .select("v").collect().map(_.getSeq[Double](0)).toSeq
-    IvfIndex(cents, applyTombstones(spark, path,
-      spark.read.parquet(listsDir)))
+    val tombs = tombstoneFiles(spark, path)
+    val masked = maskByFiles(spark, spark.read.parquet(listsDir), tombs)
+    // UNAPPLIED tombstones may have masked a group's representative —
+    // fall back to self-rep until the next compaction promotes the min
+    // surviving twin physically. Applied-but-retained files (reader
+    // grace) were already folded into this generation's reps.
+    val unapplied = tombs.filterNot(appliedTombstoneFiles(spark, path))
+    IvfIndex(cents, if (unapplied.nonEmpty) selfRep(masked) else masked)
   }
 
   /** LIST-IMBALANCE probe for the frozen-quantizer families — the rebuild
@@ -871,15 +981,13 @@ object Similarity {
   /** Max/mean inverted-list population — the probe-cost skew signal the
     * rebuild loops read at every compaction.
     *
-    * Deliberately NO identical-vector collapse here (unlike the sem dedup
-    * family's [[graft.operators.Dedup.SemIndex]], round 13): a SERVING
-    * index must return every stored id — exact-copy vectors legitimately
-    * occupy k result slots each — so its lists cannot scan one
-    * representative per distinct vector the way a dedup probe (which only
-    * needs one witness per content) can. Exact-copy mass in a serving
-    * index is real result data; if it skews a list, the remedy is
-    * upstream dedup of the corpus, not a collapse the top-k contract
-    * forbids. */
+    * Callers pass REP rows for a collapsed artifact ([[collapseIvfReps]];
+    * [[compactIvfIndex]] does): a serving index must return every stored
+    * id, so exact copies stay as rows, but the probe only SCANS one
+    * representative per distinct vector and fans the score out — the
+    * probed cost this signal should price is rep-row mass, while raw-row
+    * mass only measures takedown/duplication state a retrain could never
+    * spread anyway (one vector's copies always land in one list). */
   def listImbalance(assigned: DataFrame): Double = {
     val r = assigned.groupBy("list").agg(count(lit(1)).as("n"))
       .agg(max(col("n")).cast("double").as("mx"), avg(col("n")).as("mean"))
@@ -930,11 +1038,18 @@ object Similarity {
       cents.zipWithIndex.map { case (v, i) => (i, v) }
         .toDF("i", "v").coalesce(1)
         .write.parquet(s"$target/_quantizer")
-      maskByFiles(spark, spark.read.parquet(cur), tombs)
-        .drop("list")
+      val reassigned = maskByFiles(spark, spark.read.parquet(cur), tombs)
+        .drop("list", "vh", "repid")
         .withColumn("list",
           GraftFunctions.nearestCentroid(col("cv"), cents))
-        .repartition(col("list"))
+      // Re-derive the identical-vector reps under the NEW list assignment
+      // (list is part of the group key); dup-free stays legacy.
+      val rows =
+        if (hasDupGroups(reassigned.withColumn("vh", xxhash64(col("cv"))),
+            Seq("list", "vh", "cv")))
+          collapseIvfReps(reassigned)
+        else reassigned
+      rows.repartition(col("list"))
         .write.mode("append").partitionBy("list").parquet(target)
     }
     retireAppliedTombstones(spark, path, tombs)
@@ -964,8 +1079,13 @@ object Similarity {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val tombs0 = tombstoneFiles(spark, path)
     val bar = imbalanceRebuildBar(spark)
-    val imb = listImbalance(maskByFiles(spark,
-      spark.read.parquet(currentArtifactDir(spark, path, "lists")), tombs0))
+    // Imbalance is read over REP rows — the probed cost. Raw rows include
+    // exact copies a collapse already took out of every probe's scan, and
+    // a retrain could never spread copies of one vector anyway (the sem
+    // family's lesson: rep imbalance is the signal the rebuild decision
+    // can act on, raw imbalance only measures takedown state).
+    val imb = listImbalance(repRows(maskByFiles(spark,
+      spark.read.parquet(currentArtifactDir(spark, path, "lists")), tombs0)))
     if (imb > bar && autoRebuild) {
       log.warn(f"compactIvfIndex: list imbalance $imb%.1f exceeds " +
         f"$bar%.1f — escalating this compaction " +
@@ -989,8 +1109,17 @@ object Similarity {
           new org.apache.hadoop.fs.Path(s"$cur/_quantizer")))
         spark.read.parquet(s"$cur/_quantizer").coalesce(1)
           .write.parquet(s"$target/_quantizer")
-      maskByFiles(spark, spark.read.parquet(cur), tombs)
-        .repartition(col("list"))
+      val live = maskByFiles(spark, spark.read.parquet(cur), tombs)
+        .drop("vh", "repid")
+      // Identical-vector collapse over the post-delete survivors: min
+      // surviving cid becomes each group's rep (the takedown promotion);
+      // dup-free survivors keep the legacy schema and probe plan.
+      val rows =
+        if (hasDupGroups(live.withColumn("vh", xxhash64(col("cv"))),
+            Seq("list", "vh", "cv")))
+          collapseIvfReps(live)
+        else live
+      rows.repartition(col("list"))
         .write.mode("append").partitionBy("list").parquet(target)
     }
     retireAppliedTombstones(spark, path, tombs)
@@ -1019,8 +1148,9 @@ object Similarity {
     * centroids deliberately never move here. */
   def extendIvfIndex(index: IvfIndex, newVecs: DataFrame, idCol: String,
       vecCol: String): IvfIndex =
-    index.copy(assigned = index.assigned.unionByName(
-      assignToLists(newVecs, idCol, vecCol, index.centroids)))
+    index.copy(assigned = index.assigned.unionByName(matchRepSchema(
+      assignToLists(newVecs, idCol, vecCol, index.centroids),
+      like = index.assigned)))
 
   /** [[extendIvfIndex]] straight onto a saved index's files: assign the new
     * vectors through the stored centroids and APPEND them into the
@@ -1035,10 +1165,13 @@ object Similarity {
       newVecs: DataFrame, idCol: String, vecCol: String): IvfIndex = {
     val idx = loadIvfIndex(spark, path)
     val listsDir = currentArtifactDir(spark, path, "lists")
-    assignToLists(newVecs, idCol, vecCol, idx.centroids)
+    // Arrivals land SELF-REP when the generation is collapsed (never a
+    // schema mix inside one artifact); the next compaction folds them
+    // into their identical-vector groups.
+    matchRepSchema(assignToLists(newVecs, idCol, vecCol, idx.centroids),
+        like = idx.assigned)
       .write.mode("append").partitionBy("list").parquet(listsDir)
-    idx.copy(assigned = applyTombstones(spark, path,
-      spark.read.parquet(listsDir)))
+    loadIvfIndex(spark, path)
   }
 
   /** Approximate embedding near-dup PAIRS at corpus scale — the production
@@ -1232,10 +1365,28 @@ object Similarity {
     val qlut = q.select(col("qid"), col("qn"),
       GraftFunctions.pqLut(col("qv"), index.codebooks).as("lut"))
 
-    val approx = index.codes.crossJoin(broadcast(qlut))
-      .select(col("qid"), col("cid"),
-        try_divide(GraftFunctions.pqScore(col("codes"), col("lut")),
-          col("qn") * col("cn")).as("cos"))
+    val approx =
+      if (!index.codes.columns.contains("repid"))
+        index.codes.crossJoin(broadcast(qlut))
+          .select(col("qid"), col("cid"),
+            try_divide(GraftFunctions.pqScore(col("codes"), col("lut")),
+              col("qn") * col("cn")).as("cos"))
+      else {
+        // Collapsed codes: the m-lookup ADC scan runs once per distinct
+        // (cn, codes) group (rep rows), then the score fans out to every
+        // twin through a narrow repid join — the candidate pool seen by
+        // the rerank is identical to the uncollapsed scan's (copies carry
+        // equal approximate scores either way).
+        val repScores = index.codes
+          .where(col("cid") === col("repid"))
+          .crossJoin(broadcast(qlut))
+          .select(col("qid"), col("repid"),
+            try_divide(GraftFunctions.pqScore(col("codes"), col("lut")),
+              col("qn") * col("cn")).as("cos"))
+        index.codes.select(col("cid"), col("repid"))
+          .join(repScores, Seq("repid"))
+          .select(col("qid"), col("cid"), col("cos"))
+      }
     val cand = topKPerQuery(approx, k * rerankFactor).select("qid", "cid")
 
     val c = corpus.select(col(idCol).as("cid"),
@@ -1281,8 +1432,12 @@ object Similarity {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
-    PqIndex(cbs, applyTombstones(spark, path,
-      spark.read.parquet(codesDir)))
+    val tombs = tombstoneFiles(spark, path)
+    val masked = maskByFiles(spark, spark.read.parquet(codesDir), tombs)
+    // Self-rep fallback while UNAPPLIED tombstones are live
+    // ([[loadIvfIndex]]'s promotion-until-compaction rule).
+    val unapplied = tombs.filterNot(appliedTombstoneFiles(spark, path))
+    PqIndex(cbs, if (unapplied.nonEmpty) selfRep(masked) else masked)
   }
 
   /** Generation-merge a saved PQ index's codes — [[compactIvfIndex]] for
@@ -1344,9 +1499,14 @@ object Similarity {
         cb.zipWithIndex.map { case (v, c) => (j, c, v) }
       }.toDF("j", "c", "v").coalesce(1)
         .write.parquet(s"$target/_quantizer")
-      liveVecs.select(col("cid"), col("cn"),
-          GraftFunctions.pqEncode(col("cv"), cbs).as("codes"))
-        .write.mode("append").parquet(target)
+      val recoded = liveVecs.select(col("cid"), col("cn"),
+        GraftFunctions.pqEncode(col("cv"), cbs).as("codes"))
+      // Re-derive the score-identity reps under the NEW codebooks.
+      val rows =
+        if (hasDupGroups(recoded, Seq("cn", "codes")))
+          collapsePqReps(recoded)
+        else recoded
+      rows.write.mode("append").parquet(target)
     }
     retireAppliedTombstones(spark, path, tombs)
     loadPqIndex(spark, path)
@@ -1363,8 +1523,10 @@ object Similarity {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val tombs0 = tombstoneFiles(spark, path)
     val pqBar = imbalanceRebuildBar(spark)
-    val imb = pqCodeImbalance(maskByFiles(spark,
-      spark.read.parquet(currentArtifactDir(spark, path, "codes")), tombs0))
+    // Rep rows only ([[compactIvfIndex]]'s signal rule): the scan cost a
+    // retrain can act on, not the raw duplication mass.
+    val imb = pqCodeImbalance(repRows(maskByFiles(spark,
+      spark.read.parquet(currentArtifactDir(spark, path, "codes")), tombs0)))
     if (imb > pqBar) rebuildFrom match {
       case Some((corpus, idCol, vecCol)) =>
         log.warn(f"compactPqIndex: code imbalance $imb%.1f exceeds " +
@@ -1394,8 +1556,14 @@ object Similarity {
             new org.apache.hadoop.fs.Path(cur)).getLength
           math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
         }
-      maskByFiles(spark, spark.read.parquet(cur), tombs)
-        .repartition(parts).write.mode("append").parquet(target)
+      val live = maskByFiles(spark, spark.read.parquet(cur), tombs)
+        .drop("repid")
+      // Score-identity collapse over the post-delete survivors (min
+      // surviving cid = the promoted rep); dup-free stays legacy.
+      val rows =
+        if (hasDupGroups(live, Seq("cn", "codes"))) collapsePqReps(live)
+        else live
+      rows.repartition(parts).write.mode("append").parquet(target)
     }
     retireAppliedTombstones(spark, path, tombs)
     loadPqIndex(spark, path)
@@ -1413,8 +1581,9 @@ object Similarity {
     * drift deserves retrained codebooks — a rebuild, by design. */
   def extendPqIndex(index: PqIndex, newVecs: DataFrame, idCol: String,
       vecCol: String): PqIndex =
-    index.copy(codes = index.codes.unionByName(
-      encodeWith(newVecs, idCol, vecCol, index.codebooks)))
+    index.copy(codes = index.codes.unionByName(matchRepSchema(
+      encodeWith(newVecs, idCol, vecCol, index.codebooks),
+      like = index.codes)))
 
   /** [[extendPqIndex]] straight onto a saved index's files: encode with the
     * stored codebooks and APPEND to the codes parquet. Same append-grade
@@ -1424,10 +1593,12 @@ object Similarity {
       newVecs: DataFrame, idCol: String, vecCol: String): PqIndex = {
     val idx = loadPqIndex(spark, path)
     val codesDir = currentArtifactDir(spark, path, "codes")
-    encodeWith(newVecs, idCol, vecCol, idx.codebooks)
+    // Self-rep arrivals into a collapsed generation ([[appendIvfIndex]]'s
+    // schema-match rule); the next compaction folds them.
+    matchRepSchema(encodeWith(newVecs, idCol, vecCol, idx.codebooks),
+        like = idx.codes)
       .write.mode("append").parquet(codesDir)
-    idx.copy(codes = applyTombstones(spark, path,
-      spark.read.parquet(codesDir)))
+    loadPqIndex(spark, path)
   }
 
   /** Approximate cosine top-k: candidates = corpus rows sharing ≥1 subcode

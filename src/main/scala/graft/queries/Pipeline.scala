@@ -2279,6 +2279,57 @@ object Pipeline {
             .when(col("lang").isin("zh", "de"), 2500L).otherwise(2000L))
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_tok"))
         .orderBy("doc_id")
+    },
+    // Temperature/α-weighted mixture (round 14, x8's sibling): the OTHER
+    // way real data recipes are specified — per-domain share ∝ share^α
+    // (α = 0.5 here; the multilingual-pretraining upweight-the-tail rule)
+    // instead of absolute budgets. Derived per-domain token budgets
+    // T_d = B · p_d^α / Σ p^α feed exactly x8's machinery: deterministic
+    // content-independent order (md5 of the doc id — no rand()), running
+    // per-domain token sums via Ranks.groupedRunningSum (distributed
+    // above the routing cutoff, window below; group-cardinality-routed
+    // either way), budget-fill with the partial-final-doc convention.
+    // The domain-share aggregation is one tiny groupBy(lang) whose result
+    // broadcasts — nothing new shuffles beyond x8's plan. Output columns
+    // carry only exact integers (the float budget is filter-only), so the
+    // oracle hash-compares across engines.
+    df("x9_alpha_mixture",
+      Some("with t as (select doc_id, lang, " +
+        "cast(len(string_split(text, ' ')) as bigint) as n_tokens, " +
+        "md5(concat('mixa:', cast(doc_id as varchar))) as h from documents), " +
+        "s as (select lang, sum(n_tokens) as toks from t group by lang), " +
+        "w as (select lang, pow(cast(toks as double), 0.5) as w from s), " +
+        "b as (select lang, 12000.0 * w / (select sum(w) from w) as budget " +
+        "from w), " +
+        "c as (select doc_id, t.lang, n_tokens, " +
+        "sum(n_tokens) over (partition by t.lang order by h, doc_id " +
+        "rows between unbounded preceding and current row) - n_tokens " +
+        "as start_tok from t) " +
+        "select c.doc_id, c.lang, c.n_tokens, " +
+        "cast(c.start_tok as bigint) as start_tok " +
+        "from c join b on c.lang = b.lang where c.start_tok < b.budget " +
+        "order by c.doc_id")) { (s, dir) =>
+      val t = s.table("documents").select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(concat(lit("mixa:"), col("doc_id").cast("string"))).as("h"))
+      val budgets = t.groupBy("lang")
+        .agg(sum("n_tokens").cast("double").as("toks"))
+        .select(col("lang"), pow(col("toks"), 0.5).as("w"))
+      // One scalar to the driver (the centroids discipline — bounded by
+      // the domain dimension, not the data): a crossJoin of the 1-row
+      // total would plan as a nested-loop join, the shape the global
+      // plan sweep forbids.
+      val tw = budgets.agg(sum("w")).head().getDouble(0)
+      val perLang = budgets
+        .select(col("lang"), (lit(12000.0) * col("w") / lit(tw))
+          .as("budget"))
+      graft.operators.Ranks
+        .groupedRunningSum(t, col("lang"), col("n_tokens"), "start_tok",
+          col("h"), col("doc_id"))
+        .join(broadcast(perLang), Seq("lang"))
+        .where(col("start_tok") < col("budget"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_tok"))
+        .orderBy("doc_id")
     }
   )
 

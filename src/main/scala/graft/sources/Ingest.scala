@@ -74,6 +74,134 @@ object Ingest {
       df.where(org.apache.spark.sql.functions.col("length") <= b))
   }
 
+  // ───────────── corrupt-record quarantine ────────────────────────────────
+  // A real 100 TB crawl ingest hits malformed UTF-8, truncated files and
+  // bad JSON before it hits anything else. The quarantined readers apply
+  // the multimodal codecs' poison policy ("poison costs one row, never the
+  // task", graft.operators.Multimodal) to the text/structured formats:
+  // every input row either parses clean into `good` or lands in `bad` as
+  // (src_file, raw) — counted and inspectable, no task failure, no silent
+  // propagation of half-parsed garbage into the pipeline.
+
+  /** A quarantined ingest: `good` rows parsed clean; `bad` holds one row
+    * per malformed input row — `(src_file, raw)` — instead of a task
+    * failure or a silently null-filled record. */
+  final case class Quarantined(good: DataFrame, bad: DataFrame) {
+    /** Quarantined-row count — the ingest health number an operator
+      * alerts on. */
+    def badCount(): Long = bad.count()
+  }
+
+  private val CorruptCol = "_graft_corrupt"
+
+  /** Raw splittable line view shared by the quarantined readers:
+    * (src_file, value). `ignoreCorruptFiles` keeps a truncated compressed
+    * file from failing the task — the decodable prefix ingests, the rest
+    * of that file is skipped (file-level poison downgrades to partial
+    * data, never a dead job). */
+  private def rawLines(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    spark.read.option("ignoreCorruptFiles", "true").text(path)
+      .select(input_file_name().as("src_file"), col("value"))
+  }
+
+  /** CSV with a row-level quarantine: lines that fail the schema (wrong
+    * column count, unparseable type) land in `bad` with their source
+    * file. Parsing runs through `from_csv` with an explicit
+    * corrupt-record column — per ROW, so one poisoned line never fails
+    * its task and never silently becomes a null-filled record. With
+    * `header = true`, lines byte-equal to the schema's header signature
+    * (`fieldNames.mkString(",")`) are dropped as headers, not counted as
+    * corrupt — quoted or re-ordered header lines are out of contract
+    * (use an explicit-schema [[csv]] read for exotic headers). */
+  def csvQuarantined(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): Quarantined = {
+    import org.apache.spark.sql.functions._
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema may not contain reserved column $CorruptCol")
+    val withCorrupt = schema.add(CorruptCol,
+      org.apache.spark.sql.types.StringType)
+    val headerSig = schema.fieldNames.mkString(",")
+    val raw0 = rawLines(spark, path)
+    val raw = if (header) raw0.where(col("value") =!= headerSig) else raw0
+    val parsed = raw.withColumn("p", from_csv(col("value"),
+      withCorrupt, Map("mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> CorruptCol)))
+    splitQuarantine(parsed, schema)
+  }
+
+  /** Line-delimited JSON with a row-level quarantine ([[csvQuarantined]]
+    * contract: bad JSON costs one `bad` row, never the task). */
+  def jsonlQuarantined(spark: SparkSession, path: String,
+      schema: StructType): Quarantined = {
+    import org.apache.spark.sql.functions._
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema may not contain reserved column $CorruptCol")
+    val withCorrupt = schema.add(CorruptCol,
+      org.apache.spark.sql.types.StringType)
+    val parsed = rawLines(spark, path).withColumn("p",
+      from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> CorruptCol)))
+    splitQuarantine(parsed, schema)
+  }
+
+  private def splitQuarantine(parsed: DataFrame, schema: StructType): Quarantined = {
+    import org.apache.spark.sql.functions._
+    // A row is poisoned when the parser recorded the raw text in the
+    // corrupt column, or could not build the struct at all.
+    val isBad = col("p").isNull || col(s"p.$CorruptCol").isNotNull
+    Quarantined(
+      good = parsed.where(!isBad)
+        .select(schema.fieldNames.map(f => col(s"p.$f").as(f))
+          .toIndexedSeq: _*),
+      bad = parsed.where(isBad)
+        .select(col("src_file"), col("value").as("raw")))
+  }
+
+  /** Invalid-UTF-8 detector: the text reader carries each row's ORIGINAL
+    * bytes (UTF8String is raw bytes, not a decode), so an encode/decode
+    * round trip — which replaces undecodable sequences with U+FFFD — is
+    * the identity exactly on valid UTF-8. Rows whose round trip differs
+    * carried invalid bytes; rows that legitimately CONTAIN U+FFFD
+    * round-trip unchanged and are never misflagged. */
+  private def invalidUtf8(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{decode, encode}
+    decode(encode(c, "UTF-8"), "UTF-8") =!= c
+  }
+
+  /** [[textLines]] with an encoding quarantine: lines whose original
+    * bytes were not valid UTF-8 (see [[invalidUtf8]]) land in `bad` with
+    * their source file instead of flowing mojibake into tokenizers and
+    * fingerprints. Truncated compressed inputs ingest their decodable
+    * prefix ([[rawLines]]' ignoreCorruptFiles). */
+  def textLinesQuarantined(spark: SparkSession, path: String): Quarantined = {
+    import org.apache.spark.sql.functions._
+    val raw = rawLines(spark, path)
+    val poisoned = invalidUtf8(col("value"))
+    Quarantined(
+      good = raw.where(!poisoned).select(col("value")),
+      bad = raw.where(poisoned).select(col("src_file"),
+        col("value").as("raw")))
+  }
+
+  /** [[textFiles]] with the same encoding quarantine, at document grain:
+    * a file whose decode hit invalid UTF-8 quarantines whole (one bad ROW
+    * — the poison-costs-one-row rule at this reader's record size). */
+  def textFilesQuarantined(spark: SparkSession, path: String): Quarantined = {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.option("wholetext", "true")
+      .option("ignoreCorruptFiles", "true").text(path)
+      .select(input_file_name().as("src_file"), col("value").as("text"))
+    val poisoned = invalidUtf8(col("text"))
+    Quarantined(
+      good = raw.where(!poisoned).select(col("src_file").as("doc_path"),
+        col("text")),
+      bad = raw.where(poisoned).select(col("src_file"),
+        col("text").as("raw")))
+  }
+
   /** Register a whole directory of `<name>.parquet` tables, like the
     * reference's module-level fixture loop (`tests/utils.py:26-34`). */
   def registerDir(spark: SparkSession, dir: String): Seq[String] = {

@@ -281,9 +281,18 @@ object PackStream {
     // arrival could collide with and corrupt that shard's pack bytes.
     val pend = state.select(lit(0).as("pack_ord"), lit(-1L).as("doc_id"),
       col("shard"), col("pending").as("tids"))
+    // Broadcast the (nShards-row) state side: packWindows' output is
+    // already hash(shard)-partitioned (the per-shard offset cumsum needs
+    // it — packing parallelism is nShards BY DESIGN, the layout knob an
+    // operator sizes to the cluster), so a sort-merge join here would add
+    // only a pointless sort + exchange of the tiny state frame. The sink
+    // therefore writes ~one file per (batch, shard); multi-file leaves
+    // come from retraction rewrites and schema-preserving backfills, and
+    // the in-loop [[compactPacks]] cadence re-bounds them.
     val packed = Packing.packWindows(pend.unionByName(ids), m.window,
         orderCols = Seq("pack_ord", "doc_id"))
-      .join(state.select(col("shard"), col("next_pack")), Seq("shard"))
+      .join(broadcast(state.select(col("shard"), col("next_pack"))),
+        Seq("shard"))
 
     val full = packed.where(col("n_tokens") === m.window)
       .select(col("shard"), (col("next_pack") + col("pack_id")).as("pack_id"),
@@ -939,6 +948,11 @@ object PackStream {
       Seq(Tuple1(key)).toDF("key")
         .coalesce(1).write.mode("overwrite").parquet(s"$rdir/applied")
     }
+    // The rewrites above re-fragment leaves BELOW the compaction
+    // high-water mark (the apply leg lands up to spanShards files per
+    // rewritten leaf); reset it so the next [[compactPacks]] cadence
+    // re-sweeps the whole layout once and re-bounds them.
+    handle.compactedThrough = -1L
     statsRow(spark, rdir).copy(alreadyApplied = false)
   }
 

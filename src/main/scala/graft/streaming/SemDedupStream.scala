@@ -126,6 +126,14 @@ object SemDedupStream {
           f"$imb%.1f exceeds $bar%.1f — rebuilding the quantizer at this " +
           "compaction (Dedup.rebuildSemIndex).")
         val rebuilt = Dedup.rebuildSemIndex(collapsed, releaseOld = false)
+        // The collapsed checkpoint was only the rebuild's input snapshot —
+        // rebuildSemIndex re-materialized its own lineage-truncated vector
+        // frame, so nothing references it anymore. Release it NOW rather
+        // than waiting for the driver's ContextCleaner: a rebuild
+        // compaction otherwise transiently holds an extra full-index copy
+        // in executor storage on top of the grace-period layers and the
+        // rebuilt index.
+        collapsed.assigned.unpersist(false)
         val post = graft.operators.Similarity.listImbalance(
           rebuilt.assigned.where(org.apache.spark.sql.functions.col("rep")))
         if (post > bar) {

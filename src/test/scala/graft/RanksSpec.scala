@@ -180,4 +180,47 @@ class RanksSpec extends SparkSpecBase {
       .select("s").as[Long].collect()
     assert(firsts.length == 4 && firsts.forall(_ == 0L))
   }
+
+  test("groupedRunningSum routes on group cardinality: many small groups " +
+      "keep the built-in window (parallel across hash buckets), few huge " +
+      "groups go distributed — identical results either way") {
+    import spark.implicits._
+    def windowNodes(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+
+    // MANY SMALL groups, forced past the row cutoff: the distributed
+    // path's stats collect would be group-cardinality-sized on the
+    // driver — the router must keep the built-in window.
+    val many = (1 to 8000)
+      .map(i => (i.toLong, s"g${i % 4000}", (i % 5).toLong))
+      .toDF("id", "grp", "v")
+    val routedWin = Ranks.groupedRunningSum(many, col("grp"), col("v"), "s",
+      0L, -1L, 1000L, col("id"))
+    assert(windowNodes(routedWin).nonEmpty,
+      "many-small-groups input must route to the built-in window")
+    // Router override: Long.MaxValue pins the distributed path; results
+    // must be equal (the driver frame bound is the only difference).
+    val pinned = Ranks.groupedRunningSum(many, col("grp"), col("v"), "s",
+      0L, -1L, Long.MaxValue, col("id"))
+    assert(windowNodes(pinned).isEmpty)
+    assert(routedWin.select("id", "s").exceptAll(pinned.select("id", "s"))
+        .isEmpty &&
+      pinned.select("id", "s").exceptAll(routedWin.select("id", "s"))
+        .isEmpty,
+      "both routes must produce identical running sums")
+
+    // FEW HUGE groups under the auto cap: the one-task-per-group window
+    // is the cliff — the router must take the distributed path.
+    val few = (1 to 9000).map(i => (i.toLong, s"g${i % 3}", (i % 7).toLong))
+      .toDF("id", "grp", "v")
+    val dist = Ranks.groupedRunningSum(few, col("grp"), col("v"), "s",
+      0L, -1L, -1L, col("id"))
+    assert(windowNodes(dist).isEmpty,
+      "few-huge-groups input must take the distributed path")
+    val ref = Ranks.groupedRunningSum(few, col("grp"), col("v"), "s",
+      col("id")) // small-input window reference
+    assert(dist.select("id", "s").exceptAll(ref.select("id", "s")).isEmpty &&
+      ref.select("id", "s").exceptAll(dist.select("id", "s")).isEmpty)
+  }
 }

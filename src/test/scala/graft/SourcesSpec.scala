@@ -246,6 +246,69 @@ class SourcesSpec extends SparkSpecBase {
       "replayed batch must overwrite to the same content")
   }
 
+  test("quarantined csv/jsonl: malformed rows land in bad with their " +
+      "source file, counted — good rows parse clean, no task failure") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("quar").toFile
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("name", StringType), StructField("price", DoubleType)))
+    Files.writeString(new java.io.File(dir, "a.csv").toPath,
+      "id,name,price\n1,widget,9.5\n2,gadget\nnotanint,thing,1.0\n" +
+        "3,doohickey,0.5\n")
+    val q = Ingest.csvQuarantined(spark, new java.io.File(dir, "a.csv")
+      .getPath, schema)
+    assert(q.good.count() == 2 && q.badCount() == 2,
+      s"good=${q.good.collect().toSeq} bad=${q.bad.collect().toSeq}")
+    assert(q.good.columns.toSeq == Seq("id", "name", "price"))
+    assert(q.bad.collect().forall(_.getString(0).endsWith("a.csv")))
+
+    val jdir = Files.createTempDirectory("quarj").toFile
+    Files.writeString(new java.io.File(jdir, "d.jsonl").toPath,
+      """{"id":1,"name":"ok"}""" + "\n" +
+        """{"id":2,"name":"trunc""" + "\n" + // truncated JSON object
+        "not json at all\n" +
+        """{"id":3,"name":"fine"}""" + "\n")
+    val jq = Ingest.jsonlQuarantined(spark, jdir.getPath,
+      StructType(Seq(StructField("id", LongType),
+        StructField("name", StringType))))
+    assert(jq.good.count() == 2 && jq.badCount() == 2,
+      s"good=${jq.good.collect().toSeq} bad=${jq.bad.collect().toSeq}")
+  }
+
+  test("quarantined text: invalid UTF-8 quarantines by row (lines) or by " +
+      "document (files); a truncated gzip ingests its decodable prefix " +
+      "instead of failing the task") {
+    val dir = Files.createTempDirectory("quart").toFile
+    // Valid line, then a line with an invalid UTF-8 byte sequence.
+    val out = new java.io.FileOutputStream(new java.io.File(dir, "m.txt"))
+    out.write("clean line one\n".getBytes("UTF-8"))
+    out.write(Array[Byte]('b', 'a', 'd', ' ', 0xFF.toByte, 0xFE.toByte,
+      ' ', 'x', '\n'))
+    out.write("clean line two\n".getBytes("UTF-8"))
+    out.close()
+    val tq = Ingest.textLinesQuarantined(spark, dir.getPath)
+    assert(tq.good.count() == 2 && tq.badCount() == 1)
+    assert(tq.bad.head().getString(1).contains("�"))
+
+    // Document grain: the poisoned file quarantines whole.
+    val fq = Ingest.textFilesQuarantined(spark, dir.getPath)
+    assert(fq.good.count() == 0 && fq.badCount() == 1,
+      "one file carrying any invalid bytes quarantines as one bad row")
+
+    // Truncated gzip: decodable prefix survives, no task failure.
+    val gzdir = Files.createTempDirectory("quarg").toFile
+    val baos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(baos)
+    gz.write((1 to 200).map(i => s"line $i").mkString("\n").getBytes("UTF-8"))
+    gz.close()
+    val bytes = baos.toByteArray
+    Files.write(new java.io.File(gzdir, "t.txt.gz").toPath,
+      bytes.take(bytes.length / 2)) // truncate mid-stream
+    val gq = Ingest.textLinesQuarantined(spark, gzdir.getPath)
+    val survived = gq.good.count() // must not throw
+    assert(survived < 200, s"a truncated stream cannot yield all rows")
+  }
+
   test("compact: a file landing mid-rewrite aborts the swap — nothing " +
       "lost, the next pass compacts the grown leaf") {
     import spark.implicits._

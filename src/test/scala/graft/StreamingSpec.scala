@@ -1940,6 +1940,140 @@ class StreamingSpec extends SparkSpecBase {
     graft.operators.Dedup.releaseSketchCaches()
   }
 
+  test("export pipeline endurance with in-loop pack compaction: file " +
+      "counts stay bounded as batches accumulate, packs byte-identical " +
+      "to an uncompacted run, retraction exact over the compacted " +
+      "layout, and a mid-compaction crash heals at the next stream start") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.ExportPipeline
+
+    def doc(id: Long, seed: String): NdDoc =
+      NdDoc(id, (0 until 24).map(k => s"$seed$k").mkString(" "))
+    val corpus = Seq(doc(1, "alpha"), doc(2, "beta")).toDF("doc_id", "text")
+    // 6 batches × 4 novel docs, all passing every gate.
+    val batches: Seq[Seq[NdDoc]] = (0 until 6).map { b =>
+      (0 until 4).map(k => doc(100L + b * 10 + k, s"s${b}x${k}q")).toSeq
+    }
+    // The steady-state sink lands ~one file per (batch, shard) — leaf
+    // fragmentation comes from retraction rewrites and out-of-band
+    // backfills. The tap below emulates that regime deterministically:
+    // after every EVEN batch lands, its leaves are rewritten into 3
+    // content-identical fragments each (keptSink runs after the batch's
+    // cadence slot, so the NEXT cadence fire must merge them back).
+    def fragment(out: String)(kept: org.apache.spark.sql.DataFrame,
+        id: Long): Unit = if (id % 2 == 0) {
+      Option(new java.io.File(s"$out/b$id").listFiles()).getOrElse(Array())
+        .filter(d => d.isDirectory && d.getName.startsWith("sh="))
+        .foreach { sh =>
+          val tmp = sh.getPath + ".fragtmp"
+          spark.read.parquet(sh.getPath).repartition(3).write.parquet(tmp)
+          sh.listFiles().filter(f => f.isFile &&
+            !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+            .foreach(f => assert(f.delete()))
+          new java.io.File(tmp).listFiles()
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (f, i) =>
+              java.nio.file.Files.move(f.toPath,
+                new java.io.File(sh, s"frag-$i.parquet").toPath)
+            }
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(tmp))
+        }
+    }
+
+    def drive(root: String, out: String, every: Long, bs: Seq[Seq[NdDoc]],
+        frag: Boolean): ExportPipeline.Handles = {
+      val h = ExportPipeline.resume(spark, root, corpus, "doc_id", "text",
+        nShards = 2L, nMerges = 8, window = 16)
+      val in = MemoryStream[NdDoc]
+      val q = ExportPipeline.run(in.toDF(), h, "doc_id", "text", out,
+        compactEvery = 2,
+        keptSink = if (frag) fragment(out) else (_, _) => (),
+        compactPacksEvery = every, packTargetBytesPerFile = 1L << 30)
+      bs.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      h
+    }
+    def packsOf(dir: String): Set[(Long, Long, String)] =
+      spark.read.option("recursiveFileLookup", "true").parquet(dir)
+        .select("shard", "pack_id", "token_ids")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+    def leafCounts(out: String): Map[String, Int] =
+      Option(new java.io.File(out).listFiles()).getOrElse(Array())
+        .filter(d => d.isDirectory && d.getName.startsWith("b"))
+        .flatMap { b =>
+          b.listFiles().filter(d => d.isDirectory &&
+            d.getName.startsWith("sh=")).map { sh =>
+            s"${b.getName}/${sh.getName}" -> sh.listFiles().count(f =>
+              f.isFile && !f.getName.startsWith(".") &&
+                !f.getName.startsWith("_"))
+          }
+        }.toMap
+
+    val rootA = java.nio.file.Files.createTempDirectory("xcmpa").toString
+    val outA = java.nio.file.Files.createTempDirectory("xcmpao").toString
+    val rootB = java.nio.file.Files.createTempDirectory("xcmpb").toString
+    val outB = java.nio.file.Files.createTempDirectory("xcmpbo").toString
+    val hA = drive(rootA, outA, every = 2, batches, frag = true)
+    drive(rootB, outB, every = 0, batches, frag = true)
+
+    // Content is compaction-invariant, batch for batch, pack for pack.
+    assert(packsOf(outA).nonEmpty && packsOf(outA) == packsOf(outB),
+      "compacted packs must equal the uncompacted run")
+    // The uncompacted run stays fragmented (the cadence had real work);
+    // the cadence bounded every leaf back to the byte target.
+    val rawCounts = leafCounts(outB)
+    assert(rawCounts.values.exists(_ > 1),
+      s"fixture must produce multi-file leaves, got $rawCounts")
+    val cmpCounts = leafCounts(outA)
+    assert(cmpCounts.nonEmpty && cmpCounts.values.forall(_ == 1),
+      s"every compacted leaf must hold one file, got $cmpCounts")
+
+    // Retraction over the COMPACTED layout: equals the from-scratch
+    // export of the surviving docs (the erasure contract, unchanged by
+    // the leaf rewrites).
+    val withdrawn = Set(121L, 150L)
+    graft.streaming.PackStream.retract(spark, hA.pack, outA,
+      withdrawn.toSeq.toDF("doc_id")): Unit
+    val rootC = java.nio.file.Files.createTempDirectory("xcmpc").toString
+    val outC = java.nio.file.Files.createTempDirectory("xcmpco").toString
+    val extra = (0 until 4).map(k => doc(200L + k, s"s9x${k}q")).toSeq
+    drive(rootC, outC, every = 2,
+      batches.map(_.filterNot(d => withdrawn(d.doc_id))) :+ extra,
+      frag = false)
+    val packsC = packsOf(outC)
+
+    // Mid-compaction crash: a complete copy whose leaf is already gone
+    // (the worst half of the swap window). The next stream start must
+    // heal it BEFORE processing anything — ExportPipeline.run's
+    // compactRecover — restoring the leaf byte-for-byte.
+    val leaf = s"$outA/b0/sh=0"
+    val tmpLeaf = s"$outA/b0/.cmp_tmp_sh=0"
+    spark.read.parquet(leaf).coalesce(1).write.parquet(tmpLeaf)
+    val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    lfs.delete(new org.apache.hadoop.fs.Path(leaf), true)
+    assert(!new java.io.File(leaf).exists())
+    // Restart and continue the stream with one more batch: the recovery,
+    // the retraction's leaf rewrites, and the resumed packing must all
+    // compose to the from-scratch survivors' export.
+    val h2 = ExportPipeline.resume(spark, rootA, corpus.limit(0),
+      "doc_id", "text")
+    val in2 = MemoryStream[NdDoc]
+    val q2 = ExportPipeline.run(in2.toDF(), h2, "doc_id", "text", outA,
+      compactEvery = 2, compactPacksEvery = 2)
+    in2.addData(extra: _*); q2.processAllAvailable(); q2.stop()
+    assert(packsOf(outA) == packsC,
+      "healed + resumed export must equal the from-scratch survivors' run")
+    assert(!java.nio.file.Files.walk(java.nio.file.Paths.get(outA))
+      .anyMatch(p => p.getFileName.toString.startsWith(".cmp_tmp_")),
+      "no tmp remnants may survive the recovery")
+    graft.operators.Dedup.releaseSketchCaches()
+  }
+
   test("takedown stream: export family — a withdrawn doc's tokens are " +
       "physically erased from the landed pack shards, replay-stable, " +
       "and its lineage rows disappear") {

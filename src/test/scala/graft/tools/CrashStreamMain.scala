@@ -208,14 +208,20 @@ object CrashStreamMain {
         val h = graft.streaming.PackStream.resume(
           spark, idxCkpt, corpus, "doc_id", "text",
           nShards = 2L, nMerges = 8, window = 32)
+        // In-loop landed-layout compaction as PackStream.run wires it
+        // (recover at start, sweep after every batch) — the kill points
+        // below therefore exercise replay ACROSS a compacted layout.
+        graft.sources.Sink.compactRecover(spark, sinkDir)
         src.writeStream.option("checkpointLocation", qCkpt)
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
             val afterSink: () => Unit = () =>
               if (killPoint == "mid" && killAfter >= 0 &&
                   sunk.get() >= killAfter)
                 Runtime.getRuntime.halt(137)
-            graft.streaming.PackStream.processBatch(
+            val eff = graft.streaming.PackStream.processBatch(
               h, batch, id, "doc_id", "text", sinkDir, afterSink)
+            graft.streaming.PackStream.compactPacks(
+              spark, h, sinkDir, upTo = eff)
             if (killPoint == "post" && killAfter >= 0 &&
                 sunk.get() >= killAfter)
               Runtime.getRuntime.halt(137)

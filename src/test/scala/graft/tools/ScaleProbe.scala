@@ -1037,6 +1037,86 @@ object ScaleProbe {
           "vec_id", "embedding", 5)
       }
     }
+    // Round-14: identical-vector collapse on the SERVING IVF index — the
+    // sem family's probe-cost win measured on the saved-artifact path.
+    // rep× replication keeps vec_ids distinct but repeats every VECTOR
+    // rep times (a re-posted-embeddings corpus); compaction collapses each
+    // group to one scored rep row, the probe fans scores back out. Run as
+    // `ScaleProbe 40 ivfflood`.
+    if (wanted("ivfflood")) {
+      import graft.operators.Similarity
+      val baseEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nEmb = baseEmb.count()
+      val ecorpus = baseEmb
+        .crossJoin(spark.range(rep).select(col("id").as("__r")))
+        .select((col("vec_id") + col("__r") * lit(nEmb * 10)).as("vec_id"),
+          col("embedding"))
+        .cache()
+      println(s"[scale] ivfflood vectors=${ecorpus.count()} " +
+        s"($rep exact copies per distinct)")
+      val queries = baseEmb.where(col("vec_id") < 50)
+      val dir = java.nio.file.Files.createTempDirectory("sp_ivffl").toString
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(ecorpus, "vec_id", "embedding"), dir)
+      time("ivfflood probe UNCOLLAPSED (every copy scored)") {
+        Similarity.ivfProbe(Similarity.loadIvfIndex(spark, dir), queries,
+          "vec_id", "embedding", 10)
+      }
+      val collapsed = Similarity.compactIvfIndex(spark, dir)
+      val rows = collapsed.assigned.count()
+      val reps = collapsed.assigned
+        .where(col("cid") === col("repid")).count()
+      println(s"[scale] ivfflood rows=$rows scoredReps=$reps " +
+        f"(${rows.toDouble / math.max(1L, reps)}%.1fx fewer distance rows)")
+      time("ivfflood probe COLLAPSED (reps scored, scores fanned out)") {
+        Similarity.ivfProbe(collapsed, queries, "vec_id", "embedding", 10)
+      }
+    }
+    // Round-14: the landed-export compaction cadence stays FLAT as batches
+    // accumulate — each sweep lists the root once (names only) and
+    // rewrites only the batch dirs landed since the handle's high-water
+    // mark, never the years of already-compacted history. Run as
+    // `ScaleProbe 1 packcompact`.
+    if (wanted("packcompact")) {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")).limit(500).cache()
+      base.count()
+      val dir = java.nio.file.Files.createTempDirectory("sp_pkc").toString
+      val out = java.nio.file.Files.createTempDirectory("sp_pkco").toString
+      val h = graft.streaming.PackStream.resume(spark, dir, base,
+        "doc_id", "text", nShards = 8L, nMerges = 16, window = 512)
+      val nB = 40
+      val sweeps = new Array[Double](nB)
+      (0 until nB).foreach { i =>
+        val b = base.select((col("doc_id") + lit(1000000L * (i + 1)))
+          .as("doc_id"), col("text"))
+        val eff = graft.streaming.PackStream.processBatch(h, b, i.toLong,
+          "doc_id", "text", out)
+        val t1 = System.nanoTime()
+        val st = graft.streaming.PackStream.compactPacks(spark, h, out,
+          upTo = eff)
+        sweeps(i) = (System.nanoTime() - t1) / 1e9
+        if (i % 5 == 0 || i == nB - 1)
+          println(f"[scale] packcompact batch$i sweep=${sweeps(i)}%.2f s " +
+            s"$st")
+      }
+      def visibleFiles(d: java.io.File): Long =
+        Option(d.listFiles()).getOrElse(Array()).map { f =>
+          if (f.isFile)
+            if (f.getName.startsWith(".") || f.getName.startsWith("_")) 0L
+            else 1L
+          else visibleFiles(f)
+        }.sum
+      val early = sweeps.slice(1, 6).sum / 5
+      val late = sweeps.slice(nB - 5, nB).sum / 5
+      println(f"[scale] packcompact summary: sweep early=$early%.2f s " +
+        f"late=$late%.2f s (flat expected) files=" +
+        visibleFiles(new java.io.File(out)) +
+        s" over $nB batches x 8 shards")
+      assert(late < math.max(0.5, early * 3),
+        f"per-sweep cost must stay flat as batches accumulate: " +
+          f"early=$early%.2f late=$late%.2f")
+    }
     spark.stop()
   }
 }
