@@ -123,17 +123,75 @@ object Bench {
       System.err.println(s"SPARK_GRAFT_SKIP active: ${skip.size} queries " +
         s"excluded from this run's map: ${skip.toSeq.sorted.mkString(",")}")
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip.contains)
+    // INTERLEAVED CALIBRATION (round-14, VERDICT item 3): the start-of-run
+    // block prices the box ONCE, so load moving DURING a run still skewed
+    // norm_total (BENCH_NOTES: two same-code snapshots 30 min apart read
+    // norm 96 vs 113). A 2-query mini-probe (warm, pure-Catalyst) now runs
+    // before every `segSize`-query segment of BOTH passes; each
+    // measurement is normalized by ITS OWN segment's speed reading before
+    // the per-query min (factor computed below, anchored at the run's
+    // median probe reading), so a load spike mid-run inflates only the
+    // segments it actually touched instead of being averaged into (or
+    // missed by) one opening snapshot. Raw totals and the `queries` map
+    // stay untouched raw minimums; only norm_total consumes the factors.
+    val segProbe = Seq("h1_pricing_summary", "j1_inner")
+    def probeSeg(): Double = {
+      val s = segProbe.map(materialize).filter(_ >= 0)
+      if (s.isEmpty) -1.0 else s.sum
+    }
+    val segSize = sys.env.getOrElse("SPARK_GRAFT_CALIB_SEG", "15").toInt
+    final case class Timed(name: String, sec: Double, segCal: Double)
+    def runPass(): Seq[Timed] =
+      if (segSize <= 0) names.map(n => Timed(n, materialize(n), -1.0))
+      else names.grouped(segSize).toSeq.flatMap { chunk =>
+        val c = probeSeg()
+        chunk.map(n => Timed(n, materialize(n), c))
+      }
     // Best-of-2 per query: ambient machine load (a co-resident sbt/probe
     // JVM) inflates single-pass wall clock by up to ~1.6× and cannot be
     // prevented from here; the min of two interleaved passes caps that
     // noise at whichever pass had the quieter neighborhood. Queries stay
     // warm between passes (same JVM, codegen cache sized above), so pass 2
     // is also the steady-state number.
-    val pass1 = names.map(n => n -> materialize(n))
-    val pass2 = names.map(n => n -> materialize(n))
-    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
-      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+    val tPass1 = runPass()
+    val tPass2 = runPass()
+    val results = tPass1.zip(tPass2).map { case (a, b) =>
+      a.name -> (if (a.sec < 0) b.sec else if (b.sec < 0) a.sec
+        else math.min(a.sec, b.sec))
     }
+    // The BOX-SPEED anchor is the MEDIAN of all ~2·ceil(n/segSize) segment
+    // probes — a robust statistic over the whole run — priced against a
+    // pinned quiet-box reference for the same 2-query probe
+    // (SPARK_GRAFT_CALIB_SEG_REF, the calibRef discipline one level
+    // down). The round-13 formula divided by the one start-of-run block,
+    // whose own ±10% reading noise dominated norm_total even when the
+    // per-query raw minimums agreed to <1% (measured back-to-back,
+    // BENCH_NOTES r14). Per-segment correction then discounts only the
+    // segments a load spike actually touched, clamped to [1/1.5, 1.5] so
+    // one noisy probe can't amplify into the total. calib_sec (the block)
+    // stays on the record for cross-round continuity.
+    val calibSegRef =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_SEG_REF", "0.47").toDouble
+    val segCals = (tPass1 ++ tPass2).map(_.segCal).filter(_ > 0)
+    val medianSegCal =
+      if (segCals.isEmpty) -1.0
+      else segCals.sorted.apply(segCals.size / 2)
+    def segFactor(c: Double): Double =
+      if (medianSegCal <= 0 || calibSegRef <= 0)
+        (if (calibSec > 0) calibRef / calibSec else 1.0)
+      else {
+        val cClamped = math.max(medianSegCal / 1.5,
+          math.min(medianSegCal * 1.5, if (c > 0) c else medianSegCal))
+        calibSegRef / cClamped
+      }
+    val segNormTotal =
+      if (calibSec <= 0 && medianSegCal <= 0) -1.0
+      else tPass1.zip(tPass2).map { case (a, b) =>
+        val na = if (a.sec < 0) Double.MaxValue else a.sec * segFactor(a.segCal)
+        val nb = if (b.sec < 0) Double.MaxValue else b.sec * segFactor(b.segCal)
+        val v = math.min(na, nb)
+        if (v == Double.MaxValue) 0.0 else v
+      }.sum
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     // `value` is always the FULL-suite total (the round-over-round headline
@@ -143,11 +201,17 @@ object Bench {
       val qs = sel.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      val normTotal = if (calibSec > 0) total * (calibRef / calibSec) else -1.0
       val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // seg_cal min/max: the run's own drift envelope — equal values mean
+      // the box held steady, a spread localizes WHERE load moved.
+      val (scMin, scMax) =
+        if (segCals.isEmpty) (-1.0, -1.0) else (segCals.min, segCals.max)
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""calib_sec":${fmt(calibSec)},"calib_ref":${fmt(calibRef)},""" +
-        s""""norm_total":${fmt(normTotal)},"skipped":$skipped,""" +
+        s""""norm_total":${fmt(segNormTotal)},""" +
+        s""""seg_cal_med":${fmt(medianSegCal)},"seg_cal_ref":${fmt(calibSegRef)},""" +
+        s""""seg_cal_min":${fmt(scMin)},"seg_cal_max":${fmt(scMax)},""" +
+        s""""skipped":$skipped,""" +
         s""""load_avg":${fmt(math.max(0.0, ambientLoad))},""" +
         s""""n_jvms":$ambientJvms,"loaded":$stillLoaded,"sf":"$sfDir"}"""
     }
