@@ -1092,11 +1092,34 @@ object ScaleProbe {
           .as("doc_id"), col("text"))
         val eff = graft.streaming.PackStream.processBatch(h, b, i.toLong,
           "doc_id", "text", out)
+        // Every 4th batch, fragment the just-landed leaves (4 content-
+        // identical files each — the retraction-rewrite/backfill regime)
+        // so the sweeps do real rewrite work, not just listing.
+        if (i % 4 == 0)
+          Option(new java.io.File(s"$out/b$eff").listFiles())
+            .getOrElse(Array())
+            .filter(d => d.isDirectory && d.getName.startsWith("sh="))
+            .foreach { sh =>
+              val tmp = sh.getPath + ".fragtmp"
+              spark.read.parquet(sh.getPath).repartition(4)
+                .write.parquet(tmp)
+              sh.listFiles().filter(f => f.isFile &&
+                !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+                .foreach(f => require(f.delete()))
+              new java.io.File(tmp).listFiles()
+                .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+                .zipWithIndex.foreach { case (f, k) =>
+                  java.nio.file.Files.move(f.toPath,
+                    new java.io.File(sh, s"frag-$k.parquet").toPath)
+                }
+              org.apache.commons.io.FileUtils.deleteDirectory(
+                new java.io.File(tmp))
+            }
         val t1 = System.nanoTime()
         val st = graft.streaming.PackStream.compactPacks(spark, h, out,
           upTo = eff)
         sweeps(i) = (System.nanoTime() - t1) / 1e9
-        if (i % 5 == 0 || i == nB - 1)
+        if (i % 4 == 0 || i == nB - 1)
           println(f"[scale] packcompact batch$i sweep=${sweeps(i)}%.2f s " +
             s"$st")
       }
