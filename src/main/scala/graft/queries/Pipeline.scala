@@ -2330,6 +2330,53 @@ object Pipeline {
         .where(col("start_tok") < col("budget"))
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_tok"))
         .orderBy("doc_id")
+    },
+    // Corrupt-record quarantine ON the oracle record (round 14 — the m10
+    // synthesize-then-process pattern applied to the ingestion surface):
+    // a deterministic poisoned fixture is written fresh per call — CSV
+    // with a short row and a bad-typed row, JSONL with a truncated object
+    // and a non-JSON line, raw text with one invalid-UTF-8 line — and
+    // each quarantined reader splits it. The emitted (reader, good_rows,
+    // bad_rows) triplets are checked against the fixture's known shape,
+    // so the poison policy (one bad row per malformed input, never a
+    // task failure, nothing silently null-filled) sits on the official
+    // correctness record, not only in SourcesSpec.
+    df("i1_quarantine_counts",
+      Some("select * from (values " +
+        "('csv', cast(3 as bigint), cast(2 as bigint)), " +
+        "('jsonl', cast(2 as bigint), cast(2 as bigint)), " +
+        "('text', cast(2 as bigint), cast(1 as bigint))) " +
+        "as t(reader, good_rows, bad_rows) order by reader")) { (s, dir) =>
+      val fx = java.nio.file.Files.createTempDirectory("graft_i1").toFile
+      java.nio.file.Files.writeString(
+        new java.io.File(fx, "a.csv").toPath,
+        "id,name,price\n1,widget,9.5\n2,gadget\nnope,thing,1.0\n" +
+          "3,doohickey,0.5\n4,gizmo,2.25\n")
+      java.nio.file.Files.writeString(
+        new java.io.File(fx, "d.jsonl").toPath,
+        """{"id":1,"name":"ok"}""" + "\n" + """{"id":2,"name":"trunc""" +
+          "\nnot json at all\n" + """{"id":3,"name":"fine"}""" + "\n")
+      val out = new java.io.FileOutputStream(new java.io.File(fx, "m.txt"))
+      out.write("clean line one\n".getBytes("UTF-8"))
+      out.write(Array[Byte]('b', 'a', 'd', ' ', 0xFF.toByte, 0xFE.toByte,
+        ' ', 'x', '\n'))
+      out.write("clean line two\n".getBytes("UTF-8"))
+      out.close()
+      val schemaCsv = org.apache.spark.sql.types.StructType.fromDDL(
+        "id int, name string, price double")
+      val schemaJsonl = org.apache.spark.sql.types.StructType.fromDDL(
+        "id bigint, name string")
+      val c = graft.sources.Ingest.csvQuarantined(s,
+        new java.io.File(fx, "a.csv").getPath, schemaCsv)
+      val j = graft.sources.Ingest.jsonlQuarantined(s,
+        new java.io.File(fx, "d.jsonl").getPath, schemaJsonl)
+      val t = graft.sources.Ingest.textLinesQuarantined(s,
+        new java.io.File(fx, "m.txt").getPath)
+      import s.implicits._
+      Seq(("csv", c.good.count(), c.badCount()),
+          ("jsonl", j.good.count(), j.badCount()),
+          ("text", t.good.count(), t.badCount()))
+        .toDF("reader", "good_rows", "bad_rows").orderBy("reader")
     }
   )
 
