@@ -2377,6 +2377,31 @@ object Pipeline {
           ("jsonl", j.good.count(), j.badCount()),
           ("text", t.good.count(), t.badCount()))
         .toDF("reader", "good_rows", "bad_rows").orderBy("reader")
+    },
+    // Curriculum ordering (round 14): assign every document its global
+    // training position under a simple-to-complex metric (distinct token
+    // count, an exact integer — float-free ordering across engines) —
+    // curriculum learning's data-side half. A global ORDER over 100 TB
+    // is precisely the no-partition window cliff, so the position comes
+    // from Ranks.globalRank's distributed two-job prefix-sum shape above
+    // the routing cutoff (range partition on the sort key, per-partition
+    // stats, broadcast offsets) and the built-in window below it; the
+    // (metric, doc_id) order is unique, so rank ≡ row_number and the
+    // oracle replays it directly.
+    df("x10_curriculum_order",
+      Some("with q as (select doc_id, " +
+        "cast(len(list_distinct(string_split(text, ' '))) as bigint) " +
+        "as n_distinct from documents) " +
+        "select doc_id, n_distinct, cast(row_number() over " +
+        "(order by n_distinct, doc_id) as bigint) as pos " +
+        "from q order by doc_id")) { (s, dir) =>
+      val q = s.table("documents").select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("n_distinct"))
+      graft.operators.Ranks.globalRank(q, "pos", dense = false,
+          col("n_distinct").asc, col("doc_id").asc)
+        .select(col("doc_id"), col("n_distinct"), col("pos"))
+        .orderBy("doc_id")
     }
   )
 
