@@ -98,6 +98,25 @@ class IvfPqCollapseSpec extends SparkSpecBase {
     val selfRepView = Similarity.IvfIndex(promoted.centroids,
       promoted.assigned.withColumn("repid", col("cid")))
     assert(probeIvf(promoted, qs) == probeIvf(selfRepView, qs))
+
+    // The COLLAPSED probe plan still partition-prunes the list layout:
+    // both the rep-scoring side and the twin fan-out side read the
+    // hive-partitioned lists through the probe-list filter.
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = Similarity.ivfProbe(promoted, qs, "id", "emb", 5,
+          nprobe = 2)
+        .queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths
+                .exists(_.toString.contains("lists")) => f
+        }
+      assert(scans.nonEmpty, "collapsed probe lost the partitioned scan")
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        "probe-list filter must prune EVERY list scan of the collapsed " +
+          "plan (rep scoring and twin fan-out)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
   }
 
   private def probePq(idx: Similarity.PqIndex,
