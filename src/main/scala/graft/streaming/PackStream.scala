@@ -120,7 +120,16 @@ object PackStream {
   /** Bootstrap-or-load ([[FpDedupStream.resume]] contract): train the
     * tokenizer on `corpus` and write the initial empty packing state, or
     * restore the committed model + newest state so a restarted stream
-    * continues the same pack numbering and carried tokens. */
+    * continues the same pack numbering and carried tokens.
+    *
+    * Size `nShards` to the CLUSTER, not the default: each shard's token
+    * stream is sequential by construction (the carried-window contract),
+    * so packing parallelism — the per-shard offset cumsum and the sink
+    * write — is exactly nShards-wide forever. Like the tokenizer, the
+    * shard count FREEZES at bootstrap (per-shard carried state and pack
+    * numbering are the durable artifact; changing the doc→shard map is a
+    * new export, never an in-place mutation), so an operator on a
+    * 1000-core cluster should bootstrap with nShards in the hundreds. */
   def resume(
       spark: SparkSession,
       path: String,
