@@ -141,9 +141,9 @@ object Bench {
     }
     val segSize = sys.env.getOrElse("SPARK_GRAFT_CALIB_SEG", "15").toInt
     final case class Timed(name: String, sec: Double, segCal: Double)
-    def runPass(): Seq[Timed] =
-      if (segSize <= 0) names.map(n => Timed(n, materialize(n), -1.0))
-      else names.grouped(segSize).toSeq.flatMap { chunk =>
+    def runPassOver(sel: Seq[String]): Seq[Timed] =
+      if (segSize <= 0) sel.map(n => Timed(n, materialize(n), -1.0))
+      else sel.grouped(segSize).toSeq.flatMap { chunk =>
         val c = probeSeg()
         chunk.map(n => Timed(n, materialize(n), c))
       }
@@ -153,11 +153,37 @@ object Bench {
     // noise at whichever pass had the quieter neighborhood. Queries stay
     // warm between passes (same JVM, codegen cache sized above), so pass 2
     // is also the steady-state number.
-    val tPass1 = runPass()
-    val tPass2 = runPass()
-    val results = tPass1.zip(tPass2).map { case (a, b) =>
-      a.name -> (if (a.sec < 0) b.sec else if (b.sec < 0) a.sec
-        else math.min(a.sec, b.sec))
+    var passes = Vector(runPassOver(names), runPassOver(names))
+    // LOADED-SEGMENT RE-RUN (round 15, VERDICT item 3): a query whose
+    // segment probes read loaded in BOTH passes has no quiet raw minimum
+    // at all — the round-14 official record carried a 1.93× phantom on
+    // exactly this shape that BENCH_NOTES had to adjudicate by hand.
+    // One bounded third pass re-measures just those queries; the per-query
+    // raw minimum then needs zero manual adjudication (if the box stays
+    // loaded the interleaved-calibration correction still prices it, and
+    // `rerun_n` in the JSON says so).
+    locally {
+      val probes0 = passes.flatten.map(_.segCal).filter(_ > 0)
+      if (probes0.nonEmpty) {
+        val med0 = probes0.sorted.apply(probes0.size / 2)
+        val suspect = names.filter { n =>
+          val cals = passes.flatMap(_.find(_.name == n)).map(_.segCal)
+          cals.nonEmpty && cals.forall(c => c > 0 && c > med0 * 1.5)
+        }
+        if (suspect.nonEmpty) {
+          System.err.println(s"[bench] ${suspect.size} queries measured " +
+            s"only under load (probe > 1.5× median, n_jvms=$ambientJvms) " +
+            "- re-running those segments once")
+          passes :+= runPassOver(suspect)
+        }
+      }
+    }
+    val rerunN =
+      if (passes.size > 2) passes(2).size else 0
+    val results = names.map { n =>
+      val secs = passes.flatMap(_.find(_.name == n)).map(_.sec)
+        .filter(_ >= 0)
+      n -> (if (secs.isEmpty) -1.0 else secs.min)
     }
     // The BOX-SPEED anchor is the MEDIAN of all ~2·ceil(n/segSize) segment
     // probes — a robust statistic over the whole run — priced against a
@@ -172,7 +198,7 @@ object Bench {
     // stays on the record for cross-round continuity.
     val calibSegRef =
       sys.env.getOrElse("SPARK_GRAFT_CALIB_SEG_REF", "0.47").toDouble
-    val segCals = (tPass1 ++ tPass2).map(_.segCal).filter(_ > 0)
+    val segCals = passes.flatten.map(_.segCal).filter(_ > 0)
     val medianSegCal =
       if (segCals.isEmpty) -1.0
       else segCals.sorted.apply(segCals.size / 2)
@@ -186,11 +212,10 @@ object Bench {
       }
     val segNormTotal =
       if (calibSec <= 0 && medianSegCal <= 0) -1.0
-      else tPass1.zip(tPass2).map { case (a, b) =>
-        val na = if (a.sec < 0) Double.MaxValue else a.sec * segFactor(a.segCal)
-        val nb = if (b.sec < 0) Double.MaxValue else b.sec * segFactor(b.segCal)
-        val v = math.min(na, nb)
-        if (v == Double.MaxValue) 0.0 else v
+      else names.map { n =>
+        val normd = passes.flatMap(_.find(_.name == n))
+          .filter(_.sec >= 0).map(t => t.sec * segFactor(t.segCal))
+        if (normd.isEmpty) 0.0 else normd.min
       }.sum
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
@@ -211,7 +236,7 @@ object Bench {
         s""""norm_total":${fmt(segNormTotal)},""" +
         s""""seg_cal_med":${fmt(medianSegCal)},"seg_cal_ref":${fmt(calibSegRef)},""" +
         s""""seg_cal_min":${fmt(scMin)},"seg_cal_max":${fmt(scMax)},""" +
-        s""""skipped":$skipped,""" +
+        s""""skipped":$skipped,"rerun_n":$rerunN,""" +
         s""""load_avg":${fmt(math.max(0.0, ambientLoad))},""" +
         s""""n_jvms":$ambientJvms,"loaded":$stillLoaded,"sf":"$sfDir"}"""
     }

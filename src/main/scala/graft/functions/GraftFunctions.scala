@@ -116,4 +116,12 @@ object GraftFunctions {
   def regexScrub(text: Column, patterns: Seq[(String, String)]): Column =
     GraftBridge.column(org.apache.spark.sql.graft.RegexScrub(
       GraftBridge.expression(text), patterns))
+
+  /** Unigram-LM (SentencePiece-style) Viterbi encode of an array<string>
+    * word column under a baked piece→logprob table (the model — vocab
+    *-bounded, corpus-size-constant). */
+  def unigramEncodeWords(words: Column, pieces: Map[String, Double],
+      maxPieceLen: Int): Column =
+    GraftBridge.column(org.apache.spark.sql.graft.UnigramEncodeWords(
+      GraftBridge.expression(words), pieces, maxPieceLen))
 }

@@ -178,16 +178,22 @@ object Ranks {
     *
     * Routing consults BOTH dimensions, because each path's failure mode
     * is the other's sweet spot: at or below `maxSingleTaskRows` total rows
-    * the built-in window wins outright; above it, an
-    * `approx_count_distinct` probe prices the distributed path's
-    * driver-held stats frame, and when groups exceed `maxDriverGroups`
-    * (≤ 0 = auto: max(8 × shuffle partitions, 65536), a few MB of driver
-    * frame at most) the built-in window is used instead — many-small
-    * groups parallelize fine there, and the stats collect would be
-    * group-cardinality-sized, the driver-OOM shape. Pass
-    * `maxDriverGroups = Long.MaxValue` to pin the distributed path (specs,
-    * probes). Null values count as 0; results are identical to the
-    * built-in window on every route. */
+    * the built-in window wins outright; above it, the group cardinality
+    * prices the distributed path's driver-held stats frame, and when
+    * groups exceed `maxDriverGroups` (≤ 0 = auto: max(8 × shuffle
+    * partitions, 65536), a few MB of driver frame at most) the built-in
+    * window is used instead — many-small groups parallelize fine there,
+    * and the stats collect would be group-cardinality-sized, the
+    * driver-OOM shape. The cardinality read is FOLDED INTO the
+    * distributed path's own shuffle (after the range partition + sort,
+    * groups are contiguous, so one O(1)-memory boundary count per
+    * partition over the shuffle output bounds the group count) — the
+    * input is scanned ONCE either way; the round-14
+    * `approx_count_distinct` probe cost a full extra source pass per
+    * call, a real price at 100 TB. Pass `maxDriverGroups =
+    * Long.MaxValue` to pin the distributed path (specs, probes). Null
+    * values count as 0; results are identical to the built-in window on
+    * every route. */
   def groupedRunningSum(
       df: DataFrame,
       group: Column,
@@ -214,19 +220,6 @@ object Ranks {
     val groupCap =
       if (maxDriverGroups > 0) maxDriverGroups
       else math.max(8L * parts, 65536L)
-    if (groupCap != Long.MaxValue) {
-      val approxGroups =
-        df.select(approx_count_distinct(group)).head().getLong(0)
-      if (approxGroups > groupCap) {
-        org.slf4j.LoggerFactory.getLogger(getClass).info(
-          s"groupedRunningSum: ~$approxGroups distinct groups > cap " +
-            s"$groupCap — routing to the built-in per-group window " +
-            "(many small groups parallelize across hash buckets; the " +
-            "distributed path's stats collect would be " +
-            "group-cardinality-sized on the driver).")
-        return windowPath
-      }
-    }
     val prepared = df
       .withColumn("__graft_grp", group.cast("string"))
       .withColumn("__graft_val", safeVal)
@@ -235,6 +228,34 @@ object Ranks {
     val grpIdx = prepared.schema.fieldIndex("__graft_grp")
     val valIdx = prepared.schema.fieldIndex("__graft_val")
     val rdd = prepared.rdd // one RDD → one set of range boundaries, reused
+    if (groupCap != Long.MaxValue) {
+      // Job 0 (router): per-partition distinct-group counts over the
+      // SHUFFLE OUTPUT — groups are contiguous after the range partition
+      // + sort, so counting group boundaries is one O(1)-memory streaming
+      // pass per partition, and Σ over partitions bounds the stats frame
+      // (exact group count ≤ Σ ≤ groups + partitions − 1). Costs one
+      // shuffle-read, never a second source scan; the rare fail-open to
+      // the window path re-shuffles, the price of not OOMing the driver.
+      val statsBound = rdd.mapPartitions { it =>
+        var cur: String = null
+        var started = false
+        var n = 0L
+        it.foreach { r =>
+          val g = r.getString(grpIdx)
+          if (!started || g != cur) { cur = g; started = true; n += 1 }
+        }
+        Iterator.single(n)
+      }.collect().sum
+      if (statsBound > groupCap) {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"groupedRunningSum: ≥${statsBound - parts + 1} distinct groups " +
+            s"(stats bound $statsBound) > cap $groupCap — routing to the " +
+            "built-in per-group window (many small groups parallelize " +
+            "across hash buckets; the distributed path's stats collect " +
+            "would be group-cardinality-sized on the driver).")
+        return windowPath
+      }
+    }
 
     // Job 1: per-(partition, group) totals — tiny when groups are few.
     val stats = rdd.mapPartitionsWithIndex { (pid, it) =>

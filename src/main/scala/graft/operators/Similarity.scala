@@ -941,6 +941,22 @@ object Similarity {
     if (df.columns.contains("repid")) df.where(col("cid") === col("repid"))
     else df
 
+  /** The imbalance-signal frame for a masked artifact whose tombstones may
+    * be UNAPPLIED: an unapplied delete can have masked a duplicate group's
+    * REPRESENTATIVE, in which case `repRows` anti-joins the whole group
+    * away (the twins fail cid === repid) and the signal under-prices a
+    * probe that — under the load-time self-rep fallback — still scans
+    * every surviving twin. Mirror the fallback's rule for the signal:
+    * count one row per surviving distinct-key group (`rep counting over
+    * selfRep`, computed as a distinct over the group keys), so the
+    * rebuild decision prices the post-compaction probed cost exactly.
+    * With no unapplied tombstones the stored reps are authoritative. */
+  private def signalRows(df: DataFrame, unapplied: Boolean,
+      keys: Seq[org.apache.spark.sql.Column]): DataFrame =
+    if (unapplied && df.columns.contains("repid"))
+      df.select(keys: _*).distinct()
+    else repRows(df)
+
   /** Load an [[IvfIndex]] written by [[saveIvfIndex]] (and possibly
     * compacted since). No retraining, no re-assignment: probing resumes
     * against the newest committed partitioned-lists generation. */
@@ -1083,9 +1099,16 @@ object Similarity {
     // exact copies a collapse already took out of every probe's scan, and
     // a retrain could never spread copies of one vector anyway (the sem
     // family's lesson: rep imbalance is the signal the rebuild decision
-    // can act on, raw imbalance only measures takedown state).
-    val imb = listImbalance(repRows(maskByFiles(spark,
-      spark.read.parquet(currentArtifactDir(spark, path, "lists")), tombs0)))
+    // can act on, raw imbalance only measures takedown state). Under
+    // UNAPPLIED tombstones the stored reps may themselves be masked —
+    // signalRows switches to distinct-group counting over the survivors
+    // (loadIvfIndex's self-rep fallback, applied to the signal) so a
+    // masked representative never hides its twins from the read.
+    val unapplied0 =
+      tombs0.filterNot(appliedTombstoneFiles(spark, path)).nonEmpty
+    val imb = listImbalance(signalRows(maskByFiles(spark,
+      spark.read.parquet(currentArtifactDir(spark, path, "lists")), tombs0),
+      unapplied0, Seq(col("list"), col("cv"))))
     if (imb > bar && autoRebuild) {
       log.warn(f"compactIvfIndex: list imbalance $imb%.1f exceeds " +
         f"$bar%.1f — escalating this compaction " +
@@ -1524,9 +1547,14 @@ object Similarity {
     val tombs0 = tombstoneFiles(spark, path)
     val pqBar = imbalanceRebuildBar(spark)
     // Rep rows only ([[compactIvfIndex]]'s signal rule): the scan cost a
-    // retrain can act on, not the raw duplication mass.
-    val imb = pqCodeImbalance(repRows(maskByFiles(spark,
-      spark.read.parquet(currentArtifactDir(spark, path, "codes")), tombs0)))
+    // retrain can act on, not the raw duplication mass — with the same
+    // unapplied-tombstone fallback to distinct-group counting (a masked
+    // representative must not hide its twins from the signal).
+    val unapplied0 =
+      tombs0.filterNot(appliedTombstoneFiles(spark, path)).nonEmpty
+    val imb = pqCodeImbalance(signalRows(maskByFiles(spark,
+      spark.read.parquet(currentArtifactDir(spark, path, "codes")), tombs0),
+      unapplied0, Seq(col("cn"), col("codes"))))
     if (imb > pqBar) rebuildFrom match {
       case Some((corpus, idCol, vecCol)) =>
         log.warn(f"compactPqIndex: code imbalance $imb%.1f exceeds " +

@@ -170,6 +170,24 @@ object Pipeline {
       Bpe.train(Bpe.wordHistogram(s.table("documents"), "text"), nMerges = 24)
     }
 
+  /** Resident unigram-LM tokenizer per (session, sf dir) — t22's model,
+    * shared with its invariant companion ([[bpeMergesFor]]'s discipline:
+    * train once, attest over the same artifact). Hyperparameters are part
+    * of the identity — t22b's retrain arm must use these exact values. */
+  private val unigramModels = scala.collection.concurrent.TrieMap.empty[
+    String, (java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
+      graft.operators.Unigram.Model)]
+  private[queries] val UnigramParams =
+    (256, 1024, 6, 3) // (vocabSize, seedSize, maxPieceLen, emRounds)
+  private def unigramModelFor(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.operators.Unigram.Model =
+    cachedIdx(unigramModels, s, dir) {
+      val (v, sz, ml, em) = UnigramParams
+      graft.operators.Unigram.train(
+        Bpe.wordHistogram(s.table("documents"), "text"),
+        vocabSize = v, seedSize = sz, maxPieceLen = ml, emRounds = em)
+    }
+
   /** Resident MATERIALIZED export frames (ids, packs) for x7's invariant
     * companion ([[cachedIdx]] doc applies): the export is deterministic per
     * (session, sf dir), so x7b attests invariants over persisted frames
@@ -1355,6 +1373,63 @@ object Pipeline {
         .select(col("doc_id"), col("s.redacted").as("redacted"),
           col("s.matches").as("pii_matches"))
         .orderBy("doc_id")
+    },
+    // Unigram-LM tokenizer TRAINING (SentencePiece's unigram model, Kudo
+    // 2018) — the OTHER tokenizer family real pipelines train (round 15).
+    // Start over-complete, hard-EM re-estimate piece usage from the
+    // corpus's Viterbi segmentations, prune to the target vocab; one
+    // dictionary-sized pass per EM round with the vocab-bounded model
+    // broadcast (operators.Unigram — Bpe.train's scale discipline point
+    // for point). Deterministic but iterative → not SQL-expressible;
+    // rows-only here, invariants on the record via t22b. Columns are
+    // exact integers/strings only (log probs stay internal).
+    df("t22_unigram_train", None) { (s, dir) =>
+      graft.operators.Unigram.vocabFrame(s, unigramModelFor(s, dir))
+        .orderBy(desc("usage"), asc("piece"))
+    },
+    // t22's COMPANION attestation (the t18b pattern): (a) ROUND-TRIP —
+    // unigram pieces are substrings of their word, so every doc's pieces,
+    // concatenated, must reproduce its lowercase-alnum word stream
+    // byte-exactly; (b) VOCAB-BOUNDED EMISSIONS — the trainer seeds every
+    // corpus code point and never prunes characters, so the Viterbi
+    // fallback never fires on the training corpus and every emitted piece
+    // is in the final vocabulary; (c) CHARACTER COVERAGE — every alnum
+    // code point in the corpus is in the vocabulary; (d) a RETRAIN from a
+    // fresh histogram reproduces the identical (piece, usage) table (the
+    // determinism contract, as a symmetric-difference count). All
+    // constant-0 on any corpus.
+    df("t22b_unigram_invariants",
+      Some("select cast(0 as bigint) as roundtrip_violations, " +
+        "cast(0 as bigint) as oov_emissions, " +
+        "cast(0 as bigint) as char_coverage_gaps, " +
+        "cast(0 as bigint) as retrain_mismatches")) { (s, dir) =>
+      val model = unigramModelFor(s, dir)
+      val vocabLit = typedlit(model.pieces.keySet.toSeq.sorted)
+      val enc = graft.operators.Unigram.encode(col("text"), model)
+      val words = filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => length(t) > 0)
+      val perDoc = s.table("documents").select(
+        when(concat_ws("", enc) === concat_ws("", words), 0L)
+          .otherwise(1L).as("rt"),
+        size(filter(enc, p => !array_contains(vocabLit, p)))
+          .cast("long").as("oov"))
+        .agg(coalesce(sum("rt"), lit(0L)).as("roundtrip_violations"),
+          coalesce(sum("oov"), lit(0L)).as("oov_emissions"))
+      val gaps = s.table("documents")
+        .select(explode(filter(split(lower(col("text")), ""),
+          c => c.rlike("^[a-z0-9]$"))).as("ch"))
+        .distinct()
+        .where(!array_contains(vocabLit, col("ch")))
+        .agg(count(lit(1)).as("char_coverage_gaps"))
+      val (v, sz, ml, em) = UnigramParams
+      val retrained = graft.operators.Unigram.train(
+        Bpe.wordHistogram(s.table("documents"), "text"),
+        vocabSize = v, seedSize = sz, maxPieceLen = ml, emRounds = em)
+      val a = graft.operators.Unigram.vocabFrame(s, model)
+      val b = graft.operators.Unigram.vocabFrame(s, retrained)
+      val retrain = a.exceptAll(b).unionAll(b.exceptAll(a))
+        .agg(count(lit(1)).as("retrain_mismatches"))
+      perDoc.crossJoin(gaps).crossJoin(retrain)
     }
   )
 
@@ -2293,43 +2368,71 @@ object Pipeline {
     // broadcasts — nothing new shuffles beyond x8's plan. Output columns
     // carry only exact integers (the float budget is filter-only), so the
     // oracle hash-compares across engines.
-    df("x9_alpha_mixture",
+    df("x9_alpha_mixture", Some(alphaMixtureSql(0.5))) { (s, dir) =>
+      alphaMixture(s, alpha = 0.5)
+    },
+    // The SAME mixture machinery at a second temperature (round 15 —
+    // VERDICT item 8): α is an argument, not a constant baked into the
+    // one query; α = 0.3 upweights the tail harder (the flatter-mixture
+    // end of the published multilingual-sampling range), and the second
+    // hash-matched point pins that the α-parameterization is real, not a
+    // re-labeled 0.5.
+    df("x9b_alpha_mixture_cool", Some(alphaMixtureSql(0.3))) { (s, dir) =>
+      alphaMixture(s, alpha = 0.3)
+    },
+    // MULTI-EPOCH budget reflow (round 15 — the other half of how
+    // production mixtures are specified): when a domain's α-derived token
+    // budget EXCEEDS its corpus, the stream wraps — the tail domain is
+    // seen for multiple epochs until its budget is spent (the published
+    // upsample-the-tail recipe). Each doc's epoch-e copy starts at
+    // start_tok + e·T_lang in the domain's global stream; the row
+    // survives while that global position is under the budget. Budgets
+    // are floored to exact bigints (the x9 convention) and the epoch
+    // fan-out is a bounded 64-wide integer sequence on both engines, so
+    // every output column hash-compares exactly.
+    df("x11_epoch_reflow",
       Some("with t as (select doc_id, lang, " +
         "cast(len(string_split(text, ' ')) as bigint) as n_tokens, " +
         "md5(concat('mixa:', cast(doc_id as varchar))) as h from documents), " +
         "s as (select lang, sum(n_tokens) as toks from t group by lang), " +
-        "w as (select lang, pow(cast(toks as double), 0.5) as w from s), " +
-        "b as (select lang, 12000.0 * w / (select sum(w) from w) as budget " +
-        "from w), " +
+        "w as (select lang, toks, pow(cast(toks as double), 0.5) as w from s), " +
+        "b as (select lang, toks as t_toks, " +
+        "cast(floor(60000.0 * w / (select sum(w) from w)) as bigint) " +
+        "as budget from w), " +
         "c as (select doc_id, t.lang, n_tokens, " +
         "sum(n_tokens) over (partition by t.lang order by h, doc_id " +
         "rows between unbounded preceding and current row) - n_tokens " +
         "as start_tok from t) " +
-        "select c.doc_id, c.lang, c.n_tokens, " +
-        "cast(c.start_tok as bigint) as start_tok " +
-        "from c join b on c.lang = b.lang where c.start_tok < b.budget " +
-        "order by c.doc_id")) { (s, dir) =>
+        "select c.doc_id, c.lang, cast(e.epoch as bigint) as epoch, " +
+        "cast(c.start_tok + e.epoch * b.t_toks as bigint) as global_start " +
+        "from c join b on c.lang = b.lang cross join range(0, 64) as e(epoch) " +
+        "where c.start_tok + e.epoch * b.t_toks < b.budget " +
+        "order by c.doc_id, epoch")) { (s, dir) =>
       val t = s.table("documents").select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         md5(concat(lit("mixa:"), col("doc_id").cast("string"))).as("h"))
-      val budgets = t.groupBy("lang")
-        .agg(sum("n_tokens").cast("double").as("toks"))
-        .select(col("lang"), pow(col("toks"), 0.5).as("w"))
-      // One scalar to the driver (the centroids discipline — bounded by
-      // the domain dimension, not the data): a crossJoin of the 1-row
-      // total would plan as a nested-loop join, the shape the global
-      // plan sweep forbids.
-      val tw = budgets.agg(sum("w")).head().getDouble(0)
-      val perLang = budgets
-        .select(col("lang"), (lit(12000.0) * col("w") / lit(tw))
-          .as("budget"))
+      val shares = t.groupBy("lang").agg(sum("n_tokens").as("toks"))
+        .select(col("lang"), col("toks"),
+          pow(col("toks").cast("double"), 0.5).as("w"))
+      val tw = shares.agg(sum("w")).head().getDouble(0)
+      val perLang = shares.select(col("lang"), col("toks").as("t_toks"),
+        floor(lit(60000.0) * col("w") / lit(tw)).cast("long").as("budget"))
       graft.operators.Ranks
         .groupedRunningSum(t, col("lang"), col("n_tokens"), "start_tok",
           col("h"), col("doc_id"))
         .join(broadcast(perLang), Seq("lang"))
-        .where(col("start_tok") < col("budget"))
-        .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_tok"))
-        .orderBy("doc_id")
+        // Narrow fan-out BEFORE the filter: epochs × docs rows exist only
+        // inside the projection; the 64-cap bounds the blow-up and is
+        // part of the operator's contract on both engines.
+        .select(col("doc_id"), col("lang"), col("start_tok"),
+          col("t_toks"), col("budget"),
+          explode(sequence(lit(0L), lit(63L))).as("epoch"))
+        .where(col("start_tok") + col("epoch") * col("t_toks") <
+          col("budget"))
+        .select(col("doc_id"), col("lang"), col("epoch"),
+          (col("start_tok") + col("epoch") * col("t_toks"))
+            .as("global_start"))
+        .orderBy("doc_id", "epoch")
     },
     // Corrupt-record quarantine ON the oracle record (round 14 — the m10
     // synthesize-then-process pattern applied to the ingestion surface):
@@ -2347,36 +2450,96 @@ object Pipeline {
         "('jsonl', cast(2 as bigint), cast(2 as bigint)), " +
         "('text', cast(2 as bigint), cast(1 as bigint))) " +
         "as t(reader, good_rows, bad_rows) order by reader")) { (s, dir) =>
-      val fx = java.nio.file.Files.createTempDirectory("graft_i1").toFile
-      java.nio.file.Files.writeString(
-        new java.io.File(fx, "a.csv").toPath,
-        "id,name,price\n1,widget,9.5\n2,gadget\nnope,thing,1.0\n" +
-          "3,doohickey,0.5\n4,gizmo,2.25\n")
-      java.nio.file.Files.writeString(
-        new java.io.File(fx, "d.jsonl").toPath,
-        """{"id":1,"name":"ok"}""" + "\n" + """{"id":2,"name":"trunc""" +
+      // Fixture through the Hadoop FS API (round 15 — driver-local
+      // java.io paths were the one cluster-unportable spot in the map:
+      // executors cannot read `file:` paths local to the driver; the
+      // default FS is shared by construction).
+      val (fs, fx) = quarantineFixtureDir(s, "i1")
+      def put(name: String, bytes: Array[Byte]): Unit = {
+        val o = fs.create(new org.apache.hadoop.fs.Path(fx, name), true)
+        try o.write(bytes) finally o.close()
+      }
+      put("a.csv",
+        ("id,name,price\n1,widget,9.5\n2,gadget\nnope,thing,1.0\n" +
+          "3,doohickey,0.5\n4,gizmo,2.25\n").getBytes("UTF-8"))
+      put("d.jsonl",
+        ("""{"id":1,"name":"ok"}""" + "\n" + """{"id":2,"name":"trunc""" +
           "\nnot json at all\n" + """{"id":3,"name":"fine"}""" + "\n")
-      val out = new java.io.FileOutputStream(new java.io.File(fx, "m.txt"))
-      out.write("clean line one\n".getBytes("UTF-8"))
-      out.write(Array[Byte]('b', 'a', 'd', ' ', 0xFF.toByte, 0xFE.toByte,
-        ' ', 'x', '\n'))
-      out.write("clean line two\n".getBytes("UTF-8"))
-      out.close()
+          .getBytes("UTF-8"))
+      put("m.txt",
+        "clean line one\n".getBytes("UTF-8") ++
+          Array[Byte]('b', 'a', 'd', ' ', 0xFF.toByte, 0xFE.toByte,
+            ' ', 'x', '\n') ++
+          "clean line two\n".getBytes("UTF-8"))
       val schemaCsv = org.apache.spark.sql.types.StructType.fromDDL(
         "id int, name string, price double")
       val schemaJsonl = org.apache.spark.sql.types.StructType.fromDDL(
         "id bigint, name string")
       val c = graft.sources.Ingest.csvQuarantined(s,
-        new java.io.File(fx, "a.csv").getPath, schemaCsv)
+        s"$fx/a.csv", schemaCsv)
       val j = graft.sources.Ingest.jsonlQuarantined(s,
-        new java.io.File(fx, "d.jsonl").getPath, schemaJsonl)
-      val t = graft.sources.Ingest.textLinesQuarantined(s,
-        new java.io.File(fx, "m.txt").getPath)
+        s"$fx/d.jsonl", schemaJsonl)
+      val t = graft.sources.Ingest.textLinesQuarantined(s, s"$fx/m.txt")
       import s.implicits._
-      Seq(("csv", c.good.count(), c.badCount()),
-          ("jsonl", j.good.count(), j.badCount()),
-          ("text", t.good.count(), t.badCount()))
-        .toDF("reader", "good_rows", "bad_rows").orderBy("reader")
+      val rows = Seq(("csv", c.good.count(), c.badCount()),
+        ("jsonl", j.good.count(), j.badCount()),
+        ("text", t.good.count(), t.badCount()))
+      fs.delete(fx, true)
+      rows.toDF("reader", "good_rows", "bad_rows").orderBy("reader")
+    },
+    // Columnar corrupt-FILE quarantine ON the oracle record (round 15 —
+    // VERDICT "what's missing" #1): a truncated parquet footer, a
+    // zero-byte part-file, and their ORC twins are planted next to good
+    // files; the file-grain readers must count exactly the poisoned
+    // files, scan exactly the good rows, and never fail a task — the
+    // policy a million-file lake needs where Spark's ignoreCorruptFiles
+    // would skip silently.
+    df("i2_columnar_quarantine_counts",
+      Some("select * from (values " +
+        "('orc', cast(1 as bigint), cast(2 as bigint), " +
+        "cast(7 as bigint)), " +
+        "('parquet', cast(1 as bigint), cast(2 as bigint), " +
+        "cast(10 as bigint))) " +
+        "as t(reader, good_files, bad_files, good_rows) " +
+        "order by reader")) { (s, dir) =>
+      val (fs, fx) = quarantineFixtureDir(s, "i2")
+      def plant(sub: String, n: Int, fmt: String): String = {
+        val d = new org.apache.hadoop.fs.Path(fx, sub)
+        val stage = new org.apache.hadoop.fs.Path(fx, s".stage_$sub")
+        val w = s.range(n.toLong).select(col("id"))
+          .coalesce(1).write.mode("overwrite")
+        (if (fmt == "parquet") w.parquet(stage.toString)
+         else w.orc(stage.toString))
+        val part = fs.listStatus(stage).filter(st => st.isFile &&
+          st.getPath.getName.endsWith(s".$fmt")).head.getPath
+        fs.mkdirs(d)
+        // One good file, one truncated-footer copy, one zero-byte file.
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(d,
+          s"good.$fmt")))
+        val in = fs.open(new org.apache.hadoop.fs.Path(d, s"good.$fmt"))
+        val len = fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(d, s"good.$fmt")).getLen
+        val half = new Array[Byte]((len / 2).toInt)
+        try in.readFully(0L, half) finally in.close()
+        val t = fs.create(new org.apache.hadoop.fs.Path(d,
+          s"truncated.$fmt"), true)
+        try t.write(half) finally t.close()
+        fs.create(new org.apache.hadoop.fs.Path(d, s"empty.$fmt"), true)
+          .close()
+        fs.delete(stage, true)
+        d.toString
+      }
+      val pq = graft.sources.Ingest.parquetQuarantined(s,
+        plant("pq", 10, "parquet"))
+      val oc = graft.sources.Ingest.orcQuarantined(s,
+        plant("oc", 7, "orc"))
+      import s.implicits._
+      val rows = Seq(
+        ("parquet", pq.goodFileCount, pq.badFileCount(), pq.good.count()),
+        ("orc", oc.goodFileCount, oc.badFileCount(), oc.good.count()))
+      fs.delete(fx, true)
+      rows.toDF("reader", "good_files", "bad_files", "good_rows")
+        .orderBy("reader")
     },
     // Curriculum ordering (round 14): assign every document its global
     // training position under a simple-to-complex metric (distinct token
@@ -2404,6 +2567,81 @@ object Pipeline {
         .orderBy("doc_id")
     }
   )
+
+  /** Unique fixture directory on the session's DEFAULT FileSystem (the
+    * shared store on a real cluster, local disk under local[*]) — the
+    * i-series queries synthesize their poisoned inputs here so every
+    * executor can read them; a driver-local java.io temp dir was the one
+    * cluster-unportable pattern in the map (VERDICT r14 what's-wrong #3).
+    * Callers delete the directory after counting. */
+  private def quarantineFixtureDir(s: org.apache.spark.sql.SparkSession,
+      tag: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val fx = fs.makeQualified(new org.apache.hadoop.fs.Path(
+      s"/tmp/graft_${tag}_${java.util.UUID.randomUUID().toString.take(8)}"))
+    fs.mkdirs(fx)
+    (fs, fx)
+  }
+
+  /** Temperature/α-weighted mixture, α as an ARGUMENT (round 15; x9 pins
+    * α = 0.5, x9b pins 0.3): per-domain token budgets T_d = ⌊B · p_d^α /
+    * Σ p^α⌋ feed x8's machinery — deterministic content-independent order
+    * (md5 of the doc id), running per-domain token sums via
+    * Ranks.groupedRunningSum (distributed above the routing cutoff),
+    * budget-fill with the partial-final-doc convention. Budgets are
+    * FLOORED TO EXACT BIGINTS in both engines before the filter (ADVICE
+    * r14: a raw double budget compared against an integer start_tok could
+    * flip a boundary row on a one-ulp pow/sum divergence between engines
+    * — a latent flaky hash; the floor pins the boundary to an integer on
+    * both sides). The domain-share aggregation is one tiny groupBy(lang)
+    * whose result broadcasts; the total weight is ONE scalar to the
+    * driver (the centroids discipline — a crossJoin of the 1-row total
+    * would plan as a nested-loop join, the shape the global plan sweep
+    * forbids). */
+  private def alphaMixture(s: org.apache.spark.sql.SparkSession,
+      alpha: Double, budgetTotal: Double = 12000.0)
+      : org.apache.spark.sql.DataFrame = {
+    val t = s.table("documents").select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      md5(concat(lit("mixa:"), col("doc_id").cast("string"))).as("h"))
+    val budgets = t.groupBy("lang")
+      .agg(sum("n_tokens").cast("double").as("toks"))
+      .select(col("lang"), pow(col("toks"), alpha).as("w"))
+    val tw = budgets.agg(sum("w")).head().getDouble(0)
+    val perLang = budgets
+      .select(col("lang"),
+        floor(lit(budgetTotal) * col("w") / lit(tw)).cast("long")
+          .as("budget"))
+    graft.operators.Ranks
+      .groupedRunningSum(t, col("lang"), col("n_tokens"), "start_tok",
+        col("h"), col("doc_id"))
+      .join(broadcast(perLang), Seq("lang"))
+      .where(col("start_tok") < col("budget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_tok"))
+      .orderBy("doc_id")
+  }
+
+  /** [[alphaMixture]]'s DuckDB oracle at the same α — identical integer
+    * budget floor, identical filter boundary. */
+  private def alphaMixtureSql(alpha: Double,
+      budgetTotal: Double = 12000.0): String =
+    "with t as (select doc_id, lang, " +
+      "cast(len(string_split(text, ' ')) as bigint) as n_tokens, " +
+      "md5(concat('mixa:', cast(doc_id as varchar))) as h from documents), " +
+      "s as (select lang, sum(n_tokens) as toks from t group by lang), " +
+      s"w as (select lang, pow(cast(toks as double), $alpha) as w from s), " +
+      s"b as (select lang, cast(floor($budgetTotal * w / " +
+      "(select sum(w) from w)) as bigint) as budget from w), " +
+      "c as (select doc_id, t.lang, n_tokens, " +
+      "sum(n_tokens) over (partition by t.lang order by h, doc_id " +
+      "rows between unbounded preceding and current row) - n_tokens " +
+      "as start_tok from t) " +
+      "select c.doc_id, c.lang, c.n_tokens, " +
+      "cast(c.start_tok as bigint) as start_tok " +
+      "from c join b on c.lang = b.lang where c.start_tok < b.budget " +
+      "order by c.doc_id"
 
   /** x7's core, shared with its invariant companion: the frozen-model
     * encode → model-bounded vocab literal → per-shard token streams →

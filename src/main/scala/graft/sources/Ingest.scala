@@ -109,11 +109,25 @@ object Ingest {
     * column count, unparseable type) land in `bad` with their source
     * file. Parsing runs through `from_csv` with an explicit
     * corrupt-record column — per ROW, so one poisoned line never fails
-    * its task and never silently becomes a null-filled record. With
-    * `header = true`, lines byte-equal to the schema's header signature
-    * (`fieldNames.mkString(",")`) are dropped as headers, not counted as
-    * corrupt — quoted or re-ordered header lines are out of contract
-    * (use an explicit-schema [[csv]] read for exotic headers). */
+    * its task and never silently becomes a null-filled record.
+    *
+    * Header rule (`header = true`): lines byte-equal to the schema's
+    * header signature (`fieldNames.mkString(",")`) are headers; exactly
+    * ONE per source file is dropped silently, and every SURPLUS
+    * occurrence — a data row that happens to equal the signature, or a
+    * concatenated file carrying repeated headers — is QUARANTINED into
+    * `bad` instead of vanishing (silent row loss is the one failure mode
+    * a quarantine exists to prevent). Quoted or re-ordered header lines
+    * are out of contract (use an explicit-schema [[csv]] read for exotic
+    * headers).
+    *
+    * Record-shape contract: the splittable line view parses one RECORD
+    * per LINE. A quoted field containing a literal newline (RFC-4180
+    * multi-line records) is split across lines and BOTH halves land in
+    * `bad` — multi-line records are out of contract here (counted, never
+    * silent); parse such inputs with Spark's `multiLine` CSV reader,
+    * which gives up splittability and per-row poison granularity for
+    * them. */
   def csvQuarantined(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true): Quarantined = {
     import org.apache.spark.sql.functions._
@@ -127,7 +141,22 @@ object Ingest {
     val parsed = raw.withColumn("p", from_csv(col("value"),
       withCorrupt, Map("mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> CorruptCol)))
-    splitQuarantine(parsed, schema)
+    val q = splitQuarantine(parsed, schema)
+    if (!header) q
+    else {
+      // Surplus header-signature lines (count − 1 per file): which
+      // physical line was "the header" is unknowable in a splittable
+      // read and irrelevant — the lines are byte-identical — but their
+      // COUNT is data loss if unreported, so the surplus copies
+      // quarantine.
+      val surplus = raw0.where(col("value") === headerSig)
+        .groupBy("src_file").agg(count(lit(1)).as("n"))
+        .where(col("n") > 1L)
+        .select(col("src_file"),
+          explode(sequence(lit(2L), col("n"))).as("i"))
+        .select(col("src_file"), lit(headerSig).as("raw"))
+      q.copy(bad = q.bad.unionAll(surplus))
+    }
   }
 
   /** Line-delimited JSON with a row-level quarantine ([[csvQuarantined]]
@@ -200,6 +229,130 @@ object Ingest {
         col("text")),
       bad = raw.where(poisoned).select(col("src_file"),
         col("text").as("raw")))
+  }
+
+  // ───────────── columnar corrupt-FILE quarantine ─────────────────────────
+  // The round-14 quarantine covered the text formats; a 100 TB lake,
+  // though, LIVES in parquet/ORC, where the poison grain is the FILE (a
+  // truncated footer, a zero-byte part-file from a killed writer, a
+  // half-uploaded object). Spark's `ignoreCorruptFiles` skips those
+  // SILENTLY — the one failure mode a quarantine exists to prevent — so
+  // these readers probe every file's footer in a distributed pass first
+  // (names + footers only, never data bytes), then scan exactly the good
+  // set and report the bad set counted and inspectable.
+
+  /** A columnar quarantined ingest: `good` scans exactly the
+    * `goodFileCount` files whose footers validated; `badFiles` holds one
+    * row per corrupt file — `(path, length, error)`. */
+  final case class QuarantinedFiles(good: DataFrame, badFiles: DataFrame,
+      goodFileCount: Long) {
+    /** Corrupt-file count — the lake-health number an operator alerts
+      * on. */
+    def badFileCount(): Long = badFiles.count()
+  }
+
+  /** Hadoop Configuration is not serializable; this is the standard
+    * write/readFields envelope so the footer probe can run on executors
+    * with the session's exact FS settings. */
+  private final class SerConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Visible data files under `path`, recursively (hive partition dirs
+    * descend; dot/underscore names skip) — (path, length) pairs, a
+    * NAME-sized frame. */
+  private def listDataFiles(spark: SparkSession,
+      path: String): Seq[(String, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val s = it.next()
+      // Hidden-ness is judged only BELOW the input root — a dot or
+      // underscore in the root's own ancestry must not hide the lake.
+      val rel = s.getPath.toUri.getPath.stripPrefix(rootPath)
+      val hidden = rel.split('/').exists(p =>
+        p.startsWith(".") || p.startsWith("_"))
+      if (s.isFile && !hidden) out += ((s.getPath.toString, s.getLen))
+    }
+    out.toSeq
+  }
+
+  /** [[parquet]] with a FILE-level quarantine: every file's footer is
+    * validated in a distributed probe (one metadata read per file, data
+    * bytes untouched); files that fail — truncated footer, bad magic,
+    * zero bytes — land in `badFiles` counted with their error, and `good`
+    * scans exactly the validated set (hive partition columns preserved
+    * via `basePath`). One poisoned file costs one quarantine row, never
+    * the job — and never a silent skip. */
+  def parquetQuarantined(spark: SparkSession,
+      path: String): QuarantinedFiles =
+    columnarQuarantined(spark, path, "parquet")
+
+  /** [[orc]] with the same file-level quarantine contract. */
+  def orcQuarantined(spark: SparkSession, path: String): QuarantinedFiles =
+    columnarQuarantined(spark, path, "orc")
+
+  private def columnarQuarantined(spark: SparkSession, path: String,
+      format: String): QuarantinedFiles = {
+    import spark.implicits._
+    val files = listDataFiles(spark, path)
+    val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
+    val fmt = format
+    val probed = spark.createDataset(files)
+      .toDF("path", "length")
+      .repartition(math.max(1, math.min(files.size,
+        spark.sessionState.conf.numShufflePartitions)))
+      .map { row =>
+        val p = row.getString(0)
+        val len = row.getLong(1)
+        val err: String =
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            // Zero bytes is a killed-writer artifact, poison by POLICY:
+            // the ORC reader would accept it as a valid empty file (the
+            // Hive convention), which is exactly the silent skip a
+            // quarantine exists to surface.
+            if (len == 0L) "zero-length file"
+            else if (fmt == "parquet") {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(hp, conf.value)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try { r.getFooter; null } finally r.close()
+            } else {
+              val r = org.apache.orc.OrcFile.createReader(hp,
+                org.apache.orc.OrcFile.readerOptions(conf.value))
+              try { r.getNumberOfRows; null } finally r.close()
+            }
+          } catch {
+            case e: Throwable =>
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+          }
+        (p, len, err)
+      }.toDF("path", "length", "error")
+      .collect()
+    val (bad, good) = probed.partition(r => !r.isNullAt(2))
+    val goodPaths = good.map(_.getString(0)).toSeq
+    val goodDf =
+      if (goodPaths.isEmpty) spark.emptyDataFrame
+      else spark.read.format(format).option("basePath", path)
+        .load(goodPaths: _*)
+    val badDf = bad.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toDF("path", "length", "error")
+    QuarantinedFiles(goodDf, badDf, goodPaths.size.toLong)
   }
 
   /** Register a whole directory of `<name>.parquet` tables, like the

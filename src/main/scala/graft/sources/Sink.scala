@@ -131,12 +131,196 @@ object Sink {
   /** Filesystem schemes whose rename is a COPY, not a metadata operation —
     * [[compact]]'s delete+rename swap is not atomic there and the
     * reader-visible gap between the two ops stretches from microseconds to
-    * data-sized copy time. Compaction still works (crash states recover),
-    * but the caller should know. */
+    * data-sized copy time. On these stores `commit = "auto"` resolves to
+    * the MANIFEST commit instead (see [[compact]]), which is a one-file
+    * commit on any store. Extend per-deployment via
+    * `spark.graft.sink.nonAtomicRenameSchemes` (comma-separated). */
   private val nonAtomicRenameSchemes = Set(
     "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cos", "swift")
 
+  /** Conf key appending extra schemes to [[nonAtomicRenameSchemes]] —
+    * custom object-store FS implementations (alluxio, oci, cosn, …) are a
+    * deployment fact this code cannot enumerate. */
+  val NonAtomicSchemesKey = "spark.graft.sink.nonAtomicRenameSchemes"
+
+  private def isNonAtomicRename(spark: org.apache.spark.sql.SparkSession,
+      scheme: String): Boolean = {
+    val s = Option(scheme).map(_.toLowerCase).getOrElse("")
+    nonAtomicRenameSchemes(s) ||
+      spark.conf.get(NonAtomicSchemesKey, "").split(",")
+        .map(_.trim.toLowerCase).filter(_.nonEmpty).contains(s)
+  }
+
+  /** Resolve a [[compact]] `commit` argument against the target's scheme:
+    * `"auto"` picks `"manifest"` where rename is a copy (the swap must not
+    * depend on rename atomicity there) and `"rename"` elsewhere (plain
+    * directory readers keep their exact current semantics). */
+  def commitModeFor(spark: org.apache.spark.sql.SparkSession,
+      scheme: String, commit: String): String = commit match {
+    case "auto" =>
+      if (isNonAtomicRename(spark, scheme)) "manifest" else "rename"
+    case "rename" | "manifest" => commit
+    case other => throw new IllegalArgumentException(
+      s"commit must be auto|rename|manifest, got '$other'")
+  }
+
   @volatile private var warnedNonAtomic = false
+
+  // ───────────── manifest-committed leaves ─────────────────────────────────
+  // The MANIFEST commit makes a leaf swap a one-small-file operation on ANY
+  // store: compacted part-files move into the leaf under reserved
+  // `cmpg-<gen>-` names (invisible to manifest readers until committed),
+  // then `_manifest.<gen>` — written to a dot-temp and renamed, so its
+  // appearance is atomic everywhere a small-object PUT is — lists both the
+  // new file set (`f` lines) and the exact file set it replaces (`r`
+  // lines). Readers ([[readCompacted]]) resolve the leaf through the newest
+  // manifest; the replaced originals are deleted only AFTER the commit, and
+  // [[compactRecover]] can converge every crash state from the manifest
+  // alone. Plain directory readers remain correct at rest (old files are
+  // gone, `_manifest.*` is underscore-hidden from Spark); DURING a swap
+  // they can see old+new together — racing a swap with a non-manifest
+  // reader is out of contract in this mode, which is why `auto` only picks
+  // it where the rename swap was already unsound.
+
+  private val ManifestPrefix = "_manifest."
+  private val CmpgRe = "^cmpg-(\\d+)-.*".r
+
+  private def cmpgGen(name: String): Option[Long] = name match {
+    case CmpgRe(g) => scala.util.Try(g.toLong).toOption
+    case _ => None
+  }
+
+  private def manifestGen(name: String): Option[Long] =
+    if (!name.startsWith(ManifestPrefix)) None
+    else scala.util.Try(name.stripPrefix(ManifestPrefix).toLong).toOption
+
+  /** One committed manifest: the leaf's visible file list (`files`) and
+    * the file set its commit replaced (`replaces`). */
+  private final case class LeafManifest(gen: Long, files: Seq[String],
+      replaces: Set[String])
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      leaf: org.apache.hadoop.fs.Path, gen: Long, files: Seq[String],
+      replaces: Seq[String]): Unit = {
+    val body = (Seq("graft-manifest v1", s"gen $gen") ++
+      files.map("f " + _) ++ replaces.map("r " + _)).mkString("\n") + "\n"
+    val tmp = new org.apache.hadoop.fs.Path(leaf, s".manifest.$gen.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(leaf, s"$ManifestPrefix$gen")
+    // A torn remnant from a crashed earlier attempt at this gen (recover
+    // normally removed it already) must not block the rename commit.
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst),
+      s"failed to commit manifest $dst (leaf unchanged; temp at $tmp)")
+  }
+
+  /** Parse a manifest file; None when its CONTENT is partial/malformed (a
+    * reader racing a non-atomic small-file copy, or a crashed copy) —
+    * callers fall back / retry rather than trust a torn manifest. IO
+    * behavior is the caller's risk posture: `strictIO = false` (readers)
+    * treats an IOException like torn content and moves on; `strictIO =
+    * true` (RECOVERY, which deletes based on the answer) propagates it —
+    * a transient read error must abort recovery, never be mistaken for a
+    * torn commit and rolled back destructively. */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, gen: Long,
+      strictIO: Boolean = false): Option[LeafManifest] =
+    try {
+      val in = fs.open(p)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+      val lines = text.split("\n", -1).toSeq
+      if (lines.headOption.exists(_.startsWith("graft-manifest")) &&
+          lines.exists(_ == s"gen $gen"))
+        Some(LeafManifest(gen,
+          lines.filter(_.startsWith("f ")).map(_.stripPrefix("f ")),
+          lines.filter(_.startsWith("r ")).map(_.stripPrefix("r ")).toSet))
+      else None
+    } catch {
+      case e: java.io.IOException =>
+        if (strictIO) throw new java.io.IOException(
+          s"manifest $p unreadable during recovery — aborting (a torn " +
+            "COMMIT parses as malformed content, not an IO error)", e)
+        else None
+    }
+
+  /** A leaf's data files resolved through its newest committed manifest:
+    * the manifest's file list (files a racing commit already deleted are
+    * reported in `missing` — the caller re-resolves) plus STRAGGLERS, i.e.
+    * visible non-`cmpg` files the manifest neither lists nor replaces (a
+    * writer landed them after the last compaction; the next compaction
+    * folds them in). With no manifest: the plain visible listing minus
+    * any uncommitted `cmpg-` move-ins. */
+  private final case class ResolvedLeaf(
+      files: Seq[org.apache.hadoop.fs.FileStatus],
+      maxGen: Long,
+      missing: Seq[String])
+
+  private def resolveLeaf(fs: org.apache.hadoop.fs.FileSystem,
+      leaf: org.apache.hadoop.fs.Path): ResolvedLeaf = {
+    val kids = children(fs, leaf).filter(_.isFile)
+    val byName = kids.map(s => s.getPath.getName -> s).toMap
+    val gens = kids.flatMap(s => manifestGen(s.getPath.getName))
+    val committed = gens.sorted(Ordering[Long].reverse).iterator
+      .flatMap(g => readManifest(fs,
+        new org.apache.hadoop.fs.Path(leaf, s"$ManifestPrefix$g"), g))
+      .take(1).toSeq.headOption
+    committed match {
+      case None =>
+        ResolvedLeaf(kids.filter(s => isVisible(s.getPath.getName) &&
+          cmpgGen(s.getPath.getName).isEmpty), 0L, Nil)
+      case Some(m) =>
+        val listed = m.files.flatMap(byName.get)
+        val missing = m.files.filterNot(byName.contains)
+        val stragglers = kids.filter { s =>
+          val n = s.getPath.getName
+          isVisible(n) && cmpgGen(n).isEmpty && !m.files.contains(n) &&
+            !m.replaces.contains(n)
+        }
+        ResolvedLeaf(listed ++ stragglers, m.gen, missing)
+    }
+  }
+
+  /** Read a (possibly manifest-committed) layout with snapshot-consistent
+    * leaves: each partition leaf's file list resolves through its newest
+    * `_manifest.<gen>` (plain listing where none exists), so a reader
+    * racing a [[compact]] manifest swap sees the leaf atomically old or
+    * new on ANY store — never mid-copy, never doubled. A leaf whose
+    * manifest references files a newer commit already deleted re-resolves
+    * (bounded retries). Hive partition columns are preserved via
+    * `basePath`. */
+  def readCompacted(spark: org.apache.spark.sql.SparkSession, path: String,
+      format: String = "parquet"): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaves = dataLeaves(fs, root)
+    val resolved = leaves.map { leaf =>
+      var r = resolveLeaf(fs, leaf)
+      var tries = 0
+      while (r.missing.nonEmpty && tries < 3) {
+        tries += 1
+        r = resolveLeaf(fs, leaf)
+      }
+      require(r.missing.isEmpty,
+        s"leaf $leaf resolves to missing files after $tries retries " +
+          s"(${r.missing.take(3).mkString(", ")} …) — torn manifest state; " +
+          "run Sink.compactRecover")
+      leaf -> r
+    }
+    if (resolved.forall(_._2.maxGen == 0L))
+      spark.read.format(format).load(path)
+    else {
+      val files = resolved.flatMap(_._2.files.map(_.getPath.toString))
+      spark.read.format(format).option("basePath", path)
+        .load(files: _*)
+    }
+  }
 
   /** Small-files compaction — rewrite each partition leaf whose visible
     * data files outnumber `ceil(bytes / targetBytesPerFile)` down to that
@@ -175,9 +359,23 @@ object Sink {
     * that may land files into a leaf at any instant needs the layout's own
     * lock held around compact (the streaming export loop does exactly
     * that, see `ExportPipeline`); treat unsynchronized concurrent writers
-    * as unsupported. On object stores whose rename is a copy
-    * (s3a/gs/wasb/…), the swap additionally stops being two metadata ops —
-    * compact warns once and proceeds (crash states still recover).
+    * as unsupported. The snapshot tuple is (name, length, mtime), so even
+    * a same-name same-size in-place overwrite in that window is detected.
+    *
+    * Commit modes (`commit`):
+    *   - `"rename"` — the delete+rename swap above: two metadata ops,
+    *     correct on rename-atomic filesystems (HDFS, local), with a
+    *     ms-wide reader-visible gap between them.
+    *   - `"manifest"` — the one-file commit: new parts move into the leaf
+    *     under reserved `cmpg-<gen>-` names, a `_manifest.<gen>` file
+    *     (atomically-appearing small object) commits the swap, and the
+    *     replaced files are deleted AFTER the commit. Readers resolve
+    *     through [[readCompacted]] and see the leaf atomically old or new
+    *     on ANY store — including object stores where rename is a copy —
+    *     and there is no delete→rename gap at all. Plain directory readers
+    *     stay correct at rest but must not race a swap in this mode.
+    *   - `"auto"` (default) — manifest on copy-rename schemes
+    *     (s3a/gs/wasb/… + [[NonAtomicSchemesKey]]), rename elsewhere.
     *
     * NOT for bucketed layouts ([[bucketed]]/[[bucketedExternal]]): bucket
     * ids live in the file NAMES, which a rewrite regenerates — compact
@@ -190,6 +388,7 @@ object Sink {
       targetBytesPerFile: Long = 128L << 20,
       format: String = "parquet",
       parallelism: Int = 1,
+      commit: String = "auto",
       // Test seam: runs per rewritten leaf after its copy completes and
       // before the re-list guard — the window a concurrent writer's file
       // would otherwise be lost in.
@@ -200,13 +399,15 @@ object Sink {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val scheme = Option(root.toUri.getScheme).getOrElse(fs.getScheme)
-    if (scheme != null && nonAtomicRenameSchemes(scheme.toLowerCase) &&
+    val mode = commitModeFor(spark, scheme, commit)
+    if (mode == "rename" && isNonAtomicRename(spark, scheme) &&
         !warnedNonAtomic) {
       warnedNonAtomic = true
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"Sink.compact on '$scheme': rename is a copy on this store, so " +
-        "the leaf swap is not atomic — readers racing a swap can see a " +
-        "leaf mid-copy. Crash states still recover via compactRecover.")
+        s"Sink.compact on '$scheme' with commit=rename: rename is a copy " +
+        "on this store, so the leaf swap is not atomic — readers racing a " +
+        "swap can see a leaf mid-copy. Use commit=manifest (+ " +
+        "Sink.readCompacted) for an atomic one-file commit.")
     }
     compactRecover(spark, path)
     val seen = new java.util.concurrent.atomic.AtomicInteger
@@ -214,17 +415,29 @@ object Sink {
     val abortedN = new java.util.concurrent.atomic.AtomicInteger
     val before = new java.util.concurrent.atomic.AtomicLong
     val after = new java.util.concurrent.atomic.AtomicLong
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     def visibleFiles(dir: org.apache.hadoop.fs.Path) =
       children(fs, dir).filter(s => s.isFile && isVisible(s.getPath.getName))
+    // The leaf's CURRENT data files under this commit mode — plain visible
+    // listing for rename (manifests never exist there), manifest-resolved
+    // for manifest (committed list + stragglers, uncommitted cmpg move-ins
+    // excluded).
+    def currentFiles(leaf: org.apache.hadoop.fs.Path)
+        : (Seq[org.apache.hadoop.fs.FileStatus], Long) =
+      if (mode == "rename") (visibleFiles(leaf), 0L)
+      else { val r = resolveLeaf(fs, leaf); (r.files, r.maxGen) }
+    def snap(files: Seq[org.apache.hadoop.fs.FileStatus]) =
+      files.map(s =>
+        (s.getPath.getName, s.getLen, s.getModificationTime)).toSet
     def oneLeaf(leaf: org.apache.hadoop.fs.Path): Unit = {
       seen.incrementAndGet()
-      val files = visibleFiles(leaf)
+      val (files, maxGen) = currentFiles(leaf)
       val bytes = files.map(_.getLen).sum
       val want = math.max(1L,
         (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
       before.addAndGet(files.size.toLong)
       if (files.size > want) {
-        val snapshot = files.map(s => (s.getPath.getName, s.getLen)).toSet
+        val snapshot = snap(files)
         val tmp = new org.apache.hadoop.fs.Path(leaf.getParent,
           s".cmp_tmp_${leaf.getName}")
         // Read the SNAPSHOT file list, not the directory: the rewrite's
@@ -237,21 +450,21 @@ object Sink {
         require(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")),
           s"compacted copy at $tmp has no _SUCCESS marker — aborting swap")
         afterCopy(leaf)
-        // Concurrent-writer guard: a file that landed (or vanished) since
-        // the snapshot would be deleted without having been copied — abort
-        // this leaf's swap and let the next pass retry on the new set.
-        val now = visibleFiles(leaf)
-          .map(s => (s.getPath.getName, s.getLen)).toSet
+        // Concurrent-writer guard: a file that landed (or vanished, or was
+        // overwritten in place — the mtime term) since the snapshot would
+        // be deleted without having been copied — abort this leaf's swap
+        // and let the next pass retry on the new set.
+        val now = snap(currentFiles(leaf)._1)
         if (now != snapshot) {
           abortedN.incrementAndGet()
           require(fs.delete(tmp, true),
             s"failed to delete aborted compaction copy $tmp")
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          log.warn(
             s"Sink.compact: leaf $leaf changed during rewrite " +
             s"(${snapshot.size} -> ${now.size} files) — swap aborted, " +
             "leaf left untouched for the next pass")
           after.addAndGet(now.size.toLong)
-        } else {
+        } else if (mode == "rename") {
           rewritten.incrementAndGet()
           require(fs.delete(leaf, true),
             s"failed to delete old leaf $leaf (copy intact at $tmp; " +
@@ -260,6 +473,41 @@ object Sink {
             s"failed to rename $tmp into place at $leaf (old leaf already " +
             "deleted; compactRecover will finish the swap)")
           after.addAndGet(visibleFiles(leaf).size.toLong)
+        } else {
+          // MANIFEST commit: move-in (invisible to manifest readers),
+          // one-file commit, then post-commit deletes. A crash anywhere
+          // converges via compactRecover: pre-commit states roll back
+          // (uncommitted cmpg files deleted), post-commit states roll
+          // forward (replaced files deleted).
+          rewritten.incrementAndGet()
+          val gen = maxGen + 1
+          val parts = children(fs, tmp)
+            .filter(s => s.isFile && isVisible(s.getPath.getName))
+          val newNames = parts.map { p =>
+            val name = s"cmpg-$gen-${p.getPath.getName}"
+            require(fs.rename(p.getPath,
+              new org.apache.hadoop.fs.Path(leaf, name)),
+              s"failed to move compacted part ${p.getPath} into $leaf " +
+              "(uncommitted; compactRecover rolls this leaf back)")
+            name
+          }
+          val replaced = snapshot.map(_._1).toSeq.sorted
+          writeManifest(fs, leaf, gen, newNames, replaced)
+          // Post-commit garbage: replaced data files first, older
+          // manifests second (a crash between the two leaves the old
+          // manifest pointing at deleted files — harmless: resolution
+          // always follows the NEWEST manifest; recover finishes).
+          replaced.foreach { n =>
+            require(fs.delete(new org.apache.hadoop.fs.Path(leaf, n), false),
+              s"failed to delete replaced file $n in $leaf " +
+              "(committed; compactRecover finishes the cleanup)")
+          }
+          children(fs, leaf).map(_.getPath)
+            .filter(p => manifestGen(p.getName).exists(_ < gen))
+            .foreach(p => fs.delete(p, false))
+          require(fs.delete(tmp, true),
+            s"failed to delete compaction staging dir $tmp")
+          after.addAndGet(newNames.size.toLong)
         }
       } else after.addAndGet(files.size.toLong)
     }
@@ -279,12 +527,18 @@ object Sink {
       abortedN.get)
   }
 
-  /** Finish or roll back [[compact]] swaps a crash interrupted: a complete
-    * copy (`.cmp_tmp_<leaf>/_SUCCESS`) whose leaf is gone renames into
-    * place; every other `.cmp_tmp_` remnant (incomplete copy, or the old
-    * leaf still present) is deleted — the old leaf stays authoritative.
-    * [[compact]] runs this first, so simply re-running compact after a
-    * crash is the recovery procedure. */
+  /** Finish or roll back [[compact]] swaps a crash interrupted, in BOTH
+    * commit modes. Rename-mode states: a complete copy
+    * (`.cmp_tmp_<leaf>/_SUCCESS`) whose leaf is gone renames into place;
+    * every other `.cmp_tmp_` remnant (incomplete copy, or the old leaf
+    * still present) is deleted — the old leaf stays authoritative.
+    * Manifest-mode states (all derived from the newest committed
+    * `_manifest.<gen>` alone): uncommitted `cmpg-` move-ins (gen above the
+    * newest commit, or any with no manifest at all) roll BACK; files the
+    * newest manifest replaced, and older manifests, roll FORWARD (their
+    * deletes finish); `.manifest.*.tmp` remnants are discarded. [[compact]]
+    * runs this first, so simply re-running compact after a crash is the
+    * recovery procedure. */
   def compactRecover(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
@@ -300,10 +554,143 @@ object Sink {
         if (complete && !fs.exists(leaf)) fs.rename(t.getPath, leaf)
         else fs.delete(t.getPath, true)
       }
+      // Manifest-mode convergence for THIS directory's files.
+      val files = kids.filter(_.isFile)
+      files.map(_.getPath)
+        .filter(_.getName.startsWith(".manifest."))
+        .foreach(p => fs.delete(p, false))
+      val gens = files.flatMap(s => manifestGen(s.getPath.getName))
+      val newest = gens.sorted(Ordering[Long].reverse).iterator
+        .flatMap(g => readManifest(fs,
+          new org.apache.hadoop.fs.Path(dir, s"$ManifestPrefix$g"), g,
+          strictIO = true))
+        .take(1).toSeq.headOption
+      val committedGen = newest.map(_.gen).getOrElse(0L)
+      files.map(_.getPath).foreach { p =>
+        val n = p.getName
+        val rollBack = cmpgGen(n).exists(_ > committedGen) ||
+          (cmpgGen(n).nonEmpty && newest.isEmpty) ||
+          // A torn manifest above the newest PARSEABLE one is an
+          // incomplete commit (the commit point is the complete
+          // appearance of the object) — discard it so the gen can be
+          // retried cleanly.
+          manifestGen(n).exists(_ > committedGen)
+        val rollForward = newest.exists(m =>
+          (m.replaces.contains(n) && !m.files.contains(n)) ||
+            manifestGen(n).exists(_ < m.gen))
+        if (rollBack || rollForward) fs.delete(p, false)
+      }
       kids.filter(s => s.isDirectory && isVisible(s.getPath.getName))
         .foreach(d => walk(d.getPath))
     }
     walk(root)
+  }
+
+  /** Re-bucketing compaction for [[bucketed]]/[[bucketedExternal]] tables
+    * (round 15 — [[compact]] excludes bucketed layouts by contract:
+    * bucket ids live in the file NAMES, which a leaf rewrite would
+    * regenerate). Streaming appends land one file per bucket per writer
+    * task per batch, so a streamed-into bucketed table fragments without
+    * bound — the scan cost grows as file opens while the exchange-free
+    * join property silently stops paying for itself. This rewrites the
+    * table to exactly ONE file per bucket under the SAME bucket spec:
+    * `repartition(numBuckets, bucketCols)` IS the bucket hash
+    * (murmur3 pmod n — the write-side `HashPartitioning`), so each writer
+    * task holds exactly one bucket and the bucketed write emits one file
+    * for it. Co-located joins keep planning with no Exchange before AND
+    * after (spec-asserted).
+    *
+    * External tables keep their PATH (the durable artifact —
+    * [[bucketedExternal]]'s contract): the rewrite lands at
+    * `<path>__graft_cmp`, swaps directories, and re-registers the same
+    * DDL at the original location. Managed tables swap via catalog
+    * rename. NOT crash-atomic across the swap (a catalog drop+rename is
+    * two operations): run it under the layout's own maintenance lock —
+    * the [[compact]] concurrency contract — and on a crash the
+    * `__graft_cmp` table/directory holds a complete copy to finish from
+    * manually. */
+  def compactBucketed(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = catalog.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table has no bucket spec — compactBucketed is for bucketed " +
+        "tables; use Sink.compact for plain path layouts"))
+    val tmpTable = s"${table}__graft_cmp"
+    spark.sql(s"drop table if exists $tmpTable")
+    // The rewrite is EXCHANGE-FREE by construction: a bucketed scan reads
+    // each bucket's files as one partition (HashPartitioning on the bucket
+    // columns), which is exactly the writer-side distribution that yields
+    // one output file per bucket. Two planner behaviors would silently
+    // break that alignment and scatter every bucket across every writer
+    // task (measured: 29 files for 8 buckets):
+    //   - DisableUnnecessaryBucketedScan sees no join/agg needing the
+    //     clustering and un-buckets the scan — after EnsureRequirements
+    //     already removed an explicit repartition as redundant AGAINST the
+    //     bucketed partitioning. Pin the bucketed scan on
+    //     (autoBucketedScan off) for the rewrite.
+    //   - AQE's local shuffle read could rewire any residual shuffle to
+    //     mapper-aligned partitions; off for the rewrite (nothing adaptive
+    //     to gain — the distribution IS the contract).
+    // Both saved/restored around the write.
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val autoBktKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val savedAuto = spark.conf.get(autoBktKey)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set(autoBktKey, "false")
+    try compactBucketedWrite(spark, table, tmpTable, meta,
+      spark.table(table))
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set(autoBktKey, savedAuto)
+    }
+  }
+
+  private def compactBucketedWrite(spark: org.apache.spark.sql.SparkSession,
+      table: String, tmpTable: String,
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      re: DataFrame): Unit = {
+    val spec = meta.bucketSpec.get
+    val nb = spec.numBuckets
+    val bCols = spec.bucketColumnNames
+    val sCols = spec.sortColumnNames
+    val provider = meta.provider.getOrElse("parquet")
+    val external = meta.tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
+    if (external) {
+      val loc = meta.location.toString.stripSuffix("/")
+      val tmpLoc = s"${loc}__graft_cmp"
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmpLoc)))
+        fs.delete(new org.apache.hadoop.fs.Path(tmpLoc), true)
+      val w = re.write.mode(SaveMode.Overwrite).format(provider)
+        .option("path", tmpLoc).bucketBy(nb, bCols.head, bCols.tail: _*)
+      (if (sCols.nonEmpty) w.sortBy(sCols.head, sCols.tail: _*) else w)
+        .saveAsTable(tmpTable) // fully materialized before any drop
+      spark.sql(s"drop table $tmpTable")  // external drop keeps the files
+      spark.sql(s"drop table $table")
+      require(fs.delete(new org.apache.hadoop.fs.Path(loc), true),
+        s"failed to delete old bucketed data at $loc (complete compacted " +
+          s"copy intact at $tmpLoc)")
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmpLoc),
+        new org.apache.hadoop.fs.Path(loc)),
+        s"failed to move compacted data from $tmpLoc to $loc")
+      val sorted =
+        if (sCols.isEmpty) ""
+        else s" SORTED BY (${sCols.mkString(", ")})"
+      spark.sql(s"CREATE TABLE $table (${meta.schema.toDDL}) " +
+        s"USING $provider CLUSTERED BY (${bCols.mkString(", ")})$sorted " +
+        s"INTO $nb BUCKETS LOCATION '$loc'")
+    } else {
+      val w = re.write.mode(SaveMode.Overwrite).format(provider)
+        .bucketBy(nb, bCols.head, bCols.tail: _*)
+      (if (sCols.nonEmpty) w.sortBy(sCols.head, sCols.tail: _*) else w)
+        .saveAsTable(tmpTable) // fully materialized before any drop
+      spark.sql(s"drop table $table")
+      spark.sql(s"alter table $tmpTable rename to $table")
+    }
   }
 
   /** [[bucketed]] with the files at an explicit `path` (external table):

@@ -50,6 +50,12 @@ object PackStream {
     @volatile private[streaming] var compactedThrough: Long = -1L
   }
 
+  /** The handle's landed-compaction high-water mark (observability +
+    * specs): batch dirs at or below it were swept clean by
+    * [[compactPacks]]; a batch whose sweep had an aborted leaf holds the
+    * mark back so the next cadence fire retries it. */
+  def packCompactedThrough(handle: Handle): Long = handle.compactedThrough
+
   private def modelDir(path: String) = s"$path/model"
   private def stateRoot(path: String) = s"$path/state"
 
@@ -370,33 +376,58 @@ object PackStream {
     * leaf-level snapshot/re-list guard in [[graft.sources.Sink.compact]]
     * backstops anything else. A batch REPLAY after compaction is
     * unaffected — the idempotent sink overwrites its whole `b<id>`
-    * directory wholesale, compacted or not. */
+    * directory wholesale, compacted or not.
+    *
+    * Commit mode is `auto` (rename on rename-atomic stores, the
+    * round-15 MANIFEST commit on object stores): the engine's own reads
+    * of the landed layout (retraction, replay) run under the pipeline
+    * lock and after the start-of-stream `compactRecover`, so they only
+    * ever see the layout AT REST, where both modes are plain-reader
+    * correct; an EXTERNAL reader that may race a live sweep on an object
+    * store should resolve through [[graft.sources.Sink.readCompacted]]. */
   def compactPacks(
       spark: SparkSession,
       handle: Handle,
       outPath: String,
       upTo: Long,
       targetBytesPerFile: Long = 128L << 20,
-      parallelism: Int = 1): graft.sources.Sink.CompactStats = {
+      parallelism: Int = 1,
+      commit: String = "auto",
+      // Test seam, threaded to [[graft.sources.Sink.compact]].
+      afterCopy: org.apache.hadoop.fs.Path => Unit = _ => ())
+      : graft.sources.Sink.CompactStats = {
     val from = handle.compactedThrough
     val batches = listBatchDirs(spark, outPath)
       .filter(b => b > from && b <= upTo)
     var seen = 0; var rew = 0; var aborted = 0
     var before = 0L; var after = 0L
+    // The high-water mark only advances over the clean PREFIX of batches:
+    // a batch with an aborted leaf (Sink.compact's concurrent-change
+    // guard) must stay below the mark so the next cadence fire re-lists
+    // and retries it — an unconditional advance would leave that batch
+    // fragmented forever (re-listing an already-compact batch is a
+    // name-only listing, so the retry costs nothing when it was a
+    // one-off).
+    var cleanThrough = from
+    var blocked = false
     batches.foreach { b =>
       val st = graft.sources.Sink.compact(spark, s"$outPath/b$b",
-        targetBytesPerFile, parallelism = parallelism)
+        targetBytesPerFile, parallelism = parallelism, commit = commit,
+        afterCopy = afterCopy)
       seen += st.leavesSeen; rew += st.leavesRewritten
       aborted += st.leavesAborted
       before += st.filesBefore; after += st.filesAfter
+      if (st.leavesAborted > 0) blocked = true
+      if (!blocked) cleanThrough = b
     }
-    handle.compactedThrough = math.max(from, upTo)
+    handle.compactedThrough =
+      math.max(from, if (blocked) cleanThrough else upTo)
     val stats = graft.sources.Sink.CompactStats(seen, rew, before, after,
       aborted)
     if (rew > 0 || aborted > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"PackStream.compactPacks[$outPath]: batches (${from + 1}..$upTo] " +
-          s"— $stats")
+          s"— $stats (compactedThrough -> ${handle.compactedThrough})")
     stats
   }
 

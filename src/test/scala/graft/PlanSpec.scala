@@ -39,7 +39,7 @@ class PlanSpec extends SparkSpecBase {
       "s2_ann_lsh", "s3_ann_ivf", "x7b_export_invariants",
       "s6b_pq_index_parity", "d11b_ivf_pair_invariants",
       "a19b_approx_percentile_bounds", "t7b_rolling_fp_invariants",
-      "t18b_bpe_train_invariants")
+      "t18b_bpe_train_invariants", "t22b_unigram_invariants")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intentional)
       .flatMap { name =>

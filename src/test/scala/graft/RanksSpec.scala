@@ -223,4 +223,49 @@ class RanksSpec extends SparkSpecBase {
     assert(dist.select("id", "s").exceptAll(ref.select("id", "s")).isEmpty &&
       ref.select("id", "s").exceptAll(dist.select("id", "s")).isEmpty)
   }
+
+  test("groupedRunningSum cardinality routing costs no extra source scan: " +
+      "the router reads the distributed path's own shuffle output (round " +
+      "15 — the approx_count_distinct probe was a full second pass)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("grp", StringType), StructField("v", LongType)))
+    // Source-materialization counter: every job that reads the SOURCE
+    // (not the shuffle files) bumps the accumulator once per row —
+    // shuffle-output readers (router job 0, the stats job, the final
+    // prefix-sum job) reuse the completed map stage and leave it alone.
+    def counted(nGroups: Int) = {
+      val acc = spark.sparkContext.longAccumulator("src_rows")
+      val rdd = spark.sparkContext.parallelize(1 to 9000, 4)
+        .map { i => acc.add(1L); Row(i.toLong, s"g${i % nGroups}",
+          (i % 7).toLong) }
+      (spark.createDataFrame(rdd, schema), acc)
+    }
+    // FEW huge groups → distributed path: TWO source passes total —
+    // repartitionByRange's boundary-sampling pass plus the shuffle write;
+    // routing + stats + output all read the SHUFFLE, not the source. (The
+    // round-14 approx_count_distinct probe made this three.)
+    val (few, accFew) = counted(3)
+    val outFew = Ranks.groupedRunningSum(few, col("grp"), col("v"), "s",
+      0L, -1L, -1L, col("id"))
+    assert(outFew.count() == 9000)
+    assert(accFew.value == 18000L,
+      s"distributed route is priced at two source passes (range sample + " +
+        s"shuffle), saw ${accFew.value}")
+    // MANY small groups → fail-open to the window: the two routing-shuffle
+    // passes plus the window's own — never a group-cardinality-sized
+    // driver collect.
+    val (many, accMany) = counted(4000)
+    val outMany = Ranks.groupedRunningSum(many, col("grp"), col("v"), "s",
+      0L, -1L, 1000L, col("id"))
+    assert(outMany.count() == 9000)
+    assert(accMany.value == 27000L,
+      s"fail-open route is priced at three source passes, saw ${accMany.value}")
+    // Results unchanged vs the small-input window reference on both.
+    val refFew = Ranks.groupedRunningSum(few, col("grp"), col("v"), "s",
+      col("id")).select("id", "s")
+    assert(outFew.select("id", "s").exceptAll(refFew).isEmpty &&
+      refFew.exceptAll(outFew.select("id", "s")).isEmpty)
+  }
 }

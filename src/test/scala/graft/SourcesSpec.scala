@@ -405,4 +405,327 @@ class SourcesSpec extends SparkSpecBase {
       !new java.io.File(s"$dir/.cmp_tmp_p=p1").exists,
       "no tmp remnants may survive recovery")
   }
+
+  // ───────── manifest-committed compaction (round 15) ─────────────────────
+
+  private def visibleNames(d: String): Set[String] =
+    Option(new java.io.File(d).listFiles()).getOrElse(Array())
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+      .map(_.getName).toSet
+
+  test("commitModeFor: auto is manifest exactly where rename is a copy") {
+    import graft.sources.Sink
+    for (s <- Seq("s3a", "gs", "wasbs", "oss"))
+      assert(Sink.commitModeFor(spark, s, "auto") == "manifest", s)
+    for (s <- Seq("file", "hdfs", null))
+      assert(Sink.commitModeFor(spark, s, "auto") == "rename", s"$s")
+    // Explicit modes pass through; the set is conf-extendable.
+    assert(Sink.commitModeFor(spark, "hdfs", "manifest") == "manifest")
+    assert(Sink.commitModeFor(spark, "s3a", "rename") == "rename")
+    spark.conf.set(Sink.NonAtomicSchemesKey, "nacopy, weirdfs")
+    try {
+      assert(Sink.commitModeFor(spark, "nacopy", "auto") == "manifest")
+      assert(Sink.commitModeFor(spark, "weirdfs", "auto") == "manifest")
+    } finally spark.conf.unset(Sink.NonAtomicSchemesKey)
+    intercept[IllegalArgumentException] {
+      Sink.commitModeFor(spark, "file", "bogus")
+    }
+  }
+
+  test("compact commit=manifest: one-file commit — content exact through " +
+      "readCompacted AND plain read at rest, pruning intact, idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cmf").toString + "/t"
+    val df = (1 to 400).map(i => (i.toLong, s"p${i % 2}", i * 1.1))
+      .toDF("id", "p", "v")
+    df.repartition(20).write.partitionBy("p").parquet(dir)
+    val before = spark.read.parquet(dir).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    val stats = graft.sources.Sink.compact(spark, dir,
+      targetBytesPerFile = 1L << 30, commit = "manifest")
+    assert(stats.leavesRewritten == 2 && stats.filesBefore == 40 &&
+      stats.filesAfter == 2, s"got $stats")
+    // At rest: replaced files gone, one cmpg file + one manifest per leaf.
+    for (leaf <- Seq("p=p0", "p=p1")) {
+      val names = visibleNames(s"$dir/$leaf")
+      assert(names.size == 1 && names.head.startsWith("cmpg-1-"), s"$names")
+      assert(new java.io.File(s"$dir/$leaf/_manifest.1").exists())
+    }
+    // Both read paths agree with the original content.
+    assert(spark.read.parquet(dir).orderBy("id")
+      .collect().map(_.toSeq).toSeq == before)
+    val rc = graft.sources.Sink.readCompacted(spark, dir)
+    assert(rc.orderBy("id").collect().map(_.toSeq).toSeq == before)
+    // Hive partition columns survive readCompacted's explicit-file load.
+    assert(rc.where(col("p") === "p0").count() == 200)
+    // Idempotent second pass: resolved single file ≤ target → untouched,
+    // manifest gen stays at 1.
+    val again = graft.sources.Sink.compact(spark, dir,
+      targetBytesPerFile = 1L << 30, commit = "manifest")
+    assert(again.leavesRewritten == 0 && again.filesAfter == 2)
+    assert(new java.io.File(s"$dir/p=p0/_manifest.1").exists() &&
+      !new java.io.File(s"$dir/p=p0/_manifest.2").exists())
+    // A later writer-landed straggler is visible to readCompacted and
+    // folded in by the next compaction generation.
+    (401 to 410).map(i => (i.toLong, i * 1.1)).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$dir/.strag")
+    val part = new java.io.File(s"$dir/.strag").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(s"$dir/p=p0/late-arrival.parquet").toPath)
+    assert(graft.sources.Sink.readCompacted(spark, dir).count() == 410)
+    val third = graft.sources.Sink.compact(spark, dir,
+      targetBytesPerFile = 1L << 30, commit = "manifest")
+    assert(third.leavesRewritten == 1)
+    assert(new java.io.File(s"$dir/p=p0/_manifest.2").exists() &&
+      !new java.io.File(s"$dir/p=p0/_manifest.1").exists())
+    assert(graft.sources.Sink.readCompacted(spark, dir).count() == 410)
+    assert(spark.read.parquet(dir).count() == 410)
+  }
+
+  test("manifest torn states: pre-commit rolls back, post-commit rolls " +
+      "forward — readCompacted is exact in every state, recover converges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cmt").toString + "/t"
+    (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .repartition(4).write.parquet(dir)
+    val origNames = visibleNames(dir)
+    def ids() = graft.sources.Sink.readCompacted(spark, dir)
+      .select("id").as[Long].collect().toSet
+
+    // STATE A — crash between move-in and commit: uncommitted cmpg files
+    // sit next to the originals, no manifest. Readers must see ONLY the
+    // originals; recovery rolls the move-ins back.
+    spark.read.parquet(dir).coalesce(1)
+      .write.parquet(s"$dir/.stage")
+    val staged = new java.io.File(s"$dir/.stage").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(staged.toPath,
+      new java.io.File(dir, "cmpg-1-part-00000.parquet").toPath)
+    assert(ids() == (1L to 100L).toSet,
+      "uncommitted move-ins must be invisible to readCompacted")
+    graft.sources.Sink.compactRecover(spark, dir)
+    assert(visibleNames(dir) == origNames,
+      "recovery must roll uncommitted move-ins back")
+    assert(spark.read.parquet(dir).count() == 100)
+
+    // STATE B — crash between commit and the post-commit deletes: cmpg
+    // files + manifest + the replaced originals all present. readCompacted
+    // resolves the NEW content exactly (a plain directory read would
+    // double-count — the documented out-of-contract race); recovery
+    // finishes the deletes.
+    java.nio.file.Files.copy(staged.toPath,
+      new java.io.File(dir, "cmpg-1-part-00000.parquet").toPath)
+    val manifest = (Seq("graft-manifest v1", "gen 1",
+      "f cmpg-1-part-00000.parquet") ++
+      origNames.toSeq.sorted.map("r " + _)).mkString("\n") + "\n"
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "_manifest.1").toPath, manifest)
+    assert(ids() == (1L to 100L).toSet,
+      "post-commit reader must resolve exactly the new file set")
+    assert(spark.read.parquet(dir).count() == 200,
+      "plain read in the torn window double-counts (why readers resolve " +
+        "through the manifest)")
+    graft.sources.Sink.compactRecover(spark, dir)
+    assert(visibleNames(dir) == Set("cmpg-1-part-00000.parquet"),
+      "recovery must finish the replaced-file deletes")
+    assert(spark.read.parquet(dir).count() == 100)
+    assert(ids() == (1L to 100L).toSet)
+
+    // STATE C — a torn (half-written) manifest above the committed one:
+    // readers fall back to gen 1; recovery discards the torn commit.
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "_manifest.2").toPath, "graft-manifest v1\nge")
+    assert(ids() == (1L to 100L).toSet)
+    graft.sources.Sink.compactRecover(spark, dir)
+    assert(!new java.io.File(dir, "_manifest.2").exists() &&
+      new java.io.File(dir, "_manifest.1").exists())
+    assert(ids() == (1L to 100L).toSet)
+  }
+
+  test("manifest commit: a reader through readCompacted racing the swap " +
+      "sees the old snapshot exactly; the concurrent-change guard and the " +
+      "mtime overwrite guard still abort") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cmr").toString + "/t"
+    (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .repartition(10).write.parquet(dir)
+    val before = (1L to 100L).toSet
+    // Reader inside the swap window (copy complete, commit not yet): must
+    // see the OLD snapshot exactly — no partial, no double.
+    var sawDuringSwap: Set[Long] = Set.empty
+    val st = graft.sources.Sink.compact(spark, dir,
+      targetBytesPerFile = 1L << 30, commit = "manifest",
+      afterCopy = _ => sawDuringSwap = graft.sources.Sink
+        .readCompacted(spark, dir).select("id").as[Long].collect().toSet)
+    assert(st.leavesRewritten == 1 && sawDuringSwap == before)
+    assert(graft.sources.Sink.readCompacted(spark, dir)
+      .select("id").as[Long].collect().toSet == before)
+
+    // Same-name same-size in-place overwrite between snapshot and guard:
+    // the mtime term must catch it and abort (nothing deleted, no commit).
+    // Fresh multi-file leaf — only leaves with more files than the byte
+    // target ever enter the swap.
+    val dir2 = java.nio.file.Files.createTempDirectory("cmr2").toString + "/t"
+    (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .repartition(10).write.parquet(dir2)
+    val target = new java.io.File(dir2).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val st2 = graft.sources.Sink.compact(spark, dir2,
+      targetBytesPerFile = 1L << 30, commit = "manifest",
+      afterCopy = _ => {
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        fs.setTimes(new org.apache.hadoop.fs.Path(target.getPath),
+          target.lastModified() + 30000L, -1L)
+      })
+    assert(st2.leavesAborted == 1 && st2.leavesRewritten == 0,
+      s"mtime-only change must abort the swap, got $st2")
+    assert(graft.sources.Sink.readCompacted(spark, dir2)
+      .select("id").as[Long].collect().toSet == before)
+    assert(!new java.io.File(dir2, "_manifest.1").exists(),
+      "aborted swap must not commit")
+  }
+
+  test("copy-rename filesystem (object-store rename semantics): auto " +
+      "resolves to manifest and the full compact+read cycle is exact " +
+      "without rename atomicity") {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.nacopy.impl",
+      classOf[graft.tools.CopyRenameFileSystem].getName)
+    spark.conf.set(graft.sources.Sink.NonAtomicSchemesKey, "nacopy")
+    try {
+      val local = java.nio.file.Files.createTempDirectory("cmnac").toString
+      val dir = s"nacopy://$local/t"
+      val df = (1 to 300).map(i => (i.toLong, s"p${i % 3}", i * 1.5))
+        .toDF("id", "p", "v")
+      df.repartition(8).write.partitionBy("p").parquet(dir)
+      val before = spark.read.parquet(dir).orderBy("id")
+        .collect().map(_.toSeq).toSeq
+      val stats = graft.sources.Sink.compact(spark, dir,
+        targetBytesPerFile = 1L << 30) // commit = auto → manifest
+      assert(stats.leavesRewritten == 3, s"got $stats")
+      for (leaf <- Seq("p=p0", "p=p1", "p=p2"))
+        assert(new java.io.File(s"$local/t/$leaf/_manifest.1").exists(),
+          s"auto on a copy-rename scheme must take the manifest commit " +
+            s"($leaf)")
+      assert(graft.sources.Sink.readCompacted(spark, dir).orderBy("id")
+        .collect().map(_.toSeq).toSeq == before)
+      assert(spark.read.parquet(dir).orderBy("id")
+        .collect().map(_.toSeq).toSeq == before)
+      // Recovery runs clean through the copy-rename FS too.
+      graft.sources.Sink.compactRecover(spark, dir)
+      assert(graft.sources.Sink.readCompacted(spark, dir).count() == 300)
+    } finally {
+      spark.conf.unset(graft.sources.Sink.NonAtomicSchemesKey)
+      hconf.unset("fs.nacopy.impl")
+    }
+  }
+
+  test("compactBucketed: streamed appends fragment a bucketed table; " +
+      "compaction re-bounds to one file per bucket at the SAME path and " +
+      "the co-located join stays Exchange-free throughout") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("bktc").toString + "/f"
+    def facts(lo: Int, hi: Int) = (lo to hi)
+      .map(i => (i.toLong % 97, i.toLong, i * 2.0)).toDF("k", "fid", "v")
+    val dims = (0 to 96).map(i => (i.toLong, s"name$i")).toDF("k", "name")
+    graft.sources.Sink.bucketedExternal(facts(1, 500), "bktc_facts", loc,
+      "k", 8, "k")
+    graft.sources.Sink.bucketed(dims, "bktc_dims", "k", 8, "k")
+    // Three streaming-shaped appends: each lands more files per bucket.
+    (1 to 3).foreach { b =>
+      facts(500 + b * 100 + 1, 500 + (b + 1) * 100)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+        .bucketBy(8, "k").sortBy("k").saveAsTable("bktc_facts")
+    }
+    def dataFiles() = Option(new java.io.File(loc).listFiles())
+      .getOrElse(Array()).filter(f => f.isFile &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(dataFiles().length > 8,
+      s"appends must fragment the layout, got ${dataFiles().length} files")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def joined() = spark.table("bktc_facts")
+        .join(spark.table("bktc_dims"), "k")
+      val rowsBefore = joined().count()
+      assert(!joined().queryExecution.executedPlan.toString
+        .contains("Exchange"), "bucketed join must be exchange-free")
+      val tableRows = spark.table("bktc_facts").orderBy("fid")
+        .collect().map(_.toSeq).toSeq
+
+      graft.sources.Sink.compactBucketed(spark, "bktc_facts")
+      assert(dataFiles().length == 8,
+        s"one file per bucket after compaction, got ${dataFiles().length}")
+      assert(spark.table("bktc_facts").orderBy("fid")
+        .collect().map(_.toSeq).toSeq == tableRows,
+        "compaction must not change a single row")
+      assert(joined().count() == rowsBefore)
+      assert(!joined().queryExecution.executedPlan.toString
+        .contains("Exchange"),
+        "the exchange-free property must survive compaction")
+      // The durable artifact stays at ITS path (bucketedExternal contract).
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("bktc_facts"))
+      assert(meta.location.getPath.stripSuffix("/").endsWith("/f"))
+      assert(meta.bucketSpec.exists(_.numBuckets == 8))
+
+      // Managed tables compact through the catalog-rename swap.
+      graft.sources.Sink.compactBucketed(spark, "bktc_dims")
+      assert(joined().count() == rowsBefore)
+      assert(!joined().queryExecution.executedPlan.toString
+        .contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("drop table if exists bktc_facts")
+      spark.sql("drop table if exists bktc_dims")
+    }
+  }
+
+  test("compactPacks: an aborted batch blocks the high-water mark so the " +
+      "next cadence fire retries it; later clean batches still compact") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("cph").toString
+    (0 until 3).foreach { b =>
+      val df = (1 to 60).map(i => (b * 1000L + i, 0L, s"body $b $i"))
+        .toDF("pack_id", "shard", "body").repartition(5)
+      graft.sources.Sink.idempotentBatchSharded(df, out, b.toLong,
+        keyCol = "shard", sortCol = "pack_id")
+    }
+    val before = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).orderBy("pack_id").collect().map(_.toSeq).toSeq
+    val handle = new graft.streaming.PackStream.Handle(out,
+      graft.streaming.PackStream.Model(Nil, Map.empty, 1L, 16))
+    // Batch 1's leaf grows a late file mid-rewrite → its swap aborts.
+    val late = (1 to 5).map(i => (9000L + i, 0L, s"late $i"))
+      .toDF("pack_id", "shard", "body")
+    val st1 = graft.streaming.PackStream.compactPacks(spark, handle, out,
+      upTo = 2L, targetBytesPerFile = 1L << 30,
+      afterCopy = leaf => if (leaf.toString.contains("/b1/")) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("cphl").toString + "/one"
+        late.coalesce(1).write.parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(x => x.isFile && x.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(leaf.toString.stripPrefix("file:"),
+            "late-arrival.parquet").toPath)
+      })
+    assert(st1.leavesAborted == 1 && st1.leavesRewritten == 2, s"$st1")
+    assert(graft.streaming.PackStream.packCompactedThrough(handle) == 0L,
+      "the mark must stop at the last clean batch before the abort")
+    // Next cadence fire: only b1 and b2 re-list; b1 (now stable) compacts,
+    // b2 is list-only; the mark advances to upTo.
+    val st2 = graft.streaming.PackStream.compactPacks(spark, handle, out,
+      upTo = 2L, targetBytesPerFile = 1L << 30)
+    assert(st2.leavesAborted == 0 && st2.leavesRewritten == 1, s"$st2")
+    assert(graft.streaming.PackStream.packCompactedThrough(handle) == 2L)
+    val after = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).orderBy("pack_id").collect().map(_.toSeq).toSeq
+    assert(after.size == before.size + 5,
+      "originals + the late arrival, nothing lost")
+  }
 }
