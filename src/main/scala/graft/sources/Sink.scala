@@ -317,8 +317,21 @@ object Sink {
       spark.read.format(format).load(path)
     else {
       val files = resolved.flatMap(_._2.files.map(_.getPath.toString))
-      spark.read.format(format).option("basePath", path)
-        .load(files: _*)
+      // `basePath` turns the directory levels between `path` and the
+      // files into hive partition columns — right for a pure k=v layout,
+      // an analysis error for mixed layouts like the export's
+      // `b<id>/sh=<k>` (the `b<id>` level is not k=v). Mirror the plain
+      // readers: partition columns only when every level parses as k=v;
+      // otherwise load the file list bare (the recursiveFileLookup
+      // semantics those layouts are read with anyway).
+      val rootPath = fs.makeQualified(root).toUri.getPath
+      val pureHive = resolved.forall { case (leaf, _) =>
+        fs.makeQualified(leaf).toUri.getPath.stripPrefix(rootPath)
+          .split('/').filter(_.nonEmpty).forall(_.contains("="))
+      }
+      val reader = spark.read.format(format)
+      if (pureHive) reader.option("basePath", path).load(files: _*)
+      else reader.load(files: _*)
     }
   }
 

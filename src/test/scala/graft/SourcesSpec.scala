@@ -624,6 +624,61 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("columnar quarantine: a truncated parquet footer, a truncated ORC " +
+      "tail and zero-byte files land counted in badFiles; good scans " +
+      "exactly the validated set with partition columns intact — no task " +
+      "failure, no silent skip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("colq").toString + "/t"
+    // Partitioned layout: quarantine must resolve hive partition columns
+    // for the good files (basePath) — the shape a real lake has.
+    (1 to 100).map(i => (i.toLong, s"p${i % 2}")).toDF("id", "p")
+      .repartition(2).write.partitionBy("p").parquet(dir)
+    def poison(leaf: String): Unit = {
+      val good = new java.io.File(s"$dir/$leaf").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+      val bytes = java.nio.file.Files.readAllBytes(good.toPath)
+      java.nio.file.Files.write(
+        new java.io.File(s"$dir/$leaf/truncated.parquet").toPath,
+        bytes.take(bytes.length / 2))
+      java.nio.file.Files.write(
+        new java.io.File(s"$dir/$leaf/empty.parquet").toPath,
+        Array.empty[Byte])
+    }
+    poison("p=p0")
+    poison("p=p1")
+    // A plain read would now fail the job on the first bad footer; the
+    // quarantined read must not.
+    val q = Ingest.parquetQuarantined(spark, dir)
+    assert(q.badFileCount() == 4 && q.goodFileCount == 4,
+      s"bad=${q.badFiles.collect().toSeq}")
+    assert(q.good.count() == 100, "good rows must be exactly the originals")
+    assert(q.good.where(col("p") === "p0").count() == 50,
+      "partition columns must survive the explicit-file load")
+    assert(q.badFiles.collect().forall(r => r.getString(2).nonEmpty),
+      "every bad file carries its error")
+
+    // ORC: same contract — note a zero-byte ORC file is READABLE as a
+    // valid empty file by the ORC library (the Hive convention), so the
+    // probe poisons zero bytes by POLICY, not by parse failure.
+    val odir = java.nio.file.Files.createTempDirectory("colqo")
+      .toString + "/t"
+    (1 to 50).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+      .coalesce(1).write.orc(odir)
+    val ogood = new java.io.File(odir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".orc")).head
+    val obytes = java.nio.file.Files.readAllBytes(ogood.toPath)
+    java.nio.file.Files.write(
+      new java.io.File(odir, "truncated.orc").toPath,
+      obytes.take(obytes.length / 2))
+    java.nio.file.Files.write(new java.io.File(odir, "empty.orc").toPath,
+      Array.empty[Byte])
+    val oq = Ingest.orcQuarantined(spark, odir)
+    assert(oq.badFileCount() == 2 && oq.goodFileCount == 1,
+      s"bad=${oq.badFiles.collect().toSeq}")
+    assert(oq.good.count() == 50)
+  }
+
   test("compactBucketed: streamed appends fragment a bucketed table; " +
       "compaction re-bounds to one file per bucket at the SAME path and " +
       "the co-located join stays Exchange-free throughout") {

@@ -1140,6 +1140,70 @@ object ScaleProbe {
         f"per-sweep cost must stay flat as batches accumulate: " +
           f"early=$early%.2f late=$late%.2f")
     }
+
+    // The packcompact workload under the MANIFEST commit (round 15) —
+    // prices the one-file-commit swap against the rename swap on the same
+    // fragmented-leaf regime (extra per-leaf cost: per-part move-ins, a
+    // small manifest write, per-file deletes instead of one dir delete)
+    // and closes with a readCompacted-vs-plain-read equality check over
+    // the whole landed layout. `ScaleProbe 1 packmanifest`.
+    if (wanted("packmanifest")) {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")).limit(500).cache()
+      base.count()
+      val dir = java.nio.file.Files.createTempDirectory("sp_pkm").toString
+      val out = java.nio.file.Files.createTempDirectory("sp_pkmo").toString
+      val h = graft.streaming.PackStream.resume(spark, dir, base,
+        "doc_id", "text", nShards = 8L, nMerges = 16, window = 512)
+      val nB = 40
+      val sweeps = new Array[Double](nB)
+      (0 until nB).foreach { i =>
+        val b = base.select((col("doc_id") + lit(1000000L * (i + 1)))
+          .as("doc_id"), col("text"))
+        val eff = graft.streaming.PackStream.processBatch(h, b, i.toLong,
+          "doc_id", "text", out)
+        if (i % 4 == 0)
+          Option(new java.io.File(s"$out/b$eff").listFiles())
+            .getOrElse(Array())
+            .filter(d => d.isDirectory && d.getName.startsWith("sh="))
+            .foreach { sh =>
+              val tmp = sh.getPath + ".fragtmp"
+              spark.read.parquet(sh.getPath).repartition(4)
+                .write.parquet(tmp)
+              sh.listFiles().filter(f => f.isFile &&
+                !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+                .foreach(f => require(f.delete()))
+              new java.io.File(tmp).listFiles()
+                .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+                .zipWithIndex.foreach { case (f, k) =>
+                  java.nio.file.Files.move(f.toPath,
+                    new java.io.File(sh, s"frag-$k.parquet").toPath)
+                }
+              org.apache.commons.io.FileUtils.deleteDirectory(
+                new java.io.File(tmp))
+            }
+        val t1 = System.nanoTime()
+        val st = graft.streaming.PackStream.compactPacks(spark, h, out,
+          upTo = eff, commit = "manifest")
+        sweeps(i) = (System.nanoTime() - t1) / 1e9
+        if (i % 4 == 0 || i == nB - 1)
+          println(f"[scale] packmanifest batch$i sweep=${sweeps(i)}%.2f s " +
+            s"$st")
+      }
+      val early = sweeps.slice(1, 6).sum / 5
+      val late = sweeps.slice(nB - 5, nB).sum / 5
+      val plain = spark.read.option("recursiveFileLookup", "true")
+        .parquet(out).count()
+      val resolved = graft.sources.Sink.readCompacted(spark, out).count()
+      println(f"[scale] packmanifest summary: sweep early=$early%.2f s " +
+        f"late=$late%.2f s (flat expected) rows plain=$plain " +
+        f"resolved=$resolved over $nB batches x 8 shards")
+      assert(late < math.max(0.5, early * 3),
+        f"manifest-commit sweeps must stay flat: early=$early%.2f " +
+          f"late=$late%.2f")
+      assert(plain == resolved,
+        "at rest, plain and manifest-resolved reads must agree")
+    }
     spark.stop()
   }
 }
