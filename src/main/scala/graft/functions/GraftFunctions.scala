@@ -117,6 +117,13 @@ object GraftFunctions {
     GraftBridge.column(org.apache.spark.sql.graft.RegexScrub(
       GraftBridge.expression(text), patterns))
 
+  /** Z-order (Morton) value of an array<double> of clustering values
+    * under baked per-dimension equi-depth boundaries — the clustering key
+    * [[graft.sources.Sink.zordered]] lays files out by. */
+  def zValue(vals: Column, boundaries: Seq[Seq[Double]], bits: Int): Column =
+    GraftBridge.column(org.apache.spark.sql.graft.ZValue(
+      GraftBridge.expression(vals), boundaries, bits))
+
   /** Unigram-LM (SentencePiece-style) Viterbi encode of an array<string>
     * word column under a baked piece→logprob table (the model — vocab
     *-bounded, corpus-size-constant). */

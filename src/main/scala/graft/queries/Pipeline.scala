@@ -2541,6 +2541,40 @@ object Pipeline {
       rows.toDF("reader", "good_files", "bad_files", "good_rows")
         .orderBy("reader")
     },
+    // Z-order layout round trip ON the oracle record (round 15 — the
+    // write-layout twin of i1/i2's synthesize-then-check pattern): a
+    // deterministic 64×64 grid writes through Sink.zordered (quantile
+    // bucketing → Morton interleave → range partition → within-file
+    // sort), reads back plain, and the emitted counts pin that the
+    // clustered layout is content-invariant — every row exactly once,
+    // point predicates on EITHER clustered dimension exact. The
+    // data-SKIPPING property (≤¼ of row groups surfaced per predicate,
+    // 4×+ over a single-column sort) is measured in SourcesSpec, where
+    // scan metrics live.
+    df("i3_zorder_roundtrip_counts",
+      Some("select * from (values " +
+        "('total', cast(4096 as bigint)), " +
+        "('x_eq_17', cast(64 as bigint)), " +
+        "('y_eq_17', cast(64 as bigint)), " +
+        "('distinct_cells', cast(4096 as bigint))) " +
+        "as t(probe, rows) order by probe")) { (s, dir) =>
+      val (fs, fx) = quarantineFixtureDir(s, "i3")
+      val grid = s.range(64L * 64L)
+        .select((col("id") / 64).cast("long").as("x"),
+          (col("id") % 64).cast("long").as("y"))
+      val zdir = s"$fx/z"
+      graft.sources.Sink.zordered(grid, zdir, Seq("x", "y"),
+        bits = 6, files = 16)
+      val back = s.read.parquet(zdir)
+      import s.implicits._
+      val rows = Seq(
+        ("total", back.count()),
+        ("x_eq_17", back.where(col("x") === 17L).count()),
+        ("y_eq_17", back.where(col("y") === 17L).count()),
+        ("distinct_cells", back.select("x", "y").distinct().count()))
+      fs.delete(fx, true)
+      rows.toDF("probe", "rows").orderBy("probe")
+    },
     // Curriculum ordering (round 14): assign every document its global
     // training position under a simple-to-complex metric (distinct token
     // count, an exact integer — float-free ordering across engines) —

@@ -30,6 +30,55 @@ object Sink {
     df.sortWithinPartitions(orderCols.head, orderCols.tail: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Z-ORDER clustered parquet — [[sorted]] generalized to MULTIPLE
+    * pruning dimensions. A single-column sort makes row-group min/max
+    * statistics selective on that column and useless on every other; a
+    * z-order layout interleaves the bits of each clustering column's
+    * equi-depth quantile bucket into one Morton key and lays the data out
+    * along that curve, so every file/row-group covers a tight BOX in all
+    * clustered dimensions at once — point/range predicates on ANY of them
+    * skip most row groups at footer-read time (the Delta/Iceberg OPTIMIZE
+    * ZORDER idea, as a plain parquet layout). The pruning is free
+    * thereafter: plain `spark.read.parquet` + pushed filters, no reader
+    * cooperation needed.
+    *
+    * Scale shape: one multi-column approxQuantile sketch prices the
+    * bucket boundaries (driver-held, model-sized — 2^bits doubles per
+    * dimension), the z-value is a narrow codegen'd projection
+    * ([[graft.functions.GraftFunctions.zValue]]), and the only shuffle is
+    * the `repartitionByRange` on the key that any clustered write needs.
+    * Quantile (not raw-bit) bucketing makes the curve distribution-proof:
+    * skewed columns still fill their bucket range evenly, so z-intervals
+    * carry comparable row mass.
+    *
+    * Columns must be numeric (cast dates/timestamps upstream). Up to
+    * `63 / bits` dimensions; past ~4 the boxes fatten and per-dimension
+    * selectivity fades — that is z-order's nature, not a knob to push.
+    * `files` caps the layout width (0 → the session's shuffle
+    * parallelism). */
+  def zordered(df: DataFrame, path: String, cols: Seq[String],
+      bits: Int = 8, files: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.{array, col}
+    require(cols.nonEmpty, "at least one clustering column")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"bits($bits) × dims(${cols.size}) must fit a long")
+    val spark = df.sparkSession
+    val buckets = 1 << bits
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val casted = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    // One pass, all columns (the multi-column sketch overload).
+    val bounds = casted.stat.approxQuantile(cols.toArray, probs, 0.001)
+      .map(_.toSeq.distinct).toSeq
+    val nFiles =
+      if (files > 0) files else spark.sessionState.conf.numShufflePartitions
+    df.withColumn("__graft_z", graft.functions.GraftFunctions.zValue(
+        array(cols.map(c => col(c).cast("double")): _*), bounds, bits))
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Bucketed (and optionally bucket-sorted) managed table: pays the
     * shuffle ONCE at write time so every later equi-join or aggregation on
     * `bucketCol` between tables sharing the bucketing is EXCHANGE-FREE —
@@ -619,9 +668,13 @@ object Sink {
     * DDL at the original location. Managed tables swap via catalog
     * rename. NOT crash-atomic across the swap (a catalog drop+rename is
     * two operations): run it under the layout's own maintenance lock —
-    * the [[compact]] concurrency contract — and on a crash the
-    * `__graft_cmp` table/directory holds a complete copy to finish from
-    * manually. */
+    * the [[compact]] concurrency contract. Every external-swap crash
+    * state is RECOVERABLE without data loss: the table's full recovery
+    * DDL (schema, bucket spec, provider, location) is persisted to a
+    * `_bucketspec` file at the data path BEFORE any destructive step,
+    * the compacted copy is fully materialized before any drop, and
+    * [[compactBucketedRecover]] rolls the swap forward (or finishes the
+    * rollback) from whatever remains. */
   def compactBucketed(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     val catalog = spark.sessionState.catalog
@@ -682,6 +735,12 @@ object Sink {
         .option("path", tmpLoc).bucketBy(nb, bCols.head, bCols.tail: _*)
       (if (sCols.nonEmpty) w.sortBy(sCols.head, sCols.tail: _*) else w)
         .saveAsTable(tmpTable) // fully materialized before any drop
+      // Recovery DDL travels WITH the compacted copy (and renames into
+      // place with it): every crash state past this point has a complete
+      // data copy on disk next to the file that re-creates its catalog
+      // entry — compactBucketedRecover needs nothing else.
+      writeBucketSpec(fs, new org.apache.hadoop.fs.Path(tmpLoc), table,
+        provider, nb, bCols, sCols, meta.schema.toDDL, loc)
       spark.sql(s"drop table $tmpTable")  // external drop keeps the files
       spark.sql(s"drop table $table")
       require(fs.delete(new org.apache.hadoop.fs.Path(loc), true),
@@ -690,12 +749,8 @@ object Sink {
       require(fs.rename(new org.apache.hadoop.fs.Path(tmpLoc),
         new org.apache.hadoop.fs.Path(loc)),
         s"failed to move compacted data from $tmpLoc to $loc")
-      val sorted =
-        if (sCols.isEmpty) ""
-        else s" SORTED BY (${sCols.mkString(", ")})"
-      spark.sql(s"CREATE TABLE $table (${meta.schema.toDDL}) " +
-        s"USING $provider CLUSTERED BY (${bCols.mkString(", ")})$sorted " +
-        s"INTO $nb BUCKETS LOCATION '$loc'")
+      spark.sql(createBucketedDdl(table, meta.schema.toDDL, provider,
+        nb, bCols, sCols, loc))
     } else {
       val w = re.write.mode(SaveMode.Overwrite).format(provider)
         .bucketBy(nb, bCols.head, bCols.tail: _*)
@@ -703,6 +758,132 @@ object Sink {
         .saveAsTable(tmpTable) // fully materialized before any drop
       spark.sql(s"drop table $table")
       spark.sql(s"alter table $tmpTable rename to $table")
+    }
+  }
+
+  private def createBucketedDdl(table: String, schemaDdl: String,
+      provider: String, nb: Int, bCols: Seq[String],
+      sCols: Seq[String], loc: String): String = {
+    val sorted =
+      if (sCols.isEmpty) "" else s" SORTED BY (${sCols.mkString(", ")})"
+    s"CREATE TABLE $table ($schemaDdl) USING $provider " +
+      s"CLUSTERED BY (${bCols.mkString(", ")})$sorted " +
+      s"INTO $nb BUCKETS LOCATION '$loc'"
+  }
+
+  /** Persist a bucketed table's full recovery DDL next to its data
+    * (underscore-prefixed — invisible to readers). Line format, schema
+    * DDL last (it contains commas). */
+  private def writeBucketSpec(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, table: String, provider: String,
+      nb: Int, bCols: Seq[String], sCols: Seq[String], schemaDdl: String,
+      loc: String): Unit = {
+    val body = (Seq("graft-bucketspec v1", s"table $table",
+      s"provider $provider", s"numBuckets $nb", s"location $loc") ++
+      bCols.map("bucketCol " + _) ++ sCols.map("sortCol " + _) ++
+      Seq(s"schema $schemaDdl")).mkString("\n") + "\n"
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".bucketspec.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, "_bucketspec")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"failed to write bucket spec $dst")
+  }
+
+  private def readBucketSpec(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path)
+      : Option[(String, String, Int, Seq[String], Seq[String], String)] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_bucketspec")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    val lines = text.split("\n", -1).toSeq
+    def one(prefix: String) = lines.find(_.startsWith(prefix + " "))
+      .map(_.stripPrefix(prefix + " "))
+    for {
+      _ <- lines.headOption.filter(_.startsWith("graft-bucketspec"))
+      table <- one("table")
+      provider <- one("provider")
+      nb <- one("numBuckets").flatMap(s => scala.util.Try(s.toInt).toOption)
+      schema <- one("schema")
+    } yield (table, provider, nb,
+      lines.filter(_.startsWith("bucketCol ")).map(_.stripPrefix("bucketCol ")),
+      lines.filter(_.startsWith("sortCol ")).map(_.stripPrefix("sortCol ")),
+      schema)
+  }
+
+  /** Finish or roll back a [[compactBucketed]] swap a crash interrupted.
+    * Safe to run any time (no-op on a healthy table). Rules, in order:
+    *   - the TABLE still exists in the catalog → the swap never
+    *     committed: any `__graft_cmp` remnants (catalog entry, data
+    *     directory) roll BACK — the live table was never touched
+    *     destructively while its entry existed;
+    *   - the table is gone but a complete compacted copy exists (at the
+    *     original location, or still at `<path>__graft_cmp`) → roll
+    *     FORWARD from the `_bucketspec` recovery DDL persisted with the
+    *     copy: move the copy into place if needed and re-create the
+    *     catalog entry;
+    *   - managed tables: the table is gone but `<table>__graft_cmp`
+    *     exists in the catalog → the rename never ran; finish it.
+    * `path` is the external table's data location (ignored for managed
+    * recovery). */
+  def compactBucketedRecover(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String = ""): Unit = {
+    val tmpTable = s"${table}__graft_cmp"
+    val hasTable = spark.catalog.tableExists(table)
+    if (hasTable) {
+      spark.sql(s"drop table if exists $tmpTable")
+      if (path.nonEmpty) {
+        val loc = path.stripSuffix("/")
+        val fs = new org.apache.hadoop.fs.Path(loc)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmpLoc = new org.apache.hadoop.fs.Path(s"${loc}__graft_cmp")
+        if (fs.exists(tmpLoc)) fs.delete(tmpLoc, true)
+      }
+      return
+    }
+    if (spark.catalog.tableExists(tmpTable)) {
+      // Managed swap: the compacted copy is the tmp TABLE itself.
+      spark.sql(s"alter table $tmpTable rename to $table")
+      return
+    }
+    require(path.nonEmpty,
+      s"$table is not in the catalog and no path was given — cannot " +
+        "locate the external copy to recover from")
+    val loc = path.stripSuffix("/")
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val locP = new org.apache.hadoop.fs.Path(loc)
+    val tmpLocP = new org.apache.hadoop.fs.Path(s"${loc}__graft_cmp")
+    val specAtLoc = readBucketSpec(fs, locP)
+    val specAtTmp = readBucketSpec(fs, tmpLocP)
+    (specAtLoc, specAtTmp) match {
+      case (Some((t, prov, nb, bc, sc, schema)), _) if t == table =>
+        // Copy already in place (crash after the rename, before CREATE);
+        // a lingering tmp copy means the crash predated the delete —
+        // impossible with a spec already at loc, but clean it anyway.
+        if (fs.exists(tmpLocP)) fs.delete(tmpLocP, true)
+        spark.sql(createBucketedDdl(table, schema, prov, nb, bc, sc, loc))
+      case (None, Some((t, prov, nb, bc, sc, schema))) if t == table =>
+        // Complete copy still at the tmp location (crash between the
+        // catalog drops and the rename): finish the swap.
+        if (fs.exists(locP))
+          require(fs.delete(locP, true),
+            s"failed to delete old bucketed data at $loc during recovery")
+        require(fs.rename(tmpLocP, locP),
+          s"failed to move compacted data from $tmpLocP to $loc")
+        spark.sql(createBucketedDdl(table, schema, prov, nb, bc, sc, loc))
+      case _ =>
+        throw new IllegalStateException(
+          s"no recovery spec for $table at $loc or ${loc}__graft_cmp — " +
+            "nothing to recover from (was the table ever compacted with " +
+            "compactBucketed?)")
     }
   }
 

@@ -740,6 +740,110 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("zordered: multi-column data skipping — a predicate on EITHER " +
+      "clustered column prunes most row groups; a single-column sort " +
+      "only prunes its own") {
+    import spark.implicits._
+    // 256×256 uniform grid: the adversarial case for a single-column
+    // sort (the second column spans its full range inside every file).
+    val grid = spark.range(256L * 256L)
+      .select((col("id") / 256).cast("long").as("x"),
+        (col("id") % 256).cast("long").as("y"))
+    val zdir = java.nio.file.Files.createTempDirectory("zord").toString + "/z"
+    val xdir = java.nio.file.Files.createTempDirectory("zord").toString + "/x"
+    graft.sources.Sink.zordered(grid, zdir, Seq("x", "y"), files = 64)
+    grid.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+      .write.parquet(xdir)
+
+    def scannedRows(dir: String, c: String): Long = {
+      val q = spark.read.parquet(dir).where(col(c) === 123L)
+      assert(q.count() == 256, s"$dir/$c: wrong result")
+      val d = spark.read.parquet(dir).where(col(c) === 123L)
+      d.collect()
+      val scan = d.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      assert(scan.toString.contains("PushedFilters: [IsNotNull(" + c),
+        "the predicate must reach the parquet scan")
+      scan.metrics("numOutputRows").value
+    }
+    val total = 256L * 256L
+    // The z layout prunes on BOTH dimensions: each of the 64 files covers
+    // a ~32×32 quantile box, so a point predicate on either column
+    // touches ~8/64 of the row groups.
+    val zx = scannedRows(zdir, "x")
+    val zy = scannedRows(zdir, "y")
+    assert(zx <= total / 4 && zy <= total / 4,
+      s"z-order must skip most row groups on both dims: x=$zx y=$zy " +
+        s"of $total")
+    // The x-sorted layout prunes x but reads EVERYTHING for y.
+    val sx = scannedRows(xdir, "x")
+    val sy = scannedRows(xdir, "y")
+    assert(sx <= total / 4, s"sorted layout must prune its own column: $sx")
+    assert(sy >= total * 9 / 10,
+      s"the single-sort layout cannot prune the other column ($sy of " +
+        s"$total) — this contrast is the point of the test")
+    assert(zy * 4 <= sy,
+      s"z-order must beat the single-sort layout on the non-sorted " +
+        s"column by 4×+: z=$zy vs sorted=$sy")
+  }
+
+  test("compactBucketedRecover: every external swap crash state rolls " +
+      "forward or back without losing a row; the managed half-rename " +
+      "finishes") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("bktr").toString + "/f"
+    val df = (1 to 300).map(i => (i.toLong % 31, i.toLong)).toDF("k", "fid")
+    graft.sources.Sink.bucketedExternal(df, "bktr_t", loc, "k", 4, "k")
+    def rows() = spark.table("bktr_t").orderBy("fid")
+      .collect().map(_.toSeq).toSeq
+    def bucketed() = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("bktr_t"))
+      .bucketSpec.exists(_.numBuckets == 4)
+    // A first compaction installs the _bucketspec recovery DDL at loc.
+    graft.sources.Sink.compactBucketed(spark, "bktr_t")
+    val expect = rows()
+    assert(new java.io.File(s"$loc/_bucketspec").exists())
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+
+    // STATE: crash between the catalog drops and the directory swap —
+    // table gone, complete copy stranded at <loc>__graft_cmp.
+    spark.sql("drop table bktr_t")
+    require(fs.rename(new org.apache.hadoop.fs.Path(loc),
+      new org.apache.hadoop.fs.Path(loc + "__graft_cmp")))
+    graft.sources.Sink.compactBucketedRecover(spark, "bktr_t", loc)
+    assert(rows() == expect && bucketed(),
+      "recovery must finish the swap from the stranded copy")
+    assert(!new java.io.File(loc + "__graft_cmp").exists())
+
+    // STATE: crash after the rename, before the CREATE — data in place,
+    // catalog entry missing.
+    spark.sql("drop table bktr_t")
+    graft.sources.Sink.compactBucketedRecover(spark, "bktr_t", loc)
+    assert(rows() == expect && bucketed(),
+      "recovery must re-create the catalog entry over in-place data")
+
+    // STATE: crash before any destructive step — table alive, stale tmp
+    // remnants. Recovery rolls back; the live table is untouched.
+    (1 to 10).map(i => (i.toLong, 0L)).toDF("k", "fid").coalesce(1)
+      .write.parquet(loc + "__graft_cmp")
+    graft.sources.Sink.compactBucketedRecover(spark, "bktr_t", loc)
+    assert(rows() == expect && bucketed())
+    assert(!new java.io.File(loc + "__graft_cmp").exists(),
+      "stale tmp remnants must roll back when the table is alive")
+
+    // MANAGED half-rename: the compacted copy exists only as the tmp
+    // TABLE; recovery finishes the rename.
+    val dm = (1 to 100).map(i => (i.toLong % 7, i.toLong)).toDF("k", "fid")
+    graft.sources.Sink.bucketed(dm, "bktr_m__graft_cmp", "k", 4, "k")
+    graft.sources.Sink.compactBucketedRecover(spark, "bktr_m")
+    assert(spark.table("bktr_m").count() == 100)
+    assert(!spark.catalog.tableExists("bktr_m__graft_cmp"))
+    spark.sql("drop table if exists bktr_t")
+    spark.sql("drop table if exists bktr_m")
+  }
+
   test("compactPacks: an aborted batch blocks the high-water mark so the " +
       "next cadence fire retries it; later clean batches still compact") {
     import spark.implicits._
