@@ -45,11 +45,8 @@ object Unigram {
       usage: Seq[(String, Long)])
 
   private def jmap(pieces: Map[String, Double])
-      : java.util.HashMap[String, java.lang.Double] = {
-    val m = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
-    pieces.foreach { case (p, lp) => m.put(p, java.lang.Double.valueOf(lp)) }
-    m
-  }
+      : java.util.HashMap[String, java.lang.Double] =
+    org.apache.spark.sql.graft.UnigramKernels.toJavaMap(pieces)
 
   /** Candidate seed: every single code point (kept unconditionally —
     * coverage) plus the top multi-code-point substrings by count·length
@@ -151,6 +148,7 @@ object Unigram {
       pruneFrac: Double = 0.3, minSeedCount: Long = 2L): Model = {
     require(vocabSize >= 1 && seedSize >= vocabSize,
       s"need seedSize ≥ vocabSize ≥ 1, got seed=$seedSize vocab=$vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     val cand = seedCandidates(hist, seedSize, maxPieceLen, minSeedCount)
     val chars = cand.filter(_._3).map(_._1).toSet
     // Seed probabilities ∝ count·length (the score that ranked them).
@@ -184,13 +182,18 @@ object Unigram {
   }
 
   /** The trained vocabulary as a frame — `(piece, usage, is_char)` in
-    * (usage desc, piece) order, exact-integer columns only. */
+    * (usage desc, piece) order, exact-integer columns only. EVERY piece
+    * of the model appears, including protected characters the final
+    * Viterbi pass never used (usage 0) — the frame IS the vocabulary, not
+    * just its active subset. */
   def vocabFrame(spark: org.apache.spark.sql.SparkSession,
       model: Model): DataFrame = {
     import spark.implicits._
-    val single = model.pieces.keySet.filter(p =>
-      p.codePointCount(0, p.length) == 1)
-    model.usage.map { case (p, u) => (p, u, single(p)) }
+    val used = model.usage.toMap
+    model.pieces.keysIterator.toSeq
+      .map(p => (p, used.getOrElse(p, 0L),
+        p.codePointCount(0, p.length) == 1))
+      .sortBy { case (p, u, _) => (-u, p) }
       .toDF("piece", "usage", "is_char")
   }
 

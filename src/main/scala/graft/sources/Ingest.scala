@@ -243,7 +243,11 @@ object Ingest {
 
   /** A columnar quarantined ingest: `good` scans exactly the
     * `goodFileCount` files whose footers validated; `badFiles` holds one
-    * row per corrupt file — `(path, length, error)`. */
+    * row per corrupt file — `(path, length, error)`. When EVERY file is
+    * corrupt (`goodFileCount == 0`) there is no schema left to give, so
+    * `good` is the zero-column empty frame — check `goodFileCount`/
+    * `badFileCount()` before selecting columns; that all-poisoned state
+    * is precisely the alert the counts exist for. */
   final case class QuarantinedFiles(good: DataFrame, badFiles: DataFrame,
       goodFileCount: Long) {
     /** Corrupt-file count — the lake-health number an operator alerts

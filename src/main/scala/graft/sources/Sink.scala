@@ -60,8 +60,12 @@ object Sink {
       bits: Int = 8, files: Int = 0): Unit = {
     import org.apache.spark.sql.functions.{array, col}
     require(cols.nonEmpty, "at least one clustering column")
-    require(bits >= 1 && bits * cols.size <= 63,
-      s"bits($bits) × dims(${cols.size}) must fit a long")
+    // bits ≤ 16: past 2^16 buckets the boundary sketch itself becomes
+    // the cost (and `1 << bits` must stay a sane Int — bits ≥ 31 would
+    // silently wrap into a degenerate constant-zero curve).
+    require(bits >= 1 && bits <= 16 && bits * cols.size <= 63,
+      s"need 1 ≤ bits ≤ 16 and bits × dims ≤ 63, got bits=$bits " +
+        s"dims=${cols.size}")
     val spark = df.sparkSession
     val buckets = 1 << bits
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
@@ -248,6 +252,20 @@ object Sink {
   private final case class LeafManifest(gen: Long, files: Seq[String],
       replaces: Set[String])
 
+  /** Whole small control file as UTF-8 (manifests, bucket specs — KB
+    * scale by construction). Propagates IOException to the caller. */
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
       leaf: org.apache.hadoop.fs.Path, gen: Long, files: Seq[String],
       replaces: Seq[String]): Unit = {
@@ -276,15 +294,7 @@ object Sink {
       p: org.apache.hadoop.fs.Path, gen: Long,
       strictIO: Boolean = false): Option[LeafManifest] =
     try {
-      val in = fs.open(p)
-      val text = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        new String(buf.toByteArray, "UTF-8")
-      } finally in.close()
-      val lines = text.split("\n", -1).toSeq
+      val lines = readSmallFile(fs, p).split("\n", -1).toSeq
       if (lines.headOption.exists(_.startsWith("graft-manifest")) &&
           lines.exists(_ == s"gen $gen"))
         Some(LeafManifest(gen,
@@ -309,7 +319,12 @@ object Sink {
   private final case class ResolvedLeaf(
       files: Seq[org.apache.hadoop.fs.FileStatus],
       maxGen: Long,
-      missing: Seq[String])
+      missing: Seq[String],
+      // True when resolution EXCLUDED visible files a plain directory
+      // read would include (uncommitted cmpg- move-ins, replaced files
+      // awaiting deletion) — readers must then load the resolved list,
+      // never the directory.
+      excluded: Boolean)
 
   private def resolveLeaf(fs: org.apache.hadoop.fs.FileSystem,
       leaf: org.apache.hadoop.fs.Path): ResolvedLeaf = {
@@ -322,17 +337,22 @@ object Sink {
       .take(1).toSeq.headOption
     committed match {
       case None =>
-        ResolvedLeaf(kids.filter(s => isVisible(s.getPath.getName) &&
-          cmpgGen(s.getPath.getName).isEmpty), 0L, Nil)
+        val visible = kids.filter(s => isVisible(s.getPath.getName))
+        val files = visible.filter(s => cmpgGen(s.getPath.getName).isEmpty)
+        ResolvedLeaf(files, 0L, Nil,
+          excluded = files.size != visible.size)
       case Some(m) =>
+        val fileSet = m.files.toSet
         val listed = m.files.flatMap(byName.get)
         val missing = m.files.filterNot(byName.contains)
         val stragglers = kids.filter { s =>
           val n = s.getPath.getName
-          isVisible(n) && cmpgGen(n).isEmpty && !m.files.contains(n) &&
+          isVisible(n) && cmpgGen(n).isEmpty && !fileSet.contains(n) &&
             !m.replaces.contains(n)
         }
-        ResolvedLeaf(listed ++ stragglers, m.gen, missing)
+        val visibleN = kids.count(s => isVisible(s.getPath.getName))
+        ResolvedLeaf(listed ++ stragglers, m.gen, missing,
+          excluded = listed.size + stragglers.size != visibleN)
     }
   }
 
@@ -362,7 +382,13 @@ object Sink {
           "run Sink.compactRecover")
       leaf -> r
     }
-    if (resolved.forall(_._2.maxGen == 0L))
+    // Plain-directory fast path ONLY when resolution changed nothing: no
+    // manifests anywhere AND nothing excluded — a leaf mid-first-swap
+    // (uncommitted cmpg move-ins next to the originals, manifest not yet
+    // committed) has maxGen == 0 but MUST load the resolved list, or the
+    // duplicates a plain read would see defeat the reader's whole
+    // contract.
+    if (resolved.forall(r => r._2.maxGen == 0L && !r._2.excluded))
       spark.read.format(format).load(path)
     else {
       val files = resolved.flatMap(_._2.files.map(_.getPath.toString))
@@ -628,6 +654,7 @@ object Sink {
           strictIO = true))
         .take(1).toSeq.headOption
       val committedGen = newest.map(_.gen).getOrElse(0L)
+      val newestFiles = newest.map(_.files.toSet).getOrElse(Set.empty)
       files.map(_.getPath).foreach { p =>
         val n = p.getName
         val rollBack = cmpgGen(n).exists(_ > committedGen) ||
@@ -638,7 +665,7 @@ object Sink {
           // retried cleanly.
           manifestGen(n).exists(_ > committedGen)
         val rollForward = newest.exists(m =>
-          (m.replaces.contains(n) && !m.files.contains(n)) ||
+          (m.replaces.contains(n) && !newestFiles.contains(n)) ||
             manifestGen(n).exists(_ < m.gen))
         if (rollBack || rollForward) fs.delete(p, false)
       }
@@ -680,9 +707,17 @@ object Sink {
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = catalog.getTableMetadata(ident)
-    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+    require(meta.bucketSpec.nonEmpty,
       s"$table has no bucket spec — compactBucketed is for bucketed " +
-        "tables; use Sink.compact for plain path layouts"))
+        "tables; use Sink.compact for plain path layouts")
+    // A partitioned+bucketed table would silently lose its hive
+    // partitioning here (the rewrite and the recovery DDL carry only the
+    // bucket spec) — refuse rather than degrade the layout.
+    require(meta.partitionColumnNames.isEmpty,
+      s"$table is hive-partitioned AND bucketed (partitions: " +
+        s"${meta.partitionColumnNames.mkString(", ")}) — compactBucketed " +
+        "only supports pure bucketed layouts; compact partition leaves " +
+        "with Sink.compact instead")
     val tmpTable = s"${table}__graft_cmp"
     spark.sql(s"drop table if exists $tmpTable")
     // The rewrite is EXCHANGE-FREE by construction: a bucketed scan reads
@@ -795,15 +830,7 @@ object Sink {
       : Option[(String, String, Int, Seq[String], Seq[String], String)] = {
     val p = new org.apache.hadoop.fs.Path(dir, "_bucketspec")
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      new String(buf.toByteArray, "UTF-8")
-    } finally in.close()
-    val lines = text.split("\n", -1).toSeq
+    val lines = readSmallFile(fs, p).split("\n", -1).toSeq
     def one(prefix: String) = lines.find(_.startsWith(prefix + " "))
       .map(_.stripPrefix(prefix + " "))
     for {

@@ -35,6 +35,16 @@ object UnigramKernels {
     * string segments. */
   val UnkLogProb: Double = -1e4
 
+  /** Shared piece-table conversion (the trainer's broadcast payload and
+    * the expression's reference object must be the SAME shape — one
+    * converter so a change cannot silently miss its twin). */
+  def toJavaMap(pieces: Map[String, Double])
+      : java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
+    pieces.foreach { case (p, lp) => m.put(p, java.lang.Double.valueOf(lp)) }
+    m
+  }
+
   /** Code-point boundary CHAR offsets of `w`: length n+1 for n code
     * points. */
   def codepointBounds(w: String): Array[Int] = {
@@ -55,6 +65,9 @@ object UnigramKernels {
     * order makes the full path deterministic). */
   def segmentWord(w: String, logp: java.util.HashMap[String, java.lang.Double],
       maxLen: Int): java.util.ArrayList[String] = {
+    // maxLen < 1 would leave every backpointer at 0 and spin the
+    // backtrack forever — clamp; callers also validate.
+    val ml = if (maxLen < 1) 1 else maxLen
     val bounds = codepointBounds(w)
     val n = bounds.length - 1
     val best = new Array[Double](n + 1)
@@ -63,7 +76,7 @@ object UnigramKernels {
     best(0) = 0.0
     var pos = 1
     while (pos <= n) {
-      val lmax = if (pos < maxLen) pos else maxLen
+      val lmax = if (pos < ml) pos else ml
       var l = 1
       while (l <= lmax) {
         if (best(pos - l) != Double.NegativeInfinity) {
@@ -123,16 +136,15 @@ object UnigramKernels {
 case class UnigramEncodeWords(child: Expression,
     pieces: Map[String, Double], maxPieceLen: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_unigram_encode"
 
-  @transient private lazy val jmap: java.util.HashMap[String, java.lang.Double] = {
-    val m = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
-    pieces.foreach { case (p, lp) => m.put(p, java.lang.Double.valueOf(lp)) }
-    m
-  }
+  @transient private lazy val jmap: java.util.HashMap[String, java.lang.Double] =
+    UnigramKernels.toJavaMap(pieces)
 
   override protected def nullSafeEval(t: Any): Any =
     UnigramKernels.encodeWords(t.asInstanceOf[ArrayData], jmap, maxPieceLen)

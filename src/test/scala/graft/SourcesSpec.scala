@@ -491,8 +491,10 @@ class SourcesSpec extends SparkSpecBase {
     (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
       .repartition(4).write.parquet(dir)
     val origNames = visibleNames(dir)
+    // Collect as a sorted SEQ, not a set: the reader's contract is "never
+    // doubled", and a set compare would mask duplicate rows.
     def ids() = graft.sources.Sink.readCompacted(spark, dir)
-      .select("id").as[Long].collect().toSet
+      .select("id").as[Long].collect().toSeq.sorted
 
     // STATE A — crash between move-in and commit: uncommitted cmpg files
     // sit next to the originals, no manifest. Readers must see ONLY the
@@ -503,7 +505,7 @@ class SourcesSpec extends SparkSpecBase {
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
     java.nio.file.Files.copy(staged.toPath,
       new java.io.File(dir, "cmpg-1-part-00000.parquet").toPath)
-    assert(ids() == (1L to 100L).toSet,
+    assert(ids() == (1L to 100L).toSeq,
       "uncommitted move-ins must be invisible to readCompacted")
     graft.sources.Sink.compactRecover(spark, dir)
     assert(visibleNames(dir) == origNames,
@@ -522,7 +524,7 @@ class SourcesSpec extends SparkSpecBase {
       origNames.toSeq.sorted.map("r " + _)).mkString("\n") + "\n"
     java.nio.file.Files.writeString(
       new java.io.File(dir, "_manifest.1").toPath, manifest)
-    assert(ids() == (1L to 100L).toSet,
+    assert(ids() == (1L to 100L).toSeq,
       "post-commit reader must resolve exactly the new file set")
     assert(spark.read.parquet(dir).count() == 200,
       "plain read in the torn window double-counts (why readers resolve " +
@@ -531,17 +533,17 @@ class SourcesSpec extends SparkSpecBase {
     assert(visibleNames(dir) == Set("cmpg-1-part-00000.parquet"),
       "recovery must finish the replaced-file deletes")
     assert(spark.read.parquet(dir).count() == 100)
-    assert(ids() == (1L to 100L).toSet)
+    assert(ids() == (1L to 100L).toSeq)
 
     // STATE C — a torn (half-written) manifest above the committed one:
     // readers fall back to gen 1; recovery discards the torn commit.
     java.nio.file.Files.writeString(
       new java.io.File(dir, "_manifest.2").toPath, "graft-manifest v1\nge")
-    assert(ids() == (1L to 100L).toSet)
+    assert(ids() == (1L to 100L).toSeq)
     graft.sources.Sink.compactRecover(spark, dir)
     assert(!new java.io.File(dir, "_manifest.2").exists() &&
       new java.io.File(dir, "_manifest.1").exists())
-    assert(ids() == (1L to 100L).toSet)
+    assert(ids() == (1L to 100L).toSeq)
   }
 
   test("manifest commit: a reader through readCompacted racing the swap " +
