@@ -152,8 +152,13 @@ object Unigram {
     val cand = seedCandidates(hist, seedSize, maxPieceLen, minSeedCount)
     val chars = cand.filter(_._3).map(_._1).toSet
     // Seed probabilities ∝ count·length (the score that ranked them).
+    // Length in CODE POINTS — the trainer's unit everywhere else
+    // (maxPieceLen, substring bounds; Spark's `length()` in the seed
+    // ranking is code-point-based too). `p.length` would be UTF-16
+    // units, inflating supplementary-plane pieces 2× in the seed
+    // distribution.
     val seedScores = cand.map { case (p, c, isChar) =>
-      p -> c * (if (isChar) 1L else p.length.toLong)
+      p -> c * (if (isChar) 1L else p.codePointCount(0, p.length).toLong)
     }.toMap
     val seedTotal = math.max(1L, seedScores.values.sum).toDouble
     var probs = seedScores.map { case (p, s) =>

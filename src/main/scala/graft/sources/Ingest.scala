@@ -309,54 +309,94 @@ object Ingest {
   def orcQuarantined(spark: SparkSession, path: String): QuarantinedFiles =
     columnarQuarantined(spark, path, "orc")
 
+  /** One file's footer probe: null = valid, else the corruption error.
+    * Catches only the CORRUPTION-shaped exceptions the parquet/ORC
+    * readers throw for a bad file (IOException, RuntimeException — bad
+    * magic, truncated footer, malformed thrift/proto); a fatal executor
+    * error (OOM, linkage) propagates and fails the probe task, and an
+    * IOException retries once first — a flaky store must not make
+    * healthy files vanish into the quarantine, the exact silent-skip
+    * failure mode this reader exists to prevent. */
+  private def probeFooter(p: String, len: Long, fmt: String,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    def openOnce(): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      // Zero bytes is a killed-writer artifact, poison by POLICY: the
+      // ORC reader would accept it as a valid empty file (the Hive
+      // convention), which is exactly the silent skip a quarantine
+      // exists to surface.
+      if (len == 0L) "zero-length file"
+      else if (fmt == "parquet") {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(hp, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try { r.getFooter; null } finally r.close()
+      } else {
+        val r = org.apache.orc.OrcFile.createReader(hp,
+          org.apache.orc.OrcFile.readerOptions(conf))
+        try { r.getNumberOfRows; null } finally r.close()
+      }
+    }
+    def msg(e: Exception): String =
+      Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+    try openOnce()
+    catch {
+      case _: java.io.IOException =>
+        // One retry: a transient read error is indistinguishable from a
+        // truncated footer on the first attempt; twice in a row is a
+        // verdict.
+        try openOnce()
+        catch {
+          case e2: java.io.IOException => msg(e2)
+          case e2: RuntimeException => msg(e2)
+        }
+      case e: RuntimeException => msg(e)
+    }
+  }
+
   private def columnarQuarantined(spark: SparkSession, path: String,
       format: String): QuarantinedFiles = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val files = listDataFiles(spark, path)
     val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
     val fmt = format
+    // The probe result STAYS distributed: `badFiles` is a lazy frame the
+    // caller aggregates or sinks (at the million-file design point the
+    // collected per-file rows — 300-char error strings included — would
+    // be hundreds of MB of driver heap); the driver sees only COUNTS.
     val probed = spark.createDataset(files)
       .toDF("path", "length")
       .repartition(math.max(1, math.min(files.size,
         spark.sessionState.conf.numShufflePartitions)))
-      .map { row =>
-        val p = row.getString(0)
-        val len = row.getLong(1)
-        val err: String =
-          try {
-            val hp = new org.apache.hadoop.fs.Path(p)
-            // Zero bytes is a killed-writer artifact, poison by POLICY:
-            // the ORC reader would accept it as a valid empty file (the
-            // Hive convention), which is exactly the silent skip a
-            // quarantine exists to surface.
-            if (len == 0L) "zero-length file"
-            else if (fmt == "parquet") {
-              val in = org.apache.parquet.hadoop.util.HadoopInputFile
-                .fromPath(hp, conf.value)
-              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-              try { r.getFooter; null } finally r.close()
-            } else {
-              val r = org.apache.orc.OrcFile.createReader(hp,
-                org.apache.orc.OrcFile.readerOptions(conf.value))
-              try { r.getNumberOfRows; null } finally r.close()
-            }
-          } catch {
-            case e: Throwable =>
-              Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
-          }
-        (p, len, err)
-      }.toDF("path", "length", "error")
-      .collect()
-    val (bad, good) = probed.partition(r => !r.isNullAt(2))
-    val goodPaths = good.map(_.getString(0)).toSeq
-    val goodDf =
-      if (goodPaths.isEmpty) spark.emptyDataFrame
-      else spark.read.format(format).option("basePath", path)
-        .load(goodPaths: _*)
-    val badDf = bad.toSeq
-      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .map(row => (row.getString(0), row.getLong(1),
+        probeFooter(row.getString(0), row.getLong(1), fmt, conf.value)))
       .toDF("path", "length", "error")
-    QuarantinedFiles(goodDf, badDf, goodPaths.size.toLong)
+    val badDf = probed.where(col("error").isNotNull)
+    val badN = badDf.count()
+    val goodN = files.size.toLong - badN
+    // The good scan never carries a per-file path list into the plan:
+    // with a clean probe it is the plain directory read (loud on any
+    // corruption the footer probe cannot see); with quarantined files
+    // present it is an `ignoreCorruptFiles`-scoped read of the same
+    // directory — no longer a SILENT skip, because the skipped set was
+    // just counted and is inspectable in `badFiles`. (The one probe-bad
+    // but reader-valid case — a zero-byte ORC file — contributes zero
+    // rows either way.) The schema is pinned from ONE probed-good file
+    // first — schema inference samples a single footer, which could be a
+    // corrupt one — and partition-column inference still runs and
+    // appends the hive columns on top of the pinned data schema.
+    val goodDf =
+      if (goodN == 0L) spark.emptyDataFrame
+      else if (badN == 0L) spark.read.format(format).load(path)
+      else {
+        val sample = probed.where(col("error").isNull)
+          .select("path").head().getString(0)
+        val dataSchema = spark.read.format(format).load(sample).schema
+        spark.read.format(format).schema(dataSchema)
+          .option("ignoreCorruptFiles", "true").load(path)
+      }
+    QuarantinedFiles(goodDf, badDf, goodN)
   }
 
   /** Register a whole directory of `<name>.parquet` tables, like the

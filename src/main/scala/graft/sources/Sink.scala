@@ -181,6 +181,25 @@ object Sink {
     here ++ subdirs.flatMap(d => dataLeaves(fs, d.getPath))
   }
 
+  /** Visible files of MIXED directories under `root` (dirs holding both
+    * visible files and visible subdirectories — never [[dataLeaves]], so
+    * never compacted and never under a manifest). [[readCompacted]]'s
+    * explicit-file load must include them verbatim, or the same layout
+    * would return different rows depending on whether a manifest exists
+    * anywhere else in the tree (the plain fast path reads them, the leaf
+    * list alone would not). `cmpg-` names are still excluded — reserved
+    * move-in names are uncommitted in ANY directory. */
+  private def mixedDirFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val kids = children(fs, root).filter(s => isVisible(s.getPath.getName))
+    val subdirs = kids.filter(_.isDirectory)
+    val here =
+      if (kids.exists(_.isFile) && subdirs.nonEmpty)
+        kids.filter(s => s.isFile && cmpgGen(s.getPath.getName).isEmpty)
+      else Nil
+    here ++ subdirs.flatMap(d => mixedDirFiles(fs, d.getPath))
+  }
+
   /** Filesystem schemes whose rename is a COPY, not a metadata operation —
     * [[compact]]'s delete+rename swap is not atomic there and the
     * reader-visible gap between the two ops stretches from microseconds to
@@ -374,6 +393,13 @@ object Sink {
       var tries = 0
       while (r.missing.nonEmpty && tries < 3) {
         tries += 1
+        // Backoff before re-resolving: `missing` means a racing commit
+        // deleted files between our listing and now — its own commit
+        // (the newer manifest) may still be mid-copy on an object store,
+        // where the delete→commit window is far longer than three
+        // back-to-back listings (50 → 200 → 800 ms covers it; the loud
+        // require below stays the backstop).
+        Thread.sleep(50L << (2 * (tries - 1)))
         r = resolveLeaf(fs, leaf)
       }
       require(r.missing.isEmpty,
@@ -382,28 +408,40 @@ object Sink {
           "run Sink.compactRecover")
       leaf -> r
     }
-    // Plain-directory fast path ONLY when resolution changed nothing: no
-    // manifests anywhere AND nothing excluded — a leaf mid-first-swap
-    // (uncommitted cmpg move-ins next to the originals, manifest not yet
-    // committed) has maxGen == 0 but MUST load the resolved list, or the
-    // duplicates a plain read would see defeat the reader's whole
-    // contract.
-    if (resolved.forall(r => r._2.maxGen == 0L && !r._2.excluded))
+    val mixed = mixedDirFiles(fs, root)
+    // `basePath` turns the directory levels between `path` and the files
+    // into hive partition columns — right for a pure k=v layout, an
+    // analysis error for mixed layouts like the export's `b<id>/sh=<k>`
+    // (the `b<id>` level is not k=v). Any mixed-dir file sits at a
+    // non-leaf level, so a tree with one cannot be pure k=v either.
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    val pureHive = mixed.isEmpty && resolved.forall { case (leaf, _) =>
+      fs.makeQualified(leaf).toUri.getPath.stripPrefix(rootPath)
+        .split('/').filter(_.nonEmpty).forall(_.contains("="))
+    }
+    // Plain-directory fast path ONLY when it provably returns the exact
+    // resolved set:
+    //   - resolution changed nothing — no manifests anywhere, nothing
+    //     excluded (a leaf mid-first-swap has maxGen == 0 but MUST load
+    //     the resolved list, or the duplicates a plain read would see
+    //     defeat the reader's whole contract); AND
+    //   - the plain read even SEES every leaf: a flat directory or a
+    //     pure k=v tree. With an empty partition spec Spark's directory
+    //     read returns only the root's DIRECT children, so a nested
+    //     non-k=v layout (mixed dirs, or `b<id>/sh=<k>`-style trees)
+    //     would silently drop every nested leaf — those route through
+    //     the explicit-file load below (this reader's contract is
+    //     recursive semantics).
+    val flatRoot = leaves == Seq(root) && mixed.isEmpty
+    if ((flatRoot || pureHive) &&
+        resolved.forall(r => r._2.maxGen == 0L && !r._2.excluded))
       spark.read.format(format).load(path)
     else {
-      val files = resolved.flatMap(_._2.files.map(_.getPath.toString))
-      // `basePath` turns the directory levels between `path` and the
-      // files into hive partition columns — right for a pure k=v layout,
-      // an analysis error for mixed layouts like the export's
-      // `b<id>/sh=<k>` (the `b<id>` level is not k=v). Mirror the plain
-      // readers: partition columns only when every level parses as k=v;
-      // otherwise load the file list bare (the recursiveFileLookup
-      // semantics those layouts are read with anyway).
-      val rootPath = fs.makeQualified(root).toUri.getPath
-      val pureHive = resolved.forall { case (leaf, _) =>
-        fs.makeQualified(leaf).toUri.getPath.stripPrefix(rootPath)
-          .split('/').filter(_.nonEmpty).forall(_.contains("="))
-      }
+      // Mixed-directory files ride along verbatim: they are outside
+      // every leaf, so no manifest can govern them, but recursive
+      // semantics include them.
+      val files = resolved.flatMap(_._2.files.map(_.getPath.toString)) ++
+        mixed.map(_.getPath.toString)
       val reader = spark.read.format(format)
       if (pureHive) reader.option("basePath", path).load(files: _*)
       else reader.load(files: _*)
@@ -778,6 +816,20 @@ object Sink {
         provider, nb, bCols, sCols, meta.schema.toDDL, loc)
       spark.sql(s"drop table $tmpTable")  // external drop keeps the files
       spark.sql(s"drop table $table")
+      // FIRST destructive step: remove the old location's _bucketspec (a
+      // previous compaction's recovery DDL). A crash mid-way through the
+      // recursive delete below would otherwise leave loc with a VALID
+      // stale spec over partially-deleted data — and a recovery that
+      // trusted it would re-create the table over partial data while
+      // deleting the only complete copy at tmpLoc. With the spec gone
+      // first (and recovery preferring the tmp copy whenever both specs
+      // exist — belt and braces), every crash state rolls forward from
+      // the complete copy.
+      val oldSpec = new org.apache.hadoop.fs.Path(loc, "_bucketspec")
+      if (fs.exists(oldSpec))
+        require(fs.delete(oldSpec, false),
+          s"failed to remove stale recovery spec $oldSpec (complete " +
+            s"compacted copy intact at $tmpLoc)")
       require(fs.delete(new org.apache.hadoop.fs.Path(loc), true),
         s"failed to delete old bucketed data at $loc (complete compacted " +
           s"copy intact at $tmpLoc)")
@@ -888,23 +940,28 @@ object Sink {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val locP = new org.apache.hadoop.fs.Path(loc)
     val tmpLocP = new org.apache.hadoop.fs.Path(s"${loc}__graft_cmp")
-    val specAtLoc = readBucketSpec(fs, locP)
-    val specAtTmp = readBucketSpec(fs, tmpLocP)
+    val specAtLoc = readBucketSpec(fs, locP).filter(_._1 == table)
+    val specAtTmp = readBucketSpec(fs, tmpLocP).filter(_._1 == table)
     (specAtLoc, specAtTmp) match {
-      case (Some((t, prov, nb, bc, sc, schema)), _) if t == table =>
-        // Copy already in place (crash after the rename, before CREATE);
-        // a lingering tmp copy means the crash predated the delete —
-        // impossible with a spec already at loc, but clean it anyway.
-        if (fs.exists(tmpLocP)) fs.delete(tmpLocP, true)
-        spark.sql(createBucketedDdl(table, schema, prov, nb, bc, sc, loc))
-      case (None, Some((t, prov, nb, bc, sc, schema))) if t == table =>
-        // Complete copy still at the tmp location (crash between the
-        // catalog drops and the rename): finish the swap.
+      case (_, Some((_, prov, nb, bc, sc, schema))) =>
+        // A spec at the TMP location means a complete compacted copy is
+        // sitting there (the spec is written only after the copy fully
+        // materializes) — always roll FORWARD from it, even when loc
+        // carries a spec too: loc's spec can only be a STALE survivor of
+        // a crash mid-way through the destructive delete (partial data
+        // under a valid-looking spec — the one state that must never
+        // win; the write path also deletes loc's spec before deleting
+        // its data, so this arm is defense in depth).
         if (fs.exists(locP))
           require(fs.delete(locP, true),
             s"failed to delete old bucketed data at $loc during recovery")
         require(fs.rename(tmpLocP, locP),
           s"failed to move compacted data from $tmpLocP to $loc")
+        spark.sql(createBucketedDdl(table, schema, prov, nb, bc, sc, loc))
+      case (Some((_, prov, nb, bc, sc, schema)), None) =>
+        // Copy already in place (crash after the rename, before CREATE):
+        // re-create the catalog entry over it.
+        if (fs.exists(tmpLocP)) fs.delete(tmpLocP, true)
         spark.sql(createBucketedDdl(table, schema, prov, nb, bc, sc, loc))
       case _ =>
         throw new IllegalStateException(

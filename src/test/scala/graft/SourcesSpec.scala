@@ -659,6 +659,17 @@ class SourcesSpec extends SparkSpecBase {
       "partition columns must survive the explicit-file load")
     assert(q.badFiles.collect().forall(r => r.getString(2).nonEmpty),
       "every bad file carries its error")
+    // De-drivered probe (round 16): the only driver-held relation in the
+    // quarantine is the NAME-sized (path, length) file list — per-file
+    // error strings must never materialize on the driver as a
+    // LocalRelation (at the million-file design point they would be
+    // hundreds of MB of driver heap).
+    val localCols = q.badFiles.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.output.map(_.name)
+    }
+    assert(localCols.nonEmpty && localCols.forall(!_.contains("error")),
+      s"badFiles must stay a lazy distributed frame, got $localCols")
 
     // ORC: same contract — note a zero-byte ORC file is READABLE as a
     // valid empty file by the ORC library (the Hive convention), so the
@@ -844,6 +855,119 @@ class SourcesSpec extends SparkSpecBase {
     assert(!spark.catalog.tableExists("bktr_m__graft_cmp"))
     spark.sql("drop table if exists bktr_t")
     spark.sql("drop table if exists bktr_m")
+  }
+
+  test("readCompacted: mixed directories (visible files beside visible " +
+      "subdirectories) keep their rows on BOTH read paths — before and " +
+      "after a manifest exists anywhere in the tree") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cmx").toString + "/t"
+    // 50 rows as files directly at the root, 50 more in a nested non-k=v
+    // subdirectory: the root is a MIXED dir (files + subdir), never a
+    // compaction target; `extra` is a normal leaf.
+    (1 to 50).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .coalesce(2).write.parquet(dir)
+    (51 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .repartition(5).write.parquet(s"$dir/extra")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSeq.sorted
+    val all = (1L to 100L).toSeq
+    // A PLAIN directory read stops at the first non-k=v level — it sees
+    // only the root's own files. readCompacted's contract is RECURSIVE
+    // semantics, so a mixed layout must route through the explicit-file
+    // load even before any manifest exists.
+    assert(ids(spark.read.parquet(dir)) == (1L to 50L).toSeq)
+    assert(ids(graft.sources.Sink.readCompacted(spark, dir)) == all,
+      "pre-manifest read of a mixed layout must include nested leaves")
+    // A manifest commit on the `extra` leaf: the mixed root's files must
+    // still ride along, or the same layout returns different data
+    // depending on whether a manifest exists anywhere (the ADVICE r15
+    // hole).
+    val st = graft.sources.Sink.compact(spark, dir,
+      targetBytesPerFile = 1L << 30, commit = "manifest")
+    assert(st.leavesRewritten == 1, s"only the extra leaf rewrites: $st")
+    assert(new java.io.File(s"$dir/extra/_manifest.1").exists())
+    assert(ids(graft.sources.Sink.readCompacted(spark, dir)) == all,
+      "mixed-dir rows must survive the explicit-file load")
+  }
+
+  test("readCompacted: torn-manifest retry backs off long enough for a " +
+      "racing commit to land — the delayed gen-2 commit resolves within " +
+      "the retry budget") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cbo").toString + "/t"
+    (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .repartition(4).write.parquet(dir)
+    graft.sources.Sink.compact(spark, dir,
+      targetBytesPerFile = 1L << 30, commit = "manifest")
+    val gen1File = visibleNames(dir).head
+    assert(gen1File.startsWith("cmpg-1-"))
+    // Stage the racing commit's new content (ids 101..200).
+    (101 to 200).map(i => (i.toLong, i * 2.0)).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$dir/.stage2")
+    val staged = new java.io.File(s"$dir/.stage2").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(staged.toPath,
+      new java.io.File(dir, "cmpg-2-part-00000.parquet").toPath)
+    // Mid-race state a reader can observe on a copy-rename store: gen 2's
+    // post-commit delete of the gen-1 file already visible, gen 2's
+    // manifest object not yet — resolution through _manifest.1 hits a
+    // missing file. The commit lands ~400 ms later; the backed-off retry
+    // (50/200/800 ms) must pick it up instead of failing on three
+    // instant re-listings.
+    java.nio.file.Files.delete(new java.io.File(dir, gen1File).toPath)
+    val committer = new Thread(() => {
+      Thread.sleep(400L)
+      val manifest = ("graft-manifest v1\ngen 2\n" +
+        "f cmpg-2-part-00000.parquet\n" + s"r $gen1File\n")
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "_manifest.2").toPath, manifest)
+    })
+    committer.start()
+    try {
+      val got = graft.sources.Sink.readCompacted(spark, dir)
+        .select("id").as[Long].collect().toSeq.sorted
+      assert(got == (101L to 200L).toSeq,
+        "the retried resolution must see exactly the gen-2 commit")
+    } finally committer.join()
+  }
+
+  test("compactBucketedRecover: a stale _bucketspec over partially " +
+      "deleted data at loc must NOT beat the complete tmp copy — " +
+      "recovery rolls forward from tmp, zero data loss") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("bkts").toString + "/f"
+    val df = (1 to 400).map(i => (i.toLong % 13, i.toLong)).toDF("k", "fid")
+    graft.sources.Sink.bucketedExternal(df, "bkts_t", loc, "k", 4, "k")
+    graft.sources.Sink.compactBucketed(spark, "bkts_t")
+    val expect = spark.table("bkts_t").orderBy("fid")
+      .collect().map(_.toSeq).toSeq
+    assert(new java.io.File(s"$loc/_bucketspec").exists())
+    // Crash state from a LATER compaction, mid-way through the recursive
+    // delete of loc: the complete new copy (with its spec) sits at
+    // <loc>__graft_cmp, the catalog entry is gone, and loc still holds a
+    // VALID-LOOKING stale spec over PARTIAL data — the one state where
+    // trusting loc's spec silently loses rows.
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(loc), fs,
+      new org.apache.hadoop.fs.Path(loc + "__graft_cmp"), false,
+      spark.sparkContext.hadoopConfiguration)
+    spark.sql("drop table bkts_t")
+    val dataFiles = new java.io.File(loc).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+    // (empty buckets write no file, so the count is ≤ numBuckets)
+    assert(dataFiles.length >= 2, s"got ${dataFiles.length} files")
+    dataFiles.take(1).foreach(f => java.nio.file.Files.delete(f.toPath))
+    graft.sources.Sink.compactBucketedRecover(spark, "bkts_t", loc)
+    assert(spark.table("bkts_t").orderBy("fid")
+      .collect().map(_.toSeq).toSeq == expect,
+      "recovery must install the COMPLETE tmp copy, not re-create the " +
+        "table over partially deleted data")
+    assert(!new java.io.File(loc + "__graft_cmp").exists())
+    spark.sql("drop table if exists bkts_t")
   }
 
   test("compactPacks: an aborted batch blocks the high-water mark so the " +
