@@ -743,12 +743,24 @@ object Similarity {
     ids.select(col(idCol).as("cid")).distinct().coalesce(1)
       .write.mode("overwrite").parquet(s"${tombstoneDir(path)}/e_$key")
 
+  /** Generation-DATA load through the layout-aware engine reader
+    * ([[graft.sources.Sink.readOwn]], round 16): leaves resolve through
+    * any compaction manifests, and every part-file's footer is validated
+    * in a names+footers probe — a part the store truncated after commit
+    * is COUNTED and excluded (logged), never a task failure and never a
+    * silent skip. Control artifacts (centroids, codebooks, _quantizer)
+    * stay plain fail-loud reads: an index cannot answer without them, so
+    * counting them out would be wrong, not resilient. */
+  private def loadArtifact(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.sources.Sink.readOwn(spark, Seq(dir))
+
   /** Anti-join `df` (keyed `cid`) against the given tombstone files. */
   private def maskByFiles(spark: org.apache.spark.sql.SparkSession,
       df: DataFrame, files: Seq[String]): DataFrame =
     if (files.isEmpty) df
-    else df.join(spark.read.parquet(files: _*).select("cid").distinct(),
-      Seq("cid"), "left_anti")
+    else df.join(graft.sources.Sink.readOwn(spark, files)
+      .select("cid").distinct(), Seq("cid"), "left_anti")
 
   private def writeTombstones(path: String, ids: DataFrame,
       idCol: String): Unit =
@@ -974,7 +986,7 @@ object Similarity {
     val cents = spark.read.parquet(centsDir).orderBy("i")
       .select("v").collect().map(_.getSeq[Double](0)).toSeq
     val tombs = tombstoneFiles(spark, path)
-    val masked = maskByFiles(spark, spark.read.parquet(listsDir), tombs)
+    val masked = maskByFiles(spark, loadArtifact(spark, listsDir), tombs)
     // UNAPPLIED tombstones may have masked a group's representative —
     // fall back to self-rep until the next compaction promotes the min
     // surviving twin physically. Applied-but-retained files (reader
@@ -1047,14 +1059,14 @@ object Similarity {
     import spark.implicits._
     val tombs = tombstoneFiles(spark, path)
     val live = maskByFiles(spark,
-      spark.read.parquet(currentArtifactDir(spark, path, "lists")), tombs)
+      loadArtifact(spark, currentArtifactDir(spark, path, "lists")), tombs)
       .select(col("cid"), col("cv"), col("cn"))
     val cents = trainQuantizer(live, nlist, maxIter, trainCap)
     compactArtifact(spark, path, "lists") { (cur, target) =>
       cents.zipWithIndex.map { case (v, i) => (i, v) }
         .toDF("i", "v").coalesce(1)
         .write.parquet(s"$target/_quantizer")
-      val reassigned = maskByFiles(spark, spark.read.parquet(cur), tombs)
+      val reassigned = maskByFiles(spark, loadArtifact(spark, cur), tombs)
         .drop("list", "vh", "repid")
         .withColumn("list",
           GraftFunctions.nearestCentroid(col("cv"), cents))
@@ -1107,7 +1119,7 @@ object Similarity {
     val unapplied0 =
       tombs0.filterNot(appliedTombstoneFiles(spark, path)).nonEmpty
     val imb = listImbalance(signalRows(maskByFiles(spark,
-      spark.read.parquet(currentArtifactDir(spark, path, "lists")), tombs0),
+      loadArtifact(spark, currentArtifactDir(spark, path, "lists")), tombs0),
       unapplied0, Seq(col("list"), col("cv"))))
     if (imb > bar && autoRebuild) {
       log.warn(f"compactIvfIndex: list imbalance $imb%.1f exceeds " +
@@ -1132,7 +1144,7 @@ object Similarity {
           new org.apache.hadoop.fs.Path(s"$cur/_quantizer")))
         spark.read.parquet(s"$cur/_quantizer").coalesce(1)
           .write.parquet(s"$target/_quantizer")
-      val live = maskByFiles(spark, spark.read.parquet(cur), tombs)
+      val live = maskByFiles(spark, loadArtifact(spark, cur), tombs)
         .drop("vh", "repid")
       // Identical-vector collapse over the post-delete survivors: min
       // surviving cid becomes each group's rep (the takedown promotion);
@@ -1456,7 +1468,7 @@ object Similarity {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
     val tombs = tombstoneFiles(spark, path)
-    val masked = maskByFiles(spark, spark.read.parquet(codesDir), tombs)
+    val masked = maskByFiles(spark, loadArtifact(spark, codesDir), tombs)
     // Self-rep fallback while UNAPPLIED tombstones are live
     // ([[loadIvfIndex]]'s promotion-until-compaction rule).
     val unapplied = tombs.filterNot(appliedTombstoneFiles(spark, path))
@@ -1510,7 +1522,7 @@ object Similarity {
       .getOrElse(256)
     val tombs = tombstoneFiles(spark, path)
     val liveIds = maskByFiles(spark,
-      spark.read.parquet(currentArtifactDir(spark, path, "codes")), tombs)
+      loadArtifact(spark, currentArtifactDir(spark, path, "codes")), tombs)
       .select(col("cid"))
     val liveVecs = corpusShape(corpus, idCol, vecCol)
       .join(liveIds, Seq("cid"), "left_semi")
@@ -1553,7 +1565,7 @@ object Similarity {
     val unapplied0 =
       tombs0.filterNot(appliedTombstoneFiles(spark, path)).nonEmpty
     val imb = pqCodeImbalance(signalRows(maskByFiles(spark,
-      spark.read.parquet(currentArtifactDir(spark, path, "codes")), tombs0),
+      loadArtifact(spark, currentArtifactDir(spark, path, "codes")), tombs0),
       unapplied0, Seq(col("cn"), col("codes"))))
     if (imb > pqBar) rebuildFrom match {
       case Some((corpus, idCol, vecCol)) =>
@@ -1584,7 +1596,7 @@ object Similarity {
             new org.apache.hadoop.fs.Path(cur)).getLength
           math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
         }
-      val live = maskByFiles(spark, spark.read.parquet(cur), tombs)
+      val live = maskByFiles(spark, loadArtifact(spark, cur), tombs)
         .drop("repid")
       // Score-identity collapse over the post-delete survivors (min
       // surviving cid = the promoted rep); dup-free stays legacy.

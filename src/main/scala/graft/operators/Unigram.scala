@@ -210,4 +210,35 @@ object Unigram {
     graft.functions.GraftFunctions.unigramEncodeWords(
       filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0),
       model.pieces, model.maxPieceLen)
+
+  /** Persist a trained model (vocab-bounded — KB scale): `pieces`
+    * (piece, logp), `usage` (piece, usage), then `params` LAST as the
+    * commit marker (the WAL discipline — a crash mid-save leaves no
+    * `params`, and [[load]] fails loudly instead of reading a torn
+    * model). Doubles round-trip exactly through parquet, so a loaded
+    * model Viterbi-segments bit-identically to the trained one (t23b
+    * attests this on the official record). */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+      dir: String): Unit = {
+    import spark.implicits._
+    model.pieces.toSeq.sortBy(_._1).toDF("piece", "logp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pieces")
+    model.usage.toDF("piece", "usage")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/usage")
+    Seq(model.maxPieceLen).toDF("max_piece_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** Load a model persisted by [[save]] — three tiny reads, all
+    * vocab-bounded collects (the model IS driver-sized by design). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val maxLen = spark.read.parquet(s"$dir/params")
+      .head().getInt(0)
+    val pieces = spark.read.parquet(s"$dir/pieces")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val usage = spark.read.parquet(s"$dir/usage")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy { case (p, u) => (-u, p) }
+    Model(pieces, maxLen, usage)
+  }
 }

@@ -258,7 +258,7 @@ object Ingest {
   /** Hadoop Configuration is not serializable; this is the standard
     * write/readFields envelope so the footer probe can run on executors
     * with the session's exact FS settings. */
-  private final class SerConf(
+  private[sources] final class SerConf(
       @transient var value: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
@@ -317,7 +317,7 @@ object Ingest {
     * IOException retries once first — a flaky store must not make
     * healthy files vanish into the quarantine, the exact silent-skip
     * failure mode this reader exists to prevent. */
-  private def probeFooter(p: String, len: Long, fmt: String,
+  private[sources] def probeFooter(p: String, len: Long, fmt: String,
       conf: org.apache.hadoop.conf.Configuration): String = {
     def openOnce(): String = {
       val hp = new org.apache.hadoop.fs.Path(p)

@@ -25,10 +25,19 @@ object Sink {
   def partitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 
-  /** Parquet sorted within partitions for row-group statistics pruning. */
-  def sorted(df: DataFrame, path: String, orderCols: String*): Unit =
+  /** Parquet sorted within partitions for row-group statistics pruning.
+    * Round 16: persists the ordering as a `_clusterspec` (kind=sort), so
+    * [[compact]] re-sorts rewrites instead of erasing the within-file
+    * ordering the layout exists for — the same lifecycle contract the
+    * z-order layout has. */
+  def sorted(df: DataFrame, path: String, orderCols: String*): Unit = {
     df.sortWithinPartitions(orderCols.head, orderCols.tail: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(df.sparkSession.sparkContext
+      .hadoopConfiguration)
+    writeClusterSpec(fs, root, ClusterSpecFile(orderCols, 0, Nil, "sort"))
+  }
 
   /** Z-ORDER clustered parquet — [[sorted]] generalized to MULTIPLE
     * pruning dimensions. A single-column sort makes row-group min/max
@@ -55,10 +64,18 @@ object Sink {
     * `63 / bits` dimensions; past ~4 the boxes fatten and per-dimension
     * selectivity fades — that is z-order's nature, not a knob to push.
     * `files` caps the layout width (0 → the session's shuffle
-    * parallelism). */
+    * parallelism).
+    *
+    * Lifecycle (round 16): the curve is PERSISTED next to the data as
+    * `_clusterspec` (columns, bits, quantile boundaries — the
+    * `_bucketspec` pattern), so the layout keeps its reason to exist
+    * under maintenance: appends land unclustered and decay the skipping,
+    * and a [[compact]] of a leaf under a spec re-SORTS the rewrite along
+    * the same curve instead of coalescing it away; [[recluster]] re-runs
+    * the whole curve with fresh boundaries when the data distribution
+    * itself has drifted. */
   def zordered(df: DataFrame, path: String, cols: Seq[String],
       bits: Int = 8, files: Int = 0): Unit = {
-    import org.apache.spark.sql.functions.{array, col}
     require(cols.nonEmpty, "at least one clustering column")
     // bits ≤ 16: past 2^16 buckets the boundary sketch itself becomes
     // the cost (and `1 << bits` must stay a sane Int — bits ≥ 31 would
@@ -66,21 +83,215 @@ object Sink {
     require(bits >= 1 && bits <= 16 && bits * cols.size <= 63,
       s"need 1 ≤ bits ≤ 16 and bits × dims ≤ 63, got bits=$bits " +
         s"dims=${cols.size}")
+    val bounds = zBounds(df, cols, bits)
+    zwrite(df, path, cols, bounds, bits, files)
+    // Persist the curve next to the data (underscore-hidden): appends
+    // decay the layout, and without the spec the layout's own
+    // maintenance jobs would ERASE it — [[compact]] re-sorts rewrites on
+    // this spec, [[recluster]] re-runs the whole curve from it.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(df.sparkSession.sparkContext
+      .hadoopConfiguration)
+    writeClusterSpec(fs, root, ClusterSpecFile(cols, bits, bounds, "z"))
+  }
+
+  /** [[zordered]] × [[partitioned]] — the standard date-partitioned,
+    * z-clustered fact layout (Delta/Iceberg's per-partition OPTIMIZE
+    * ZORDER as a plain parquet layout): coarse pruning by directory on
+    * `partCols`, multi-dimension row-group skipping on `zCols` inside
+    * every partition. One quantile sketch prices GLOBAL boundaries (the
+    * curve must mean the same thing in every partition — the root-level
+    * `_clusterspec` governs all leaves), one range shuffle on
+    * (partitions, z) co-locates each writer task's output, and the
+    * writer splits by partition directory. [[compact]]'s per-leaf
+    * rewrite finds the root spec and re-sorts each partition leaf along
+    * the same curve — the partitioned layout's recluster path. */
+  def zorderedPartitioned(df: DataFrame, path: String,
+      partCols: Seq[String], zCols: Seq[String], bits: Int = 8,
+      files: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.{array, col}
+    require(partCols.nonEmpty && zCols.nonEmpty,
+      "need at least one partition column and one clustering column")
+    require(partCols.intersect(zCols).isEmpty,
+      s"partition and clustering columns overlap: " +
+        s"${partCols.intersect(zCols).mkString(", ")}")
+    require(bits >= 1 && bits <= 16 && bits * zCols.size <= 63,
+      s"need 1 ≤ bits ≤ 16 and bits × dims ≤ 63, got bits=$bits " +
+        s"dims=${zCols.size}")
     val spark = df.sparkSession
+    val bounds = zBounds(df, zCols, bits)
+    val nFiles =
+      if (files > 0) files else spark.sessionState.conf.numShufflePartitions
+    val keys = partCols.map(col) :+ col("__graft_z")
+    df.withColumn("__graft_z", graft.functions.GraftFunctions.zValue(
+        array(zCols.map(c => col(c).cast("double")): _*), bounds, bits))
+      .repartitionByRange(nFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .drop("__graft_z")
+      .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
+      .parquet(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeClusterSpec(fs, root, ClusterSpecFile(zCols, bits, bounds, "z"))
+  }
+
+  /** Equi-depth quantile boundaries for the z-curve, one pass over all
+    * clustering columns (driver-held, model-sized: ≤ 2^bits doubles per
+    * dimension). */
+  private def zBounds(df: DataFrame, cols: Seq[String],
+      bits: Int): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.functions.col
     val buckets = 1 << bits
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val casted = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
-    // One pass, all columns (the multi-column sketch overload).
-    val bounds = casted.stat.approxQuantile(cols.toArray, probs, 0.001)
+    casted.stat.approxQuantile(cols.toArray, probs, 0.001)
       .map(_.toSeq.distinct).toSeq
-    val nFiles =
-      if (files > 0) files else spark.sessionState.conf.numShufflePartitions
+  }
+
+  /** Curve-ordered projection: z-key (narrow codegen), the one range
+    * shuffle any clustered layout needs, within-file sort. */
+  private def zsort(df: DataFrame, cols: Seq[String],
+      bounds: Seq[Seq[Double]], bits: Int, nFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col}
     df.withColumn("__graft_z", graft.functions.GraftFunctions.zValue(
         array(cols.map(c => col(c).cast("double")): _*), bounds, bits))
       .repartitionByRange(nFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")
+  }
+
+  private def zwrite(df: DataFrame, path: String, cols: Seq[String],
+      bounds: Seq[Seq[Double]], bits: Int, files: Int): Unit = {
+    val nFiles =
+      if (files > 0) files
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    zsort(df, cols, bounds, bits, nFiles)
       .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  // ───────────── persisted cluster spec (z-order lifecycle) ───────────────
+  // The `_bucketspec` pattern for the z layout: `zordered` persists the
+  // curve (columns, bits, quantile boundaries) at the data path, so the
+  // layout's maintenance twins can preserve it — without this, a
+  // small-files `compact` of a z-ordered leaf rewrites files in read
+  // order and silently erases the multi-dimension skipping the layout
+  // exists for. Doubles round-trip exactly through
+  // `java.lang.Double.toString`/`parseDouble`, so a re-read spec
+  // reproduces bit-identical z-keys.
+
+  /** One persisted clustering: kind "z" (Morton curve — bits + quantile
+    * boundaries) or kind "sort" (plain within-file ordering on `cols`;
+    * bits/bounds unused). */
+  private final case class ClusterSpecFile(cols: Seq[String], bits: Int,
+      bounds: Seq[Seq[Double]], kind: String)
+
+  private def writeClusterSpec(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, spec: ClusterSpecFile): Unit = {
+    val body = (Seq("graft-clusterspec v1", s"kind ${spec.kind}",
+      s"bits ${spec.bits}") ++
+      spec.cols.map("col " + _) ++
+      spec.cols.zip(spec.bounds).map { case (c, bs) =>
+        s"bounds $c " + bs.map(java.lang.Double.toString).mkString(",")
+      }).mkString("\n") + "\n"
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".clusterspec.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, "_clusterspec")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"failed to write cluster spec $dst")
+  }
+
+  private def readClusterSpec(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[ClusterSpecFile] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_clusterspec")
+    if (!fs.exists(p)) return None
+    try {
+      val lines = readSmallFile(fs, p).split("\n", -1).toSeq
+      if (!lines.headOption.exists(_.startsWith("graft-clusterspec")))
+        return None
+      val kind = lines.find(_.startsWith("kind "))
+        .map(_.stripPrefix("kind ")).getOrElse("z")
+      val bits = lines.find(_.startsWith("bits "))
+        .flatMap(s => scala.util.Try(s.stripPrefix("bits ").toInt).toOption)
+      val cols = lines.filter(_.startsWith("col ")).map(_.stripPrefix("col "))
+      val bounds = cols.map { c =>
+        lines.find(_.startsWith(s"bounds $c "))
+          .map(_.stripPrefix(s"bounds $c ").split(',')
+            .filter(_.nonEmpty).map(java.lang.Double.parseDouble).toSeq)
+      }
+      (kind, bits) match {
+        case ("sort", _) if cols.nonEmpty =>
+          Some(ClusterSpecFile(cols, 0, Nil, "sort"))
+        case ("z", Some(b)) if cols.nonEmpty && bounds.forall(_.nonEmpty) =>
+          Some(ClusterSpecFile(cols, b, bounds.map(_.get), "z"))
+        case _ => None
+      }
+    } catch { case _: java.io.IOException | _: NumberFormatException => None }
+  }
+
+  /** Re-run a clustered layout's curve over its CURRENT content — the
+    * recluster path for a layout that appends have decayed. For a
+    * [[zordered]] layout (kind=z): fresh quantile boundaries are priced
+    * over today's data (the distribution may have drifted since the
+    * original write) and the whole layout rewrites along the new curve.
+    * For a [[sorted]] layout (kind=sort): a global range re-sort — the
+    * upgrade from within-file ordering to disjoint per-file ranges, so
+    * file-level min/max skipping starts working too. Either way the
+    * rewrite lands in a dot-temp sibling and the swap is [[compact]]'s
+    * rename-mode delete+rename — a crash anywhere leaves either the old
+    * layout or a complete new copy, and [[compactRecover]] converges
+    * every state. The refreshed `_clusterspec` rides inside the copy.
+    * Reads resolve through [[readCompacted]] first, so a
+    * manifest-committed layout reclusters exactly. */
+  def recluster(spark: org.apache.spark.sql.SparkSession, path: String,
+      files: Int = 0): Unit = {
+    compactRecover(spark, path) // converge any earlier interrupted swap
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val spec = readClusterSpec(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"no _clusterspec at $path — recluster is for Sink.zordered/" +
+          "Sink.sorted layouts (write one with them, or compact plain " +
+          "layouts with Sink.compact)"))
+    // A partitioned tree would silently FLATTEN under this whole-layout
+    // rewrite (the clustered write is directory-flat) — refuse;
+    // [[compact]] already re-sorts each partition leaf on the root spec,
+    // which is the per-leaf recluster a partitioned layout wants.
+    require(!children(fs, root).exists(s =>
+        s.isDirectory && isVisible(s.getPath.getName)),
+      s"$path has visible subdirectories (a partitioned layout) — " +
+        "recluster only rewrites flat layouts; run Sink.compact, which " +
+        "re-sorts every leaf on the persisted _clusterspec")
+    val df = readCompacted(spark, path)
+    val nFiles =
+      if (files > 0) files else spark.sessionState.conf.numShufflePartitions
+    val tmp = new org.apache.hadoop.fs.Path(root.getParent,
+      s".cmp_tmp_${root.getName}")
+    val newSpec =
+      if (spec.kind == "sort") {
+        // The sort layout's recluster is the RANGE upgrade: a global
+        // re-sort gives every file a narrow disjoint range, so file-level
+        // min/max skipping works too (sorted() alone only promises
+        // within-file order).
+        import org.apache.spark.sql.functions.col
+        df.repartitionByRange(nFiles, spec.cols.map(col): _*)
+          .sortWithinPartitions(spec.cols.map(col): _*)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        spec
+      } else {
+        val bounds = zBounds(df, spec.cols, spec.bits)
+        zwrite(df, tmp.toString, spec.cols, bounds, spec.bits, files)
+        spec.copy(bounds = bounds)
+      }
+    require(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")),
+      s"reclustered copy at $tmp has no _SUCCESS marker — aborting swap")
+    writeClusterSpec(fs, tmp, newSpec)
+    require(fs.delete(root, true),
+      s"failed to delete old layout at $path (complete reclustered copy " +
+        s"intact at $tmp; compactRecover finishes the swap)")
+    require(fs.rename(tmp, root),
+      s"failed to move reclustered layout from $tmp to $path (old layout " +
+        "already deleted; compactRecover finishes the swap)")
   }
 
   /** Bucketed (and optionally bucket-sorted) managed table: pays the
@@ -383,10 +594,14 @@ object Sink {
     * manifest references files a newer commit already deleted re-resolves
     * (bounded retries). Hive partition columns are preserved via
     * `basePath`. */
-  def readCompacted(spark: org.apache.spark.sql.SparkSession, path: String,
-      format: String = "parquet"): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** Every leaf of `root` resolved through its newest manifest (with the
+    * backed-off missing-file retry), paired with the tree's mixed-dir
+    * files — the shared resolution core of [[readCompacted]] and
+    * [[readOwn]]. */
+  private def resolveTree(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : (Seq[(org.apache.hadoop.fs.Path, ResolvedLeaf)],
+         Seq[org.apache.hadoop.fs.FileStatus]) = {
     val leaves = dataLeaves(fs, root)
     val resolved = leaves.map { leaf =>
       var r = resolveLeaf(fs, leaf)
@@ -408,7 +623,15 @@ object Sink {
           "run Sink.compactRecover")
       leaf -> r
     }
-    val mixed = mixedDirFiles(fs, root)
+    (resolved, mixedDirFiles(fs, root))
+  }
+
+  def readCompacted(spark: org.apache.spark.sql.SparkSession, path: String,
+      format: String = "parquet"): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (resolved, mixed) = resolveTree(fs, root)
+    val leaves = resolved.map(_._1)
     // `basePath` turns the directory levels between `path` and the files
     // into hive partition columns — right for a pure k=v layout, an
     // analysis error for mixed layouts like the export's `b<id>/sh=<k>`
@@ -445,6 +668,107 @@ object Sink {
       val reader = spark.read.format(format)
       if (pureHive) reader.option("basePath", path).load(files: _*)
       else reader.load(files: _*)
+    }
+  }
+
+  /** Conf key for [[readOwn]]'s footer quarantine (default true). */
+  val QuarantineOwnKey = "spark.graft.read.quarantineOwn"
+
+  /** Layout-aware reader for the engine's OWN landed artifacts (index
+    * generations, export pack directories, tombstone files) — round 16:
+    * the r15 read protections applied to the engine's own files, not
+    * just user lakes. Two policies in one load:
+    *
+    *   1. MANIFEST resolution ([[readCompacted]]'s rule, per input
+    *      root): each directory's leaves resolve through their newest
+    *      `_manifest.<gen>`, so an artifact whose leaves were compacted
+    *      under the one-file commit reads atomically old-or-new on any
+    *      store. Plain directories resolve to their visible listing.
+    *   2. COUNTED corruption quarantine (the i2 policy,
+    *      [[Ingest.parquetQuarantined]]'s grain): every resolved file's
+    *      footer is validated in one distributed names+footers probe;
+    *      corrupt files — a part truncated by the store after commit, a
+    *      half-uploaded object — are EXCLUDED and logged with their
+    *      count and paths instead of failing the load or (worse)
+    *      silently vanishing. All-corrupt fails loudly: an artifact with
+    *      zero readable parts must never masquerade as empty. Disable
+    *      per-session via [[QuarantineOwnKey]] = false (the probe is one
+    *      metadata-only job per load).
+    *
+    * Inputs may be files or directories; explicit-file-list load with
+    * recursive semantics. A single pure-k=v directory input keeps its
+    * hive partition columns (basePath — the IVF `lists/list=N` shape);
+    * multi-root and non-k=v layouts load bare, as their readers always
+    * have (those layouts carry every column as data by construction). */
+  def readOwn(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], format: String = "parquet"): DataFrame = {
+    require(paths.nonEmpty, "readOwn needs at least one path")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // pureHive: a SINGLE directory input whose whole tree is k=v levels
+    // (e.g. an IVF `lists/list=N` generation) keeps its hive partition
+    // columns through the explicit-file load via basePath — exactly
+    // [[readCompacted]]'s rule. Multi-root or non-k=v inputs load bare
+    // (their layouts carry every column as data by construction).
+    var pureHive = false
+    val statuses: Seq[org.apache.hadoop.fs.FileStatus] =
+      paths.flatMap { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(hconf)
+        val st = fs.getFileStatus(hp) // a missing artifact fails loudly
+        if (st.isFile) Seq(st)
+        else {
+          val (resolved, mixed) = resolveTree(fs, hp)
+          if (paths.size == 1) {
+            val rootPath = fs.makeQualified(hp).toUri.getPath
+            pureHive = mixed.isEmpty && resolved.forall { case (leaf, _) =>
+              fs.makeQualified(leaf).toUri.getPath.stripPrefix(rootPath)
+                .split('/').filter(_.nonEmpty).forall(_.contains("="))
+            }
+          }
+          resolved.flatMap(_._2.files) ++ mixed
+        }
+      }
+    val names = statuses.map(_.getPath.toString)
+    def load(fileNames: Seq[String]): DataFrame = {
+      val r = spark.read.format(format)
+      if (pureHive) r.option("basePath", paths.head).load(fileNames: _*)
+      else r.load(fileNames: _*)
+    }
+    val quarantine =
+      spark.conf.get(QuarantineOwnKey, "true").toBoolean &&
+        (format == "parquet" || format == "orc")
+    if (!quarantine || names.isEmpty) load(names)
+    else {
+      import spark.implicits._
+      val conf = new Ingest.SerConf(hconf)
+      val fmt = format
+      // One distributed metadata pass; only the (exceptional, by the
+      // engine's own write discipline) BAD set comes to the driver.
+      val bad = spark.createDataset(
+          statuses.map(s => (s.getPath.toString, s.getLen)))
+        .toDF("path", "length")
+        .repartition(math.max(1, math.min(names.size,
+          spark.sessionState.conf.numShufflePartitions)))
+        .map(r => (r.getString(0),
+          Ingest.probeFooter(r.getString(0), r.getLong(1), fmt,
+            conf.value)))
+        .filter(_._2 != null)
+        .collect()
+      if (bad.isEmpty) load(names)
+      else {
+        val badSet = bad.map(_._1).toSet
+        val good = names.filterNot(badSet)
+        require(good.nonEmpty,
+          s"every file of ${paths.take(3).mkString(", ")} failed its " +
+            s"footer probe (${bad.head._2}) — refusing to read an " +
+            "artifact with zero valid parts")
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"Sink.readOwn: quarantined ${bad.length} corrupt file(s) of " +
+            s"${names.size} under ${paths.take(3).mkString(", ")} — " +
+            s"sample: ${bad.take(3).map(b => s"${b._1} (${b._2})")
+              .mkString("; ")}")
+        load(good)
+      }
     }
   }
 
@@ -569,10 +893,41 @@ object Sink {
         // Read the SNAPSHOT file list, not the directory: the rewrite's
         // content is pinned to what was priced, independent of what lands
         // in the leaf while the job runs.
-        spark.read.format(format)
+        val base = spark.read.format(format)
           .load(files.map(_.getPath.toString): _*)
-          .coalesce(want)
-          .write.mode(SaveMode.Overwrite).format(format).save(tmp.toString)
+        // Curve-preserving rewrite: a leaf under a persisted
+        // `_clusterspec` (its own, or the layout root's) re-sorts along
+        // the SAME z-curve instead of coalescing in read order — a plain
+        // coalesce of a z-ordered leaf plus its unclustered appends would
+        // silently erase the multi-dimension skipping the layout exists
+        // for. The range partition is the rewrite's shuffle; boundaries
+        // come from the spec (bit-identical keys to the original write).
+        val clusterSpec = readClusterSpec(fs, leaf)
+          .orElse(if (leaf == root) None else readClusterSpec(fs, root))
+        val rewrite = clusterSpec match {
+          case Some(cs) if cs.kind == "sort" =>
+            // The sorted layout's contract is WITHIN-FILE ordering:
+            // restore it per output file, no extra shuffle (the same
+            // cost model Sink.sorted itself has).
+            base.coalesce(want).sortWithinPartitions(
+              cs.cols.map(org.apache.spark.sql.functions.col): _*)
+          case Some(cs) => zsort(base, cs.cols, cs.bounds, cs.bits, want)
+          case None => base.coalesce(want)
+        }
+        rewrite.write.mode(SaveMode.Overwrite).format(format)
+          .save(tmp.toString)
+        // A spec living AT the leaf rides INSIDE the copy: the
+        // rename-mode swap deletes the whole old leaf, and losing
+        // `_clusterspec` there would make the NEXT compaction erase the
+        // curve. (A root-level spec over partitioned leaves is never
+        // deleted by a leaf swap; in manifest mode the leaf dir is never
+        // deleted at all, and underscore files are not move-in
+        // candidates — the tmp copy's spec is simply discarded with the
+        // staging dir.)
+        clusterSpec.foreach { cs =>
+          if (readClusterSpec(fs, leaf).nonEmpty)
+            writeClusterSpec(fs, tmp, cs)
+        }
         require(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")),
           s"compacted copy at $tmp has no _SUCCESS marker — aborting swap")
         afterCopy(leaf)
@@ -669,6 +1024,21 @@ object Sink {
       path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The ROOT's own swap tmp lives in its PARENT (`.cmp_tmp_<rootname>`
+    // — a flat-directory compact, or a [[recluster]]): the walk below
+    // never visits the parent, so converge that state here. Same rules:
+    // a complete copy whose target is gone renames in; anything else
+    // rolls back (the existing layout stays authoritative).
+    Option(root.getParent).foreach { parent =>
+      val t = new org.apache.hadoop.fs.Path(parent,
+        s".cmp_tmp_${root.getName}")
+      if (fs.exists(t)) {
+        val complete =
+          fs.exists(new org.apache.hadoop.fs.Path(t, "_SUCCESS"))
+        if (complete && !fs.exists(root)) fs.rename(t, root)
+        else fs.delete(t, true)
+      }
+    }
     def walk(dir: org.apache.hadoop.fs.Path): Unit = {
       val kids = children(fs, dir)
       kids.filter(s => s.isDirectory &&
@@ -727,6 +1097,14 @@ object Sink {
     * for it. Co-located joins keep planning with no Exchange before AND
     * after (spec-asserted).
     *
+    * Hive-partitioned + bucketed tables (round 16 — the standard
+    * date-partitioned, key-bucketed fact layout) compact the same way:
+    * the bucketed scan is partition-blind (one task per bucket across
+    * ALL partitions), and the writer splits each task's stream per
+    * partition directory — one file per (partition, bucket), still
+    * exchange-free, with partition pruning AND the co-located join both
+    * preserved (spec-asserted).
+    *
     * External tables keep their PATH (the durable artifact —
     * [[bucketedExternal]]'s contract): the rewrite lands at
     * `<path>__graft_cmp`, swaps directories, and re-registers the same
@@ -748,14 +1126,6 @@ object Sink {
     require(meta.bucketSpec.nonEmpty,
       s"$table has no bucket spec — compactBucketed is for bucketed " +
         "tables; use Sink.compact for plain path layouts")
-    // A partitioned+bucketed table would silently lose its hive
-    // partitioning here (the rewrite and the recovery DDL carry only the
-    // bucket spec) — refuse rather than degrade the layout.
-    require(meta.partitionColumnNames.isEmpty,
-      s"$table is hive-partitioned AND bucketed (partitions: " +
-        s"${meta.partitionColumnNames.mkString(", ")}) — compactBucketed " +
-        "only supports pure bucketed layouts; compact partition leaves " +
-        "with Sink.compact instead")
     val tmpTable = s"${table}__graft_cmp"
     spark.sql(s"drop table if exists $tmpTable")
     // The rewrite is EXCHANGE-FREE by construction: a bucketed scan reads
@@ -794,9 +1164,23 @@ object Sink {
     val nb = spec.numBuckets
     val bCols = spec.bucketColumnNames
     val sCols = spec.sortColumnNames
+    val pCols = meta.partitionColumnNames
     val provider = meta.provider.getOrElse("parquet")
     val external = meta.tableType ==
       org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
+    // Hive-partitioned + bucketed (the standard date-partitioned,
+    // key-bucketed fact layout): the same exchange-free mechanics hold —
+    // the bucketed scan reads each bucket's files ACROSS partitions as
+    // one task, and the writer opens one file per (hive partition,
+    // bucket) that task holds, so the rewrite lands exactly one file per
+    // bucket in every partition directory with no Exchange. partitionBy
+    // rides along on the writer and in the recovery DDL.
+    def bucketWriter(w0: org.apache.spark.sql.DataFrameWriter[
+        org.apache.spark.sql.Row]) = {
+      val wp = if (pCols.nonEmpty) w0.partitionBy(pCols: _*) else w0
+      val w = wp.bucketBy(nb, bCols.head, bCols.tail: _*)
+      if (sCols.nonEmpty) w.sortBy(sCols.head, sCols.tail: _*) else w
+    }
     if (external) {
       val loc = meta.location.toString.stripSuffix("/")
       val tmpLoc = s"${loc}__graft_cmp"
@@ -804,16 +1188,15 @@ object Sink {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(new org.apache.hadoop.fs.Path(tmpLoc)))
         fs.delete(new org.apache.hadoop.fs.Path(tmpLoc), true)
-      val w = re.write.mode(SaveMode.Overwrite).format(provider)
-        .option("path", tmpLoc).bucketBy(nb, bCols.head, bCols.tail: _*)
-      (if (sCols.nonEmpty) w.sortBy(sCols.head, sCols.tail: _*) else w)
+      bucketWriter(re.write.mode(SaveMode.Overwrite).format(provider)
+        .option("path", tmpLoc))
         .saveAsTable(tmpTable) // fully materialized before any drop
       // Recovery DDL travels WITH the compacted copy (and renames into
       // place with it): every crash state past this point has a complete
       // data copy on disk next to the file that re-creates its catalog
       // entry — compactBucketedRecover needs nothing else.
       writeBucketSpec(fs, new org.apache.hadoop.fs.Path(tmpLoc), table,
-        provider, nb, bCols, sCols, meta.schema.toDDL, loc)
+        provider, nb, bCols, sCols, meta.schema.toDDL, loc, pCols)
       spark.sql(s"drop table $tmpTable")  // external drop keeps the files
       spark.sql(s"drop table $table")
       // FIRST destructive step: remove the old location's _bucketspec (a
@@ -836,26 +1219,35 @@ object Sink {
       require(fs.rename(new org.apache.hadoop.fs.Path(tmpLoc),
         new org.apache.hadoop.fs.Path(loc)),
         s"failed to move compacted data from $tmpLoc to $loc")
-      spark.sql(createBucketedDdl(table, meta.schema.toDDL, provider,
-        nb, bCols, sCols, loc))
+      createBucketedTable(spark, table, meta.schema.toDDL, provider,
+        nb, bCols, sCols, loc, pCols)
     } else {
-      val w = re.write.mode(SaveMode.Overwrite).format(provider)
-        .bucketBy(nb, bCols.head, bCols.tail: _*)
-      (if (sCols.nonEmpty) w.sortBy(sCols.head, sCols.tail: _*) else w)
+      bucketWriter(re.write.mode(SaveMode.Overwrite).format(provider))
         .saveAsTable(tmpTable) // fully materialized before any drop
       spark.sql(s"drop table $table")
       spark.sql(s"alter table $tmpTable rename to $table")
     }
   }
 
-  private def createBucketedDdl(table: String, schemaDdl: String,
-      provider: String, nb: Int, bCols: Seq[String],
-      sCols: Seq[String], loc: String): String = {
+  /** Re-create a bucketed external table's catalog entry over data
+    * already at `loc`, and — for partitioned layouts — re-register its
+    * partition directories (a fresh catalog entry starts with an empty
+    * partition list; without RECOVER PARTITIONS the table would read
+    * back empty). */
+  private def createBucketedTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, schemaDdl: String, provider: String, nb: Int,
+      bCols: Seq[String], sCols: Seq[String], loc: String,
+      pCols: Seq[String]): Unit = {
     val sorted =
       if (sCols.isEmpty) "" else s" SORTED BY (${sCols.mkString(", ")})"
-    s"CREATE TABLE $table ($schemaDdl) USING $provider " +
-      s"CLUSTERED BY (${bCols.mkString(", ")})$sorted " +
-      s"INTO $nb BUCKETS LOCATION '$loc'"
+    val partitioned =
+      if (pCols.isEmpty) "" else s" PARTITIONED BY (${pCols.mkString(", ")})"
+    spark.sql(s"CREATE TABLE $table ($schemaDdl) USING $provider" +
+      partitioned +
+      s" CLUSTERED BY (${bCols.mkString(", ")})$sorted " +
+      s"INTO $nb BUCKETS LOCATION '$loc'")
+    if (pCols.nonEmpty)
+      spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
   }
 
   /** Persist a bucketed table's full recovery DDL next to its data
@@ -864,10 +1256,11 @@ object Sink {
   private def writeBucketSpec(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, table: String, provider: String,
       nb: Int, bCols: Seq[String], sCols: Seq[String], schemaDdl: String,
-      loc: String): Unit = {
+      loc: String, pCols: Seq[String] = Nil): Unit = {
     val body = (Seq("graft-bucketspec v1", s"table $table",
       s"provider $provider", s"numBuckets $nb", s"location $loc") ++
       bCols.map("bucketCol " + _) ++ sCols.map("sortCol " + _) ++
+      pCols.map("partCol " + _) ++
       Seq(s"schema $schemaDdl")).mkString("\n") + "\n"
     val tmp = new org.apache.hadoop.fs.Path(dir, ".bucketspec.tmp")
     val out = fs.create(tmp, true)
@@ -877,9 +1270,12 @@ object Sink {
     require(fs.rename(tmp, dst), s"failed to write bucket spec $dst")
   }
 
+  private final case class BucketSpecFile(table: String, provider: String,
+      nb: Int, bCols: Seq[String], sCols: Seq[String], schema: String,
+      pCols: Seq[String])
+
   private def readBucketSpec(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path)
-      : Option[(String, String, Int, Seq[String], Seq[String], String)] = {
+      dir: org.apache.hadoop.fs.Path): Option[BucketSpecFile] = {
     val p = new org.apache.hadoop.fs.Path(dir, "_bucketspec")
     if (!fs.exists(p)) return None
     val lines = readSmallFile(fs, p).split("\n", -1).toSeq
@@ -891,10 +1287,11 @@ object Sink {
       provider <- one("provider")
       nb <- one("numBuckets").flatMap(s => scala.util.Try(s.toInt).toOption)
       schema <- one("schema")
-    } yield (table, provider, nb,
+    } yield BucketSpecFile(table, provider, nb,
       lines.filter(_.startsWith("bucketCol ")).map(_.stripPrefix("bucketCol ")),
       lines.filter(_.startsWith("sortCol ")).map(_.stripPrefix("sortCol ")),
-      schema)
+      schema,
+      lines.filter(_.startsWith("partCol ")).map(_.stripPrefix("partCol ")))
   }
 
   /** Finish or roll back a [[compactBucketed]] swap a crash interrupted.
@@ -940,10 +1337,10 @@ object Sink {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val locP = new org.apache.hadoop.fs.Path(loc)
     val tmpLocP = new org.apache.hadoop.fs.Path(s"${loc}__graft_cmp")
-    val specAtLoc = readBucketSpec(fs, locP).filter(_._1 == table)
-    val specAtTmp = readBucketSpec(fs, tmpLocP).filter(_._1 == table)
+    val specAtLoc = readBucketSpec(fs, locP).filter(_.table == table)
+    val specAtTmp = readBucketSpec(fs, tmpLocP).filter(_.table == table)
     (specAtLoc, specAtTmp) match {
-      case (_, Some((_, prov, nb, bc, sc, schema))) =>
+      case (_, Some(s)) =>
         // A spec at the TMP location means a complete compacted copy is
         // sitting there (the spec is written only after the copy fully
         // materializes) — always roll FORWARD from it, even when loc
@@ -957,12 +1354,14 @@ object Sink {
             s"failed to delete old bucketed data at $loc during recovery")
         require(fs.rename(tmpLocP, locP),
           s"failed to move compacted data from $tmpLocP to $loc")
-        spark.sql(createBucketedDdl(table, schema, prov, nb, bc, sc, loc))
-      case (Some((_, prov, nb, bc, sc, schema)), None) =>
+        createBucketedTable(spark, table, s.schema, s.provider, s.nb,
+          s.bCols, s.sCols, loc, s.pCols)
+      case (Some(s), None) =>
         // Copy already in place (crash after the rename, before CREATE):
         // re-create the catalog entry over it.
         if (fs.exists(tmpLocP)) fs.delete(tmpLocP, true)
-        spark.sql(createBucketedDdl(table, schema, prov, nb, bc, sc, loc))
+        createBucketedTable(spark, table, s.schema, s.provider, s.nb,
+          s.bCols, s.sCols, loc, s.pCols)
       case _ =>
         throw new IllegalStateException(
           s"no recovery spec for $table at $loc or ${loc}__graft_cmp — " +

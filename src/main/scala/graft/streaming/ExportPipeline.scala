@@ -120,7 +120,12 @@ object ExportPipeline {
       substringGate: Boolean = false,
       ssWindowTokens: Int = 8,
       ssMinOccurrences: Int = 2,
-      ssMaxDupRatio: Double = 0.5): Handles = {
+      ssMaxDupRatio: Double = 0.5,
+      /** Tokenizer FAMILY for the pack stage ("bpe" | "unigram" | "" =
+        * inherit): frozen at bootstrap inside PackStream's own params —
+        * an explicit value that disagrees with the persisted family
+        * fails loudly there (the gate-params pattern). */
+      tokenizer: String = ""): Handles = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gateDir = s"$path/gate/params"
@@ -237,9 +242,9 @@ object ExportPipeline {
       if (!packBootstrapped) {
         usedCurated = true
         PackStream.resume(spark, s"$path/pack", curated, idCol, textCol,
-          nShards, nMerges, window)
+          nShards, nMerges, window, tokenizer)
       } else PackStream.resume(spark, s"$path/pack", corpus.limit(0),
-        idCol, textCol)
+        idCol, textCol, tokenizer = tokenizer)
     if (usedCurated) curated.unpersist(false)
     new Handles(dedup, near, pack, s"$path/fp", s"$path/nd",
       gMinTokens, gMinDistinct, substr)

@@ -35,9 +35,29 @@ import graft.operators.{Bpe, Packing}
   * arrival sequence packs identically, spec-asserted). */
 object PackStream {
 
-  /** The frozen tokenizer + layout parameters, loaded once per resume. */
+  /** The frozen tokenizer + layout parameters, loaded once per resume.
+    * `tokenizer` picks the FAMILY — "bpe" (merges) or "unigram"
+    * (round 16: the SentencePiece-style model, [[graft.operators
+    * .Unigram]]) — persisted at bootstrap like every other gate param
+    * and fail-loud on a mismatched resume; `merges`/`unigram` carry
+    * whichever family is active. */
   final case class Model(merges: Seq[Bpe.Merge], vocab: Map[String, Long],
-      nShards: Long, window: Int)
+      nShards: Long, window: Int, tokenizer: String = "bpe",
+      unigram: Option[graft.operators.Unigram.Model] = None) {
+    /** The family's corpus encode — the ONE splice point every token
+      * that enters a pack flows through (bootstrap vocab, per-batch
+      * encode, and the batch-mode parity spec all call this). */
+    def encodeText(text: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = tokenizer match {
+      case "bpe" => Bpe.encode(text, merges)
+      case "unigram" => graft.operators.Unigram.encode(text,
+        unigram.getOrElse(throw new IllegalStateException(
+          "unigram tokenizer with no persisted model — the export's " +
+            "model directory is torn; re-bootstrap or restore model/")))
+      case other => throw new IllegalArgumentException(
+        s"unknown tokenizer family '$other' (bpe|unigram)")
+    }
+  }
 
   final class Handle(val path: String, val model: Model) {
     /** Landed-batch compaction high-water mark for THIS run: batch dirs
@@ -144,24 +164,46 @@ object PackStream {
       textCol: String,
       nShards: Long = 8L,
       nMerges: Int = 24,
-      window: Int = 1024): Handle = {
+      window: Int = 1024,
+      // Tokenizer FAMILY (round 16): "bpe" | "unigram" | "" — empty
+      // inherits the committed family on resume (and bpe at bootstrap);
+      // a NON-empty value that disagrees with the committed one fails
+      // loudly (the gate-params pattern: a resumed export must never
+      // silently re-tokenize under a different model family).
+      tokenizer: String = "",
+      unigramVocab: Int = 256): Handle = {
+    require(Set("", "bpe", "unigram")(tokenizer),
+      s"tokenizer must be bpe|unigram (or empty = inherit), got " +
+        s"'$tokenizer'")
     val mdir = modelDir(path)
     val f = fs(spark, path)
     val committed = new org.apache.hadoop.fs.Path(s"$mdir/params/_SUCCESS")
     if (!f.exists(committed)) {
-      val merges = Bpe.train(
-        Bpe.wordHistogram(corpus.select(col(textCol).as("text")), "text"),
-        nMerges)
-      // Vocab from the corpus ENCODE — bounded by the model (base symbols
-      // + one per merge), the centroids discipline.
+      val family = if (tokenizer.isEmpty) "bpe" else tokenizer
+      val hist = Bpe.wordHistogram(
+        corpus.select(col(textCol).as("text")), "text")
+      val (merges, um) =
+        if (family == "bpe") (Bpe.train(hist, nMerges), None)
+        else (Nil, Some(graft.operators.Unigram.train(hist,
+          vocabSize = unigramVocab,
+          seedSize = math.max(4 * unigramVocab, unigramVocab + 64),
+          maxPieceLen = 6, emRounds = 3)))
+      val model0 = Model(merges, Map.empty, nShards, window, family, um)
+      // Vocab from the corpus ENCODE — bounded by the model (BPE: base
+      // symbols + one per merge; unigram: the trained piece table), the
+      // centroids discipline.
       val vocabToks = corpus
-        .select(explode(Bpe.encode(col(textCol), merges)).as("token"))
+        .select(explode(model0.encodeText(col(textCol))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("token"))
         .collect().map(_.getString(0))
       import spark.implicits._
+      // Family model artifacts land BEFORE the params commit marker: an
+      // interrupted bootstrap reruns whole.
       Bpe.mergesFrame(spark, merges).coalesce(1)
         .write.mode("overwrite").parquet(s"$mdir/merges")
+      um.foreach(m =>
+        graft.operators.Unigram.save(spark, m, s"$mdir/unigram"))
       vocabToks.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toSeq
         .toDF("token", "tid").coalesce(1)
         .write.mode("overwrite").parquet(s"$mdir/vocab")
@@ -173,16 +215,32 @@ object PackStream {
         .write.mode("overwrite").parquet(s"${plainGenDir(path, 0L)}/pending")
       Seq((0L, 0L, 0L)).toDF("batch_fp", "batch_n", "batch_id").coalesce(1)
         .write.mode("overwrite").parquet(s"${plainGenDir(path, 0L)}/params")
-      Seq((nShards, window, nMerges)).toDF("n_shards", "window", "n_merges")
+      Seq((nShards, window, nMerges, family))
+        .toDF("n_shards", "window", "n_merges", "tokenizer")
         .coalesce(1).write.mode("overwrite").parquet(s"$mdir/params")
     }
     val p = spark.read.parquet(s"$mdir/params").head()
+    // Pre-round-16 exports have no tokenizer column — they are BPE by
+    // construction.
+    val storedFamily =
+      if (p.schema.fieldNames.contains("tokenizer"))
+        p.getAs[String]("tokenizer")
+      else "bpe"
+    require(tokenizer.isEmpty || tokenizer == storedFamily,
+      s"PackStream.resume: caller asked for tokenizer='$tokenizer' but " +
+        s"this export was bootstrapped with '$storedFamily' ($mdir) — " +
+        "the family is frozen; start a new export root to change it")
     val merges = spark.read.parquet(s"$mdir/merges").orderBy("rank")
       .collect().map(r => Bpe.Merge(r.getInt(0), r.getString(1),
         r.getString(2))).toSeq
+    val um =
+      if (storedFamily == "unigram")
+        Some(graft.operators.Unigram.load(spark, s"$mdir/unigram"))
+      else None
     val vocab = spark.read.parquet(s"$mdir/vocab")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    new Handle(path, Model(merges, vocab, p.getLong(0), p.getInt(1)))
+    new Handle(path, Model(merges, vocab, p.getLong(0), p.getInt(1),
+      storedFamily, um))
   }
 
   /** Order-independent replay fingerprint of a batch: (XOR of
@@ -275,7 +333,7 @@ object PackStream {
       lit(1).as("pack_ord"),
       col(idCol).cast("long").as("doc_id"),
       pmod(col(idCol).cast("long"), lit(m.nShards)).as("shard"),
-      transform(Bpe.encode(col(textCol), m.merges),
+      transform(m.encodeText(col(textCol)),
         t => coalesce(element_at(vmap, t), lit(-1L))).as("tids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // LINEAGE manifest — the retraction story's backbone: one row per doc
@@ -690,7 +748,7 @@ object PackStream {
       val packSuffix =
         if (suffixPaths.isEmpty)
           Seq.empty[(Long, Long, Array[Long])].toDF("shard", "a", "seg")
-        else spark.read.parquet(suffixPaths: _*)
+        else graft.sources.Sink.readOwn(spark, suffixPaths)
           .where(col("pack_id") >=
             coalesce(element_at(fpLit, col("shard")), lit(Long.MaxValue)))
           .select(col("shard"), (col("pack_id") * win).cast("long").as("a"),
@@ -796,7 +854,7 @@ object PackStream {
         if (suffixPaths.isEmpty)
           Seq.empty[(Long, Long, Long, Array[Long])]
             .toDF("shard", "pack_id", "n_tokens", "tids")
-        else spark.read.parquet(suffixPaths: _*)
+        else graft.sources.Sink.readOwn(spark, suffixPaths)
           .where(col("pack_id") <
             coalesce(element_at(fpLit, col("shard")), lit(-1L)))
           .select(col("shard"), col("pack_id"), col("n_tokens"),

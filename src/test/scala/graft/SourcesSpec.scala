@@ -801,6 +801,257 @@ class SourcesSpec extends SparkSpecBase {
         s"column by 4×+: z=$zy vs sorted=$sy")
   }
 
+  test("compactBucketed on a hive-partitioned + bucketed table: one file " +
+      "per (partition, bucket), exchange-free rewrite, pruning and the " +
+      "co-located join preserved, crash states recovered") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("bktp").toString + "/f"
+    def facts(lo: Int, hi: Int) = (lo to hi)
+      .map(i => (i.toLong % 97, i.toLong, s"d${i % 2}")).toDF("k", "fid", "p")
+    val dims = (0 to 96).map(i => (i.toLong, s"name$i")).toDF("k", "name")
+    // partitioned(p) + bucketed(k) external fact table.
+    spark.sql("drop table if exists bktp_t")
+    val fs0 = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs0.delete(new org.apache.hadoop.fs.Path(loc), true)
+    facts(1, 500).write.format("parquet").option("path", loc)
+      .partitionBy("p").bucketBy(4, "k").sortBy("k").saveAsTable("bktp_t")
+    graft.sources.Sink.bucketed(dims, "bktp_d", "k", 4, "k")
+    (1 to 3).foreach { b =>
+      facts(500 + b * 100 + 1, 500 + (b + 1) * 100)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+        .partitionBy("p").bucketBy(4, "k").sortBy("k")
+        .saveAsTable("bktp_t")
+    }
+    def leafFiles(leaf: String) = Option(
+      new java.io.File(s"$loc/$leaf").listFiles()).getOrElse(Array())
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+    assert(leafFiles("p=d0").length > 4 && leafFiles("p=d1").length > 4,
+      "appends must fragment each partition leaf")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def joined() = spark.table("bktp_t").join(spark.table("bktp_d"), "k")
+      val rowsBefore = joined().count()
+      assert(!joined().queryExecution.executedPlan.toString
+        .contains("Exchange"), "bucketed join must be exchange-free")
+      val tableRows = spark.table("bktp_t").orderBy("fid")
+        .collect().map(_.toSeq).toSeq
+
+      graft.sources.Sink.compactBucketed(spark, "bktp_t")
+      for (leaf <- Seq("p=d0", "p=d1"))
+        assert(leafFiles(leaf).length <= 4,
+          s"$leaf: one file per bucket after compaction, got " +
+            s"${leafFiles(leaf).length}")
+      assert(spark.table("bktp_t").orderBy("fid")
+        .collect().map(_.toSeq).toSeq == tableRows,
+        "compaction must not change a single row")
+      assert(joined().count() == rowsBefore)
+      assert(!joined().queryExecution.executedPlan.toString
+        .contains("Exchange"),
+        "the exchange-free property must survive compaction")
+      // Partition pruning still drives the scan.
+      val pruned = spark.table("bktp_t").where(col("p") === "d0")
+      assert(pruned.count() == tableRows.count(_.last == "d0"))
+      val scanStr = pruned.queryExecution.executedPlan
+        .collectLeaves().head.toString
+      assert(scanStr.contains("PartitionFilters") && scanStr
+        .replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("p"), "partition pruning must survive compaction")
+
+      // Crash state: table dropped, complete copy stranded at tmp —
+      // recovery must restore data, partition registration and the
+      // bucket spec.
+      spark.sql("drop table bktp_t")
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      require(fs.rename(new org.apache.hadoop.fs.Path(loc),
+        new org.apache.hadoop.fs.Path(loc + "__graft_cmp")))
+      graft.sources.Sink.compactBucketedRecover(spark, "bktp_t", loc)
+      assert(spark.table("bktp_t").orderBy("fid")
+        .collect().map(_.toSeq).toSeq == tableRows,
+        "recovery must re-register the partitioned layout completely")
+      assert(!joined().queryExecution.executedPlan.toString
+        .contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("drop table if exists bktp_t")
+      spark.sql("drop table if exists bktp_d")
+    }
+  }
+
+  test("z-order lifecycle: appends decay the curve; compact re-sorts the " +
+      "rewrite on the persisted _clusterspec and recluster re-runs it — " +
+      "the either-column scan bound survives maintenance") {
+    import spark.implicits._
+    val grid = spark.range(256L * 256L)
+      .select((col("id") / 256).cast("long").as("x"),
+        (col("id") % 256).cast("long").as("y"))
+    val zdir = java.nio.file.Files.createTempDirectory("zlc").toString + "/z"
+    graft.sources.Sink.zordered(grid, zdir, Seq("x", "y"), files = 64)
+    assert(new java.io.File(s"$zdir/_clusterspec").exists(),
+      "zordered must persist the curve for its maintenance twins")
+    // Streaming-shaped decay: a second copy of the grid lands as
+    // unclustered appended files.
+    grid.repartition(8).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(zdir)
+    val total = 2L * 256L * 256L
+    def scanned(c: String): Long = {
+      val d = spark.read.parquet(zdir).where(col(c) === 123L)
+      d.collect()
+      val scan = d.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      scan.metrics("numOutputRows").value
+    }
+    assert(spark.read.parquet(zdir).count() == total)
+    assert(scanned("x") >= total / 3 || scanned("y") >= total / 3,
+      "appends must have decayed the layout for the test to mean anything")
+    // Small-files compaction re-sorts along the SAME curve (no plain
+    // coalesce): the multi-dim bound must hold again afterwards.
+    val bytes = new java.io.File(zdir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_")).map(_.length).sum
+    val st = graft.sources.Sink.compact(spark, zdir,
+      targetBytesPerFile = math.max(1L, bytes / 64))
+    assert(st.leavesRewritten == 1, s"$st")
+    assert(spark.read.parquet(zdir).count() == total)
+    assert(scanned("x") <= total / 4 && scanned("y") <= total / 4,
+      s"compact must preserve the curve: x=${scanned("x")} " +
+        s"y=${scanned("y")} of $total")
+    assert(new java.io.File(s"$zdir/_clusterspec").exists(),
+      "the spec must survive compaction")
+    // recluster: fresh boundaries over current content, full curve
+    // re-run, crash-safe swap.
+    graft.sources.Sink.recluster(spark, zdir, files = 64)
+    assert(spark.read.parquet(zdir).count() == total)
+    assert(scanned("x") <= total / 4 && scanned("y") <= total / 4,
+      s"recluster must restore the bound: x=${scanned("x")} " +
+        s"y=${scanned("y")}")
+    assert(new java.io.File(s"$zdir/_clusterspec").exists())
+
+    // Crash convergence for the root-level swap (recluster's tmp is a
+    // SIBLING of the layout): a complete copy whose target is gone
+    // renames in; a stale tmp next to a live layout rolls back.
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val rootP = new org.apache.hadoop.fs.Path(zdir)
+    val tmpP = new org.apache.hadoop.fs.Path(rootP.getParent, ".cmp_tmp_z")
+    require(fs.rename(rootP, tmpP)) // simulate crash between delete+rename
+    graft.sources.Sink.compactRecover(spark, zdir)
+    assert(spark.read.parquet(zdir).count() == total,
+      "a complete sibling copy must rename into a missing root")
+    org.apache.hadoop.fs.FileUtil.copy(fs, rootP, fs, tmpP, false,
+      spark.sparkContext.hadoopConfiguration) // stale tmp, live root
+    graft.sources.Sink.compactRecover(spark, zdir)
+    assert(!new java.io.File(tmpP.toUri.getPath).exists(),
+      "a stale root tmp must roll back")
+    assert(spark.read.parquet(zdir).count() == total)
+  }
+
+  test("sorted-layout lifecycle: compact restores within-file ordering " +
+      "from the persisted kind=sort spec; recluster range-upgrades the " +
+      "layout to disjoint per-file ranges") {
+    import spark.implicits._
+    val sdir = java.nio.file.Files.createTempDirectory("slc").toString + "/s"
+    val n = 20000L
+    val base = spark.range(n).select(col("id").as("v"),
+      (col("id") * 7L % 100L).as("w"))
+    graft.sources.Sink.sorted(base.repartition(4), sdir, "v")
+    assert(new java.io.File(s"$sdir/_clusterspec").exists())
+    def dataFiles() = new java.io.File(sdir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    def eachFileSorted(): Boolean = dataFiles().forall { f =>
+      val vs = spark.read.parquet(f.getPath).select("v").as[Long]
+        .collect().toSeq
+      vs == vs.sorted
+    }
+    assert(eachFileSorted())
+    // Unsorted append decays the property...
+    spark.range(n).select((col("id") * 48271L % n).as("v"),
+      lit(0L).as("w")).coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sdir)
+    assert(!eachFileSorted(), "the appended file must be unsorted for " +
+      "this test to mean anything")
+    // ...and compact restores it (kind=sort → per-file re-sort, no
+    // range shuffle — Sink.sorted's own cost model).
+    val bytes = dataFiles().map(_.length).sum
+    val st = graft.sources.Sink.compact(spark, sdir,
+      targetBytesPerFile = math.max(1L, bytes / 4))
+    assert(st.leavesRewritten == 1, s"$st")
+    assert(spark.read.parquet(sdir).count() == 2 * n)
+    assert(eachFileSorted(),
+      "compact must re-sort the rewrite on the kind=sort spec")
+    assert(new java.io.File(s"$sdir/_clusterspec").exists())
+    // recluster = the RANGE upgrade: files get disjoint ranges, so a
+    // point predicate now skips most of the layout at file level.
+    graft.sources.Sink.recluster(spark, sdir, files = 8)
+    assert(spark.read.parquet(sdir).count() == 2 * n)
+    assert(eachFileSorted())
+    val q = spark.read.parquet(sdir).where(col("v") === 123L)
+    q.collect()
+    val scanned = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head.metrics("numOutputRows").value
+    assert(scanned <= 2 * n / 3,
+      s"range-reclustered layout must skip most files: $scanned of ${2 * n}")
+  }
+
+  test("zorderedPartitioned: directory pruning on the partition column, " +
+      "z skipping inside every partition, and compact restores the curve " +
+      "per leaf from the ROOT _clusterspec") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zp").toString + "/t"
+    // Two hive partitions, each holding the full 128×128 grid.
+    val grid = spark.range(2L * 128L * 128L)
+      .select((col("id") % 2).cast("long").as("p"),
+        ((col("id") / 2) / 128).cast("long").as("x"),
+        ((col("id") / 2) % 128).cast("long").as("y"))
+    graft.sources.Sink.zorderedPartitioned(grid, dir, Seq("p"),
+      Seq("x", "y"), bits = 7, files = 32)
+    assert(new java.io.File(s"$dir/_clusterspec").exists(),
+      "the curve must persist at the ROOT for partitioned layouts")
+    val leafRows = 128L * 128L
+    def scanned(extra: org.apache.spark.sql.Column): Long = {
+      val d = spark.read.parquet(dir).where(col("p") === 0L && extra)
+      d.collect()
+      val scan = d.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      assert(scan.toString.contains("PartitionFilters"),
+        "the p predicate must prune at directory level")
+      scan.metrics("numOutputRows").value
+    }
+    assert(scanned(col("x") === 7L) <= leafRows / 2 &&
+      scanned(col("y") === 7L) <= leafRows / 2,
+      "z skipping must hold inside the partition")
+    // Unclustered rows land in one leaf; the per-leaf compact rewrite
+    // must find the ROOT spec and re-sort along the same curve.
+    spark.range(leafRows).select((col("id") / 128).cast("long").as("x"),
+        (col("id") % 128).cast("long").as("y"))
+      .repartition(8)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$dir/p=0")
+    val leafBytes = new java.io.File(s"$dir/p=0").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_")).map(_.length).sum
+    // Target sized so the decayed leaf's file count exceeds `want` and
+    // the rewrite actually fires (only leaves that NEED rewriting are
+    // touched — the compact contract).
+    val st = graft.sources.Sink.compact(spark, dir,
+      targetBytesPerFile = math.max(1L, leafBytes / 16))
+    assert(st.leavesRewritten >= 1, s"$st")
+    val leafTotal = 2L * leafRows
+    assert(spark.read.parquet(dir).where(col("p") === 0L).count()
+      == leafTotal)
+    assert(scanned(col("x") === 7L) <= leafTotal / 2 &&
+      scanned(col("y") === 7L) <= leafTotal / 2,
+      s"compact must preserve the curve per leaf: " +
+        s"x=${scanned(col("x") === 7L)} y=${scanned(col("y") === 7L)} " +
+        s"of $leafTotal")
+  }
+
   test("compactBucketedRecover: every external swap crash state rolls " +
       "forward or back without losing a row; the managed half-rename " +
       "finishes") {
@@ -968,6 +1219,121 @@ class SourcesSpec extends SparkSpecBase {
         "table over partially deleted data")
     assert(!new java.io.File(loc + "__graft_cmp").exists())
     spark.sql("drop table if exists bkts_t")
+  }
+
+  test("readOwn: a corrupt part planted in a landed IVF generation is " +
+      "counted, not fatal — partition columns and rows survive; " +
+      "all-corrupt refuses loudly; conf-off restores fail-loud") {
+    import graft.operators.Similarity
+    val emb = spark.table("embeddings")
+    val corpus = emb.where(col("vec_id") >= 10)
+    val dir = java.nio.file.Files.createTempDirectory("rown").toString
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding"), dir)
+    val before = Similarity.loadIvfIndex(spark, dir).assigned
+      .select("cid").collect().map(_.getLong(0)).sorted.toSeq
+    // Plant a garbage .parquet inside one list partition — the store
+    // corrupting a part after commit. A plain read of the generation
+    // dies on it; the layout-aware load counts it out and returns the
+    // exact surviving rows with the `list` partition column intact.
+    val leaf = new java.io.File(s"$dir/lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list=")).head
+    java.nio.file.Files.write(
+      new java.io.File(leaf, "part-corrupt.parquet").toPath,
+      Array.fill[Byte](64)(0x5A))
+    intercept[Exception] {
+      spark.read.parquet(s"$dir/lists").count()
+    }
+    val idx = Similarity.loadIvfIndex(spark, dir)
+    assert(idx.assigned.columns.contains("list"),
+      "the hive partition column must survive the explicit-file load")
+    assert(idx.assigned.select("cid").collect().map(_.getLong(0))
+      .sorted.toSeq == before,
+      "the corrupt plant must cost zero good rows and no task failure")
+    // Conf off: the probe is skipped and the plant is fatal again.
+    spark.conf.set(graft.sources.Sink.QuarantineOwnKey, "false")
+    try intercept[Exception] {
+      Similarity.loadIvfIndex(spark, dir).assigned.count()
+    } finally spark.conf.unset(graft.sources.Sink.QuarantineOwnKey)
+    // All-corrupt: an artifact with zero readable parts must never
+    // masquerade as empty.
+    val dead = java.nio.file.Files.createTempDirectory("rownd")
+      .toString + "/gen"
+    new java.io.File(dead).mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dead, "part-0.parquet").toPath,
+      Array.fill[Byte](32)(0x00))
+    intercept[IllegalArgumentException] {
+      graft.sources.Sink.readOwn(spark, Seq(dead)).count()
+    }
+  }
+
+  test("fixture dir conf: the i-series synthesizers honor " +
+      "spark.graft.fixture.dir (shared clusters may forbid /tmp writes)") {
+    // A not-yet-existing NESTED base: mkdirs creates the parents exactly
+    // when the conf is honored, so the parents' existence afterwards is
+    // positive proof the fixture really landed under the conf'd dir.
+    val base = java.nio.file.Files.createTempDirectory("fxbase")
+      .toString + "/nested/fx"
+    spark.conf.set("spark.graft.fixture.dir", base)
+    try {
+      val rows = graft.SparkEntry.queries("i1_quarantine_counts")(
+        spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(("csv", 3L, 2L), ("jsonl", 2L, 2L),
+        ("text", 2L, 1L)),
+        "i1 must be unchanged under a non-default fixture dir")
+      assert(new java.io.File(base).isDirectory,
+        "the conf'd base must have been used (parents created by mkdirs)")
+      // ... and the synthesizer cleaned its unique subdir back out.
+      val leftovers = Option(new java.io.File(base).listFiles())
+        .getOrElse(Array()).map(_.getName).filter(_.startsWith("graft_"))
+      assert(leftovers.isEmpty, s"fixture leftovers: ${leftovers.toSeq}")
+    } finally spark.conf.unset("spark.graft.fixture.dir")
+  }
+
+  test("export layout on the copy-rename FS: compactPacks lands the " +
+      "manifest commit and an external readCompacted racing the swap " +
+      "sees exact rows") {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.nacopy.impl",
+      classOf[graft.tools.CopyRenameFileSystem].getName)
+    spark.conf.set(graft.sources.Sink.NonAtomicSchemesKey, "nacopy")
+    try {
+      val local = java.nio.file.Files.createTempDirectory("cpnac").toString
+      val out = s"nacopy://$local/out"
+      (0 until 2).foreach { b =>
+        val df = (1 to 40).map(i => (b * 1000L + i, i.toLong % 2,
+          s"body $b $i")).toDF("pack_id", "shard", "body").repartition(5)
+        graft.sources.Sink.idempotentBatchSharded(df, out, b.toLong,
+          keyCol = "shard", sortCol = "pack_id")
+      }
+      def ids() = graft.sources.Sink.readCompacted(spark, out)
+        .select("pack_id").as[Long].collect().toSeq.sorted
+      val before = ids()
+      assert(before.size == 80)
+      val handle = new graft.streaming.PackStream.Handle(out,
+        graft.streaming.PackStream.Model(Nil, Map.empty, 1L, 16))
+      var seenDuringSwap: Seq[Long] = null
+      val st = graft.streaming.PackStream.compactPacks(spark, handle, out,
+        upTo = 1L, targetBytesPerFile = 1L << 30,
+        afterCopy = _ => if (seenDuringSwap == null) seenDuringSwap = ids())
+      assert(st.leavesRewritten > 0)
+      assert(seenDuringSwap == before,
+        "an external reader inside the swap window must see the exact " +
+          "old snapshot on a copy-rename store")
+      assert(ids() == before)
+      // The commit really was the one-file manifest, not a rename swap.
+      val leaves = Option(new java.io.File(s"$local/out/b0").listFiles())
+        .getOrElse(Array()).filter(_.isDirectory)
+      assert(leaves.nonEmpty && leaves.forall(l =>
+        l.listFiles().exists(_.getName.startsWith("_manifest."))),
+        "auto commit on a copy-rename scheme must take the manifest path")
+    } finally {
+      spark.conf.unset(graft.sources.Sink.NonAtomicSchemesKey)
+      hconf.unset("fs.nacopy.impl")
+    }
   }
 
   test("compactPacks: an aborted batch blocks the high-water mark so the " +

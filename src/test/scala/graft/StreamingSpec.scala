@@ -1065,6 +1065,83 @@ class StreamingSpec extends SparkSpecBase {
       "streamed packs must equal the batch packing of the arrival sequence")
   }
 
+  test("pack stream: unigram tokenizer family — bootstrap persists the " +
+      "model, a restart reloads it bit-identically, streamed packs equal " +
+      "batch packing under the unigram encode, and a mismatched family " +
+      "resume fails loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.Packing
+    import graft.streaming.PackStream
+
+    val corpus = spark.table("documents")
+    val dir = java.nio.file.Files.createTempDirectory("packuni").toString
+    val out = java.nio.file.Files.createTempDirectory("packuniout").toString
+    val h = PackStream.resume(spark, dir, corpus, "doc_id", "text",
+      nShards = 4L, window = 256, tokenizer = "unigram")
+    assert(h.model.tokenizer == "unigram" && h.model.merges.isEmpty &&
+      h.model.unigram.nonEmpty,
+      "unigram bootstrap must train and carry the unigram model")
+
+    val arrivals = corpus.where(col("doc_id") < 60)
+      .select(col("doc_id").cast("long"), col("text"))
+      .orderBy("doc_id").as[NdDoc].collect()
+    val (b1, b2) = arrivals.splitAt(30)
+    val in1 = MemoryStream[NdDoc]
+    val q1 = PackStream.run(in1.toDF(), h, "doc_id", "text", out)
+    in1.addData(b1: _*); q1.processAllAvailable()
+    q1.stop()
+
+    // Restart WITHOUT naming the family: the committed params carry it,
+    // and the persisted model reloads value-identical (the t23b
+    // persistence contract — equal models ⇒ identical Viterbi streams).
+    val h2 = PackStream.resume(spark, dir, corpus.limit(0), "doc_id",
+      "text")
+    assert(h2.model == h.model,
+      "restart must reload the identical frozen unigram model")
+    val in2 = MemoryStream[NdDoc]
+    val q2 = PackStream.run(in2.toDF(), h2, "doc_id", "text", out)
+    in2.addData(b2: _*); q2.processAllAvailable()
+    q2.stop()
+
+    // Parity: batch packing over the same arrival sequence under the
+    // SAME family encode (Model.encodeText — the one splice point).
+    val vmap = typedlit(h.model.vocab)
+    val allIds = corpus.where(col("doc_id") < 60)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        pmod(col("doc_id").cast("long"), lit(4L)).as("shard"),
+        transform(h.model.encodeText(col("text")),
+          t => coalesce(element_at(vmap, t), lit(-1L))).as("tids"))
+    val expected = Packing.packWindows(allIds, 256)
+      .where(col("n_tokens") === 256)
+      .select(col("shard"), col("pack_id"),
+        concat_ws(",", transform(col("tids"), t => t.cast("string")))
+          .as("token_ids"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val got = Seq("b0", "b1")
+      .map(b => spark.read.parquet(s"$out/$b")
+        .select("shard", "pack_id", "token_ids"))
+      .reduce(_ unionByName _)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == expected && got.nonEmpty,
+      "streamed unigram packs must equal the batch packing")
+    // No token ever fell back to the unknown id: the trainer seeds every
+    // corpus code point, so the frozen vocab covers the whole corpus.
+    assert(!got.exists(_._3.split(',').contains("-1")),
+      "unigram encode must never emit an out-of-vocab token id on its " +
+        "training corpus")
+
+    // The family is frozen: an explicit mismatched resume fails loudly.
+    val e = intercept[IllegalArgumentException] {
+      PackStream.resume(spark, dir, corpus.limit(0), "doc_id", "text",
+        tokenizer = "bpe")
+    }
+    assert(e.getMessage.contains("frozen"))
+  }
+
   test("pack stream: a replayed batch recomputes identical packs and the " +
       "idempotent sink stays exactly-once") {
     import spark.implicits._
