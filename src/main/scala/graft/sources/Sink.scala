@@ -124,7 +124,7 @@ object Sink {
       if (files > 0) files else spark.sessionState.conf.numShufflePartitions
     val keys = partCols.map(col) :+ col("__graft_z")
     df.withColumn("__graft_z", graft.functions.GraftFunctions.zValue(
-        array(zCols.map(c => col(c).cast("double")): _*), bounds, bits))
+        array(zCols.map(c => znorm(df, c)): _*), bounds, bits))
       .repartitionByRange(nFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
       .drop("__graft_z")
@@ -135,15 +135,37 @@ object Sink {
     writeClusterSpec(fs, root, ClusterSpecFile(zCols, bits, bounds, "z"))
   }
 
+  /** A clustering column normalized to DOUBLE for the curve: numerics
+    * cast; dates become epoch DAYS and timestamps epoch MICROS (their
+    * parquet physical order, so file min/max statistics prune the
+    * ORIGINAL column's predicates — clustering on a derived value that
+    * ordered differently would sort the layout by something the pushed
+    * filters can't use). Anything else refuses loudly. */
+  private def znorm(df: DataFrame, c: String)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, unix_date, unix_micros}
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case DateType => unix_date(col(c)).cast("double")
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case _: TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp")).cast("double")
+      case _: NumericType => col(c).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"z-order column '$c' has unsupported type ${other.simpleString} " +
+          "— numeric, date and timestamp columns cluster; cast anything " +
+          "else to one of those upstream")
+    }
+  }
+
   /** Equi-depth quantile boundaries for the z-curve, one pass over all
     * clustering columns (driver-held, model-sized: ≤ 2^bits doubles per
     * dimension). */
   private def zBounds(df: DataFrame, cols: Seq[String],
       bits: Int): Seq[Seq[Double]] = {
-    import org.apache.spark.sql.functions.col
     val buckets = 1 << bits
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val casted = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val casted = df.select(cols.map(c => znorm(df, c).as(c)): _*)
     casted.stat.approxQuantile(cols.toArray, probs, 0.001)
       .map(_.toSeq.distinct).toSeq
   }
@@ -154,7 +176,7 @@ object Sink {
       bounds: Seq[Seq[Double]], bits: Int, nFiles: Int): DataFrame = {
     import org.apache.spark.sql.functions.{array, col}
     df.withColumn("__graft_z", graft.functions.GraftFunctions.zValue(
-        array(cols.map(c => col(c).cast("double")): _*), bounds, bits))
+        array(cols.map(c => znorm(df, c)): _*), bounds, bits))
       .repartitionByRange(nFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")
@@ -227,6 +249,97 @@ object Sink {
         case _ => None
       }
     } catch { case _: java.io.IOException | _: NumberFormatException => None }
+  }
+
+  /** Curve-decay signal for a `_clusterspec` layout — the rebuild-bar
+    * pattern the serving indexes have (list imbalance → rebuild), applied
+    * to the layout family: WHEN should an operator [[recluster]]? Reads
+    * only NAMES + FOOTERS (one distributed metadata pass, the i2 probe's
+    * cost shape): each parquet file's min/max statistics on the clustered
+    * columns give the box it covers; the signal is
+    *
+    *   decay = mean(normalized box volume) × fileCount
+    *
+    * A tight curve scores ≈ 1 (n files each covering ~1/n of the space);
+    * fully unclustered appends each cover the whole space, so k such
+    * files push the score toward 1 + k. Rule of thumb: recluster past
+    * ~4. Degenerate dimensions (global min == max) are ignored; row-group
+    * stats missing for a clustered column count the file as full-volume
+    * (the honest worst case). Parquet layouts only. */
+  def clusterDecay(spark: org.apache.spark.sql.SparkSession,
+      path: String): Double = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val spec = readClusterSpec(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"no _clusterspec at $path — clusterDecay measures Sink.zordered/" +
+          "Sink.sorted layouts"))
+    val (resolved, mixed) = resolveTree(fs, root)
+    val names = (resolved.flatMap(_._2.files) ++ mixed)
+      .map(_.getPath.toString)
+    if (names.isEmpty) return 1.0
+    val conf = new Ingest.SerConf(spark.sparkContext.hadoopConfiguration)
+    val specCols = spec.cols
+    // (file, per-dim min, per-dim max); NaN marks a missing stat.
+    val boxes = spark.createDataset(names)
+      .repartition(math.max(1, math.min(names.size,
+        spark.sessionState.conf.numShufflePartitions)))
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf.value)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = r.getFooter.getBlocks.asScala.toSeq
+          val mins = Array.fill(specCols.size)(Double.NaN)
+          val maxs = Array.fill(specCols.size)(Double.NaN)
+          for (b <- blocks; c <- b.getColumns.asScala) {
+            val i = specCols.indexOf(c.getPath.toDotString)
+            if (i >= 0) {
+              val st = c.getStatistics
+              if (st != null && !st.isEmpty && st.hasNonNullValue) {
+                val (lo, hi) = st.genericGetMin match {
+                  case v: java.lang.Integer =>
+                    (v.toDouble, st.genericGetMax
+                      .asInstanceOf[java.lang.Integer].toDouble)
+                  case v: java.lang.Long =>
+                    (v.toDouble, st.genericGetMax
+                      .asInstanceOf[java.lang.Long].toDouble)
+                  case v: java.lang.Float =>
+                    (v.toDouble, st.genericGetMax
+                      .asInstanceOf[java.lang.Float].toDouble)
+                  case v: java.lang.Double =>
+                    (v.doubleValue, st.genericGetMax
+                      .asInstanceOf[java.lang.Double].doubleValue)
+                  case _ => (Double.NaN, Double.NaN)
+                }
+                if (!lo.isNaN) {
+                  mins(i) = if (mins(i).isNaN) lo else math.min(mins(i), lo)
+                  maxs(i) = if (maxs(i).isNaN) hi else math.max(maxs(i), hi)
+                }
+              }
+            }
+          }
+          (mins.toSeq, maxs.toSeq)
+        } finally r.close()
+      }
+      .collect() // file-count rows of 2×dims doubles — name-sized
+    val dims = specCols.indices
+    val gmin = dims.map(i => boxes.map(_._1(i)).filterNot(_.isNaN)
+      .foldLeft(Double.NaN)((a, b) => if (a.isNaN) b else math.min(a, b)))
+    val gmax = dims.map(i => boxes.map(_._2(i)).filterNot(_.isNaN)
+      .foldLeft(Double.NaN)((a, b) => if (a.isNaN) b else math.max(a, b)))
+    val volumes = boxes.map { case (mins, maxs) =>
+      dims.foldLeft(1.0) { (v, i) =>
+        val width = gmax(i) - gmin(i)
+        if (gmin(i).isNaN || width <= 0) v // degenerate dim: ignore
+        else if (mins(i).isNaN) v * 1.0 // stat missing: full width
+        else v * math.min(1.0, math.max(0.0,
+          (maxs(i) - mins(i)) / width))
+      }
+    }
+    volumes.sum // mean(volume) × fileCount == sum of volumes
   }
 
   /** Re-run a clustered layout's curve over its CURRENT content — the

@@ -950,6 +950,51 @@ class SourcesSpec extends SparkSpecBase {
     assert(spark.read.parquet(zdir).count() == total)
   }
 
+  test("zordered on a DATE column: epoch-day normalization keeps the " +
+      "curve aligned with parquet's physical order, so date predicates " +
+      "prune; clusterDecay reads ~1 fresh, grows with unclustered " +
+      "appends, and recovers after recluster") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zd").toString + "/z"
+    // 128 days × 128 values.
+    val grid = spark.range(128L * 128L)
+      .select(date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          (col("id") / 128).cast("int")).as("d"),
+        (col("id") % 128).cast("long").as("v"))
+    graft.sources.Sink.zordered(grid, dir, Seq("d", "v"),
+      bits = 7, files = 32)
+    val total = 128L * 128L
+    def scanned(pred: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(dir).where(pred)
+      q.collect()
+      q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numOutputRows").value
+    }
+    assert(scanned(col("d") === "2024-03-11") <= total / 2 &&
+      scanned(col("v") === 77L) <= total / 2,
+      "both the date and the numeric dimension must prune")
+    // Unsupported type refuses loudly.
+    intercept[IllegalArgumentException] {
+      graft.sources.Sink.zordered(
+        grid.select(col("d").cast("string").as("s"), col("v")),
+        dir + "_bad", Seq("s", "v"))
+    }
+    // Decay signal: ≈1-2 on the fresh curve, up past the recluster bar
+    // once full-range appends land, back down after recluster.
+    val fresh = graft.sources.Sink.clusterDecay(spark, dir)
+    assert(fresh < 3.0, s"fresh curve must read tight, got $fresh")
+    grid.repartition(6).write
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    val decayed = graft.sources.Sink.clusterDecay(spark, dir)
+    assert(decayed > fresh + 3.0,
+      s"six full-range appends must move the signal: $fresh -> $decayed")
+    graft.sources.Sink.recluster(spark, dir, files = 32)
+    val after = graft.sources.Sink.clusterDecay(spark, dir)
+    assert(after < 3.0, s"recluster must restore the curve, got $after")
+    assert(spark.read.parquet(dir).count() == 2 * total)
+  }
+
   test("sorted-layout lifecycle: compact restores within-file ordering " +
       "from the persisted kind=sort spec; recluster range-upgrades the " +
       "layout to disjoint per-file ranges") {
