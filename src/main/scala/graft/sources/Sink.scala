@@ -1117,9 +1117,32 @@ object Sink {
         futures.asScala.foreach(_.get()) // surface the first failure
       } finally pool.shutdown()
     }
+    // Curve-health signal at the maintenance point (the compactIvfIndex
+    // imbalance-log pattern): per-leaf rewrites restore the curve only
+    // for leaves that NEEDED compacting — decay that survives this pass
+    // (appends spread thin across many leaves, boundary drift) is
+    // exactly what [[recluster]] exists for, and this is where an
+    // operator hears about it. kind=z only: [[sorted]] promises
+    // within-file order, not tight boxes.
+    if (format == "parquet" &&
+        readClusterSpec(fs, root).exists(_.kind == "z")) {
+      val bar = spark.conf.get(ReclusterBarKey, "4.0").toDouble
+      val decay = clusterDecay(spark, path)
+      if (decay > bar) log.warn(
+        f"Sink.compact: cluster decay $decay%.1f exceeds $bar%.1f at " +
+          s"$path — the z-curve has decayed beyond what per-leaf " +
+          "rewrites restore; run Sink.recluster")
+      else log.info(f"Sink.compact: cluster decay $decay%.1f " +
+        f"(recluster bar $bar%.1f) at $path")
+    }
     CompactStats(seen.get, rewritten.get, before.get, after.get,
       abortedN.get)
   }
+
+  /** Conf key for the [[clusterDecay]] warning bar [[compact]] logs
+    * against on z layouts (default 4.0 ≈ three full-range unclustered
+    * appends' worth of decay). */
+  val ReclusterBarKey = "spark.graft.recluster.bar"
 
   /** Finish or roll back [[compact]] swaps a crash interrupted, in BOTH
     * commit modes. Rename-mode states: a complete copy

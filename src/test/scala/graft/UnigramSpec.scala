@@ -104,4 +104,44 @@ class UnigramSpec extends SparkSpecBase {
     assert(checked.forall(_.getBoolean(0)), "encode must round-trip")
     assert(checked.forall(_.getInt(1) == 0), "every emission must be in vocab")
   }
+
+  test("supplementary-plane discipline: an astral corpus trains " +
+      "isomorphically to its BMP twin (code-point seed scores — ADVICE " +
+      "r15), coverage and Viterbi round-trip hold, save/load preserves " +
+      "astral keys") {
+    import spark.implicits._
+    // 𝕒 (U+1D552) and 𝕓 (U+1D553): 2 UTF-16 units each. The corpus is
+    // the exact structural twin of the ascii one; every count equal.
+    val A = new String(Character.toChars(0x1D552))
+    val B = new String(Character.toChars(0x1D553))
+    def corpus(a: String, b: String) = Seq(
+      (a + b + a + b, 7L), (a + b, 5L), (b + a, 3L), (a + a + b, 2L))
+    val histB = corpus("a", "b").toDF("word", "cnt")
+    val histA = corpus(A, B).toDF("word", "cnt")
+    val mB = Unigram.train(histB, vocabSize = 8, seedSize = 32,
+      maxPieceLen = 3, emRounds = 2)
+    val mA = Unigram.train(histA, vocabSize = 8, seedSize = 32,
+      maxPieceLen = 3, emRounds = 2)
+    def canon(s: String) = s.replace(A, "a").replace(B, "b")
+    // Isomorphic models: identical piece sets and usage under the
+    // letter mapping. Pre-fix, UTF-16 seed lengths inflated every astral
+    // multi-piece's initial probability 2× and the EM paths diverged.
+    assert(mA.pieces.keySet.map(canon) == mB.pieces.keySet,
+      s"piece sets must map 1:1, got ${mA.pieces.keySet.map(canon)} vs " +
+        s"${mB.pieces.keySet}")
+    assert(mA.usage.map { case (p, u) => (canon(p), u) }.toMap ==
+      mB.usage.toMap, "usage must be identical under the mapping")
+    // Coverage + round trip through the Viterbi kernel on astral input.
+    assert(mA.pieces.contains(A) && mA.pieces.contains(B))
+    val w = A + B + A + A
+    assert(segs(w, org.apache.spark.sql.graft.UnigramKernels
+      .toJavaMap(mA.pieces), 3).mkString("") == w,
+      "astral segmentation must reconstruct the word")
+    // Persistence: astral piece keys survive the parquet round trip.
+    val dir = java.nio.file.Files.createTempDirectory("uniast").toString
+    Unigram.save(spark, mA, dir)
+    val loaded = Unigram.load(spark, dir)
+    assert(loaded.pieces == mA.pieces && loaded.usage == mA.usage &&
+      loaded.maxPieceLen == mA.maxPieceLen)
+  }
 }
