@@ -2631,6 +2631,42 @@ object Pipeline {
       fs.delete(fx, true)
       rows.toDF("probe", "rows").orderBy("probe")
     },
+    // Partitioned z-order round trip ON the oracle record (round 16 —
+    // i3's pattern for the combined layout): a deterministic grid per
+    // hive partition writes through Sink.zorderedPartitioned (global
+    // quantile boundaries → Morton keys → one range shuffle on
+    // (partition, z) → directory split), reads back plain, and the
+    // counts pin content-invariance: every row exactly once, partition
+    // predicates exact, point predicates on either clustered dimension
+    // exact inside a partition. The pruning/skipping properties (scan
+    // metrics) live in SourcesSpec.
+    df("i4_zorder_partitioned_counts",
+      Some("select * from (values " +
+        "('p0_total', cast(1024 as bigint)), " +
+        "('p0_x_eq_5', cast(32 as bigint)), " +
+        "('p1_y_eq_5', cast(32 as bigint)), " +
+        "('total', cast(2048 as bigint))) " +
+        "as t(probe, rows) order by probe")) { (s, dir) =>
+      val (fs, fx) = quarantineFixtureDir(s, "i4")
+      val grid = s.range(2L * 32L * 32L)
+        .select((col("id") % 2).cast("long").as("p"),
+          ((col("id") / 2) / 32).cast("long").as("x"),
+          ((col("id") / 2) % 32).cast("long").as("y"))
+      val zdir = s"$fx/zp"
+      graft.sources.Sink.zorderedPartitioned(grid, zdir, Seq("p"),
+        Seq("x", "y"), bits = 5, files = 8)
+      val back = s.read.parquet(zdir)
+      import s.implicits._
+      val rows = Seq(
+        ("total", back.count()),
+        ("p0_total", back.where(col("p") === 0L).count()),
+        ("p0_x_eq_5", back.where(col("p") === 0L && col("x") === 5L)
+          .count()),
+        ("p1_y_eq_5", back.where(col("p") === 1L && col("y") === 5L)
+          .count()))
+      fs.delete(fx, true)
+      rows.toDF("probe", "rows").orderBy("probe")
+    },
     // Curriculum ordering (round 14): assign every document its global
     // training position under a simple-to-complex metric (distinct token
     // count, an exact integer — float-free ordering across engines) —

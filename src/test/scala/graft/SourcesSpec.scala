@@ -1043,6 +1043,44 @@ class SourcesSpec extends SparkSpecBase {
       s"range-reclustered layout must skip most files: $scanned of ${2 * n}")
   }
 
+  test("z-order lifecycle under the MANIFEST commit: the rewrite " +
+      "re-sorts on the spec, the spec survives (the leaf dir is never " +
+      "deleted in this mode), and both read paths stay exact") {
+    import spark.implicits._
+    val zdir = java.nio.file.Files.createTempDirectory("zmf").toString + "/z"
+    val grid = spark.range(128L * 128L)
+      .select((col("id") / 128).cast("long").as("x"),
+        (col("id") % 128).cast("long").as("y"))
+    graft.sources.Sink.zordered(grid, zdir, Seq("x", "y"),
+      bits = 7, files = 16)
+    grid.repartition(4).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(zdir)
+    val total = 2L * 128L * 128L
+    val bytes = new java.io.File(zdir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_")).map(_.length).sum
+    val st = graft.sources.Sink.compact(spark, zdir,
+      targetBytesPerFile = math.max(1L, bytes / 16), commit = "manifest")
+    assert(st.leavesRewritten == 1, s"$st")
+    assert(new java.io.File(s"$zdir/_manifest.1").exists() &&
+      new java.io.File(s"$zdir/_clusterspec").exists(),
+      "manifest commit + surviving cluster spec")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select((col("x") * 128 + col("y")).as("c")).as[Long]
+        .collect().toSeq.sorted
+    assert(ids(graft.sources.Sink.readCompacted(spark, zdir)) ==
+      ids(spark.read.parquet(zdir)))
+    assert(spark.read.parquet(zdir).count() == total)
+    val q = spark.read.parquet(zdir).where(col("x") === 13L)
+    q.collect()
+    val scanned = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head.metrics("numOutputRows").value
+    assert(scanned <= total / 2,
+      s"the manifest-mode rewrite must still restore the curve: " +
+        s"$scanned of $total")
+  }
+
   test("zorderedPartitioned: directory pruning on the partition column, " +
       "z skipping inside every partition, and compact restores the curve " +
       "per leaf from the ROOT _clusterspec") {
