@@ -812,7 +812,20 @@ object Sink {
     * recursive semantics. A single pure-k=v directory input keeps its
     * hive partition columns (basePath — the IVF `lists/list=N` shape);
     * multi-root and non-k=v layouts load bare, as their readers always
-    * have (those layouts carry every column as data by construction). */
+    * have (those layouts carry every column as data by construction).
+    *
+    * POLICY LINE — which engine artifacts read through here and which
+    * stay plain fail-loud reads, on purpose:
+    *   - AVAILABILITY-first (this reader): serving-index generations
+    *     (IVF lists / PQ codes and their tombstones) and landed pack
+    *     shards — losing one part degrades recall/coverage measurably
+    *     and counted, which beats a dead query path.
+    *   - INTEGRITY-first (plain reads, loud failure): dedup-GATE index
+    *     layers (fp/nd/winnow/substring), takedown negative layers and
+    *     tombstone WALs, model/params/quantizer control files. A
+    *     silently missing fingerprint admits duplicates downstream and a
+    *     silently missing tombstone UN-ERASES withdrawn content — for
+    *     those, a loud failure is the correct behavior, not a gap. */
   def readOwn(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String], format: String = "parquet"): DataFrame = {
     require(paths.nonEmpty, "readOwn needs at least one path")
