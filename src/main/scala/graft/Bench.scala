@@ -46,6 +46,16 @@ object Bench {
     // round 8 with little headroom. Same failure family as round 7's
     // undiagnosable tail: the one parseable line must own the tail.
     Harness.quietNoisyLoggers()
+    // Task-level error traces route to a FILE and a counter (round 17):
+    // the round-16 record opened mid-stack-trace from an expected-poison
+    // executor error (the i-series plant corrupt files by design) and the
+    // official record couldn't adjudicate it. The JSON now carries
+    // task_errors + the log path; the tail carries no raw frames.
+    val taskErrLog = sys.env.get("SPARK_GRAFT_OUT")
+      .map(d => java.nio.file.Paths.get(d, "bench-task-errors.log"))
+      .getOrElse(java.nio.file.Paths.get("target", "bench-task-errors.log"))
+      .toString
+    val taskErrs = Harness.routeTaskErrorLogs(taskErrLog)
 
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
@@ -238,7 +248,9 @@ object Bench {
         s""""seg_cal_min":${fmt(scMin)},"seg_cal_max":${fmt(scMax)},""" +
         s""""skipped":$skipped,"rerun_n":$rerunN,""" +
         s""""load_avg":${fmt(math.max(0.0, ambientLoad))},""" +
-        s""""n_jvms":$ambientJvms,"loaded":$stillLoaded,"sf":"$sfDir"}"""
+        s""""n_jvms":$ambientJvms,"loaded":$stillLoaded,""" +
+        s""""task_errors":${taskErrs.get},""" +
+        s""""task_error_log":"$taskErrLog","sf":"$sfDir"}"""
     }
     // Full per-query detail goes to the file; the PRINTED line carries only
     // the headline subset. Rounds 1-2 both ended with rc=0 but parsed=null:
@@ -281,6 +293,10 @@ object Bench {
     spark.stop()
     // Print last, after spark.stop(), so no executor/log line can interleave;
     // flush so the line is complete even if the JVM is torn down abruptly.
+    if (taskErrs.get > 0)
+      println(s"[bench] ${taskErrs.get} task-level error/warn events " +
+        s"routed to $taskErrLog (expected-poison probes log here by " +
+        "design; a query that actually failed reads -1 in the map)")
     println(headlineJson)
     System.out.flush()
   }

@@ -49,6 +49,56 @@ object Harness {
     }
   }
 
+  /** Route executor/task-scheduler error traces OFF the console and into
+    * `path`, counted — the round-16 official bench record opened
+    * mid-stack-trace: an expected-poison task error (the i-series plant
+    * corrupt files by design) printed six frames into the driver's ~2 KB
+    * log tail, and the record could not say whether it was benign. Same
+    * failure family as the WARN spam [[quietNoisyLoggers]] routes: the
+    * one parseable line must own the tail, and anything that DID happen
+    * must be adjudicated on the record (the JSON carries the count and
+    * the file path) rather than interleaved raw. Returns the live event
+    * counter. */
+  def routeTaskErrorLogs(path: String)
+      : java.util.concurrent.atomic.AtomicInteger = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Configurator
+    import org.apache.logging.log4j.core.layout.PatternLayout
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val layout = PatternLayout.newBuilder().withConfiguration(cfg)
+      .withPattern("%d{HH:mm:ss} %-5p %c{1}: %m%n%ex").build()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path).toAbsolutePath.getParent)
+    val out = new java.io.PrintWriter(new java.io.FileWriter(path, true))
+    val sink = new AbstractAppender("graft-task-errors", null, layout,
+        true, org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(event: LogEvent): Unit = {
+        counter.incrementAndGet()
+        out.synchronized {
+          out.print(new String(layout.toByteArray(event), "UTF-8"))
+          out.flush()
+        }
+      }
+    }
+    sink.start()
+    // The two loggers every task-level failure speaks through. Additivity
+    // OFF detaches them from the console appender; the sink keeps the
+    // full trace on disk.
+    for (name <- Seq("org.apache.spark.executor.Executor",
+        "org.apache.spark.scheduler.TaskSetManager")) {
+      Configurator.setLevel(name, Level.WARN) // materialize a config
+      val lc = cfg.getLoggerConfig(name)
+      lc.setAdditive(false)
+      lc.addAppender(sink, Level.WARN, null)
+    }
+    ctx.updateLoggers()
+    counter
+  }
+
   /** 1-min system load average (ambient stamp — take it BEFORE the session
     * spins up; our own executor threads dominate afterwards). */
   def loadAverage: Double =

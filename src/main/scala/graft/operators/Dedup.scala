@@ -564,6 +564,21 @@ object Dedup {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Layer-data load for this file's index artifacts (generation layers,
+    * WAL deltas, tombstones): layout-aware through
+    * [[graft.sources.Sink.readOwn]] — leaves resolve through any
+    * compaction manifests, so a generation a maintenance [[Sink.compact]]
+    * rewrote under the one-file commit reads atomically old-or-new on any
+    * store — with the footer quarantine FORCED OFF. Every artifact here
+    * is a dedup GATE layer: a silently excluded part admits duplicates
+    * downstream (fingerprints, prefixes, shingle sets) or UN-ERASES a
+    * takedown (tombstone ids), so corruption must fail the read loudly —
+    * the integrity side of readOwn's policy line. Params/control rows
+    * (driver-held single-row frames) stay plain fail-loud reads. */
+  private def readLayer(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    graft.sources.Sink.readOwn(spark, Seq(path), quarantine = false)
+
   /** Committed generations under `path`, newest first. A generation counts
     * only once its params write finished (parquet `_SUCCESS`) — partial
     * directories from crashed saves are invisible. */
@@ -618,8 +633,8 @@ object Dedup {
       val prefixes = reRegisterBucketed(spark, prefixTable(path, g),
         "id bigint, h bigint, r bigint, n bigint", "h",
         params.getAs[Int]("num_buckets"), s"$gdir/prefixes")
-      val docsets = persistSketch(spark.read.parquet(s"$gdir/docsets"))
-      val freq = persistSketch(spark.read.parquet(s"$gdir/freq"))
+      val docsets = persistSketch(readLayer(spark, s"$gdir/docsets"))
+      val freq = persistSketch(readLayer(spark, s"$gdir/freq"))
       val batchId =
         if (params.schema.fieldNames.contains("batch_id"))
           params.getAs[Long]("batch_id")
@@ -650,9 +665,9 @@ object Dedup {
              |using parquet clustered by (h) sorted by (h) into $nb buckets
              |location '$path/prefixes'""".stripMargin)
         spark.table(tbl)
-      } else persistSketch(spark.read.parquet(s"$path/prefixes"))
-    val docsets = persistSketch(spark.read.parquet(s"$path/docsets"))
-    val freq = persistSketch(spark.read.parquet(s"$path/freq"))
+      } else persistSketch(readLayer(spark, s"$path/prefixes"))
+    val docsets = persistSketch(readLayer(spark, s"$path/docsets"))
+    val freq = persistSketch(readLayer(spark, s"$path/freq"))
     NearDupIndex(docsets, prefixes, freq,
       params.getAs[Int]("shingle_n"), params.getAs[Double]("threshold"),
       layers = Seq(docsets, freq))
@@ -717,7 +732,7 @@ object Dedup {
     val idsPath = s"$path/delta/b$batchId/ids"
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idsPath/_SUCCESS"))) false
     else {
-      val recorded = spark.read.parquet(idsPath)
+      val recorded = readLayer(spark, idsPath)
       val withFp = textCol.isDefined &&
         recorded.schema.fieldNames.contains("fp")
       val rec = if (withFp) recorded.select("doc_id", "fp")
@@ -746,7 +761,7 @@ object Dedup {
     else {
       val n = batch.select(col(idCol)).count()
       cands.find { b =>
-        val recorded = spark.read.parquet(s"$path/delta/b$b/ids")
+        val recorded = readLayer(spark, s"$path/delta/b$b/ids")
         val withFp = textCol.isDefined &&
           recorded.schema.fieldNames.contains("fp")
         val rec = if (withFp) recorded.select("doc_id", "fp")
@@ -804,7 +819,7 @@ object Dedup {
         val (due, rest) = tombs.partition(_._2 < before)
         tombs = rest
         due.foldLeft(idx) { (acc, t) =>
-          val ids = persistSketch(spark.read.parquet(t._3))
+          val ids = persistSketch(readLayer(spark, t._3))
           ids.count()
           NearDupIndex(acc.docsets.join(ids, Seq("id"), "left_anti"),
             acc.prefixes.join(ids, Seq("id"), "left_anti"),
@@ -814,9 +829,9 @@ object Dedup {
       val folded = deltas.foldLeft(gen) { (acc, b) =>
         val withTombs = applyDue(acc, b)
         val sets = persistSketch(
-          spark.read.parquet(s"$path/delta/b$b/sets"))
+          readLayer(spark, s"$path/delta/b$b/sets"))
         val prefs = persistSketch(
-          spark.read.parquet(s"$path/delta/b$b/prefs"))
+          readLayer(spark, s"$path/delta/b$b/prefs"))
         // Materialize NOW: a later WAL append must never race a lazy read
         // of these files.
         sets.count(); prefs.count()
@@ -924,14 +939,14 @@ object Dedup {
     val fs = fsFor(spark, path)
     val delta = s"$path/delta/b$batchId/kept"
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$delta/_SUCCESS")))
-      Some(spark.read.parquet(delta))
+      Some(readLayer(spark, delta))
     else completeGens(spark, path).headOption.flatMap { g =>
       val params = spark.read.parquet(s"$path/g$g/params").head()
       val keptPath = s"$path/g$g/kept"
       if (params.schema.fieldNames.contains("batch_id") &&
           params.getAs[Long]("batch_id") == batchId &&
           fs.exists(new org.apache.hadoop.fs.Path(s"$keptPath/_SUCCESS")))
-        Some(spark.read.parquet(keptPath))
+        Some(readLayer(spark, keptPath))
       else None
     }
   }
@@ -2145,7 +2160,7 @@ object Dedup {
       val cents = spark.read.parquet(s"$gdir/centroids").orderBy("i")
         .select("v").collect().map(_.getSeq[Double](0)).toSeq
       (SemIndex(cents,
-        withSemIdentityCols(spark.read.parquet(s"$gdir/vecs")),
+        withSemIdentityCols(readLayer(spark, s"$gdir/vecs")),
         p.getAs[Double]("eps"), p.getAs[Int]("nprobe")),
         p.getAs[Long]("batch_id"))
     }
@@ -2166,7 +2181,7 @@ object Dedup {
         val (due, rest) = tombs.partition(_._2 < before)
         tombs = rest
         due.foldLeft(idx) { (acc, t) =>
-          val ids = persistSketch(spark.read.parquet(t._3))
+          val ids = persistSketch(readLayer(spark, t._3))
           ids.count()
           acc.copy(assigned = removeSemAssignedRows(acc.assigned, ids),
             layers = acc.layers :+ ids)
@@ -2175,7 +2190,7 @@ object Dedup {
       val idx = deltas.foldLeft(gen) { (acc, b) =>
         val withTombs = applyDue(acc, b)
         val vecs = persistSketch(withSemIdentityCols(
-          spark.read.parquet(s"$path/delta/b$b/vecs")))
+          readLayer(spark, s"$path/delta/b$b/vecs")))
         // Materialize NOW: a later WAL append must never race a lazy read.
         vecs.count()
         withTombs.copy(
@@ -2536,12 +2551,12 @@ object Dedup {
         val (due, rest) = tombs.partition(_._2 < before)
         tombs = rest
         due.foldLeft(idx) { (acc, t) =>
-          applySubstringNeg(acc, spark.read.parquet(t._3))
+          applySubstringNeg(acc, readLayer(spark, t._3))
         }
       }
       val folded = deltas.foldLeft(gen) { (acc0, b) =>
         val acc = applyDue(acc0, b)
-        val f = persistSketch(spark.read.parquet(s"$path/delta/b$b/freq"))
+        val f = persistSketch(readLayer(spark, s"$path/delta/b$b/freq"))
         f.count() // materialize before any later WAL append
         acc.copy(freq = acc.freq.union(f), layers = acc.layers :+ f)
       }
@@ -2915,7 +2930,7 @@ object Dedup {
         val (due, rest) = tombs.partition(_._2 < before)
         tombs = rest
         due.foldLeft(idx) { (acc, t) =>
-          val tfps = persistSketch(spark.read.parquet(t._3))
+          val tfps = persistSketch(readLayer(spark, t._3))
           tfps.count()
           FingerprintIndex(acc.fps.join(tfps, Seq("fp"), "left_anti"),
             acc.layers :+ tfps, acc.bloom)
@@ -2924,7 +2939,7 @@ object Dedup {
       val folded = deltas.foldLeft(gen) { (acc, b) =>
         val withTombs = applyDue(acc, b)
         val fps = persistSketch(
-          spark.read.parquet(s"$path/delta/b$b/fps"))
+          readLayer(spark, s"$path/delta/b$b/fps"))
         // Materialize NOW: a later WAL append must never race a lazy read.
         fps.count()
         FingerprintIndex(withTombs.fps.union(fps), withTombs.layers :+ fps)
@@ -3268,7 +3283,7 @@ object Dedup {
         if (hasBucketedFiles(spark, s"$gdir/freq"))
           reRegisterBucketed(spark, wnFreqTable(path, g),
             "fp bigint, f bigint", "fp", nb, s"$gdir/freq")
-        else persistSketch(spark.read.parquet(s"$gdir/freq"))
+        else persistSketch(readLayer(spark, s"$gdir/freq"))
       val batchId =
         if (p.schema.fieldNames.contains("batch_id"))
           p.getAs[Long]("batch_id")
@@ -3415,13 +3430,13 @@ object Dedup {
         val (due, rest) = tombs.partition(_._2 < before)
         tombs = rest
         due.foldLeft(idx) { (acc, t) =>
-          removeWinnowIds(acc, spark.read.parquet(t._3))
+          removeWinnowIds(acc, readLayer(spark, t._3))
         }
       }
       val folded = deltas.foldLeft(idx0) { (acc0, b) =>
         val acc = applyDue(acc0, b)
-        val fl = persistSketch(spark.read.parquet(s"$path/delta/b$b/fps"))
-        val fr = persistSketch(spark.read.parquet(s"$path/delta/b$b/freq"))
+        val fl = persistSketch(readLayer(spark, s"$path/delta/b$b/fps"))
+        val fr = persistSketch(readLayer(spark, s"$path/delta/b$b/freq"))
         fl.count(); fr.count() // materialize before any later WAL append
         acc.copy(fps = acc.fps.union(fl), freq = acc.freq.union(fr),
           freqLayered = true, layers = acc.layers ++ Seq(fl, fr))

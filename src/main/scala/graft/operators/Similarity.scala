@@ -755,12 +755,19 @@ object Similarity {
       dir: String): DataFrame =
     graft.sources.Sink.readOwn(spark, Seq(dir))
 
-  /** Anti-join `df` (keyed `cid`) against the given tombstone files. */
+  /** Anti-join `df` (keyed `cid`) against the given tombstone files.
+    * Tombstones load with the footer quarantine FORCED OFF (integrity
+    * side of [[graft.sources.Sink.readOwn]]'s policy line): a corrupt
+    * tombstone part counted-and-excluded would silently UN-ERASE
+    * taken-down ids — and since compaction/rebuild fold tombstones into
+    * the rewritten generation through this same path, the un-erasure
+    * would become permanent. A corrupt tombstone must fail the read. */
   private def maskByFiles(spark: org.apache.spark.sql.SparkSession,
       df: DataFrame, files: Seq[String]): DataFrame =
     if (files.isEmpty) df
-    else df.join(graft.sources.Sink.readOwn(spark, files)
-      .select("cid").distinct(), Seq("cid"), "left_anti")
+    else df.join(
+      graft.sources.Sink.readOwn(spark, files, quarantine = false)
+        .select("cid").distinct(), Seq("cid"), "left_anti")
 
   private def writeTombstones(path: String, ids: DataFrame,
       idCol: String): Unit =

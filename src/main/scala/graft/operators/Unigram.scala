@@ -215,12 +215,21 @@ object Unigram {
     * (piece, logp), `usage` (piece, usage), then `params` LAST as the
     * commit marker (the WAL discipline — a crash mid-save leaves no
     * `params`, and [[load]] fails loudly instead of reading a torn
-    * model). Doubles round-trip exactly through parquet, so a loaded
-    * model Viterbi-segments bit-identically to the trained one (t23b
-    * attests this on the official record). */
+    * model). Re-saving over an existing model RETRACTS the old marker
+    * first: without that delete, the old `params` would survive as a
+    * valid marker while pieces/usage were mid-overwrite, and a crash
+    * there would hand [[load]] a torn model (old maxPieceLen over new
+    * pieces) it has no way to detect. Doubles round-trip exactly through
+    * parquet, so a loaded model Viterbi-segments bit-identically to the
+    * trained one (t23b attests this on the official record). */
   def save(spark: org.apache.spark.sql.SparkSession, model: Model,
       dir: String): Unit = {
     import spark.implicits._
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/params")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker))
+      require(fs.delete(marker, true),
+        s"failed to retract old commit marker $marker before re-save")
     model.pieces.toSeq.sortBy(_._1).toDF("piece", "logp")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/pieces")
     model.usage.toDF("piece", "usage")

@@ -361,40 +361,67 @@ object Ingest {
     val files = listDataFiles(spark, path)
     val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
     val fmt = format
-    // The probe result STAYS distributed: `badFiles` is a lazy frame the
-    // caller aggregates or sinks (at the million-file design point the
-    // collected per-file rows — 300-char error strings included — would
-    // be hundreds of MB of driver heap); the driver sees only COUNTS.
-    val probed = spark.createDataset(files)
+    // The probe runs distributed (one footer read per file, fanned over
+    // the cluster), but only the BAD set comes back to the driver: bad
+    // files are EXCEPTIONAL by contract (a healthy lake has zero), so
+    // even at the million-file design point the collected rows are a
+    // handful — while the full per-file frame, 300-char error strings
+    // included, would be hundreds of MB of driver heap. Collecting once
+    // also pins the verdict: badFiles, the count, and the good set all
+    // derive from ONE probe pass instead of re-running the distributed
+    // footer sweep per downstream action.
+    val bad = spark.createDataset(files)
       .toDF("path", "length")
       .repartition(math.max(1, math.min(files.size,
         spark.sessionState.conf.numShufflePartitions)))
       .map(row => (row.getString(0), row.getLong(1),
         probeFooter(row.getString(0), row.getLong(1), fmt, conf.value)))
+      .filter(_._3 != null)
+      .collect()
+    val badDf = spark.createDataset(bad.toSeq)
       .toDF("path", "length", "error")
-    val badDf = probed.where(col("error").isNotNull)
-    val badN = badDf.count()
+    val badN = bad.length.toLong
     val goodN = files.size.toLong - badN
-    // The good scan never carries a per-file path list into the plan:
-    // with a clean probe it is the plain directory read (loud on any
-    // corruption the footer probe cannot see); with quarantined files
-    // present it is an `ignoreCorruptFiles`-scoped read of the same
-    // directory — no longer a SILENT skip, because the skipped set was
-    // just counted and is inspectable in `badFiles`. (The one probe-bad
-    // but reader-valid case — a zero-byte ORC file — contributes zero
-    // rows either way.) The schema is pinned from ONE probed-good file
-    // first — schema inference samples a single footer, which could be a
-    // corrupt one — and partition-column inference still runs and
-    // appends the hive columns on top of the pinned data schema.
+    val goodPaths = {
+      val badSet = bad.map(_._1).toSet
+      files.map(_._1).filterNot(badSet)
+    }
+    // The good scan loads the EXPLICIT probed-good file list — never the
+    // directory. A directory read with an empty inferred partition spec
+    // keeps only the root's DIRECT children, so a nested non-k=v layout
+    // would silently lose every nested file the probe counted as good;
+    // and an `ignoreCorruptFiles` directory read would silently skip
+    // data-page-level corruption the footer probe cannot see, uncounted.
+    // Both break this API's no-silent-skip contract. The explicit list
+    // reads LOUD: a data-page error surfaces as a task failure (the
+    // footer probe's known gap, by policy — corruption past the footer
+    // is a job-stopper, not a quarantine row). Hive partition columns
+    // are preserved via basePath when the layout is pure k=v
+    // ([[graft.sources.Sink.readCompacted]]'s rule); the data schema is
+    // pinned from ONE probed-good file when corruption is present —
+    // plain inference samples a single footer, which could be a corrupt
+    // one — and partition inference still appends the hive columns on
+    // top of the pinned data schema.
     val goodDf =
       if (goodN == 0L) spark.emptyDataFrame
-      else if (badN == 0L) spark.read.format(format).load(path)
       else {
-        val sample = probed.where(col("error").isNull)
-          .select("path").head().getString(0)
-        val dataSchema = spark.read.format(format).load(sample).schema
-        spark.read.format(format).schema(dataSchema)
-          .option("ignoreCorruptFiles", "true").load(path)
+        val rootPath = {
+          val root = new org.apache.hadoop.fs.Path(path)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.makeQualified(root).toUri.getPath
+        }
+        val pureHive = goodPaths.forall { p =>
+          val rel = new org.apache.hadoop.fs.Path(p).toUri.getPath
+            .stripPrefix(rootPath)
+          rel.split('/').filter(_.nonEmpty).dropRight(1)
+            .forall(_.contains("="))
+        }
+        val r1 =
+          if (badN == 0L) spark.read.format(format)
+          else spark.read.format(format).schema(
+            spark.read.format(format).load(goodPaths.head).schema)
+        val r2 = if (pureHive) r1.option("basePath", path) else r1
+        r2.load(goodPaths: _*)
       }
     QuarantinedFiles(goodDf, badDf, goodN)
   }

@@ -361,6 +361,21 @@ object Sink {
     compactRecover(spark, path) // converge any earlier interrupted swap
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The whole-layout swap below is delete+rename — TWO metadata ops
+    // that are only safe where rename is atomic. On a copy-rename store
+    // (s3a/gs/…) the gap between them is data-sized and reader-visible,
+    // and a crash mid non-atomic DELETE leaves a partially-deleted root
+    // alongside the complete tmp — a state compactRecover cannot tell
+    // from "old leaf still present" and would resolve by discarding the
+    // complete copy. Refuse up front; [[reclusterPartitioned]] is the
+    // manifest-committed recluster for those stores (it accepts flat
+    // roots too).
+    val scheme = Option(root.toUri.getScheme).getOrElse(fs.getScheme)
+    require(!isNonAtomicRename(spark, scheme),
+      s"recluster on '$scheme': rename is a copy on this store, so the " +
+        "whole-layout delete+rename swap is not crash-safe — use " +
+        "Sink.reclusterPartitioned (manifest-committed, works on flat " +
+        "layouts too)")
     val spec = readClusterSpec(fs, root).getOrElse(
       throw new IllegalStateException(
         s"no _clusterspec at $path — recluster is for Sink.zordered/" +
@@ -368,13 +383,14 @@ object Sink {
           "layouts with Sink.compact)"))
     // A partitioned tree would silently FLATTEN under this whole-layout
     // rewrite (the clustered write is directory-flat) — refuse;
-    // [[compact]] already re-sorts each partition leaf on the root spec,
-    // which is the per-leaf recluster a partitioned layout wants.
+    // [[reclusterPartitioned]] is the per-leaf recluster (with refreshed
+    // boundaries) a partitioned layout wants.
     require(!children(fs, root).exists(s =>
         s.isDirectory && isVisible(s.getPath.getName)),
       s"$path has visible subdirectories (a partitioned layout) — " +
-        "recluster only rewrites flat layouts; run Sink.compact, which " +
-        "re-sorts every leaf on the persisted _clusterspec")
+        "recluster only rewrites flat layouts; run " +
+        "Sink.reclusterPartitioned, which refreshes the curve boundaries " +
+        "and rewrites every leaf under compact's crash contract")
     val df = readCompacted(spark, path)
     val nFiles =
       if (files > 0) files else spark.sessionState.conf.numShufflePartitions
@@ -405,6 +421,66 @@ object Sink {
     require(fs.rename(tmp, root),
       s"failed to move reclustered layout from $tmp to $path (old layout " +
         "already deleted; compactRecover finishes the swap)")
+  }
+
+  /** Boundary-refresh recluster for a PARTITIONED z layout
+    * ([[zorderedPartitioned]]) — and, because it commits leaf-by-leaf
+    * under [[compact]]'s contract, the manifest-committed recluster for
+    * ANY z layout on a copy-rename store (flat roots are one leaf).
+    *
+    * Why it exists: [[compact]]'s per-leaf rewrite re-sorts along the
+    * `_clusterspec` persisted at WRITE time, so under real value drift
+    * (an events table whose timestamp column only grows) the equi-depth
+    * quantile boundaries decay — new data all lands in the curve's last
+    * bucket and the z-key stops discriminating, no matter how often the
+    * leaves are re-sorted. [[clusterDecay]] surfaces exactly this; the
+    * remedy has to refresh the BOUNDARIES, not just the sort. [[recluster]]
+    * does that for flat layouts only (its whole-layout swap would flatten
+    * a partitioned tree, and its delete+rename is unsafe on copy-rename
+    * stores).
+    *
+    * Mechanics:
+    *   1. fresh quantile boundaries are priced over the tree's CURRENT
+    *      content in one pass (manifest-resolved read; the boundary
+    *      table stays driver-held and model-sized — ≤ 2^bits doubles per
+    *      dimension, independent of data scale);
+    *   2. the refreshed `_clusterspec` commits at the root FIRST — a
+    *      crash mid-sweep leaves some leaves on the old curve, and every
+    *      later [[compact]] or re-run re-sorts them along the NEW spec,
+    *      so the tree converges toward the refreshed curve instead of
+    *      away from it (specs never gate correctness, only layout);
+    *   3. every leaf rewrites along the new curve under [[compact]]'s
+    *      exact per-leaf crash contract — snapshot-pinned read, dot-tmp
+    *      copy, `_SUCCESS` check, concurrent-writer re-list guard, and
+    *      the rename or manifest commit `commit` selects (`"auto"` picks
+    *      manifest on copy-rename schemes) — partition values, pruning
+    *      and schema unchanged. Leaves rewrite one distributed job each;
+    *      `parallelism` drives that many concurrently, which is what
+    *      keeps a million-leaf refresh cluster-bound instead of
+    *      latency-bound. */
+  def reclusterPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetBytesPerFile: Long = 128L << 20,
+      parallelism: Int = 1,
+      commit: String = "auto"): CompactStats = {
+    compactRecover(spark, path) // converge any earlier interrupted swap
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val spec = readClusterSpec(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"no _clusterspec at $path — reclusterPartitioned is for " +
+          "Sink.zordered/Sink.zorderedPartitioned layouts"))
+    require(spec.kind == "z",
+      s"_clusterspec at $path has kind=${spec.kind} — boundary refresh " +
+        "is for z layouts (a sorted layout has no quantile boundaries; " +
+        "Sink.compact already restores its within-file order per leaf)")
+    val df = readCompacted(spark, path)
+    if (!df.isEmpty) {
+      val bounds = zBounds(df, spec.cols, spec.bits)
+      writeClusterSpec(fs, root, spec.copy(bounds = bounds))
+    }
+    compactImpl(spark, path, targetBytesPerFile, "parquet", parallelism,
+      commit, _ => (), force = true)
   }
 
   /** Bucketed (and optionally bucket-sorted) managed table: pays the
@@ -814,20 +890,29 @@ object Sink {
     * multi-root and non-k=v layouts load bare, as their readers always
     * have (those layouts carry every column as data by construction).
     *
-    * POLICY LINE — which engine artifacts read through here and which
-    * stay plain fail-loud reads, on purpose:
-    *   - AVAILABILITY-first (this reader): serving-index generations
-    *     (IVF lists / PQ codes and their tombstones) and landed pack
-    *     shards — losing one part degrades recall/coverage measurably
-    *     and counted, which beats a dead query path.
-    *   - INTEGRITY-first (plain reads, loud failure): dedup-GATE index
-    *     layers (fp/nd/winnow/substring), takedown negative layers and
-    *     tombstone WALs, model/params/quantizer control files. A
-    *     silently missing fingerprint admits duplicates downstream and a
-    *     silently missing tombstone UN-ERASES withdrawn content — for
-    *     those, a loud failure is the correct behavior, not a gap. */
+    * POLICY LINE — the two reads this method serves, both layout-aware
+    * (manifest resolution + loud-missing), split by `quarantine`:
+    *   - AVAILABILITY-first (`quarantine = true`, the default):
+    *     serving-index generations (IVF lists / PQ codes) and landed
+    *     pack shards — losing one part degrades recall/coverage
+    *     measurably and counted, which beats a dead query path.
+    *   - INTEGRITY-first (`quarantine = false`): dedup-GATE index
+    *     layers (fp/nd/winnow/substring/sem generations and deltas),
+    *     takedown negative layers and tombstone WALs. These still get
+    *     manifest resolution (a compacted generation reads atomically
+    *     old-or-new) and the loud missing-artifact failure, but a
+    *     corrupt part FAILS the scan instead of being counted out: a
+    *     silently missing fingerprint admits duplicates downstream and
+    *     a silently missing tombstone UN-ERASES withdrawn content — for
+    *     those, a loud failure is the correct behavior, not a gap.
+    *     Model/params/quantizer control files stay plain fail-loud
+    *     reads (an index cannot answer without them). The per-session
+    *     [[QuarantineOwnKey]] kill-switch only ever disables
+    *     quarantining; it can never turn it ON for an integrity-first
+    *     read. */
   def readOwn(spark: org.apache.spark.sql.SparkSession,
-      paths: Seq[String], format: String = "parquet"): DataFrame = {
+      paths: Seq[String], format: String = "parquet",
+      quarantine: Boolean = true): DataFrame = {
     require(paths.nonEmpty, "readOwn needs at least one path")
     val hconf = spark.sparkContext.hadoopConfiguration
     // pureHive: a SINGLE directory input whose whole tree is k=v levels
@@ -860,10 +945,10 @@ object Sink {
       if (pureHive) r.option("basePath", paths.head).load(fileNames: _*)
       else r.load(fileNames: _*)
     }
-    val quarantine =
+    val doQuarantine = quarantine &&
       spark.conf.get(QuarantineOwnKey, "true").toBoolean &&
         (format == "parquet" || format == "orc")
-    if (!quarantine || names.isEmpty) load(names)
+    if (!doQuarantine || names.isEmpty) load(names)
     else {
       import spark.implicits._
       val conf = new Ingest.SerConf(hconf)
@@ -968,7 +1053,23 @@ object Sink {
       // Test seam: runs per rewritten leaf after its copy completes and
       // before the re-list guard — the window a concurrent writer's file
       // would otherwise be lost in.
-      afterCopy: org.apache.hadoop.fs.Path => Unit = _ => ()): CompactStats = {
+      afterCopy: org.apache.hadoop.fs.Path => Unit = _ => ()): CompactStats =
+    compactImpl(spark, path, targetBytesPerFile, format, parallelism,
+      commit, afterCopy, force = false)
+
+  /** [[compact]]'s body with the one extra knob [[reclusterPartitioned]]
+    * needs: `force` rewrites EVERY non-empty leaf (re-sorting it along
+    * the persisted `_clusterspec`) even when its file count is already
+    * at target — the per-leaf re-cluster sweep, under the exact same
+    * snapshot / tmp-copy / `_SUCCESS` / re-list-guard / commit contract. */
+  private def compactImpl(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetBytesPerFile: Long,
+      format: String,
+      parallelism: Int,
+      commit: String,
+      afterCopy: org.apache.hadoop.fs.Path => Unit,
+      force: Boolean): CompactStats = {
     require(targetBytesPerFile >= 1,
       s"targetBytesPerFile must be >= 1, got $targetBytesPerFile")
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
@@ -1012,7 +1113,7 @@ object Sink {
       val want = math.max(1L,
         (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
       before.addAndGet(files.size.toLong)
-      if (files.size > want) {
+      if (files.size > want || (force && files.nonEmpty)) {
         val snapshot = snap(files)
         val tmp = new org.apache.hadoop.fs.Path(leaf.getParent,
           s".cmp_tmp_${leaf.getName}")
@@ -1144,7 +1245,9 @@ object Sink {
       if (decay > bar) log.warn(
         f"Sink.compact: cluster decay $decay%.1f exceeds $bar%.1f at " +
           s"$path — the z-curve has decayed beyond what per-leaf " +
-          "rewrites restore; run Sink.recluster")
+          "rewrites restore; run Sink.recluster (flat layouts) or " +
+          "Sink.reclusterPartitioned (partitioned layouts, or any " +
+          "layout on a copy-rename store)")
       else log.info(f"Sink.compact: cluster decay $decay%.1f " +
         f"(recluster bar $bar%.1f) at $path")
     }

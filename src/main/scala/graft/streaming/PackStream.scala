@@ -612,7 +612,11 @@ object PackStream {
       // fingerprint collision would silently drop an erasure).
       val p = spark.read.parquet(s"$rdir/params").head()
       val same = (p.getLong(0), p.getLong(1)) == wf && {
-        val rec = spark.read.parquet(s"$rdir/events")
+        // Retraction WAL records are erasure-gate layers: strict
+        // (quarantine-off) readOwn — a silently excluded part would
+        // mis-verify a replayed erasure request.
+        val rec = graft.sources.Sink.readOwn(spark,
+          Seq(s"$rdir/events"), quarantine = false)
         ids.except(rec).limit(1).isEmpty &&
           rec.except(ids).limit(1).isEmpty
       }
@@ -987,7 +991,8 @@ object PackStream {
       // the manifest dirs that STILL contain withdrawn ids (idempotent:
       // after the first apply pass they contain none, and re-runs only
       // repeat the batches walMan lists, writing identical bytes).
-      val evs = spark.read.parquet(s"$rdir/events")
+      val evs = graft.sources.Sink.readOwn(spark,
+        Seq(s"$rdir/events"), quarantine = false)
       val mBatchesNow = listBatchDirs(spark, s"${handle.path}/manifest")
       val stillDirty =
         if (mBatchesNow.isEmpty) Set.empty[Long]

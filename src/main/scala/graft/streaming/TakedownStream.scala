@@ -175,7 +175,8 @@ object TakedownStream {
       // Fingerprint pre-filter, then the exact recorded-event comparison.
       (p.getLong(0), p.getLong(1)) == fp &&
         sameEvents(events,
-          spark.read.parquet(s"${bDir(handle.path, b)}/events"))
+          graft.sources.Sink.readOwn(spark,
+            Seq(s"${bDir(handle.path, b)}/events"), quarantine = false))
     }
     // Replay recognition scans committed batches UPWARD from the raw
     // engine id (the DedupLoop.findMatchingDelta rule): a batch a prior
@@ -336,7 +337,8 @@ object TakedownStream {
       }
     // Side effects — each an idempotent keyed overwrite, so this block
     // re-runs safely after a crash anywhere inside it.
-    val recorded = spark.read.parquet(s"$dir/events")
+    val recorded = graft.sources.Sink.readOwn(spark,
+      Seq(s"$dir/events"), quarantine = false)
     locally {
       val unrouted = Seq(
         "fp" -> targets.fp.isEmpty, "nd" -> targets.nd.isEmpty,
@@ -408,12 +410,14 @@ object TakedownStream {
             s"$ckpt/tomb/t${ndSeq}_b$ndAfter/ids/_SUCCESS"))
         if (!alreadyDown) {
           Dedup.writeNdTombstoneAt(ckpt,
-            spark.read.parquet(s"$dir/nd_ids"), ndSeq, ndAfter)
+            graft.sources.Sink.readOwn(spark, Seq(s"$dir/nd_ids"),
+              quarantine = false), ndSeq, ndAfter)
           // In-memory shrink by the RECORDED ids (not content
           // re-resolution, which would also match docs re-admitted since
           // the first attempt); the keyed write above is the durable leg.
           state.adopt(Dedup.removeNearDupIds(state.index,
-            spark.read.parquet(s"$dir/nd_ids")))
+            graft.sources.Sink.readOwn(spark, Seq(s"$dir/nd_ids"),
+              quarantine = false)))
         }
       }
     }
@@ -433,7 +437,8 @@ object TakedownStream {
     targets.wn.foreach { case (state, ckpt) =>
       val any = recorded.where(col("family") === "wn")
       if (!any.isEmpty && familyEnabled("wn", wnSeq)) state.withExclusive {
-        val ids = spark.read.parquet(s"$dir/wn_ids")
+        val ids = graft.sources.Sink.readOwn(spark, Seq(s"$dir/wn_ids"),
+          quarantine = false)
         val alreadyDown = fs(spark, ckpt).exists(
           new org.apache.hadoop.fs.Path(
             s"$ckpt/tomb/t${wnSeq}_b$wnAfter/ids/_SUCCESS"))
@@ -454,7 +459,8 @@ object TakedownStream {
         val neg =
           if (fs(spark, handle.path).exists(new org.apache.hadoop.fs.Path(
               s"$dir/ss_neg")))
-            spark.read.parquet(s"$dir/ss_neg")
+            graft.sources.Sink.readOwn(spark, Seq(s"$dir/ss_neg"),
+              quarantine = false)
           else Dedup.substringNegFreq(docs, "doc_id", "text",
             state.index.windowTokens)
         val alreadyDown = fs(spark, ckpt).exists(

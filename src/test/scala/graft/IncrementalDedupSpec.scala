@@ -252,6 +252,53 @@ class IncrementalDedupSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("index layers read layout-aware and integrity-first (r17): a " +
+      "manifest-commit compaction of a generation layer reloads exactly " +
+      "through the manifest; a corrupt straggler part fails the probe " +
+      "LOUDLY instead of being quarantined out (a silently missing " +
+      "shingle layer admits duplicates)") {
+    val docs = spark.table("documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val built = Dedup.buildNearDupIndex(corpus, "doc_id", "text")
+    val direct = Dedup.probeNearDups(built, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ndlay").toString
+    Dedup.saveIndex(built, dir)
+    Dedup.releaseSketchCaches()
+    // Maintenance compacts the docsets layer under the MANIFEST commit
+    // (the object-store mode): the layer's files now resolve only
+    // through `_manifest.<gen>` — a bare directory read is no longer
+    // the committed view mid-swap. The reload must go through the
+    // layout-aware reader and probe identically.
+    val st = graft.sources.Sink.compact(spark, s"$dir/g0/docsets",
+      targetBytesPerFile = 1L << 30, commit = "manifest")
+    assert(st.leavesRewritten == 1,
+      s"the docsets layer must have been fragmented enough to rewrite: $st")
+    assert(new java.io.File(s"$dir/g0/docsets").listFiles()
+      .exists(_.getName.startsWith("_manifest.")),
+      "manifest commit must be in place for this test to mean anything")
+    val reloaded = Dedup.loadIndex(spark, dir)
+    assert(Dedup.probeNearDups(reloaded, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet == direct,
+      "probe through the manifest-committed layer must be exact")
+    Dedup.releaseSketchCaches()
+    // A straggler part the store truncated after commit: gate layers are
+    // INTEGRITY-first — the load/probe must fail loudly, never count the
+    // part out (readOwn quarantine stays OFF for dedup gates).
+    val good = new java.io.File(s"$dir/g0/docsets").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(good.toPath)
+    java.nio.file.Files.write(
+      new java.io.File(s"$dir/g0/docsets/part-straggler.parquet").toPath,
+      bytes.take(bytes.length / 2))
+    intercept[Exception] {
+      val torn = Dedup.loadIndex(spark, dir)
+      Dedup.probeNearDups(torn, batch, "doc_id", "text").collect()
+    }
+    Dedup.releaseSketchCaches()
+  }
+
   test("reloaded bucketed index: probe join has no corpus-side exchange") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike

@@ -1042,6 +1042,32 @@ class OperatorsSpec extends SparkSpecBase {
     assert(assignedIds(Similarity.loadIvfIndex(spark, dir)).contains(20L))
   }
 
+  test("corrupt tombstone part FAILS the IVF read loudly — the footer " +
+      "quarantine must never count an erasure out (a silently skipped " +
+      "tombstone UN-ERASES withdrawn ids, permanently once compaction " +
+      "folds it)") {
+    val emb = spark.table("embeddings")
+    val corpus = emb.where(col("vec_id") >= 10 && col("vec_id") < 200)
+    val dir = java.nio.file.Files.createTempDirectory("ivftc").toString
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(corpus, "vec_id", "embedding"), dir)
+    Similarity.deleteFromIvfIndex(spark, dir,
+      emb.where(col("vec_id").isin(20L, 40L)).select("vec_id"), "vec_id")
+    // The store truncates the tombstone part after commit.
+    val tomb = new java.io.File(s"$dir/tombstones").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(tomb.toPath)
+    java.nio.file.Files.write(tomb.toPath, bytes.take(bytes.length / 2))
+    // Both the serving read and the compaction (which would make the
+    // un-erasure PERMANENT in the rewritten generation) must fail, not
+    // resurrect ids 20/40. The bulk lists stay quarantine-readable —
+    // only the tombstone leg is integrity-first.
+    intercept[Exception] {
+      Similarity.loadIvfIndex(spark, dir).assigned.count()
+    }
+    intercept[Exception] { Similarity.compactIvfIndex(spark, dir) }
+  }
+
   test("PQ tombstone delete: masked at load, applied at compaction") {
     val emb = spark.table("embeddings")
     val queries = emb.where(col("vec_id") < 5)

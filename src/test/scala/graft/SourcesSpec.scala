@@ -659,17 +659,15 @@ class SourcesSpec extends SparkSpecBase {
       "partition columns must survive the explicit-file load")
     assert(q.badFiles.collect().forall(r => r.getString(2).nonEmpty),
       "every bad file carries its error")
-    // De-drivered probe (round 16): the only driver-held relation in the
-    // quarantine is the NAME-sized (path, length) file list — per-file
-    // error strings must never materialize on the driver as a
-    // LocalRelation (at the million-file design point they would be
-    // hundreds of MB of driver heap).
-    val localCols = q.badFiles.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        l.output.map(_.name)
-    }
-    assert(localCols.nonEmpty && localCols.forall(!_.contains("error")),
-      s"badFiles must stay a lazy distributed frame, got $localCols")
+    // One-pass probe (round 17): the distributed footer sweep runs ONCE
+    // and only the BAD set — exceptional-sized by contract — comes back
+    // to the driver; badFiles, the counts, and the good set all derive
+    // from that single pass, so repeated badFiles actions must not
+    // re-run the sweep (it was 2-3 footer reads per load before).
+    assert(q.badFiles.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty, "badFiles must be the collected (exceptional-sized) bad " +
+      "set, not a lazy re-probe")
 
     // ORC: same contract — note a zero-byte ORC file is READABLE as a
     // valid empty file by the ORC library (the Hive convention), so the
@@ -690,6 +688,52 @@ class SourcesSpec extends SparkSpecBase {
     assert(oq.badFileCount() == 2 && oq.goodFileCount == 1,
       s"bad=${oq.badFiles.collect().toSeq}")
     assert(oq.good.count() == 50)
+  }
+
+  test("columnar quarantine on a NESTED non-k=v layout: the good scan " +
+      "loads the explicit probed-good list, so files the probe counted " +
+      "under nested non-hive directories are actually read — a plain " +
+      "directory read would keep only the root's direct children and " +
+      "silently lose every nested file") {
+    import spark.implicits._
+    // The export-tree shape: `b<id>/` batch dirs (NOT k=v) under the
+    // root, files nested one level down, plus one file at the root.
+    val dir = java.nio.file.Files.createTempDirectory("colqn")
+      .toString + "/t"
+    (1 to 40).map(i => (i.toLong, "root")).toDF("id", "src")
+      .coalesce(1).write.parquet(dir)
+    (41 to 80).map(i => (i.toLong, "b1")).toDF("id", "src")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    (81 to 120).map(i => (i.toLong, "b2")).toDF("id", "src")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    // Poison one nested file so the quarantine path (not just the clean
+    // path) is the one exercised.
+    val victim = new java.io.File(s"$dir/b1").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val vb = java.nio.file.Files.readAllBytes(victim.toPath)
+    java.nio.file.Files.write(
+      new java.io.File(s"$dir/b2/trunc.parquet").toPath,
+      vb.take(vb.length / 2))
+    val q = Ingest.parquetQuarantined(spark, dir)
+    assert(q.badFileCount() == 1 && q.goodFileCount == 3,
+      s"bad=${q.badFiles.collect().toSeq}")
+    assert(q.good.count() == 120,
+      "nested non-k=v files must be READ, not just counted good " +
+        s"(got ${q.good.count()})")
+    assert(q.good.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("root" -> 40L, "b1" -> 40L, "b2" -> 40L))
+    // Clean-probe path too: no corruption anywhere, nested files still
+    // all read (the directory read would drop b1/b2 silently).
+    val clean = java.nio.file.Files.createTempDirectory("colqc")
+      .toString + "/t"
+    (1 to 10).map(i => (i.toLong, "r")).toDF("id", "src")
+      .coalesce(1).write.parquet(clean)
+    (11 to 20).map(i => (i.toLong, "n")).toDF("id", "src")
+      .coalesce(1).write.parquet(s"$clean/nested")
+    val cq = Ingest.parquetQuarantined(spark, clean)
+    assert(cq.badFileCount() == 0 && cq.good.count() == 20,
+      s"clean nested read lost rows: ${cq.good.count()}")
   }
 
   test("compactBucketed: streamed appends fragment a bucketed table; " +
@@ -948,6 +992,114 @@ class SourcesSpec extends SparkSpecBase {
     assert(!new java.io.File(tmpP.toUri.getPath).exists(),
       "a stale root tmp must roll back")
     assert(spark.read.parquet(zdir).count() == total)
+  }
+
+  test("reclusterPartitioned: value drift decays the PERSISTED quantile " +
+      "boundaries — per-leaf re-sorts on the stale spec cannot restore " +
+      "skipping, the boundary refresh does; partition values, rows and " +
+      "the root spec all survive") {
+    import spark.implicits._
+    def mk(lo: Long, n: Int) = (0 until n).map { i =>
+      (lo + (i * 37L) % 1000L, lo + (i * 61L) % 991L,
+        if (i % 2 == 0) "a" else "b")
+    }.toDF("x", "y", "p")
+    val dir = java.nio.file.Files.createTempDirectory("zrp").toString + "/z"
+    graft.sources.Sink.zorderedPartitioned(mk(0L, 40000), dir,
+      partCols = Seq("p"), zCols = Seq("x", "y"), bits = 6, files = 16)
+    val specBefore = java.nio.file.Files.readString(
+      java.nio.file.Path.of(s"$dir/_clusterspec"))
+    // DRIFT: a second epoch lands whose values sit entirely ABOVE the
+    // priced boundaries on BOTH clustered columns (the events-table
+    // shape: time-correlated dimensions all grow). Every drifted row
+    // maps to the curve's single LAST cell, so the z-key stops
+    // discriminating inside the new region no matter how the leaves are
+    // re-sorted.
+    mk(1000000L, 40000).repartition(8)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("p").parquet(dir)
+    val total = 80000L
+    def scanned(): Long = {
+      val d = spark.read.parquet(dir)
+        .where(col("x") >= 1000400L && col("x") <= 1000440L &&
+          col("y") >= 1000400L && col("y") <= 1000440L)
+      d.collect()
+      d.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numOutputRows").value
+    }
+    val bytes = new java.io.File(s"$dir/p=a").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_")).map(_.length).sum
+    // The stale-spec remedy: compact re-sorts every oversized leaf along
+    // the persisted curve — and the drifted half still reads near-whole,
+    // because the BOUNDARIES are wrong, not the sort.
+    graft.sources.Sink.compact(spark, dir,
+      targetBytesPerFile = math.max(1L, bytes / 4))
+    val staleScan = scanned()
+    assert(staleScan >= total / 4,
+      s"with stale boundaries the drifted region must read near-whole " +
+        s"for this test to mean anything (scanned $staleScan of $total)")
+    val decayBefore = graft.sources.Sink.clusterDecay(spark, dir)
+    val st = graft.sources.Sink.reclusterPartitioned(spark, dir,
+      targetBytesPerFile = math.max(1L, bytes / 32))
+    assert(st.leavesRewritten == 2, s"both partition leaves rewrite: $st")
+    // Rows and partition values are untouched.
+    assert(spark.read.parquet(dir).count() == total)
+    assert(spark.read.parquet(dir).where(col("p") === "a").count() ==
+      total / 2, "partition pruning columns must survive")
+    // The spec refreshed in place (root-level, governs all leaves) …
+    val specAfter = java.nio.file.Files.readString(
+      java.nio.file.Path.of(s"$dir/_clusterspec"))
+    assert(specAfter != specBefore,
+      "boundary refresh must rewrite the root _clusterspec")
+    // … and skipping inside the drifted region actually works now.
+    val freshScan = scanned()
+    assert(freshScan <= staleScan / 3,
+      s"refreshed boundaries must restore skipping in the drifted " +
+        s"region: $freshScan vs stale $staleScan")
+    assert(graft.sources.Sink.clusterDecay(spark, dir) < decayBefore,
+      "decay signal must drop after the refresh")
+    // recluster (the flat-layout path) still refuses partitioned trees,
+    // pointing at this API.
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Sink.recluster(spark, dir)
+    }
+    assert(e.getMessage.contains("reclusterPartitioned"))
+  }
+
+  test("recluster refuses copy-rename schemes (the delete+rename swap " +
+      "is not crash-safe there); reclusterPartitioned is the " +
+      "manifest-committed recluster and works on a flat root too") {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.nacopy.impl",
+      classOf[graft.tools.CopyRenameFileSystem].getName)
+    spark.conf.set(graft.sources.Sink.NonAtomicSchemesKey, "nacopy")
+    try {
+      val local = java.nio.file.Files.createTempDirectory("zna").toString
+      val dir = s"nacopy://$local/z"
+      val df = (0 until 4000).map { i =>
+        ((i * 37L) % 997L, (i * 61L) % 991L)
+      }.toDF("x", "y")
+      graft.sources.Sink.zordered(df, dir, Seq("x", "y"), files = 8)
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.Sink.recluster(spark, dir)
+      }
+      assert(e.getMessage.contains("reclusterPartitioned"),
+        s"refusal must point at the safe path: ${e.getMessage}")
+      // The safe path: leaf-by-leaf manifest commit, no delete+rename of
+      // the root, exact rows through the manifest-aware reader.
+      val st = graft.sources.Sink.reclusterPartitioned(spark, dir,
+        targetBytesPerFile = 1L << 30)
+      assert(st.leavesRewritten == 1, s"$st")
+      assert(new java.io.File(s"$local/z").listFiles()
+        .exists(_.getName.startsWith("_manifest.")),
+        "commit=auto on a copy-rename scheme must take the manifest path")
+      assert(graft.sources.Sink.readCompacted(spark, dir).count() == 4000)
+    } finally {
+      spark.conf.unset(graft.sources.Sink.NonAtomicSchemesKey)
+      hconf.unset("fs.nacopy.impl")
+    }
   }
 
   test("zordered on a DATE column: epoch-day normalization keeps the " +

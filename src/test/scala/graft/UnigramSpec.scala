@@ -144,4 +144,52 @@ class UnigramSpec extends SparkSpecBase {
     assert(loaded.pieces == mA.pieces && loaded.usage == mA.usage &&
       loaded.maxPieceLen == mA.maxPieceLen)
   }
+
+  test("re-save retracts the commit marker FIRST: the old params must be " +
+      "gone before any payload byte moves, so a crash mid re-save can " +
+      "never leave a torn-but-valid model; the happy-path re-save loads " +
+      "as the new model") {
+    import spark.implicits._
+    val mOld = Unigram.Model(Map("a" -> -0.5, "b" -> -1.5, "ab" -> -2.0),
+      maxPieceLen = 2, usage = Seq(("ab", 5L), ("a", 2L)))
+    val mNew = Unigram.Model(
+      Map("a" -> -0.4, "b" -> -1.4, "c" -> -2.2, "abc" -> -3.0),
+      maxPieceLen = 3, usage = Seq(("abc", 7L), ("a", 1L)))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.reclog.impl",
+      classOf[graft.tools.RecordingFileSystem].getName)
+    try {
+      val local = java.nio.file.Files.createTempDirectory("unrs").toString
+      val dir = s"reclog://$local/m"
+      Unigram.save(spark, mOld, dir)
+      graft.tools.RecordingFileSystem.reset()
+      Unigram.save(spark, mNew, dir)
+      val j = graft.tools.RecordingFileSystem.journal
+      val markerRetract = j.indexWhere { case (op, p) =>
+        op == "delete" && p == s"$local/m/params" }
+      val firstPieces = j.indexWhere(_._2.contains("/m/pieces"))
+      assert(markerRetract >= 0, s"re-save must retract the marker: $j")
+      assert(firstPieces < 0 || markerRetract < firstPieces,
+        "the marker retraction must precede every pieces-file mutation " +
+          s"(got retract@$markerRetract, pieces@$firstPieces)")
+      // The marker is re-committed LAST (WAL order): the final params
+      // write follows every pieces/usage mutation.
+      val lastPayload = j.lastIndexWhere(p =>
+        p._2.contains("/m/pieces") || p._2.contains("/m/usage"))
+      val commit = j.lastIndexWhere { case (op, p) =>
+        op != "delete" && p.contains("/m/params") }
+      assert(commit > lastPayload,
+        s"params must commit last (commit@$commit, payload@$lastPayload)")
+      val loaded = Unigram.load(spark, dir)
+      assert(loaded.pieces == mNew.pieces &&
+        loaded.maxPieceLen == mNew.maxPieceLen &&
+        loaded.usage == mNew.usage, "re-save must load as the new model")
+      // And the crash-window state the ordering produces — marker
+      // retracted, payload half-moved — fails load LOUDLY.
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(hconf)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/params"), true)
+      intercept[Exception] { Unigram.load(spark, dir) }
+    } finally hconf.unset("fs.reclog.impl")
+  }
 }

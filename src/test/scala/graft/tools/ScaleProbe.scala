@@ -531,6 +531,45 @@ object ScaleProbe {
       }
       q.stop()
     }
+    // Round-17 (VERDICT r16 item 3): the SAME export pipeline protocol
+    // with the UNIGRAM tokenizer family — the family landed in round 16
+    // with a streamed≡batch parity spec but no scale measurement. The
+    // delta vs the xpipe numbers is the unigram leg's composed cost:
+    // Viterbi-kernel encode per pack batch instead of BPE merge-walk,
+    // plus the unigram train at bootstrap.
+    if (wanted("xpipeu")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("sp_xpipeu").toString
+      val out = java.nio.file.Files.createTempDirectory("sp_xpipeu_out")
+        .toString
+      val t0 = System.nanoTime()
+      val h = graft.streaming.ExportPipeline.resume(
+        spark, root, docs, "doc_id", "text", nShards = 32L,
+        tokenizer = "unigram")
+      println(f"[scale] xpipeu bootstrap (curate ${rep}x corpus + fp/nd " +
+        f"index + unigram train) ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      import spark.implicits._
+      val in = MemoryStream[graft.NdDoc]
+      val q = graft.streaming.ExportPipeline.run(
+        in.toDF(), h, "doc_id", "text", out, compactEvery = 2)
+      (0 until 6).foreach { i =>
+        val b = docs.where(pmod(col("doc_id"), lit(40)) === i)
+          .select(col("doc_id").cast("long"),
+            concat_ws(" ", expr(
+              s"transform(split(text, ' '), x -> concat(x, '_$i'))"))
+              .as("text"))
+          .as[graft.NdDoc].collect()
+        val t1 = System.nanoTime()
+        in.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        println(f"[scale] xpipeu batch$i (${b.length} docs" +
+          f"${if (i % 2 == 1) ", compaction" else ""}) " +
+          f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+        System.out.flush()
+      }
+      q.stop()
+    }
     // Round-9: arrival-time takedown at rep× — fp + nd indexes bootstrap
     // from the replicated corpus (content-sized after collapse), then one
     // takedown batch withdraws 100 contents across BOTH families. The
