@@ -426,7 +426,11 @@ object Sink {
   /** Boundary-refresh recluster for a PARTITIONED z layout
     * ([[zorderedPartitioned]]) — and, because it commits leaf-by-leaf
     * under [[compact]]'s contract, the manifest-committed recluster for
-    * ANY z layout on a copy-rename store (flat roots are one leaf).
+    * ANY clustered layout on a copy-rename store (flat roots are one
+    * leaf). kind=sort layouts are accepted too: they have no boundaries
+    * to refresh, so the forced rewrite is the per-leaf RANGE upgrade
+    * (disjoint per-file ranges — [[recluster]]'s sort semantic, which
+    * plain [[compact]] deliberately does not pay for).
     *
     * Why it exists: [[compact]]'s per-leaf rewrite re-sorts along the
     * `_clusterspec` persisted at WRITE time, so under real value drift
@@ -469,15 +473,16 @@ object Sink {
     val spec = readClusterSpec(fs, root).getOrElse(
       throw new IllegalStateException(
         s"no _clusterspec at $path — reclusterPartitioned is for " +
-          "Sink.zordered/Sink.zorderedPartitioned layouts"))
-    require(spec.kind == "z",
-      s"_clusterspec at $path has kind=${spec.kind} — boundary refresh " +
-        "is for z layouts (a sorted layout has no quantile boundaries; " +
-        "Sink.compact already restores its within-file order per leaf)")
-    val df = readCompacted(spark, path)
-    if (!df.isEmpty) {
-      val bounds = zBounds(df, spec.cols, spec.bits)
-      writeClusterSpec(fs, root, spec.copy(bounds = bounds))
+          "Sink.zordered/Sink.zorderedPartitioned/Sink.sorted layouts"))
+    // kind=z refreshes the quantile boundaries; kind=sort has none — its
+    // forced rewrite below is the per-leaf RANGE upgrade (disjoint
+    // per-file ranges inside every leaf, [[recluster]]'s sort semantic).
+    if (spec.kind == "z") {
+      val df = readCompacted(spark, path)
+      if (!df.isEmpty) {
+        val bounds = zBounds(df, spec.cols, spec.bits)
+        writeClusterSpec(fs, root, spec.copy(bounds = bounds))
+      }
     }
     compactImpl(spark, path, targetBytesPerFile, "parquet", parallelism,
       commit, _ => (), force = true)
@@ -1132,12 +1137,22 @@ object Sink {
         val clusterSpec = readClusterSpec(fs, leaf)
           .orElse(if (leaf == root) None else readClusterSpec(fs, root))
         val rewrite = clusterSpec match {
-          case Some(cs) if cs.kind == "sort" =>
+          case Some(cs) if cs.kind == "sort" && !force =>
             // The sorted layout's contract is WITHIN-FILE ordering:
             // restore it per output file, no extra shuffle (the same
             // cost model Sink.sorted itself has).
             base.coalesce(want).sortWithinPartitions(
               cs.cols.map(org.apache.spark.sql.functions.col): _*)
+          case Some(cs) if cs.kind == "sort" =>
+            // FORCED (recluster) mode upgrades the leaf to disjoint
+            // per-file RANGES — [[recluster]]'s kind=sort semantic,
+            // leaf-local: file-level min/max skipping starts working
+            // inside the leaf, and the extra range shuffle is exactly
+            // what the caller asked for.
+            base.repartitionByRange(want,
+              cs.cols.map(org.apache.spark.sql.functions.col): _*)
+              .sortWithinPartitions(
+                cs.cols.map(org.apache.spark.sql.functions.col): _*)
           case Some(cs) => zsort(base, cs.cols, cs.bounds, cs.bits, want)
           case None => base.coalesce(want)
         }

@@ -1096,6 +1096,35 @@ class SourcesSpec extends SparkSpecBase {
         .exists(_.getName.startsWith("_manifest.")),
         "commit=auto on a copy-rename scheme must take the manifest path")
       assert(graft.sources.Sink.readCompacted(spark, dir).count() == 4000)
+      // kind=sort arm: the sorted layout has no boundaries to refresh —
+      // reclusterPartitioned's forced rewrite is the RANGE upgrade, so
+      // the leaf's files end with DISJOINT ranges (file-level skipping),
+      // which plain compact's within-file re-sort never produces.
+      val sdir = s"nacopy://$local/s"
+      graft.sources.Sink.sorted(
+        (0 until 4000).map(i => ((i * 7919L) % 4000L, i.toLong))
+          .toDF("k", "v"), sdir, "k")
+      intercept[IllegalArgumentException] {
+        graft.sources.Sink.recluster(spark, sdir)
+      }
+      val sbytes = new java.io.File(s"$local/s").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_")).map(_.length).sum
+      val sst = graft.sources.Sink.reclusterPartitioned(spark, sdir,
+        targetBytesPerFile = math.max(1L, sbytes / 4))
+      assert(sst.leavesRewritten == 1, s"$sst")
+      val ranges = graft.sources.Sink.readCompacted(spark, sdir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("k").as("lo"), max("k").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(ranges.length >= 3, s"range upgrade must split: $ranges")
+      assert(ranges.sliding(2).forall {
+        case Array((_, hi1), (lo2, _)) => hi1 < lo2
+        case _ => true
+      }, s"per-file ranges must be disjoint after the upgrade: " +
+        ranges.mkString(", "))
+      assert(graft.sources.Sink.readCompacted(spark, sdir).count() == 4000)
     } finally {
       spark.conf.unset(graft.sources.Sink.NonAtomicSchemesKey)
       hconf.unset("fs.nacopy.impl")
