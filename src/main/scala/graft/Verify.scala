@@ -21,6 +21,11 @@ object Verify {
     // The driver reads this run's log tail too — keep by-design warning
     // spam (WindowExec sub-cutoff ranks) out of it ([[Harness]] doc).
     Harness.quietNoisyLoggers()
+    // Expected-poison task errors (the i-series plant corrupt files by
+    // design; i5 probes the engine's OWN gate layers) route to a counted
+    // file here too, so the driver's tail stays adjudicable — the same
+    // treatment [[Bench]] got after the r16 record opened mid-stack-trace.
+    val taskErrs = Harness.routeTaskErrorLogs(s"$outDir/task-errors.log")
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -60,6 +65,10 @@ object Verify {
     val errJson = errs.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (taskErrs.get > 0)
+      System.err.println(s"[verify] ${taskErrs.get} task error(s) routed " +
+        s"to $outDir/task-errors.log (expected-poison i-series fixtures " +
+        "fail tasks by design; a green dump count adjudicates them benign)")
     System.err.println(s"[verify] dumped $ok queries, ${errs.size} failed")
     spark.stop()
     // Zero successful dumps with at least one attempt means the harness

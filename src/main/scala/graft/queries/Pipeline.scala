@@ -2667,6 +2667,80 @@ object Pipeline {
       fs.delete(fx, true)
       rows.toDF("probe", "rows").orderBy("probe")
     },
+    // readOwn policy duality ON the oracle record (round 17 — VERDICT r16
+    // item 6, the i1/i2 synthesize-then-check pattern applied to the
+    // engine's OWN artifacts): the same truncated-part poison lands in a
+    // bulk serving artifact and in a dedup-gate index generation, and the
+    // emitted counts pin that each side gets its contracted policy —
+    // bulk artifacts (packs, IVF lists/codes) read through the counted
+    // footer quarantine (good rows scanned exactly, bad part excluded,
+    // never a task failure), while gate layers (fingerprints, shingle
+    // docsets, tombstones) fail LOUDLY through the d-family load, because
+    // a silently excluded gate part admits duplicates or un-erases a
+    // takedown. i1/i2 pin the policy for user inputs; i5 pins it for
+    // what the engine writes and later trusts.
+    df("i5_own_read_policy_counts",
+      Some("select * from (values " +
+        "('bulk_loud_when_quarantine_off', cast(1 as bigint)), " +
+        "('bulk_rows_quarantined', cast(1000 as bigint)), " +
+        "('gate_clean_probe_ok', cast(1 as bigint)), " +
+        "('gate_poisoned_fails_loud', cast(1 as bigint))) " +
+        "as t(probe, n) order by probe")) { (s, dir) =>
+      val (fs, fx) = quarantineFixtureDir(s, "i5")
+      import s.implicits._
+      // Truncated straggler: half of an existing good part, the exact
+      // poison a mid-write crash or store corruption leaves behind.
+      def plantTruncated(d: String): Unit = {
+        val dp = new org.apache.hadoop.fs.Path(d)
+        val part = fs.listStatus(dp).filter(st => st.isFile &&
+          st.getPath.getName.endsWith(".parquet")).head.getPath
+        val len = fs.getFileStatus(part).getLen
+        val half = new Array[Byte]((len / 2).toInt)
+        val in = fs.open(part)
+        try in.readFully(0L, half) finally in.close()
+        val o = fs.create(
+          new org.apache.hadoop.fs.Path(dp, "part-straggler.parquet"),
+          true)
+        try o.write(half) finally o.close()
+      }
+      // Bulk side: a pack-shaped artifact (4 committed parts, 1000 rows)
+      // plus the straggler — the quarantined read scans exactly the
+      // committed rows; the same files with quarantine forced off fail
+      // loudly (so exclusion is a POLICY choice, never an accident).
+      val bulk = s"$fx/bulk"
+      s.range(1000L).select(col("id")).repartition(4).write.parquet(bulk)
+      plantTruncated(bulk)
+      val bulkRows = graft.sources.Sink.readOwn(s, Seq(bulk)).count()
+      val bulkLoudOff = scala.util.Try(graft.sources.Sink
+        .readOwn(s, Seq(bulk), quarantine = false).count())
+      // Gate side: a real near-dup index generation (the d-family load).
+      val docs = s.table("documents")
+        .where(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.where(col("doc_id") % 5 =!= 0)
+      val batch = docs.where(col("doc_id") % 5 === 0)
+      val built = Dedup.buildNearDupIndex(corpus, "doc_id", "text")
+      val cleanProbe = scala.util.Try(
+        Dedup.probeNearDups(built, batch, "doc_id", "text").count())
+      val idxDir = s"$fx/nd"
+      Dedup.saveIndex(built, idxDir)
+      Dedup.releaseSketchCaches()
+      plantTruncated(s"$idxDir/g0/docsets")
+      val poisonedProbe = scala.util.Try {
+        val torn = Dedup.loadIndex(s, idxDir)
+        Dedup.probeNearDups(torn, batch, "doc_id", "text").count()
+      }
+      Dedup.releaseSketchCaches()
+      fs.delete(fx, true)
+      Seq(
+        ("bulk_rows_quarantined", bulkRows),
+        ("bulk_loud_when_quarantine_off",
+          if (bulkLoudOff.isFailure) 1L else 0L),
+        ("gate_clean_probe_ok", if (cleanProbe.isSuccess) 1L else 0L),
+        ("gate_poisoned_fails_loud",
+          if (poisonedProbe.isFailure) 1L else 0L))
+        .toDF("probe", "n").orderBy("probe")
+    },
     // Curriculum ordering (round 14): assign every document its global
     // training position under a simple-to-complex metric (distinct token
     // count, an exact integer — float-free ordering across engines) —

@@ -420,6 +420,19 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got == Set((1L, 10L), (2L, 10L)))
   }
 
+  test("i5: readOwn policy duality on the oracle record — bulk artifacts " +
+      "quarantine a truncated part (counted, rows exact), gate index " +
+      "layers fail loudly through the d-family load") {
+    val out = SparkEntry.queries("i5_own_read_policy_counts")(spark, sfDir)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows == Map(
+      "bulk_rows_quarantined" -> 1000L,
+      "bulk_loud_when_quarantine_off" -> 1L,
+      "gate_clean_probe_ok" -> 1L,
+      "gate_poisoned_fails_loud" -> 1L), s"got $rows")
+    graft.operators.Dedup.releaseSketchCaches()
+  }
+
   test("leakage-safe split: no near-dup cluster straddles train/eval") {
     val out = SparkEntry.queries("x5_leakage_safe_split")(spark, sfDir)
     val rows = out.collect()
