@@ -630,6 +630,12 @@ object Dedup {
     completeGens(spark, path).headOption.map { g =>
       val gdir = s"$path/g$g"
       val params = spark.read.parquet(s"$gdir/params").head()
+      // Bucketed layers read through spark.table (the probe needs their
+      // HashPartitioning), which readOwn cannot wrap — validate their
+      // footers here instead: execution-time scan failure on a corrupt
+      // part is planner-state-dependent (Sink.validateOwn doc), and this
+      // is a GATE layer, where a silent gap admits duplicates.
+      graft.sources.Sink.validateOwn(spark, Seq(s"$gdir/prefixes"))
       val prefixes = reRegisterBucketed(spark, prefixTable(path, g),
         "id bigint, h bigint, r bigint, n bigint", "h",
         params.getAs[Int]("num_buckets"), s"$gdir/prefixes")
@@ -655,6 +661,9 @@ object Dedup {
     // bucketed table were registered over it — verify the files carry
     // bucket-id suffixes before trusting the claim, exactly as the
     // winnow freq loader does.
+    // GATE layer: validate footers before any bucketed-table register
+    // ([[loadLatestGen]]'s rationale).
+    graft.sources.Sink.validateOwn(spark, Seq(s"$path/prefixes"))
     val prefixes =
       if (spark.catalog.tableExists(tbl)) spark.table(tbl)
       else if (params.schema.fieldNames.contains("num_buckets") &&
@@ -2528,6 +2537,9 @@ object Dedup {
       val identityRows =
         p.schema.fieldNames.contains("identity_rows") &&
           p.getAs[Boolean]("identity_rows")
+      // GATE layer behind a bucketed catalog table: validate footers at
+      // load ([[loadLatestGen]]'s rationale).
+      graft.sources.Sink.validateOwn(spark, Seq(s"$gdir/freq"))
       (SubstringIndex(reRegisterBucketed(spark, ssTable(path, g),
         "h bigint, occ bigint", "h", p.getAs[Int]("num_buckets"),
         s"$gdir/freq"), p.getAs[Int]("window_tokens"),
@@ -2896,6 +2908,9 @@ object Dedup {
           try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
           finally in.close()
         } else None
+      // GATE layer behind a bucketed catalog table: validate footers at
+      // load ([[loadLatestGen]]'s rationale).
+      graft.sources.Sink.validateOwn(spark, Seq(s"$gdir/fps"))
       (FingerprintIndex(reRegisterBucketed(spark, fpTable(path, g),
         "fp string", "fp", p.getAs[Int]("num_buckets"), s"$gdir/fps"),
         bloom = bloom),
@@ -3279,6 +3294,10 @@ object Dedup {
       val gdir = s"$path/g$g"
       val p = spark.read.parquet(s"$gdir/params").head()
       val nb = p.getAs[Int]("num_buckets")
+      // GATE layers behind bucketed catalog tables: validate footers at
+      // load ([[loadLatestGen]]'s rationale; one probe job for both).
+      graft.sources.Sink.validateOwn(spark,
+        Seq(s"$gdir/fps", s"$gdir/freq"))
       val freq =
         if (hasBucketedFiles(spark, s"$gdir/freq"))
           reRegisterBucketed(spark, wnFreqTable(path, g),

@@ -2714,8 +2714,12 @@ object Pipeline {
       val bulkLoudOff = scala.util.Try(graft.sources.Sink
         .readOwn(s, Seq(bulk), quarantine = false).count())
       // Gate side: a real near-dup index generation (the d-family load).
+      // The corpus cap and small bucket count keep this a POLICY pin, not
+      // a dedup measurement (d1-d18 price the operators): the structural
+      // counts are corpus-independent, so 320 docs prove the same policy
+      // 320M would.
       val docs = s.table("documents")
-        .where(col("doc_id") < 1000)
+        .where(col("doc_id") < 400)
         .select(col("doc_id"), col("text"))
       val corpus = docs.where(col("doc_id") % 5 =!= 0)
       val batch = docs.where(col("doc_id") % 5 === 0)
@@ -2723,7 +2727,8 @@ object Pipeline {
       val cleanProbe = scala.util.Try(
         Dedup.probeNearDups(built, batch, "doc_id", "text").count())
       val idxDir = s"$fx/nd"
-      Dedup.saveIndex(built, idxDir)
+      Dedup.saveIndex(built, idxDir, numBuckets = 8)
+      Dedup.releaseIndex(built)
       Dedup.releaseSketchCaches()
       plantTruncated(s"$idxDir/g0/docsets")
       val poisonedProbe = scala.util.Try {

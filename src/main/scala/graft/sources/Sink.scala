@@ -910,11 +910,20 @@ object Sink {
     *     silently missing fingerprint admits duplicates downstream and
     *     a silently missing tombstone UN-ERASES withdrawn content — for
     *     those, a loud failure is the correct behavior, not a gap.
+    *     Round 17 makes the loud failure DETERMINISTIC: the same
+    *     names+footers probe runs, but any bad file THROWS at read
+    *     CREATION instead of trusting the scan to fail later. Trusting
+    *     the scan was observed to be planner-state-dependent — the same
+    *     poisoned bucketed layer failed a direct count but completed a
+    *     broadcast-side probe join silently with the poisoned bucket's
+    *     rows absent (zero failed tasks, zero bytes read from the
+    *     layer) in repeated runs of identical code — so execution-time
+    *     failure is NOT a reliable integrity gate; validation must
+    *     happen at load.
     *     Model/params/quantizer control files stay plain fail-loud
     *     reads (an index cannot answer without them). The per-session
     *     [[QuarantineOwnKey]] kill-switch only ever disables
-    *     quarantining; it can never turn it ON for an integrity-first
-    *     read. */
+    *     quarantining; it can never weaken an integrity-first read. */
   def readOwn(spark: org.apache.spark.sql.SparkSession,
       paths: Seq[String], format: String = "parquet",
       quarantine: Boolean = true): DataFrame = {
@@ -950,27 +959,25 @@ object Sink {
       if (pureHive) r.option("basePath", paths.head).load(fileNames: _*)
       else r.load(fileNames: _*)
     }
+    val probeable = (format == "parquet" || format == "orc") &&
+      names.nonEmpty
     val doQuarantine = quarantine &&
-      spark.conf.get(QuarantineOwnKey, "true").toBoolean &&
-        (format == "parquet" || format == "orc")
-    if (!doQuarantine || names.isEmpty) load(names)
+      spark.conf.get(QuarantineOwnKey, "true").toBoolean
+    if (!probeable || (quarantine && !doQuarantine)) load(names)
     else {
-      import spark.implicits._
-      val conf = new Ingest.SerConf(hconf)
-      val fmt = format
-      // One distributed metadata pass; only the (exceptional, by the
-      // engine's own write discipline) BAD set comes to the driver.
-      val bad = spark.createDataset(
-          statuses.map(s => (s.getPath.toString, s.getLen)))
-        .toDF("path", "length")
-        .repartition(math.max(1, math.min(names.size,
-          spark.sessionState.conf.numShufflePartitions)))
-        .map(r => (r.getString(0),
-          Ingest.probeFooter(r.getString(0), r.getLong(1), fmt,
-            conf.value)))
-        .filter(_._2 != null)
-        .collect()
+      val bad = probeFooters(spark, statuses, format)
       if (bad.isEmpty) load(names)
+      else if (!quarantine)
+        // INTEGRITY-first: deterministic loud failure at read creation —
+        // the scan failing later is planner-state-dependent (see the
+        // policy-line doc above).
+        throw new IllegalStateException(
+          s"integrity-first read of ${paths.take(3).mkString(", ")}: " +
+            s"${bad.length} corrupt part(s) of ${names.size} — " +
+            s"${bad.take(3).map(b => s"${b._1} (${b._2})").mkString("; ")}" +
+            " — refusing to serve a gate/tombstone layer with missing " +
+            "content (a silent gap admits duplicates or un-erases " +
+            "takedowns)")
       else {
         val badSet = bad.map(_._1).toSet
         val good = names.filterNot(badSet)
@@ -986,6 +993,59 @@ object Sink {
         load(good)
       }
     }
+  }
+
+  /** One distributed names+footers pass over `statuses`; only the
+    * (exceptional, by the engine's own write discipline) BAD set comes to
+    * the driver as (path, error). */
+  private def probeFooters(spark: org.apache.spark.sql.SparkSession,
+      statuses: Seq[org.apache.hadoop.fs.FileStatus],
+      format: String): Array[(String, String)] = {
+    import spark.implicits._
+    val conf = new Ingest.SerConf(spark.sparkContext.hadoopConfiguration)
+    val fmt = format
+    spark.createDataset(statuses.map(s => (s.getPath.toString, s.getLen)))
+      .toDF("path", "length")
+      .repartition(math.max(1, math.min(statuses.size,
+        spark.sessionState.conf.numShufflePartitions)))
+      .map(r => (r.getString(0),
+        Ingest.probeFooter(r.getString(0), r.getLong(1), fmt,
+          conf.value)))
+      .filter(_._2 != null)
+      .collect()
+  }
+
+  /** Deterministic load-time integrity gate for artifacts that are READ
+    * through a path [[readOwn]] cannot wrap — the bucketed catalog
+    * tables the fp/winnow/substring gate layers register (their probes
+    * need the bucketed scan's HashPartitioning, so the frame must come
+    * from `spark.table`). Runs the same names+footers probe and THROWS
+    * on any corrupt part; returns the number of files verified. Callers
+    * invoke it once per index LOAD (restart-time, not per-batch) —
+    * execution-time scan failure is not a reliable integrity gate (a
+    * poisoned bucketed layer was observed to complete a broadcast-side
+    * probe join silently with the poisoned bucket's rows absent). */
+  def validateOwn(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], format: String = "parquet"): Int = {
+    require(paths.nonEmpty, "validateOwn needs at least one path")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val statuses = paths.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hconf)
+      val st = fs.getFileStatus(hp) // a missing artifact fails loudly
+      if (st.isFile) Seq(st)
+      else {
+        val (resolved, mixed) = resolveTree(fs, hp)
+        resolved.flatMap(_._2.files) ++ mixed
+      }
+    }
+    val bad = probeFooters(spark, statuses, format)
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"integrity validation of ${paths.take(3).mkString(", ")}: " +
+          s"${bad.length} corrupt part(s) of ${statuses.size} — " +
+          s"${bad.take(3).map(b => s"${b._1} (${b._2})").mkString("; ")}")
+    statuses.size
   }
 
   /** Small-files compaction — rewrite each partition leaf whose visible
@@ -1657,5 +1717,10 @@ object Sink {
       .option("path", path).bucketBy(numBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
+    // Drop any relation/file-listing cache entry primed during the CTAS
+    // itself: a later reader served a listing snapshot taken mid-write
+    // would silently miss files (defense-in-depth next to the load-time
+    // footer validation — see [[validateOwn]]).
+    spark.catalog.refreshTable(table)
   }
 }

@@ -252,6 +252,74 @@ class IncrementalDedupSpec extends SparkSpecBase {
     Dedup.releaseSketchCaches()
   }
 
+  test("every gate index family fails LOUDLY on a truncated generation " +
+      "part (r17: fp / winnow / substring / sem — the nd arm is the test " +
+      "below): a silently excluded gate part admits duplicates, so the " +
+      "quarantine that bulk artifacts get must never apply here") {
+    val docs = spark.table("documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    // Truncate an EXISTING part in place (name kept): this exercises the
+    // corrupt-footer read path, not bucket-file-name validation.
+    def truncate(dirPath: String): Unit = {
+      val part = java.nio.file.Files.walk(java.nio.file.Paths.get(dirPath))
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("_"))
+        .findFirst().orElseThrow()
+      val bytes = java.nio.file.Files.readAllBytes(part)
+      java.nio.file.Files.write(part, bytes.take(bytes.length / 2))
+    }
+    locally { // fp: bucketed fingerprint layer
+      val dir = java.nio.file.Files.createTempDirectory("fppo").toString
+      Dedup.saveFingerprintIndex(
+        Dedup.buildFingerprintIndex(corpus, "doc_id", "text"), dir)
+      Dedup.releaseSketchCaches()
+      truncate(s"$dir/g0/fps")
+      intercept[Exception] {
+        Dedup.probeNovelExact(Dedup.loadFingerprintIndex(spark, dir),
+          batch, "doc_id", "text").count()
+      }
+      Dedup.releaseSketchCaches()
+    }
+    locally { // winnow: bucketed posting-list layer
+      val dir = java.nio.file.Files.createTempDirectory("wnpo").toString
+      Dedup.saveWinnowIndex(
+        Dedup.buildWinnowIndex(corpus, "doc_id", "text"), dir)
+      Dedup.releaseSketchCaches()
+      truncate(s"$dir/g0/fps")
+      intercept[Exception] {
+        Dedup.probeWinnow(Dedup.loadWinnowIndex(spark, dir),
+          batch, "doc_id", "text").count()
+      }
+      Dedup.releaseSketchCaches()
+    }
+    locally { // substring: bucketed window-frequency layer
+      val dir = java.nio.file.Files.createTempDirectory("sspo").toString
+      Dedup.saveSubstringIndex(
+        Dedup.buildSubstringIndex(corpus, "doc_id", "text"), dir)
+      Dedup.releaseSketchCaches()
+      truncate(s"$dir/g0/freq")
+      intercept[Exception] {
+        Dedup.probeSubstringDups(Dedup.loadSubstringIndex(spark, dir),
+          batch, "doc_id", "text").count()
+      }
+      Dedup.releaseSketchCaches()
+    }
+    locally { // sem: list-partitioned vector layer (readLayer path)
+      val emb = spark.table("embeddings")
+      val dir = java.nio.file.Files.createTempDirectory("smpo").toString
+      Dedup.saveSemIndex(Dedup.buildSemIndex(
+        emb.where(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+        eps = 0.2), dir)
+      Dedup.releaseSketchCaches()
+      truncate(s"$dir/g0/vecs")
+      intercept[Exception] {
+        Dedup.loadSemIndex(spark, dir).assigned.count()
+      }
+      Dedup.releaseSketchCaches()
+    }
+  }
+
   test("index layers read layout-aware and integrity-first (r17): a " +
       "manifest-commit compaction of a generation layer reloads exactly " +
       "through the manifest; a corrupt straggler part fails the probe " +

@@ -12,6 +12,18 @@
 # e.g. tools/ab_lane.sh ca015dd            # HEAD vs round-16 tag, sf0.1
 #      tools/ab_lane.sh HEAD~3 /root/testdata/sf0.01
 #
+# DO NOT edit anything under src/ (or this script) while a run is live: the
+# ref leg checks out <ref>'s src over the working tree and the restore leg
+# checks out HEAD's — edits made after launch are clobbered by either leg
+# (the dirty-src refusal below only protects edits that exist at launch).
+#
+# Read the calib_sec / seg_cal_max fields of both JSONs before trusting
+# per-query movers: the legs run minutes apart and 20-30% ambient bursts
+# happen (r17: a head leg at calib 5.34 vs the ref leg's 4.13 produced
+# phantom 2x movers on pure-SQL queries the diff never touched; the rerun at
+# matched calibs 4.88/4.89 read median 1.025 with those movers gone). If
+# calibs disagree >10%, rerun; prefer per-query MINIMUMS across runs.
+#
 # Protocol (the exact manual sequence from BENCH_NOTES r16):
 #   1. refuse to run with a dirty src/ (checkout -- src would destroy edits)
 #   2. bench HEAD src            -> /tmp/graft_ab/head.json
