@@ -445,12 +445,23 @@ object Dedup {
       shingleN: Int = 2,
       threshold: Double = 0.6,
       collapseFloor: Long = 8192): NearDupIndex = {
-    val raw = docHashSets(corpus, idCol, textCol, shingleN)
-      .select(col("id").cast("long").as("id"), col("hs"), col("n"))
-    val sets = persistSketch(
-      if (corpus.count() <= collapseFloor) raw
-      else raw.groupBy(col("hs"), col("n")).agg(min(col("id")).as("id"))
+    // ONE corpus pass decides the collapse (round 17): the sketch layer is
+    // persisted FIRST and its count drives the branch — previously a
+    // separate corpus.count() job scanned the input once more, and the
+    // dense branch then re-sketched the corpus from scratch instead of
+    // grouping the cached layer. The branch choice is a pure PERF choice
+    // (collapsed docsets keep one representative per identical sketch;
+    // verification is exact Jaccard either way), so keying it on the
+    // sketched-doc count instead of the raw row count changes no output.
+    val raw = persistSketch(docHashSets(corpus, idCol, textCol, shingleN)
+      .select(col("id").cast("long").as("id"), col("hs"), col("n")))
+    val nRaw = raw.count()
+    val sets =
+      if (nRaw <= collapseFloor) raw
+      else persistSketch(raw.groupBy(col("hs"), col("n"))
+        .agg(min(col("id")).as("id"))
         .select(col("id"), col("hs"), col("n")))
+    val nSets = if (sets eq raw) nRaw else sets.count()
     val freq = persistSketch(sets.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("f")))
     val prefixes = persistSketch(prefixKeys(sets, freq, threshold))
@@ -461,7 +472,7 @@ object Dedup {
     // the probe would materialize it anyway). `route` keeps the index but
     // drops prefix keys with posting lists past the cap: a probe pair is
     // lost only when every shared prefix key is that ubiquitous.
-    if (routeOnSaturation(prefixes, sets.count(), "Dedup.buildNearDupIndex")) {
+    if (routeOnSaturation(prefixes, nSets, "Dedup.buildNearDupIndex")) {
       val maxPostings = corpus.sparkSession.conf
         .get(SaturationMaxPostingsKey, "200").toInt
       val capped = persistSketch(prefixes.join(

@@ -279,6 +279,140 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** All within-list pairs (a_id, b_id, cos ≥ threshold) over an already
+    * list-assigned (id, cv, cn, list) frame, as a **per-list blocked grid**
+    * — the [[cosinePairsBlocked]] kernel applied inside each inverted list.
+    *
+    * This replaces the row-per-pair `list == list && a.id < b.id` self-join
+    * (round 17): a giant list is ONE join key, and a sort-merge/hash join
+    * computes that key's whole |list|²/2 pair grid inside a single task —
+    * zero parallelism, the single-enormous-key skew AQE's skew-join cannot
+    * split (guide §2.5). The nlist=1 exact-reference arm of
+    * d15b_semantic_invariants is the worst case: the full n²/2 grid ran on
+    * one core (measured 171 s at native sf1). Here each list is hashed into
+    * B_l blocks (B_l grows with the list so per-task memory stays bounded,
+    * plus a parallelism floor for the largest lists), the B_l(B_l+1)/2
+    * block pairs become independent tasks, and each task runs the same
+    * tight sequential-IEEE dot loop as [[cosinePairsBlockedImpl]] — so
+    * emitted pairs and cosine values are bit-identical to the join path
+    * (DotProduct accumulates in index order; the division and the
+    * `cn_a · cn_b` product are single IEEE ops).
+    *
+    * The per-list sizing aggregate collects one (list, count) row per list
+    * to the driver — quantizer-sized (nlist ≤ √n by [[ivfCosinePairs]]'s
+    * default), the same driver-state class as the centroids themselves.
+    *
+    * Duplicate pairs from nprobe multi-assignment (same pair sharing
+    * several lists) are emitted once per shared list, exactly like the
+    * join path — callers keep their `groupBy(a_id, b_id)` dedup. */
+  private def listPairsBlockedImpl[I: TypeTag](
+      coded: DataFrame,
+      idExpr: Column,
+      threshold: Double,
+      targetBlockRows: Int)(implicit ord: Ordering[I]): DataFrame = {
+    val spark = coded.sparkSession
+    import spark.implicits._
+    implicit val rowEnc: Encoder[(Int, Int, Array[VecRow[I]], Array[VecRow[I]])] =
+      ExpressionEncoder[(Int, Int, Array[VecRow[I]], Array[VecRow[I]])]()
+    implicit val outEnc: Encoder[(I, I, Double)] =
+      ExpressionEncoder[(I, I, Double)]()
+    val c = coded.select(col("list").cast("long").as("list"),
+      idExpr.as("id"), col("cv").as("v"), col("cn").as("nrm"))
+    val par = spark.sparkContext.defaultParallelism
+    val sizes = c.groupBy("list").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (sizes.isEmpty)
+      return spark.emptyDataset[(I, I, Double)].toDF("a_id", "b_id", "cos")
+    // Block count per list: bounded per-task rows (the memory bound), plus
+    // a parallelism floor sized by each list's share of the TOTAL pair
+    // work (Σ cnt²): splitting list l into B_l blocks yields ~B_l²/2
+    // combos, so B_l ≈ cnt_l·√(8·par/totalWork) makes the grid's combo
+    // count ≈ 4·par overall, concentrated on the lists that own the work —
+    // a single giant list (nlist=1) splits across every core while a sea
+    // of small lists stays at one block each (their parallelism is the
+    // list count itself).
+    val totalWork = sizes.iterator.map { case (_, c) => c.toDouble * c }.sum
+    val parScale = if (totalWork > 0) math.sqrt(8.0 * par / totalWork) else 0.0
+    val blocksOf: Map[Long, Int] = sizes.map { case (l, cnt) =>
+      l -> math.max(1, math.max(
+        math.ceil(cnt.toDouble / targetBlockRows),
+        math.ceil(cnt * parScale)).toInt)
+    }.toMap
+    val combos = spark.createDataset(
+      sizes.flatMap { case (l, _) =>
+        val b = blocksOf(l)
+        for { i <- 0 until b; j <- i until b } yield (l, i, j)
+      }.toSeq)
+      .toDF("list", "bi", "bj")
+    val numCombos = sizes.iterator.map { case (l, _) =>
+      val b = blocksOf(l).toLong; b * (b + 1) / 2
+    }.sum
+    val bOf = typedlit(blocksOf)
+    val blocks = c
+      .select(col("list"),
+        pmod(hash(col("id")), element_at(bOf, col("list"))).cast("int").as("blk"),
+        struct(col("id"), col("v"), col("nrm")).as("vr"))
+      .groupBy("list", "blk").agg(collect_list(col("vr")).as("items"))
+    val t = threshold
+    broadcast(combos)
+      .join(blocks.select(col("list"), col("blk").as("bi"),
+        col("items").as("litems")), Seq("list", "bi"))
+      .join(blocks.select(col("list"), col("blk").as("bj"),
+        col("items").as("ritems")), Seq("list", "bj"))
+      .select(col("bi"), col("bj"), col("litems"), col("ritems"))
+      .repartition(math.min(numCombos, 8L * par).toInt)
+      .as[(Int, Int, Array[VecRow[I]], Array[VecRow[I]])]
+      .flatMap { case (bi, bj, litems, ritems) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(I, I, Double)]
+        val same = bi == bj
+        var i = 0
+        while (i < litems.length) {
+          val a = litems(i)
+          val av = a.v
+          var j = if (same) i + 1 else 0
+          while (j < ritems.length) {
+            val b = ritems(j)
+            val bv = b.v
+            var d = 0.0
+            var p = 0
+            while (p < av.length) { d += av(p) * bv(p); p += 1 }
+            val cos = d / (a.nrm * b.nrm)
+            if (cos >= t) {
+              if (ord.lteq(a.id, b.id)) out += ((a.id, b.id, cos))
+              else out += ((b.id, a.id, cos))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("a_id", "b_id", "cos")
+  }
+
+  /** Type-dispatching wrapper for [[listPairsBlockedImpl]] mirroring
+    * [[cosinePairsBlocked]]'s id handling: integral ids pair-order
+    * numerically and cast back; everything else orders as UTF-8 strings —
+    * both identical to the join path's `a.id < b.id` comparison. */
+  private[operators] def listPairsBlocked(
+      coded: DataFrame,
+      idType: DataType,
+      threshold: Double,
+      targetBlockRows: Int = 4096): DataFrame =
+    idType match {
+      case t @ (ByteType | ShortType | IntegerType | LongType) =>
+        listPairsBlockedImpl[Long](coded, col("id").cast(LongType),
+          threshold, targetBlockRows)
+          .select(col("a_id").cast(t).as("a_id"),
+            col("b_id").cast(t).as("b_id"), col("cos"))
+      case StringType =>
+        listPairsBlockedImpl[String](coded, col("id"), threshold,
+          targetBlockRows)(implicitly, Utf8IdOrdering)
+      case _ =>
+        listPairsBlockedImpl[String](coded, col("id").cast(StringType),
+          threshold, targetBlockRows)(implicitly, Utf8IdOrdering)
+    }
+
   /** Deterministic pseudo-random unit-ish hyperplanes (seeded — identical on
     * every executor and every run). */
   private def hyperplanes(dim: Int, n: Int, seed: Long): Seq[Seq[Double]] = {
@@ -537,8 +671,8 @@ object Similarity {
     * quantizer stays trainable from the capped sample) and train on the
     * bounded seeded sample. `c` must carry the vectors as `cv`. */
   private[operators] def trainQuantizer(c: DataFrame, nlist: Int, maxIter: Int,
-      trainCap: Int): Seq[Seq[Double]] = {
-    val total = c.count()
+      trainCap: Int, knownTotal: Long = -1L): Seq[Seq[Double]] = {
+    val total = if (knownTotal >= 0L) knownTotal else c.count()
     val lists =
       if (nlist > 0) nlist
       else math.max(16, math.min(math.sqrt(total.toDouble).toInt,
@@ -1247,7 +1381,9 @@ object Similarity {
       trainCap: Int = 20000): DataFrame = {
     val c = emb.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-    val cents = trainQuantizer(c, nlist, maxIter, trainCap)
+    val total = c.count()
+    val cents = trainQuantizer(c, nlist, maxIter, trainCap,
+      knownTotal = total)
     // Corpus-side multi-assignment is the per-row hot loop: one fused
     // codegen'd top-nprobe kernel (ranking by raw dot == cosine ranking
     // against unit centroids), not an nlist-struct array + sort per row.
@@ -1260,13 +1396,37 @@ object Similarity {
       .withColumn("list",
         explode(GraftFunctions.nearestCentroids(col("cv"), cents, nprobe)))
       .select(col("id"), col("cv"), col("cn"), col("list")))
-    coded.as("a").join(coded.as("b"),
-        col("a.list") === col("b.list") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        try_divide(dot(col("a.cv"), col("b.cv")),
-          col("a.cn") * col("b.cn")).as("cos"))
-      .where(col("cos") >= threshold)
-      .groupBy("a_id", "b_id")
+    // Intra-list pair scoring, SIZE-ROUTED (round 17; measured both ways
+    // at sf0.1 — QProf in OPTIMIZATION_r17.md):
+    //   - small assignment tables (≤ `spark.graft.similarity.pairJoinFloor`
+    //     rows, default 16384 ≈ the 10 MB auto-broadcast threshold at
+    //     dim 64): the row-per-pair self-join with the build side PINNED
+    //     to broadcast — a BroadcastHashJoin parallelizes by the probe
+    //     side's partitions, shuffles nothing, and beats any blocked grid
+    //     at this size (the grid's collect_list + block replication
+    //     shuffled 19 MB where the join moved 60 KiB).
+    //   - above the floor: the blocked tight-loop grid (listPairsBlocked).
+    //     A list is ONE join key, so past broadcastability the join plans
+    //     sort-merge and computes each list's whole |list|²/2 grid inside
+    //     a single task — zero parallelism; at nlist=1 (the
+    //     exact-reference arm of d15b) that serialized the entire n²/2
+    //     grid on one core (measured 171 s at native sf1).
+    // Arithmetic per pair is bit-identical on both routes (sequential
+    // IEEE dot / single-op divide — DotProduct's loop), so pairs and
+    // cos_sim hash-match either way (OperatorsSpec pins blocked ≡ grid);
+    // multi-list duplicates dedup through the max aggregate on both.
+    val pairFloor = emb.sparkSession.conf
+      .get("spark.graft.similarity.pairJoinFloor", "16384").toLong
+    val pairs =
+      if (total * math.max(1, nprobe) <= pairFloor)
+        broadcast(coded).as("a").join(coded.as("b"),
+            col("a.list") === col("b.list") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+            try_divide(dot(col("a.cv"), col("b.cv")),
+              col("a.cn") * col("b.cn")).as("cos"))
+          .where(col("cos") >= threshold)
+      else listPairsBlocked(coded, emb.schema(idCol).dataType, threshold)
+    pairs.groupBy("a_id", "b_id")
       .agg(round(max(col("cos")), 4).as("cos_sim"))
   }
 

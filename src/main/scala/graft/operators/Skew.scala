@@ -39,9 +39,16 @@ object Skew {
       n: Int,
       seed: Long = 42L): DataFrame = {
     require(n >= 1, s"saltedJoin(n=$n): need n >= 1")
-    // Any salt assignment is correct (it only spreads rows); rand(seed)
-    // keeps it cheap and uniform.
-    val l = left.withColumn("__salt", floor(rand(seed) * n).cast("int"))
+    // Any salt assignment is correct (it only spreads rows) — but it must
+    // be DETERMINISTIC per row: rand(seed) re-draws when a fetch failure
+    // re-runs part of the map stage, and a row whose two attempts drew
+    // different salts can be duplicated or lost across reducers
+    // (SPARK-38388; guide §2.5 prescribes deriving synthetic keys
+    // deterministically). A content hash over the full row spreads a hot
+    // key's distinct rows uniformly and reproduces exactly under retry.
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(lit(seed) +: left.columns.map(col): _*), lit(n))
+        .cast("int"))
     val r = right.withColumn("__salt",
       explode(array((0 until n).map(lit): _*)))
     l.join(r, keys :+ "__salt").drop("__salt")

@@ -149,6 +149,20 @@ object Unigram {
     require(vocabSize >= 1 && seedSize >= vocabSize,
       s"need seedSize ≥ vocabSize ≥ 1, got seed=$seedSize vocab=$vocabSize")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    // The histogram feeds emRounds + 1 Viterbi passes and the seed pass
+    // (round 17): without a persist each pass recomputed the caller's
+    // corpus tokenize + aggregate upstream — 5-6 full corpus scans per
+    // train for a vocabulary-sized frame. Unpersisted before return
+    // (every consumer below collects eagerly).
+    val h = hist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainOn(h, vocabSize, seedSize, maxPieceLen, emRounds, pruneFrac,
+      minSeedCount)
+    finally h.unpersist(false)
+  }
+
+  private def trainOn(hist: DataFrame, vocabSize: Int, seedSize: Int,
+      maxPieceLen: Int, emRounds: Int,
+      pruneFrac: Double, minSeedCount: Long): Model = {
     val cand = seedCandidates(hist, seedSize, maxPieceLen, minSeedCount)
     val chars = cand.filter(_._3).map(_._1).toSet
     // Seed probabilities ∝ count·length (the score that ranked them).

@@ -616,13 +616,22 @@ object Pipeline {
         threshold = 0.4).select("a_id", "b_id")
       val exact = Dedup.embedding(emb, "vec_id", "embedding", 0.4)
         .select("a_id", "b_id")
-      val fp = ivf.join(exact, Seq("a_id", "b_id"), "left_anti")
-        .agg(count(lit(1)).as("false_pairs"))
-      val rec = ivf.agg(count(lit(1)).as("np"))
-        .crossJoin(exact.agg(count(lit(1)).as("ne")))
-        .select(when(col("np").cast("double") >= col("ne") * 0.8, 0L)
-          .otherwise(1L).as("recall_floor_violations"))
-      fp.crossJoin(rec)
+      // ONE full-outer join replaces the anti-join + two count aggregates
+      // (round 17): both pair lists are unique on (a_id, b_id), so the
+      // join is 1:1 and one pass yields the anti count (ivf-only rows) and
+      // both side counts — previously each side's whole pair pipeline
+      // (the exact n² grid included) sat TWICE in the cross-joined plan,
+      // and Catalyst does not share common subtrees.
+      ivf.withColumn("i", lit(1))
+        .join(exact.withColumn("e", lit(1)), Seq("a_id", "b_id"),
+          "full_outer")
+        .agg(
+          coalesce(sum(when(col("i").isNotNull && col("e").isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("false_pairs"),
+          count(col("i")).as("np"), count(col("e")).as("ne"))
+        .select(col("false_pairs"),
+          when(col("np").cast("double") >= col("ne") * 0.8, 0L)
+            .otherwise(1L).as("recall_floor_violations"))
     },
     // d8 through its PERSISTED index: the corpus fingerprint set is built,
     // checkpointed, and reloaded once per session (resident-index pattern,
@@ -711,16 +720,24 @@ object Pipeline {
           docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
           minShared = 3)
         .select("a_id", "b_id", "n_shared")
-      val oneShot = Dedup.winnowing(docs, "doc_id", "text",
-          k = 16, w = 30, minShared = 3, maxFreq = 1000000, indexK = 0)
-        .where((col("a_id") % 5 === 0) =!= (col("b_id") % 5 === 0))
-        .select(
-          when(col("a_id") % 5 === 0, col("b_id")).otherwise(col("a_id"))
-            .as("ca"),
-          when(col("a_id") % 5 === 0, col("a_id")).otherwise(col("b_id"))
-            .as("cb"),
-          col("n_shared"))
-        .select(col("ca").as("a_id"), col("cb").as("b_id"), col("n_shared"))
+      // The one-shot side is a deterministic per-(session, dir) REFERENCE
+      // — resident like s6b/s7b's inline ANN references (round 17): the
+      // symmetric exceptAll reads it twice, and uncached that re-ran the
+      // full-corpus winnow posting-list pipeline twice per measurement.
+      // The invariant is unchanged — probe ≡ one-shot on the same frame.
+      val oneShot = annInlineFor(s, s"$dir#wnparity") {
+        Dedup.winnowing(docs, "doc_id", "text",
+            k = 16, w = 30, minShared = 3, maxFreq = 1000000, indexK = 0)
+          .where((col("a_id") % 5 === 0) =!= (col("b_id") % 5 === 0))
+          .select(
+            when(col("a_id") % 5 === 0, col("b_id")).otherwise(col("a_id"))
+              .as("ca"),
+            when(col("a_id") % 5 === 0, col("a_id")).otherwise(col("b_id"))
+              .as("cb"),
+            col("n_shared"))
+          .select(col("ca").as("a_id"), col("cb").as("b_id"),
+            col("n_shared"))
+      }
       probed.exceptAll(oneShot).unionAll(oneShot.exceptAll(probed))
         .agg(count(lit(1)).as("parity_violations"))
     },
@@ -952,17 +969,24 @@ object Pipeline {
         .groupBy("k").agg(countDistinct(col("fps")).as("nfp"))
         .agg(coalesce(sum(when(col("nfp") > 1, 1L).otherwise(0L)), lit(0L))
           .as("echo_mismatches"))
-      val cov = fp.where(size(col("hs")) >= 1)
-        .select(when(expr(s"exists(sequence(1, greatest(size(hs) - $w + 1, 1)), " +
-          s"j -> not array_contains(fps, array_min(slice(hs, j, $w))))"), 1L)
-          .otherwise(0L).as("v"))
-        .agg(coalesce(sum("v"), lit(0L)).as("coverage_violations"))
-      val mf = fp
-        .select(when(size(col("fps")) >= 2 &&
-          expr("exists(sequence(1, size(fps) - 1), i -> fps[i] <= fps[i-1])"),
-          1L).otherwise(0L).as("v"))
-        .agg(coalesce(sum("v"), lit(0L)).as("malformed_sets"))
-      em.crossJoin(cov).crossJoin(mf)
+      // Coverage + malformedness in ONE aggregate pass over fp (round 17):
+      // as separate cross-joined aggregates each subtree re-evaluated the
+      // winnow/rollingHashes kernels over the whole corpus (Catalyst does
+      // not share common subtrees across a crossJoin) — one full corpus
+      // pass for free. The cov filter (size(hs) >= 1) folds into its
+      // conditional: filtered-out rows contributed nothing to the sum.
+      val covMf = fp
+        .select(
+          when(size(col("hs")) >= 1 &&
+            expr(s"exists(sequence(1, greatest(size(hs) - $w + 1, 1)), " +
+              s"j -> not array_contains(fps, array_min(slice(hs, j, $w))))"),
+            1L).otherwise(0L).as("cv"),
+          when(size(col("fps")) >= 2 &&
+            expr("exists(sequence(1, size(fps) - 1), i -> fps[i] <= fps[i-1])"),
+            1L).otherwise(0L).as("mv"))
+        .agg(coalesce(sum("cv"), lit(0L)).as("coverage_violations"),
+          coalesce(sum("mv"), lit(0L)).as("malformed_sets"))
+      em.crossJoin(covMf)
     },
     // Stopword/quality ratios via higher-order filter.
     df("t5_stopword_ratio",
@@ -2623,11 +2647,22 @@ object Pipeline {
         bits = 6, files = 16)
       val back = s.read.parquet(zdir)
       import s.implicits._
+      // All four probe counts in ONE aggregation job (round 17): the four
+      // separate actions each paid a full job round-trip over the same
+      // read-back tree. The conditional counts evaluate the identical
+      // point predicates row-by-row, so the content-invariance pin (and
+      // the emitted constants) are unchanged; the data-SKIPPING property
+      // was never measured here (scan metrics live in SourcesSpec).
+      val r = back.agg(
+        count(lit(1)).as("total"),
+        count(when(col("x") === 17L, 1)).as("x17"),
+        count(when(col("y") === 17L, 1)).as("y17"),
+        countDistinct(col("x"), col("y")).as("cells")).head()
       val rows = Seq(
-        ("total", back.count()),
-        ("x_eq_17", back.where(col("x") === 17L).count()),
-        ("y_eq_17", back.where(col("y") === 17L).count()),
-        ("distinct_cells", back.select("x", "y").distinct().count()))
+        ("total", r.getLong(0)),
+        ("x_eq_17", r.getLong(1)),
+        ("y_eq_17", r.getLong(2)),
+        ("distinct_cells", r.getLong(3)))
       fs.delete(fx, true)
       rows.toDF("probe", "rows").orderBy("probe")
     },
@@ -2657,13 +2692,20 @@ object Pipeline {
         Seq("x", "y"), bits = 5, files = 8)
       val back = s.read.parquet(zdir)
       import s.implicits._
+      // One aggregation job for all four probes (the i3 consolidation,
+      // round 17) — identical predicates, identical constants, 3 fewer
+      // job round-trips per bench invocation.
+      val r = back.agg(
+        count(lit(1)).as("total"),
+        count(when(col("p") === 0L, 1)).as("p0"),
+        count(when(col("p") === 0L && col("x") === 5L, 1)).as("p0x5"),
+        count(when(col("p") === 1L && col("y") === 5L, 1)).as("p1y5"))
+        .head()
       val rows = Seq(
-        ("total", back.count()),
-        ("p0_total", back.where(col("p") === 0L).count()),
-        ("p0_x_eq_5", back.where(col("p") === 0L && col("x") === 5L)
-          .count()),
-        ("p1_y_eq_5", back.where(col("p") === 1L && col("y") === 5L)
-          .count()))
+        ("total", r.getLong(0)),
+        ("p0_total", r.getLong(1)),
+        ("p0_x_eq_5", r.getLong(2)),
+        ("p1_y_eq_5", r.getLong(3)))
       fs.delete(fx, true)
       rows.toDF("probe", "rows").orderBy("probe")
     },
@@ -2718,8 +2760,13 @@ object Pipeline {
       // a dedup measurement (d1-d18 price the operators): the structural
       // counts are corpus-independent, so 320 docs prove the same policy
       // 320M would.
+      // 160/40 docs and 4 buckets (round 17, was 400/8): the emitted counts
+      // are structural flags (corpus-independent by the comment above), so
+      // the fixture only needs enough docs to exercise a real multi-part
+      // build/save/load/probe cycle — the slimming halves this query's
+      // per-bench index-build and CTAS cost without touching its result.
       val docs = s.table("documents")
-        .where(col("doc_id") < 400)
+        .where(col("doc_id") < 200)
         .select(col("doc_id"), col("text"))
       val corpus = docs.where(col("doc_id") % 5 =!= 0)
       val batch = docs.where(col("doc_id") % 5 === 0)
@@ -2727,7 +2774,7 @@ object Pipeline {
       val cleanProbe = scala.util.Try(
         Dedup.probeNearDups(built, batch, "doc_id", "text").count())
       val idxDir = s"$fx/nd"
-      Dedup.saveIndex(built, idxDir, numBuckets = 8)
+      Dedup.saveIndex(built, idxDir, numBuckets = 4)
       Dedup.releaseIndex(built)
       Dedup.releaseSketchCaches()
       plantTruncated(s"$idxDir/g0/docsets")

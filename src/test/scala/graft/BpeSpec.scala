@@ -159,6 +159,18 @@ class BpeSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() == got.length)
   }
 
+  test("local-route training ≡ distributed rounds (round-17 adaptive path)") {
+    // Bpe.train now runs the whole loop on the driver when the dictionary
+    // fits localWordCap (the components() localEdgeCap pattern). The two
+    // routes must learn the IDENTICAL merge table — same counts, same
+    // (pc desc, a asc, b asc) argmax, same greedy leftmost application.
+    val hist = Bpe.wordHistogram(spark.table("documents"), "text")
+    val local = Bpe.train(hist, nMerges = 24)
+    val distributed = Bpe.train(hist, nMerges = 24, localWordCap = 0)
+    assert(local == distributed,
+      s"local/distributed merge tables diverge:\n local=$local\n dist=$distributed")
+  }
+
   test("training stops early when no pair reaches minPairCount") {
     import spark.implicits._
     // Every word distinct chars, each word once → all pair counts are 1.

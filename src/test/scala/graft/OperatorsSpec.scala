@@ -369,6 +369,36 @@ class OperatorsSpec extends SparkSpecBase {
       s"IVF pair recall too low: ${approx.length} of ${exact.size}")
   }
 
+  test("ivfCosinePairs: blocked within-list grid ≡ exact grid at nlist=1, " +
+      "string ids keep UTF-8 pair order") {
+    // The round-17 kernel swap (row-per-pair list self-join → per-list
+    // blocked grid) must be invisible in the output. nlist=1 puts every
+    // vector in ONE list, so the within-list pairs are exactly the full
+    // grid — (a_id, b_id, cos_sim) triples must match cosinePairsBlocked
+    // bit-for-bit (same sequential-IEEE dot, same rounding).
+    val emb = spark.table("embeddings")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val grid = Similarity.cosinePairsBlocked(emb, "vec_id", "embedding", 0.4)
+      .collect().map(key).toSet
+    val oneList = Similarity
+      .ivfCosinePairs(emb, "vec_id", "embedding", 0.4, nlist = 1, nprobe = 1)
+      .collect().map(key).toSet
+    assert(oneList == grid,
+      s"nlist=1 blocked-list pairs diverge from the exact grid: " +
+        s"extra=${(oneList -- grid).take(3)} missing=${(grid -- oneList).take(3)}")
+    // String ids route through the UTF-8 pair ordering — orientation must
+    // match the long path's numeric order on zero-padded encodings.
+    val sEmb = emb.selectExpr(
+      "lpad(cast(vec_id as string), 6, '0') as vec_id", "embedding")
+    val sPairs = Similarity
+      .ivfCosinePairs(sEmb, "vec_id", "embedding", 0.4, nlist = 1, nprobe = 1)
+      .collect()
+      .map(r => (r.getString(0).toLong, r.getString(1).toLong, r.getDouble(2)))
+      .toSet
+    assert(sPairs == grid, "string-id pair orientation diverges")
+  }
+
   test("lshTopK: dim inferred from the corpus; explicit mismatch throws") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
