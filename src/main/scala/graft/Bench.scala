@@ -30,6 +30,17 @@ object Bench {
       // compile cache; evictions turn mid-suite queries cold again and
       // inject multi-second recompile noise (BENCH_NOTES.md).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // File-split open cost (round 17): the 4 MB default models slow-disk
+      // per-file open overhead and packs every small parquet table into
+      // 1-3 splits — 500 ImageIO decodes measured running on THREE tasks
+      // of a 32-core box, tokenize-heavy SQL at sub-10% core use (QProf,
+      // OPTIMIZATION_r17.md). 128 KB is the fast-storage (NVMe page-cached
+      // / parallel object-store reader) figure; at scale it is inert —
+      // large files split by maxPartitionBytes, and split-packing of many
+      // small files still amortizes opens within a split. Env-overridable
+      // per box like the other scale knobs.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
       .config("spark.ui.enabled", "false")
       // Saturation-guard policy passthrough for scale lanes: the native-sf1
       // fixture is vocabulary-saturated, where the exact-pair family now

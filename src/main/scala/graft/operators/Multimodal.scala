@@ -24,12 +24,20 @@ object Multimodal {
 
   /** Attach a binary payload + metadata struct to each document. In a real
     * pipeline the binary arrives from the source (parquet/lance binary
-    * column); here the documents' text bytes stand in as the payload. */
+    * column); here the documents' text bytes stand in as the payload.
+    *
+    * Balanced (round 17): every consumer runs a real codec per row
+    * (decode/resize/frame walks), and a small parquet source arrives as
+    * 1-3 splits under the open-cost packing — 500 ImageIO decodes were
+    * measured running on THREE tasks of a 32-core box (m10 4.8 s → 2.4 s
+    * from splitting alone). Balance is the Dedup-family input-parallelism
+    * guard: it repartitions only under-split small inputs and no-ops at
+    * scale, so no gratuitous exchange appears on big corpora. */
   def withPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
+    Balance(docs.select(
       col(idCol).as("doc_id"),
       col(textCol).cast("binary").as("content"),
-      metaStruct(col(textCol).cast("binary")).as("meta"))
+      metaStruct(col(textCol).cast("binary")).as("meta")))
 
   /** REAL resize in the codec slot — the stub codec is retired: decode
     * (partition-hoisted readers, [[PartitionImageDecoder]]), downsample by
@@ -63,6 +71,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val decoder = new PartitionImageDecoder
+        val encoder = new PartitionPngEncoder
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
             val img = decoder.decode(bytes)
@@ -100,9 +109,7 @@ object Multimodal {
                 }
                 yy += 1
               }
-              val out = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(small, "png", out)
-              val png = out.toByteArray
+              val png = encoder.write(small)
               // Stats come from RE-DECODING the re-encoded bytes: PNG is
               // lossless, so any mismatch with the block-average
               // arithmetic means the round trip itself broke.
@@ -194,28 +201,32 @@ object Multimodal {
       w: Int = 8, h: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id"))
+    // Balanced like withPayload (per-row PNG encode is the CPU cost), with
+    // the writer hoisted per partition (PartitionPngEncoder — the static
+    // ImageIO.write registry walk serializes across tasks).
+    Balance(docs.select(col(idCol).cast("long").as("doc_id")))
       .as[Long]
-      .map { d =>
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            // floorMod: Scala % keeps the dividend's sign, and a negative
-            // doc_id would pack sign-extended bits across channels.
-            val r = Math.floorMod(d * 31 + x * 7 + y * 13, 256L).toInt
-            val g = Math.floorMod(d * 17 + x * 11 + y * 3, 256L).toInt
-            val b = Math.floorMod(d * 29 + x * 5 + y * 19, 256L).toInt
-            img.setRGB(x, y, (r << 16) | (g << 8) | b)
-            x += 1
+      .mapPartitions { it =>
+        val enc = new PartitionPngEncoder
+        it.map { d =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              // floorMod: Scala % keeps the dividend's sign, and a negative
+              // doc_id would pack sign-extended bits across channels.
+              val r = Math.floorMod(d * 31 + x * 7 + y * 13, 256L).toInt
+              val g = Math.floorMod(d * 17 + x * 11 + y * 3, 256L).toInt
+              val b = Math.floorMod(d * 29 + x * 5 + y * 19, 256L).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          (d, enc.write(img))
         }
-        val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", out)
-        (d, out.toByteArray)
       }
       .toDF("doc_id", "content")
       .withColumn("meta", metaStruct(col("content")))
@@ -241,6 +252,27 @@ object Multimodal {
     * and repartitioning moved nothing). Each partition resolves the
     * WAVE-capable writer once; the writer itself is stateless across
     * calls. Not thread-safe; one instance per `mapPartitions` task. */
+  /** Partition-lifetime PNG encoder — [[PartitionWavEncoder]]'s discipline
+    * on the image WRITE side: the `ImageIO.write(img, "png", out)`
+    * convenience re-walks the writer SPI registry per call and serializes
+    * on the static registry — invisible while synthesis ran on 1-3 splits,
+    * but once round-17's Balance spread it across every core the
+    * contention measured m4 3.1 s → 13.3 s and m10 2.4 s → 4.8 s at
+    * sf0.1. One writer per partition, registry consulted once. Not
+    * thread-safe; one instance per `mapPartitions` task. */
+  private final class PartitionPngEncoder {
+    private lazy val writer: javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    def write(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.close()
+      bos.toByteArray
+    }
+  }
+
   private final class PartitionWavEncoder {
     private lazy val writer: javax.sound.sampled.spi.AudioFileWriter = {
       import scala.jdk.CollectionConverters._
@@ -492,8 +524,9 @@ object Multimodal {
     // carry its ORIGINAL's seed (same leading samples, longer tail) under
     // a fresh id — the fixture shape audio overlap dedup needs.
     val seed = if (seedCol.isEmpty) col(idCol) else col(seedCol)
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        seed.cast("long").as("seed"))
+    // Balanced like withPayload: per-row WAV encode is the CPU cost.
+    Balance(docs.select(col(idCol).cast("long").as("doc_id"),
+        seed.cast("long").as("seed")))
       .as[(Long, Long)]
       .mapPartitions { it =>
         // Writer resolved once per partition (PartitionWavEncoder — the
@@ -698,8 +731,9 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     val seed = if (seedCol.isEmpty) col(idCol) else col(seedCol)
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        seed.cast("long").as("seed"))
+    // Balanced like withPayload: per-row multi-frame TIFF encode is CPU.
+    Balance(docs.select(col(idCol).cast("long").as("doc_id"),
+        seed.cast("long").as("seed")))
       .as[(Long, Long)]
       .mapPartitions { it =>
         val writer = javax.imageio.ImageIO

@@ -411,7 +411,17 @@ object Pipeline {
     df("d4_dedup_simhash",
       Some("select cast(0 as bigint) as exact_pair_misses")) { (s, dir) =>
       val docs = s.table("documents")
+      // hamming = 0 pre-filter on the anti-join side (round 17), PROVABLY
+      // output-identical: sim is a pure function of text, so an
+      // identical-text twin pair can only ever appear in the pair list at
+      // hamming 0 — membership of a twin in pairs(≤6) ⟺ membership in
+      // pairs(=0) — and the filter pushes into the candidate join's
+      // condition, so the ~all-pairs hamming≤6 list of a dup-dense corpus
+      // (1.6 GB shuffled at native sf1, the lane's #2 entry) never
+      // materializes. The checked guarantee is unchanged: every
+      // identical-text pair must surface (chunks all equal at hamming 0).
       val pairs = Dedup.simhash(docs, "doc_id", "text", maxHamming = 6)
+        .where(col("hamming") === 0)
         .select("a_id", "b_id")
       val fp = docs.where(size(filter(
           split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)) >= 1)

@@ -24,6 +24,8 @@ object QProf {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
       .config("spark.ui.enabled", "false")
       .config("spark.graft.dedup.saturation.mode",
         sys.env.getOrElse("SPARK_GRAFT_SATURATION_MODE", "fail"))
