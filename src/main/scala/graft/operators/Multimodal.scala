@@ -26,18 +26,16 @@ object Multimodal {
     * pipeline the binary arrives from the source (parquet/lance binary
     * column); here the documents' text bytes stand in as the payload.
     *
-    * Balanced (round 17): every consumer runs a real codec per row
-    * (decode/resize/frame walks), and a small parquet source arrives as
-    * 1-3 splits under the open-cost packing — 500 ImageIO decodes were
-    * measured running on THREE tasks of a 32-core box (m10 4.8 s → 2.4 s
-    * from splitting alone). Balance is the Dedup-family input-parallelism
-    * guard: it repartitions only under-split small inputs and no-ops at
-    * scale, so no gratuitous exchange appears on big corpora. */
+    * NOT balanced here (round 17): consumers split between cheap
+    * metadata/stub paths (m1/m5 — a Balance exchange measured as pure
+    * +0.25 s overhead) and CPU-dense codec paths; the SYNTHETIC payload
+    * generators (real encode work per row) and the codec consumers carry
+    * their own Balance instead. */
   def withPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    Balance(docs.select(
+    docs.select(
       col(idCol).as("doc_id"),
       col(textCol).cast("binary").as("content"),
-      metaStruct(col(textCol).cast("binary")).as("meta")))
+      metaStruct(col(textCol).cast("binary")).as("meta"))
 
   /** REAL resize in the codec slot — the stub codec is retired: decode
     * (partition-hoisted readers, [[PartitionImageDecoder]]), downsample by
