@@ -1124,6 +1124,18 @@ object Dedup {
   val SaturationFoldMaxBucketKey =
     "spark.graft.dedup.saturation.foldMaxBucket"
 
+  /** [[hammingPairs]] hot-bucket split: a (c, chunk) bucket holding more
+    * than this many signatures is block-split so its pair grid runs as
+    * ~(bsize/blockRows)²/2 independent join keys instead of ONE key's
+    * single task (a degenerate chunk value is the "single enormous key
+    * AQE's skew join cannot split" shape — guide §2.5). Default 4096 ≈
+    * 16.8M xor+popcount comparisons per block pair, sub-second a task;
+    * NOT a core-count constant — it bounds per-task work and per-row
+    * replication (a bucket's rows are replicated ~(nb+1)/2× per side).
+    * `2147483647` (Int.MaxValue) disables the split AND the bucket
+    * census, restoring the plain one-key-per-bucket self-join. */
+  val HammingBlockRowsKey = "spark.graft.dedup.hammingBlockRows"
+
   private def saturationMaxBucket(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.get(SaturationMaxBucketKey, "10000").toInt
 
@@ -1475,7 +1487,11 @@ object Dedup {
     * perceptual-hash payload dedup — `sig` is any (id, sim: bigint) frame.
     * Returns (a_id, b_id, hamming), a_id < b_id. The signature frame
     * persists while the join runs ([[withSketchCache]] /
-    * [[releaseSketchCaches]] contract). */
+    * [[releaseSketchCaches]] contract). Buckets larger than
+    * [[HammingBlockRowsKey]] rows are block-split into a triangle of
+    * independent join keys (round 17) — pair set and ordering identical,
+    * but a degenerate hot chunk no longer serializes its n²/2 grid into
+    * one task. */
   def hammingPairs(sig: DataFrame, maxHamming: Int,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     // 16 bytes/doc; feeds both sides of the chunk-bucket self-join — see
@@ -1489,23 +1505,72 @@ object Dedup {
       .select(col("id"), col("sim"),
         col("cc.c").as("c"), col("cc.chunk").as("chunk"))
 
-    // Skew guard (opt-in; [[simhashFold]] engages it on saturation): drop
-    // degenerate chunk buckets before the quadratic self-join — the same
-    // cap shape as [[minhashLsh]]'s maxBucket. A dropped bucket loses only
-    // pairs whose every OTHER chunk also differs/is degenerate.
-    val chunks =
-      if (maxBucket == Int.MaxValue) raw
-      else raw.withColumn("bsize",
-          count(lit(1)).over(Window.partitionBy("c", "chunk")))
-        .where(col("bsize") <= maxBucket)
-        .drop("bsize")
+    val blockRows = sig.sparkSession.conf
+      .get(HammingBlockRowsKey, "4096").toInt
+    val pairs =
+      if (blockRows == Int.MaxValue && maxBucket == Int.MaxValue) {
+        // Census disabled and uncapped: the plain one-key-per-bucket
+        // self-join (the pre-round-17 shape).
+        raw.as("x").join(raw.as("y"),
+            col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+              col("x.id") < col("y.id"))
+          .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+            bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+      } else {
+        // Bucket census: ≤ 4·65536 rows by construction (16-bit chunks),
+        // one aggregation over the persisted 16-byte sketch, broadcast
+        // back. It serves BOTH skew controls in one pass:
+        //   - the opt-in cap ([[simhashFold]] engages it on saturation):
+        //     drop degenerate chunk buckets before the quadratic
+        //     self-join — the same cap shape as [[minhashLsh]]'s
+        //     maxBucket; a dropped bucket loses only pairs whose every
+        //     OTHER chunk also differs/is degenerate. (Was a
+        //     full-shuffle window over 4 rows/doc; the broadcast join
+        //     shuffles only the bounded census.)
+        //   - the hot-bucket SPLIT (round 17, guide §2.5): a surviving
+        //     bucket past `blockRows` rows is a single join key owning
+        //     a bsize²/2 pair grid in ONE task — the single enormous
+        //     key AQE's skew join cannot split. Each hot bucket hashes
+        //     into nb = ⌈bsize/blockRows⌉ id blocks; the triangle
+        //     scheme below turns its grid into nb·(nb+1)/2 independent
+        //     join keys with the SAME total pair set.
+        val census = raw.groupBy("c", "chunk").agg(count(lit(1)).as("bsize"))
+        val kept = if (maxBucket == Int.MaxValue) census
+          else census.where(col("bsize") <= maxBucket)
+        val sized = raw.join(broadcast(kept), Seq("c", "chunk"))
+        val cold = sized.where(col("bsize") <= blockRows)
+        val coldPairs = cold.as("x").join(cold.as("y"),
+            col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+              col("x.id") < col("y.id"))
+          .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+            bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+        // Triangle split: a row in block p joins as the LEFT leg of keys
+        // (p, t ≥ p) and the RIGHT leg of keys (s ≤ p, p), so blocks
+        // p ≤ q meet at exactly key (p, q) — every within-bucket pair
+        // surfaces exactly once (same-block pairs keep the id tiebreak;
+        // cross-block orientation is arbitrary, so least/greatest
+        // restores a_id < b_id — the join path's exact ordering).
+        val hot = sized.where(col("bsize") > blockRows)
+          .withColumn("nb",
+            ceil(col("bsize").cast("double") / blockRows).cast("int"))
+          .withColumn("blk", pmod(hash(col("id")), col("nb")).cast("int"))
+        val xs = hot
+          .withColumn("bj", explode(sequence(col("blk"), col("nb") - lit(1))))
+          .withColumnRenamed("blk", "bi")
+        val ys = hot
+          .withColumn("bi", explode(sequence(lit(0), col("blk"))))
+          .withColumnRenamed("blk", "bj")
+        val hotPairs = xs.as("x").join(ys.as("y"),
+            col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+              col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
+              (col("x.bi") < col("x.bj") || col("x.id") < col("y.id")))
+          .select(least(col("x.id"), col("y.id")).as("a_id"),
+            greatest(col("x.id"), col("y.id")).as("b_id"),
+            bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+        coldPairs.unionByName(hotPairs)
+      }
 
-    chunks.as("x")
-      .join(chunks.as("y"),
-        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+    pairs
       .distinct()
       .where(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming").cast("bigint").as("hamming"))

@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   *      values: value v covers global 1-based ranks
   *      `(cum − cnt, cum]` within its group — WindowExec sort/spill is
   *      bounded by distinct values per group;
-  *   3. per-group totals join back (broadcast — one row per group);
+  *   3. per-group totals are the running sum's final value — a second
+  *      window over the same partition (no extra scan, exchange or sort);
   *   4. the quantile at fraction p needs only the values at ranks
   *      `⌊p·(n−1)⌋+1` and `⌊p·(n−1)⌋+2`: a conditional-min aggregate over
   *      the ranked distinct values picks both in one pass (cum is
@@ -30,8 +31,8 @@ import org.apache.spark.sql.functions._
   *      asserts exact equality, not rounded closeness).
   *
   * At 100 TB the plan is: scan → partial-agg → one shuffle on
-  * (group, value) → per-group distinct-value window → tiny broadcast join
-  * → final agg. Nothing buffers a raw group; a single-key skew lands on
+  * (group, value) → per-group distinct-value window → final agg. Nothing
+  * buffers a raw group; a single-key skew lands on
   * the distinct-value window, which spills and is bounded by CARDINALITY,
   * not row count.
   */
@@ -60,16 +61,14 @@ object Quantiles {
     val cnts = vals.groupBy((g :+ col("__v")): _*).agg(count(lit(1)).as("__cnt"))
     val w = Window.partitionBy(g: _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = cnts.withColumn("__cum", sum(col("__cnt")).over(w))
-
-    // (3) per-group totals — one row per group, broadcast. Null-safe key
-    // equality: a NULL group key is a real group (the built-in keeps it),
-    // and a plain equi-join would silently drop it.
-    val totals = vals.groupBy(g: _*).agg(count(lit(1)).as("__n"))
-      .select(groupCols.map(c => col(c).as(s"__gqt_$c")) :+ col("__n"): _*)
-    val joined = ranked.join(broadcast(totals),
-        groupCols.map(c => ranked(c) <=> totals(s"__gqt_$c")).reduce(_ && _))
-      .drop(groupCols.map(c => s"__gqt_$c"): _*)
+    // (3) per-group total = the running sum's final value — a second
+    // window over the SAME partition keys (sort-order prefix of the first,
+    // so no extra exchange or sort) instead of a separate
+    // count-scan + broadcast join: the source is scanned ONCE. NULL group
+    // keys are ordinary window partitions, so they survive without the
+    // null-safe join the totals frame used to need.
+    val joined = cnts.withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__n", max(col("__cum")).over(Window.partitionBy(g: _*)))
 
     // (4) conditional-min picks the two bracketing values per prob.
     def pos(p: Double) = (col("__n") - 1) * lit(p)
@@ -94,6 +93,85 @@ object Quantiles {
         .as(outCols(i))
     }
     grouped.select((g ++ outs): _*)
+  }
+
+  /** Multi-value-column variant of [[exactGroupQuantiles]] in ONE source
+    * scan: each row explodes into (column-tag, value) entries, so the
+    * distinct-count shuffle, rank window and pick aggregate all run once
+    * keyed by (group, column) instead of once PER value column. Arithmetic
+    * per (group, column) partition is the single-column pipeline's exactly
+    * (same counts, same running sums, same conditional-min picks, same
+    * interpolation ops), so results stay bit-identical to it — and to the
+    * built-in `percentile()` (QuantilesSpec).
+    *
+    * `specs` maps each value column to its (fractions, output names).
+    * Returns one row per group that has at least one non-NULL value in at
+    * least one spec column: groupCols ++ all outCols; a spec column with
+    * no values in a group yields NULL outputs for that group (callers
+    * needing every group anchor on the distinct key set, as
+    * [[groupPercentiles]] does). */
+  def exactGroupQuantilesMulti(
+      df: DataFrame,
+      groupCols: Seq[String],
+      specs: Seq[(String, Seq[Double], Seq[String])]): DataFrame = {
+    require(specs.nonEmpty, "at least one value-column spec required")
+    specs.foreach { case (v, probs, outs) =>
+      require(probs.nonEmpty && probs.length == outs.length,
+        s"$v: probs (${probs.length}) and outCols (${outs.length}) must pair up")
+      require(probs.forall(p => p >= 0.0 && p <= 1.0),
+        s"$v: quantile fractions must be in [0, 1], got $probs")
+    }
+    if (specs.length == 1) {
+      val (v, probs, outs) = specs.head
+      return exactGroupQuantiles(df, groupCols, v, probs, outs)
+    }
+    val g = groupCols.map(col)
+    val tagged = df
+      .select((g :+ explode(array(specs.zipWithIndex.map {
+        case ((v, _, _), i) =>
+          struct(lit(i).as("c"), col(v).cast("double").as("v"))
+      }: _*)).as("__e")): _*)
+      .select((g :+ col("__e.c").as("__qc") :+ col("__e.v").as("__v")): _*)
+      .where(col("__v").isNotNull)
+
+    val keys = g :+ col("__qc")
+    val cnts = tagged.groupBy((keys :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cnts.withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__n", max(col("__cum")).over(Window.partitionBy(keys: _*)))
+
+    def pos(p: Double) = (col("__n") - 1) * lit(p)
+    def loRank(p: Double) = floor(pos(p)) + 1
+    def hiRank(p: Double) = least(floor(pos(p)) + 2, col("__n"))
+    // Picks for every (column, prob) run in one aggregate; a (group,
+    // column) row only ever reads its own column's picks downstream, so
+    // the cross-column ones it also computes are dead (and cheap: one
+    // conditional min each over the group's distinct values).
+    val picks = specs.zipWithIndex.flatMap { case ((_, probs, _), i) =>
+      probs.zipWithIndex.flatMap { case (p, j) => Seq(
+        min(when(col("__cum") >= loRank(p), col("__v"))).as(s"__lo_${i}_$j"),
+        min(when(col("__cum") >= hiRank(p), col("__v"))).as(s"__hi_${i}_$j"))
+      }
+    }
+    val perCol = ranked.groupBy((keys :+ col("__n")): _*)
+      .agg(picks.head, picks.tail: _*)
+
+    // Interpolate each column's probs on its own (group, column) row,
+    // then collapse the ≤ specs.length rows per group into one: exactly
+    // one row carries each column's outputs, so a guarded min() lifts it.
+    val outs = specs.zipWithIndex.flatMap { case ((_, probs, onames), i) =>
+      probs.zipWithIndex.map { case (p, j) =>
+        val position = pos(p)
+        val lower = floor(position)
+        val interp = when(position === lower, col(s"__lo_${i}_$j"))
+          .otherwise(col(s"__lo_${i}_$j") * (lower + 1 - position) +
+            col(s"__hi_${i}_$j") * (position - lower))
+        min(when(col("__qc") === i, interp)).as(onames(j))
+      }
+    }
+    perCol.groupBy(g: _*).agg(outs.head, outs.tail: _*)
   }
 
   /** Group percentiles with the cliff-free AUTO-ROUTE (the
@@ -128,24 +206,25 @@ object Quantiles {
       df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     } else {
       // Route parity around NULLs (both routes must return the same
-      // rows, not just the same numbers): exactGroupQuantiles drops a
-      // group whose values are ALL NULL (the built-in returns the group
-      // with NULL percentiles), and a plain USING join would drop NULL
-      // group keys (equi-join null semantics). Anchor on the full
-      // distinct key set and left-join each column's result with
-      // null-safe key equality.
+      // rows, not just the same numbers): the quantile pipeline drops a
+      // group whose values are ALL NULL in every spec column (the
+      // built-in returns the group with NULL percentiles), and a plain
+      // USING join would drop NULL group keys (equi-join null
+      // semantics). Anchor on the full distinct key set and left-join
+      // the ONE multi-column result (round 17: all value columns share a
+      // single scan/shuffle/window pipeline instead of one per column)
+      // with null-safe key equality; a column with no values in a group
+      // already reads NULL from the multi pipeline itself.
       val base = df.select(groupCols.map(col): _*).distinct()
-      specs.foldLeft(base) { case (acc, (v, probs, outs)) =>
-        val r = exactGroupQuantiles(
-            df.select((groupCols :+ v).map(col): _*),
-            groupCols, v, probs, outs)
-          .select(groupCols.map(c => col(c).as(s"__gq_$c")) ++
-            outs.map(col): _*)
-        val cond = groupCols.map(c => acc(c) <=> r(s"__gq_$c"))
-          .reduce(_ && _)
-        acc.join(r, cond, "left")
-          .drop(groupCols.map(c => s"__gq_$c"): _*)
-      }
+      val r = exactGroupQuantilesMulti(
+          df.select((groupCols ++ specs.map(_._1)).distinct.map(col): _*),
+          groupCols, specs)
+        .select(groupCols.map(c => col(c).as(s"__gq_$c")) ++
+          specs.flatMap(_._3).map(col): _*)
+      val cond = groupCols.map(c => base(c) <=> r(s"__gq_$c"))
+        .reduce(_ && _)
+      base.join(r, cond, "left")
+        .drop(groupCols.map(c => s"__gq_$c"): _*)
     }
   }
 }

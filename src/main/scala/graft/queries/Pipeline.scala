@@ -1335,6 +1335,13 @@ object Pipeline {
       // full-corpus exchange the narrow zip simply never needs. The DuckDB
       // oracle keeps the window formulation (equivalence is all the oracle
       // owes); identical rows either way.
+      // Spark inlines CTEs, so every reference re-runs the tokenize; the
+      // round-17 form derives the aggregates that admit EXACT integer
+      // derivation from finer ones — total n = Σ uni.cnt and
+      // ctx(prev) = Σ bg.cnt over prev (bigint sums of the identical
+      // counts, so every downstream division is bit-identical) — cutting
+      // the corpus tokenize from 5 CTE expansions to 3 (toks once for
+      // uni; big twice: bg and the scored row stream).
       "with toksarr as (select doc_id, filter(split(lower(text), '[^a-z0-9]+'), " +
         "t -> length(t) > 0) as ts from documents), " +
         "toks as (select doc_id, explode(ts) as tok from toksarr), " +
@@ -1342,10 +1349,10 @@ object Pipeline {
         "(select doc_id, posexplode(zip_with(slice(ts, 1, size(ts) - 1), " +
         "slice(ts, 2, size(ts) - 1), (x, y) -> struct(x as a, y as b))) as (i, p) " +
         "from toksarr where size(ts) >= 2)), " +
-        "n as (select count(*) as total from toks), " +
         "uni as (select tok, count(*) as cnt from toks group by tok), " +
-        "ctx as (select prev, count(*) as cnt from big group by prev), " +
+        "n as (select sum(cnt) as total from uni), " +
         "bg as (select prev, tok, count(*) as cnt from big group by prev, tok), " +
+        "ctx as (select prev, sum(cnt) as cnt from bg group by prev), " +
         "scored as (select b.doc_id, b.pos, " +
         "ln(0.8 * bg.cnt / ctx.cnt + 0.2 * uni.cnt / (select total from n)) as lp " +
         "from big b join uni on b.tok = uni.tok " +

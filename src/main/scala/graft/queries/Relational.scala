@@ -333,13 +333,16 @@ object Relational {
         "from lineitem group by l_returnflag order by l_returnflag")) { (s, dir) =>
       import org.apache.spark.sql.functions.round
       val li = s.table("lineitem")
-      val qty = graft.operators.Quantiles.exactGroupQuantiles(
-        li.select("l_returnflag", "l_quantity"),
-        Seq("l_returnflag"), "l_quantity", Seq(0.5, 0.9), Seq("p50", "p90"))
-      val price = graft.operators.Quantiles.exactGroupQuantiles(
-        li.select("l_returnflag", "l_extendedprice"),
-        Seq("l_returnflag"), "l_extendedprice", Seq(0.99), Seq("p99_price"))
-      qty.join(price, "l_returnflag")
+      // Both value columns ride ONE scan/shuffle/window pipeline (round
+      // 17: exactGroupQuantilesMulti — bit-identical per column to the
+      // separate pipelines it replaced, QuantilesSpec); lineitem's
+      // quantity/price are never NULL, so every group carries both
+      // columns and no join is needed at all.
+      graft.operators.Quantiles.exactGroupQuantilesMulti(
+          li.select("l_returnflag", "l_quantity", "l_extendedprice"),
+          Seq("l_returnflag"),
+          Seq(("l_quantity", Seq(0.5, 0.9), Seq("p50", "p90")),
+            ("l_extendedprice", Seq(0.99), Seq("p99_price"))))
         .select(col("l_returnflag"), round(col("p50"), 4).as("p50"),
           round(col("p90"), 4).as("p90"),
           round(col("p99_price"), 2).as("p99_price"))

@@ -58,6 +58,58 @@ class OperatorsSpec extends SparkSpecBase {
     assert(!pairs.exists(p => (p._1, p._2) == (1L, 3L)))
   }
 
+  test("hammingPairs hot-bucket split ≡ plain self-join (pair set, order, hamming)") {
+    import spark.implicits._
+    // ids 1..60 share chunk values in THREE of the four 16-bit chunks
+    // (low chunk 0x2A, top two chunks 0) → three hot buckets once
+    // blockRows drops to 8; 100/101 are an identical pair living in its
+    // own small buckets. maxHamming=64 keeps every candidate, so the
+    // comparison covers the full pair set, not just close pairs.
+    val sigs = ((1L to 60L).map(i => (i, (i << 16) | 0x2AL)) ++
+      Seq((100L, 0x1234567812345678L), (101L, 0x1234567812345678L)))
+      .toDF("id", "sim")
+    def longPairs(): Set[(Long, Long, Long)] =
+      Dedup.hammingPairs(sigs, 64).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.conf.set(Dedup.HammingBlockRowsKey, Int.MaxValue.toString)
+    val plain = try longPairs()
+      finally spark.conf.unset(Dedup.HammingBlockRowsKey)
+    spark.conf.set(Dedup.HammingBlockRowsKey, "8")
+    val split = try longPairs()
+      finally spark.conf.unset(Dedup.HammingBlockRowsKey)
+    assert(plain.nonEmpty, "fixture must produce pairs")
+    assert(split == plain, "block-split pair set must match the plain join")
+    assert(split.forall(p => p._1 < p._2), "a_id < b_id ordering")
+    assert(split.contains((100L, 101L, 0L)), "identical pair at hamming 0")
+
+    // String ids: the split's least/greatest must reproduce the join
+    // path's UTF-8 `<` orientation.
+    val ssigs = sigs.select(concat(lit("doc-"), col("id")).as("id"), col("sim"))
+    def strPairs(): Set[(String, String, Long)] =
+      Dedup.hammingPairs(ssigs, 64).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    spark.conf.set(Dedup.HammingBlockRowsKey, Int.MaxValue.toString)
+    val plainS = try strPairs()
+      finally spark.conf.unset(Dedup.HammingBlockRowsKey)
+    spark.conf.set(Dedup.HammingBlockRowsKey, "8")
+    val splitS = try strPairs()
+      finally spark.conf.unset(Dedup.HammingBlockRowsKey)
+    assert(splitS == plainS, "string-id split must match the plain join")
+
+    // Cap semantics through the census route: dropping the hot buckets
+    // (cap 30 < 60) keeps only pairs that share a SURVIVING chunk — the
+    // identical 100/101 pair does; the 1..60 family pairs collide only
+    // in the three degenerate buckets and must vanish.
+    spark.conf.set(Dedup.HammingBlockRowsKey, "8")
+    val capped = try {
+      Dedup.hammingPairs(sigs, 64, maxBucket = 30).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    } finally spark.conf.unset(Dedup.HammingBlockRowsKey)
+    assert(capped.contains((100L, 101L, 0L)))
+    assert(!capped.exists(p => p._1 <= 60L && p._2 <= 60L),
+      "pairs colliding only in over-cap buckets must be dropped")
+  }
+
   test("cosine: hand-checked values") {
     import spark.implicits._
     val df = Seq(

@@ -34,6 +34,19 @@ class QuantilesSpec extends SparkSpecBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("multi-column single-pass variant bit-matches built-in percentile() per column") {
+    val li = spark.table("lineitem")
+    val multi = Quantiles.exactGroupQuantilesMulti(li, Seq("l_returnflag"),
+      Seq(("l_quantity", Seq(0.5, 0.9), Seq("p50", "p90")),
+        ("l_extendedprice", Seq(0.99), Seq("p99"))))
+    val want = li.groupBy("l_returnflag").agg(
+      expr("percentile(l_quantity, 0.5)").as("p50"),
+      expr("percentile(l_quantity, 0.9)").as("p90"),
+      expr("percentile(l_extendedprice, 0.99)").as("p99"))
+    assert(multi.exceptAll(want).isEmpty && want.exceptAll(multi).isEmpty,
+      "one-scan multi-column pipeline must stay bit-identical per column")
+  }
+
   test("groupPercentiles auto-route: both sides of the cutoff agree, big side has no group buffer") {
     val li = spark.table("lineitem")
     val specs = Seq(
