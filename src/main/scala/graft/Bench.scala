@@ -68,11 +68,22 @@ object Bench {
       .toString
     val taskErrs = Harness.routeTaskErrorLogs(taskErrLog)
 
+    // Per-query task-error attribution (round 18, VERDICT item 8): the
+    // sf1 record carried `task_errors: 10` with no on-record adjudication
+    // — the counter is now sampled around each materialization so the
+    // final tail line can NAME the queries that errored and say whether
+    // they are all i-series expected-poison fixtures.
+    val taskErrQueries = scala.collection.mutable.LinkedHashMap[String, Int]()
     def materialize(name: String): Double = {
+      val e0 = taskErrs.get
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
+      finally {
+        val d = taskErrs.get - e0
+        if (d > 0) taskErrQueries(name) = taskErrQueries.getOrElse(name, 0) + d
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -175,36 +186,53 @@ object Bench {
     // warm between passes (same JVM, codegen cache sized above), so pass 2
     // is also the steady-state number.
     var passes = Vector(runPassOver(names), runPassOver(names))
-    // LOADED-SEGMENT RE-RUN (round 15, VERDICT item 3): a query whose
-    // segment probes read loaded in BOTH passes has no quiet raw minimum
-    // at all — the round-14 official record carried a 1.93× phantom on
-    // exactly this shape that BENCH_NOTES had to adjudicate by hand.
-    // One bounded third pass re-measures just those queries; the per-query
-    // raw minimum then needs zero manual adjudication (if the box stays
-    // loaded the interleaved-calibration correction still prices it, and
-    // `rerun_n` in the JSON says so).
+    // LOADED-SEGMENT RE-RUN (round 15; round 18, VERDICT r17 item 1a): a
+    // query whose segment probes read loaded in EVERY pass has no quiet
+    // raw minimum at all — the round-14 official record carried a 1.93×
+    // phantom on exactly this shape, and the round-17 record re-ran its 15
+    // load-struck segments ONCE, stayed loaded, and the official numbers
+    // came out unprovable. Suspects now re-run until every query owns at
+    // least one measurement from a quiet segment (probe ≤ 1.5× the run's
+    // median across ALL passes so far) or the retry cap is spent; if the
+    // box stays loaded to the cap, the per-query calibration (qcal, item
+    // 1b below) still prices each surviving number and `rerun_n` says how
+    // much re-measuring happened.
+    val rerunCap = sys.env.getOrElse("SPARK_GRAFT_RERUN_CAP", "4").toInt
+    var rerunN = 0
     locally {
-      val probes0 = passes.flatten.map(_.segCal).filter(_ > 0)
-      if (probes0.nonEmpty) {
-        val med0 = probes0.sorted.apply(probes0.size / 2)
-        val suspect = names.filter { n =>
-          val cals = passes.flatMap(_.find(_.name == n)).map(_.segCal)
-          cals.nonEmpty && cals.forall(c => c > 0 && c > med0 * 1.5)
-        }
-        if (suspect.nonEmpty) {
-          System.err.println(s"[bench] ${suspect.size} queries measured " +
-            s"only under load (probe > 1.5× median, n_jvms=$ambientJvms) " +
-            "- re-running those segments once")
-          passes :+= runPassOver(suspect)
+      var attempts = 0
+      var more = true
+      while (more && attempts < rerunCap) {
+        val probes = passes.flatten.map(_.segCal).filter(_ > 0)
+        if (probes.isEmpty) more = false
+        else {
+          val med = probes.sorted.apply(probes.size / 2)
+          val suspect = names.filter { n =>
+            val cals = passes.flatMap(_.find(_.name == n)).map(_.segCal)
+            cals.nonEmpty && cals.forall(c => c > 0 && c > med * 1.5)
+          }
+          if (suspect.isEmpty) more = false
+          else {
+            attempts += 1
+            rerunN += suspect.size
+            System.err.println(s"[bench] ${suspect.size} queries measured " +
+              s"only under load (probe > 1.5× median, n_jvms=$ambientJvms) " +
+              s"- re-running those segments (attempt $attempts/$rerunCap)")
+            passes :+= runPassOver(suspect)
+          }
         }
       }
     }
-    val rerunN =
-      if (passes.size > 2) passes(2).size else 0
+    // Per-query result = the raw minimum across passes, PAIRED with the
+    // segment-probe reading of the pass that produced it (round 18, VERDICT
+    // r17 item 1b): the record then carries, for every query, how fast the
+    // box was in the exact neighborhood its reported second came from, so a
+    // PERF comparison can normalize per query instead of discounting the
+    // whole record when one segment was load-struck.
     val results = names.map { n =>
-      val secs = passes.flatMap(_.find(_.name == n)).map(_.sec)
-        .filter(_ >= 0)
-      n -> (if (secs.isEmpty) -1.0 else secs.min)
+      val ms = passes.flatMap(_.find(_.name == n)).filter(_.sec >= 0)
+      if (ms.isEmpty) n -> Timed(n, -1.0, -1.0)
+      else n -> ms.minBy(_.sec)
     }
     // The BOX-SPEED anchor is the MEDIAN of all ~2·ceil(n/segSize) segment
     // probes — a robust statistic over the whole run — priced against a
@@ -240,26 +268,43 @@ object Bench {
       }.sum
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // Record-refusal discipline (round 18, VERDICT r17 item 1c): a record
+    // whose calibration block ran >1.5× slower than its pinned quiet-box
+    // reference is stamped loaded even if the ambient-load probe at start
+    // looked quiet — the r17 record read load_avg 1.13 / calib 10.97-vs-4.5
+    // and was still compared raw.
+    val loadedFlag = stillLoaded ||
+      (calibSec > 0 && calibRef > 0 && calibSec > calibRef * 1.5)
     // `value` is always the FULL-suite total (the round-over-round headline
     // number), even on the printed line whose `queries` map carries only the
     // headline subset — the full map lives in bench.json.
-    def jsonFor(sel: Seq[(String, Double)]): String = {
-      val qs = sel.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def jsonFor(sel: Seq[(String, Timed)]): String = {
+      val qs = sel.map { case (k, t) => "\"" + k + "\":" + fmt(t.sec) }
         .mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
+      // qcal: the per-query segment-probe seconds, ARRAY-ALIGNED with the
+      // `queries` map's key order (an object map would double the printed
+      // line past the driver's ~2 KB tail window). Ratio use only, so two
+      // decimals; compare against seg_cal_ref/seg_cal_med. -1 = no probe
+      // (SPARK_GRAFT_CALIB_SEG=0 runs).
+      def fmt2(v: Double): String =
+        if (v < 0) "-1"
+        else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      val qcal = sel.map(t => fmt2(t._2.segCal)).mkString("[", ",", "]")
+      val total = results.map(_._2.sec).filter(_ >= 0).sum
       val skipped = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       // seg_cal min/max: the run's own drift envelope — equal values mean
       // the box held steady, a spread localizes WHERE load moved.
       val (scMin, scMax) =
         if (segCals.isEmpty) (-1.0, -1.0) else (segCals.min, segCals.max)
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""qcal":$qcal,""" +
         s""""calib_sec":${fmt(calibSec)},"calib_ref":${fmt(calibRef)},""" +
         s""""norm_total":${fmt(segNormTotal)},""" +
         s""""seg_cal_med":${fmt(medianSegCal)},"seg_cal_ref":${fmt(calibSegRef)},""" +
         s""""seg_cal_min":${fmt(scMin)},"seg_cal_max":${fmt(scMax)},""" +
         s""""skipped":$skipped,"rerun_n":$rerunN,""" +
         s""""load_avg":${fmt(math.max(0.0, ambientLoad))},""" +
-        s""""n_jvms":$ambientJvms,"loaded":$stillLoaded,""" +
+        s""""n_jvms":$ambientJvms,"loaded":$loadedFlag,""" +
         s""""task_errors":${taskErrs.get},""" +
         s""""task_error_log":"$taskErrLog","sf":"$sfDir"}"""
     }
@@ -304,10 +349,23 @@ object Bench {
     spark.stop()
     // Print last, after spark.stop(), so no executor/log line can interleave;
     // flush so the line is complete even if the JVM is torn down abruptly.
-    if (taskErrs.get > 0)
+    // Self-adjudicating tail (round 18, VERDICT r17 item 8): when task-level
+    // errors happened on a green map, the ONE tail line names which queries
+    // produced them and rules on benignity — the i-series integrity fixtures
+    // plant corrupt files BY DESIGN, and a record must never again need a
+    // human to connect `task_errors: 10` to them.
+    if (taskErrs.get > 0) {
+      val byQ = taskErrQueries.toSeq.sortBy(_._1)
+        .map { case (q, n) => s"$q:$n" }.mkString(" ")
+      val verdict =
+        if (taskErrQueries.keys.forall(_.startsWith("i")))
+          "all from i-series expected-poison integrity fixtures (corrupt " +
+            "files planted by design) - benign on a green map"
+        else "NOT all from i-series expected-poison fixtures - inspect the log"
       println(s"[bench] ${taskErrs.get} task-level error/warn events " +
-        s"routed to $taskErrLog (expected-poison probes log here by " +
-        "design; a query that actually failed reads -1 in the map)")
+        s"routed to $taskErrLog ($byQ): $verdict; a query that actually " +
+        "failed reads -1 in the map")
+    }
     println(headlineJson)
     System.out.flush()
   }

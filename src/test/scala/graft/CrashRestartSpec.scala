@@ -234,13 +234,26 @@ class CrashRestartSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSeq
     assert(ids.sorted == Seq(15L, 30L, 40L),
       s"kept output after crash-restart: $ids")
+  }
 
-    // Same fixture, post-sink crash point: the idempotent per-batch sink
-    // must keep landed rows exactly-once when the replay re-runs a sink
-    // that already wrote (the shared-loop contract, proven per-family).
+  // Slow tier: the post-sink crash point for the semantic family. The
+  // idempotent-sink contract already has a default-tier smoke on the near
+  // family ("kill -9 AFTER the sink wrote" below); this arm re-proves it
+  // per-family on the embedding stream.
+  test("kill -9 AFTER the semantic sink wrote: idempotent per-batch sink " +
+      "stays exactly-once on the embedding stream", SlowTest) {
+    import spark.implicits._
     val base2 = Files.createTempDirectory("crash9semP").toString
     val src2 = s"$base2/src"
-    spark.read.parquet(s"$srcDir/corpus").write.parquet(s"$src2/corpus")
+    Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("doc_id", "embedding").write.parquet(s"$src2/corpus")
+    val files = Seq(
+      "f1" -> Seq((10L, Seq(1.0, 0.1, 0.0, 0.0)),
+        (15L, Seq(0.0, 0.0, 1.0, 0.0))),
+      "f2" -> Seq((20L, Seq(0.0, 0.0, 1.0, 0.1)),
+        (30L, Seq(0.0, 0.0, 0.0, 1.0))),
+      "f3" -> Seq((40L, Seq(0.5, -0.5, 0.5, -0.5)),
+        (45L, Seq(1.0, 0.05, 0.0, 0.0))))
     files.zipWithIndex.foreach { case ((name, rows), i) =>
       val d = s"$src2/stream/$name"
       rows.toDF("doc_id", "embedding").coalesce(1).write.parquet(d)
@@ -436,8 +449,13 @@ class CrashRestartSpec extends SparkSpecBase {
       s"duplicate packs after crash-restart: $keys")
   }
 
+  // Slow tier: the three-stage test above is the default-tier export
+  // crash smoke (same kill point, same replay contract); this arm adds the
+  // substring gate to the composition, which has its own mid-batch crash
+  // smoke and a default-tier StreamingSpec four-stage functional test.
   test("kill -9 after a batch landed: the FOUR-stage export pipeline " +
-      "(gate → exact → near-dup → substring → pack) replays exactly-once") {
+      "(gate → exact → near-dup → substring → pack) replays exactly-once",
+      SlowTest) {
     import spark.implicits._
     def doc(id: Long, seed: String): (Long, String) =
       (id, (0 until 20).map(k => s"$seed$k").mkString(" "))
@@ -561,6 +579,18 @@ class CrashRestartSpec extends SparkSpecBase {
 
   test("kill -9 mid-retraction: the export erasure completes exactly-once " +
       "on restart, from either half of its crash window") {
+    // Default tier runs the deeper half of the crash window ("packs": the
+    // shard rewrites landed, deletes/manifest/state did not); the "plan"
+    // half (WAL committed, no apply leg ran) is the slow-tier arm below.
+    retractionCrashCase(Seq("packs"))
+  }
+
+  test("kill -9 mid-retraction, pre-apply half: the erasure resumes from " +
+      "a committed WAL before any apply leg ran", SlowTest) {
+    retractionCrashCase(Seq("plan"))
+  }
+
+  private def retractionCrashCase(killPoints: Seq[String]): Unit = {
     import spark.implicits._
     // Docs sized to close 32-token windows across 4 shards; withdrawn
     // docs hit two shards, one early (long reflow) and one late.
@@ -602,7 +632,7 @@ class CrashRestartSpec extends SparkSpecBase {
     val expected = export(s"$ref/sink")
     assert(expected.nonEmpty)
 
-    Seq("plan", "packs").foreach { killPoint =>
+    killPoints.foreach { killPoint =>
       val base = Files.createTempDirectory(s"crash9rt$killPoint").toString
       writeSrc(s"$base/src", drop = Set.empty)
       val args = Seq(s"$base/idx", s"$base/eng", s"$base/src", s"$base/sink")

@@ -1430,7 +1430,7 @@ class StreamingSpec extends SparkSpecBase {
 
   test("pack retraction property: seeded random withdrawal sets equal " +
       "the from-scratch export of the survivors (small window, odd " +
-      "shard count — the boundary-arithmetic gauntlet)") {
+      "shard count — the boundary-arithmetic gauntlet)", SlowTest) {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     import graft.streaming.PackStream
@@ -2020,7 +2020,8 @@ class StreamingSpec extends SparkSpecBase {
   test("export pipeline endurance with in-loop pack compaction: file " +
       "counts stay bounded as batches accumulate, packs byte-identical " +
       "to an uncompacted run, retraction exact over the compacted " +
-      "layout, and a mid-compaction crash heals at the next stream start") {
+      "layout, and a mid-compaction crash heals at the next stream start",
+      SlowTest) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
@@ -2228,7 +2229,7 @@ class StreamingSpec extends SparkSpecBase {
 
   test("capstone composition: four-stage pipeline + one takedown batch " +
       "across fp, nd, ss AND export — gates withdrawn, shards erased, " +
-      "re-post re-enters, all under the composed lock chain") {
+      "re-post re-enters, all under the composed lock chain", SlowTest) {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
