@@ -155,4 +155,56 @@ object TextOps {
     * (spec-pinned against the composed columns). */
   def piiScrub(text: Column): Column =
     graft.functions.GraftFunctions.regexScrub(text, piiPatterns)
+
+  /** Interpolated bigram-LM quality score (t20's operator form, round 18):
+    * per-position ln(0.8·P(w|prev) + 0.2·P(w)) with corpus-MLE
+    * probabilities, averaged per doc in token order. The declared-SQL form
+    * re-expands its token CTE on every reference (Spark inlines CTEs), so
+    * the corpus tokenized THREE times per run; here the token-array frame
+    * is computed once and persisted (the [[Dedup.persistSketch]] /
+    * releaseSketchCaches contract), and uni/bigram/context counts all read
+    * the cache. Every arithmetic step — count aggregation, the
+    * (0.8·bg/ctx + 0.2·uni/total) interpolation, the position-sorted
+    * sequential fold, the 4-digit round — is the SQL form's expression
+    * tree verbatim, so the emitted doubles are bit-identical and the
+    * DuckDB oracle hash-match is unchanged. Single-token docs carry no
+    * bigram and drop out, exactly as in the SQL. */
+  def bigramLogprob(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toksarr = Dedup.persistSketch(docs.select(
+      col(idCol).as("doc_id"), regexTokens(col(textCol)).as("ts")))
+    val toks = toksarr.select(col("doc_id"), explode(col("ts")).as("tok"))
+    // Bigrams map-side from each doc's token array (a zip of adjacent
+    // slices) — the declared SQL's narrow shape, no lag window.
+    val big = toksarr.where(size(col("ts")) >= 2)
+      .select(col("doc_id"), posexplode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col.a").as("prev"), col("col.b").as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val bg = big.groupBy("prev", "tok").agg(count(lit(1)).as("cnt"))
+    val ctx = bg.groupBy("prev").agg(sum("cnt").as("cnt"))
+    // `(select total from n)` in the SQL — a 1-row frame; broadcast join
+    // attaches the identical bigint to every row.
+    val n = uni.agg(sum("cnt").as("total"))
+    val scored = big.as("b")
+      .join(uni.as("uni"), col("b.tok") === col("uni.tok"))
+      .join(ctx.as("ctx"), col("b.prev") === col("ctx.prev"))
+      .join(bg.as("bg"),
+        col("b.prev") === col("bg.prev") && col("b.tok") === col("bg.tok"))
+      .crossJoin(broadcast(n))
+      .select(col("b.doc_id").as("doc_id"), col("b.pos").as("pos"),
+        log(lit(0.8) * col("bg.cnt") / col("ctx.cnt") +
+          lit(0.2) * col("uni.cnt") / col("total")).as("lp"))
+    scored.groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("lp")))),
+        s => s("lp")).as("lps"))
+      .select(col("doc_id"),
+        round(aggregate(col("lps"), lit(0.0), (a, x) => a + x) /
+          size(col("lps")), 4).as("mean_bigram_logprob"))
+      .orderBy("doc_id")
+  }
 }

@@ -1328,41 +1328,22 @@ object Pipeline {
     // aggregations (map-side partials), the per-doc mean is t15's
     // order-pinned fold so engine-side float addition order can't move the
     // hash. Single-token docs have no bigram and drop out on both engines.
-    sql("t20_bigram_logprob",
-      // Spark side derives bigrams map-side from each doc's token ARRAY (a
-      // zip of adjacent slices) instead of a lag window — the window form
-      // shuffles every token by doc_id before anything aggregates, one
-      // full-corpus exchange the narrow zip simply never needs. The DuckDB
-      // oracle keeps the window formulation (equivalence is all the oracle
-      // owes); identical rows either way.
-      // Spark inlines CTEs, so every reference re-runs the tokenize; the
-      // round-17 form derives the aggregates that admit EXACT integer
-      // derivation from finer ones — total n = Σ uni.cnt and
-      // ctx(prev) = Σ bg.cnt over prev (bigint sums of the identical
-      // counts, so every downstream division is bit-identical) — cutting
-      // the corpus tokenize from 5 CTE expansions to 3 (toks once for
-      // uni; big twice: bg and the scored row stream).
-      "with toksarr as (select doc_id, filter(split(lower(text), '[^a-z0-9]+'), " +
-        "t -> length(t) > 0) as ts from documents), " +
-        "toks as (select doc_id, explode(ts) as tok from toksarr), " +
-        "big as (select doc_id, i + 1 as pos, p.a as prev, p.b as tok from " +
-        "(select doc_id, posexplode(zip_with(slice(ts, 1, size(ts) - 1), " +
-        "slice(ts, 2, size(ts) - 1), (x, y) -> struct(x as a, y as b))) as (i, p) " +
-        "from toksarr where size(ts) >= 2)), " +
-        "uni as (select tok, count(*) as cnt from toks group by tok), " +
-        "n as (select sum(cnt) as total from uni), " +
-        "bg as (select prev, tok, count(*) as cnt from big group by prev, tok), " +
-        "ctx as (select prev, sum(cnt) as cnt from bg group by prev), " +
-        "scored as (select b.doc_id, b.pos, " +
-        "ln(0.8 * bg.cnt / ctx.cnt + 0.2 * uni.cnt / (select total from n)) as lp " +
-        "from big b join uni on b.tok = uni.tok " +
-        "join ctx on b.prev = ctx.prev " +
-        "join bg on b.prev = bg.prev and b.tok = bg.tok), " +
-        "agg as (select doc_id, transform(array_sort(collect_list(struct(pos, lp))), " +
-        "s -> s.lp) as lps from scored group by doc_id) " +
-        "select doc_id, round(aggregate(lps, cast(0 as double), (a, x) -> a + x) " +
-        "/ size(lps), 4) as mean_bigram_logprob from agg order by doc_id",
-      "with toksarr as (select doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
+    // Spark side derives bigrams map-side from each doc's token ARRAY (a
+    // zip of adjacent slices) instead of a lag window — the window form
+    // shuffles every token by doc_id before anything aggregates, one
+    // full-corpus exchange the narrow zip simply never needs. The DuckDB
+    // oracle keeps the window formulation (equivalence is all the oracle
+    // owes); identical rows either way.
+    // Round 18: the Spark side moves from declared SQL to the df operator
+    // (TextOps.bigramLogprob) — Spark inlines CTEs, so the SQL form
+    // re-tokenized the corpus on every CTE reference (5 expansions in the
+    // original, 3 after round-17's exact integer derivations); the df form
+    // tokenizes ONCE into a persisted frame and derives uni/bg/ctx from
+    // the cache. Expression tree per row is the SQL form's verbatim
+    // (same interpolation, same position-sorted fold, same round), so the
+    // emitted doubles and the oracle hash are unchanged.
+    df("t20_bigram_logprob",
+      Some("with toksarr as (select doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), " +
         "t -> length(t) > 0) as ts from documents), " +
         "toks as (select doc_id, unnest(ts) as tok, unnest(range(len(ts))) as pos from toksarr), " +
         "big as (select doc_id, pos, tok, " +
@@ -1378,7 +1359,10 @@ object Pipeline {
         "join bg on b.prev = bg.prev and b.tok = bg.tok), " +
         "agg as (select doc_id, list(lp order by pos) as lps from scored group by doc_id) " +
         "select doc_id, round(list_reduce(lps, (a, x) -> a + x) " +
-        "/ len(lps), 4) as mean_bigram_logprob from agg order by doc_id"),
+        "/ len(lps), 4) as mean_bigram_logprob from agg order by doc_id")) {
+      (s, dir) =>
+        TextOps.bigramLogprob(s.table("documents"), "doc_id", "text")
+    },
     // PII scrub on the oracle record: the corpus is digit-free, so each doc
     // gets a deterministic doc_id-derived PII suffix (email, IPv4, card
     // number, phone — the m10 synthesize-then-process pattern), then

