@@ -515,16 +515,27 @@ object Multimodal {
     * anything. */
   def syntheticWavPayloads(docs: DataFrame, idCol: String,
       nSamples: Int = 256, sampleRate: Int = 8000,
-      seedCol: String = ""): DataFrame = {
+      seedCol: String = "", balance: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // seedCol decouples the sample formula from the row id: a twin row can
     // carry its ORIGINAL's seed (same leading samples, longer tail) under
     // a fresh id — the fixture shape audio overlap dedup needs.
     val seed = if (seedCol.isEmpty) col(idCol) else col(seedCol)
-    // Balanced like withPayload: per-row WAV encode is the CPU cost.
-    Balance(docs.select(col(idCol).cast("long").as("doc_id"),
-        seed.cast("long").as("seed")))
+    // `balance` is a CALLER hint (round 18): WAV synthesis itself is ~4 µs
+    // per row (the whole sf0.1 corpus serialized in 0.19 s, r16 record) —
+    // three orders lighter than the PNG/TIFF encoders whose Balance wins
+    // were unconditional — so whether the guard's exchange pays depends on
+    // what CONSUMES the payloads. m12's frame-overlap pipeline (decode +
+    // per-frame md5 + self-join) amortizes it; m11's single cheap parse
+    // does not (round-17 quiet-box A/B: m11 0.29 → 0.49 s was the
+    // exchange + per-task codec inits, while the native-sf1 lane's real
+    // cost was the per-row SPI walk, fixed separately by
+    // PartitionWavEncoder). The operator can't see downstream weight;
+    // the caller can.
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"),
+      seed.cast("long").as("seed"))
+    (if (balance) Balance(ids) else ids)
       .as[(Long, Long)]
       .mapPartitions { it =>
         // Writer resolved once per partition (PartitionWavEncoder — the

@@ -1382,20 +1382,31 @@ object Similarity {
     val c = emb.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
     val total = c.count()
-    val cents = trainQuantizer(c, nlist, maxIter, trainCap,
-      knownTotal = total)
-    // Corpus-side multi-assignment is the per-row hot loop: one fused
-    // codegen'd top-nprobe kernel (ranking by raw dot == cosine ranking
-    // against unit centroids), not an nlist-struct array + sort per row.
+    // nlist = 1 (the exact-reference arm of d15b / the nlist=1 ≡ exact
+    // spec): a single list means EVERY vector lands in list 0 no matter
+    // what the centroid is — training it (a trainCap-sized sample collect
+    // + the kmeans rounds) and running the nearest-centroid kernel are
+    // pure overhead, skipped (round 18). Identical assignment, pairs and
+    // cosines; the multi-list path is untouched.
+    val assigned =
+      if (nlist == 1) c.where(col("cn") > 0).withColumn("list", lit(0))
+      else {
+        val cents = trainQuantizer(c, nlist, maxIter, trainCap,
+          knownTotal = total)
+        // Corpus-side multi-assignment is the per-row hot loop: one fused
+        // codegen'd top-nprobe kernel (ranking by raw dot == cosine
+        // ranking against unit centroids), not an nlist-struct array +
+        // sort per row.
+        c.where(col("cn") > 0).withColumn("list",
+          explode(GraftFunctions.nearestCentroids(col("cv"), cents, nprobe)))
+      }
     // Persisted because BOTH self-join sides read it (the sharedKeyPairs
     // contract): without the persist the corpus scan, norm, and
     // nearest-centroid kernel run twice per call. Released via the
     // sketch-cache contract (Dedup.withSketchCache /
     // releaseSketchCaches).
-    val coded = Dedup.persistSketch(c.where(col("cn") > 0)
-      .withColumn("list",
-        explode(GraftFunctions.nearestCentroids(col("cv"), cents, nprobe)))
-      .select(col("id"), col("cv"), col("cn"), col("list")))
+    val coded = Dedup.persistSketch(
+      assigned.select(col("id"), col("cv"), col("cn"), col("list")))
     // Intra-list pair scoring, SIZE-ROUTED (round 17; measured both ways
     // at sf0.1 — QProf in OPTIMIZATION_r17.md):
     //   - small assignment tables (≤ `spark.graft.similarity.pairJoinFloor`
@@ -1418,7 +1429,8 @@ object Similarity {
     val pairFloor = emb.sparkSession.conf
       .get("spark.graft.similarity.pairJoinFloor", "16384").toLong
     val pairs =
-      if (total * math.max(1, nprobe) <= pairFloor)
+      if (total * (if (nlist == 1) 1L else math.max(1, nprobe).toLong)
+          <= pairFloor)
         broadcast(coded).as("a").join(coded.as("b"),
             col("a.list") === col("b.list") && col("a.id") < col("b.id"))
           .select(col("a.id").as("a_id"), col("b.id").as("b_id"),

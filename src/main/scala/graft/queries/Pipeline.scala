@@ -2065,7 +2065,12 @@ object Pipeline {
         "cast(max(s) as bigint) as max_amp " +
         "from smp group by doc_id order by doc_id")) { (s, dir) =>
       Multimodal.decodeAudioBatched(
-          Multimodal.syntheticWavPayloads(s.table("documents"), "doc_id"))
+          Multimodal.syntheticWavPayloads(s.table("documents"), "doc_id",
+            // The consumer is one cheap header+PCM parse per row — the
+            // Balance exchange costs more than it spreads here (the m11
+            // 0.29 -> 0.49 s round-17 A/B regression); m12's heavy
+            // frame-overlap consumer keeps the default.
+            balance = false))
         .orderBy("doc_id")
     },
     // Audio near-dup by shared PCM-frame fingerprints — the m7 video shape
