@@ -1505,8 +1505,19 @@ object Dedup {
       .select(col("id"), col("sim"),
         col("cc.c").as("c"), col("cc.chunk").as("chunk"))
 
+    // Hot-bucket threshold default 16384 (round 18, was 4096): the split
+    // pays only when one bucket's b²/2 grid would serialize a stage — at
+    // 16384 rows that grid is ~134M codegen'd xor+bit_count ops (~1 s of
+    // one task, the per-task work a split block also carries), while the
+    // triangle's row REPLICATION (~nb/2 copies per row) taxes every
+    // moderately-hot bucket it touches. Measured on the 40× dup-dense
+    // probe (ScaleProbe simfold, sf0.1×40): d18 11.6 s @4096 / 6.9 @16384
+    // / 12.3 split-disabled; d4 87 @4096 / 64 @16384 / 66 disabled —
+    // 4096 split buckets the plain join already parallelizes across keys.
+    // Memory per task stays trivial (16 B/row); a truly degenerate chunk
+    // (one bucket ~ the corpus) still splits into ~n/16384 blocks.
     val blockRows = sig.sparkSession.conf
-      .get(HammingBlockRowsKey, "4096").toInt
+      .get(HammingBlockRowsKey, "16384").toInt
     def plainJoin(src: DataFrame): DataFrame =
       src.as("x").join(src.as("y"),
           col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&

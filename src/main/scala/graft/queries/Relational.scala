@@ -315,7 +315,11 @@ object Relational {
       graft.operators.Quantiles.groupPercentiles(
           s.table("lineitem"), Seq("l_returnflag"),
           Seq(("l_quantity", Seq(0.5, 0.9), Seq("q50", "q90")),
-            ("l_extendedprice", Seq(0.99), Seq("q99"))))
+            ("l_extendedprice", Seq(0.99), Seq("q99"))),
+          // Memoized table count (round 18): without the hint the route
+          // decision re-counts lineitem on every call — the w1/w2
+          // knownCount discipline, one fewer job per measurement.
+          knownCount = graft.Tables.rowCount(s, dir, "lineitem"))
         .select(col("l_returnflag"), round(col("q50"), 4).as("p50"),
           round(col("q90"), 4).as("p90"), round(col("q99"), 2).as("p99_price"))
         .orderBy("l_returnflag")
@@ -382,7 +386,8 @@ object Relational {
         val ex = graft.operators.Quantiles.groupPercentiles(
           s.table("lineitem"), Seq("l_returnflag"),
           Seq(("l_quantity", Seq(0.5), Seq("e50")),
-            ("l_extendedprice", Seq(0.99), Seq("e99"))))
+            ("l_extendedprice", Seq(0.99), Seq("e99"))),
+          knownCount = graft.Tables.rowCount(s, dir, "lineitem"))
         ap.join(ex, Seq("l_returnflag"))
           .select(when(
             fabs(col("p50") - col("e50")) <=

@@ -20,13 +20,21 @@ object ScaleProbe {
       only.isEmpty || only.exists(name.contains)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
+    // Conf A/B hook (QProf's): SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overlays
+    // session conf so shape experiments don't need a recompile per trial.
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .map(_.split(";").map(_.trim).filter(_.contains("="))
+        .foldLeft(builder0) { (b, kv) =>
+          val Array(k, v) = kv.split("=", 2); b.config(k, v)
+        })
+      .getOrElse(builder0)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.ensure(spark, sfDir)
