@@ -357,11 +357,28 @@ object Bench {
     if (taskErrs.get > 0) {
       val byQ = taskErrQueries.toSeq.sortBy(_._1)
         .map { case (q, n) => s"$q:$n" }.mkString(" ")
+      // Known-benign event classes: (a) i-series integrity fixtures plant
+      // corrupt files BY DESIGN; (b) "task of very large size" is a
+      // scheduler ADVISORY (driver-resolved local results — union-find
+      // components, blocked-grid combos — ride in the task binary; no
+      // task failed). Anything else on a green map still says "inspect".
+      val nAdvisory = scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(taskErrLog)).asScala
+          .count(_.contains("contains a task of very large size"))
+      }.getOrElse(0)
+      val nNonPoison = taskErrQueries.collect {
+        case (q, n) if !q.startsWith("i") => n }.sum
       val verdict =
         if (taskErrQueries.keys.forall(_.startsWith("i")))
           "all from i-series expected-poison integrity fixtures (corrupt " +
             "files planted by design) - benign on a green map"
-        else "NOT all from i-series expected-poison fixtures - inspect the log"
+        else if (nNonPoison <= nAdvisory)
+          "i-series expected poison and/or 'task of very large size' " +
+            "scheduler advisories (driver-resolved local results in the " +
+            "task binary; nothing failed) - benign on a green map"
+        else "NOT all from known-benign classes - inspect the log"
       println(s"[bench] ${taskErrs.get} task-level error/warn events " +
         s"routed to $taskErrLog ($byQ): $verdict; a query that actually " +
         "failed reads -1 in the map")

@@ -1575,8 +1575,24 @@ object Dedup {
           // surfaces exactly once (same-block pairs keep the id tiebreak;
           // cross-block orientation is arbitrary, so least/greatest
           // restores a_id < b_id — the join path's exact ordering).
+          // Block count per hot bucket = the listPairsBlocked sizing: the
+          // per-task work bound (bsize/blockRows) PLUS a parallelism
+          // floor by each bucket's share of the hot pair work
+          // (nb ≈ bsize·√(8·par/Σ bsize²) puts ~4·par combos on the
+          // buckets that own the work) — a fixed row bound alone lets ONE
+          // 30k-row bucket run as a 2-block/3-combo grid on a 32-core
+          // box (measured: m6's sf1 byte-hash buckets). Cold buckets
+          // need no floor: they are many independent join keys already.
+          val par = sig.sparkSession.sparkContext.defaultParallelism
+          val hotWork = hot.iterator.map { case (_, s) => s.toDouble * s }.sum
+          val parScale =
+            if (hotWork > 0) math.sqrt(8.0 * par / hotWork) else 0.0
+          // floor on the par term, as in listPairsBlocked: ceil would
+          // double-split every bucket in the 1.x band when hot buckets
+          // are numerous enough to parallelize by key count alone.
           val nbOf = hot.map { case (k, s) =>
-            k -> math.ceil(s.toDouble / blockRows).toInt }.toMap
+            k -> math.max(math.ceil(s.toDouble / blockRows),
+              math.floor(s * parScale)).toInt.max(1) }.toMap
           val cold = live.where(!key.isin(hot.map(_._1): _*))
           val hotRaw = live.where(key.isin(hot.map(_._1): _*))
             .withColumn("nb", element_at(typedlit(nbOf), key))

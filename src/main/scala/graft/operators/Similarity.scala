@@ -333,10 +333,20 @@ object Similarity {
     // list count itself).
     val totalWork = sizes.iterator.map { case (_, c) => c.toDouble * c }.sum
     val parScale = if (totalWork > 0) math.sqrt(8.0 * par / totalWork) else 0.0
+    // FLOOR, not ceil, on the parallelism term (round 18): for L
+    // equal-sized lists cnt·parScale = √(8·par/L), so any corpus with
+    // L ∈ (2·par, 8·par) lists read 1.x and ceil split EVERY list in two —
+    // doubling the combo count and replicating every vector through the
+    // pair exchange for parallelism the list count already provides
+    // (measured at native sf1/local[32]: d15's pair stage shuffled 408 MB
+    // at 32 cores vs 317 at 8, scaling ratio 0.46 — slower on MORE
+    // cores). Flooring only trims that 1.x→1 band; a genuinely hot list's
+    // cnt·parScale ≫ 1 splits the same as before, and the memory bound
+    // still applies.
     val blocksOf: Map[Long, Int] = sizes.map { case (l, cnt) =>
       l -> math.max(1, math.max(
         math.ceil(cnt.toDouble / targetBlockRows),
-        math.ceil(cnt * parScale)).toInt)
+        math.floor(cnt * parScale)).toInt)
     }.toMap
     val combos = spark.createDataset(
       sizes.flatMap { case (l, _) =>

@@ -26,9 +26,16 @@ if [ ! -f "$OUT/documents.parquet/_SUCCESS" ]; then
   sbt -batch "Test/runMain graft.tools.SfGen $SF $OUT"
 fi
 
+# Calibration refs are PER-FIXTURE (the block runs on this lane's own
+# tables, not the driver testdata): without a pinned ref the loaded-stamp
+# discipline (calib > 1.5x ref) would compare the native fixture's block
+# against the sf0.1 ref and stamp every lane record loaded. 9.4 is the
+# quietest same-box sf1.0/local[32] reading (round 18); override per box.
 SPARK_GRAFT_SF_DIR="$OUT" \
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
 SPARK_GRAFT_SATURATION_MODE=route \
+SPARK_GRAFT_CALIB_REF="${SPARK_GRAFT_CALIB_REF:-9.4}" \
+SPARK_GRAFT_CALIB_SEG_REF="${SPARK_GRAFT_CALIB_SEG_REF:-0.57}" \
 SPARK_GRAFT_OUT="/tmp/graft_sf${SF}_bench" \
   sbt -batch "runMain graft.Bench"
 
